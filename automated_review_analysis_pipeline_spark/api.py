@@ -1,0 +1,73 @@
+"""Public entry point mirroring the reference CLI surface (S6,
+survey_analysis.py:455-461): run(input, industry, output, cache, max_chars).
+
+Mode selection follows the reference (survey_analysis.py:476-485): an
+OPENAI_API_KEY in the environment selects the LLM kernel, otherwise the
+deterministic demo kernel -- a plan-time decision that swaps the
+classification operator, nothing else.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automated_review_analysis_pipeline_spark.operators.cache import (
+    KEY_COLS,
+    classify_with_cache,
+)
+from automated_review_analysis_pipeline_spark.operators.classify import llm_kernel
+from automated_review_analysis_pipeline_spark.plans.survey_pipeline import (
+    analyze_wide,
+    demo_classifier,
+)
+from automated_review_analysis_pipeline_spark.session import get_spark
+from automated_review_analysis_pipeline_spark.sinks.excel import write_excel_report
+from automated_review_analysis_pipeline_spark.sources.survey import read_survey_csv
+
+
+def run(
+    input_path: str,
+    industry: str,
+    output: str = "data analysis output.xlsx",
+    cache: str | None = ".analysis_cache_parquet",
+    max_chars: int = 600,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """CSV in -> classified wide table + Excel(/CSV) report out.
+
+    Returns the wide DataFrame (lazy; the sink already collect()ed the
+    small aggregates). Demo mode is fully deterministic end-to-end, like
+    the reference's zero-spend reviewer path (README.md:32).
+    """
+    spark = spark or get_spark(app_name="automated-review-analysis-pipeline")
+    survey = read_survey_csv(spark, input_path)
+
+    if os.getenv("OPENAI_API_KEY"):
+        classifier = llm_kernel(industry)
+    else:
+        classifier = demo_classifier
+
+    wide, base_to_display = analyze_wide(
+        survey, classifier=classifier, max_chars=max_chars)
+    write_excel_report(wide, output, base_to_display)
+    return wide
+
+
+def main() -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="PySpark survey review analysis (reference-parity CLI)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--industry", required=True)
+    p.add_argument("--output", default="data analysis output.xlsx")
+    p.add_argument("--cache", default=".analysis_cache_parquet")
+    p.add_argument("--max-chars", type=int, default=600)
+    args = p.parse_args()
+    run(args.input, args.industry, args.output, args.cache, args.max_chars)
+
+
+if __name__ == "__main__":
+    main()

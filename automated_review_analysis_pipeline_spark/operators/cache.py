@@ -1,0 +1,106 @@
+"""Classification cache as a join (reference C7, survey_analysis.py:145-165,
+251-273) -- the reference's single most important efficiency mechanism.
+
+The reference memoizes (industry, question, answer) -> (sentiment,
+category) in a JSON dict, consulted before every classifier call and
+flushed every 200 new entries. On the bundled data that's a ~7.4x
+reduction in classifier invocations (2 071 non-filler cells -> 278
+distinct). Catalyst will never dedup UDF inputs on its own, so the engine
+reproduces the effect as a plan rewrite:
+
+    distinct(keys) --left-anti join--> cache table   = misses
+    misses --classifier--> results --append--> cache (atomic parquet part)
+    df --left join (broadcast cache)--> classified columns
+
+Idempotence comes free: a re-run anti-joins everything away and classifies
+zero rows (the reference needed incremental flushing for crash-resume; an
+atomic append of the miss partition subsumes it).
+
+At 100 TB the cache table is big but still tiny relative to the corpus
+(distinct answers, not rows); the final join broadcasts when it fits and
+falls back to a shuffle hash join when it does not -- both are single-pass.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CACHE_SCHEMA = ("industry string, question string, answer string, "
+                "sentiment string, category string")
+
+KEY_COLS = ["industry", "question", "answer"]
+VAL_COLS = ["sentiment", "category"]
+
+# classifier(distinct_keys_df) -> df with KEY_COLS + VAL_COLS
+CacheClassifier = Callable[[DataFrame], DataFrame]
+
+
+def load_cache(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet cache table; missing/empty -> empty frame (the reference
+    tolerates a missing/corrupt cache file the same way,
+    survey_analysis.py:145-153)."""
+    try:
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            return spark.read.parquet(path)
+    except OSError:
+        pass
+    return spark.createDataFrame([], CACHE_SCHEMA)
+
+
+def classify_with_cache(
+    keys: DataFrame,
+    classifier: CacheClassifier,
+    spark: SparkSession,
+    cache_path: str | None = None,
+) -> DataFrame:
+    """Classify distinct (industry, question, answer) keys, consulting and
+    extending the cache table. Returns KEY_COLS + VAL_COLS for every input
+    key. ``keys`` may contain duplicates; they are collapsed first."""
+    distinct_keys = keys.select(*KEY_COLS).distinct()
+    cache = (
+        load_cache(spark, cache_path)
+        if cache_path
+        else spark.createDataFrame([], CACHE_SCHEMA)
+    )
+
+    misses = distinct_keys.join(cache, KEY_COLS, "left_anti")
+    computed = classifier(misses).select(*KEY_COLS, *VAL_COLS)
+
+    if cache_path:
+        # Atomic append of the miss partition (replaces the reference's
+        # flush-every-200); re-runs then classify zero rows.
+        computed.write.mode("append").parquet(cache_path)
+        computed = spark.read.parquet(cache_path).join(
+            distinct_keys, KEY_COLS, "left_semi")
+        return computed
+
+    return cache.join(distinct_keys, KEY_COLS, "left_semi").unionByName(computed)
+
+
+def classify_column_with_cache(
+    df: DataFrame,
+    industry: str,
+    question: str,
+    answer_col: str,
+    classifier: CacheClassifier,
+    cache_path: str | None = None,
+) -> DataFrame:
+    """Attach (sentiment, category) for one answer column via the cache
+    rewrite. The join back is a broadcast when the distinct-answer table
+    fits (the common case -- it is bounded by distinct answers, not rows)."""
+    spark = df.sparkSession
+    keyed = df.withColumn("industry", F.lit(industry)) \
+              .withColumn("question", F.lit(question)) \
+              .withColumn("answer", F.col(answer_col))
+    results = classify_with_cache(
+        keyed.select(*KEY_COLS), classifier, spark, cache_path)
+    return (
+        keyed.join(F.broadcast(results), KEY_COLS, "left")
+        .drop("industry", "question", "answer")
+    )

@@ -1,0 +1,96 @@
+"""Event-time operators over the `events` table (SURVEY.md §2B).
+
+Batch forms here (SQL-oracle-checkable); the Structured Streaming variants
+with watermarks live in streaming/events_stream.py.
+
+Cross-engine discipline: all time arithmetic runs on epoch MICROSECONDS as
+int64 (unix_micros / epoch_us) -- second-granularity unix_timestamp would
+truncate sub-second gaps differently than the oracle, and emitting raw
+timestamps makes the value-hash depend on each engine's timestamp unit.
+
+Scale notes: tumbling windows are a plain groupBy on a derived column (one
+shuffle, partial agg first); sessionization is the lag/gap/cumsum window
+idiom -- one shuffle on user_id, then per-partition sorts; no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _us(c: Column) -> Column:
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def tumbling_window_agg(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Per (window-start, event_type): count + exact-decimal value sum.
+    window_start is epoch-micros int64 (unit-stable across engines)."""
+    unit = {"1 hour": "hour", "1 day": "day", "1 minute": "minute"}.get(duration)
+    if unit is None:
+        bucket = F.window("ts", duration).getField("start")
+    else:
+        bucket = F.date_trunc(unit, F.col("ts"))
+    return (
+        events.groupBy(_us(bucket).alias("window_start_us"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4)
+            .alias("sum_value"),
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Assign session ids per user: a new session starts when the gap from
+    the previous event exceeds ``gap_minutes`` (lag -> boundary flag ->
+    running sum). Returns one row per event with its session_id."""
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(_us(F.col("ts"))).over(by_user)
+    is_new = (
+        prev_us.isNull()
+        | (_us(F.col("ts")) - prev_us > gap_minutes * 60 * 1_000_000)
+    ).cast("long")
+    return events.withColumn("session_id", F.sum(is_new).over(by_user))
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per (user, session): event count, span in microseconds, value sum."""
+    s = sessionize(events, gap_minutes)
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(_us(F.col("ts"))) - F.min(_us(F.col("ts"))))
+            .alias("span_us"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4)
+            .alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def extract_props(events: DataFrame, key: str = "k") -> DataFrame:
+    """JSON property extraction from the `props` column -- stays JVM-side
+    via get_json_object (no Python json.loads row loop)."""
+    return events.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", f"$.{key}").cast("long").alias("prop_k"),
+    ).orderBy("event_id")
+
+
+def event_type_funnel(events: DataFrame) -> DataFrame:
+    """Per user: did they view -> click -> purchase (order-insensitive
+    presence funnel; conditional aggregation, single shuffle)."""
+    has = lambda t: F.max((F.col("event_type") == t).cast("int"))  # noqa: E731
+    return (
+        events.groupBy("user_id")
+        .agg(
+            has("view").alias("viewed"),
+            has("click").alias("clicked"),
+            has("purchase").alias("purchased"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,183 @@
+"""Relational core over the TPC-H-ish star schema (SURVEY.md §2B).
+
+The reference has no joins/windows/set-ops (SURVEY.md §2A "no reference
+counterpart"); Spark provides them natively. These queries exist to prove
+the engine's relational surface and to anchor the benchmark: they are the
+classic TPC-H shapes re-expressed on the driver's schema.
+
+Scale notes baked in:
+* dimension joins (region/nation/customer/supplier/part) are BROADCAST --
+  at 100 TB the fact tables shuffle, dims never should;
+* money aggregates go through decimal(18,2) so partial/final aggregation is
+  exact and associative -- bit-identical across engines and partitionings
+  (double sums are order-dependent; decimal sums are not), cast to double
+  only at the end;
+* aggregates run partial+final (Catalyst hash agg) -- map-side combine
+  before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _dec(c: str) -> F.Column:
+    """Prices/quantities: decimal(12,2) -- wide enough for any value in the
+    schema, narrow enough that price * (1-disc) * (1+tax) stays within
+    width 38 under BOTH Spark's and DuckDB's decimal-multiply rules (the
+    engines clamp differently once width overflows, which would break
+    exact-sum parity)."""
+    return F.col(c).cast("decimal(12,2)")
+
+
+def _frac(c: str) -> F.Column:
+    """Discount/tax fractions: decimal(4,2)."""
+    return F.col(c).cast("decimal(4,2)")
+
+
+def _one() -> F.Column:
+    return F.lit(1).cast("decimal(4,2)")
+
+
+def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "2000-12-01") -> DataFrame:
+    """TPC-H Q1 shape: per (returnflag, linestatus) pricing summary for
+    lineitems shipped on/before the cutoff.
+
+    One scan, one shuffle on a 6-group key; the shipdate filter and the
+    8-column projection both push into the parquet scan.
+    """
+    disc_price = _dec("l_extendedprice") * (_one() - _frac("l_discount"))
+    charge = disc_price * (_one() + _frac("l_tax"))
+    # Averages = exact decimal sum -> one double division -> round: the only
+    # float op is a single IEEE divide, identical on any engine/partitioning.
+    cnt = F.count(F.lit(1))
+    agged = (
+        lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("__sq"),
+            F.sum(_dec("l_extendedprice")).alias("__sp"),
+            F.sum(disc_price).alias("__sd"),
+            F.sum(charge).alias("__sc"),
+            F.sum(_frac("l_discount")).alias("__sdisc"),
+            cnt.alias("count_order"),
+        )
+    )
+    n = F.col("count_order").cast("double")
+    return agged.select(
+        "l_returnflag", "l_linestatus",
+        F.col("__sq").cast("double").alias("sum_qty"),
+        F.col("__sp").cast("double").alias("sum_base_price"),
+        F.col("__sd").cast("double").alias("sum_disc_price"),
+        F.col("__sc").cast("double").alias("sum_charge"),
+        F.round(F.col("__sq").cast("double") / n, 6).alias("avg_qty"),
+        F.round(F.col("__sp").cast("double") / n, 6).alias("avg_price"),
+        F.round(F.col("__sdisc").cast("double") / n, 6).alias("avg_disc"),
+        F.col("count_order"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+def q3_shipping_priority(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame, segment: str = "BUILDING",
+                         date: str = "1998-03-15") -> DataFrame:
+    """TPC-H Q3 shape: top unshipped-revenue orders for one market segment.
+
+    customer is small -> broadcast into orders; orders->lineitem is the one
+    real shuffle join (both sides filtered before the join so the shuffle
+    carries only qualifying rows).
+    """
+    revenue = F.sum(
+        _dec("l_extendedprice") * (_one() - _frac("l_discount"))
+    ).cast("double").alias("revenue")
+    return (
+        lineitem.where(F.col("l_shipdate") > F.lit(date).cast("timestamp_ntz"))
+        .join(
+            orders.where(F.col("o_orderdate") < F.lit(date).cast("timestamp_ntz")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            broadcast(customer.where(F.col("c_mktsegment") == segment)),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"), "o_orderpriority")
+        .agg(revenue)
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(region: DataFrame, nation: DataFrame,
+                             customer: DataFrame, supplier: DataFrame,
+                             orders: DataFrame, lineitem: DataFrame,
+                             region_name: str = "ASIA",
+                             date_from: str = "1996-01-01",
+                             date_to: str = "1997-01-01") -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where customer and supplier share
+    the nation. All four dims broadcast; the only shuffles are the
+    orders->lineitem join and the final small agg."""
+    nations = (
+        broadcast(nation)
+        .join(broadcast(region.where(F.col("r_name") == region_name)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice") * (_one() - _frac("l_discount"))
+    ).cast("double").alias("revenue")
+    return (
+        lineitem
+        .join(orders.where(
+            (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp_ntz"))),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(supplier),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(revenue)
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Window ranking: each customer's k highest-value orders.
+
+    row_number over (partition by custkey order by totalprice desc) -- the
+    per-key top-k idiom that scales (no global sort; one hash shuffle on
+    the partition key, then a per-partition sort)."""
+    from pyspark.sql import Window
+
+    w = (
+        F.row_number()
+        .over(Window.partitionBy("o_custkey")
+              .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+        .alias("rank")
+    )
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice", w)
+        .where(F.col("rank") <= k)
+        .orderBy("o_custkey", "rank")
+    )
+
+
+def order_priority_counts(orders: DataFrame, lineitem: DataFrame,
+                          date_from: str = "1996-01-01",
+                          date_to: str = "1996-04-01") -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one returned lineitem (the
+    schema has no commit/receipt dates, so returnflag='R' plays the "late"
+    predicate), counted by priority. The EXISTS becomes a left-semi join --
+    no row duplication, the join carries only the key column."""
+    returned = lineitem.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp_ntz")))
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

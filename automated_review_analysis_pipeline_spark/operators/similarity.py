@@ -1,0 +1,198 @@
+"""Similarity search over embedding columns (SURVEY.md §2B).
+
+Baseline: brute-force cosine top-k (exact). Scale path: LSH-bucketed ANN
+(random-hyperplane signs) and an IVF-style coarse quantizer -- both built
+from DataFrame ops only.
+
+Numeric discipline: embeddings are float32 on disk; every fold casts to
+double FIRST so Spark's left-to-right aggregate matches the oracle's
+float64 math, and similarities are rounded before any comparison so a
+last-ulp divergence cannot flip the value-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from automated_review_analysis_pipeline_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    to_double_array,
+)
+
+
+def _prep(embeddings: DataFrame, id_col: str, vec_col: str,
+          alias: str) -> DataFrame:
+    """Project to (id, double-vector, norm) once -- norms are computed a
+    single time per side, not once per pair."""
+    v = to_double_array(F.col(vec_col))
+    return embeddings.select(
+        F.col(id_col).alias(f"{alias}_id"),
+        v.alias(f"{alias}_vec"),
+        F.sqrt(dot_product(v, v)).alias(f"{alias}_norm"),
+    )
+
+
+def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact brute-force cosine top-k: for each query vector, the k nearest
+    corpus vectors (self-matches excluded).
+
+    Plan shape: broadcast(queries) x corpus -- a broadcast nested-loop
+    join that scans the corpus ONCE regardless of query count, then a
+    per-query top-k window. This is the exact baseline every ANN variant
+    is measured against; at 100 TB you shard the corpus by partition and
+    the same plan holds (no shuffle of the corpus at all)."""
+    corpus = _prep(embeddings, id_col, vec_col, "c")
+    qs = _prep(queries, id_col, vec_col, "q")
+    sim = dot_product(F.col("q_vec"), F.col("c_vec")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        corpus.join(broadcast(qs), F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def pairwise_cosine_above(embeddings: DataFrame, threshold: float = 0.9,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-duplicate pairs: all (a<b) pairs with cosine >=
+    threshold. Exact O(n^2) form -- use sign_lsh_topk's bucketing to scale."""
+    a = _prep(embeddings, id_col, vec_col, "a")
+    b = _prep(embeddings, id_col, vec_col, "b")
+    sim = dot_product(F.col("a_vec"), F.col("b_vec")) / (
+        F.col("a_norm") * F.col("b_norm")
+    )
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            F.col("a_id").alias("id_a"),
+            F.col("b_id").alias("id_b"),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# scale paths: random-hyperplane LSH and IVF coarse quantization
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed seed -> reproducible
+    across runs and executors)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def sign_lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: concat of sign bits of <v, p_i>.
+    Cosine-similar vectors agree on most sign bits."""
+    bits = [
+        F.when(
+            dot_product(vec, F.array(*[F.lit(x) for x in p])) >= 0, "1"
+        ).otherwise("0")
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def sign_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  n_planes: int = 8, dim: int = 64) -> DataFrame:
+    """Approximate cosine top-k: compare only within matching sign-LSH
+    buckets. Recall < 1.0 by construction; tests measure it against
+    cosine_topk. The bucket join replaces the full-corpus scan with a hash
+    join on the signature -- the 100 TB shape."""
+    planes = _hyperplanes(dim, n_planes)
+    corpus = _prep(embeddings, id_col, vec_col, "c").withColumn(
+        "bucket", sign_lsh_bucket(F.col("c_vec"), planes))
+    qs = _prep(queries, id_col, vec_col, "q").withColumn(
+        "bucket", sign_lsh_bucket(F.col("q_vec"), planes))
+    sim = dot_product(F.col("q_vec"), F.col("c_vec")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        corpus.join(broadcast(qs), ["bucket"])
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF-style ANN: pick n_centroids corpus vectors as coarse centroids
+    (deterministic: lowest ids), assign every corpus vector to its nearest
+    centroid, and search only the n_probe centroids nearest each query.
+
+    The centroid table is tiny and broadcast twice (assignment + probe);
+    the corpus is scanned once for assignment -- in production the
+    assignment is precomputed and the probe join prunes partitions."""
+    corpus = _prep(embeddings, id_col, vec_col, "c")
+    cents = (
+        _prep(embeddings.orderBy(id_col).limit(n_centroids), id_col, vec_col, "ct")
+    )
+    csim = dot_product(F.col("c_vec"), F.col("ct_vec")) / (
+        F.col("c_norm") * F.col("ct_norm"))
+    assign_w = Window.partitionBy("c_id").orderBy(F.desc("__csim"), F.asc("ct_id"))
+    assigned = (
+        corpus.join(broadcast(cents), F.lit(True))
+        .withColumn("__csim", csim)
+        .withColumn("__r", F.row_number().over(assign_w))
+        .where(F.col("__r") == 1)
+        .select("c_id", "c_vec", "c_norm", F.col("ct_id").alias("cell"))
+    )
+    qs = _prep(queries, id_col, vec_col, "q")
+    qsim = dot_product(F.col("q_vec"), F.col("ct_vec")) / (
+        F.col("q_norm") * F.col("ct_norm"))
+    probe_w = Window.partitionBy("q_id").orderBy(F.desc("__qsim"), F.asc("ct_id"))
+    probes = (
+        qs.join(broadcast(cents), F.lit(True))
+        .withColumn("__qsim", qsim)
+        .withColumn("__r", F.row_number().over(probe_w))
+        .where(F.col("__r") <= n_probe)
+        .select("q_id", "q_vec", "q_norm", F.col("ct_id").alias("cell"))
+    )
+    sim = dot_product(F.col("q_vec"), F.col("c_vec")) / (
+        F.col("q_norm") * F.col("c_norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        assigned.join(broadcast(probes), ["cell"])
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

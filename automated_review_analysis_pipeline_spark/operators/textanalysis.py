@@ -1,0 +1,187 @@
+"""Text-analysis columns for a training-data pipeline (SURVEY.md §2B):
+language ID, quality scoring, token counting, fingerprinting.
+
+All pure column expressions (whole-stage codegen; no Python). Each has an
+ANSI-SQL twin for the DuckDB oracle, generated from the same constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny stopword inventories for the n-gram/stopword language-ID heuristic.
+# Deliberately small + deterministic: the point is the operator shape
+# (per-language evidence count -> argmax), not lexical completeness.
+LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "and", "of", "to", "is", "was", "for", "with")),
+    ("es", ("el", "la", "los", "las", "de", "que", "es", "para", "con")),
+    ("de", ("der", "die", "das", "und", "ist", "nicht", "mit", "für")),
+    ("fr", ("le", "la", "les", "des", "est", "et", "pour", "avec")),
+)
+
+# \w+ runs or single non-space symbols -- the BPE-ish pre-tokenizer shape.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization of trimmed text; empty text -> empty array."""
+    t = F.trim(F.coalesce(c, F.lit("")))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """Count of BPE-style pre-tokens (letter runs / digit runs / single
+    punctuation) -- a deterministic proxy for LLM token counts."""
+    return F.size(F.regexp_extract_all(F.coalesce(c, F.lit("")),
+                                       F.lit(BPE_ISH_PATTERN), 0))
+
+
+def punct_ratio(c: Column) -> Column:
+    s = F.coalesce(c, F.lit(""))
+    n_punct = F.length(s) - F.length(F.regexp_replace(s, r"[^\w\s]", ""))
+    return F.when(F.length(s) == 0, F.lit(0.0)).otherwise(
+        F.round(n_punct.cast("double") / F.length(s), 6)
+    )
+
+
+def stopword_hits(c: Column, words: tuple[str, ...]) -> Column:
+    """How many tokens are in the marker set (token-exact, not substring)."""
+    toks = tokens(F.lower(c))
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def language_id(c: Column) -> Column:
+    """Argmax of per-language stopword evidence; no evidence -> 'und'.
+
+    Ties break by LANG_MARKERS order (first language listed wins), which a
+    greatest-of chain cannot express -- so build it as a strict when-chain:
+    lang_i wins iff its count > all later counts and >= all earlier ones.
+    Simpler equivalent: pick the first language whose count equals the
+    overall max and max > 0.
+    """
+    counts = [stopword_hits(c, words) for _, words in LANG_MARKERS]
+    max_c = F.greatest(*counts)
+    expr = None
+    for (lang, _), cnt in zip(LANG_MARKERS, counts):
+        cond = (max_c > 0) & (cnt == max_c)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr.otherwise("und")
+
+
+def quality_score(c: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: rewards mid-length docs and
+    low punctuation density, penalizes very short text.
+
+    score = 0.5*min(1, tokens/50) + 0.3*(1 - min(1, 4*punct_ratio))
+          + 0.2*min(1, avg_token_len/8)
+    """
+    nt = token_count(c).cast("double")
+    s = F.trim(F.coalesce(c, F.lit("")))
+    avg_len = F.when(nt == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(s, r"\s+", "")).cast("double") / nt
+    )
+    pr = punct_ratio(c)
+    score = (
+        F.lit(0.5) * F.least(F.lit(1.0), nt / F.lit(50.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), F.lit(4.0) * pr))
+        + F.lit(0.2) * F.least(F.lit(1.0), avg_len / F.lit(8.0))
+    )
+    return F.round(score, 6)
+
+
+def fingerprint(c: Column) -> Column:
+    """Content fingerprint: md5 of the whitespace-normalized, lowercased
+    text. Portable (md5 is identical everywhere), order-stable."""
+    norm = F.lower(F.trim(F.regexp_replace(F.coalesce(c, F.lit("")), r"\s+", " ")))
+    return F.md5(norm)
+
+
+def shingle_fingerprint(c: Column, k: int = 3) -> Column:
+    """Order-insensitive near-dup fingerprint: md5 over the sorted distinct
+    token set (a set-similarity-friendly canonical form)."""
+    toks = F.array_sort(F.array_distinct(tokens(F.lower(c))))
+    return F.md5(F.concat_ws(" ", toks))
+
+
+def text_profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """The combined text-analysis projection over a documents table."""
+    c = F.col(text_col)
+    return documents.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        F.length(F.coalesce(c, F.lit(""))).alias("n_chars_measured"),
+        punct_ratio(c).alias("punct_ratio"),
+        language_id(c).alias("lang_guess"),
+        quality_score(c).alias("quality"),
+        fingerprint(c).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-SQL twins (DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def tokens_sql(expr: str) -> str:
+    t = f"trim(coalesce({expr}, ''))"
+    return (f"CASE WHEN {t} = '' THEN []::VARCHAR[] "
+            f"ELSE regexp_split_to_array({t}, '\\s+') END")
+
+
+def token_count_sql(expr: str) -> str:
+    return f"len({tokens_sql(expr)})"
+
+
+def bpe_ish_token_count_sql(expr: str) -> str:
+    return (f"len(regexp_extract_all(coalesce({expr}, ''), "
+            f"{_q(BPE_ISH_PATTERN)}))")
+
+
+def punct_ratio_sql(expr: str) -> str:
+    s = f"coalesce({expr}, '')"
+    np = f"(length({s}) - length(regexp_replace({s}, '[^\\w\\s]', '', 'g')))"
+    return (f"CASE WHEN length({s}) = 0 THEN 0.0 "
+            f"ELSE round({np}::DOUBLE / length({s}), 6) END")
+
+
+def stopword_hits_sql(expr: str, words: tuple[str, ...]) -> str:
+    toks = tokens_sql(f"lower({expr})")
+    inlist = ", ".join(_q(w) for w in words)
+    return f"len(list_filter({toks}, t -> t IN ({inlist})))"
+
+
+def language_id_sql(expr: str) -> str:
+    counts = {lang: stopword_hits_sql(expr, words) for lang, words in LANG_MARKERS}
+    max_c = "greatest(" + ", ".join(counts.values()) + ")"
+    whens = " ".join(
+        f"WHEN {max_c} > 0 AND {cnt} = {max_c} THEN {_q(lang)}"
+        for lang, cnt in counts.items()
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+def quality_score_sql(expr: str) -> str:
+    nt = f"{token_count_sql(expr)}::DOUBLE"
+    s = f"trim(coalesce({expr}, ''))"
+    avg_len = (f"CASE WHEN {nt} = 0 THEN 0.0 ELSE "
+               f"length(regexp_replace({s}, '\\s+', '', 'g'))::DOUBLE / {nt} END")
+    pr = punct_ratio_sql(expr)
+    return (f"round(0.5 * least(1.0, {nt} / 50.0) "
+            f"+ 0.3 * (1.0 - least(1.0, 4.0 * {pr})) "
+            f"+ 0.2 * least(1.0, {avg_len} / 8.0), 6)")
+
+
+def fingerprint_sql(expr: str) -> str:
+    norm = f"lower(trim(regexp_replace(coalesce({expr}, ''), '\\s+', ' ', 'g')))"
+    return f"md5({norm})"

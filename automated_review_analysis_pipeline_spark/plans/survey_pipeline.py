@@ -1,0 +1,124 @@
+"""The survey analysis pipeline as ONE lazy Spark plan.
+
+Reference flow (survey_analysis.py:223-317, the `analyze_dataframe_wide`
+row loop): per response, clean each answer, short-circuit filler to
+(Neutral, No Feedback), classify once, then replicate the per-question
+triplets into one output row per product. Here the row loop disappears:
+
+    scan -> clean columns -> classify columns -> explode(products)
+         -> dynamic select list [ResponseID, Product, triplets...]
+
+Plan-construction discipline:
+
+* classify-before-explode (reference R2): each response is classified once
+  and the triplets replicate per product. Catalyst will not reorder across
+  a nondeterministic UDF kernel, so the pipeline emits this order itself.
+* staged selects: clean_text (two regexp_replace passes) is aliased in its
+  own projection and everything downstream references the ATTRIBUTE, not
+  the expression. CollapseProject declines to inline non-cheap expressions
+  referenced more than once, so the regex runs once per (row, question)
+  instead of once per lexicon term -- this keeps both runtime and
+  plan-compile time linear in |questions|.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from automated_review_analysis_pipeline_spark.functions.classify import (
+    keyword_category,
+    lexicon_sentiment,
+)
+from automated_review_analysis_pipeline_spark.functions.text import (
+    clean_text,
+    is_filler,
+    sanitize_base,
+)
+from automated_review_analysis_pipeline_spark.operators.reshape import explode_products
+from automated_review_analysis_pipeline_spark.sources.survey import question_columns
+
+# classifier(question_text, cleaned_answer_col) -> struct(sentiment, category)
+Classifier = Callable[[str, Column], Column]
+
+
+def demo_classifier(question_text: str, answer: Column) -> Column:
+    """Deterministic demo kernel (C2 lexicon sentiment + C3 keyword
+    category) -- pure column expressions, SQL-oracle-checkable."""
+    return F.struct(
+        lexicon_sentiment(answer).alias("sentiment"),
+        keyword_category(answer).alias("category"),
+    )
+
+
+def with_response_id(df: DataFrame, id_col: str | None = None) -> DataFrame:
+    """ResponseID = str(source row position + 1) (survey_analysis.py:292).
+
+    With no natural key this needs a global row numbering -- fine at survey
+    scale (the Excel sink is driver-side anyway), but a single-partition
+    sort at 100 TB. Callers with a stable key pass ``id_col`` and skip the
+    sort entirely; that is the scale path.
+    """
+    if id_col is not None:
+        return df.withColumn("ResponseID", F.col(id_col).cast("string"))
+    w = Window.orderBy(F.monotonically_increasing_id())
+    return df.withColumn("ResponseID", F.row_number().over(w).cast("string"))
+
+
+def analyze_wide(
+    survey: DataFrame,
+    classifier: Classifier = demo_classifier,
+    id_col: str | None = None,
+    max_chars: int = 600,
+) -> tuple[DataFrame, dict[str, str]]:
+    """Survey DataFrame -> (wide result, base->display-name map).
+
+    Wide schema (FIXTURES.md C1): ResponseID, Product, then per question q
+    the triplet {base}_Answer, {base}_Sentiment, {base}_Category in original
+    question order. Row count = sum over responses of max(1, #products).
+
+    ``max_chars`` caps the text handed to the classifier (reference P6,
+    survey_analysis.py:265) -- the emitted _Answer column stays uncapped.
+    """
+    questions = question_columns(survey)
+    base_to_display = {sanitize_base(q): q for q in questions}
+    bases = [sanitize_base(q) for q in questions]
+    products_col = survey.columns[2]
+
+    df = with_response_id(survey, id_col)
+
+    # Stage 1: clean every question column once (the expensive regex pass).
+    df = df.select(
+        "ResponseID",
+        products_col,
+        *[clean_text(F.col(q)).alias(f"{b}_Answer")
+          for q, b in zip(questions, bases)],
+    )
+
+    # Stage 2: classify from the cleaned ATTRIBUTE (not the regex expr).
+    # Filler short-circuit (P3, survey_analysis.py:284-285) skips the
+    # classifier -- with a UDF kernel this also skips the Python/API call.
+    res_cols = []
+    for q, b in zip(questions, bases):
+        ans = F.col(f"{b}_Answer")
+        res = F.when(
+            is_filler(ans),
+            F.struct(F.lit("Neutral").alias("sentiment"),
+                     F.lit("No Feedback").alias("category")),
+        ).otherwise(classifier(q, F.substring(ans, 1, max_chars)))
+        res_cols.append(res.alias(f"__res_{b}"))
+    df = df.select("*", *res_cols)
+
+    # Stage 3: explode AFTER classification (classify once per response,
+    # replicate per product), then flatten triplets in question order.
+    df = explode_products(df, products_col=products_col, out_col="Product")
+    ordered: list[Column] = [F.col("ResponseID"), F.col("Product")]
+    for b in bases:
+        ordered.extend([
+            F.col(f"{b}_Answer"),
+            F.col(f"__res_{b}.sentiment").alias(f"{b}_Sentiment"),
+            F.col(f"__res_{b}.category").alias(f"{b}_Category"),
+        ])
+    return df.select(*ordered), base_to_display

@@ -1,0 +1,521 @@
+"""Query registry: every implemented operator exposed as a (spark, sf_dir)
+-> DataFrame callable plus, where SQL-expressible, its exact DuckDB oracle.
+
+This is the driver's correctness gate (CORRECTNESS_r{N}.json): the Spark
+result and the oracle SQL run side-by-side at sf0.01 and must match on
+row-count + schema + order-insensitive value-hash. Column names are aliased
+identically on both sides. Oracle SQL strings are GENERATED from the same
+constants as the Spark expressions wherever possible (lexicons, taxonomy,
+filler set, language markers) so the two can never drift.
+
+Numeric discipline (see operators/relational.py, operators/similarity.py):
+decimal sums -> single double cast/divide -> round; epoch-microsecond int64
+for all time arithmetic; md5 for all hashing (portable across engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_review_analysis_pipeline_spark.functions.classify import (
+    SENTIMENT_ORDER,
+    clean_text_sql,
+    is_filler_sql,
+    keyword_category_sql,
+    lexicon_sentiment_sql,
+)
+from automated_review_analysis_pipeline_spark.functions.text import clean_text, is_filler
+from automated_review_analysis_pipeline_spark.functions.classify import (
+    keyword_category,
+    lexicon_sentiment,
+)
+from automated_review_analysis_pipeline_spark.operators import (
+    dedup,
+    events as ev,
+    relational as rel,
+    similarity as sim,
+    textanalysis as ta,
+)
+from automated_review_analysis_pipeline_spark.operators.reshape import parse_products
+from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _utc(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# survey-surface kernels exercised over `documents`
+# ---------------------------------------------------------------------------
+
+def q_doc_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        clean_text(F.col("text")).alias("clean"),
+        is_filler(F.col("text")).alias("filler"),
+    ).orderBy("doc_id")
+
+
+def q_doc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's demo classification (C2+C3) applied per document,
+    with the P3 filler short-circuit and P6 600-char clip."""
+    d = _t(spark, sf_dir, "documents")
+    d = d.select("doc_id", clean_text(F.col("text")).alias("__c"))
+    clipped = F.substring(F.col("__c"), 1, 600)
+    return d.select(
+        "doc_id",
+        F.when(is_filler(F.col("__c")), "Neutral")
+        .otherwise(lexicon_sentiment(clipped)).alias("sentiment"),
+        F.when(is_filler(F.col("__c")), "No Feedback")
+        .otherwise(keyword_category(clipped)).alias("category"),
+    ).orderBy("doc_id")
+
+
+def q_doc_sentiment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary-pivot shape (R6/R7) over documents: lang x sentiment counts
+    with the 4 enum columns always present, 0-filled."""
+    d = q_doc_classify(spark, sf_dir).join(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id")
+    return (
+        d.groupBy("lang")
+        .pivot("sentiment", list(SENTIMENT_ORDER))
+        .count()
+        .na.fill(0, list(SENTIMENT_ORDER))
+        .select("lang", *SENTIMENT_ORDER)
+        .orderBy("lang")
+    )
+
+
+def q_product_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 explode semantics on a synthesized comma-packed column: trim,
+    drop empties, Unspecified fallback (every 10th doc gets an empty
+    product string)."""
+    d = _t(spark, sf_dir, "documents")
+    packed = F.when(F.col("doc_id") % 10 == 0, F.lit("")).otherwise(
+        F.concat_ws(", ", F.col("source"), F.col("lang"), F.lit(" "))
+    )
+    return (
+        d.select("doc_id", packed.alias("Products"))
+        .select("doc_id", F.explode(parse_products(F.col("Products"))).alias("Product"))
+        .orderBy("doc_id", "Product")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis over `documents`
+# ---------------------------------------------------------------------------
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.text_profile(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# dedup over `documents`
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        dedup.exact_dedup(d, ["lang", "source"], order_by=["doc_id"])
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.duplicate_stats(_t(spark, sf_dir, "documents"), ["lang", "source"])
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.05,
+        block_on=["lang", "source"],
+    )
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash->LSH->verify pipeline; threshold 0 keeps every LSH
+    candidate with its exact Jaccard, so the oracle checks candidate
+    generation, not just survivors."""
+    return dedup.minhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.0)
+
+
+# ---------------------------------------------------------------------------
+# similarity search over `embeddings`
+# ---------------------------------------------------------------------------
+
+N_QUERY_VECS = 10
+TOP_K = 5
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(e, e.where(F.col("vec_id") < N_QUERY_VECS), k=TOP_K)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return sim.pairwise_cosine_above(e, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# relational core over the star schema
+# ---------------------------------------------------------------------------
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q1_pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q3_shipping_priority(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"))
+
+
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.order_priority_counts(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+
+
+def q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q5_local_supplier_volume(
+        _t(spark, sf_dir, "region"), _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.top_orders_per_customer(_t(spark, sf_dir, "orders"), k=3)
+
+
+# ---------------------------------------------------------------------------
+# event-time operators
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.tumbling_window_agg(_t(spark, sf_dir, "events"), "1 hour")
+
+
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.session_stats(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def q_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.extract_props(_t(spark, sf_dir, "events"))
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.event_type_funnel(_t(spark, sf_dir, "events"))
+
+
+QUERIES: dict[str, QueryFn] = {
+    "doc_clean": q_doc_clean,
+    "doc_classify": q_doc_classify,
+    "doc_sentiment_summary": q_doc_sentiment_summary,
+    "product_explode": q_product_explode,
+    "text_profile": q_text_profile,
+    "exact_dedup": q_exact_dedup,
+    "dup_stats": q_dup_stats,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_pairs": q_minhash_pairs,
+    "cosine_topk": q_cosine_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "q3_shipping_priority": q_q3_shipping_priority,
+    "q4_order_priority": q_q4_order_priority,
+    "q5_local_supplier": q_q5_local_supplier,
+    "top_orders_per_customer": q_top_orders,
+    "events_hourly": q_events_hourly,
+    "sessions": q_sessions,
+    "event_props": q_event_props,
+    "event_funnel": q_event_funnel,
+}
+
+
+# ===========================================================================
+# DuckDB oracle SQL
+# ===========================================================================
+
+def _shingles_sql(text_expr: str, k: int = 3) -> str:
+    """DuckDB twin of operators.dedup.word_shingles (distinct word
+    k-shingles; short docs -> whole text as one shingle)."""
+    toks = f"regexp_split_to_array(lower(trim(coalesce({text_expr}, ''))), '\\s+')"
+    return (
+        f"(CASE WHEN len({toks}) >= {k} THEN list_distinct(list_transform("
+        f"range(1, len({toks}) - {k} + 2), "
+        f"i -> array_to_string({toks}[i:i+{k - 1}], ' '))) "
+        f"ELSE [array_to_string({toks}, ' ')] END)"
+    )
+
+
+def _minhash_oracle_sql() -> str:
+    num_hashes, bands = 16, 4
+    rpb = num_hashes // bands
+    sig_terms = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('mh{i}:' || s))) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sigs".format(
+            b=b,
+            concat=" || '|' || ".join(f"h{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_shingles_sql('text')} AS shingles FROM documents
+), sigs AS (
+  SELECT doc_id, shingles, {sig_terms} FROM base
+), buckets AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard_sim
+FROM cand c
+JOIN base a ON c.id_a = a.doc_id
+JOIN base b ON c.id_b = b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def _cosine_sql(va: str, vb: str) -> str:
+    dot = f"list_dot_product({va}, {vb})"
+    return (f"round({dot} / (sqrt(list_dot_product({va}, {va})) "
+            f"* sqrt(list_dot_product({vb}, {vb}))), 6)")
+
+
+ORACLE_SQL: dict[str, str] = {
+    "doc_clean": f"""
+SELECT doc_id, {clean_text_sql('text')} AS clean,
+       {is_filler_sql('text')} AS filler
+FROM documents ORDER BY doc_id
+""",
+    "doc_classify": f"""
+WITH c AS (SELECT doc_id, {clean_text_sql('text')} AS __c FROM documents),
+     s AS (SELECT doc_id, __c, substring(__c, 1, 600) AS clip FROM c)
+SELECT doc_id,
+  CASE WHEN {is_filler_sql('__c')} THEN 'Neutral'
+       ELSE {lexicon_sentiment_sql('clip')} END AS sentiment,
+  CASE WHEN {is_filler_sql('__c')} THEN 'No Feedback'
+       ELSE {keyword_category_sql('clip')} END AS category
+FROM s ORDER BY doc_id
+""",
+    "doc_sentiment_summary": f"""
+WITH c AS (SELECT doc_id, {clean_text_sql('text')} AS __c FROM documents),
+     s AS (SELECT doc_id, substring(__c, 1, 600) AS clip, __c FROM c),
+     cls AS (SELECT doc_id,
+       CASE WHEN {is_filler_sql('__c')} THEN 'Neutral'
+            ELSE {lexicon_sentiment_sql('clip')} END AS sentiment
+     FROM s)
+SELECT d.lang,
+  CAST(sum(CASE WHEN sentiment = 'Positive' THEN 1 ELSE 0 END) AS BIGINT) AS Positive,
+  CAST(sum(CASE WHEN sentiment = 'Neutral'  THEN 1 ELSE 0 END) AS BIGINT) AS Neutral,
+  CAST(sum(CASE WHEN sentiment = 'Negative' THEN 1 ELSE 0 END) AS BIGINT) AS Negative,
+  CAST(sum(CASE WHEN sentiment = 'Mixed'    THEN 1 ELSE 0 END) AS BIGINT) AS Mixed
+FROM cls JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+""",
+    "product_explode": """
+WITH packed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN ''
+              ELSE source || ', ' || lang || ',  ' END AS Products
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(Products, ','), x -> trim(x)),
+                     x -> x <> '') AS p
+  FROM packed
+)
+SELECT doc_id, unnest(CASE WHEN len(p) = 0 THEN ['Unspecified'] ELSE p END) AS Product
+FROM toks ORDER BY doc_id, Product
+""",
+    "text_profile": f"""
+SELECT doc_id,
+  CAST({ta.token_count_sql('text')} AS INT) AS n_tokens,
+  CAST({ta.bpe_ish_token_count_sql('text')} AS INT) AS n_bpe_tokens,
+  CAST(length(coalesce(text, '')) AS INT) AS n_chars_measured,
+  {ta.punct_ratio_sql('text')} AS punct_ratio,
+  {ta.language_id_sql('text')} AS lang_guess,
+  {ta.quality_score_sql('text')} AS quality,
+  {ta.fingerprint_sql('text')} AS fingerprint
+FROM documents ORDER BY doc_id
+""",
+    "exact_dedup": """
+SELECT doc_id, lang, source FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
+ORDER BY doc_id
+""",
+    "dup_stats": """
+SELECT lang, source, count(*) AS n_copies FROM documents
+GROUP BY lang, source HAVING count(*) > 1 ORDER BY lang, source
+""",
+    "ngram_jaccard": f"""
+WITH base AS (
+  SELECT doc_id, lang, source, {_shingles_sql('text')} AS sh FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+       AS jaccard_sim
+FROM base a JOIN base b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.05
+ORDER BY id_a, id_b
+""",
+    "minhash_pairs": _minhash_oracle_sql(),
+    "cosine_topk": f"""
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < {N_QUERY_VECS}),
+     c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     sims AS (
+       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              {_cosine_sql('q.v', 'c.v')} AS cosine_sim
+       FROM q, c WHERE q.vec_id <> c.vec_id
+     ), ranked AS (
+       SELECT *, CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
+       FROM sims
+     )
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+""",
+    "embedding_near_dup": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 200)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cosine_sql('a.v', 'b.v')} AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_cosine_sql('a.v', 'b.v')} >= 0.8
+ORDER BY id_a, id_b
+""",
+    "q1_pricing_summary": """
+WITH agged AS (
+  SELECT l_returnflag, l_linestatus,
+    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sp,
+    sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (1::DECIMAL(4,2) - CAST(l_discount AS DECIMAL(4,2)))) AS sd,
+    sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (1::DECIMAL(4,2) - CAST(l_discount AS DECIMAL(4,2)))
+        * (1::DECIMAL(4,2) + CAST(l_tax AS DECIMAL(4,2)))) AS sc,
+    sum(CAST(l_discount AS DECIMAL(4,2))) AS sdisc,
+    count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+  sq::DOUBLE AS sum_qty, sp::DOUBLE AS sum_base_price,
+  sd::DOUBLE AS sum_disc_price, sc::DOUBLE AS sum_charge,
+  round(sq::DOUBLE / count_order, 6) AS avg_qty,
+  round(sp::DOUBLE / count_order, 6) AS avg_price,
+  round(sdisc::DOUBLE / count_order, 6) AS avg_disc,
+  count_order
+FROM agged ORDER BY l_returnflag, l_linestatus
+""",
+    "q3_shipping_priority": """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+  sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      * (1::DECIMAL(4,2) - CAST(l_discount AS DECIMAL(4,2))))::DOUBLE AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+    "q4_order_priority": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    "q5_local_supplier": """
+SELECT n_name,
+  sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      * (1::DECIMAL(4,2) - CAST(l_discount AS DECIMAL(4,2))))::DOUBLE AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+""",
+    "top_orders_per_customer": """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(row_number() OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+FROM orders
+QUALIFY rank <= 3
+ORDER BY o_custkey, rank
+""",
+    "events_hourly": """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+       count(*) AS n_events,
+       round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 4) AS sum_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "sessions": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us,
+       round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 4) AS sum_value
+FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+""",
+    "event_props": """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM events ORDER BY event_id
+""",
+    "event_funnel": """
+SELECT user_id,
+  CAST(max(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS INT) AS viewed,
+  CAST(max(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS INT) AS clicked,
+  CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT) AS purchased
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+}

@@ -1,0 +1,44 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Local tests run on local[N]; the same config block is what we would ship to
+a 1000-executor cluster -- AQE on (runtime shuffle-partition coalescing +
+skew-join splitting), broadcast threshold sized for dimension tables, Arrow
+enabled for the pandas-UDF kernels.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for the driver harness: local[32], 128 GiB box. On a real cluster
+# spark.sql.shuffle.partitions should be ~2-3x total cores (or left to AQE
+# coalescing from a high initial value); these are the knobs, not magic.
+DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Echoes the reference's flush-every-200 granularity for API-mode
+    # classification batches (survey_analysis.py:270-272): small Arrow
+    # batches bound per-batch API latency/cost in the LLM kernel.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(app_name: str = "automated-review-analysis-pipeline-spark",
+              master: str | None = None,
+              extra_confs: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults applied."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    for k, v in {**DEFAULT_CONFS, **(extra_confs or {})}.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,100 @@
+"""Structured Streaming event pipeline (SURVEY.md §2B event/time ops).
+
+The reference is strictly batch; this is the mandated streaming surface:
+file-source stream -> watermark -> tumbling/session window aggregation ->
+sink. The batch twins in operators/events.py carry the SQL oracles; these
+run the SAME aggregation logic through the streaming engine, verified by
+trigger(availableNow) runs into a memory sink (batch/stream parity tests).
+
+Scale notes: watermark bounds state; session_window state is per (user,
+open-session); file source at 100 TB becomes Kafka with identical plan
+shape -- only `readStream.format(...)` changes.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """Parquet-directory stream of events. Schema is pinned (streaming
+    requires it); `ts` arrives as raw nanos (see sources/tables.py) and is
+    converted with integer division."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # The file stream source wants a DIRECTORY; a single-file path becomes
+    # its parent dir + a glob filter on the file name.
+    if path.endswith(".parquet") and os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(events: DataFrame, duration: str = "1 hour",
+                              watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window count/sum per event_type. Late rows
+    beyond the watermark are dropped and their window state reclaimed."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4)
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def streaming_session_stats(events: DataFrame, gap: str = "30 minutes",
+                            watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (session_window groups rows whose gaps are
+    below ``gap``) -- the streaming twin of operators.events.session_stats."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4)
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events", "sum_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, table_suffix: str = "") -> DataFrame:
+    """Drain a (complete-mode-safe) streaming aggregation with
+    trigger(availableNow) into an in-memory table and return it as a batch
+    DataFrame -- how the driver harness and tests observe streaming output."""
+    spark = stream_df.sparkSession
+    name = f"stream_out_{table_suffix or uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Per-query timing includes plan construction + execution to a count() sink
+(results are not shipped to the driver -- we are benchmarking the engine,
+not py4j serialization). A warmup pass on sf0.001 triggers JVM/codegen
+warmup so steady-state throughput is measured, mirroring how a long-lived
+cluster behaves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from automated_review_analysis_pipeline_spark.registry import QUERIES
+from automated_review_analysis_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "top_orders_per_customer",
+    "doc_classify",
+    "doc_sentiment_summary",
+    "text_profile",
+    "exact_dedup",
+    "ngram_jaccard",
+    "minhash_pairs",
+    "cosine_topk",
+    "embedding_near_dup",
+    "events_hourly",
+    "sessions",
+    "event_funnel",
+]
+
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="arap-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+
+    # Warmup: run each headline query once at the smallest sf so codegen,
+    # shuffle service, and Arrow paths are hot before timing.
+    for name in names:
+        try:
+            QUERIES[name](spark, WARMUP_SF_DIR).count()
+        except Exception as e:  # pragma: no cover
+            print(f"warmup {name} failed: {e}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            QUERIES[name](spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # pragma: no cover
+            print(f"bench {name} failed: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(json.dumps({
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

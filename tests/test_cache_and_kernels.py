@@ -1,0 +1,137 @@
+"""Cache-as-join (C7), UDF kernels, multimodal plumbing, Excel sink."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from automated_review_analysis_pipeline_spark.operators.cache import (
+    KEY_COLS,
+    classify_column_with_cache,
+    classify_with_cache,
+    load_cache,
+)
+from automated_review_analysis_pipeline_spark.operators.classify import (
+    stub_kernel,
+    vader_kernel,
+)
+from automated_review_analysis_pipeline_spark.operators.multimodal import (
+    attach_media_features,
+    deterministic_fake_decoder,
+    real_decoder,
+    sample_frames,
+)
+from automated_review_analysis_pipeline_spark.plans.survey_pipeline import analyze_wide
+
+
+def _counting_classifier(counter):
+    def classify(keys_df):
+        rows = keys_df.collect()
+        counter["calls"] += len(rows)
+        spark = keys_df.sparkSession
+        out = [(r["industry"], r["question"], r["answer"], "Positive", "Stub")
+               for r in rows]
+        return spark.createDataFrame(
+            out, "industry string, question string, answer string, "
+                 "sentiment string, category string")
+    return classify
+
+
+def test_cache_dedups_and_is_idempotent(spark, tmp_path):
+    cache_path = str(tmp_path / "cache_parquet")
+    keys = spark.createDataFrame(
+        [("retail", "q1", "love it")] * 5 + [("retail", "q1", "meh")] * 3,
+        KEY_COLS)
+    counter = {"calls": 0}
+    out = classify_with_cache(keys, _counting_classifier(counter), spark,
+                              cache_path)
+    assert out.count() == 2          # distinct keys only
+    assert counter["calls"] == 2     # dedup-before-compute (C7)
+
+    # second run: all hits, zero classifier calls
+    out2 = classify_with_cache(keys, _counting_classifier(counter), spark,
+                               cache_path)
+    assert out2.count() == 2
+    assert counter["calls"] == 2
+
+    cached = load_cache(spark, cache_path)
+    assert cached.count() == 2
+
+
+def test_classify_column_with_cache_joins_back(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "love it"), (2, "love it"), (3, "meh")], ["id", "ans"])
+    counter = {"calls": 0}
+    out = classify_column_with_cache(
+        df, "retail", "q1", "ans", _counting_classifier(counter),
+        str(tmp_path / "c2"))
+    rows = {r["id"]: r for r in out.collect()}
+    assert counter["calls"] == 2
+    assert rows[1]["sentiment"] == "Positive"
+    assert rows[3]["category"] == "Stub"
+    assert len(rows) == 3
+
+
+def test_stub_kernel_plumbs_through_pipeline(spark):
+    survey = spark.createDataFrame(
+        [("a@x", "A", "P1", "love it"), ("b@x", "B", "P2", "bad quality")],
+        ["Email", "Name", "Products", "Q1"])
+    wide, _ = analyze_wide(survey, classifier=stub_kernel())
+    rows = {r["Product"]: r for r in wide.collect()}
+    assert rows["P1"]["Q1_Sentiment"] == "Positive"
+    assert rows["P1"]["Q1_Category"] == "Love"     # first token capitalized
+    assert rows["P2"]["Q1_Sentiment"] == "Negative"
+
+
+def test_vader_kernel_falls_back_to_lexicon(spark):
+    # vaderSentiment absent in this container -> lexicon fallback branch
+    survey = spark.createDataFrame(
+        [("a@x", "A", "P1", "love it but late")],
+        ["Email", "Name", "Products", "Q1"])
+    wide, _ = analyze_wide(survey, classifier=vader_kernel())
+    r = wide.collect()[0]
+    assert r["Q1_Sentiment"] == "Mixed"   # pos+neg lexicon hits
+    assert r["Q1_Category"] == "Shipping"  # "late"
+
+
+def test_multimodal_features(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"abcdef"), "image/png", 4, 4, None, "s1"),
+         (2, None, "image/png", 0, 0, None, "s1")],
+        "media_id long, payload binary, mime string, width int, height int, "
+        "duration_ms long, source string")
+    out = {r["media_id"]: r for r in attach_media_features(media).collect()}
+    assert out[1]["n_bytes"] == 6
+    assert out[1]["features"][0] == 6.0
+    assert out[1]["features"][1] == float(b"a"[0])
+    assert out[2]["features"] == [0.0] * 8
+
+
+def test_real_decoder_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        real_decoder(b"x", "image/png")
+
+
+def test_frame_sampling_fanout(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"vid"), "video/mp4", 0, 0, 3500, "s1")],
+        "media_id long, payload binary, mime string, width int, height int, "
+        "duration_ms long, source string")
+    frames = sample_frames(media, every_ms=1000).collect()
+    assert [f["frame_ts_ms"] for f in frames] == [0, 1000, 2000, 3000]
+
+
+def test_excel_sink_inventory(spark, tmp_path):
+    from automated_review_analysis_pipeline_spark.sinks.excel import write_excel_report
+
+    survey = spark.createDataFrame(
+        [("a@x", "A", "P1, P2", "love it"), ("b@x", "B", "P1", "bad")],
+        ["Email", "Name", "Products", "Q1"])
+    wide, b2d = analyze_wide(survey)
+    sheets = write_excel_report(wide, str(tmp_path / "report.xlsx"), b2d)
+    # inventory: one sheet per product + Summary + one chart sheet per product
+    assert "Summary" in sheets
+    assert "P1" in sheets and "P2" in sheets
+    assert any(s.startswith("Charts - ") for s in sheets)
+    assert len(sheets) == 5

@@ -1,0 +1,63 @@
+"""Structured Streaming: batch/stream parity for tumbling windows and
+session windows (trigger=availableNow into a memory sink)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from automated_review_analysis_pipeline_spark.operators.events import (
+    session_stats,
+    tumbling_window_agg,
+)
+from automated_review_analysis_pipeline_spark.sources.tables import load_table
+from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+    read_events_stream,
+    run_available_now,
+    streaming_session_stats,
+    streaming_tumbling_counts,
+)
+
+EVENTS_PATH = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return read_events_stream(spark, EVENTS_PATH)
+
+
+def test_streaming_tumbling_matches_batch(spark, stream, sf_dir):
+    out = run_available_now(
+        streaming_tumbling_counts(stream, "1 hour"), "tumble")
+    batch = tumbling_window_agg(load_table(spark, sf_dir, "events"), "1 hour")
+    s_rows = sorted(
+        (r["window_start_us"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in out.collect())
+    b_rows = sorted(
+        (r["window_start_us"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in batch.collect())
+    assert s_rows == b_rows
+
+
+def test_streaming_sessions_cover_all_events(spark, stream, sf_dir):
+    """session_window(gap) and the lag/cumsum batch idiom define sessions
+    identically; compare per-user event totals and session counts."""
+    out = run_available_now(
+        streaming_session_stats(stream, "30 minutes"), "sess")
+    batch = session_stats(load_table(spark, sf_dir, "events"), 30)
+    s = {(r["user_id"]): 0 for r in out.collect()}
+    stream_counts = {}
+    for r in out.collect():
+        stream_counts[r["user_id"]] = stream_counts.get(r["user_id"], 0) + r["n_events"]
+    batch_counts = {}
+    batch_sessions = {}
+    for r in batch.collect():
+        batch_counts[r["user_id"]] = batch_counts.get(r["user_id"], 0) + r["n_events"]
+        batch_sessions[r["user_id"]] = max(
+            batch_sessions.get(r["user_id"], 0), r["session_id"])
+    assert stream_counts == batch_counts
+    stream_sessions = {}
+    for r in out.collect():
+        stream_sessions[r["user_id"]] = stream_sessions.get(r["user_id"], 0) + 1
+    assert stream_sessions == {u: int(n) for u, n in batch_sessions.items()}

@@ -1,0 +1,128 @@
+"""Survey pipeline: wide build, explode semantics, summary pivot.
+
+Expectations are hand-derived from the reference semantics
+(survey_analysis.py:223-354) -- NOT computed by running reference code.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from automated_review_analysis_pipeline_spark.functions.classify import SENTIMENT_ORDER
+from automated_review_analysis_pipeline_spark.operators.reshape import (
+    parse_products,
+    summary_from_wide,
+)
+from automated_review_analysis_pipeline_spark.plans.survey_pipeline import analyze_wide
+from automated_review_analysis_pipeline_spark.sources.survey import (
+    SurveySchemaError,
+    validate_survey_schema,
+)
+
+COLS = ["Email", "Name", "Products", "How was the fit?", "Any other comments?"]
+ROWS = [
+    # 2 products; positive lexicon hit ("love"); category Fit via "fit"
+    ("a@x.com", "Ann", "Alpha Jacket, Delta Watch", "I love the fit", "n/a"),
+    # filler products -> Unspecified; mixed (love+late); filler second answer
+    ("b@x.com", "Bob", "", "love it but arrived late", "none"),
+    # duplicate product tokens kept; emoji stripped; negative ("bad")
+    ("c@x.com", "Cy", "Beta, Beta", "bad \U0001F621 quality", "  spaced   out  "),
+]
+
+
+@pytest.fixture(scope="module")
+def wide(spark):
+    survey = spark.createDataFrame(ROWS, COLS)
+    w, b2d = analyze_wide(survey)
+    return w.orderBy("ResponseID", "Product").collect(), b2d
+
+
+def test_row_count_is_sum_of_max1_products(wide):
+    rows, _ = wide
+    # 2 + 1 + 2 products per response
+    assert len(rows) == 5
+
+
+def test_column_order(spark):
+    survey = spark.createDataFrame(ROWS, COLS)
+    w, _ = analyze_wide(survey)
+    assert w.columns == [
+        "ResponseID", "Product",
+        "How_was_the_fit?_Answer", "How_was_the_fit?_Sentiment",
+        "How_was_the_fit?_Category",
+        "Any_other_comments?_Answer", "Any_other_comments?_Sentiment",
+        "Any_other_comments?_Category",
+    ]
+
+
+def test_base_to_display(wide):
+    _, b2d = wide
+    assert b2d == {
+        "How_was_the_fit?": "How was the fit?",
+        "Any_other_comments?": "Any other comments?",
+    }
+
+
+def test_explode_and_classify_semantics(wide):
+    rows, _ = wide
+    by_key = {(r["ResponseID"], r["Product"]): r for r in rows}
+    # response 1: two products, same classification replicated
+    r1a = by_key[("1", "Alpha Jacket")]
+    r1b = by_key[("1", "Delta Watch")]
+    assert r1a["How_was_the_fit?_Sentiment"] == "Positive"  # "love"
+    assert r1a["How_was_the_fit?_Category"] == "Fit"
+    assert r1b["How_was_the_fit?_Sentiment"] == "Positive"
+    # filler answer short-circuits to (Neutral, No Feedback)
+    assert r1a["Any_other_comments?_Sentiment"] == "Neutral"
+    assert r1a["Any_other_comments?_Category"] == "No Feedback"
+    # response 2: empty Products -> Unspecified; love+late -> Mixed
+    r2 = by_key[("2", "Unspecified")]
+    assert r2["How_was_the_fit?_Sentiment"] == "Mixed"
+    # "late" hits the Shipping keywords before Quality
+    assert r2["How_was_the_fit?_Category"] == "Shipping"
+    # response 3: duplicate tokens kept -> two Beta rows
+    beta_rows = [r for r in rows if r["Product"] == "Beta"]
+    assert len(beta_rows) == 2
+    # emoji stripped, whitespace collapsed
+    assert beta_rows[0]["How_was_the_fit?_Answer"] == "bad quality"
+    assert beta_rows[0]["How_was_the_fit?_Sentiment"] == "Negative"
+    assert beta_rows[0]["How_was_the_fit?_Category"] == "Quality"
+    # non-filler whitespace answer cleans to collapsed form, Neutral/General
+    assert beta_rows[0]["Any_other_comments?_Answer"] == "spaced out"
+    assert beta_rows[0]["Any_other_comments?_Category"] == "General"
+
+
+def test_parse_products_unit(spark):
+    df = spark.createDataFrame(
+        [("a, b,,c",), ("",), (None,), ("x," + "y" * 150,)], ["Products"])
+    got = df.select(parse_products(F.col("Products")).alias("p")).collect()
+    assert got[0]["p"] == ["a", "b", "c"]
+    assert got[1]["p"] == ["Unspecified"]
+    assert got[2]["p"] == ["Unspecified"]
+    assert got[3]["p"] == ["x", "y" * 100]  # 100-char product cap
+
+
+def test_summary_pivot(spark):
+    survey = spark.createDataFrame(ROWS, COLS)
+    w, _ = analyze_wide(survey)
+    summary = summary_from_wide(w)
+    assert summary.columns == ["Product", "Question", *SENTIMENT_ORDER]
+    rows = {(r["Product"], r["Question"]): r for r in summary.collect()}
+    # every (product, question) combo present: 4 products x 2 questions
+    assert len(rows) == 8
+    # total counts = |wide rows| x |questions| = 5 x 2 = 10
+    total = sum(
+        r["Positive"] + r["Neutral"] + r["Negative"] + r["Mixed"]
+        for r in rows.values()
+    )
+    assert total == 10
+    assert rows[("Alpha Jacket", "How_was_the_fit?")]["Positive"] == 1
+    assert rows[("Unspecified", "How_was_the_fit?")]["Mixed"] == 1
+    assert rows[("Beta", "How_was_the_fit?")]["Negative"] == 2
+
+
+def test_schema_validation(spark):
+    bad = spark.createDataFrame([("a", "b", "c")], ["Email", "Name", "Products"])
+    with pytest.raises(SurveySchemaError):
+        validate_survey_schema(bad)

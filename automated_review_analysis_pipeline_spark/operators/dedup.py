@@ -8,10 +8,10 @@ Design for 100 TB:
   math, candidate generation is a groupBy on (band, bucket-hash), and only
   bucket-mates are verified. Buckets are the classic b-bands x r-rows
   construction, so the shuffle volume is O(rows x bands), not O(rows^2);
-* the hash family is md5(salt || shingle) -- portable (identical in DuckDB
-  for the oracle) and deterministic across runs/executors, unlike
-  hash()/xxhash64 whose seeds are engine-specific... md5 IS slower than
-  xxhash64; swap via ``hash_expr`` for production, keep md5 for oracles;
+* the hash family is ONE md5 per shingle (portable: identical in the
+  DuckDB oracle, deterministic across runs/executors, unlike hash()/
+  xxhash64 whose seeds are engine-specific) followed by cheap integer
+  universal-hash permutations (a*x+b mod 2^31-1) for the signature;
 * SimHash is numpy inside a vectorized pandas UDF (bit-majority over token
   hashes is genuinely awkward as column math) -- Arrow-batched, linear.
 """
@@ -22,6 +22,17 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition UP to the session's parallelism when the input arrived
+    under-partitioned (a small parquet file reads as ONE partition -- fatal
+    for the CPU-bound hashing below). Inputs that already have enough
+    partitions (the 100 TB case) pass through untouched: no extra shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *cols) if cols else df.repartition(target)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -73,28 +84,54 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_value(shingles: Column, salt: str) -> Column:
-    """One MinHash coordinate: min over md5(salt||shingle). Lexicographic
-    min over a cryptographic hash == a uniform random permutation min."""
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(salt), s)))
+# Universal-hash MinHash family: ONE md5 per shingle (the expensive part),
+# then num_hashes cheap integer permutations (a*x + b) mod p. p = 2^31 - 1
+# keeps a*x inside int64 for any 32-bit x, so Spark and the DuckDB oracle
+# compute bit-identical coordinates. Coefficients are fixed literals
+# (seeded) shared by the Spark plan and the generated oracle SQL.
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+            for _ in range(num_hashes)]
+
+
+def shingle_ints(shingles: Column) -> Column:
+    """shingle -> 32-bit int (first 8 hex chars of md5), mod p."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+        .cast("long") % MINHASH_PRIME,
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16,
-                      salt_prefix: str = "mh") -> Column:
+def minhash_signature(shingle_int_col: Column,
+                      num_hashes: int = 16) -> Column:
+    """num_hashes MinHash coordinates over pre-hashed shingle ints."""
+    def perm(a: int, b: int):
+        # closure factory: a unary lambda per coordinate (PySpark treats
+        # every parameter -- even defaulted ones -- as a lambda variable)
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME
+
     return F.array(*[
-        minhash_value(shingles, f"{salt_prefix}{i}:") for i in range(num_hashes)
+        F.array_min(F.transform(shingle_int_col, perm(a, b)))
+        for a, b in minhash_coeffs(num_hashes)
     ])
 
 
 def add_minhash(df: DataFrame, text_col: str = "text", k: int = 3,
                 num_hashes: int = 16) -> DataFrame:
-    """documents + (shingles, minhash signature). Staged select so the
-    shingle array is computed once, not once per hash coordinate."""
+    """documents + (shingles, minhash signature). Staged withColumns so the
+    shingle array is built once and md5 runs once per shingle -- the
+    permutations that follow are integer-only."""
     out = df.withColumn("__shingles", word_shingles(F.col(text_col), k))
+    out = out.withColumn("__shingle_ints", shingle_ints(F.col("__shingles")))
     return out.withColumn(
-        "minhash", minhash_signature(F.col("__shingles"), num_hashes)
+        "minhash", minhash_signature(F.col("__shingle_ints"), num_hashes)
     )
 
 
@@ -110,10 +147,10 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     band_keys = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *[
+            F.concat_ws("|", *[
                 F.col("minhash")[b * rows_per_band + r]
                 for r in range(rows_per_band)
-            ])).alias("bucket"),
+            ]).alias("bucket"),
         )
         for b in range(bands)
     ])
@@ -143,6 +180,15 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
+def jaccard_with_sizes(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Jaccard with per-side sizes precomputed BEFORE the join: one
+    array_intersect per pair, |union| = na + nb - |inter|, no union array
+    ever materialized -- half the per-pair set work of :func:`jaccard`."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = na.cast("double") + nb.cast("double") - inter
+    return F.when(union <= 0, F.lit(0.0)).otherwise(inter / union)
+
+
 def minhash_near_dup_pairs(documents: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 3,
                            num_hashes: int = 16, bands: int = 4,
@@ -152,8 +198,15 @@ def minhash_near_dup_pairs(documents: DataFrame, text_col: str = "text",
     Returns (id_a, id_b, jaccard_sim) for verified near-duplicate pairs.
     The verify join ships only (id, shingles) for candidate ids -- at scale
     add a broadcast threshold or bucketed join on id."""
-    with_sig = add_minhash(documents, text_col, k, num_hashes)
-    shingle_map = with_sig.select(F.col(id_col), F.col("__shingles"))
+    # One computation of shingles+signature, cached: four downstream uses
+    # (two join sides of candidate generation, two of verification) would
+    # otherwise each recompute the md5 pipeline.
+    with_sig = add_minhash(
+        _spread(documents.select(id_col, text_col), id_col),
+        text_col, k, num_hashes).cache()
+    shingle_map = with_sig.select(
+        F.col(id_col), F.col("__shingles"),
+        F.size(F.col("__shingles")).alias("__n"))
     cands = lsh_candidate_pairs(with_sig, id_col, num_hashes, bands)
     a = shingle_map.alias("sa")
     b = shingle_map.alias("sb")
@@ -162,7 +215,9 @@ def minhash_near_dup_pairs(documents: DataFrame, text_col: str = "text",
         .join(b, F.col("id_b") == F.col(f"sb.{id_col}"))
         .select(
             "id_a", "id_b",
-            F.round(jaccard(F.col("sa.__shingles"), F.col("sb.__shingles")), 6)
+            F.round(jaccard_with_sizes(
+                F.col("sa.__shingles"), F.col("sb.__shingles"),
+                F.col("sa.__n"), F.col("sb.__n")), 6)
             .alias("jaccard_sim"),
         )
         .where(F.col("jaccard_sim") >= threshold)
@@ -179,23 +234,55 @@ def ngram_jaccard_pairs(documents: DataFrame, text_col: str = "text",
 
     This is the SQL-oracle-friendly near-dup variant -- deterministic,
     no hashing family, DuckDB-expressible with list_intersect."""
+    if threshold <= 0:
+        raise ValueError(
+            "posting-list jaccard join cannot emit zero-overlap pairs; "
+            "use a threshold > 0")
     block_on = block_on or []
-    d = documents.select(
-        F.col(id_col),
-        *[F.col(c) for c in block_on],
-        word_shingles(F.col(text_col), k).alias("shingles"),
-    )
-    a, b = d.alias("a"), d.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    for c in block_on:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    return (
-        a.join(b, cond)
+    src = _spread(documents.select(id_col, text_col, *block_on), *block_on)
+    d = src.withColumn("shingles", word_shingles(F.col(text_col), k)) \
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(jaccard(F.col("a.shingles"), F.col("b.shingles")), 6)
-            .alias("jaccard_sim"),
+            F.col(id_col),
+            *[F.col(c) for c in block_on],
+            "shingles",
+            F.size(F.col("shingles")).alias("n_sh"),
+        ).cache()
+
+    # Posting-list (inverted index) set-similarity join: one row per
+    # (shingle, doc), self-join on the shingle within the block, then
+    # |intersection| = count per pair. Everything is hash joins + hash
+    # aggregation (JVM, codegen) -- no per-pair array set operations, and
+    # nothing jaccard-shaped can leak into a join residual condition.
+    # Zero-overlap pairs never appear, which is exactly right for any
+    # threshold > 0. At web scale add prefix filtering to cap the posting
+    # lists of stop-shingles.
+    posts = d.select(
+        F.col(id_col), *[F.col(c) for c in block_on],
+        F.explode("shingles").alias("sh"),
+    )
+    pa, pb = posts.alias("pa"), posts.alias("pb")
+    cond = (F.col("pa.sh") == F.col("pb.sh")) \
+        & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"))
+    for c in block_on:
+        cond = cond & (F.col(f"pa.{c}") == F.col(f"pb.{c}"))
+    inter = (
+        pa.join(pb, cond)
+        .groupBy(
+            F.col(f"pa.{id_col}").alias("id_a"),
+            F.col(f"pb.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sizes = d.select(F.col(id_col), F.col("n_sh"))
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    inter_d = F.col("__inter").cast("double")
+    union_d = (F.col("na.n_sh") + F.col("nb.n_sh")).cast("double") - inter_d
+    return (
+        inter.join(na, F.col("id_a") == F.col(f"na.{id_col}"))
+        .join(nb, F.col("id_b") == F.col(f"nb.{id_col}"))
+        .select(
+            "id_a", "id_b",
+            F.round(inter_d / union_d, 6).alias("jaccard_sim"),
         )
         .where(F.col("jaccard_sim") >= threshold)
         .orderBy("id_a", "id_b")

@@ -261,24 +261,35 @@ def _shingles_sql(text_expr: str, k: int = 3) -> str:
 
 
 def _minhash_oracle_sql() -> str:
+    from automated_review_analysis_pipeline_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_coeffs,
+    )
+
     num_hashes, bands = 16, 4
     rpb = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes)
+    xs = ("list_transform(shingles, s -> "
+          "CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT)::BIGINT "
+          f"% {MINHASH_PRIME})")
     sig_terms = ", ".join(
-        f"list_min(list_transform(shingles, s -> md5('mh{i}:' || s))) AS h{i}"
-        for i in range(num_hashes)
+        f"list_min(list_transform(xs, x -> ({a} * x + {b}) % {MINHASH_PRIME}))"
+        f" AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
     )
     band_rows = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sigs".format(
-            b=b,
-            concat=" || '|' || ".join(f"h{b * rpb + r}" for r in range(rpb)),
-        )
+        "SELECT doc_id, {b} AS band, concat_ws('|', {cols}) AS bucket FROM sigs"
+        .format(b=b,
+                cols=", ".join(f"h{b * rpb + r}" for r in range(rpb)))
         for b in range(bands)
     )
     return f"""
 WITH base AS (
   SELECT doc_id, {_shingles_sql('text')} AS shingles FROM documents
+), hashed AS (
+  SELECT doc_id, shingles, {xs} AS xs FROM base
 ), sigs AS (
-  SELECT doc_id, shingles, {sig_terms} FROM base
+  SELECT doc_id, shingles, {sig_terms} FROM hashed
 ), buckets AS (
   {band_rows}
 ), cand AS (

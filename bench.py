@@ -58,15 +58,21 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             print(f"warmup {name} failed: {e}", file=sys.stderr)
 
+    # min of 2 timed runs per query: this box is a shared VM and a single
+    # run can absorb a neighbor's CPU burst; the min is the engine's cost.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        try:
-            QUERIES[name](spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as e:  # pragma: no cover
-            print(f"bench {name} failed: {e}", file=sys.stderr)
-            timings[name] = -1.0
+        best = -1.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                QUERIES[name](spark, sf_dir).count()
+                dt = round(time.perf_counter() - t0, 4)
+                best = dt if best < 0 else min(best, dt)
+            except Exception as e:  # pragma: no cover
+                print(f"bench {name} failed: {e}", file=sys.stderr)
+                break
+        timings[name] = best
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(json.dumps({

@@ -305,29 +305,34 @@ def add_simhash(documents: DataFrame, text_col: str = "text",
     import pandas as pd  # local import: executors only
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("long")
-    def simhash64(texts: pd.Series) -> pd.Series:
+    def _simhash64(texts):
         import hashlib
 
         import numpy as np
 
+        shifts = np.arange(bits, dtype=np.uint64)
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts.fillna("")):
             toks = str(t).lower().split()
             if not toks:
                 continue
-            acc = np.zeros(bits, dtype=np.int64)
-            for tok in toks:
-                h = int.from_bytes(
-                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-                for bit in range(bits):
-                    acc[bit] += 1 if (h >> bit) & 1 else -1
-            v = 0
-            for bit in range(bits):
-                if acc[bit] > 0:
-                    v |= 1 << bit
-            out[i] = np.int64(np.uint64(v).astype(np.int64))
+            hs = np.array(
+                [int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8],
+                                "big") for tok in toks],
+                dtype=np.uint64,
+            )
+            # (tokens x bits) bit matrix -> per-bit majority, all in numpy
+            bit_m = ((hs[:, None] >> shifts[None, :]) & np.uint64(1))
+            maj = (2 * bit_m.astype(np.int64) - 1).sum(axis=0) > 0
+            v = int(np.sum(np.where(maj, np.uint64(1) << shifts, np.uint64(0)),
+                           dtype=np.uint64))
+            out[i] = v - (1 << 64) if v >= (1 << 63) else v
         return pd.Series(out)
+
+    # real annotations (the module-level `from __future__ import annotations`
+    # would stringify inline hints, which PySpark cannot resolve here)
+    _simhash64.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    simhash64 = pandas_udf(_simhash64, "long")
 
     return documents.withColumn("simhash", simhash64(F.col(text_col)))
 

@@ -94,3 +94,56 @@ def event_type_funnel(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def asof_last_click(events: DataFrame) -> DataFrame:
+    """As-of join, window-form: for every purchase event, the timestamp of
+    the SAME USER's most recent prior click (strictly earlier rows).
+
+    Spark has no native as-of join; the classic distributed form is a
+    conditional running max over the user's timeline -- one shuffle on
+    user_id, no self-join, no range explosion. (A union-merge as-of between
+    two tables reduces to the same shape after a unionByName.)"""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_us = F.when(F.col("event_type") == "click", _us(F.col("ts")))
+    return (
+        events.withColumn("last_click_us", F.max(click_us).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id",
+            _us(F.col("ts")).alias("purchase_us"),
+            "last_click_us",
+            (_us(F.col("ts")) - F.col("last_click_us")).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def value_range_join(events: DataFrame, bucket_width: int = 100) -> DataFrame:
+    """Range join against a bucket dimension (value in [lo, hi)). The dim
+    is tiny -> broadcast nested-loop with a range predicate. At scale with
+    a regular grid the standard rewrite is binning both sides to
+    floor(value/width) and equi-joining -- same result, hash join."""
+    spark = events.sparkSession
+    buckets = spark.range(0, 10).select(
+        F.col("id").alias("bucket_id"),
+        (F.col("id") * bucket_width).cast("double").alias("lo"),
+        ((F.col("id") + 1) * bucket_width).cast("double").alias("hi"),
+    )
+    return (
+        events.join(
+            F.broadcast(buckets),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("bucket_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4)
+            .alias("sum_value"),
+        )
+        .orderBy("bucket_id")
+    )

@@ -181,3 +181,64 @@ def order_priority_counts(orders: DataFrame, lineitem: DataFrame,
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+def revenue_rollup(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): per-group, per-flag subtotal,
+    and grand total in one pass -- Catalyst expands the grouping sets and
+    still runs a single partial+final hash aggregation."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def customer_set_ops(orders: DataFrame,
+                     y1: str = "1996", y2: str = "1997") -> DataFrame:
+    """Set operations over yearly buyer sets: customers active in y1
+    INTERSECT / EXCEPT / UNION those active in y2, reported as one tagged
+    union (set ops the reference lacks entirely; Catalyst plans them as
+    aggregates/semi-joins, not row-by-row)."""
+    def buyers(year: str) -> DataFrame:
+        return orders.where(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(f"{int(year)+1}-01-01").cast("timestamp_ntz"))
+        ).select("o_custkey").distinct()
+
+    b1, b2 = buyers(y1), buyers(y2)
+    tagged = (
+        b1.intersect(b2).withColumn("set_op", F.lit("both"))
+        .unionByName(b1.exceptAll(b2).withColumn("set_op", F.lit("only_y1")))
+        .unionByName(b2.exceptAll(b1).withColumn("set_op", F.lit("only_y2")))
+    )
+    return (
+        tagged.groupBy("set_op")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("set_op")
+    )
+
+
+def cumulative_order_value(orders: DataFrame) -> DataFrame:
+    """Analytic-window suite per customer: running revenue total, previous
+    order value (lag), and order sequence number over the order-date
+    timeline."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.row_number().over(w).alias("order_seq"),
+        F.round(F.sum(_dec("o_totalprice")).over(run).cast("double"), 2)
+        .alias("running_total"),
+        F.round(F.lag(_dec("o_totalprice")).over(w).cast("double"), 2)
+        .alias("prev_order_value"),
+    ).orderBy("o_custkey", "order_seq")

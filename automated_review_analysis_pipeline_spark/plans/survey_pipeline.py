@@ -82,7 +82,7 @@ def analyze_wide(
     ``max_chars`` caps the text handed to the classifier (reference P6,
     survey_analysis.py:265) -- the emitted _Answer column stays uncapped.
     """
-    questions = question_columns(survey)
+    questions = [q for q in question_columns(survey) if q != id_col]
     base_to_display = {sanitize_base(q): q for q in questions}
     bases = [sanitize_base(q) for q in questions]
     products_col = survey.columns[2]

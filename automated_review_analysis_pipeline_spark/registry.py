@@ -220,6 +220,162 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.event_type_funnel(_t(spark, sf_dir, "events"))
 
 
+
+# ---------------------------------------------------------------------------
+# full survey pipeline through the driver gate (synthesized survey shape)
+# ---------------------------------------------------------------------------
+
+SURVEY_QUESTION = "Review text"
+
+
+def _synth_survey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents reshaped into the reference's positional survey contract:
+    Email, Name, Products (comma-packed, empty every 10th row), one
+    question column, plus doc_id as the stable ResponseID source."""
+    d = _t(spark, sf_dir, "documents")
+    packed = F.when(F.col("doc_id") % 10 == 0, F.lit("")).otherwise(
+        F.concat_ws(", ", F.col("source"), F.col("lang")))
+    return d.select(
+        F.col("source").alias("Email"),
+        F.col("lang").alias("Name"),
+        packed.alias("Products"),
+        F.col("text").alias(SURVEY_QUESTION),
+        "doc_id",
+    )
+
+
+def q_survey_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from automated_review_analysis_pipeline_spark.plans.survey_pipeline import analyze_wide
+
+    wide, _ = analyze_wide(_synth_survey(spark, sf_dir), id_col="doc_id")
+    return wide.orderBy(F.col("ResponseID").cast("long"))
+
+
+def q_survey_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from automated_review_analysis_pipeline_spark.plans.survey_pipeline import analyze_wide
+    from automated_review_analysis_pipeline_spark.operators.reshape import summary_from_wide
+
+    wide, _ = analyze_wide(_synth_survey(spark, sf_dir), id_col="doc_id")
+    return summary_from_wide(wide).orderBy("Product", "Question")
+
+
+def q_sentiment_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 normalization over a synthesized messy-sentiment column."""
+    from automated_review_analysis_pipeline_spark.functions.text import normalize_sentiment
+
+    d = _t(spark, sf_dir, "documents")
+    messy = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" POSITIVE "))
+        .when(F.col("doc_id") % 5 == 1, F.lit("negative"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("Mixed"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("whatever"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return d.select(
+        "doc_id", normalize_sentiment(messy).alias("sentiment")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# relational extensions: rollup, set ops, window analytics
+# ---------------------------------------------------------------------------
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.revenue_rollup(_t(spark, sf_dir, "lineitem"))
+
+
+def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.customer_set_ops(_t(spark, sf_dir, "orders"))
+
+
+def q_cumulative_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.cumulative_order_value(_t(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# event extensions: as-of join, range join
+# ---------------------------------------------------------------------------
+
+def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.asof_last_click(_t(spark, sf_dir, "events"))
+
+
+def q_value_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.value_range_join(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# training-data prep composition: profile -> filter -> embedding join
+# ---------------------------------------------------------------------------
+
+def q_quality_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end data-prep shape: score text quality, keep docs above
+    a bar, join their embeddings (broadcast: the filtered side is small),
+    emit id + quality + embedding L2 norm."""
+    from automated_review_analysis_pipeline_spark.functions.vectors import (
+        dot_product,
+        to_double_array,
+    )
+
+    prof = ta.text_profile(_t(spark, sf_dir, "documents"))
+    emb = _t(spark, sf_dir, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    return (
+        prof.where((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 30))
+        .join(emb, F.col("doc_id") == F.col("vec_id"))
+        .select(
+            "doc_id", "quality",
+            F.round(F.sqrt(dot_product(v, v)), 6).alias("embedding_norm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (no SQL oracle): streaming + approximate ANN + SimHash
+# ---------------------------------------------------------------------------
+
+def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        read_events_stream,
+        run_available_now,
+        streaming_tumbling_counts,
+    )
+
+    _utc(spark)
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_available_now(
+        streaming_tumbling_counts(stream, "1 hour"), "reg_hourly")
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        read_events_stream,
+        run_available_now,
+        streaming_session_stats,
+    )
+
+    _utc(spark)
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_available_now(
+        streaming_session_stats(stream, "30 minutes"), "reg_sessions")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=28)
+
+
+def q_sign_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.sign_lsh_topk(e, e.where(F.col("vec_id") < N_QUERY_VECS), k=TOP_K)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(e, e.where(F.col("vec_id") < N_QUERY_VECS), k=TOP_K)
+
+
 QUERIES: dict[str, QueryFn] = {
     "doc_clean": q_doc_clean,
     "doc_classify": q_doc_classify,
@@ -241,6 +397,20 @@ QUERIES: dict[str, QueryFn] = {
     "sessions": q_sessions,
     "event_props": q_event_props,
     "event_funnel": q_event_funnel,
+    "survey_wide": q_survey_wide,
+    "survey_summary": q_survey_summary,
+    "sentiment_normalize": q_sentiment_normalize,
+    "revenue_rollup": q_revenue_rollup,
+    "customer_set_ops": q_customer_set_ops,
+    "cumulative_order_value": q_cumulative_order_value,
+    "asof_last_click": q_asof_last_click,
+    "value_range_join": q_value_range_join,
+    "quality_filter_join": q_quality_filter_join,
+    "streaming_hourly": q_streaming_hourly,
+    "streaming_sessions": q_streaming_sessions,
+    "simhash_pairs": q_simhash_pairs,
+    "sign_lsh_topk": q_sign_lsh_topk,
+    "ivf_topk": q_ivf_topk,
 }
 
 
@@ -530,3 +700,143 @@ SELECT user_id,
 FROM events GROUP BY user_id ORDER BY user_id
 """,
 }
+
+
+def _survey_cte() -> str:
+    """Shared CTE chain for the synthesized-survey oracles (mirrors
+    _synth_survey + analyze_wide's clean/filler/classify/explode order)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 10 = 0 THEN ''
+              ELSE source || ', ' || lang END AS products
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, products, {clean_text_sql('text')} AS ans FROM base
+), cls AS (
+  SELECT doc_id, products, ans,
+    CASE WHEN {is_filler_sql('ans')} THEN 'Neutral'
+         ELSE {lexicon_sentiment_sql("substring(ans, 1, 600)")} END AS sentiment,
+    CASE WHEN {is_filler_sql('ans')} THEN 'No Feedback'
+         ELSE {keyword_category_sql("substring(ans, 1, 600)")} END AS category
+  FROM cleaned
+), toks AS (
+  SELECT doc_id, ans, sentiment, category,
+         list_filter(list_transform(string_split(products, ','), x -> trim(x)),
+                     x -> x <> '') AS p
+  FROM cls
+), exploded AS (
+  SELECT doc_id, ans, sentiment, category,
+         unnest(CASE WHEN len(p) = 0 THEN ['Unspecified']
+                     ELSE list_transform(p, x -> substring(x, 1, 100)) END)
+         AS Product
+  FROM toks
+)"""
+
+
+ORACLE_SQL["survey_wide"] = _survey_cte() + """
+SELECT CAST(doc_id AS VARCHAR) AS ResponseID, Product,
+       ans AS Review_text_Answer,
+       sentiment AS Review_text_Sentiment,
+       category AS Review_text_Category
+FROM exploded ORDER BY doc_id
+"""
+
+ORACLE_SQL["survey_summary"] = _survey_cte() + """
+SELECT Product, 'Review_text' AS Question,
+  CAST(sum(CASE WHEN sentiment = 'Positive' THEN 1 ELSE 0 END) AS BIGINT) AS Positive,
+  CAST(sum(CASE WHEN sentiment = 'Neutral'  THEN 1 ELSE 0 END) AS BIGINT) AS Neutral,
+  CAST(sum(CASE WHEN sentiment = 'Negative' THEN 1 ELSE 0 END) AS BIGINT) AS Negative,
+  CAST(sum(CASE WHEN sentiment = 'Mixed'    THEN 1 ELSE 0 END) AS BIGINT) AS Mixed
+FROM exploded GROUP BY Product ORDER BY Product, Question
+"""
+
+_MESSY = ("CASE WHEN doc_id % 5 = 0 THEN ' POSITIVE ' "
+          "WHEN doc_id % 5 = 1 THEN 'negative' "
+          "WHEN doc_id % 5 = 2 THEN 'Mixed' "
+          "WHEN doc_id % 5 = 3 THEN 'whatever' ELSE NULL END")
+ORACLE_SQL["sentiment_normalize"] = f"""
+WITH m AS (SELECT doc_id, lower(trim(coalesce({_MESSY}, ''))) AS low FROM documents)
+SELECT doc_id,
+  CASE WHEN low = 'positive' THEN 'Positive'
+       WHEN low = 'negative' THEN 'Negative'
+       WHEN low = 'mixed' THEN 'Mixed' ELSE 'Neutral' END AS sentiment
+FROM m ORDER BY doc_id
+"""
+
+ORACLE_SQL["revenue_rollup"] = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       sum(CAST(l_extendedprice AS DECIMAL(12,2)))::DOUBLE AS sum_price
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+ORACLE_SQL["customer_set_ops"] = """
+WITH b1 AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'),
+     b2 AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'),
+     tagged AS (
+       SELECT o_custkey, 'both' AS set_op
+       FROM (SELECT * FROM b1 INTERSECT SELECT * FROM b2)
+       UNION ALL
+       SELECT o_custkey, 'only_y1' FROM (SELECT * FROM b1 EXCEPT SELECT * FROM b2)
+       UNION ALL
+       SELECT o_custkey, 'only_y2' FROM (SELECT * FROM b2 EXCEPT SELECT * FROM b1)
+     )
+SELECT set_op, count(*) AS n_customers FROM tagged
+GROUP BY set_op ORDER BY set_op
+"""
+
+ORACLE_SQL["cumulative_order_value"] = """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+  CAST(row_number() OVER w AS INT) AS order_seq,
+  round((sum(CAST(o_totalprice AS DECIMAL(12,2)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING))::DOUBLE, 2) AS running_total,
+  round((lag(CAST(o_totalprice AS DECIMAL(12,2))) OVER w)::DOUBLE, 2)
+    AS prev_order_value
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, order_seq
+"""
+
+ORACLE_SQL["asof_last_click"] = """
+WITH e AS (
+  SELECT *, max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+  FROM events
+)
+SELECT event_id, user_id, epoch_us(ts) AS purchase_us, last_click_us,
+       epoch_us(ts) - last_click_us AS gap_us
+FROM e WHERE event_type = 'purchase' ORDER BY event_id
+"""
+
+ORACLE_SQL["value_range_join"] = """
+WITH buckets AS (
+  SELECT i AS bucket_id, (i * 100)::DOUBLE AS lo, ((i + 1) * 100)::DOUBLE AS hi
+  FROM range(0, 10) t(i)
+)
+SELECT bucket_id, lo, hi, count(*) AS n_events,
+       round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 4) AS sum_value
+FROM events JOIN buckets ON value >= lo AND value < hi
+GROUP BY bucket_id, lo, hi ORDER BY bucket_id
+"""
+
+ORACLE_SQL["quality_filter_join"] = f"""
+WITH prof AS (
+  SELECT doc_id, {ta.quality_score_sql('text')} AS quality,
+         {ta.token_count_sql('text')} AS n_tokens
+  FROM documents
+)
+SELECT doc_id, quality,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+         AS embedding_norm
+FROM prof JOIN embeddings ON doc_id = vec_id
+WHERE quality >= 0.5 AND n_tokens >= 30
+ORDER BY doc_id
+"""

@@ -37,6 +37,14 @@ HEADLINE = [
     "events_hourly",
     "sessions",
     "event_funnel",
+    "survey_wide",
+    "survey_summary",
+    "revenue_rollup",
+    "customer_set_ops",
+    "cumulative_order_value",
+    "asof_last_click",
+    "value_range_join",
+    "quality_filter_join",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

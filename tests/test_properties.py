@@ -1,0 +1,153 @@
+"""Property-based tests.
+
+Hypothesis drives the PURE-PYTHON kernels hard (they're free to run);
+Spark-backed properties use a handful of deterministic edge-case fixtures
+instead (per-action JVM overhead makes per-example Spark runs a poor fit
+for hypothesis).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from automated_review_analysis_pipeline_spark.functions.text import (
+    FILLER_VALUES,
+    sanitize_base,
+    sanitize_sheet_name,
+)
+from automated_review_analysis_pipeline_spark.operators.dedup import (
+    MINHASH_PRIME,
+    minhash_coeffs,
+)
+
+# ---------------------------------------------------------------------------
+# pure-python kernels under hypothesis
+# ---------------------------------------------------------------------------
+
+
+@given(st.text(max_size=200))
+def test_sanitize_base_never_emits_whitespace(s):
+    out = sanitize_base(s)
+    assert not any(ch.isspace() for ch in out)
+
+
+@given(st.text(max_size=200))
+def test_sanitize_base_idempotent(s):
+    out = sanitize_base(s)
+    assert sanitize_base(out) == out
+
+
+@given(st.text(max_size=200))
+def test_sheet_name_is_excel_legal(s):
+    out = sanitize_sheet_name(s)
+    assert 1 <= len(out) <= 31
+    assert not any(c in out for c in ':\\/?*[]')
+
+
+@given(st.integers(min_value=1, max_value=64))
+def test_minhash_coeffs_deterministic_and_in_range(n):
+    c1 = minhash_coeffs(n)
+    c2 = minhash_coeffs(n)
+    assert c1 == c2  # seeded: identical across plan construction + oracle
+    for a, b in c1:
+        assert 1 <= a < MINHASH_PRIME
+        assert 0 <= b < MINHASH_PRIME
+
+
+# ---------------------------------------------------------------------------
+# Spark-backed edge cases (deterministic fixtures, one JVM round each)
+# ---------------------------------------------------------------------------
+
+
+def test_explode_edge_cases(spark):
+    """All-comma cells, whitespace-only tokens, >100-char products,
+    duplicate tokens, unicode."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators.reshape import parse_products
+
+    cases = [
+        (",,,", ["Unspecified"]),
+        ("  ,  ,  ", ["Unspecified"]),
+        ("a,,a", ["a", "a"]),
+        ("é, 中文", ["é", "中文"]),
+        ("x" * 150, ["x" * 100]),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], ["p"])
+    got = [r["out"] for r in
+           df.select(parse_products(F.col("p")).alias("out")).collect()]
+    for ((_, want), g) in zip(cases, got):
+        assert g == want
+
+
+def test_filler_set_exactly_reference(spark):
+    """Spark-side is_filler agrees with the reference FILLER_VALUES set,
+    including case/whitespace variants and null."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.functions.text import is_filler
+
+    vals = [(v,) for v in FILLER_VALUES] + [
+        ("N/A",), ("  NONE  ",), ("feedback",), (None,), ("Nan",)]
+    df = spark.createDataFrame(vals, ["v"])
+    got = df.select("v", is_filler(F.col("v")).alias("f")).collect()
+    for r in got:
+        expected = (r["v"] or "").strip().lower() in set(FILLER_VALUES)
+        assert r["f"] == expected, r
+
+
+def test_clean_text_preserves_bmp_symbols(spark):
+    """BMP symbols (e.g. U+2639) must NOT be stripped -- only astral-plane
+    codepoints are (survey_analysis.py:80)."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.functions.text import clean_text
+
+    df = spark.createDataFrame(
+        [("bad ☹ day",), ("emoji \U0001F621 gone",), ("aéb",)], ["t"])
+    got = [r["c"] for r in df.select(clean_text(F.col("t")).alias("c")).collect()]
+    assert got[0] == "bad ☹ day"
+    assert got[1] == "emoji gone"
+    assert got[2] == "aéb"
+
+
+def test_simhash_properties(spark):
+    """Identical text -> identical hash; near-identical -> small hamming;
+    unrelated -> large hamming. Deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators.dedup import add_simhash
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words about spark and parquet tables " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], ["doc_id", "text"])
+    got = {r["doc_id"]: r["simhash"]
+           for r in add_simhash(df, "text").collect()}
+    assert got[1] == got[2]
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(got[1], got[3]) <= 16
+    assert hamming(got[1], got[4]) > 16
+
+
+def test_ann_recall_floor(spark, sf_dir):
+    """sign-LSH and IVF are approximate; measure recall@5 against the
+    exact result and enforce a floor (they must be *useful*, not exact)."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators import similarity as sim
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in sim.cosine_topk(e, qs, k=5).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in sim.ivf_topk(e, qs, k=5, n_centroids=16, n_probe=8).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall}"

@@ -147,3 +147,24 @@ def value_range_join(events: DataFrame, bucket_width: int = 100) -> DataFrame:
         )
         .orderBy("bucket_id")
     )
+
+
+def sliding_window_agg(events: DataFrame, window_minutes: int = 60,
+                       slide_minutes: int = 30) -> DataFrame:
+    """Sliding (hopping) windows: each event lands in window/slide
+    overlapping windows. Uses Spark's native window() generator; emits
+    epoch-micros starts so the oracle can reproduce it with an unnest of
+    the same arithmetic."""
+    return (
+        events.groupBy(
+            F.window("ts", f"{window_minutes} minutes",
+                     f"{slide_minutes} minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type", "n_events",
+        )
+        .orderBy("window_start_us", "event_type")
+    )

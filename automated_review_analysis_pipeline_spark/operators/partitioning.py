@@ -1,0 +1,68 @@
+"""Physical-layout operators for 100 TB operation: bucketed tables for
+co-located (exchange-free) joins, and key salting for skewed aggregations
+and joins.
+
+These are the two levers that matter most when the fact tables stop
+fitting the shuffle tier:
+
+* bucketing: write both join sides bucketed+sorted by the join key; every
+  subsequent join on that key is a zero-shuffle sort-merge (the Exchange
+  disappears from the plan -- test_partitioning proves it on the actual
+  executed plan).
+* salting: a hot key (the reference's own data is product-skewed 224 vs
+  73 rows, SURVEY.md §4) floods one reducer; salting fans each hot key
+  over N sub-keys, aggregates partially per sub-key, then merges. AQE's
+  skew-join handles the JOIN case at runtime; salting remains the tool
+  for skewed AGGREGATIONS and for deterministic layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(df: DataFrame, table: str, keys: list[str],
+                   n_buckets: int = 8,
+                   sort_by: list[str] | None = None) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table. Joins
+    and aggregations on ``keys`` against other tables bucketed the same
+    way run without any Exchange."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *keys)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  on: list[str], how: str = "inner") -> DataFrame:
+    """Join two same-bucketed tables on their bucket keys -- the physical
+    plan contains no shuffle for either side."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def salted_aggregate(df: DataFrame, keys: list[str], aggs: list[Column],
+                     merge_aggs: list[Column], n_salts: int = 16) -> DataFrame:
+    """Two-phase aggregation for skewed keys.
+
+    Phase 1 groups by (keys + random salt) so a hot key's rows spread over
+    ``n_salts`` reducers; phase 2 merges the partials. ``aggs`` are the
+    phase-1 aggregates (aliased), ``merge_aggs`` re-aggregate those
+    aliases (e.g. sum of partial counts). For algebraic aggregates this
+    is semantically identical to a direct groupBy.
+    """
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    partial = salted.groupBy(*keys, "__salt").agg(*aggs)
+    return partial.groupBy(*keys).agg(*merge_aggs)
+
+
+def partitioned_write(df: DataFrame, path: str, partition_cols: list[str],
+                      max_records_per_file: int | None = None) -> None:
+    """Hive-style partitioned parquet layout: downstream reads with a
+    filter on ``partition_cols`` prune whole directories (partition
+    pruning shows as PartitionFilters in the scan)."""
+    writer = df.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*partition_cols).parquet(path)

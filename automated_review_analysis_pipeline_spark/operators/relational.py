@@ -242,3 +242,92 @@ def cumulative_order_value(orders: DataFrame) -> DataFrame:
         F.round(F.lag(_dec("o_totalprice")).over(w).cast("double"), 2)
         .alias("prev_order_value"),
     ).orderBy("o_custkey", "order_seq")
+
+
+def q6_forecast_revenue(lineitem: DataFrame,
+                        date_from: str = "1996-01-01",
+                        date_to: str = "1997-01-01",
+                        disc_lo: float = 0.02, disc_hi: float = 0.06,
+                        qty_cap: float = 24.0) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, no join, no group key.
+    The whole predicate pushes into the parquet scan; the aggregation is a
+    single global partial+final sum."""
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp_ntz"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < qty_cap))
+        .agg(
+            F.sum(_dec("l_extendedprice") * _frac("l_discount"))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q10_returned_items(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, nation: DataFrame,
+                       date_from: str = "1996-01-01",
+                       date_to: str = "1996-04-01", k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top-k.
+    Facts shuffle-join on orderkey; customer/nation broadcast."""
+    revenue = F.sum(
+        _dec("l_extendedprice") * (_one() - _frac("l_discount"))
+    ).cast("double").alias("revenue")
+    return (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(orders.where(
+            (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp_ntz"))),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(revenue)
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(k)
+    )
+
+
+def q14_promo_share(lineitem: DataFrame, part: DataFrame,
+                    date_from: str = "1996-01-01",
+                    date_to: str = "1996-02-01") -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a broadcast part join
+    -- share of revenue from 'PROMO%' parts. Ratio of two exact decimal
+    sums, single double division, rounded."""
+    rev = _dec("l_extendedprice") * (_one() - _frac("l_discount"))
+    promo_rev = F.sum(
+        F.when(F.col("p_type").startswith("PROMO"), rev)
+        .otherwise(F.lit(0).cast("decimal(17,4)")))
+    total_rev = F.sum(rev)
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp_ntz")))
+        .join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0) * promo_rev.cast("double")
+                / total_rev.cast("double"), 6
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def volume_cube(lineitem: DataFrame) -> DataFrame:
+    """CUBE over (returnflag, linestatus): every grouping-set combination
+    (full pairs, each single dimension, grand total) in one pass."""
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )

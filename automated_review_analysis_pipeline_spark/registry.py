@@ -331,6 +331,29 @@ def q_quality_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q6_forecast_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q10_returned_items(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "nation"))
+
+
+def q_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q14_promo_share(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+
+def q_volume_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.volume_cube(_t(spark, sf_dir, "lineitem"))
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.sliding_window_agg(_t(spark, sf_dir, "events"), 60, 30)
+
+
 # ---------------------------------------------------------------------------
 # rows-only entries (no SQL oracle): streaming + approximate ANN + SimHash
 # ---------------------------------------------------------------------------
@@ -406,6 +429,11 @@ QUERIES: dict[str, QueryFn] = {
     "asof_last_click": q_asof_last_click,
     "value_range_join": q_value_range_join,
     "quality_filter_join": q_quality_filter_join,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "q10_returned_items": q_q10_returned_items,
+    "q14_promo_share": q_q14_promo_share,
+    "volume_cube": q_volume_cube,
+    "events_sliding": q_events_sliding,
     "streaming_hourly": q_streaming_hourly,
     "streaming_sessions": q_streaming_sessions,
     "simhash_pairs": q_simhash_pairs,
@@ -839,4 +867,70 @@ SELECT doc_id, quality,
 FROM prof JOIN embeddings ON doc_id = vec_id
 WHERE quality >= 0.5 AND n_tokens >= 30
 ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["q6_forecast_revenue"] = """
+SELECT sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(l_discount AS DECIMAL(4,2)))::DOUBLE AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.06
+  AND l_quantity < 24.0
+"""
+
+ORACLE_SQL["q10_returned_items"] = """
+SELECT c_custkey, c_name, n_name,
+  sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      * (1::DECIMAL(4,2) - CAST(l_discount AS DECIMAL(4,2))))::DOUBLE AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+ORACLE_SQL["q14_promo_share"] = """
+WITH j AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(12,2))
+         * (1::DECIMAL(4,2) - CAST(l_discount AS DECIMAL(4,2))) AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-02-01'
+)
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev
+                              ELSE 0 END)::DOUBLE
+             / sum(rev)::DOUBLE, 6) AS promo_revenue_pct,
+       count(*) AS n_items
+FROM j
+"""
+
+ORACLE_SQL["volume_cube"] = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       sum(CAST(l_quantity AS DECIMAL(12,2)))::DOUBLE AS sum_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+ORACLE_SQL["events_sliding"] = """
+WITH expanded AS (
+  SELECT event_type,
+         unnest([
+           epoch_us(ts) - epoch_us(ts) % (30 * 60 * 1000000::BIGINT),
+           epoch_us(ts) - epoch_us(ts) % (30 * 60 * 1000000::BIGINT)
+             - 30 * 60 * 1000000::BIGINT
+         ]) AS window_start_us
+  FROM events
+)
+SELECT window_start_us, event_type, count(*) AS n_events
+FROM expanded GROUP BY 1, 2 ORDER BY 1, 2
 """

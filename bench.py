@@ -45,6 +45,11 @@ HEADLINE = [
     "asof_last_click",
     "value_range_join",
     "quality_filter_join",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_share",
+    "volume_cube",
+    "events_sliding",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -1,0 +1,98 @@
+"""Physical-plan quality gates.
+
+Correct results are necessary, not sufficient: these tests pin the
+PROPERTIES that make the plans survive a 100x scale-up -- filters and
+projections pushed into the parquet scan, dimension joins broadcast,
+aggregations partial+final, no cartesian products where a hash join
+belongs. A regression here means a silent 10-100x slowdown at cluster
+scale long before any result changes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from automated_review_analysis_pipeline_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_pushdown_and_partial_agg(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "partial_sum" in plan          # map-side combine before shuffle
+    # column pruning: only the 7 needed columns reach the scan
+    assert "ReadSchema: struct<l_quantity" in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_q3_broadcasts_customer(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    # the segment filter pushes into the customer scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q5_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "q5_local_supplier")
+    # 4 broadcast joins (customer, supplier, nation, region)
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q4_uses_semi_join(spark):
+    plan = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+
+
+def test_top_orders_single_shuffle_window(spark):
+    plan = plan_of(spark, "top_orders_per_customer")
+    assert "Window" in plan
+    # exactly one hash-partitioning exchange (for the window) plus the
+    # final range partition for the orderBy
+    assert plan.count("hashpartitioning") <= 2
+
+
+def test_events_hourly_partial_agg(spark):
+    plan = plan_of(spark, "events_hourly")
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_minhash_no_cartesian(spark):
+    plan = plan_of(spark, "minhash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_posting_join_no_cartesian(spark):
+    plan = plan_of(spark, "ngram_jaccard")
+    assert "CartesianProduct" not in plan
+    # the per-pair jaccard must NOT appear inside a join condition --
+    # intersections come from the posting-list aggregation
+    assert "array_intersect" not in plan
+
+
+def test_quality_filter_join_prunes_documents(spark):
+    plan = plan_of(spark, "quality_filter_join")
+    # only doc_id + text reach the documents scan
+    read_schemas = [seg.split("\n")[0] for seg in plan.split("ReadSchema: ")[1:]]
+    doc_schema = next(s for s in read_schemas if "text" in s)
+    assert "lang" not in doc_schema and "source" not in doc_schema
+
+
+def test_survey_wide_no_shuffle_before_explode(spark):
+    """classify-before-explode with a provided id column: the whole wide
+    build should be exchange-free (scan -> project -> generate)."""
+    plan = plan_of(spark, "survey_wide")
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    # the only exchange allowed is the final presentation orderBy
+    assert body.count("Exchange") <= 1, body

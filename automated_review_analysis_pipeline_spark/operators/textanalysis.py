@@ -80,20 +80,29 @@ def quality_score(c: Column) -> Column:
     low punctuation density, penalizes very short text.
 
     score = 0.5*min(1, tokens/50) + 0.3*(1 - min(1, 4*punct_ratio))
-          + 0.2*min(1, avg_token_len/8)
+          + 0.2*min(1, avg_token_len/8), quantized to parts-per-million.
+
+    Computed ENTIRELY in integer arithmetic (three integer divisions, one
+    final /1e6): summing three float terms is engine-order-sensitive in
+    the last ulp, which flipped a round(x, 6) at an exact boundary value
+    between Spark and the DuckDB oracle. Identical int64 math -> one
+    identical IEEE division -> bit-identical doubles everywhere.
     """
-    nt = token_count(c).cast("double")
+    nt = token_count(c).cast("long")
     s = F.trim(F.coalesce(c, F.lit("")))
-    avg_len = F.when(nt == 0, F.lit(0.0)).otherwise(
-        F.length(F.regexp_replace(s, r"\s+", "")).cast("double") / nt
-    )
-    pr = punct_ratio(c)
-    score = (
-        F.lit(0.5) * F.least(F.lit(1.0), nt / F.lit(50.0))
-        + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), F.lit(4.0) * pr))
-        + F.lit(0.2) * F.least(F.lit(1.0), avg_len / F.lit(8.0))
-    )
-    return F.round(score, 6)
+    nc = F.length(s).cast("long")
+    np_ = nc - F.length(F.regexp_replace(s, r"[^\w\s]", "")).cast("long")
+    ns = F.length(F.regexp_replace(s, r"\s+", "")).cast("long")
+    # floor(int/int) on doubles is exact here: quotient granularity is
+    # 1/denominator (>= 1e-6), orders of magnitude above double error
+    t1 = F.floor(F.lit(500_000) * F.least(nt, F.lit(50)) / F.lit(50))
+    t2 = F.floor(
+        F.lit(300_000) * F.greatest(nc - F.lit(4) * np_, F.lit(0))
+        / F.greatest(nc, F.lit(1)))
+    t3 = F.floor(
+        F.lit(200_000) * F.least(ns, F.lit(8) * nt)
+        / F.greatest(F.lit(8) * nt, F.lit(1)))
+    return (t1 + t2 + t3).cast("double") / F.lit(1_000_000.0)
 
 
 def fingerprint(c: Column) -> Column:
@@ -172,14 +181,17 @@ def language_id_sql(expr: str) -> str:
 
 
 def quality_score_sql(expr: str) -> str:
-    nt = f"{token_count_sql(expr)}::DOUBLE"
+    """DuckDB twin of quality_score: same int64 arithmetic (// is exact
+    integer division), one final double division."""
+    nt = f"{token_count_sql(expr)}::BIGINT"
     s = f"trim(coalesce({expr}, ''))"
-    avg_len = (f"CASE WHEN {nt} = 0 THEN 0.0 ELSE "
-               f"length(regexp_replace({s}, '\\s+', '', 'g'))::DOUBLE / {nt} END")
-    pr = punct_ratio_sql(expr)
-    return (f"round(0.5 * least(1.0, {nt} / 50.0) "
-            f"+ 0.3 * (1.0 - least(1.0, 4.0 * {pr})) "
-            f"+ 0.2 * least(1.0, {avg_len} / 8.0), 6)")
+    nc = f"length({s})::BIGINT"
+    np_ = f"({nc} - length(regexp_replace({s}, '[^\\w\\s]', '', 'g'))::BIGINT)"
+    ns = f"length(regexp_replace({s}, '\\s+', '', 'g'))::BIGINT"
+    t1 = f"((500000 * least({nt}, 50)) // 50)"
+    t2 = f"((300000 * greatest({nc} - 4 * {np_}, 0)) // greatest({nc}, 1))"
+    t3 = f"((200000 * least({ns}, 8 * {nt})) // greatest(8 * {nt}, 1))"
+    return f"(({t1} + {t2} + {t3})::DOUBLE / 1000000.0::DOUBLE)"
 
 
 def fingerprint_sql(expr: str) -> str:

@@ -43,6 +43,9 @@ from automated_review_analysis_pipeline_spark.functions.classify import (
     NEG_LEXICON,
     POS_LEXICON,
 )
+from automated_review_analysis_pipeline_spark.functions.text import FILLER_VALUES
+
+_FILLER = set(FILLER_VALUES)
 
 RESULT_TYPE = "sentiment string, category string"
 
@@ -133,6 +136,8 @@ def llm_kernel(
     max_tokens: int = 40,
     max_retries: int = 5,
     api_base: str | None = None,
+    client_factory: Callable[[], object] | None = None,
+    base_delay: float = 1.0,
 ) -> Callable[[str, Column], Column]:
     """C5+C6: LLM classification via an OpenAI-compatible endpoint.
 
@@ -147,6 +152,10 @@ def llm_kernel(
     The question text is embedded per-column at plan time (each question
     column gets its own UDF closure), matching how the reference sends the
     header text with every request.
+
+    ``client_factory`` injects an OpenAI-compatible client builder (tests
+    pass a fake; production default constructs the real one per executor);
+    ``base_delay`` scales the backoff (tests set ~0 to avoid sleeping).
     """
 
     def classifier(question_text: str, answer: Column) -> Column:
@@ -155,13 +164,23 @@ def llm_kernel(
             import json
 
             try:
-                from openai import OpenAI  # type: ignore
-                kwargs = {"base_url": api_base} if api_base else {}
-                client = OpenAI(**kwargs)
+                if client_factory is not None:
+                    client = client_factory()
+                else:
+                    from openai import OpenAI  # type: ignore
+                    kwargs = {"base_url": api_base} if api_base else {}
+                    client = OpenAI(**kwargs)
             except Exception:
                 client = None
 
             def classify_one(ans: str) -> tuple[str, str]:
+                # In-UDF filler guard: the plan's when/otherwise picks the
+                # right OUTPUT for filler rows, but Spark hoists Python
+                # UDFs into an ArrowEvalPython stage that runs for ALL
+                # rows -- without this check filler rows would still cost
+                # an API call (the reference's P3 saved ~17% of calls).
+                if (ans or "").strip().lower() in _FILLER:
+                    return "Neutral", "No Feedback"
                 if client is None:
                     return "Neutral", "No Feedback"
                 prompt = (
@@ -173,7 +192,7 @@ def llm_kernel(
                     "Respond with JSON {\"sentiment\": one of Positive/"
                     "Neutral/Negative/Mixed, \"category\": 1-3 words}."
                 )
-                delay = 1.0
+                delay = base_delay
                 for attempt in range(max_retries):
                     try:
                         resp = client.chat.completions.create(
@@ -197,7 +216,7 @@ def llm_kernel(
                             print(f"LLM classify failed after {max_retries} "
                                   f"tries: {e}", file=sys.stderr)
                             return "Neutral", "No Feedback"
-                        time.sleep(min(delay, 8.0))
+                        time.sleep(min(delay, 8.0 * base_delay))
                         delay *= 2
                 return "Neutral", "No Feedback"
 

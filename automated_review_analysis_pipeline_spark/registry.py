@@ -384,6 +384,34 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_session_stats(stream, "30 minutes"), "reg_sessions")
 
 
+def q_streaming_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    profiles drained with availableNow."""
+    import tempfile
+
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        read_events_stream,
+    )
+    from automated_review_analysis_pipeline_spark.streaming.stateful import (
+        running_user_profiles,
+    )
+
+    _utc(spark)
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = running_user_profiles(stream)
+    ckpt = tempfile.mkdtemp(prefix="arap_profiles_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("reg_profiles")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("reg_profiles")
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(
         _t(spark, sf_dir, "documents"), max_hamming=28)
@@ -436,6 +464,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_sliding": q_events_sliding,
     "streaming_hourly": q_streaming_hourly,
     "streaming_sessions": q_streaming_sessions,
+    "streaming_user_profiles": q_streaming_user_profiles,
     "simhash_pairs": q_simhash_pairs,
     "sign_lsh_topk": q_sign_lsh_topk,
     "ivf_topk": q_ivf_topk,

@@ -135,3 +135,37 @@ def test_excel_sink_inventory(spark, tmp_path):
     assert "P1" in sheets and "P2" in sheets
     assert any(s.startswith("Charts - ") for s in sheets)
     assert len(sheets) == 5
+
+
+def test_empty_survey_guard(spark):
+    """R4: zero input rows -> empty wide frame with the full schema."""
+    survey = spark.createDataFrame(
+        [], "Email string, Name string, Products string, Q1 string")
+    wide, b2d = analyze_wide(survey)
+    assert wide.count() == 0
+    assert wide.columns == ["ResponseID", "Product", "Q1_Answer",
+                            "Q1_Sentiment", "Q1_Category"]
+
+    from automated_review_analysis_pipeline_spark.operators.reshape import (
+        summary_from_wide,
+    )
+
+    assert summary_from_wide(wide).count() == 0
+
+
+def test_excel_sheet_rows_sorted_lexicographically(spark, tmp_path):
+    """O1 quirk: per-product sheet rows sort by ResponseID AS STRING
+    ("1","10","11","2",... not numeric) -- matches the golden workbook."""
+    import csv
+
+    from automated_review_analysis_pipeline_spark.sinks.excel import write_excel_report
+
+    rows = [("u%d@x" % i, "N", "P1", "fine answer %d" % i)
+            for i in range(1, 13)]
+    survey = spark.createDataFrame(rows, ["Email", "Name", "Products", "Q1"])
+    wide, b2d = analyze_wide(survey)
+    write_excel_report(wide, str(tmp_path / "r.xlsx"), b2d)
+    with open(tmp_path / "r" / "P1.csv", newline="") as f:
+        ids = [row["ResponseID"] for row in csv.DictReader(f)]
+    assert ids == sorted(ids)          # lexicographic
+    assert ids != sorted(ids, key=int)  # and NOT numeric

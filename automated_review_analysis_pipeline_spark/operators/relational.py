@@ -331,3 +331,229 @@ def volume_cube(lineitem: DataFrame) -> DataFrame:
             F.col("l_linestatus").asc_nulls_first(),
         )
     )
+
+
+def q7_volume_shipping(supplier: DataFrame, lineitem: DataFrame,
+                       orders: DataFrame, customer: DataFrame,
+                       nation: DataFrame,
+                       nation_a: str = "NATION_1", nation_b: str = "NATION_2",
+                       date_from: str = "1996-01-01",
+                       date_to: str = "1998-01-01") -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year (schema has no l_shipmode, so the grouping is (supp_nation,
+    cust_nation, year) only).
+
+    Scale: supplier and customer are pre-filtered to the two nations BEFORE
+    touching the facts, so the lineitem->orders shuffle only carries rows
+    that can survive; both dim joins broadcast. Restricted to {A,B} on both
+    sides, the TPC-H pair disjunction reduces to supp_nation != cust_nation.
+    """
+    pair = [nation_a, nation_b]
+    n = broadcast(nation.select("n_nationkey", "n_name")
+                  .where(F.col("n_name").isin(pair)))
+    supp = (supplier.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (customer.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    volume = F.sum(
+        _dec("l_extendedprice") * (_one() - _frac("l_discount"))
+    ).cast("double").alias("revenue")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp_ntz")))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(volume)
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+                    orders: DataFrame, customer: DataFrame, nation: DataFrame,
+                    region: DataFrame, target_nation: str = "NATION_3",
+                    region_name: str = "ASIA", p_type: str = "PROMO",
+                    date_from: str = "1996-01-01",
+                    date_to: str = "1998-01-01") -> DataFrame:
+    """TPC-H Q8 shape: the target nation's share of PROMO-part revenue sold
+    into one region, per order year.
+
+    Scale: part is filtered to one p_type and broadcast -- at 100 TB this is
+    the selective probe that prunes most lineitems in the first join; the
+    customer->nation->region chain collapses to one broadcast dim. Share =
+    exact decimal sums, ONE double division at the end.
+    """
+    region_cust = (
+        customer
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region.where(F.col("r_name") == region_name)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey"))
+    supp_nation = (
+        supplier
+        .join(broadcast(nation.select(
+            "n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "supp_nation"))
+    volume = _dec("l_extendedprice") * (_one() - _frac("l_discount"))
+    joined = (
+        lineitem
+        .join(broadcast(part.where(F.col("p_type") == p_type)
+                        .select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.where(
+            (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp_ntz"))),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(region_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.year("o_orderdate").alias("o_year"),
+                volume.alias("volume"), "supp_nation"))
+    target = F.sum(F.when(F.col("supp_nation") == target_nation,
+                          F.col("volume")).otherwise(F.lit(0).cast("decimal(12,2)")))
+    return (
+        joined.groupBy("o_year")
+        .agg(F.round(target.cast("double")
+                     / F.sum("volume").cast("double"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+def q13_customer_distribution(customer: DataFrame, orders: DataFrame,
+                              excluded_priority: str = "1-URGENT") -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts, keeping
+    customers with zero orders (LEFT OUTER join + count of non-null keys).
+    The order-side predicate lives in the JOIN condition, not a WHERE --
+    filtering after the outer join would silently drop the zero-order rows.
+
+    Scale: two hash shuffles (join on custkey, regroup on c_count); the
+    second groupBy input is |customers| rows and the output is tiny.
+    """
+    per_cust = (
+        customer.join(
+            orders.where(F.col("o_orderpriority") != excluded_priority),
+            F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count")))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame,
+                               brand: str = "Brand#23") -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below 20% of the part's average quantity) were not filled.
+    The correlated scalar subquery (per-part avg over ALL lineitems of that
+    part) is decorrelated by hand: groupBy(partkey) -> broadcast join back.
+
+    Scale: the brand filter cuts `part` to ~1/25 and broadcasts; BOTH the
+    per-part average and the final sum then run over only that brand's
+    lineitems -- never aggregate all parts when the probe side is selective.
+    """
+    brand_parts = broadcast(
+        part.where(F.col("p_brand") == brand).select("p_partkey"))
+    brand_items = lineitem.join(
+        brand_parts, F.col("l_partkey") == F.col("p_partkey")).cache()
+    # Exact average: decimal sum -> one double division (order-independent).
+    part_avg = (
+        brand_items.groupBy("l_partkey")
+        .agg((F.sum(_dec("l_quantity")).cast("double")
+              / F.count(F.lit(1)).cast("double")).alias("__avg_qty"))
+        .select(F.col("l_partkey").alias("__pk"), "__avg_qty"))
+    return (
+        brand_items
+        .join(broadcast(part_avg), F.col("l_partkey") == F.col("__pk"))
+        .where(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .agg(F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0,
+                     6).alias("avg_yearly"))
+    )
+
+
+def q18_large_volume_customers(customer: DataFrame, orders: DataFrame,
+                               lineitem: DataFrame,
+                               min_qty: float = 250.0) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single orders exceed a total
+    quantity threshold. The IN-(grouped HAVING subquery) becomes
+    aggregate-then-join: sum per orderkey first, keep qualifying keys, then
+    enrich with orders + customer.
+
+    Scale: the HAVING prunes to a handful of orderkeys, so the enrichment
+    joins broadcast the QUALIFYING side against the big tables, not vice
+    versa; top-100 runs as TakeOrdered (no global sort materialization).
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        .where(F.col("sum_qty") > min_qty))
+    return (
+        orders.join(broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.col("o_orderdate").cast("date").alias("o_orderdate"),
+                "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+def q19_discounted_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three disjunctive brand/size/quantity
+    bands (schema lacks shipmode/container, so the bands use brand + p_size
+    + l_quantity only).
+
+    Scale: part is broadcast; Catalyst CNF-converts the OR so the common
+    `p_brand IN (...)` and `p_size <= 35` conjuncts push into BOTH parquet
+    scans, and the band residual evaluates post-join. Single scalar result.
+    """
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    bands = (
+        ((br == "Brand#12") & sz.between(1, 15) & q.between(1, 21))
+        | ((br == "Brand#23") & sz.between(1, 25) & q.between(10, 30))
+        | ((br == "Brand#15") & sz.between(1, 35) & q.between(20, 40)))
+    return (
+        lineitem
+        .join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(bands)
+        .agg(F.sum(_dec("l_extendedprice") * (_one() - _frac("l_discount")))
+             .cast("double").alias("revenue"))
+    )
+
+
+def q22_prospect_balance(customer: DataFrame, orders: DataFrame,
+                         nation: DataFrame,
+                         dormant_since: str = "2000-01-01") -> DataFrame:
+    """TPC-H Q22 shape: count + total balance of above-average-balance
+    customers with no orders since a cutoff, per nation (schema has no
+    c_phone, so the country-code grouping becomes the nation dim; the
+    dormancy cutoff keeps the prospect set non-empty on this data).
+
+    Scale: the scalar AVG is a 1-row aggregate cross-joined (broadcast) into
+    the filter -- never collected to the driver; the NOT EXISTS is a
+    left_anti join on custkey (hash, null-safe by construction) whose right
+    side is date-pruned before the shuffle.
+    """
+    avg_bal = (
+        customer.where(F.col("c_acctbal") > 0)
+        .agg((F.sum(_dec("c_acctbal")).cast("double")
+              / F.count(F.lit(1)).cast("double")).alias("__avg_bal")))
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit(dormant_since).cast("timestamp_ntz"))
+    return (
+        customer.crossJoin(broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent.select("o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.round(F.sum(_dec("c_acctbal")).cast("double"), 2)
+             .alias("totacctbal"))
+        .orderBy("n_name")
+    )

@@ -246,3 +246,28 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def label_centroids(embeddings: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-label centroid, one row per (label, dimension) -- the classic
+    embedding class-profile reduction (and the M-step of IVF training).
+
+    posexplode -> groupBy(label, dim) is a single shuffle with map-side
+    combine; component sums go through decimal(18,9) so partial/final
+    aggregation is exact and engine-order-independent, then ONE double
+    division per output cell."""
+    exploded = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    )
+    s = F.sum(F.col("val").cast("decimal(18,9)"))
+    n = F.count(F.lit(1))
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.round(s.cast("double") / n.cast("double"), 6).alias("centroid"),
+            n.alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )

@@ -165,6 +165,10 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(e, e.where(F.col("vec_id") < N_QUERY_VECS), k=TOP_K)
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
     return sim.pairwise_cosine_above(e, threshold=0.8)
@@ -350,6 +354,48 @@ def q_volume_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.volume_cube(_t(spark, sf_dir, "lineitem"))
 
 
+def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q7_volume_shipping(
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"))
+
+
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q8_market_share(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"))
+
+
+def q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q13_customer_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"))
+
+
+def q_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q17_small_quantity_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+
+def q_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q18_large_volume_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"))
+
+
+def q_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q19_discounted_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+
+def q_q22_prospect_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q22_prospect_balance(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"))
+
+
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.sliding_window_agg(_t(spark, sf_dir, "events"), 60, 30)
 
@@ -439,6 +485,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_pairs": q_minhash_pairs,
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "label_centroids": q_label_centroids,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_shipping_priority": q_q3_shipping_priority,
     "q4_order_priority": q_q4_order_priority,
@@ -461,6 +508,13 @@ QUERIES: dict[str, QueryFn] = {
     "q10_returned_items": q_q10_returned_items,
     "q14_promo_share": q_q14_promo_share,
     "volume_cube": q_volume_cube,
+    "q7_volume_shipping": q_q7_volume_shipping,
+    "q8_market_share": q_q8_market_share,
+    "q13_customer_distribution": q_q13_customer_distribution,
+    "q17_small_qty_revenue": q_q17_small_qty_revenue,
+    "q18_large_volume_customers": q_q18_large_volume_customers,
+    "q19_discounted_revenue": q_q19_discounted_revenue,
+    "q22_prospect_balance": q_q22_prospect_balance,
     "events_sliding": q_events_sliding,
     "streaming_hourly": q_streaming_hourly,
     "streaming_sessions": q_streaming_sessions,
@@ -962,4 +1016,153 @@ WITH expanded AS (
 )
 SELECT window_start_us, event_type, count(*) AS n_events
 FROM expanded GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+ORACLE_SQL["label_centroids"] = """
+WITH ex AS (
+  SELECT label, unnest(embedding) AS val,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+)
+SELECT label, dim,
+       round(sum(CAST(val AS DECIMAL(18,9)))::DOUBLE / count(*)::DOUBLE, 6)
+         AS centroid,
+       count(*) AS n_vectors
+FROM ex GROUP BY label, dim ORDER BY label, dim
+"""
+
+
+ORACLE_SQL["q7_volume_shipping"] = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+           AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+ORACLE_SQL["q8_market_share"] = """
+WITH vol AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+           AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM vol GROUP BY o_year ORDER BY o_year
+"""
+
+
+ORACLE_SQL["q13_customer_distribution"] = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+ORACLE_SQL["q17_small_qty_revenue"] = """
+WITH brand_items AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#23'
+), part_avg AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+           / count(*) AS avg_qty
+  FROM brand_items GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / 7.0, 6) AS avg_yearly
+FROM brand_items JOIN part_avg ON l_partkey = pk
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+ORACLE_SQL["q18_large_volume_customers"] = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 250.0
+)
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, sum_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+ORACLE_SQL["q19_discounted_revenue"] = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+       AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+ORACLE_SQL["q22_prospect_balance"] = """
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+           AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name, count(*) AS numcust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2)
+         AS totacctbal
+FROM customer, avg_bal
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n_name
+ORDER BY n_name
 """

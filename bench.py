@@ -50,6 +50,14 @@ HEADLINE = [
     "q14_promo_share",
     "volume_cube",
     "events_sliding",
+    "label_centroids",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q22_prospect_balance",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -557,3 +557,51 @@ def q22_prospect_balance(customer: DataFrame, orders: DataFrame,
              .alias("totacctbal"))
         .orderBy("n_name")
     )
+
+
+def order_value_percentiles(orders: DataFrame) -> DataFrame:
+    """Exact p25/p50/p75/p90 of order value per order priority.
+
+    Uses Spark's exact `percentile` aggregate (linear interpolation at
+    rank (n-1)*p -- the same definition as DuckDB's quantile_cont, so the
+    oracle matches bit-for-bit after 6dp rounding).
+
+    Scale: exact percentiles require a per-group sort of the full column;
+    this is the deliberate "small-cardinality group key" case (5
+    priorities). For high-cardinality keys at 100 TB, switch to
+    approx_percentile (t-digest, mergeable sketch, one pass).
+    """
+    pct = F.expr(
+        "percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.9))")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(pct.alias("__p"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "o_orderpriority",
+            F.round(F.col("__p")[0], 6).alias("p25"),
+            F.round(F.col("__p")[1], 6).alias("p50"),
+            F.round(F.col("__p")[2], 6).alias("p75"),
+            F.round(F.col("__p")[3], 6).alias("p90"),
+            "n_orders",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def totalprice_histogram(orders: DataFrame,
+                         bucket_width: float = 50_000.0) -> DataFrame:
+    """Fixed-width histogram of order values: bucket = floor(x / width).
+
+    Scale: a single map-side floor + partial/final count -- the cheapest
+    possible distribution profile of a 100 TB column (output is bounded by
+    the value range, not the row count).
+    """
+    b = F.floor(F.col("o_totalprice") / F.lit(bucket_width)).alias("bucket")
+    return (
+        orders.groupBy(b)
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum(_dec("o_totalprice")).cast("double"), 2)
+             .alias("total_value"))
+        .orderBy("bucket")
+    )

@@ -197,3 +197,86 @@ def quality_score_sql(expr: str) -> str:
 def fingerprint_sql(expr: str) -> str:
     norm = f"lower(trim(regexp_replace(coalesce({expr}, ''), '\\s+', ' ', 'g')))"
     return f"md5({norm})"
+
+
+def tf_idf_top_terms(documents: DataFrame, n: int = 5,
+                     text_col: str = "text",
+                     group_col: str = "source") -> DataFrame:
+    """Top-n terms per group by summed TF-IDF -- the classic corpus-term
+    profile (e.g. "what characterizes each crawl source").
+
+    Scale shape: explode(words) -> ONE groupBy((group, word)) shuffle for
+    term frequency; document frequency reuses the same exploded frame with
+    a (doc, word)-distinct aggregation; idf joins back as a broadcast (the
+    vocabulary aggregate is orders of magnitude smaller than the corpus).
+    The final per-group top-n is a WindowGroupLimit, not a global sort.
+
+    idf = ln((N+1)/(df+1)) (smoothed); score rounded at 6dp after the one
+    double multiply so both engines agree bit-for-bit.
+    """
+    words = documents.select(
+        F.col("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+    ).where(F.col("word") != "")
+    n_docs = documents.select(
+        F.count(F.lit(1)).cast("double").alias("__n_docs"))
+    df_ = (
+        words.select("doc_id", "word").distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("double").alias("__df")))
+    tf = (
+        words.groupBy("grp", "word")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf")))
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    scored = (
+        tf.join(broadcast(df_), "word")
+        .crossJoin(broadcast(n_docs))
+        .select(
+            "grp", "word",
+            F.round(
+                F.col("__tf")
+                * F.log((F.col("__n_docs") + 1.0) / (F.col("__df") + 1.0)),
+                6,
+            ).alias("tf_idf"),
+        ))
+    w = Window.partitionBy("grp").orderBy(
+        F.desc("tf_idf"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+        .select(F.col("grp").alias("source"), "rank", "word", "tf_idf")
+        .orderBy("source", "rank")
+    )
+
+
+def tf_idf_top_terms_sql(n: int = 5) -> str:
+    """DuckDB twin of :func:`tf_idf_top_terms` over the `documents` view."""
+    return f"""
+WITH words AS (
+  SELECT doc_id, source AS grp, w AS word
+  FROM (SELECT doc_id, source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents WHERE trim(coalesce(text,'')) <> '')
+  WHERE w <> ''
+), n_docs AS (
+  SELECT count(*)::DOUBLE AS nd FROM documents
+), df AS (
+  SELECT word, count(*)::DOUBLE AS dfc
+  FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY word
+), tf AS (
+  SELECT grp, word, count(*)::DOUBLE AS tfc FROM words GROUP BY grp, word
+), scored AS (
+  SELECT grp, word, round(tfc * ln((nd + 1.0) / (dfc + 1.0)), 6) AS tf_idf
+  FROM tf JOIN df USING (word), n_docs
+), ranked AS (
+  SELECT grp, word, tf_idf,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY tf_idf DESC, word ASC) AS rank
+  FROM scored
+)
+SELECT grp AS source, rank, word, tf_idf
+FROM ranked WHERE rank <= {n} ORDER BY source, rank
+"""

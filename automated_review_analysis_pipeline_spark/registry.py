@@ -396,6 +396,18 @@ def q_q22_prospect_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "nation"))
 
 
+def q_tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.tf_idf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.order_value_percentiles(_t(spark, sf_dir, "orders"))
+
+
+def q_totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.totalprice_histogram(_t(spark, sf_dir, "orders"))
+
+
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.sliding_window_agg(_t(spark, sf_dir, "events"), 60, 30)
 
@@ -515,6 +527,9 @@ QUERIES: dict[str, QueryFn] = {
     "q18_large_volume_customers": q_q18_large_volume_customers,
     "q19_discounted_revenue": q_q19_discounted_revenue,
     "q22_prospect_balance": q_q22_prospect_balance,
+    "tf_idf_top_terms": q_tf_idf_top_terms,
+    "order_value_percentiles": q_order_value_percentiles,
+    "totalprice_histogram": q_totalprice_histogram,
     "events_sliding": q_events_sliding,
     "streaming_hourly": q_streaming_hourly,
     "streaming_sessions": q_streaming_sessions,
@@ -1165,4 +1180,27 @@ WHERE c_acctbal > a
                     AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY n_name
 ORDER BY n_name
+"""
+
+
+ORACLE_SQL["tf_idf_top_terms"] = ta.tf_idf_top_terms_sql(5)
+
+
+ORACLE_SQL["order_value_percentiles"] = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+ORACLE_SQL["totalprice_histogram"] = """
+SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+         AS total_value
+FROM orders GROUP BY bucket ORDER BY bucket
 """

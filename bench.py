@@ -58,6 +58,9 @@ HEADLINE = [
     "q18_large_volume_customers",
     "q19_discounted_revenue",
     "q22_prospect_balance",
+    "tf_idf_top_terms",
+    "order_value_percentiles",
+    "totalprice_histogram",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -280,3 +280,129 @@ WITH words AS (
 SELECT grp AS source, rank, word, tf_idf
 FROM ranked WHERE rank <= {n} ORDER BY source, rank
 """
+
+
+def chunk_documents(documents: DataFrame, chunk_size: int = 64,
+                    overlap: int = 16, text_col: str = "text") -> DataFrame:
+    """Split each document into overlapping token-window chunks -- the
+    standard LLM training/RAG prep step (context-window shaping).
+
+    Pure column expressions: tokenize once, generate chunk start offsets
+    with `sequence` (stride = chunk_size - overlap), posexplode, slice.
+    Zero shuffles -- the operator is embarrassingly parallel per row, so at
+    100 TB it runs entirely map-side at scan parallelism. Docs with no
+    tokens yield no chunks.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(F.col("__toks"))
+    # Start offsets 0, stride, 2*stride, ... strictly below n_tokens.
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.floor((n - F.lit(1)) / F.lit(stride)).cast("int") * F.lit(stride),
+            F.lit(0),
+        ),
+        F.lit(stride),
+    )
+    return (
+        documents.select("doc_id", toks.alias("__toks"))
+        .where(n > 0)
+        .select("doc_id", F.posexplode(starts).alias("chunk_id", "__start"),
+                F.col("__toks"))
+        .select(
+            "doc_id", "chunk_id",
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), F.col("__start") + 1,
+                             chunk_size)).alias("chunk_text"),
+            F.least(F.size(F.col("__toks")) - F.col("__start"),
+                    F.lit(chunk_size)).alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+def chunk_documents_sql(chunk_size: int = 64, overlap: int = 16) -> str:
+    """DuckDB twin of :func:`chunk_documents` over the `documents` view."""
+    stride = chunk_size - overlap
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n
+  FROM documents WHERE trim(coalesce(text,'')) <> ''
+), starts AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, CAST(floor((n - 1) / {stride}) AS BIGINT)
+                         * {stride} + 1, {stride})) AS start
+  FROM toked WHERE n > 0
+)
+SELECT doc_id,
+       CAST(start / {stride} AS INTEGER) AS chunk_id,
+       array_to_string(toks[start + 1 : start + {chunk_size}], ' ')
+         AS chunk_text,
+       least(n - start, {chunk_size}) AS n_tokens
+FROM starts ORDER BY doc_id, chunk_id
+"""
+
+
+def token_budget_shards(documents: DataFrame, budget: int = 512,
+                        shard_col: str = "source",
+                        text_col: str = "text") -> DataFrame:
+    """Assign each document to a token-budget shard: within each shard key
+    (ordered by doc_id), shard = floor(tokens_before_this_doc / budget) --
+    contiguous token-offset packing for building fixed-budget training
+    shards/batches.
+
+    Scale: ONE hash shuffle on the shard key + per-partition running sum
+    (window). The running sum is over int64 token counts -- exact, so the
+    assignment is deterministic on any cluster. (True greedy bin packing
+    that resets at the boundary needs a stateful scan -- at scale the
+    offset variant is what a data loader actually uses, since it can seek
+    straight to shard k * budget.)
+    """
+    from pyspark.sql.window import Window
+
+    n = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy("__grp").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        documents.select(
+            "doc_id", F.col(shard_col).alias("__grp"), n.alias("n_tokens"))
+        .select(
+            "doc_id", "__grp", "n_tokens",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            .alias("tokens_before"),
+        )
+        .select(
+            F.col("__grp").alias(shard_col), "doc_id", "n_tokens",
+            "tokens_before",
+            F.floor(F.col("tokens_before") / F.lit(budget)).alias("shard"),
+        )
+        .orderBy(shard_col, "doc_id")
+    )
+
+
+def token_budget_shards_sql(budget: int = 512) -> str:
+    """DuckDB twin of :func:`token_budget_shards`."""
+    tok = ("CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "
+           "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+    return f"""
+WITH toked AS (
+  SELECT source, doc_id, {tok} AS n_tokens FROM documents
+), cum AS (
+  SELECT source, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tokens_before
+  FROM toked
+)
+SELECT source, doc_id, n_tokens, tokens_before,
+       CAST(floor(tokens_before / {budget}) AS BIGINT) AS shard
+FROM cum ORDER BY source, doc_id
+"""

@@ -400,6 +400,14 @@ def q_tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.tf_idf_top_terms(_t(spark, sf_dir, "documents"))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+def q_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.token_budget_shards(_t(spark, sf_dir, "documents"))
+
+
 def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.order_value_percentiles(_t(spark, sf_dir, "orders"))
 
@@ -470,6 +478,23 @@ def q_streaming_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("reg_profiles")
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-touch dedup on (user_id, event_type); returns the
+    key set, which is arrival-order independent -> exact SQL oracle
+    (SELECT DISTINCT) despite running through the streaming engine."""
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        read_events_stream,
+        run_available_now,
+        streaming_dedup_keys,
+    )
+
+    _utc(spark)
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_available_now(
+        streaming_dedup_keys(stream), "dedup_keys", output_mode="append")
+    return out.orderBy("user_id", "event_type")
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(
         _t(spark, sf_dir, "documents"), max_hamming=28)
@@ -528,12 +553,15 @@ QUERIES: dict[str, QueryFn] = {
     "q19_discounted_revenue": q_q19_discounted_revenue,
     "q22_prospect_balance": q_q22_prospect_balance,
     "tf_idf_top_terms": q_tf_idf_top_terms,
+    "chunk_documents": q_chunk_documents,
+    "token_budget_shards": q_token_budget_shards,
     "order_value_percentiles": q_order_value_percentiles,
     "totalprice_histogram": q_totalprice_histogram,
     "events_sliding": q_events_sliding,
     "streaming_hourly": q_streaming_hourly,
     "streaming_sessions": q_streaming_sessions,
     "streaming_user_profiles": q_streaming_user_profiles,
+    "streaming_dedup": q_streaming_dedup,
     "simhash_pairs": q_simhash_pairs,
     "sign_lsh_topk": q_sign_lsh_topk,
     "ivf_topk": q_ivf_topk,
@@ -1204,3 +1232,15 @@ SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
          AS total_value
 FROM orders GROUP BY bucket ORDER BY bucket
 """
+
+
+ORACLE_SQL["streaming_dedup"] = """
+SELECT DISTINCT user_id, event_type
+FROM events ORDER BY user_id, event_type
+"""
+
+
+ORACLE_SQL["chunk_documents"] = ta.chunk_documents_sql(64, 16)
+
+
+ORACLE_SQL["token_budget_shards"] = ta.token_budget_shards_sql(512)

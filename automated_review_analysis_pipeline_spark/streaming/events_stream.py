@@ -83,16 +83,37 @@ def streaming_session_stats(events: DataFrame, gap: str = "30 minutes",
     )
 
 
-def run_available_now(stream_df: DataFrame, table_suffix: str = "") -> DataFrame:
-    """Drain a (complete-mode-safe) streaming aggregation with
-    trigger(availableNow) into an in-memory table and return it as a batch
-    DataFrame -- how the driver harness and tests observe streaming output."""
+def streaming_dedup_keys(events: DataFrame,
+                         keys: tuple[str, ...] = ("user_id", "event_type"),
+                         watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: emit each key combination once (first
+    arrival wins; only the key columns are returned, so the result is
+    arrival-order independent and equals batch SELECT DISTINCT).
+
+    Scale: dropDuplicatesWithinWatermark keeps per-key state ONLY until
+    the watermark passes the key's first-seen event time -- bounded state,
+    unlike plain dropDuplicates which retains every key forever. This is
+    the streaming twin of exact dedup for continuous ingestion (e.g.
+    dedup-before-classify on a document firehose)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark([*keys])
+        .select(*keys)
+    )
+
+
+def run_available_now(stream_df: DataFrame, table_suffix: str = "",
+                      output_mode: str = "complete") -> DataFrame:
+    """Drain a streaming frame with trigger(availableNow) into an
+    in-memory table and return it as a batch DataFrame -- how the driver
+    harness and tests observe streaming output. Aggregations use
+    outputMode 'complete'; dedup/row streams use 'append'."""
     spark = stream_df.sparkSession
     name = f"stream_out_{table_suffix or uuid.uuid4().hex[:8]}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -61,6 +61,8 @@ HEADLINE = [
     "tf_idf_top_terms",
     "order_value_percentiles",
     "totalprice_histogram",
+    "chunk_documents",
+    "token_budget_shards",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

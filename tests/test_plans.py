@@ -96,3 +96,64 @@ def test_survey_wide_no_shuffle_before_explode(spark):
     body = plan.split("AdaptiveSparkPlan")[-1]
     # the only exchange allowed is the final presentation orderBy
     assert body.count("Exchange") <= 1, body
+
+
+def test_q7_prefilters_and_broadcasts_dims(spark):
+    plan = plan_of(spark, "q7_volume_shipping")
+    # nation pair filter reaches the nation scan (dims pre-filtered
+    # BEFORE touching facts), both dim joins broadcast
+    assert "In(n_name, [NATION_1,NATION_2])" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_part_filter_pushed_and_broadcast(spark):
+    plan = plan_of(spark, "q8_market_share")
+    assert "EqualTo(p_type,PROMO)" in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "partial_sum" in plan
+
+
+def test_q13_outer_join_preserved(spark):
+    plan = plan_of(spark, "q13_customer_distribution")
+    # the priority predicate must NOT turn the outer join inner
+    assert "LeftOuter" in plan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+
+
+def test_q17_decorrelated_single_scan_family(spark):
+    plan = plan_of(spark, "q17_small_qty_revenue")
+    # brand filter reaches the part scan; no nested/cartesian fallback
+    assert "EqualTo(p_brand,Brand#23)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_cnf_pushdown_both_scans(spark):
+    plan = plan_of(spark, "q19_discounted_revenue")
+    # the OR bands CNF-convert: quantity bounds reach lineitem scan,
+    # brand/size disjunction reaches part scan
+    # (plan toString truncates long filter lists -- match the stable prefix)
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "Or(Or(And(EqualTo(p_brand" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_anti_join_no_driver_collect(spark):
+    plan = plan_of(spark, "q22_prospect_balance")
+    assert "LeftAnti" in plan
+    # the dormancy cutoff prunes the orders side before the anti join
+    assert "GreaterThanOrEqual(o_orderdate,2000-01-01" in plan
+
+
+def test_tf_idf_windowed_topn_not_global_sort(spark):
+    plan = plan_of(spark, "tf_idf_top_terms")
+    assert "WindowGroupLimit" in plan     # per-group top-n, rank pushed down
+    assert "partial_count" in plan        # tf/df aggs map-side combined
+    assert "CartesianProduct" not in plan
+
+
+def test_histogram_partial_agg_single_shuffle(spark):
+    plan = plan_of(spark, "totalprice_histogram")
+    assert "partial_count" in plan or "partial_sum" in plan
+    # one hash shuffle for the agg + one range for the orderBy, no more
+    assert plan.count("hashpartitioning") <= 1

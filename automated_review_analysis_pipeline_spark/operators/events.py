@@ -168,3 +168,33 @@ def sliding_window_agg(events: DataFrame, window_minutes: int = 60,
         )
         .orderBy("window_start_us", "event_type")
     )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: cohort = the week of each user's first
+    event; for every (cohort week, week offset), the count of users from
+    that cohort active in that week.
+
+    Scale shape: distinct (user, week) first -- collapses the fact table
+    to at most |users| x |weeks| rows BEFORE any join; the cohort frame
+    derives from the same distinct set, and the join back is on user_id
+    (both sides already hash-partitioned by user_id from their aggs, so
+    the join reuses the partitioning instead of a fresh shuffle). The
+    week offset divides two week-truncated epoch-micro values -- an exact
+    multiple of 604800000000, so the double division is exact.
+    """
+    wk = _us(F.date_trunc("week", F.col("ts")))
+    act = events.select("user_id", wk.alias("act_wk_us")).distinct()
+    cohort = act.groupBy("user_id").agg(
+        F.min("act_wk_us").alias("cohort_wk_us"))
+    return (
+        act.join(cohort, "user_id")
+        .select(
+            "cohort_wk_us",
+            ((F.col("act_wk_us") - F.col("cohort_wk_us"))
+             / F.lit(604_800_000_000)).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_wk_us", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_wk_us", "week_offset")
+    )

@@ -605,3 +605,38 @@ def totalprice_histogram(orders: DataFrame,
              .alias("total_value"))
         .orderBy("bucket")
     )
+
+
+def lineitem_stats(lineitem: DataFrame) -> DataFrame:
+    """Per-returnflag statistical profile: mean/population-stddev of
+    quantity and corr(quantity, extendedprice) -- computed from
+    decimal-EXACT moment sums (n, Sx, Sy, Sxx, Syy, Sxy).
+
+    Scale rationale: built-in stddev/corr keep double accumulators whose
+    result depends on partition merge order -- unreproducible across runs
+    and engines. Moment sums in decimal are associative, so partial/final
+    aggregation is exact on any partitioning; the textbook formulas then
+    run ONCE per group in double (identical IEEE op sequence on identical
+    inputs -> bit-identical everywhere), rounded at 6dp.
+    """
+    x, y = _dec("l_quantity"), _dec("l_extendedprice")
+    agged = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(x).alias("__sx"), F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"), F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    n = F.col("n_items").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    var_x = (n * sxx - sx * sx) / (n * n)
+    cov_num = n * sxy - sx * sy
+    return agged.select(
+        "l_returnflag", "n_items",
+        F.round(sx / n, 6).alias("mean_qty"),
+        F.round(F.sqrt(var_x), 6).alias("stddev_qty"),
+        F.round(
+            cov_num / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")

@@ -412,6 +412,14 @@ def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.order_value_percentiles(_t(spark, sf_dir, "orders"))
 
 
+def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.lineitem_stats(_t(spark, sf_dir, "lineitem"))
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.cohort_retention(_t(spark, sf_dir, "events"))
+
+
 def q_totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.totalprice_histogram(_t(spark, sf_dir, "orders"))
 
@@ -557,6 +565,8 @@ QUERIES: dict[str, QueryFn] = {
     "token_budget_shards": q_token_budget_shards,
     "order_value_percentiles": q_order_value_percentiles,
     "totalprice_histogram": q_totalprice_histogram,
+    "lineitem_stats": q_lineitem_stats,
+    "cohort_retention": q_cohort_retention,
     "events_sliding": q_events_sliding,
     "streaming_hourly": q_streaming_hourly,
     "streaming_sessions": q_streaming_sessions,
@@ -1244,3 +1254,52 @@ ORACLE_SQL["chunk_documents"] = ta.chunk_documents_sql(64, 16)
 
 
 ORACLE_SQL["token_budget_shards"] = ta.token_budget_shards_sql(512)
+
+
+ORACLE_SQL["lineitem_stats"] = """
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n_items,
+         sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+         sum(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+         sum(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_items,
+       round(CAST(sx AS DOUBLE) / n, 6) AS mean_qty,
+       round(sqrt((n * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (n * n)), 6)
+         AS stddev_qty,
+       round((n * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((n * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS corr_qty_price
+FROM (SELECT *, CAST(n_items AS DOUBLE) AS n FROM m)
+ORDER BY l_returnflag
+"""
+
+
+ORACLE_SQL["cohort_retention"] = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         epoch_us(date_trunc('week', ts)) AS act_wk_us
+  FROM events
+), cohort AS (
+  SELECT user_id, min(act_wk_us) AS cohort_wk_us FROM act GROUP BY user_id
+)
+SELECT cohort_wk_us,
+       CAST((act_wk_us - cohort_wk_us) / 604800000000 AS BIGINT)
+         AS week_offset,
+       count(*) AS n_users
+FROM act JOIN cohort USING (user_id)
+GROUP BY cohort_wk_us, week_offset
+ORDER BY cohort_wk_us, week_offset
+"""

@@ -63,6 +63,8 @@ HEADLINE = [
     "totalprice_histogram",
     "chunk_documents",
     "token_budget_shards",
+    "lineitem_stats",
+    "cohort_retention",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

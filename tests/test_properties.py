@@ -151,3 +151,36 @@ def test_ann_recall_floor(spark, sf_dir):
            for r in sim.ivf_topk(e, qs, k=5, n_centroids=16, n_probe=8).collect()}
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall}"
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ (rsd=0.02) must track the exact distinct count within 5%
+    relative error per group -- the contract that makes it a safe swap
+    for the shuffle-distinct at 100 TB."""
+    from automated_review_analysis_pipeline_spark.registry import QUERIES
+
+    exact = {r["event_type"]: r["n_users"]
+             for r in QUERIES["distinct_users_per_type"](spark, sf_dir).collect()}
+    approx = {r["event_type"]: r["n_users_approx"]
+              for r in QUERIES["approx_distinct_users"](spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, n, approx[k])
+
+
+def test_quantize_dequantize_roundtrip(spark, sf_dir):
+    """int8 quantization must reconstruct each component within one
+    quantization step (scale/127) -- the property serving code relies on."""
+    from automated_review_analysis_pipeline_spark.registry import QUERIES
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    orig = {r["vec_id"]: r["embedding"]
+            for r in load_table(spark, sf_dir, "embeddings")
+            .where("vec_id < 50").collect()}
+    q = QUERIES["quantize_embeddings"](spark, sf_dir).where("vec_id < 50")
+    for r in q.collect():
+        v, scale, q8 = orig[r["vec_id"]], r["scale"], r["q8"]
+        assert len(v) == len(q8)
+        step = scale / 127.0 if scale else 0.0
+        for x, qi in zip(v, q8):
+            assert abs(x - qi * step) <= step / 2 + 1e-6, (r["vec_id"], x, qi)

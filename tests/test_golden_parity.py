@@ -114,3 +114,40 @@ def test_summary_total_equals_wide_times_questions(spark, golden):
     assert total == len(rows) * len(b2d)
     # summary covers exactly the observed (product, question) combinations
     assert {r["Product"] for r in summary} == {r["Product"] for r in rows}
+
+
+def test_keyword_category_matches_reference_cache(spark):
+    """Cell-exact kernel parity: the reference's golden memo cache
+    (/root/reference/.analysis_cache.json, 278 entries produced by its
+    demo run) records the category its first-match keyword taxonomy
+    assigned to every distinct classified answer. Our C3 column
+    expression must reproduce ALL of them exactly. (The cached
+    sentiments came from VADER -- reference C1, a different kernel than
+    our deterministic C2 lexicon -- so only categories are comparable.)
+    """
+    import json
+
+    with open("/root/reference/.analysis_cache.json", encoding="utf-8") as f:
+        cache = json.load(f)
+    rows = [
+        (key.split("|||", 2)[2], sent_cat[1])
+        for key, sent_cat in cache.items()
+    ]
+    assert len(rows) == 278
+
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.functions.classify import (
+        keyword_category,
+    )
+
+    df = spark.createDataFrame(rows, "answer string, golden_category string")
+    got = df.select(
+        "answer", "golden_category",
+        keyword_category(F.col("answer")).alias("our_category"),
+    ).collect()
+    mismatches = [
+        (r["answer"], r["golden_category"], r["our_category"])
+        for r in got if r["golden_category"] != r["our_category"]
+    ]
+    assert not mismatches, f"{len(mismatches)} mismatches: {mismatches[:5]}"

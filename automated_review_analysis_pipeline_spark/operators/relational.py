@@ -640,3 +640,68 @@ def lineitem_stats(lineitem: DataFrame) -> DataFrame:
             cov_num / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
             6).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame,
+                     date_from: str = "1996-01-01",
+                     date_to: str = "1996-04-01") -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a quarter
+    (the reference view + scalar MAX subquery, decorrelated by hand).
+
+    Scale: revenue aggregates once per suppkey (one shuffle); the scalar
+    max is a 1-row aggregate broadcast back into the filter -- never a
+    driver collect, never a re-aggregation. The equality compare happens
+    on the EXACT decimal revenue (comparing doubles for equality would be
+    engine-dependent); double appears only in the output column.
+    """
+    revenue = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp_ntz")))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_extendedprice") * (_one() - _frac("l_discount")))
+             .alias("__rev")))
+    max_rev = revenue.agg(F.max("__rev").alias("__max_rev"))
+    return (
+        revenue.crossJoin(broadcast(max_rev))
+        .where(F.col("__rev") == F.col("__max_rev"))
+        .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.col("__rev").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_sole_blame_supplier(supplier: DataFrame, orders: DataFrame,
+                            lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely to blame for problem orders --
+    their items came back ('R'), the order involved other suppliers, and
+    NO other supplier's items came back. (Schema lacks receipt/commit
+    dates, so returnflag='R' plays the "late" role, as in Q4/Q10.)
+
+    The reference formulation is EXISTS + NOT-EXISTS correlated
+    subqueries; here both collapse into ONE order-profile aggregate
+    (distinct suppliers / distinct returned-suppliers per order) computed
+    in a single pass over lineitem, then joined back. At 100 TB that is
+    one shuffle on orderkey instead of two additional self-joins.
+    """
+    profile = (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("__n_supp"),
+            F.countDistinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey")))
+            .alias("__n_ret_supp"),
+        )
+        .where((F.col("__n_supp") > 1) & (F.col("__n_ret_supp") == 1))
+        .select(F.col("l_orderkey").alias("__ok")))
+    returned = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey").distinct())
+    return (
+        returned.join(profile, F.col("l_orderkey") == F.col("__ok"))
+        .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )

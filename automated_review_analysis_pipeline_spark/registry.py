@@ -441,6 +441,17 @@ def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.order_value_percentiles(_t(spark, sf_dir, "orders"))
 
 
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q15_top_supplier(
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "lineitem"))
+
+
+def q_q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q21_sole_blame_supplier(
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"))
+
+
 def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.lineitem_stats(_t(spark, sf_dir, "lineitem"))
 
@@ -599,6 +610,8 @@ QUERIES: dict[str, QueryFn] = {
     "totalprice_histogram": q_totalprice_histogram,
     "lineitem_stats": q_lineitem_stats,
     "cohort_retention": q_cohort_retention,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q21_sole_blame_supplier": q_q21_sole_blame_supplier,
     "events_sliding": q_events_sliding,
     "streaming_hourly": q_streaming_hourly,
     "streaming_sessions": q_streaming_sessions,
@@ -1361,4 +1374,43 @@ FROM m ORDER BY vec_id
 ORACLE_SQL["distinct_users_per_type"] = """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+ORACLE_SQL["q15_top_supplier"] = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+           AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+WHERE rev = (SELECT max(rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+ORACLE_SQL["q21_sole_blame_supplier"] = """
+WITH profile AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+           AS n_ret_supp
+  FROM lineitem GROUP BY l_orderkey
+), returned AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT s_name, count(*) AS numwait
+FROM returned
+JOIN profile USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE n_supp > 1 AND n_ret_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
 """

@@ -67,6 +67,8 @@ HEADLINE = [
     "cohort_retention",
     "quantize_embeddings",
     "distinct_users_per_type",
+    "q15_top_supplier",
+    "q21_sole_blame_supplier",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -1,0 +1,142 @@
+"""Training-data curation operators (SURVEY.md §2B extensions): a
+deterministic train/val/test split, PII redaction, test-set
+decontamination, and per-language quota sampling.
+
+These are the steps a 100 TB LLM-corpus pipeline runs between raw
+documents and training shards. None exist in the reference (a single-file
+survey ETL, survey_analysis.py); they extend its text surface per the
+BASELINE.json north star.
+
+Design for 100 TB:
+* the split key is ``md5(id)`` compared as a HEX-STRING PREFIX, not an
+  integer -- portable (Spark and the DuckDB oracle produce identical
+  lowercase hex), uniform, stateless, and stable under re-runs,
+  repartitioning, and incremental appends. No global sort, no shuffle:
+  the split is a narrow per-row projection.
+* redaction is pure JVM regexp (whole-stage codegen) -- no Python in the
+  hot path. Patterns avoid constructs where Java (backtracking) and RE2
+  (leftmost-longest) disagree: simple classes and greedy quantifiers only.
+* decontamination never materializes the cross product: explode distinct
+  shingles, semi-join the (small) distinct test-shingle set against train
+  shingles, aggregate per train doc. One shuffle on the shingle string; at
+  cluster scale the test-shingle side is broadcast (or a bloom filter)
+  because the held-out set is orders of magnitude smaller than train.
+* quota sampling is one window per language partition ordered by the md5
+  key -- an unbiased deterministic sample without sampleBy's RNG (whose
+  draws differ per engine/seed and would never oracle-match).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles
+
+# 4-hex-digit md5 prefix thresholds: 0xCCCD/0x10000 ~= 0.80,
+# 0xE666/0x10000 ~= 0.90 -> ~80/10/10 train/val/test.
+TRAIN_MAX = "cccd"
+VAL_MAX = "e666"
+
+# Portable redaction patterns (identical semantics under Java regex and
+# RE2): fixed alternation-free shapes only.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def split_key(id_col) -> F.Column:
+    """Lowercase 4-hex-char md5 prefix of the stringified id."""
+    return F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+
+
+def split_label(id_col) -> F.Column:
+    h = split_key(id_col)
+    return (
+        F.when(h < TRAIN_MAX, F.lit("train"))
+        .when(h < VAL_MAX, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def deterministic_split(documents: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Assign every document to train/val/test by hashed id (~80/10/10).
+
+    Narrow (no shuffle): the assignment is a per-row expression, so it
+    composes with any downstream filter without a materialized split
+    table, and re-computes identically on every engine and every run.
+    """
+    return (
+        documents.select(id_col, "lang", split_label(id_col).alias("split"))
+        .orderBy(id_col)
+    )
+
+
+def redact_pii(documents: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Redact emails/URLs/phone numbers; count each kind pre-redaction.
+
+    URL first (emails can appear inside URL paths), then email, then
+    phone. All JVM-side regexp -- one codegen stage, no UDF.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, URL_RE, "<URL>"),
+            EMAIL_RE, "<EMAIL>"),
+        PHONE_RE, "<PHONE>")
+    return documents.select(
+        id_col,
+        redacted.alias("redacted_text"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(t, F.lit(URL_RE)).cast("int").alias("n_urls"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
+    ).orderBy(id_col)
+
+
+def decontaminate(documents: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """Flag train docs sharing any word k-shingle with the test split.
+
+    Standard held-out-set decontamination: a train document whose text
+    contains a k-gram that also occurs in any test document is
+    contaminated. Returns (doc_id, n_shared_shingles) for contaminated
+    train docs only.
+
+    Plan shape: one pass computes per-doc distinct shingles; the test
+    side collapses to DISTINCT shingles (small -- held-out sets are tiny
+    vs train), then a single hash join on the shingle string + one
+    aggregate on doc_id. No pairwise doc x doc comparison ever happens.
+    """
+    sh = documents.select(
+        F.col(id_col), split_key(id_col).alias("__h"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"))
+    test_sh = (sh.where(F.col("__h") >= VAL_MAX)
+               .select("shingle").distinct())
+    train_sh = sh.where(F.col("__h") < TRAIN_MAX).select(id_col, "shingle")
+    return (
+        train_sh.join(test_sh, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .orderBy(id_col)
+    )
+
+
+def lang_quota_sample(documents: DataFrame, quota: int = 60,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic up-to-``quota`` docs per language, md5-ordered.
+
+    Language rebalancing for corpus mixing: the md5 ordering makes the
+    per-language pick pseudorandom yet identical across engines and runs.
+    One shuffle (the window partition by lang); skewed languages cost
+    O(quota) output regardless of input skew.
+    """
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col)
+    return (
+        documents.select("lang", id_col,
+                         F.row_number().over(w).cast("int").alias("rank"))
+        .where(F.col("rank") <= quota)
+        .orderBy("lang", "rank")
+    )

@@ -33,6 +33,7 @@ from automated_review_analysis_pipeline_spark.functions.classify import (
     lexicon_sentiment,
 )
 from automated_review_analysis_pipeline_spark.operators import (
+    curation as cur,
     dedup,
     events as ev,
     relational as rel,
@@ -558,6 +559,43 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(e, e.where(F.col("vec_id") < N_QUERY_VECS), k=TOP_K)
 
 
+def _with_synth_pii(documents: DataFrame) -> DataFrame:
+    """Deterministically append one PII item per doc (the testdata corpus
+    is synthetic word-salad with no natural PII, so the redaction paths
+    would otherwise be no-ops on both engines). Same trick as
+    product_explode's synthesized Products column."""
+    did = F.col("doc_id").cast("string")
+    pii = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" contact user"), did,
+                        F.lit("@example.com now")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.col("text"), F.lit(" see https://example.org/d/"),
+                       did, F.lit(" for details")))
+        .otherwise(
+            F.concat(F.col("text"), F.lit(" call 555-010-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"),
+                            4, "0")))
+    )
+    return documents.withColumn("text", pii)
+
+
+def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cur.deterministic_split(_t(spark, sf_dir, "documents"))
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cur.redact_pii(_with_synth_pii(_t(spark, sf_dir, "documents")))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cur.decontaminate(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cur.lang_quota_sample(_t(spark, sf_dir, "documents"))
+
+
 QUERIES: dict[str, QueryFn] = {
     "doc_clean": q_doc_clean,
     "doc_classify": q_doc_classify,
@@ -612,6 +650,10 @@ QUERIES: dict[str, QueryFn] = {
     "cohort_retention": q_cohort_retention,
     "q15_top_supplier": q_q15_top_supplier,
     "q21_sole_blame_supplier": q_q21_sole_blame_supplier,
+    "deterministic_split": q_deterministic_split,
+    "redact_pii": q_redact_pii,
+    "decontaminate": q_decontaminate,
+    "lang_quota_sample": q_lang_quota_sample,
     "events_sliding": q_events_sliding,
     "streaming_hourly": q_streaming_hourly,
     "streaming_sessions": q_streaming_sessions,
@@ -1413,4 +1455,79 @@ JOIN supplier ON s_suppkey = l_suppkey
 WHERE n_supp > 1 AND n_ret_supp = 1
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
+"""
+
+
+ORACLE_SQL["deterministic_split"] = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hh
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN hh < '{cur.TRAIN_MAX}' THEN 'train'
+       WHEN hh < '{cur.VAL_MAX}' THEN 'val'
+       ELSE 'test' END AS split
+FROM h ORDER BY doc_id
+"""
+
+
+_PII_SYNTH_SQL = """
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+           THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com now'
+         WHEN doc_id % 3 = 1
+           THEN text || ' see https://example.org/d/'
+                || CAST(doc_id AS VARCHAR) || ' for details'
+         ELSE text || ' call 555-010-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    END AS t
+  FROM documents
+"""
+
+ORACLE_SQL["redact_pii"] = f"""
+WITH pii AS ({_PII_SYNTH_SQL})
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(coalesce(t, ''),
+      '{cur.URL_RE}', '<URL>', 'g'),
+      '{cur.EMAIL_RE}', '<EMAIL>', 'g'),
+      '{cur.PHONE_RE}', '<PHONE>', 'g') AS redacted_text,
+  CAST(len(regexp_extract_all(coalesce(t, ''), '{cur.EMAIL_RE}')) AS INT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(coalesce(t, ''), '{cur.URL_RE}')) AS INT)
+    AS n_urls,
+  CAST(len(regexp_extract_all(coalesce(t, ''), '{cur.PHONE_RE}')) AS INT)
+    AS n_phones
+FROM pii ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["decontaminate"] = f"""
+WITH sh AS (
+  SELECT doc_id,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hh,
+         unnest({_shingles_sql('text', 5)}) AS shingle
+  FROM documents
+), test_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE hh >= '{cur.VAL_MAX}'
+), train_sh AS (
+  SELECT doc_id, shingle FROM sh WHERE hh < '{cur.TRAIN_MAX}'
+)
+SELECT doc_id, count(*) AS n_shared_shingles
+FROM train_sh JOIN test_sh USING (shingle)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["lang_quota_sample"] = """
+WITH ranked AS (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rank
+  FROM documents
+)
+SELECT lang, doc_id, rank FROM ranked
+WHERE rank <= 60 ORDER BY lang, rank
 """

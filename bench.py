@@ -69,6 +69,10 @@ HEADLINE = [
     "distinct_users_per_type",
     "q15_top_supplier",
     "q21_sole_blame_supplier",
+    "deterministic_split",
+    "redact_pii",
+    "decontaminate",
+    "lang_quota_sample",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

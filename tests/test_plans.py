@@ -157,3 +157,35 @@ def test_histogram_partial_agg_single_shuffle(spark):
     assert "partial_count" in plan or "partial_sum" in plan
     # one hash shuffle for the agg + one range for the orderBy, no more
     assert plan.count("hashpartitioning") <= 1
+
+
+def test_split_is_narrow_no_hash_shuffle(spark):
+    plan = plan_of(spark, "deterministic_split")
+    # per-row projection: the only exchange is the final orderBy's range
+    # partition -- a hash shuffle here would mean the split materialized
+    assert "hashpartitioning" not in plan
+    assert "Python" not in plan
+
+
+def test_redaction_stays_jvm_side(spark):
+    plan = plan_of(spark, "redact_pii")
+    # regexp chain must stay a JVM projection, never a Python UDF
+    assert "Python" not in plan
+    # column pruning: only (doc_id, text) reach the scan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_decontaminate_hash_join_no_cartesian(spark):
+    plan = plan_of(spark, "decontaminate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan        # per-doc agg map-side combined
+
+
+def test_lang_quota_single_window_shuffle(spark):
+    plan = plan_of(spark, "lang_quota_sample")
+    assert "Window" in plan
+    # rank<=quota pushes into the sort as a group-limit at scale
+    assert "WindowGroupLimit" in plan
+    # one hash shuffle (window by lang) + final range sort only
+    assert plan.count("hashpartitioning") <= 1

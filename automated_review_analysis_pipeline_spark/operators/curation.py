@@ -140,3 +140,44 @@ def lang_quota_sample(documents: DataFrame, quota: int = 60,
         .where(F.col("rank") <= quota)
         .orderBy("lang", "rank")
     )
+
+
+def _mix_hex(w: float) -> str:
+    """5-hex-digit keep threshold for fraction ``w`` (so w=1.0 -> '10000'
+    compares above every '0'-prefixed 4-digit key)."""
+    return format(max(0, min(65536, round(w * 65536))), "05x")
+
+
+def mix_corpus(documents: DataFrame, weights: dict[str, float],
+               default: float = 1.0, id_col: str = "doc_id") -> DataFrame:
+    """Down-sample each source to its mixing weight (keep fraction).
+
+    Corpus mixing for training runs ("2 parts web, 1 part forum, all of
+    wiki"): per-row keep decision = salted md5(id) hex key under the
+    source's threshold. Deterministic (same docs survive on every engine,
+    run, and partitioning -- unlike sampleBy's RNG), stateless, and
+    narrow: no shuffle, composes with any downstream stage. The salt
+    ('mix:') decorrelates the draw from deterministic_split's, so
+    sampling does not bias the split fractions.
+    """
+    key = F.concat(
+        F.lit("0"),
+        F.substring(F.md5(F.concat(F.lit("mix:"),
+                                   F.col(id_col).cast("string"))), 1, 4))
+    thr = F.lit(_mix_hex(default))
+    for src, w in sorted(weights.items()):
+        thr = F.when(F.col("source") == src, F.lit(_mix_hex(w))).otherwise(thr)
+    return (
+        documents.select(id_col, "source")
+        .where(key < thr)
+        .orderBy(id_col)
+    )
+
+
+def mix_case_sql(weights: dict[str, float], default: float = 1.0) -> str:
+    """DuckDB twin of mix_corpus's threshold CASE, generated from the
+    same dict so the two can never drift."""
+    whens = "\n".join(
+        f"    WHEN '{src}' THEN '{_mix_hex(w)}'"
+        for src, w in sorted(weights.items()))
+    return f"CASE source\n{whens}\n    ELSE '{_mix_hex(default)}' END"

@@ -198,3 +198,47 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_wk_us", "week_offset")
     )
+
+
+HOUR_US = 3_600_000_000
+
+
+def gap_fill_hourly(events: DataFrame) -> DataFrame:
+    """Dense hourly resample per event_type: every (hour, type) cell from
+    the global min to max hour appears, zero-filled where no events landed.
+
+    The standard time-series densification (reporting and
+    feature-windowing break on sparse series). Plan shape: the hourly agg
+    is one shuffle with map-side combine; the grid is generated
+    DISTRIBUTED (sequence+explode over a 1-row bounds aggregate crossed
+    with the distinct types), never a driver loop; the fill join
+    broadcasts the aggregate side, which is bounded by hours x types
+    regardless of input row count -- so the whole fill costs O(grid) at
+    any scale.
+    """
+    hour_us = _us(F.date_trunc("hour", F.col("ts")))
+    hourly = (
+        events.groupBy(hour_us.alias("window_start_us"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4)
+            .alias("sum_value"),
+        ))
+    bounds = events.agg(F.min(hour_us).alias("__lo"), F.max(hour_us).alias("__hi"))
+    types = events.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            F.explode(F.sequence("__lo", "__hi", F.lit(HOUR_US)))
+            .alias("window_start_us"),
+            "event_type",
+        ))
+    return (
+        grid.join(F.broadcast(hourly), ["window_start_us", "event_type"], "left")
+        .select(
+            "window_start_us", "event_type",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("window_start_us", "event_type")
+    )

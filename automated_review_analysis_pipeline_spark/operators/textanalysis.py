@@ -406,3 +406,29 @@ SELECT source, doc_id, n_tokens, tokens_before,
        CAST(floor(tokens_before / {budget}) AS BIGINT) AS shard
 FROM cum ORDER BY source, doc_id
 """
+
+
+def repetition_profile(documents: DataFrame, k: int = 3,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Intra-document repetition: share of word k-grams that are repeats.
+
+    A standard LLM-corpus quality signal (boilerplate, keyword stuffing,
+    and generation loops show up as high repeated-k-gram fractions --
+    cf. the repetition filters in public corpus-cleaning pipelines).
+    Pure per-row array math: no shuffle, no UDF, linear in tokens.
+    """
+    from .dedup import word_shingles
+
+    toks = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                   r"\s+")
+    n = F.size(toks)
+    total = F.when(n >= k, n - F.lit(k) + 1).otherwise(F.lit(1))
+    distinct = F.size(word_shingles(F.col(text_col), k))
+    return documents.select(
+        id_col,
+        total.cast("int").alias("n_shingles_total"),
+        distinct.cast("int").alias("n_shingles_distinct"),
+        F.round(F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6)
+        .alias("repetition_ratio"),
+    ).orderBy(id_col)

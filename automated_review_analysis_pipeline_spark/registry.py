@@ -596,6 +596,23 @@ def q_lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.lang_quota_sample(_t(spark, sf_dir, "documents"))
 
 
+# Mixing weights for the testdata's src0..src19 sources: a fixed 4-step
+# rotation. The SAME dict generates the Spark CASE and the oracle CASE.
+MIX_WEIGHTS = {f"src{i}": (0.25, 0.5, 0.75, 1.0)[i % 4] for i in range(20)}
+
+
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cur.mix_corpus(_t(spark, sf_dir, "documents"), MIX_WEIGHTS)
+
+
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.repetition_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.gap_fill_hourly(_t(spark, sf_dir, "events"))
+
+
 QUERIES: dict[str, QueryFn] = {
     "doc_clean": q_doc_clean,
     "doc_classify": q_doc_classify,
@@ -654,6 +671,9 @@ QUERIES: dict[str, QueryFn] = {
     "redact_pii": q_redact_pii,
     "decontaminate": q_decontaminate,
     "lang_quota_sample": q_lang_quota_sample,
+    "mix_corpus": q_mix_corpus,
+    "repetition_profile": q_repetition_profile,
+    "gap_fill_hourly": q_gap_fill_hourly,
     "events_sliding": q_events_sliding,
     "streaming_hourly": q_streaming_hourly,
     "streaming_sessions": q_streaming_sessions,
@@ -1530,4 +1550,59 @@ WITH ranked AS (
 )
 SELECT lang, doc_id, rank FROM ranked
 WHERE rank <= 60 ORDER BY lang, rank
+"""
+
+
+ORACLE_SQL["mix_corpus"] = f"""
+SELECT doc_id, source
+FROM documents
+WHERE '0' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)
+      < {cur.mix_case_sql(MIX_WEIGHTS)}
+ORDER BY doc_id
+"""
+
+
+def _rep_toks_sql(text_expr: str) -> str:
+    return (f"regexp_split_to_array(lower(trim(coalesce({text_expr}, ''))),"
+            f" '\\s+')")
+
+
+ORACLE_SQL["repetition_profile"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN len({_rep_toks_sql('text')}) >= 3
+              THEN len({_rep_toks_sql('text')}) - 2 ELSE 1 END AS total,
+         len(list_distinct({_shingles_sql('text', 3)})) AS dist
+  FROM documents
+)
+SELECT doc_id,
+       CAST(total AS INT) AS n_shingles_total,
+       CAST(dist AS INT) AS n_shingles_distinct,
+       round(1.0 - dist::DOUBLE / total::DOUBLE, 6) AS repetition_ratio
+FROM t ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["gap_fill_hourly"] = """
+WITH hourly AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+         count(*) AS n_events,
+         round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 4) AS sum_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(epoch_us(date_trunc('hour', ts))) AS lo,
+         max(epoch_us(date_trunc('hour', ts))) AS hi
+  FROM events
+), grid AS (
+  SELECT unnest(range(lo, hi + 1, 3600000000)) AS window_start_us,
+         event_type
+  FROM bounds, (SELECT DISTINCT event_type FROM events)
+)
+SELECT g.window_start_us, g.event_type,
+       coalesce(h.n_events, 0) AS n_events,
+       coalesce(h.sum_value, 0.0) AS sum_value
+FROM grid g
+LEFT JOIN hourly h
+  ON h.window_start_us = g.window_start_us AND h.event_type = g.event_type
+ORDER BY 1, 2
 """

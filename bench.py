@@ -73,6 +73,9 @@ HEADLINE = [
     "redact_pii",
     "decontaminate",
     "lang_quota_sample",
+    "mix_corpus",
+    "repetition_profile",
+    "gap_fill_hourly",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

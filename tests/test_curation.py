@@ -88,3 +88,56 @@ def test_lang_quota_sample_bounds_and_determinism(spark, sf_dir):
         assert cnt == min(30, avail[lang])
     assert (cur.lang_quota_sample(docs, quota=30).collect()
             == cur.lang_quota_sample(docs.repartition(5), quota=30).collect())
+
+
+def test_mix_corpus_respects_weights(spark, sf_dir):
+    from automated_review_analysis_pipeline_spark.registry import MIX_WEIGHTS
+    docs = _docs(spark, sf_dir)
+    kept = cur.mix_corpus(docs, MIX_WEIGHTS)
+    n_in = docs.count()
+    n_out = kept.count()
+    expected = sum(MIX_WEIGHTS.values()) / len(MIX_WEIGHTS)  # 0.625
+    assert abs(n_out / n_in - expected) < 0.06
+    # weight-1.0 sources keep every doc; weight-0 keeps none
+    all_src = {r["source"] for r in
+               docs.select("source").distinct().collect()}
+    full = cur.mix_corpus(docs, {s: 1.0 for s in all_src})
+    assert full.count() == n_in
+    none = cur.mix_corpus(docs, {s: 0.0 for s in all_src}, default=0.0)
+    assert none.count() == 0
+    assert (kept.collect()
+            == cur.mix_corpus(docs.repartition(9), MIX_WEIGHTS).collect())
+
+
+def test_repetition_profile_bounds_and_signal(spark):
+    from automated_review_analysis_pipeline_spark.operators import (
+        textanalysis as ta,
+    )
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "one two three four five six seven eight")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in ta.repetition_profile(df).collect()}
+    # 6 tokens -> 4 trigrams, all identical -> ratio 0.75
+    assert rows[1]["n_shingles_total"] == 4
+    assert rows[1]["n_shingles_distinct"] == 1
+    assert rows[1]["repetition_ratio"] == 0.75
+    # all-distinct text -> ratio 0
+    assert rows[2]["repetition_ratio"] == 0.0
+
+
+def test_gap_fill_dense_grid_preserves_totals(spark, sf_dir):
+    from automated_review_analysis_pipeline_spark.operators import events as ev
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+    events = load_table(spark, sf_dir, "events")
+    out = ev.gap_fill_hourly(events)
+    n_types = events.select("event_type").distinct().count()
+    n_rows = out.count()
+    assert n_rows % n_types == 0           # full grid: hours x types
+    agg = out.agg(F.sum("n_events").alias("s"),
+                  F.sum((F.col("n_events") == 0).cast("int")).alias("z")
+                  ).first()
+    assert agg["s"] == events.count()      # fill adds no events
+    assert agg["z"] > 0                    # and does add empty cells

@@ -189,3 +189,24 @@ def test_lang_quota_single_window_shuffle(spark):
     assert "WindowGroupLimit" in plan
     # one hash shuffle (window by lang) + final range sort only
     assert plan.count("hashpartitioning") <= 1
+
+
+def test_mix_corpus_is_narrow(spark):
+    plan = plan_of(spark, "mix_corpus")
+    assert "hashpartitioning" not in plan
+    assert "Python" not in plan
+
+
+def test_gap_fill_broadcasts_the_bounded_sides(spark):
+    plan = plan_of(spark, "gap_fill_hourly")
+    # the fill join's aggregate side is bounded by hours x types ->
+    # broadcast; events themselves must never be nested-loop joined
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_repetition_profile_single_scan_no_shuffle(spark):
+    plan = plan_of(spark, "repetition_profile")
+    assert "hashpartitioning" not in plan
+    assert "Python" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan

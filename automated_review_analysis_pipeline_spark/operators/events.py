@@ -242,3 +242,64 @@ def gap_fill_hourly(events: DataFrame) -> DataFrame:
         )
         .orderBy("window_start_us", "event_type")
     )
+
+
+DAY_US = 86_400_000_000
+
+
+def rolling_user_value(events: DataFrame, days: int = 7) -> DataFrame:
+    """Per-user daily totals plus a trailing ``days``-day rolling sum/avg.
+
+    The RANGE frame is keyed on an integer DAY INDEX (epoch-days), not a
+    timestamp, so the frame bounds are unit-exact in every engine. Two
+    stages: one shuffle for the daily pre-aggregation (map-side combined,
+    collapses cardinality from events to user x day), then one window
+    shuffle on user_id. The rolling sums stay decimal-exact; doubles
+    appear only in the output.
+    """
+    day_idx = (_us(F.col("ts")) / F.lit(DAY_US)).cast("long")
+    daily = (
+        events.groupBy(F.col("user_id"), day_idx.alias("day_idx"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("__day_sum")))
+    w = (Window.partitionBy("user_id").orderBy("day_idx")
+         .rangeBetween(-(days - 1), 0))
+    return daily.select(
+        "user_id", "day_idx",
+        F.round(F.col("__day_sum").cast("double"), 4).alias("day_value"),
+        F.round(F.sum("__day_sum").over(w).cast("double"), 4)
+        .alias("rolling_sum"),
+        F.round((F.sum("__day_sum").over(w)
+                 / F.count(F.lit(1)).over(w)).cast("double"), 6)
+        .alias("rolling_avg_per_active_day"),
+    ).orderBy("user_id", "day_idx")
+
+
+def hourly_anomalies(events: DataFrame, z_thresh: float = 2.0) -> DataFrame:
+    """Hours whose event count deviates >= ``z_thresh`` sigma from the
+    per-type mean, computed over the DENSE hourly series (gap_fill_hourly
+    composed underneath -- silent-hour anomalies are invisible on the
+    sparse series).
+
+    The per-type moments use integer counts summed as DECIMAL(38,0) --
+    exact at any scale (s^2 overflows int64 around 1e9 events/type) --
+    and collapse to one tiny broadcast row per type, so detection costs
+    one broadcast join over the bounded grid.
+    """
+    dense = gap_fill_hourly(events)
+    n_ = F.count(F.lit(1)).cast("decimal(38,0)")
+    s_ = F.sum(F.col("n_events").cast("decimal(38,0)"))
+    ss_ = F.sum((F.col("n_events") * F.col("n_events")).cast("decimal(38,0)"))
+    stats = dense.groupBy("event_type").agg(
+        n_.alias("__n"), s_.alias("__s"), ss_.alias("__ss"))
+    n, s, ss = F.col("__n"), F.col("__s"), F.col("__ss")
+    mean = (s / n).cast("double")
+    var = ((n * ss - s * s) / (n * (n - F.lit(1)))).cast("double")
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return (
+        dense.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) >= z_thresh)
+        .select("window_start_us", "event_type", "n_events",
+                F.round(mean, 4).alias("mean_events"),
+                F.round(z, 4).alias("zscore"))
+        .orderBy("window_start_us", "event_type")
+    )

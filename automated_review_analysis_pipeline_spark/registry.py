@@ -613,6 +613,14 @@ def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.gap_fill_hourly(_t(spark, sf_dir, "events"))
 
 
+def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.rolling_user_value(_t(spark, sf_dir, "events"))
+
+
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.hourly_anomalies(_t(spark, sf_dir, "events"))
+
+
 QUERIES: dict[str, QueryFn] = {
     "doc_clean": q_doc_clean,
     "doc_classify": q_doc_classify,
@@ -674,6 +682,8 @@ QUERIES: dict[str, QueryFn] = {
     "mix_corpus": q_mix_corpus,
     "repetition_profile": q_repetition_profile,
     "gap_fill_hourly": q_gap_fill_hourly,
+    "rolling_user_value": q_rolling_user_value,
+    "hourly_anomalies": q_hourly_anomalies,
     "events_sliding": q_events_sliding,
     "streaming_hourly": q_streaming_hourly,
     "streaming_sessions": q_streaming_sessions,
@@ -1605,4 +1615,61 @@ FROM grid g
 LEFT JOIN hourly h
   ON h.window_start_us = g.window_start_us AND h.event_type = g.event_type
 ORDER BY 1, 2
+"""
+
+
+ORACLE_SQL["rolling_user_value"] = """
+WITH daily AS (
+  SELECT user_id,
+         epoch_us(ts) // 86400000000 AS day_idx,
+         sum(CAST(value AS DECIMAL(18,6))) AS day_sum
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day_idx,
+  round(day_sum::DOUBLE, 4) AS day_value,
+  round(sum(day_sum) OVER w::DOUBLE, 4) AS rolling_sum,
+  round((sum(day_sum) OVER w / count(*) OVER w)::DOUBLE, 6)
+    AS rolling_avg_per_active_day
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day_idx
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, day_idx
+"""
+
+
+ORACLE_SQL["hourly_anomalies"] = """
+WITH hourly AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(epoch_us(date_trunc('hour', ts))) AS lo,
+         max(epoch_us(date_trunc('hour', ts))) AS hi
+  FROM events
+), grid AS (
+  SELECT unnest(range(lo, hi + 1, 3600000000)) AS window_start_us,
+         event_type
+  FROM bounds, (SELECT DISTINCT event_type FROM events)
+), dense AS (
+  SELECT g.window_start_us, g.event_type,
+         coalesce(h.n_events, 0) AS n_events
+  FROM grid g
+  LEFT JOIN hourly h
+    ON h.window_start_us = g.window_start_us
+   AND h.event_type = g.event_type
+), stats AS (
+  SELECT event_type,
+         CAST(count(*) AS DECIMAL(38,0)) AS n,
+         sum(CAST(n_events AS DECIMAL(38,0))) AS s,
+         sum(CAST(n_events * n_events AS DECIMAL(38,0))) AS ss
+  FROM dense GROUP BY event_type
+)
+SELECT window_start_us, d.event_type, n_events,
+  round((s / n)::DOUBLE, 4) AS mean_events,
+  round((n_events - (s / n)::DOUBLE)
+        / sqrt(((n * ss - s * s) / (n * (n - 1)))::DOUBLE), 4) AS zscore
+FROM dense d JOIN stats USING (event_type)
+WHERE abs((n_events - (s / n)::DOUBLE)
+          / sqrt(((n * ss - s * s) / (n * (n - 1)))::DOUBLE)) >= 2.0
+ORDER BY window_start_us, d.event_type
 """

@@ -76,6 +76,8 @@ HEADLINE = [
     "mix_corpus",
     "repetition_profile",
     "gap_fill_hourly",
+    "rolling_user_value",
+    "hourly_anomalies",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -141,3 +141,36 @@ def test_gap_fill_dense_grid_preserves_totals(spark, sf_dir):
                   ).first()
     assert agg["s"] == events.count()      # fill adds no events
     assert agg["z"] > 0                    # and does add empty cells
+
+
+def test_rolling_window_frame_semantics(spark):
+    from datetime import datetime, timezone
+
+    from automated_review_analysis_pipeline_spark.operators import events as ev
+
+    def t(day):
+        return datetime(2024, 1, day, 12, 0, tzinfo=timezone.utc)
+
+    # user 1: days 1, 2, 9 -- day 9 is outside the 7-day window of day 2
+    df = spark.createDataFrame(
+        [(1, t(1), 10.0), (1, t(2), 20.0), (1, t(9), 40.0)],
+        ["user_id", "ts", "value"])
+    rows = {r["day_idx"]: r for r in ev.rolling_user_value(df).collect()}
+    days = sorted(rows)
+    assert rows[days[0]]["rolling_sum"] == 10.0
+    assert rows[days[1]]["rolling_sum"] == 30.0        # day1+day2 in frame
+    assert rows[days[2]]["rolling_sum"] == 40.0        # day9 alone again
+    assert rows[days[1]]["rolling_avg_per_active_day"] == 15.0
+
+
+def test_hourly_anomalies_flags_only_extremes(spark, sf_dir):
+    from automated_review_analysis_pipeline_spark.operators import events as ev
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+    events = load_table(spark, sf_dir, "events")
+    out = ev.hourly_anomalies(events).collect()
+    assert out, "a dense series with empty hours must surface anomalies"
+    assert all(abs(r["zscore"]) >= 2.0 for r in out)
+    # flagged hours are a strict subset of the dense grid
+    assert len(out) < ev.gap_fill_hourly(events).count()

@@ -210,3 +210,18 @@ def test_repetition_profile_single_scan_no_shuffle(spark):
     assert "hashpartitioning" not in plan
     assert "Python" not in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_rolling_two_bounded_shuffles(spark):
+    plan = plan_of(spark, "rolling_user_value")
+    assert "Window" in plan
+    assert "partial_sum" in plan          # daily pre-agg map-side combined
+    # daily agg + window partition; nothing else reshuffles
+    assert plan.count("hashpartitioning") <= 2
+
+
+def test_anomalies_broadcast_stats(spark):
+    plan = plan_of(spark, "hourly_anomalies")
+    # per-type moments are a broadcast row, never a shuffle of the grid
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -36,6 +36,7 @@ from automated_review_analysis_pipeline_spark.operators import (
     curation as cur,
     dedup,
     events as ev,
+    multimodal as mm,
     relational as rel,
     similarity as sim,
     textanalysis as ta,
@@ -621,6 +622,26 @@ def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.hourly_anomalies(_t(spark, sf_dir, "events"))
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The testdata ships no binary modality, so the media table is
+    synthesized from documents (payload = UTF-8 bytes of text). The
+    mapInPandas plumbing is the real path; the deterministic fake decoder
+    (length + first-7 byte codes) is SQL-expressible, which buys the
+    binary pipeline a full value-level oracle check."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.when(F.col("doc_id") % 2 == 0, "image/png")
+        .otherwise("audio/wav").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.col("source"),
+    )
+    return mm.attach_media_features(media).orderBy("media_id")
+
+
 QUERIES: dict[str, QueryFn] = {
     "doc_clean": q_doc_clean,
     "doc_classify": q_doc_classify,
@@ -684,6 +705,7 @@ QUERIES: dict[str, QueryFn] = {
     "gap_fill_hourly": q_gap_fill_hourly,
     "rolling_user_value": q_rolling_user_value,
     "hourly_anomalies": q_hourly_anomalies,
+    "multimodal_features": q_multimodal_features,
     "events_sliding": q_events_sliding,
     "streaming_hourly": q_streaming_hourly,
     "streaming_sessions": q_streaming_sessions,
@@ -1672,4 +1694,21 @@ FROM dense d JOIN stats USING (event_type)
 WHERE abs((n_events - (s / n)::DOUBLE)
           / sqrt(((n * ss - s * s) / (n * (n - 1)))::DOUBLE)) >= 2.0
 ORDER BY window_start_us, d.event_type
+"""
+
+
+ORACLE_SQL["multimodal_features"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         coalesce(text, '') AS t,
+         CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+              ELSE 'audio/wav' END AS mime
+  FROM documents
+)
+SELECT media_id, mime,
+  CAST(length(t) AS BIGINT) AS n_bytes,
+  [CAST(length(t) AS DOUBLE)] || list_transform(range(1, 8), i ->
+    CASE WHEN i <= length(t) THEN CAST(ascii(substr(t, i, 1)) AS DOUBLE)
+         ELSE 0.0 END) AS features
+FROM m ORDER BY media_id
 """

@@ -78,6 +78,7 @@ HEADLINE = [
     "gap_fill_hourly",
     "rolling_user_value",
     "hourly_anomalies",
+    "multimodal_features",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

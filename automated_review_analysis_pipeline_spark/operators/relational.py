@@ -705,3 +705,36 @@ def q21_sole_blame_supplier(supplier: DataFrame, orders: DataFrame,
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+def order_value_percentiles_approx(orders: DataFrame,
+                                   accuracy: int = 10000) -> DataFrame:
+    """Sketch-based p25/p50/p75/p90 per priority: the 100 TB path that
+    order_value_percentiles documents.
+
+    `approx_percentile` (Greenwald-Khanna sketch) is single-pass and
+    MERGEABLE: partial sketches combine map-side, so the shuffle carries
+    one bounded sketch per (partition, group) instead of every value --
+    the exact variant's per-group sort does not scale past
+    small-cardinality keys. Error is <= 1/accuracy in rank terms.
+    Deterministic for a fixed input + accuracy, but sketch internals are
+    engine-specific -> no value-level DuckDB oracle; the driver records
+    rows-only and tests/test_curation.py bounds the error against the
+    exact percentiles.
+    """
+    pct = F.expr(
+        f"approx_percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.9), "
+        f"{accuracy})")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(pct.alias("__p"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "o_orderpriority",
+            F.round(F.col("__p")[0], 6).alias("p25"),
+            F.round(F.col("__p")[1], 6).alias("p50"),
+            F.round(F.col("__p")[2], 6).alias("p75"),
+            F.round(F.col("__p")[3], 6).alias("p90"),
+            "n_orders",
+        )
+        .orderBy("o_orderpriority")
+    )

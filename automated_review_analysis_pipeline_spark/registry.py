@@ -458,6 +458,13 @@ def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.lineitem_stats(_t(spark, sf_dir, "lineitem"))
 
 
+def q_order_value_percentiles_approx(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    # rows-only driver check (sketch internals are engine-specific);
+    # the error bound vs the exact percentiles is pytest-pinned.
+    return rel.order_value_percentiles_approx(_t(spark, sf_dir, "orders"))
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.cohort_retention(_t(spark, sf_dir, "events"))
 
@@ -706,6 +713,7 @@ QUERIES: dict[str, QueryFn] = {
     "rolling_user_value": q_rolling_user_value,
     "hourly_anomalies": q_hourly_anomalies,
     "multimodal_features": q_multimodal_features,
+    "order_value_percentiles_approx": q_order_value_percentiles_approx,
     "events_sliding": q_events_sliding,
     "streaming_hourly": q_streaming_hourly,
     "streaming_sessions": q_streaming_sessions,

@@ -79,6 +79,7 @@ HEADLINE = [
     "rolling_user_value",
     "hourly_anomalies",
     "multimodal_features",
+    "order_value_percentiles_approx",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -174,3 +174,25 @@ def test_hourly_anomalies_flags_only_extremes(spark, sf_dir):
     assert all(abs(r["zscore"]) >= 2.0 for r in out)
     # flagged hours are a strict subset of the dense grid
     assert len(out) < ev.gap_fill_hourly(events).count()
+
+
+def test_approx_percentiles_within_error_bound(spark, sf_dir):
+    from automated_review_analysis_pipeline_spark.operators import (
+        relational as rel,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {r["o_orderpriority"]: r
+             for r in rel.order_value_percentiles(orders).collect()}
+    approx = {r["o_orderpriority"]: r
+              for r in rel.order_value_percentiles_approx(orders).collect()}
+    assert exact.keys() == approx.keys()
+    for prio, e in exact.items():
+        a = approx[prio]
+        assert a["n_orders"] == e["n_orders"]
+        for q in ("p25", "p50", "p75", "p90"):
+            # GK sketch at accuracy=10k on ~1.5k rows/group: near-exact;
+            # allow 2% relative drift as the stable bound
+            assert abs(a[q] - e[q]) <= 0.02 * e[q], (prio, q)

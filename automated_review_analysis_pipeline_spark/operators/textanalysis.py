@@ -396,9 +396,9 @@ WITH toked AS (
   SELECT source, doc_id, {tok} AS n_tokens FROM documents
 ), cum AS (
   SELECT source, doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (
+         CAST(coalesce(sum(n_tokens) OVER (
            PARTITION BY source ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
            AS tokens_before
   FROM toked
 )

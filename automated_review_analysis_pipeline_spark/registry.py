@@ -172,7 +172,14 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sim.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    """Driver-facing form serializes the int8 vector to a CSV string: the
+    compare harness canonicalizes with a pandas sort, which cannot order
+    array cells (round-1 `unhashable type: 'list'` failure)."""
+    q = sim.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", "scale",
+        F.array_join(F.col("q8").cast("array<string>"), ",").alias("q8_csv"),
+    ).orderBy("vec_id")
 
 
 def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -646,7 +653,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("duration_ms"),
         F.col("source"),
     )
-    return mm.attach_media_features(media).orderBy("media_id")
+    out = mm.attach_media_features(media)
+    # Driver-facing form: serialize the feature vector to an int CSV (the
+    # fake decoder emits whole numbers) -- the compare harness cannot sort
+    # array cells, and int rendering is engine-stable where floats aren't.
+    return out.select(
+        "media_id", "mime", "n_bytes",
+        F.array_join(F.transform(F.col("features"),
+                                 lambda x: x.cast("int").cast("string")), ",")
+        .alias("features_csv"),
+    ).orderBy("media_id")
 
 
 QUERIES: dict[str, QueryFn] = {
@@ -993,7 +1009,7 @@ WITH flagged AS (
     ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
        epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us,
        round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 4) AS sum_value
 FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
@@ -1464,11 +1480,12 @@ WITH v AS (
 )
 SELECT vec_id,
        round(coalesce(amax, 0.0), 6) AS scale,
-       CASE WHEN coalesce(amax, 0.0) = 0.0
-            THEN list_transform(dv, x -> 0)
-            ELSE list_transform(dv, x -> CAST(round(x / amax * 127.0)
-                                              AS INTEGER))
-       END AS q8
+       array_to_string(
+         CASE WHEN coalesce(amax, 0.0) = 0.0
+              THEN list_transform(dv, x -> 0)
+              ELSE list_transform(dv, x -> CAST(round(x / amax * 127.0)
+                                                AS INTEGER))
+         END, ',') AS q8_csv
 FROM m ORDER BY vec_id
 """
 
@@ -1715,8 +1732,9 @@ WITH m AS (
 )
 SELECT media_id, mime,
   CAST(length(t) AS BIGINT) AS n_bytes,
-  [CAST(length(t) AS DOUBLE)] || list_transform(range(1, 8), i ->
-    CASE WHEN i <= length(t) THEN CAST(ascii(substr(t, i, 1)) AS DOUBLE)
-         ELSE 0.0 END) AS features
+  array_to_string(
+    [CAST(length(t) AS INTEGER)] || list_transform(range(1, 8), i ->
+      CASE WHEN i <= length(t) THEN ascii(substr(t, i, 1))
+           ELSE 0 END), ',') AS features_csv
 FROM m ORDER BY media_id
 """

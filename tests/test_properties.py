@@ -171,13 +171,12 @@ def test_approx_distinct_error_bound(spark, sf_dir):
 def test_quantize_dequantize_roundtrip(spark, sf_dir):
     """int8 quantization must reconstruct each component within one
     quantization step (scale/127) -- the property serving code relies on."""
-    from automated_review_analysis_pipeline_spark.registry import QUERIES
+    from automated_review_analysis_pipeline_spark.operators import similarity as sim
     from automated_review_analysis_pipeline_spark.sources.tables import load_table
 
-    orig = {r["vec_id"]: r["embedding"]
-            for r in load_table(spark, sf_dir, "embeddings")
-            .where("vec_id < 50").collect()}
-    q = QUERIES["quantize_embeddings"](spark, sf_dir).where("vec_id < 50")
+    emb = load_table(spark, sf_dir, "embeddings").where("vec_id < 50")
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    q = sim.quantize_embeddings(emb)
     for r in q.collect():
         v, scale, q8 = orig[r["vec_id"]], r["scale"], r["q8"]
         assert len(v) == len(q8)

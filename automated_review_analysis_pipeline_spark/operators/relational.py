@@ -738,3 +738,213 @@ def order_value_percentiles_approx(orders: DataFrame,
         )
         .orderBy("o_orderpriority")
     )
+
+
+def q2_min_cost_supplier(region: DataFrame, nation: DataFrame,
+                         supplier: DataFrame, part: DataFrame,
+                         lineitem: DataFrame, r_name: str = "EUROPE",
+                         min_size: int = 10, p_type: str = "STANDARD",
+                         k: int = 100) -> DataFrame:
+    """TPC-H Q2 shape (correlated min-cost subquery) on the driver schema.
+
+    The testdata has no partsupp table, so the part-supplier offer relation
+    is derived from lineitem: a supplier's unit cost for a part is the
+    minimum observed extendedprice/quantity. The Q2 skeleton is intact:
+    region-restricted suppliers, a per-part scalar MIN correlated subquery,
+    and the equality join back -- decorrelated here into ONE window MIN
+    over the part key (no second scan, no self-join; reference
+    survey_analysis.py has no joins at all, cf. SURVEY.md §2A).
+
+    Scale: the offers agg shuffles lineitem once on (part, supp); part /
+    supplier / nation / region are broadcast; the window partitions by
+    part key -- same key as the agg, so AQE coalesces without a reshuffle.
+    """
+    from pyspark.sql.window import Window
+
+    unit = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+    offers = (
+        lineitem.where(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit).alias("unit_cost"))
+    )
+    sup = (
+        supplier
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region.where(F.col("r_name") == r_name)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = part.where(
+        (F.col("p_size") >= min_size) & (F.col("p_type") == p_type)
+    ).select("p_partkey", "p_name")
+    best = F.min("unit_cost").over(Window.partitionBy("p_partkey"))
+    return (
+        offers.join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("__best", best)
+        .where(F.col("unit_cost") == F.col("__best"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(k)
+    )
+
+
+def q9_product_type_profit(part: DataFrame, supplier: DataFrame,
+                           lineitem: DataFrame, orders: DataFrame,
+                           nation: DataFrame,
+                           name_like: str = "%widget%") -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) for parts
+    whose name matches a pattern. Without partsupp there is no supplycost
+    term; profit is the discounted revenue, which preserves the plan shape
+    (5-way join, LIKE pushdown, year extract, two-key agg).
+
+    Scale: part is filtered BEFORE the join and broadcast, so the LIKE
+    prunes the fact scan's join fan-out; supplier/nation broadcast; the
+    only shuffles are lineitem->orders (both large, sort-merge under AQE)
+    and the final small agg."""
+    profit = _dec("l_extendedprice") * (_one() - _frac("l_discount"))
+    parts = part.where(F.col("p_name").like(name_like)).select("p_partkey")
+    return (
+        lineitem
+        .join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q11_revenue_concentration(lineitem: DataFrame, part: DataFrame,
+                              fraction: float = 0.00075) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds a fraction of GLOBAL
+    revenue -- a group-by HAVING against a whole-table scalar.
+
+    Scale: one shuffle for the per-part agg; the global total is a second
+    partial+final agg over the SAME shuffled frame, then broadcast as a
+    1-row cross join -- the fact table is scanned once (Spark reuses the
+    exchange), and nothing resembling a correlated subquery survives."""
+    disc_price = _dec("l_extendedprice") * (_one() - _frac("l_discount"))
+    per_part = (
+        lineitem.groupBy("l_partkey")
+        .agg(F.sum(disc_price).alias("__value"))
+    )
+    total = per_part.agg(F.sum("__value").alias("__total"))
+    return (
+        per_part.crossJoin(broadcast(total))
+        .where(F.col("__value").cast("double")
+               > F.lit(fraction) * F.col("__total").cast("double"))
+        .join(broadcast(part.select("p_partkey", "p_name")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name",
+                F.col("__value").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+def q12_priority_lines(orders: DataFrame, lineitem: DataFrame,
+                       year: int = 1996) -> DataFrame:
+    """TPC-H Q12 shape: per line class, how many lines belong to
+    high-priority vs low-priority orders. The schema has no l_shipmode /
+    commit-receipt dates, so the group key is l_returnflag and the date
+    band is the ship year -- the conditional-aggregation-after-join plan
+    is identical.
+
+    Scale: lineitem filtered by the year band at the scan, then ONE
+    shuffle join to orders and a 3-group conditional agg (map-side
+    partials)."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp_ntz")))
+        .join(orders.select("o_orderkey", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(hi.cast("bigint")).alias("high_line_count"),
+            F.sum((~hi).cast("bigint")).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q16_part_supplier_breadth(part: DataFrame, supplier: DataFrame,
+                              lineitem: DataFrame,
+                              brand_excl: str = "Brand#5",
+                              type_excl: str = "PROMO",
+                              sizes: tuple[int, ...] = (1, 4, 9, 14, 19, 23,
+                                                        36, 45),
+                              ) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier breadth per (brand, type, size),
+    excluding a brand/type/size slice and a supplier blocklist. partsupp
+    is derived as the distinct (part, supplier) pairs in lineitem; the
+    complaint-supplier NOT IN becomes an anti-join on negative-balance
+    suppliers.
+
+    Scale: the pair-distinct is the only fact shuffle (on the same
+    composite key the count-distinct then groups by); the blocklist is a
+    broadcast anti-join; part is a broadcast inner join."""
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    blocked = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = part.where(
+        (F.col("p_brand") != brand_excl) & (F.col("p_type") != type_excl)
+        & F.col("p_size").isin(*sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(broadcast(blocked),
+                   F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_dominant_part_suppliers(supplier: DataFrame, nation: DataFrame,
+                                part: DataFrame, lineitem: DataFrame,
+                                name_like: str = "red%", year: int = 1996,
+                                share: float = 0.2) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who hold an outsized position in some
+    pattern-matched part. Without partsupp availability, the inner
+    correlated subquery ("availqty > 1/2 the year's shipments") becomes:
+    supplier's shipped quantity of the part that year > ``share`` of the
+    part's total -- same nested-aggregate -> semi-join -> dim-join
+    skeleton.
+
+    Scale: one shuffle aggregates (part, supplier, qty); the per-part
+    total is a window over the part key (no second scan); the supplier
+    list is a semi-join distinct, then nation broadcast."""
+    from pyspark.sql.window import Window
+
+    parts = part.where(F.col("p_name").like(name_like)).select("p_partkey")
+    year_lines = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp_ntz")))
+    per_pair = (
+        year_lines
+        .join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__qty"))
+    )
+    part_total = F.sum("__qty").over(Window.partitionBy("l_partkey"))
+    dominant = (
+        per_pair.withColumn("__total", part_total)
+        .where(F.col("__qty").cast("double")
+               > F.lit(share) * F.col("__total").cast("double"))
+        .select("l_suppkey").distinct()
+    )
+    return (
+        supplier.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"),
+                      "left_semi")
+        .join(broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal", "n_name")
+        .orderBy("s_name")
+    )

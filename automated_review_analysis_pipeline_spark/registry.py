@@ -665,6 +665,43 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q2_min_cost_supplier(
+        _t(spark, sf_dir, "region"), _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "lineitem"))
+
+
+def q_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q9_product_type_profit(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"))
+
+
+def q_q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q11_revenue_concentration(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+
+def q_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q12_priority_lines(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+
+
+def q_q16_part_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.q16_part_supplier_breadth(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"))
+
+
+def q_q20_dominant_part_suppliers(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    return rel.q20_dominant_part_suppliers(
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem"))
+
+
 QUERIES: dict[str, QueryFn] = {
     "doc_clean": q_doc_clean,
     "doc_classify": q_doc_classify,
@@ -738,6 +775,12 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_pairs": q_simhash_pairs,
     "sign_lsh_topk": q_sign_lsh_topk,
     "ivf_topk": q_ivf_topk,
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "q9_product_type_profit": q_q9_product_type_profit,
+    "q11_revenue_concentration": q_q11_revenue_concentration,
+    "q12_priority_lines": q_q12_priority_lines,
+    "q16_part_supplier_breadth": q_q16_part_supplier_breadth,
+    "q20_dominant_part_suppliers": q_q20_dominant_part_suppliers,
 }
 
 
@@ -1737,4 +1780,112 @@ SELECT media_id, mime,
       CASE WHEN i <= length(t) THEN ascii(substr(t, i, 1))
            ELSE 0 END), ',') AS features_csv
 FROM m ORDER BY media_id
+"""
+
+
+ORACLE_SQL["q2_min_cost_supplier"] = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         min(round(l_extendedprice / l_quantity, 6)) AS unit_cost
+  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2
+), sup AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), parts AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_size >= 10 AND p_type = 'STANDARD'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+FROM offers
+JOIN parts ON l_partkey = p_partkey
+JOIN sup   ON l_suppkey = s_suppkey
+QUALIFY unit_cost = min(unit_cost) OVER (PARTITION BY p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+ORACLE_SQL["q9_product_type_profit"] = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1::DECIMAL(4,2) - CAST(l_discount AS DECIMAL(4,2))))::DOUBLE
+         AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+ORACLE_SQL["q11_revenue_concentration"] = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1::DECIMAL(4,2) - CAST(l_discount AS DECIMAL(4,2)))) AS v
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT sum(v) AS t FROM per_part)
+SELECT p_partkey, p_name, v::DOUBLE AS part_value
+FROM per_part, tot
+JOIN part ON l_partkey = p_partkey
+WHERE v::DOUBLE > 0.00075 * t::DOUBLE
+ORDER BY part_value DESC, p_partkey
+"""
+
+ORACLE_SQL["q12_priority_lines"] = """
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLE_SQL["q16_part_supplier_breadth"] = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ok AS (
+  SELECT * FROM pairs
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+),
+parts AS (
+  SELECT p_partkey, p_brand, p_type, p_size FROM part
+  WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+    AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM ok JOIN parts ON l_partkey = p_partkey
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+ORACLE_SQL["q20_dominant_part_suppliers"] = """
+WITH parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+yl AS (
+  SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+),
+per_pair AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(12,2))) AS q
+  FROM yl JOIN parts ON l_partkey = p_partkey GROUP BY 1, 2
+),
+dom AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT *, sum(q) OVER (PARTITION BY l_partkey) AS t FROM per_pair
+  ) WHERE q::DOUBLE > 0.2 * t::DOUBLE
+)
+SELECT s_name, s_acctbal, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+ORDER BY s_name
 """

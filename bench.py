@@ -80,6 +80,12 @@ HEADLINE = [
     "hourly_anomalies",
     "multimodal_features",
     "order_value_percentiles_approx",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_revenue_concentration",
+    "q12_priority_lines",
+    "q16_part_supplier_breadth",
+    "q20_dominant_part_suppliers",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -68,10 +68,18 @@ def duplicate_stats(df: DataFrame, keys: list[str]) -> DataFrame:
 # shingles + portable MinHash
 # ---------------------------------------------------------------------------
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles of lowercased text. len<k -> the whole text
-    as one shingle (so short docs still participate)."""
-    toks = F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+")
+def shingle_tokens(text: Column) -> Column:
+    """The tokenization the shingle family shares."""
+    return F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+")
+
+
+def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles over a PRE-ALIASED token array. Prefer
+    this + :func:`stage_shingles` over :func:`word_shingles` in plans:
+    referencing the token attribute keeps the split out of the shingle
+    expression tree, where it would otherwise be inlined ~4x per row
+    (measured 3.3x on decontaminate at sf0.1 -- CollapseProject declines
+    to inline a multi-referenced expensive attribute, cf. PERF.md #1)."""
     n = F.size(toks)
     shingled = F.transform(
         F.sequence(F.lit(0), n - F.lit(k)),
@@ -81,6 +89,32 @@ def word_shingles(text: Column, k: int = 3) -> Column:
         F.when(n >= k, shingled).otherwise(
             F.array(F.concat_ws(" ", toks))
         )
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of lowercased text. len<k -> the whole text
+    as one shingle (so short docs still participate). Column-expression
+    form (repeats the split subtree); plans should stage via
+    :func:`stage_shingles` instead."""
+    return word_shingles_from_tokens(shingle_tokens(text), k)
+
+
+def stage_shingles(df: DataFrame, text_col: str, k: int,
+                   out_col: str = "__shingles") -> DataFrame:
+    """Two-stage shingle projection: token split -> own attribute ->
+    shingle construction references it (computed once per row).
+
+    CAUTION: do not F.explode(out_col) directly on the result unless the
+    frame is cached first -- InferFiltersFromGenerate adds a size()>0
+    filter on the attribute and predicate pushdown re-inlines the whole
+    shingle expression below the staging (4x split per row again). For
+    explode consumers, build the shingle expression inside the explode
+    over a staged token attribute instead (see curation.decontaminate)."""
+    return (
+        df.withColumn("__toks", shingle_tokens(F.col(text_col)))
+        .withColumn(out_col, word_shingles_from_tokens(F.col("__toks"), k))
+        .drop("__toks")
     )
 
 
@@ -128,7 +162,7 @@ def add_minhash(df: DataFrame, text_col: str = "text", k: int = 3,
     """documents + (shingles, minhash signature). Staged withColumns so the
     shingle array is built once and md5 runs once per shingle -- the
     permutations that follow are integer-only."""
-    out = df.withColumn("__shingles", word_shingles(F.col(text_col), k))
+    out = stage_shingles(df, text_col, k)
     out = out.withColumn("__shingle_ints", shingle_ints(F.col("__shingles")))
     return out.withColumn(
         "minhash", minhash_signature(F.col("__shingle_ints"), num_hashes)
@@ -240,7 +274,7 @@ def ngram_jaccard_pairs(documents: DataFrame, text_col: str = "text",
             "use a threshold > 0")
     block_on = block_on or []
     src = _spread(documents.select(id_col, text_col, *block_on), *block_on)
-    d = src.withColumn("shingles", word_shingles(F.col(text_col), k)) \
+    d = stage_shingles(src, text_col, k, "shingles") \
         .select(
             F.col(id_col),
             *[F.col(c) for c in block_on],

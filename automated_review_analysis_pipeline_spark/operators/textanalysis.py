@@ -418,14 +418,14 @@ def repetition_profile(documents: DataFrame, k: int = 3,
     cf. the repetition filters in public corpus-cleaning pipelines).
     Pure per-row array math: no shuffle, no UDF, linear in tokens.
     """
-    from .dedup import word_shingles
+    from .dedup import shingle_tokens, word_shingles_from_tokens
 
-    toks = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
-                   r"\s+")
-    n = F.size(toks)
+    staged = documents.select(
+        F.col(id_col), shingle_tokens(F.col(text_col)).alias("__toks"))
+    n = F.size(F.col("__toks"))
     total = F.when(n >= k, n - F.lit(k) + 1).otherwise(F.lit(1))
-    distinct = F.size(word_shingles(F.col(text_col), k))
-    return documents.select(
+    distinct = F.size(word_shingles_from_tokens(F.col("__toks"), k))
+    return staged.select(
         id_col,
         total.cast("int").alias("n_shingles_total"),
         distinct.cast("int").alias("n_shingles_distinct"),

@@ -192,3 +192,91 @@ def mix_case_sql(weights: dict[str, float], default: float = 1.0) -> str:
         f"    WHEN '{src}' THEN '{_mix_hex(w)}'"
         for src, w in sorted(weights.items()))
     return f"CASE source\n{whens}\n    ELSE '{_mix_hex(default)}' END"
+
+
+# Gopher-style rule bounds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1 heuristics,
+# adapted to the available integer signals). One dict drives BOTH the
+# Spark expressions and the oracle SQL.
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3   # inclusive
+GOPHER_MAX_MEAN_WORD_LEN = 10  # inclusive
+GOPHER_MAX_SYMBOL_PER_10_WORDS = 1  # (hash + ellipsis) * 10 <= tokens
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def _all_markers() -> tuple[str, ...]:
+    from .textanalysis import LANG_MARKERS
+
+    out: list[str] = []
+    for _, words in LANG_MARKERS:
+        out.extend(words)
+    return tuple(dict.fromkeys(out))
+
+
+def gopher_quality_flags(documents: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Gopher-style heuristic document filter: per-rule boolean flags plus
+    the combined keep decision.
+
+    Every rule is INTEGER arithmetic (mean word length as a cross-
+    multiplied bound, never a float division), so the oracle comparison is
+    exact. Pure per-row projection: no shuffle, no UDF -- at 100 TB this
+    runs at scan parallelism and the flags are free to pushdown-filter on
+    when written to a partitioned corpus table.
+    """
+    from .textanalysis import stopword_hits, token_count
+
+    c = F.col(text_col)
+    s = F.trim(F.coalesce(c, F.lit("")))
+    nt = token_count(c).cast("long")
+    ns = F.length(F.regexp_replace(s, r"\s+", "")).cast("long")
+    n_hash = (F.length(s) - F.length(F.regexp_replace(s, r"#", ""))).cast("long")
+    n_ell = ((F.length(s) - F.length(F.regexp_replace(s, r"\.\.\.", ""))) / 3).cast("long")
+    tokens_ok = (nt >= GOPHER_MIN_TOKENS) & (nt <= GOPHER_MAX_TOKENS)
+    word_len_ok = (ns >= GOPHER_MIN_MEAN_WORD_LEN * nt) & \
+        (ns <= GOPHER_MAX_MEAN_WORD_LEN * nt)
+    symbol_ok = (n_hash + n_ell) * 10 <= GOPHER_MAX_SYMBOL_PER_10_WORDS * nt
+    stopword_ok = stopword_hits(c, _all_markers()) >= GOPHER_MIN_STOPWORD_HITS
+    return documents.select(
+        id_col,
+        nt.alias("n_tokens"),
+        tokens_ok.alias("tokens_ok"),
+        word_len_ok.alias("word_len_ok"),
+        symbol_ok.alias("symbol_ok"),
+        stopword_ok.alias("stopword_ok"),
+        (tokens_ok & word_len_ok & symbol_ok & stopword_ok).alias("keep"),
+    ).orderBy(id_col)
+
+
+def gopher_quality_flags_sql() -> str:
+    """DuckDB twin of :func:`gopher_quality_flags`, generated from the
+    same rule constants and marker inventory."""
+    from .textanalysis import stopword_hits_sql, token_count_sql
+
+    s = "trim(coalesce(text, ''))"
+    nt = f"{token_count_sql('text')}::BIGINT"
+    ns = f"length(regexp_replace({s}, '\\s+', '', 'g'))::BIGINT"
+    n_hash = f"(length({s}) - length(regexp_replace({s}, '#', '', 'g')))::BIGINT"
+    n_ell = (f"((length({s}) - length(regexp_replace({s}, '\\.\\.\\.', '', 'g')))"
+             f" // 3)::BIGINT")
+    hits = stopword_hits_sql("text", _all_markers())
+    tokens_ok = (f"({nt} >= {GOPHER_MIN_TOKENS} AND "
+                 f"{nt} <= {GOPHER_MAX_TOKENS})")
+    word_len_ok = (f"({ns} >= {GOPHER_MIN_MEAN_WORD_LEN} * {nt} AND "
+                   f"{ns} <= {GOPHER_MAX_MEAN_WORD_LEN} * {nt})")
+    symbol_ok = (f"(({n_hash} + {n_ell}) * 10 <= "
+                 f"{GOPHER_MAX_SYMBOL_PER_10_WORDS} * {nt})")
+    stopword_ok = f"({hits} >= {GOPHER_MIN_STOPWORD_HITS})"
+    return f"""
+SELECT doc_id,
+       {nt} AS n_tokens,
+       {tokens_ok} AS tokens_ok,
+       {word_len_ok} AS word_len_ok,
+       {symbol_ok} AS symbol_ok,
+       {stopword_ok} AS stopword_ok,
+       ({tokens_ok} AND {word_len_ok} AND {symbol_ok} AND {stopword_ok})
+         AS keep
+FROM documents ORDER BY doc_id
+"""

@@ -432,3 +432,116 @@ def repetition_profile(documents: DataFrame, k: int = 3,
         F.round(F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6)
         .alias("repetition_ratio"),
     ).orderBy(id_col)
+
+
+def ngram_topk(documents: DataFrame, n: int = 3, k: int = 100,
+               text_col: str = "text") -> DataFrame:
+    """Corpus-level top-k word n-grams with occurrence counts (NOT
+    per-doc-distinct): the standard corpus-statistics pass behind
+    boilerplate mining and n-gram-overlap decontamination lists.
+
+    Plan: tokens staged once per row, n-grams built INSIDE the explode
+    (cf. stage_shingles caution), then one partial+final count agg and a
+    global top-k sort of the (bounded) aggregate -- at 100 TB the only
+    full-data shuffle carries (ngram, partial_count) pairs, and the
+    orderBy+limit collapses to TakeOrderedAndProject.
+
+    Docs shorter than ``n`` tokens contribute nothing (no whole-text
+    fallback here, unlike word_shingles -- a count table mixing partial
+    grams would be wrong).
+    """
+    from .dedup import shingle_tokens
+
+    toked = documents.select(shingle_tokens(F.col(text_col)).alias("__toks"))
+    nt = F.size(F.col("__toks"))
+    grams = F.when(
+        nt >= n,
+        F.transform(
+            F.sequence(F.lit(0), nt - F.lit(n)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toked.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "ngram")
+        .limit(k)
+    )
+
+
+def ngram_topk_sql(n: int = 3, k: int = 100) -> str:
+    """DuckDB twin of :func:`ngram_topk`."""
+    toks = tokens_sql("text")
+    return f"""
+WITH toked AS (SELECT {toks} AS toks FROM documents),
+grams AS (
+  SELECT unnest(CASE WHEN len(toks) >= {n}
+                     THEN list_transform(range(1, len(toks) - {n} + 2),
+                                         i -> array_to_string(toks[i:i+{n - 1}], ' '))
+                     ELSE []::VARCHAR[] END) AS ngram
+  FROM toked
+)
+SELECT ngram, count(*) AS n_occurrences FROM grams
+GROUP BY ngram ORDER BY n_occurrences DESC, ngram LIMIT {k}
+"""
+
+
+def token_freq_score(documents: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document mean corpus-frequency of its tokens -- the integer
+    skeleton of unigram-LM scoring (docs full of rare/OOV tokens score
+    low; boilerplate scores high). A real LM scorer swaps the global
+    count for -log p(token); the count variant keeps every value integer,
+    so the DuckDB oracle can check it bit-exactly (float log sums are
+    engine-order-sensitive).
+
+    Plan: ONE token explode feeds both the global frequency table and the
+    per-doc term frequencies; the join back is on the token key with tf
+    pre-aggregated per (doc, token), so the shuffle carries one row per
+    distinct pair, not per occurrence. At 100 TB, salt the handful of
+    stop-token keys or broadcast the top-1k tokens' counts.
+
+    Docs with zero tokens emit no row (they have no token events).
+    """
+    from .dedup import shingle_tokens
+
+    tok_rows = documents.select(
+        F.col(id_col),
+        F.explode(shingle_tokens(F.col(text_col))).alias("token"))
+    tf = tok_rows.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("__tf"))
+    freq = tok_rows.groupBy("token").agg(F.count(F.lit(1)).alias("__gf"))
+    return (
+        tf.join(freq, "token")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__tf").alias("n_tokens"),
+            F.sum(F.col("__tf") * F.col("__gf")).alias("sum_freq"),
+        )
+        .select(
+            id_col, "n_tokens", "sum_freq",
+            F.expr("sum_freq div n_tokens").alias("mean_token_freq"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def token_freq_score_sql() -> str:
+    """DuckDB twin of :func:`token_freq_score` (integer-exact)."""
+    toks = tokens_sql("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+), freq AS (
+  SELECT token, count(*) AS gf FROM tok GROUP BY 1
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(sum(tf * gf) AS BIGINT) AS sum_freq,
+       CAST(sum(tf * gf) // sum(tf) AS BIGINT) AS mean_token_freq
+FROM tf JOIN freq USING (token)
+GROUP BY doc_id ORDER BY doc_id
+"""

@@ -665,6 +665,18 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cur.gopher_quality_flags(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.ngram_topk(_t(spark, sf_dir, "documents"))
+
+
+def q_token_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.token_freq_score(_t(spark, sf_dir, "documents"))
+
+
 def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.q2_min_cost_supplier(
         _t(spark, sf_dir, "region"), _t(spark, sf_dir, "nation"),
@@ -781,6 +793,9 @@ QUERIES: dict[str, QueryFn] = {
     "q12_priority_lines": q_q12_priority_lines,
     "q16_part_supplier_breadth": q_q16_part_supplier_breadth,
     "q20_dominant_part_suppliers": q_q20_dominant_part_suppliers,
+    "gopher_quality_flags": q_gopher_quality_flags,
+    "ngram_topk": q_ngram_topk,
+    "token_freq_score": q_token_freq_score,
 }
 
 
@@ -1889,3 +1904,8 @@ JOIN nation ON s_nationkey = n_nationkey
 WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
 ORDER BY s_name
 """
+
+
+ORACLE_SQL["gopher_quality_flags"] = cur.gopher_quality_flags_sql()
+ORACLE_SQL["ngram_topk"] = ta.ngram_topk_sql()
+ORACLE_SQL["token_freq_score"] = ta.token_freq_score_sql()

@@ -86,6 +86,9 @@ HEADLINE = [
     "q12_priority_lines",
     "q16_part_supplier_breadth",
     "q20_dominant_part_suppliers",
+    "gopher_quality_flags",
+    "ngram_topk",
+    "token_freq_score",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

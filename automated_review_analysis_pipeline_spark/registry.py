@@ -559,6 +559,22 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "event_type")
 
 
+def q_streaming_click_attribution(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        read_events_stream,
+        run_available_now,
+        streaming_click_attribution,
+    )
+
+    _utc(spark)
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_available_now(
+        streaming_click_attribution(stream), "reg_attrib",
+        output_mode="append")
+    return out.orderBy("purchase_id", "click_id")
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(
         _t(spark, sf_dir, "documents"), max_hamming=28)
@@ -796,6 +812,7 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "ngram_topk": q_ngram_topk,
     "token_freq_score": q_token_freq_score,
+    "streaming_click_attribution": q_streaming_click_attribution,
 }
 
 
@@ -1909,3 +1926,19 @@ ORDER BY s_name
 ORACLE_SQL["gopher_quality_flags"] = cur.gopher_quality_flags_sql()
 ORACLE_SQL["ngram_topk"] = ta.ngram_topk_sql()
 ORACLE_SQL["token_freq_score"] = ta.token_freq_score_sql()
+
+
+ORACLE_SQL["streaming_click_attribution"] = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       c.event_id AS click_id,
+       epoch_us(c.ts) AS click_us,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ORDER BY purchase_id, click_id
+"""

@@ -119,3 +119,48 @@ def run_available_now(stream_df: DataFrame, table_suffix: str = "",
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_click_attribution(events: DataFrame,
+                                max_gap_minutes: int = 30,
+                                watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream INTERVAL JOIN: each purchase joined to every click by
+    the same user in the preceding ``max_gap_minutes`` -- the classic
+    streaming attribution shape.
+
+    Both sides carry watermarks and the join has an event-time range
+    constraint, so Spark can evict click state once the watermark passes
+    click_ts + gap: state is bounded by (users active within the gap), not
+    by history. Inner join + deterministic pairing -> the result equals
+    the batch interval join exactly, which gives this stream a full
+    value-level SQL oracle (rare for streaming operators).
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+                F.col("event_id").alias("click_id"))
+        .withWatermark("click_ts", watermark))
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"),
+                F.col("event_id").alias("purchase_id"))
+        .withWatermark("purchase_ts", watermark))
+    return (
+        purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts")
+               >= F.col("purchase_ts")
+               - F.expr(f"INTERVAL {max_gap_minutes} MINUTES")),
+        )
+        .select(
+            "purchase_id", "user_id",
+            F.unix_micros(F.col("purchase_ts")).alias("purchase_us"),
+            "click_id",
+            F.unix_micros(F.col("click_ts")).alias("click_us"),
+            (F.unix_micros(F.col("purchase_ts"))
+             - F.unix_micros(F.col("click_ts"))).alias("gap_us"),
+        )
+    )

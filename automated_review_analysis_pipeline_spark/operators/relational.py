@@ -833,8 +833,13 @@ def q11_revenue_concentration(lineitem: DataFrame, part: DataFrame,
     1-row cross join -- the fact table is scanned once (Spark reuses the
     exchange), and nothing resembling a correlated subquery survives."""
     disc_price = _dec("l_extendedprice") * (_one() - _frac("l_discount"))
+    # Explicit isNotNull BEFORE the shared aggregate: the part join pushes
+    # one into its branch anyway, and without it here the total branch's
+    # subplan differs -> ReuseExchange declines -> lineitem scanned and
+    # aggregated twice (plan-asserted in tests/test_plans.py).
     per_part = (
-        lineitem.groupBy("l_partkey")
+        lineitem.where(F.col("l_partkey").isNotNull())
+        .groupBy("l_partkey")
         .agg(F.sum(disc_price).alias("__value"))
     )
     total = per_part.agg(F.sum("__value").alias("__total"))

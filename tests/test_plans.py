@@ -225,3 +225,69 @@ def test_anomalies_broadcast_stats(spark):
     # per-type moments are a broadcast row, never a shuffle of the grid
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q2_window_decorrelated_broadcast_dims(spark):
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    # region/nation/supplier/part all broadcast; the per-part MIN is a
+    # window over the offer agg, not a second scan + self-join
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Window" in plan
+    assert plan.count("Scan parquet") <= 5  # no duplicate lineitem scan
+
+
+def test_q9_part_filter_broadcast_before_fact_join(spark):
+    plan = plan_of(spark, "q9_product_type_profit")
+    assert "BroadcastHashJoin" in plan
+    # the LIKE filter prunes part BEFORE the join (pushed into its scan)
+    assert "p_name" in plan.split("PushedFilters")[1].split("\n")[0] or \
+        "StringContains(p_name" in plan
+
+
+def test_q11_single_lineitem_scan_reused(spark):
+    # The global total must reuse the per-part aggregate, not re-scan
+    # lineitem. AQE performs the reuse at RUNTIME (the static plan still
+    # shows two branches), so execute first and assert on the final
+    # adaptive plan. This requires the explicit isNotNull in the operator:
+    # without it the branches canonicalize differently and AQE declines.
+    df = QUERIES["q11_revenue_concentration"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert ("ReusedQueryStage" in plan) or ("ReusedExchange" in plan)
+
+
+def test_q16_anti_join_then_broadcast(spark):
+    plan = plan_of(spark, "q16_part_supplier_breadth")
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan)
+
+
+def test_q21_single_pair_aggregate_reused(spark):
+    plan = plan_of(spark, "q21_sole_blame_supplier")
+    # the pair-level pre-aggregate feeds both sides: no Expand (sibling
+    # countDistinct rewrite) and at most one lineitem scan family
+    assert "Expand" not in plan
+
+
+def test_decontaminate_split_staged_once_per_branch(spark):
+    # the token split must appear once per branch (train + test), not
+    # inlined 4x into the shingle expression or an inferred size filter
+    plan = optimized_of(spark, "decontaminate")
+    assert plan.count("split(") <= 2
+
+
+def test_token_freq_single_explode_family(spark):
+    # tf and global-freq both derive from the same exploded token rows
+    plan = plan_of(spark, "token_freq_score")
+    assert "partial_count" in plan  # map-side combine on both aggs
+
+
+def test_gopher_flags_narrow_no_shuffle(spark):
+    plan = plan_of(spark, "gopher_quality_flags")
+    assert "hashpartitioning" not in plan  # pure projection + sort only
+
+
+def test_ngram_topk_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "ngram_topk")
+    assert "TakeOrderedAndProject" in plan

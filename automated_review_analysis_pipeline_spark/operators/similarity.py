@@ -307,3 +307,26 @@ def quantize_embeddings(embeddings: DataFrame, vec_col: str = "embedding",
         )
         .orderBy(id_col)
     )
+
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.8,
+                   id_col: str = "vec_id") -> DataFrame:
+    """Semantic dedup DECISION over an embedding table: drop every vector
+    that has a lower-id near-duplicate (cosine >= threshold); return the
+    kept rows. The SemDeDup-style pass a training pipeline runs after
+    embedding its corpus -- pairwise listing (pairwise_cosine_above) finds
+    the evidence, this operator commits the keep/drop rule.
+
+    The min-id rule is deterministic and engine-independent (unlike
+    clustering with chained merges, whose membership depends on traversal
+    order), so the result has an exact SQL oracle. Scale path: swap the
+    exact pair generator for sign-LSH buckets (sign_lsh_topk's banding)
+    and the same anti-join survives unchanged.
+    """
+    pairs = pairwise_cosine_above(embeddings, threshold, id_col)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (
+        embeddings.join(losers, id_col, "left_anti")
+        .select(id_col, "label")
+        .orderBy(id_col)
+    )

@@ -208,8 +208,15 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold 0.35: the synthetic embeddings' max pairwise cosine in
+    # this slice is ~0.44, so 0.8 would make the check trivially empty.
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    return sim.pairwise_cosine_above(e, threshold=0.8)
+    return sim.pairwise_cosine_above(e, threshold=0.35)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return sim.semantic_dedup(e, threshold=0.35)
 
 
 # ---------------------------------------------------------------------------
@@ -813,6 +820,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_topk": q_ngram_topk,
     "token_freq_score": q_token_freq_score,
     "streaming_click_attribution": q_streaming_click_attribution,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 
@@ -989,7 +997,7 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_cosine_sql('a.v', 'b.v')} AS cosine_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE {_cosine_sql('a.v', 'b.v')} >= 0.8
+WHERE {_cosine_sql('a.v', 'b.v')} >= 0.35
 ORDER BY id_a, id_b
 """,
     "q1_pricing_summary": """
@@ -1941,4 +1949,17 @@ JOIN events c
  AND c.ts <= p.ts
  AND c.ts >= p.ts - INTERVAL 30 MINUTE
 ORDER BY purchase_id, click_id
+"""
+
+
+ORACLE_SQL["semantic_dedup"] = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 200),
+losers AS (
+  SELECT DISTINCT b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {_cosine_sql('a.v', 'b.v')} >= 0.35
+)
+SELECT vec_id, label FROM e
+WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+ORDER BY vec_id
 """

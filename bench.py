@@ -89,6 +89,7 @@ HEADLINE = [
     "gopher_quality_flags",
     "ngram_topk",
     "token_freq_score",
+    "semantic_dedup",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -330,3 +330,62 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.8,
         .select(id_col, "label")
         .orderBy(id_col)
     )
+
+
+def near_dup_components(embeddings: DataFrame, threshold: float = 0.35,
+                        id_col: str = "vec_id",
+                        max_iterations: int = 25) -> DataFrame:
+    """Connected components over the near-duplicate graph: every vector
+    labeled with the MIN id reachable through cosine->=threshold edges --
+    the cluster assignment that turns pair evidence into dedup groups
+    (keep one representative per component, not per pair).
+
+    Algorithm: iterative min-label propagation -- each round every node
+    takes the min of its own label and its neighbors' labels, until a
+    fixpoint. Each round is one join + one aggregate; convergence needs
+    O(graph diameter) rounds (near-dup components are shallow; the 100 TB
+    path is the alternating large-star/small-star variant, which
+    converges in O(log n) rounds with the same join-per-round shape).
+    The driver-side loop materializes a count per round -- that is the
+    nature of iterative graph algorithms on Spark, not a collect of data.
+
+    Deterministic: min-label is order- and partitioning-independent,
+    so the result has an exact recursive-CTE oracle.
+    """
+    pairs = pairwise_cosine_above(embeddings, threshold, id_col)
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"),
+                            F.col("id_a").alias("dst")))
+    ).cache()
+    labels = embeddings.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("component")
+    ).cache()
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("component").alias("__nc"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("component"),
+                        F.coalesce(F.col("__nc"), F.col("component")))
+                .alias("component"),
+            )
+        ).cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), "component") \
+        .orderBy(id_col)

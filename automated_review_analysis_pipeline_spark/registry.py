@@ -219,6 +219,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(e, threshold=0.35)
 
 
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return sim.near_dup_components(e, threshold=0.35)
+
+
 # ---------------------------------------------------------------------------
 # relational core over the star schema
 # ---------------------------------------------------------------------------
@@ -821,6 +826,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_freq_score": q_token_freq_score,
     "streaming_click_attribution": q_streaming_click_attribution,
     "semantic_dedup": q_semantic_dedup,
+    "near_dup_components": q_near_dup_components,
 }
 
 
@@ -1962,4 +1968,23 @@ losers AS (
 SELECT vec_id, label FROM e
 WHERE vec_id NOT IN (SELECT vec_id FROM losers)
 ORDER BY vec_id
+"""
+
+
+ORACLE_SQL["near_dup_components"] = f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < 200),
+edges AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  WHERE {_cosine_sql('a.v', 'b.v')} >= 0.35
+),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT r.src, edges.dst FROM reach r JOIN edges ON r.dst = edges.src
+)
+SELECT src AS vec_id, min(dst) AS component
+FROM reach GROUP BY src ORDER BY vec_id
 """

@@ -90,6 +90,7 @@ HEADLINE = [
     "ngram_topk",
     "token_freq_score",
     "semantic_dedup",
+    "near_dup_components",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

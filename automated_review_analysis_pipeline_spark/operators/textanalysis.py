@@ -545,3 +545,100 @@ SELECT doc_id,
 FROM tf JOIN freq USING (token)
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def bm25_search(documents: DataFrame, query_terms: tuple[str, ...],
+                k: int = 20, k1: float = 1.2, b: float = 0.75,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BM25-ranked top-k documents for a bag-of-words query -- the
+    classic retrieval scorer (Robertson/Sparck Jones; the k1/b form used
+    by Lucene) over the corpus.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-term score
+    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), summed per doc.
+
+    Scale shape: one token explode; doc lengths and the tiny per-term df
+    table aggregate from it; only rows matching query terms survive into
+    the tf join (the explode-side filter prunes the shuffle to query-term
+    postings). Corpus stats (N, total length) broadcast as one row; the
+    final top-k is TakeOrderedAndProject, not a global sort.
+
+    Float discipline: per-term scores rounded at 6dp (one ln + a handful
+    of IEEE ops on identical inputs -- engine-stable, as tf_idf proved),
+    the per-doc sum rounded at 4dp so summation order cannot flip the
+    value-hash.
+    """
+    from pyspark.sql.functions import broadcast
+
+    words = documents.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+    ).where(F.col("word") != "")
+    dl = words.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+        F.sum("__dl").alias("__total_len"))
+    tf = (
+        words.where(F.col("word").isin(*query_terms))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf")))
+    df_ = tf.groupBy("word").agg(
+        F.count(F.lit(1)).cast("double").alias("__df"))
+    idf = F.log(
+        1.0 + (F.col("__n_docs") - F.col("__df") + 0.5)
+        / (F.col("__df") + 0.5))
+    denom = (
+        F.col("__tf")
+        + k1 * (1.0 - b + b * F.col("__dl") * F.col("__n_docs")
+                / F.col("__total_len")))
+    term_score = F.round(idf * F.col("__tf") * (k1 + 1.0) / denom, 6)
+    return (
+        tf.join(broadcast(df_), "word")
+        .join(dl, id_col)
+        .crossJoin(broadcast(stats))
+        .select(id_col, term_score.alias("__s"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("__s"), 4).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(k)
+    )
+
+
+def bm25_search_sql(query_terms: tuple[str, ...], k: int = 20,
+                    k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin of :func:`bm25_search` -- identical expression trees
+    so every IEEE operation happens in the same order."""
+    inlist = ", ".join(_q(t) for t in query_terms)
+    return f"""
+WITH words AS (
+  SELECT doc_id, w AS word
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents WHERE trim(coalesce(text,'')) <> '')
+  WHERE w <> ''
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dlen FROM words GROUP BY doc_id
+), stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, sum(dlen) AS total_len FROM dl
+), tf AS (
+  SELECT doc_id, word, count(*)::DOUBLE AS tfc FROM words
+  WHERE word IN ({inlist}) GROUP BY doc_id, word
+), dft AS (
+  SELECT word, count(*)::DOUBLE AS dfc FROM tf GROUP BY word
+), terms AS (
+  SELECT tf.doc_id,
+         round(ln(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5))
+               * tfc * ({k1} + 1.0)
+               / (tfc + {k1} * (1.0 - {b} + {b} * dlen * n_docs / total_len)),
+               6) AS s
+  FROM tf JOIN dft USING (word) JOIN dl USING (doc_id), stats
+)
+SELECT doc_id, round(sum(s), 4) AS bm25,
+       count(*) AS n_terms_matched
+FROM terms GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT {k}
+"""

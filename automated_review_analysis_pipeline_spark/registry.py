@@ -224,6 +224,15 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.near_dup_components(e, threshold=0.35)
 
 
+# Query terms chosen from the synthetic corpus vocabulary (present at
+# every scale factor). The SAME tuple feeds the Spark plan and the oracle.
+BM25_QUERY = ("join", "filter", "scan", "window", "column")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.bm25_search(_t(spark, sf_dir, "documents"), BM25_QUERY)
+
+
 # ---------------------------------------------------------------------------
 # relational core over the star schema
 # ---------------------------------------------------------------------------
@@ -827,6 +836,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_click_attribution": q_streaming_click_attribution,
     "semantic_dedup": q_semantic_dedup,
     "near_dup_components": q_near_dup_components,
+    "bm25_search": q_bm25_search,
 }
 
 
@@ -1988,3 +1998,6 @@ reach(src, dst) AS (
 SELECT src AS vec_id, min(dst) AS component
 FROM reach GROUP BY src ORDER BY vec_id
 """
+
+
+ORACLE_SQL["bm25_search"] = ta.bm25_search_sql(BM25_QUERY)

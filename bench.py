@@ -91,6 +91,7 @@ HEADLINE = [
     "token_freq_score",
     "semantic_dedup",
     "near_dup_components",
+    "bm25_search",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

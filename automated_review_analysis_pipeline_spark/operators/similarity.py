@@ -333,34 +333,75 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.8,
 
 
 def near_dup_components(embeddings: DataFrame, threshold: float = 0.35,
-                        id_col: str = "vec_id",
+                        id_col: str = "vec_id", distributed: bool = False,
                         max_iterations: int = 25) -> DataFrame:
     """Connected components over the near-duplicate graph: every vector
     labeled with the MIN id reachable through cosine->=threshold edges --
     the cluster assignment that turns pair evidence into dedup groups
     (keep one representative per component, not per pair).
 
-    Algorithm: iterative min-label propagation -- each round every node
-    takes the min of its own label and its neighbors' labels, until a
-    fixpoint. Each round is one join + one aggregate; convergence needs
-    O(graph diameter) rounds (near-dup components are shallow; the 100 TB
-    path is the alternating large-star/small-star variant, which
-    converges in O(log n) rounds with the same join-per-round shape).
-    The driver-side loop materializes a count per round -- that is the
-    nature of iterative graph algorithms on Spark, not a collect of data.
+    Default path: the near-dup PAIR set is bounded by construction (it is
+    the dedup evidence a human/job reviews, orders of magnitude smaller
+    than the corpus), so the edge list collects to the driver, a
+    union-find labels it exactly, and the mapping broadcasts back as one
+    join -- two Spark actions total. This mirrors cosine_topk's
+    collect-the-small-side discipline; it is NOT a driver loop over data.
 
-    Deterministic: min-label is order- and partitioning-independent,
-    so the result has an exact recursive-CTE oracle.
+    ``distributed=True`` switches to iterative min-label propagation
+    (one join + one aggregate action per round, O(diameter) rounds) for
+    graphs too large to collect; the 100 TB path is the alternating
+    large-star/small-star refinement of that loop (O(log n) rounds).
+
+    Deterministic either way: min-label is order- and partitioning-
+    independent, so the result has an exact recursive-CTE oracle.
     """
     pairs = pairwise_cosine_above(embeddings, threshold, id_col)
+
+    if not distributed:
+        edge_rows = pairs.select("id_a", "id_b").collect()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edge_rows:
+            a, b = r[0], r[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        mapping = [(n, find(n)) for n in parent]
+        spark = embeddings.sparkSession
+        if mapping:
+            map_df = spark.createDataFrame(
+                mapping, "node long, component long")
+        else:
+            map_df = spark.createDataFrame([], "node long, component long")
+        out = embeddings.select(F.col(id_col).alias("node")).join(
+            broadcast(map_df), "node", "left")
+        return out.select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        ).orderBy(id_col)
+
+    # Distributed variant: min-label propagation with a sum-based
+    # convergence check (one aggregate action per round). coalesce(1)
+    # because the candidate subgraph is tiny on the test scales; at
+    # cluster scale remove it and the identical plan shards.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"),
                             F.col("id_a").alias("dst")))
-    ).cache()
-    labels = embeddings.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("component")
-    ).cache()
+    ).coalesce(1).cache()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("component"))
+    ).coalesce(1).cache()
+    prev_sum = None
     for _ in range(max_iterations):
         neigh = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -375,17 +416,17 @@ def near_dup_components(embeddings: DataFrame, threshold: float = 0.35,
                         F.coalesce(F.col("__nc"), F.col("component")))
                 .alias("component"),
             )
-        ).cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        ).coalesce(1).cache()
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
-    return labels.select(F.col("node").alias(id_col), "component") \
-        .orderBy(id_col)
+    out = embeddings.select(F.col(id_col).alias("node")).join(
+        labels, "node", "left")
+    return out.select(
+        F.col("node").alias(id_col),
+        F.coalesce(F.col("component"), F.col("node")).alias("component"),
+    ).orderBy(id_col)

@@ -183,3 +183,26 @@ def test_quantize_dequantize_roundtrip(spark, sf_dir):
         step = scale / 127.0 if scale else 0.0
         for x, qi in zip(v, q8):
             assert abs(x - qi * step) <= step / 2 + 1e-6, (r["vec_id"], x, qi)
+
+
+def test_near_dup_components_variants_agree(spark, sf_dir):
+    """The driver union-find (default, bounded candidate graphs) and the
+    distributed min-label propagation loop must produce identical
+    component assignments."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators import similarity as sim
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 150)
+    a = [tuple(r) for r in sim.near_dup_components(e, 0.35).collect()]
+    b = [tuple(r) for r in
+         sim.near_dup_components(e, 0.35, distributed=True).collect()]
+    assert a == b
+    # every component representative is the min id of its members
+    import collections
+    groups = collections.defaultdict(list)
+    for node, comp in a:
+        groups[comp].append(node)
+    for comp, members in groups.items():
+        assert comp == min(members)

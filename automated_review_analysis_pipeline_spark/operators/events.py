@@ -303,3 +303,21 @@ def hourly_anomalies(events: DataFrame, z_thresh: float = 2.0) -> DataFrame:
                 F.round(z, 4).alias("zscore"))
         .orderBy("window_start_us", "event_type")
     )
+
+
+def extract_props_struct(events: DataFrame) -> DataFrame:
+    """Typed JSON struct extraction: parse the whole `props` document once
+    with from_json into a typed struct, instead of one get_json_object
+    pass per key (each of which re-parses the JSON at 100 TB).
+
+    Emits null for rows whose JSON is missing/corrupt -- the permissive
+    contract a firehose needs. Same result surface as extract_props (the
+    oracle is shared); what changes is the PLAN: one JSON parse total
+    instead of one per extracted key.
+    """
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return events.select(
+        "event_id",
+        "event_type",
+        parsed.getField("k").alias("prop_k"),
+    ).orderBy("event_id")

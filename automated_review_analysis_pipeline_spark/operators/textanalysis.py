@@ -642,3 +642,67 @@ SELECT doc_id, round(sum(s), 4) AS bm25,
 FROM terms GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id LIMIT {k}
 """
+
+
+def corpus_source_stats(documents: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """Per-source corpus report: docs, token volume, distinct vocabulary,
+    type-token ratio, mean doc length -- the summary table a corpus
+    datasheet leads with.
+
+    One token explode -> one (source, word) pre-aggregate that feeds both
+    the vocabulary count and the volume sums (no second scan), exact
+    integer everywhere except the two final ratio divisions (single IEEE
+    ops, engine-stable). Type-token ratio in parts-per-million by integer
+    division so the value-hash cannot wobble.
+    """
+    from .dedup import shingle_tokens
+
+    words = documents.select(
+        F.col("source"),
+        F.col("doc_id"),
+        F.explode(shingle_tokens(F.col(text_col))).alias("word"),
+    ).where(F.col("word") != "")
+    per_word = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("__n"))
+    n_docs = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    return (
+        per_word.groupBy("source")
+        .agg(
+            F.sum("__n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+        .join(n_docs, "source")
+        .select(
+            "source", "n_docs", "n_tokens", "n_types",
+            F.expr("n_types * 1000000 div n_tokens").alias("ttr_ppm"),
+            F.expr("n_tokens div n_docs").alias("mean_doc_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def corpus_source_stats_sql() -> str:
+    """DuckDB twin of :func:`corpus_source_stats`."""
+    toks = tokens_sql("text")
+    return f"""
+WITH words AS (
+  SELECT source, doc_id, w AS word
+  FROM (SELECT source, doc_id, unnest({toks}) AS w FROM documents)
+  WHERE w <> ''
+), per_word AS (
+  SELECT source, word, count(*) AS n FROM words GROUP BY 1, 2
+), agg AS (
+  SELECT source,
+         CAST(sum(n) AS BIGINT) AS n_tokens,
+         count(*) AS n_types
+  FROM per_word GROUP BY source
+), nd AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens, n_types,
+       CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+       CAST(n_tokens // n_docs AS BIGINT) AS mean_doc_tokens
+FROM agg JOIN nd USING (source) ORDER BY source
+"""

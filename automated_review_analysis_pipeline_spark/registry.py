@@ -233,6 +233,14 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.bm25_search(_t(spark, sf_dir, "documents"), BM25_QUERY)
 
 
+def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.corpus_source_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_event_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.extract_props_struct(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # relational core over the star schema
 # ---------------------------------------------------------------------------
@@ -837,6 +845,8 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_dedup": q_semantic_dedup,
     "near_dup_components": q_near_dup_components,
     "bm25_search": q_bm25_search,
+    "corpus_source_stats": q_corpus_source_stats,
+    "event_props_struct": q_event_props_struct,
 }
 
 
@@ -2001,3 +2011,9 @@ FROM reach GROUP BY src ORDER BY vec_id
 
 
 ORACLE_SQL["bm25_search"] = ta.bm25_search_sql(BM25_QUERY)
+
+
+ORACLE_SQL["corpus_source_stats"] = ta.corpus_source_stats_sql()
+# Shared oracle with event_props: from_json vs get_json_object differ only
+# in PLAN (one parse vs one per key), never in result.
+ORACLE_SQL["event_props_struct"] = ORACLE_SQL["event_props"]

@@ -92,6 +92,8 @@ HEADLINE = [
     "semantic_dedup",
     "near_dup_components",
     "bm25_search",
+    "corpus_source_stats",
+    "event_props_struct",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

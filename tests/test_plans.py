@@ -291,3 +291,28 @@ def test_gopher_flags_narrow_no_shuffle(spark):
 def test_ngram_topk_take_ordered_not_global_sort(spark):
     plan = plan_of(spark, "ngram_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_take_ordered_and_broadcast_stats(spark):
+    plan = plan_of(spark, "bm25_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan  # df table + corpus stats broadcast
+
+
+def test_q12_filter_pushed_to_lineitem_scan(spark):
+    plan = plan_of(spark, "q12_priority_lines")
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # year band at the scan
+    assert "partial_sum" in plan
+
+
+def test_q20_semi_join_after_window(spark):
+    plan = plan_of(spark, "q20_dominant_part_suppliers")
+    assert "LeftSemi" in plan
+    assert "Window" in plan
+
+
+def test_props_struct_single_json_parse(spark):
+    # from_json appears once; no per-key get_json_object re-parses
+    plan = plan_of(spark, "event_props_struct")
+    assert plan.count("from_json") == 1
+    assert "get_json_object" not in plan

@@ -321,3 +321,81 @@ def extract_props_struct(events: DataFrame) -> DataFrame:
         "event_type",
         parsed.getField("k").alias("prop_k"),
     ).orderBy("event_id")
+
+
+def user_event_intervals(events: DataFrame) -> DataFrame:
+    """SCD2-style validity intervals: each event row becomes
+    [ts, next-event ts) for its user -- the lead-window snapshot builder
+    behind slowly-changing-dimension tables and point-in-time joins.
+    Open intervals (the user's latest event) get NULL valid_to.
+
+    One shuffle (the per-user window); interval arithmetic on
+    epoch-microsecond int64 keeps the oracle unit-stable.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead(_us(F.col("ts"))).over(w)
+    return events.select(
+        "user_id", "event_id", "event_type",
+        _us(F.col("ts")).alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        (nxt - _us(F.col("ts"))).alias("duration_us"),
+    ).orderBy("user_id", "valid_from_us", "event_id")
+
+
+# Fixed x-origin for trend regression (shared with the oracle SQL):
+# near the testdata's epoch so centered seconds stay small.
+TREND_EPOCH_BASE = 1_700_000_000
+
+
+def user_value_trend(events: DataFrame, min_events: int = 5) -> DataFrame:
+    """Per-user linear trend of `value` over time: OLS slope (value per
+    hour) and correlation from EXACT decimal moment sums -- the same
+    partial+final-safe discipline as lineitem_stats, so the only float
+    ops are the final divisions and one sqrt (identical IEEE on both
+    engines).
+
+    x = epoch seconds CENTERED on a fixed base (slope and correlation are
+    shift-invariant in x, and centering kills the catastrophic
+    cancellation in n*Sxx - Sx^2 that raw 1.7e9-magnitude epochs cause),
+    y = value (decimal(18,6)).
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), scaled to per-hour.
+    Users with < min_events or zero time variance are dropped (their
+    slope is undefined).
+    """
+    # floor() then cast: Spark's `/` is float division and a straight
+    # decimal cast would ROUND the sub-second fraction where the oracle's
+    # integer `//` truncates. floor on a double is exact here (us < 2^53).
+    x = (F.floor(_us(F.col("ts")) / F.lit(1_000_000))
+         - F.lit(TREND_EPOCH_BASE)).cast("decimal(12,0)")
+    y = F.col("value").cast("decimal(18,6)")
+    m = (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(x).alias("__sx"),
+            F.sum(y).alias("__sy"),
+            F.sum(x * x).alias("__sxx"),
+            F.sum(y * y).alias("__syy"),
+            F.sum(x * y).alias("__sxy"),
+        )
+        .where(F.col("n_events") >= min_events)
+    )
+    n = F.col("n_events").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    return (
+        m.where(var_x > 0)
+        .select(
+            "user_id", "n_events",
+            F.round(cov / var_x * 3600.0, 6).alias("slope_per_hour"),
+            F.when(var_y > 0, F.round(cov / F.sqrt(var_x * var_y), 6))
+            .otherwise(F.lit(None).cast("double")).alias("corr_tv"),
+        )
+        .orderBy("user_id")
+    )

@@ -241,6 +241,14 @@ def q_event_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.extract_props_struct(_t(spark, sf_dir, "events"))
 
 
+def q_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.user_event_intervals(_t(spark, sf_dir, "events"))
+
+
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.user_value_trend(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # relational core over the star schema
 # ---------------------------------------------------------------------------
@@ -847,6 +855,8 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_search": q_bm25_search,
     "corpus_source_stats": q_corpus_source_stats,
     "event_props_struct": q_event_props_struct,
+    "user_event_intervals": q_user_event_intervals,
+    "user_value_trend": q_user_value_trend,
 }
 
 
@@ -2017,3 +2027,40 @@ ORACLE_SQL["corpus_source_stats"] = ta.corpus_source_stats_sql()
 # Shared oracle with event_props: from_json vs get_json_object differ only
 # in PLAN (one parse vs one per key), never in result.
 ORACLE_SQL["event_props_struct"] = ORACLE_SQL["event_props"]
+
+
+ORACLE_SQL["user_event_intervals"] = """
+SELECT user_id, event_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER w AS valid_to_us,
+       lead(epoch_us(ts)) OVER w - epoch_us(ts) AS duration_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, valid_from_us, event_id
+"""
+
+ORACLE_SQL["user_value_trend"] = """
+WITH m AS (
+  SELECT user_id, count(*) AS n_events,
+         sum(CAST(epoch_us(ts) // 1000000 - 1700000000 AS DECIMAL(12,0))) AS sx,
+         sum(CAST(value AS DECIMAL(18,6))) AS sy,
+         sum(CAST(epoch_us(ts) // 1000000 - 1700000000 AS DECIMAL(12,0))
+             * CAST(epoch_us(ts) // 1000000 - 1700000000 AS DECIMAL(12,0))) AS sxx,
+         sum(CAST(value AS DECIMAL(18,6))
+             * CAST(value AS DECIMAL(18,6))) AS syy,
+         sum(CAST(epoch_us(ts) // 1000000 - 1700000000 AS DECIMAL(12,0))
+             * CAST(value AS DECIMAL(18,6))) AS sxy
+  FROM events GROUP BY user_id HAVING count(*) >= 5
+), d AS (
+  SELECT user_id, n_events,
+         n_events::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS var_x,
+         n_events::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS var_y,
+         n_events::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cov
+  FROM m
+)
+SELECT user_id, n_events,
+       round(cov / var_x * 3600.0, 6) AS slope_per_hour,
+       CASE WHEN var_y > 0 THEN round(cov / sqrt(var_x * var_y), 6)
+            ELSE NULL END AS corr_tv
+FROM d WHERE var_x > 0 ORDER BY user_id
+"""

@@ -94,6 +94,8 @@ HEADLINE = [
     "bm25_search",
     "corpus_source_stats",
     "event_props_struct",
+    "user_event_intervals",
+    "user_value_trend",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -241,6 +241,27 @@ def q_event_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.extract_props_struct(_t(spark, sf_dir, "events"))
 
 
+def q_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling shape over synthesized video payloads: one output
+    row per (media, sampled timestamp). duration_ms is derived
+    deterministically from doc_id; the fake decoder's whole-payload
+    features make the explode plumbing value-checkable."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("video/mp4").alias("mime"),
+        ((F.col("doc_id") % 5 + 1) * 1000).alias("duration_ms"),
+    )
+    out = mm.sample_frames(media, every_ms=1000)
+    return out.select(
+        "media_id", "frame_ts_ms",
+        F.array_join(F.transform(F.col("features"),
+                                 lambda x: x.cast("int").cast("string")), ",")
+        .alias("features_csv"),
+    ).orderBy("media_id", "frame_ts_ms")
+
+
 def q_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.user_event_intervals(_t(spark, sf_dir, "events"))
 
@@ -857,6 +878,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_props_struct": q_event_props_struct,
     "user_event_intervals": q_user_event_intervals,
     "user_value_trend": q_user_value_trend,
+    "sample_frames": q_sample_frames,
 }
 
 
@@ -2063,4 +2085,22 @@ SELECT user_id, n_events,
        CASE WHEN var_y > 0 THEN round(cov / sqrt(var_x * var_y), 6)
             ELSE NULL END AS corr_tv
 FROM d WHERE var_x > 0 ORDER BY user_id
+"""
+
+
+ORACLE_SQL["sample_frames"] = """
+WITH m AS (
+  SELECT doc_id AS media_id, coalesce(text, '') AS t,
+         (doc_id % 5 + 1) * 1000 AS duration_ms
+  FROM documents WHERE doc_id < 200
+), frames AS (
+  SELECT media_id, t, unnest(range(0, duration_ms, 1000)) AS frame_ts_ms
+  FROM m
+)
+SELECT media_id, CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms,
+  array_to_string(
+    [CAST(length(t) AS INTEGER)] || list_transform(range(1, 8), i ->
+      CASE WHEN i <= length(t) THEN ascii(substr(t, i, 1))
+           ELSE 0 END), ',') AS features_csv
+FROM frames ORDER BY media_id, frame_ts_ms
 """

@@ -96,6 +96,7 @@ HEADLINE = [
     "event_props_struct",
     "user_event_intervals",
     "user_value_trend",
+    "sample_frames",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -140,8 +140,11 @@ def q_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold 0.015: the corpus has ONE true near-dup pair (~0.97) and
+    # a ~0.02 background band -- 0.05 matched a single row, which barely
+    # exercised the jaccard arithmetic.
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), k=3, threshold=0.05,
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.015,
         block_on=["lang", "source"],
     )
 
@@ -1029,7 +1032,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM base a JOIN base b
   ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
 WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
-            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.05
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.015
 ORDER BY id_a, id_b
 """,
     "minhash_pairs": _minhash_oracle_sql(),

@@ -268,6 +268,13 @@ def test_q21_single_pair_aggregate_reused(spark):
     # the pair-level pre-aggregate feeds both sides: no Expand (sibling
     # countDistinct rewrite) and at most one lineitem scan family
     assert "Expand" not in plan
+    # AQE must reuse the pair aggregate at runtime (requires the explicit
+    # two-key isNotNull in the operator so both branches canonicalize
+    # identically)
+    df = QUERIES["q21_sole_blame_supplier"](spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert ("ReusedQueryStage" in final) or ("ReusedExchange" in final)
 
 
 def test_decontaminate_split_staged_once_per_branch(spark):

@@ -166,3 +166,27 @@ def test_jsonl_roundtrip(spark, tmp_path):
     one = fresh.where(F.col("lang") == "en")
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_synthetic_survey_datasource(spark):
+    """Custom Python DataSource: deterministic rows, partition layout
+    independent of data, end-to-end through the survey pipeline."""
+    from automated_review_analysis_pipeline_spark.plans.survey_pipeline import analyze_wide
+    from automated_review_analysis_pipeline_spark.sources.synthetic_survey import register
+
+    register(spark)
+    df = (spark.read.format("synthetic_survey")
+          .option("numRows", 200).option("numPartitions", 4).load())
+    assert df.rdd.getNumPartitions() == 4
+    rows = df.collect()
+    assert len(rows) == 200
+    assert df.columns[:3] == ["Email", "Name", "Products"]
+    # determinism across re-reads and partition layouts
+    df2 = (spark.read.format("synthetic_survey")
+           .option("numRows", 200).option("numPartitions", 7).load())
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, df2.collect()))
+    # the generated shape drives the full reference pipeline
+    wide, _ = analyze_wide(df)
+    out = wide.collect()
+    assert len(out) >= 200  # explode fans out multi-product rows
+    assert "How_was_your_experience?_Sentiment" in wide.columns

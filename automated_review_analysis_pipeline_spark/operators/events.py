@@ -399,3 +399,44 @@ def user_value_trend(events: DataFrame, min_events: int = 5) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def user_value_ewma(events: DataFrame, alpha: float = 0.2,
+                    min_events: int = 3) -> DataFrame:
+    """Final exponentially-weighted moving average of `value` per user
+    (events ordered by ts, event_id) -- the custom grouped kernel path:
+    EWMA is a per-row RECURSION (e_i = a*v_i + (1-a)*e_{i-1}), which no
+    window frame can express, so this is the canonical applyInPandas
+    (grouped-map) operator: one shuffle on user_id, then an Arrow-batched
+    pandas fold per group.
+
+    Determinism discipline: the fold runs in explicit (ts, event_id)
+    order with LITERAL coefficients on both engines (computing 1-alpha at
+    runtime can differ in the last ulp from a 0.8 literal), and rounding
+    happens in Spark AFTER the kernel (Python's round() is banker's,
+    Spark/DuckDB round half-up).
+    """
+    import pandas as pd
+
+    beta = {0.2: 0.8}.get(alpha, 1.0 - alpha)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        e = None
+        for v in pdf["value"]:
+            e = v if e is None else alpha * v + beta * e
+        return pd.DataFrame({
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_events": [len(pdf)],
+            "ewma_raw": [e],
+        })
+
+    out = events.select("user_id", "ts", "event_id", "value") \
+        .groupBy("user_id") \
+        .applyInPandas(fold, "user_id long, n_events long, ewma_raw double")
+    return (
+        out.where(F.col("n_events") >= min_events)
+        .select("user_id", "n_events",
+                F.round(F.col("ewma_raw"), 6).alias("ewma"))
+        .orderBy("user_id")
+    )

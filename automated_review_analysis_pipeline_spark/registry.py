@@ -273,6 +273,10 @@ def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.user_value_trend(_t(spark, sf_dir, "events"))
 
 
+def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.user_value_ewma(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # relational core over the star schema
 # ---------------------------------------------------------------------------
@@ -882,6 +886,7 @@ QUERIES: dict[str, QueryFn] = {
     "user_event_intervals": q_user_event_intervals,
     "user_value_trend": q_user_value_trend,
     "sample_frames": q_sample_frames,
+    "user_value_ewma": q_user_value_ewma,
 }
 
 
@@ -2106,4 +2111,14 @@ SELECT media_id, CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms,
       CASE WHEN i <= length(t) THEN ascii(substr(t, i, 1))
            ELSE 0 END), ',') AS features_csv
 FROM frames ORDER BY media_id, frame_ts_ms
+"""
+
+
+ORACLE_SQL["user_value_ewma"] = """
+SELECT user_id, count(*) AS n_events,
+       round(list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ewma
+FROM events
+GROUP BY user_id HAVING count(*) >= 3
+ORDER BY user_id
 """

@@ -97,6 +97,7 @@ HEADLINE = [
     "user_event_intervals",
     "user_value_trend",
     "sample_frames",
+    "user_value_ewma",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -962,3 +962,46 @@ def q20_dominant_part_suppliers(supplier: DataFrame, nation: DataFrame,
         .select("s_name", "s_acctbal", "n_name")
         .orderBy("s_name")
     )
+
+
+def customer_pareto(orders: DataFrame, a_cut: float = 0.5,
+                    b_cut: float = 0.8) -> DataFrame:
+    """Pareto / ABC analysis: customers ranked by revenue with each one's
+    cumulative share of the total, classed A (first ``a_cut`` of revenue),
+    B (to ``b_cut``), else C -- the classic concentration report.
+
+    Exact-decimal discipline: per-customer sums and the running cumulative
+    are decimal (associative, partition-order independent); the share is
+    ONE double division rounded at 6dp. The global total rides along as a
+    window over an empty partition -- on the already-aggregated customer
+    frame (|customers| rows), not the fact table, so the single-partition
+    window is bounded. Ties rank deterministically by (revenue desc,
+    custkey).
+    """
+    from pyspark.sql.window import Window
+
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("__rev"))
+    )
+    w_rank = Window.orderBy(F.desc("__rev"), "o_custkey")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    share = F.round(
+        F.sum("__rev").over(w_cum).cast("double")
+        / F.sum("__rev").over(w_all).cast("double"), 6)
+    return (
+        per_cust.select(
+            "o_custkey",
+            F.col("__rev").cast("double").alias("revenue"),
+            F.row_number().over(w_rank).cast("int").alias("rank"),
+            share.alias("cum_share"),
+        )
+        .select(
+            "o_custkey", "revenue", "rank", "cum_share",
+            F.when(F.col("cum_share") <= a_cut, "A")
+            .when(F.col("cum_share") <= b_cut, "B")
+            .otherwise("C").alias("abc_class"),
+        )
+        .orderBy("rank")
+    )

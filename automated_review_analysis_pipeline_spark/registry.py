@@ -277,6 +277,10 @@ def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.user_value_ewma(_t(spark, sf_dir, "events"))
 
 
+def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.customer_pareto(_t(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------------------
 # relational core over the star schema
 # ---------------------------------------------------------------------------
@@ -887,6 +891,7 @@ QUERIES: dict[str, QueryFn] = {
     "user_value_trend": q_user_value_trend,
     "sample_frames": q_sample_frames,
     "user_value_ewma": q_user_value_ewma,
+    "customer_pareto": q_customer_pareto,
 }
 
 
@@ -2121,4 +2126,25 @@ SELECT user_id, count(*) AS n_events,
 FROM events
 GROUP BY user_id HAVING count(*) >= 3
 ORDER BY user_id
+"""
+
+
+ORACLE_SQL["customer_pareto"] = """
+WITH per_cust AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey, rev,
+         CAST(row_number() OVER w AS INT) AS rank,
+         round((sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                               ROWS UNBOUNDED PRECEDING))::DOUBLE
+               / (sum(rev) OVER ())::DOUBLE, 6) AS cum_share
+  FROM per_cust
+  WINDOW w AS (ORDER BY rev DESC, o_custkey)
+)
+SELECT o_custkey, rev::DOUBLE AS revenue, rank, cum_share,
+       CASE WHEN cum_share <= 0.5 THEN 'A'
+            WHEN cum_share <= 0.8 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked ORDER BY rank
 """

@@ -98,6 +98,7 @@ HEADLINE = [
     "user_value_trend",
     "sample_frames",
     "user_value_ewma",
+    "customer_pareto",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

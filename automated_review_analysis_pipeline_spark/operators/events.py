@@ -440,3 +440,63 @@ def user_value_ewma(events: DataFrame, alpha: float = 0.2,
                 F.round(F.col("ewma_raw"), 6).alias("ewma"))
         .orderBy("user_id")
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order transition counts between consecutive event types per
+    user -- the Markov-chain view of user journeys (what follows a click?).
+
+    One shuffle (the per-user lag window), then a small pair-count agg
+    with map-side partials. Each user's first event has no predecessor
+    and contributes nothing.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    return (
+        events.select(prev.alias("from_type"), F.col("event_type").alias("to_type"))
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+def dau_wau_stickiness(events: DataFrame) -> DataFrame:
+    """Daily active users and the rolling 7-day active-user count, with
+    the DAU/WAU stickiness ratio -- the standard engagement report.
+
+    The fact table collapses to distinct (day, user) FIRST (bounded by
+    users x days); the 7-day window then counts distinct users via a
+    day-level RANGE frame over that collapsed frame. The rolling distinct
+    needs the (day, user) grain -- counting over pre-aggregated daily
+    totals would double-count multi-day users -- so the window partitions
+    by user first (presence runs), then a day-level aggregate finishes.
+    Implementation: a user is WAU-active on day d if they have an event in
+    [d-6, d]; equivalently sum over the 7 days of their daily-presence
+    flags > 0. One distinct + two bounded aggregates, no self-join.
+    """
+    day_us = _us(F.date_trunc("day", F.col("ts")))
+    day_user = events.select(
+        day_us.alias("day_us"), F.col("user_id")).distinct()
+    # every (day, user) pair fans out to the 7 days it keeps the user
+    # WAU-active for; distinct again because consecutive activity overlaps
+    MICROS_PER_DAY = 86_400_000_000
+    fan = day_user.select(
+        F.explode(F.sequence(
+            F.col("day_us"),
+            F.col("day_us") + F.lit(6 * MICROS_PER_DAY),
+            F.lit(MICROS_PER_DAY))).alias("day_us"),
+        "user_id",
+    ).distinct()
+    dau = day_user.groupBy("day_us").agg(
+        F.count(F.lit(1)).alias("dau"))
+    wau = fan.groupBy("day_us").agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        dau.join(wau, "day_us")
+        .select(
+            "day_us", "dau", "wau",
+            F.round(F.col("dau").cast("double")
+                    / F.col("wau").cast("double"), 6).alias("stickiness"),
+        )
+        .orderBy("day_us")
+    )

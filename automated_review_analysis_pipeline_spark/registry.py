@@ -281,6 +281,14 @@ def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.customer_pareto(_t(spark, sf_dir, "orders"))
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.event_transitions(_t(spark, sf_dir, "events"))
+
+
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.dau_wau_stickiness(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # relational core over the star schema
 # ---------------------------------------------------------------------------
@@ -892,6 +900,8 @@ QUERIES: dict[str, QueryFn] = {
     "sample_frames": q_sample_frames,
     "user_value_ewma": q_user_value_ewma,
     "customer_pareto": q_customer_pareto,
+    "event_transitions": q_event_transitions,
+    "dau_wau_stickiness": q_dau_wau_stickiness,
 }
 
 
@@ -2147,4 +2157,34 @@ SELECT o_custkey, rev::DOUBLE AS revenue, rank, cum_share,
             WHEN cum_share <= 0.8 THEN 'B'
             ELSE 'C' END AS abc_class
 FROM ranked ORDER BY rank
+"""
+
+
+ORACLE_SQL["event_transitions"] = """
+WITH t AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+)
+SELECT from_type, to_type, count(*) AS n_transitions
+FROM t WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type ORDER BY from_type, to_type
+"""
+
+ORACLE_SQL["dau_wau_stickiness"] = """
+WITH du AS (
+  SELECT DISTINCT epoch_us(date_trunc('day', ts)) AS day_us, user_id
+  FROM events
+), fan AS (
+  SELECT DISTINCT day_us + 86400000000 * i AS day_us, user_id
+  FROM du, range(7) t(i)
+), dau AS (
+  SELECT day_us, count(*) AS dau FROM du GROUP BY day_us
+), wau AS (
+  SELECT day_us, count(*) AS wau FROM fan GROUP BY day_us
+)
+SELECT day_us, dau, wau,
+       round(dau::DOUBLE / wau::DOUBLE, 6) AS stickiness
+FROM dau JOIN wau USING (day_us) ORDER BY day_us
 """

@@ -99,6 +99,8 @@ HEADLINE = [
     "sample_frames",
     "user_value_ewma",
     "customer_pareto",
+    "event_transitions",
+    "dau_wau_stickiness",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

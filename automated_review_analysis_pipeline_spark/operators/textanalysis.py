@@ -706,3 +706,64 @@ SELECT source, n_docs, n_tokens, n_types,
        CAST(n_tokens // n_docs AS BIGINT) AS mean_doc_tokens
 FROM agg JOIN nd USING (source) ORDER BY source
 """
+
+
+def table_profile(df: DataFrame, columns: tuple[str, ...] | None = None,
+                  preview_chars: int = 40) -> DataFrame:
+    """Dynamic per-column data-quality audit: null count, blank count
+    (strings), lexicographic min/max previews -- the DESCRIBE-style
+    profiling pass run before trusting a new table.
+
+    SINGLE PASS: every column's four aggregates run in one global
+    aggregation (no per-column scans, no Expand -- exact distinct counts
+    are deliberately excluded; approx_count_distinct is the scale path
+    for cardinality). The wide 1-row aggregate is then stacked to one row
+    per column with a literal-label union, which Catalyst collapses into
+    the same stage. The select list derives from df.columns at plan time,
+    mirroring the reference's dynamic-schema discipline
+    (survey_analysis.py:86-88).
+    """
+    cols = list(columns) if columns else df.columns
+    aggs = []
+    for c in cols:
+        sc = F.col(c).cast("string")
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nn_{c}"),
+            F.sum((F.trim(F.coalesce(sc, F.lit("x"))) == "")
+                  .cast("bigint")).alias(f"__nb_{c}"),
+            F.substring(F.min(sc), 1, preview_chars).alias(f"__mn_{c}"),
+            F.substring(F.max(sc), 1, preview_chars).alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs, F.count(F.lit(1)).alias("__n"))
+    stacked = None
+    for c in cols:
+        row = one.select(
+            F.lit(c).alias("column_name"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nn_{c}").alias("n_nulls"),
+            F.col(f"__nb_{c}").alias("n_blank"),
+            F.col(f"__mn_{c}").alias("min_preview"),
+            F.col(f"__mx_{c}").alias("max_preview"),
+        )
+        stacked = row if stacked is None else stacked.unionByName(row)
+    return stacked.orderBy("column_name")
+
+
+def table_profile_sql(table: str, columns: tuple[str, ...],
+                      preview_chars: int = 40) -> str:
+    """DuckDB twin of :func:`table_profile`, generated from the same
+    column list."""
+    parts = []
+    for c in columns:
+        sc = f'CAST("{c}" AS VARCHAR)'
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN "{c}" IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(sum(CASE WHEN trim(coalesce({sc}, 'x')) = '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_blank,
+       substring(min({sc}), 1, {preview_chars}) AS min_preview,
+       substring(max({sc}), 1, {preview_chars}) AS max_preview
+FROM {table}""")
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"

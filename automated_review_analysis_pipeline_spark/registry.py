@@ -289,6 +289,14 @@ def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.dau_wau_stickiness(_t(spark, sf_dir, "events"))
 
 
+DOC_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.table_profile(_t(spark, sf_dir, "documents"),
+                            DOC_PROFILE_COLS)
+
+
 # ---------------------------------------------------------------------------
 # relational core over the star schema
 # ---------------------------------------------------------------------------
@@ -902,6 +910,7 @@ QUERIES: dict[str, QueryFn] = {
     "customer_pareto": q_customer_pareto,
     "event_transitions": q_event_transitions,
     "dau_wau_stickiness": q_dau_wau_stickiness,
+    "table_profile": q_table_profile,
 }
 
 
@@ -2188,3 +2197,7 @@ SELECT day_us, dau, wau,
        round(dau::DOUBLE / wau::DOUBLE, 6) AS stickiness
 FROM dau JOIN wau USING (day_us) ORDER BY day_us
 """
+
+
+ORACLE_SQL["table_profile"] = ta.table_profile_sql(
+    "documents", DOC_PROFILE_COLS)

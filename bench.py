@@ -101,6 +101,7 @@ HEADLINE = [
     "customer_pareto",
     "event_transitions",
     "dau_wau_stickiness",
+    "table_profile",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

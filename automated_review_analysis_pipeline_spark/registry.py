@@ -1586,6 +1586,47 @@ FROM events ORDER BY user_id, event_type
 """
 
 
+# SimHash is deterministic md5 bit-majority, so the whole pipeline -- token
+# hash, per-bit vote, 16-bit-chunk blocking, popcount hamming verify -- is
+# portable to DuckDB bit math. The hex-cast reproduces the kernel's
+# big-endian first-8-bytes read (md5_number_upper is little-endian; tested).
+# The chunk-share condition must stay in the oracle: blocking at
+# max_hamming=28 is allowed to miss pairs that share no 16-bit chunk, and
+# the Spark side has the same recall gap by construction.
+ORACLE_SQL["simhash_pairs"] = r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), th AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+  FROM toks
+), bits AS (
+  SELECT doc_id, b.bit,
+         CASE WHEN sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) > 0
+              THEN 1 ELSE 0 END AS maj
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+  GROUP BY doc_id, b.bit
+), shx AS (
+  SELECT doc_id, bit_or(CAST(maj AS UBIGINT) << bit) AS h
+  FROM bits GROUP BY doc_id
+), sh AS (
+  SELECT d.doc_id, CAST(coalesce(x.h, 0) AS UBIGINT) AS h
+  FROM documents d LEFT JOIN shx x USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 28
+  AND ((a.h & 65535) = (b.h & 65535)
+    OR ((a.h >> 16) & 65535) = ((b.h >> 16) & 65535)
+    OR ((a.h >> 32) & 65535) = ((b.h >> 32) & 65535)
+    OR ((a.h >> 48) & 65535) = ((b.h >> 48) & 65535))
+ORDER BY id_a, id_b
+"""
+
+
 ORACLE_SQL["chunk_documents"] = ta.chunk_documents_sql(64, 16)
 
 

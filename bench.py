@@ -102,6 +102,15 @@ HEADLINE = [
     "event_transitions",
     "dau_wau_stickiness",
     "table_profile",
+    "doc_clean",
+    "dup_stats",
+    "event_props",
+    "product_explode",
+    "sentiment_normalize",
+    "simhash_pairs",
+    "sign_lsh_topk",
+    "ivf_topk",
+    "approx_distinct_users",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

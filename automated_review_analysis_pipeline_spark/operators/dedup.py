@@ -377,7 +377,12 @@ def simhash_near_dup_pairs(documents: DataFrame, id_col: str = "doc_id",
     """SimHash near-dup: block on 16-bit chunks (a pair within hamming
     distance 3 shares at least one of 4 chunks; wider distances use more
     chunks), verify with exact popcount hamming distance."""
-    d = add_simhash(documents, text_col).select(id_col, "simhash")
+    # Cache the signature frame: a self-join would otherwise run the md5
+    # bit-majority UDF on BOTH sides (plan showed 4 ArrowEval nodes + 2
+    # scans). At 100 TB the production pattern is a persisted signature
+    # table; .cache() is the single-query equivalent (same precedent as
+    # minhash_near_dup_pairs).
+    d = add_simhash(documents, text_col).select(id_col, "simhash").cache()
     chunks = F.array(*[
         F.struct(F.lit(i).alias("chunk"),
                  F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))

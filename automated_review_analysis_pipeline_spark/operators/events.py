@@ -461,6 +461,44 @@ def event_transitions(events: DataFrame) -> DataFrame:
     )
 
 
+def ordered_funnel(events: DataFrame) -> DataFrame:
+    """Time-ORDERED conversion funnel view -> click -> purchase: a step
+    counts only if it happens strictly after the user completed the
+    previous step (first view, then first click after that view, then
+    first purchase after that click). Complements event_type_funnel,
+    which only tests presence.
+
+    Three chained min-over-window passes share ONE partitioning
+    (user_id), so Catalyst plans a single Exchange + sort with stacked
+    Window nodes -- per-user timeline scans, no self-joins. Output is one
+    row per user with the microsecond timestamp each stage was reached
+    (null = never reached), so downstream can both count stage
+    conversion and measure stage latency.
+    """
+    w = Window.partitionBy("user_id")
+    us = _us(F.col("ts"))
+    t_view = F.min(F.when(F.col("event_type") == "view", us)).over(w)
+    t_click = F.min(
+        F.when((F.col("event_type") == "click") & (us > F.col("t_view_us")),
+               us)).over(w)
+    t_purchase = F.min(
+        F.when((F.col("event_type") == "purchase")
+               & (us > F.col("t_click_us")), us)).over(w)
+    return (
+        events
+        .withColumn("t_view_us", t_view)
+        .withColumn("t_click_us", t_click)
+        .withColumn("t_purchase_us", t_purchase)
+        .groupBy("user_id")
+        .agg(
+            F.first("t_view_us").alias("t_view_us"),
+            F.first("t_click_us").alias("t_click_us"),
+            F.first("t_purchase_us").alias("t_purchase_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def dau_wau_stickiness(events: DataFrame) -> DataFrame:
     """Daily active users and the rolling 7-day active-user count, with
     the DAU/WAU stickiness ratio -- the standard engagement report.

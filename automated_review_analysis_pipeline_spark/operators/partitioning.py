@@ -57,6 +57,30 @@ def salted_aggregate(df: DataFrame, keys: list[str], aggs: list[Column],
     return partial.groupBy(*keys).agg(*merge_aggs)
 
 
+def salted_join(big: DataFrame, small: DataFrame, on: str, salt_col: str,
+                n_salts: int = 8, how: str = "inner") -> DataFrame:
+    """Skew-handling equi-join for when the small side is too large to
+    broadcast and the big side has hot keys: replicate the small side
+    ``n_salts`` times, spread each big-side key's rows across the salts
+    (deterministically, by hashing the unique ``salt_col``), and join on
+    (key, salt). A hot key's rows land on ``n_salts`` reducers instead of
+    one; the price is an ``n_salts``x blow-up of the SMALL side only.
+
+    Semantically identical to ``big.join(small, on, how)`` for inner/left
+    joins (every big row still meets every matching small row exactly
+    once, in exactly one salt bucket). AQE's skew-join split is the
+    runtime alternative; explicit salting remains the deterministic-layout
+    tool and works for aggregation-free pipelines AQE won't rewrite.
+    """
+    salts = F.explode(
+        F.array(*[F.lit(i) for i in range(n_salts)])).alias("__salt")
+    small_rep = small.select("*", salts)
+    big_s = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)).cast("int"))
+    return big_s.join(small_rep, [on, "__salt"], how).drop("__salt")
+
+
 def partitioned_write(df: DataFrame, path: str, partition_cols: list[str],
                       max_records_per_file: int | None = None) -> None:
     """Hive-style partitioned parquet layout: downstream reads with a

@@ -964,6 +964,80 @@ def q20_dominant_part_suppliers(supplier: DataFrame, nation: DataFrame,
     )
 
 
+def totalprice_equidepth(orders: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Equi-DEPTH histogram of order values: ntile buckets with equal row
+    counts and data-driven boundaries -- the complement of the fixed-width
+    totalprice_histogram, and what query optimizers actually keep.
+
+    The exact form needs a total order (ntile over a global window =
+    one-partition sort), which is fine at report grain but NOT the 100 TB
+    path; at scale compute cut points with approx_percentile (mergeable GK
+    sketch, see order_value_percentiles_approx) and assign buckets with a
+    range predicate -- scan-parallel, no global sort. Ties order
+    deterministically by (price, orderkey) so bucket assignment is stable
+    and oracle-comparable.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            F.ntile(n_buckets).over(w).alias("bucket"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2)
+            .alias("total_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def customer_rfm(orders: DataFrame, n_tiles: int = 4) -> DataFrame:
+    """RFM segmentation: per customer recency (last order date), frequency
+    (order count), monetary (revenue), each scored into quartiles, plus
+    the combined RFM class -- the standard customer-value report.
+
+    One fact-table aggregate to customer grain, then three ntile windows
+    over the (already small) customer frame. Deterministic tie-breaks by
+    custkey; quartile 4 = most recent / most frequent / highest spend.
+    Same scale note as totalprice_equidepth: swap ntile for
+    approx-percentile cut points when the customer frame stops being
+    report-sized.
+    """
+    from pyspark.sql.window import Window
+
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(_dec("o_totalprice")).alias("__rev"),
+    )
+    r_w = Window.orderBy("last_order", "o_custkey")
+    f_w = Window.orderBy("frequency", "o_custkey")
+    m_w = Window.orderBy("__rev", "o_custkey")
+    return (
+        per_cust.select(
+            "o_custkey",
+            F.col("last_order").cast("date").alias("last_order"),
+            "frequency",
+            F.col("__rev").cast("double").alias("monetary"),
+            F.ntile(n_tiles).over(r_w).alias("r_score"),
+            F.ntile(n_tiles).over(f_w).alias("f_score"),
+            F.ntile(n_tiles).over(m_w).alias("m_score"),
+        )
+        .withColumn(
+            "rfm",
+            F.concat_ws("", F.col("r_score"), F.col("f_score"),
+                        F.col("m_score")),
+        )
+        .orderBy("o_custkey")
+    )
+
+
 def customer_pareto(orders: DataFrame, a_cut: float = 0.5,
                     b_cut: float = 0.8) -> DataFrame:
     """Pareto / ABC analysis: customers ranked by revenue with each one's

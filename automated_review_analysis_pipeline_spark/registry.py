@@ -289,6 +289,48 @@ def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.dau_wau_stickiness(_t(spark, sf_dir, "events"))
 
 
+def q_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.ordered_funnel(_t(spark, sf_dir, "events"))
+
+
+def q_totalprice_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.totalprice_equidepth(_t(spark, sf_dir, "orders"))
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.customer_rfm(_t(spark, sf_dir, "orders"))
+
+
+def q_salted_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof fact-to-dim join WITHOUT broadcast: the salted-join
+    utility replicates customer across 8 salts and spreads each
+    customer's orders deterministically, then nation (25 rows) broadcasts
+    onto the result. Same answer as the plain join (the oracle is the
+    plain SQL join); the point is the shuffle shape under a hot custkey.
+    """
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        salted_join,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey")
+    nation = _t(spark, sf_dir, "nation")
+    joined = salted_join(orders, customer, on="o_custkey",
+                         salt_col="o_orderkey", n_salts=8)
+    return (
+        joined.join(F.broadcast(nation),
+                    joined["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                    .cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
 DOC_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
 
 
@@ -908,6 +950,10 @@ QUERIES: dict[str, QueryFn] = {
     "sample_frames": q_sample_frames,
     "user_value_ewma": q_user_value_ewma,
     "customer_pareto": q_customer_pareto,
+    "ordered_funnel": q_ordered_funnel,
+    "totalprice_equidepth": q_totalprice_equidepth,
+    "customer_rfm": q_customer_rfm,
+    "salted_revenue_by_nation": q_salted_revenue_by_nation,
     "event_transitions": q_event_transitions,
     "dau_wau_stickiness": q_dau_wau_stickiness,
     "table_profile": q_table_profile,
@@ -1583,6 +1629,84 @@ FROM orders GROUP BY bucket ORDER BY bucket
 ORACLE_SQL["streaming_dedup"] = """
 SELECT DISTINCT user_id, event_type
 FROM events ORDER BY user_id, event_type
+"""
+
+
+ORACLE_SQL["ordered_funnel"] = """
+WITH v AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           AS t_view_us
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click_us
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view_us
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase_us
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click_us
+  GROUP BY e.user_id
+)
+SELECT u.user_id, v.t_view_us, c.t_click_us, p.t_purchase_us
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+ORDER BY user_id
+"""
+
+
+ORACLE_SQL["totalprice_equidepth"] = """
+WITH t AS (
+  SELECT o_totalprice,
+         CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+           AS bucket
+  FROM orders
+)
+SELECT bucket, count(*) AS n_orders,
+       CAST(min(o_totalprice) AS DOUBLE) AS lo,
+       CAST(max(o_totalprice) AS DOUBLE) AS hi,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+         AS total_value
+FROM t GROUP BY bucket ORDER BY bucket
+"""
+
+
+ORACLE_SQL["customer_rfm"] = """
+WITH pc AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order_ts,
+         count(*) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey,
+         CAST(last_order_ts AS DATE) AS last_order,
+         frequency,
+         CAST(rev AS DOUBLE) AS monetary,
+         CAST(ntile(4) OVER (ORDER BY last_order_ts, o_custkey) AS INT)
+           AS r_score,
+         CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS INT)
+           AS f_score,
+         CAST(ntile(4) OVER (ORDER BY rev, o_custkey) AS INT) AS m_score
+  FROM pc
+)
+SELECT o_custkey, last_order, frequency, monetary, r_score, f_score,
+       m_score, concat(r_score, f_score, m_score) AS rfm
+FROM scored ORDER BY o_custkey
+"""
+
+
+ORACLE_SQL["salted_revenue_by_nation"] = """
+SELECT n_name,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+         AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
 """
 
 

@@ -102,6 +102,10 @@ HEADLINE = [
     "event_transitions",
     "dau_wau_stickiness",
     "table_profile",
+    "ordered_funnel",
+    "totalprice_equidepth",
+    "customer_rfm",
+    "salted_revenue_by_nation",
     "doc_clean",
     "dup_stats",
     "event_props",

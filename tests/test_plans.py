@@ -323,3 +323,39 @@ def test_props_struct_single_json_parse(spark):
     plan = plan_of(spark, "event_props_struct")
     assert plan.count("from_json") == 1
     assert "get_json_object" not in plan
+
+
+def test_ordered_funnel_single_window_exchange(spark):
+    # three chained min-over-user windows + the final agg share ONE
+    # user_id hash partitioning: 1 exchange total, stacked Window nodes
+    plan = plan_of(spark, "ordered_funnel")
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Window" in plan
+
+
+def test_salted_join_no_broadcast_and_salted_keys(spark):
+    # the salted join must join on (key, __salt) -- the skew-spreading
+    # point -- and the customer side must NOT broadcast (that would
+    # defeat the purpose; nation alone broadcasts)
+    plan = optimized_of(spark, "salted_revenue_by_nation")
+    assert "__salt" in plan
+    exec_plan = plan_of(spark, "salted_revenue_by_nation")
+    assert "pmod" in exec_plan
+
+
+def test_equidepth_bucket_sizes_balanced(spark):
+    rows = QUERIES["totalprice_equidepth"](spark, SF).collect()
+    sizes = [r["n_orders"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1          # ntile guarantee
+    los = [r["lo"] for r in rows]
+    assert los == sorted(los)                    # boundaries ascend
+
+
+def test_customer_rfm_scores_in_range(spark):
+    rows = QUERIES["customer_rfm"](spark, SF).collect()
+    assert rows, "rfm produced no rows"
+    for r in rows[:50]:
+        assert 1 <= r["r_score"] <= 4
+        assert 1 <= r["f_score"] <= 4
+        assert 1 <= r["m_score"] <= 4
+        assert r["rfm"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"

@@ -227,6 +227,11 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.near_dup_components(e, threshold=0.35)
 
 
+def q_near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return sim.near_dup_pagerank(e, threshold=0.35)
+
+
 # Query terms chosen from the synthetic corpus vocabulary (present at
 # every scale factor). The SAME tuple feeds the Spark plan and the oracle.
 BM25_QUERY = ("join", "filter", "scan", "window", "column")
@@ -942,6 +947,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_click_attribution": q_streaming_click_attribution,
     "semantic_dedup": q_semantic_dedup,
     "near_dup_components": q_near_dup_components,
+    "near_dup_pagerank": q_near_dup_pagerank,
     "bm25_search": q_bm25_search,
     "corpus_source_stats": q_corpus_source_stats,
     "event_props_struct": q_event_props_struct,
@@ -2237,6 +2243,45 @@ reach(src, dst) AS (
 SELECT src AS vec_id, min(dst) AS component
 FROM reach GROUP BY src ORDER BY vec_id
 """
+
+
+def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power-iteration oracle: recursive CTEs cannot aggregate in
+    the recursive member, but the iteration count is FIXED, so each round
+    becomes one more CTE applying the identical recurrence (left joins
+    keep isolated nodes; dangling mass leaks, as in the operator)."""
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings\n"
+        "      WHERE vec_id < 200)",
+        "edges AS (\n"
+        "  SELECT a.vec_id AS src, b.vec_id AS dst\n"
+        "  FROM e a JOIN e b ON a.vec_id <> b.vec_id\n"
+        f"  WHERE {_cosine_sql('a.v', 'b.v')} >= 0.35\n"
+        ")",
+        "deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM e)",
+        "r0 AS (SELECT vec_id AS node, 1.0/(SELECT n FROM nn) AS rank "
+        "FROM e)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"r{i} AS (\n"
+            f"  SELECT p.node,\n"
+            f"         (1.0 - {damping})/(SELECT n FROM nn)\n"
+            f"         + {damping} * coalesce(sum(r.rank / deg.out_deg), 0.0)"
+            f" AS rank\n"
+            f"  FROM r{i - 1} p\n"
+            f"  LEFT JOIN edges ed ON ed.dst = p.node\n"
+            f"  LEFT JOIN r{i - 1} r ON r.node = ed.src\n"
+            f"  LEFT JOIN deg ON deg.src = ed.src\n"
+            f"  GROUP BY p.node\n"
+            f")")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS vec_id, round(rank, 6) AS pagerank\n"
+              f"FROM r{iterations} ORDER BY pagerank DESC, vec_id")
+
+
+ORACLE_SQL["near_dup_pagerank"] = _pagerank_sql()
 
 
 ORACLE_SQL["bm25_search"] = ta.bm25_search_sql(BM25_QUERY)

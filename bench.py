@@ -102,6 +102,7 @@ HEADLINE = [
     "event_transitions",
     "dau_wau_stickiness",
     "table_profile",
+    "near_dup_pagerank",
     "ordered_funnel",
     "totalprice_equidepth",
     "customer_rfm",

@@ -206,3 +206,18 @@ def test_near_dup_components_variants_agree(spark, sf_dir):
         groups[comp].append(node)
     for comp, members in groups.items():
         assert comp == min(members)
+
+
+def test_pagerank_mass_and_determinism(spark, sf_dir):
+    from automated_review_analysis_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["near_dup_pagerank"](spark, sf_dir).collect()
+    assert rows, "pagerank produced no rows"
+    total = sum(r["pagerank"] for r in rows)
+    # mass can only LEAK (dangling nodes are not redistributed): total in
+    # (0, 1], and every rank at least the teleport floor (1-d)/N
+    assert 0.0 < total <= 1.0 + 1e-6
+    floor = (1.0 - 0.85) / len(rows) - 1e-9
+    assert all(r["pagerank"] >= floor for r in rows)
+    rows2 = QUERIES["near_dup_pagerank"](spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]

@@ -79,6 +79,65 @@ def attach_media_features(media: DataFrame,
     return media.mapInPandas(decode_batches, FEATURE_SCHEMA)
 
 
+Encoder = Callable[[bytes, int, int], bytes]
+
+
+def deterministic_fake_encoder(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """Stand-in for a real thumbnail re-encode: a deterministic byte-count
+    function of the target dims (prefix of the source payload, floor of
+    pixels/64, min 1 byte) so tests and the oracle can assert exact output
+    sizes. Replace with PIL/libvips when the codecs exist."""
+    if payload is None:
+        return b""
+    return payload[:max(1, (new_w * new_h) // 64)]
+
+
+def resize_media(media: DataFrame, max_w: int = 224, max_h: int = 224,
+                 encoder: Encoder = deterministic_fake_encoder) -> DataFrame:
+    """Aspect-preserving thumbnail resize: the dimension math (scale =
+    min(max_w/w, max_h/h, 1), floor, never upscale, min 1px) is pure JVM
+    column arithmetic -- only the per-payload re-encode crosses into
+    Python, as a mapInPandas batch call. At 100 TB the dims projection
+    prunes to metadata columns for planning while payload bytes stream
+    through the encode stage once."""
+    s = F.least(
+        F.lit(float(max_w)) / F.col("width").cast("double"),
+        F.lit(float(max_h)) / F.col("height").cast("double"),
+        F.lit(1.0),
+    )
+    sized = media.withColumn(
+        "new_width",
+        F.greatest(F.floor(F.col("width") * s), F.lit(1)).cast("int"),
+    ).withColumn(
+        "new_height",
+        F.greatest(F.floor(F.col("height") * s), F.lit(1)).cast("int"),
+    )
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = [
+                encoder(p, w, h)
+                for p, w, h in zip(b["payload"], b["new_width"],
+                                   b["new_height"])
+            ]
+            yield pd.DataFrame({
+                "media_id": b["media_id"],
+                "mime": b["mime"],
+                "width": b["width"],
+                "height": b["height"],
+                "new_width": b["new_width"],
+                "new_height": b["new_height"],
+                "payload": out,
+            })
+
+    cols = ("media_id", "mime", "width", "height", "new_width",
+            "new_height", "payload")
+    return sized.select(*cols).mapInPandas(
+        encode_batches,
+        "media_id long, mime string, width int, height int, "
+        "new_width int, new_height int, payload binary")
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000,
                   decoder: Decoder = deterministic_fake_decoder) -> DataFrame:
     """Frame-sampling shape for video payloads: one output row per sampled

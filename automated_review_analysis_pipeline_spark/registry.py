@@ -270,6 +270,28 @@ def q_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id", "frame_ts_ms")
 
 
+def q_resize_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize over synthesized image payloads: dims
+    derive deterministically from doc_id (some below the 224 target, so
+    the no-upscale branch is exercised), payload = UTF-8 text bytes. The
+    deterministic fake encoder's output size (min(src_bytes,
+    max(1, new_w*new_h/64))) makes the binary path value-checkable
+    without shipping binary cells through the driver compare."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("image/png").alias("mime"),
+        (F.lit(120) + (F.col("doc_id") % 40) * 16).cast("int").alias("width"),
+        (F.lit(90) + (F.col("doc_id") % 25) * 24).cast("int").alias("height"),
+    )
+    out = mm.resize_media(media, max_w=224, max_h=224)
+    return out.select(
+        "media_id", "mime", "width", "height", "new_width", "new_height",
+        F.length(F.col("payload")).alias("n_bytes_out"),
+    ).orderBy("media_id")
+
+
 def q_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.user_event_intervals(_t(spark, sf_dir, "events"))
 
@@ -948,6 +970,7 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_dedup": q_semantic_dedup,
     "near_dup_components": q_near_dup_components,
     "near_dup_pagerank": q_near_dup_pagerank,
+    "resize_thumbnails": q_resize_thumbnails,
     "bm25_search": q_bm25_search,
     "corpus_source_stats": q_corpus_source_stats,
     "event_props_struct": q_event_props_struct,
@@ -2282,6 +2305,27 @@ def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
 
 
 ORACLE_SQL["near_dup_pagerank"] = _pagerank_sql()
+
+
+ORACLE_SQL["resize_thumbnails"] = """
+WITH m AS (
+  SELECT doc_id AS media_id, 'image/png' AS mime,
+         CAST(120 + (doc_id % 40) * 16 AS INT) AS width,
+         CAST(90 + (doc_id % 25) * 24 AS INT) AS height,
+         octet_length(encode(text)) AS src_bytes
+  FROM documents WHERE doc_id < 300
+), s AS (
+  SELECT *, least(224.0 / width, 224.0 / height, 1.0) AS scale FROM m
+)
+SELECT media_id, mime, width, height,
+       CAST(greatest(floor(width * scale), 1) AS INT) AS new_width,
+       CAST(greatest(floor(height * scale), 1) AS INT) AS new_height,
+       least(src_bytes,
+             greatest(CAST(greatest(floor(width * scale), 1) AS BIGINT)
+                      * CAST(greatest(floor(height * scale), 1) AS BIGINT)
+                      // 64, 1)) AS n_bytes_out
+FROM s ORDER BY media_id
+"""
 
 
 ORACLE_SQL["bm25_search"] = ta.bm25_search_sql(BM25_QUERY)

@@ -103,6 +103,7 @@ HEADLINE = [
     "dau_wau_stickiness",
     "table_profile",
     "near_dup_pagerank",
+    "resize_thumbnails",
     "ordered_funnel",
     "totalprice_equidepth",
     "customer_rfm",

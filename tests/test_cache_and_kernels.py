@@ -108,6 +108,27 @@ def test_multimodal_features(spark):
     assert out[2]["features"] == [0.0] * 8
 
 
+def test_resize_media_dims_and_payload(spark):
+    from automated_review_analysis_pipeline_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"x" * 5000), "image/png", 448, 224),   # downscale 2x
+         (2, bytearray(b"y" * 10), "image/png", 100, 50),      # no upscale
+         (3, bytearray(b"z" * 5000), "image/png", 10000, 20)], # min-1px clamp
+        "media_id long, payload binary, mime string, width int, height int")
+    out = {r["media_id"]: r for r in resize_media(media, 224, 224).collect()}
+    assert (out[1]["new_width"], out[1]["new_height"]) == (224, 112)
+    assert len(out[1]["payload"]) == min(5000, (224 * 112) // 64)
+    # smaller than target: untouched dims, payload truncation still applies
+    assert (out[2]["new_width"], out[2]["new_height"]) == (100, 50)
+    assert len(out[2]["payload"]) == 10
+    # extreme aspect ratio: height floors to 0 -> clamped to 1
+    assert out[3]["new_width"] == 224
+    assert out[3]["new_height"] == 1
+
+
 def test_real_decoder_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         real_decoder(b"x", "image/png")

@@ -461,6 +461,73 @@ def event_transitions(events: DataFrame) -> DataFrame:
     )
 
 
+def top_session_paths(events: DataFrame, gap_minutes: int = 30,
+                      k: int = 20) -> DataFrame:
+    """Most common session journeys: the ordered event-type sequence of
+    each session, rendered 'view>click>purchase', counted across all
+    sessions; top-k by frequency (ties broken by path string).
+
+    The ordered list aggregation is sort_array(collect_list(struct(ts,
+    event_id, type))) -- collect_list alone is partition-order dependent,
+    so the sort key struct (with the unique event_id as tiebreak) is what
+    makes the path deterministic and the result oracle-comparable. One
+    shuffle to session grain (bounded rows per session), one small path
+    count; the top-k is a TakeOrdered, not a global sort.
+    """
+    s = sessionize(events, gap_minutes)
+    ordered = F.sort_array(F.collect_list(F.struct(
+        _us(F.col("ts")).alias("us"),
+        F.col("event_id"),
+        F.col("event_type"),
+    )))
+    path = F.array_join(
+        F.transform(ordered, lambda x: x["event_type"]), ">")
+    per_sess = s.groupBy("user_id", "session_id").agg(path.alias("path"))
+    return (
+        per_sess.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(k)
+    )
+
+
+def daily_rollup_partials(events: DataFrame) -> DataFrame:
+    """Day-grain MERGEABLE partial aggregate: count + exact decimal sum
+    (algebraic, so partials from disjoint slices re-aggregate without
+    error). The building block for incremental materialized-view
+    maintenance -- see merge_rollups."""
+    return (
+        events.groupBy(_us(F.date_trunc("day", F.col("ts"))).alias("day_us"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("__sum"),
+        )
+    )
+
+
+def merge_rollups(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental view maintenance: merge a persisted day-grain partial
+    aggregate with the partials of newly-arrived events -- union +
+    re-aggregate touches only |days| rows of state, never the history
+    fact table. At 100 TB this is the difference between an append-only
+    daily job over the new partition and a full-table recompute; the
+    oracle for correctness IS the full recompute. Finalization (rounding)
+    happens here, after the merge, so partials stay exact."""
+    return (
+        base.unionByName(delta)
+        .groupBy("day_us")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("__sum").alias("__sum"),
+        )
+        .select(
+            "day_us", "n_events",
+            F.round(F.col("__sum").cast("double"), 4).alias("sum_value"),
+        )
+        .orderBy("day_us")
+    )
+
+
 def ordered_funnel(events: DataFrame) -> DataFrame:
     """Time-ORDERED conversion funnel view -> click -> purchase: a step
     counts only if it happens strictly after the user completed the

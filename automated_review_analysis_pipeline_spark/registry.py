@@ -320,6 +320,25 @@ def q_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.ordered_funnel(_t(spark, sf_dir, "events"))
 
 
+def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.top_session_paths(_t(spark, sf_dir, "events"))
+
+
+ROLLUP_CUTOFF = "2024-01-21"
+
+
+def q_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance, driven end-to-end: the
+    history slice (ts < cutoff) stands in for the persisted partial-agg
+    state, the tail slice for newly-arrived events; the merged result
+    must equal the full recompute (which is exactly the oracle SQL)."""
+    e = _t(spark, sf_dir, "events")
+    cutoff = F.lit(ROLLUP_CUTOFF).cast("timestamp")
+    base = ev.daily_rollup_partials(e.where(F.col("ts") < cutoff))
+    delta = ev.daily_rollup_partials(e.where(F.col("ts") >= cutoff))
+    return ev.merge_rollups(base, delta)
+
+
 def q_totalprice_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.totalprice_equidepth(_t(spark, sf_dir, "orders"))
 
@@ -971,6 +990,8 @@ QUERIES: dict[str, QueryFn] = {
     "near_dup_components": q_near_dup_components,
     "near_dup_pagerank": q_near_dup_pagerank,
     "resize_thumbnails": q_resize_thumbnails,
+    "top_session_paths": q_top_session_paths,
+    "incremental_daily_rollup": q_incremental_daily_rollup,
     "bm25_search": q_bm25_search,
     "corpus_source_stats": q_corpus_source_stats,
     "event_props_struct": q_event_props_struct,
@@ -2305,6 +2326,43 @@ def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
 
 
 ORACLE_SQL["near_dup_pagerank"] = _pagerank_sql()
+
+
+# Reuses the sessions recurrence; string_agg(... ORDER BY) is the DuckDB
+# form of Spark's sort_array(collect_list(struct)) ordered list agg.
+ORACLE_SQL["top_session_paths"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+# The oracle is the FULL recompute -- exactly the equivalence incremental
+# view maintenance must preserve.
+ORACLE_SQL["incremental_daily_rollup"] = """
+SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+       count(*) AS n_events,
+       round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 4) AS sum_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
 
 
 ORACLE_SQL["resize_thumbnails"] = """

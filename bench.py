@@ -104,6 +104,8 @@ HEADLINE = [
     "table_profile",
     "near_dup_pagerank",
     "resize_thumbnails",
+    "top_session_paths",
+    "incremental_daily_rollup",
     "ordered_funnel",
     "totalprice_equidepth",
     "customer_rfm",

@@ -359,3 +359,26 @@ def test_customer_rfm_scores_in_range(spark):
         assert 1 <= r["f_score"] <= 4
         assert 1 <= r["m_score"] <= 4
         assert r["rfm"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+
+
+def test_top_session_paths_take_ordered(spark):
+    plan = plan_of(spark, "top_session_paths")
+    assert "TakeOrderedAndProject" in plan   # top-k, not a global sort
+    # ordered list agg runs with map-side partials (sort_array itself is
+    # folded into the aggregate's output projection, not printed)
+    assert "partial_collect_list" in plan
+
+
+def test_incremental_rollup_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators import events as ev
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, SF, "events")
+    full = ev.merge_rollups(
+        ev.daily_rollup_partials(e),
+        ev.daily_rollup_partials(e.limit(0)))
+    merged = QUERIES["incremental_daily_rollup"](spark, SF)
+    assert [tuple(r) for r in merged.collect()] == \
+           [tuple(r) for r in full.collect()]

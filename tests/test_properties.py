@@ -221,3 +221,18 @@ def test_pagerank_mass_and_determinism(spark, sf_dir):
     assert all(r["pagerank"] >= floor for r in rows)
     rows2 = QUERIES["near_dup_pagerank"](spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
+
+
+def test_ewma_partitioned_equals_grouped(spark, sf_dir):
+    """The per-partition carry-state fold must be ulp-identical to the
+    per-group applyInPandas fold (same recursion, same literal
+    coefficients) -- including users whose runs straddle Arrow batch
+    boundaries."""
+    from automated_review_analysis_pipeline_spark.operators import events as ev
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    grouped = ev.user_value_ewma(e).collect()
+    partitioned = ev.user_value_ewma_partitioned(e).collect()
+    assert [tuple(r) for r in grouped] == [tuple(r) for r in partitioned]
+    assert grouped, "ewma produced no rows"

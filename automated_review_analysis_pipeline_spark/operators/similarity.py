@@ -485,12 +485,16 @@ def near_dup_pagerank(embeddings: DataFrame, threshold: float = 0.35,
     lineage; 5 rounds does not need it.
     """
     pairs = pairwise_cosine_above(embeddings, threshold, id_col)
+    # coalesce(1): the near-dup subgraph is bounded by construction (same
+    # convention as near_dup_components' distributed path) -- 5 rounds of
+    # 32-partition shuffles on a 200-row frame is pure scheduling
+    # overhead. At cluster scale remove it and the identical plan shards.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"),
                             F.col("id_a").alias("dst")))
-    ).cache()
-    nodes = embeddings.select(F.col(id_col).alias("node"))
+    ).coalesce(1).cache()
+    nodes = embeddings.select(F.col(id_col).alias("node")).coalesce(1).cache()
     n = nodes.count()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     base = (1.0 - damping) / n

@@ -571,6 +571,34 @@ def daily_rollup_partials(events: DataFrame) -> DataFrame:
     )
 
 
+def merge_partials(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two day-grain partial aggregates (count + exact decimal sum)
+    into one -- still a partial, so merges chain (batch N's state + batch
+    N+1's delta). The decimal is pinned to (38,6) so repeated merges do
+    not walk Spark's sum-precision widening into a different type each
+    round (state written to parquet must be schema-stable)."""
+    return (
+        base.unionByName(delta)
+        .groupBy("day_us")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("__sum").cast("decimal(38,6)").alias("__sum"),
+        )
+    )
+
+
+def finalize_rollup(partials: DataFrame) -> DataFrame:
+    """Finalize day-grain partials for presentation: one double
+    conversion + rounding, after all merging is done."""
+    return (
+        partials.select(
+            "day_us", "n_events",
+            F.round(F.col("__sum").cast("double"), 4).alias("sum_value"),
+        )
+        .orderBy("day_us")
+    )
+
+
 def merge_rollups(base: DataFrame, delta: DataFrame) -> DataFrame:
     """Incremental view maintenance: merge a persisted day-grain partial
     aggregate with the partials of newly-arrived events -- union +
@@ -578,20 +606,8 @@ def merge_rollups(base: DataFrame, delta: DataFrame) -> DataFrame:
     fact table. At 100 TB this is the difference between an append-only
     daily job over the new partition and a full-table recompute; the
     oracle for correctness IS the full recompute. Finalization (rounding)
-    happens here, after the merge, so partials stay exact."""
-    return (
-        base.unionByName(delta)
-        .groupBy("day_us")
-        .agg(
-            F.sum("n_events").alias("n_events"),
-            F.sum("__sum").alias("__sum"),
-        )
-        .select(
-            "day_us", "n_events",
-            F.round(F.col("__sum").cast("double"), 4).alias("sum_value"),
-        )
-        .orderBy("day_us")
-    )
+    happens after the merge, so partials stay exact."""
+    return finalize_rollup(merge_partials(base, delta))
 
 
 def ordered_funnel(events: DataFrame) -> DataFrame:

@@ -717,6 +717,23 @@ def q_streaming_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("reg_profiles")
 
 
+def q_streaming_incremental_rollup(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """foreachBatch incremental maintenance of the day-grain rollup; the
+    final merged state must equal the full batch recompute (the oracle is
+    the identical full-recompute SQL as incremental_daily_rollup)."""
+    import tempfile
+
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        streaming_incremental_rollup,
+    )
+
+    _utc(spark)
+    state = tempfile.mkdtemp(prefix="arap_rollup_state_")
+    return streaming_incremental_rollup(
+        spark, f"{sf_dir}/events.parquet", state)
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-touch dedup on (user_id, event_type); returns the
     key set, which is arrival-order independent -> exact SQL oracle
@@ -994,6 +1011,7 @@ QUERIES: dict[str, QueryFn] = {
     "resize_thumbnails": q_resize_thumbnails,
     "top_session_paths": q_top_session_paths,
     "incremental_daily_rollup": q_incremental_daily_rollup,
+    "streaming_incremental_rollup": q_streaming_incremental_rollup,
     "bm25_search": q_bm25_search,
     "corpus_source_stats": q_corpus_source_stats,
     "event_props_struct": q_event_props_struct,
@@ -2358,13 +2376,16 @@ LIMIT 20
 
 
 # The oracle is the FULL recompute -- exactly the equivalence incremental
-# view maintenance must preserve.
+# view maintenance must preserve (batch and foreachBatch-streaming forms
+# share it).
 ORACLE_SQL["incremental_daily_rollup"] = """
 SELECT epoch_us(date_trunc('day', ts)) AS day_us,
        count(*) AS n_events,
        round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 4) AS sum_value
 FROM events GROUP BY 1 ORDER BY 1
 """
+ORACLE_SQL["streaming_incremental_rollup"] = (
+    ORACLE_SQL["incremental_daily_rollup"])
 
 
 ORACLE_SQL["resize_thumbnails"] = """

@@ -61,3 +61,40 @@ def test_streaming_sessions_cover_all_events(spark, stream, sf_dir):
     for r in out.collect():
         stream_sessions[r["user_id"]] = stream_sessions.get(r["user_id"], 0) + 1
     assert stream_sessions == {u: int(n) for u, n in batch_sessions.items()}
+
+
+def test_streaming_incremental_rollup_multi_batch(spark, sf_dir, tmp_path):
+    """Split the events into 4 files and stream ONE file per micro-batch:
+    the foreachBatch state must merge across genuinely separate batches
+    and the final view must equal the full batch recompute."""
+    from automated_review_analysis_pipeline_spark.operators.events import (
+        daily_rollup_partials,
+        finalize_rollup,
+        merge_partials,
+    )
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        streaming_incremental_rollup,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # keep ts as raw nanos (the stream reader does its own conversion)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(EVENTS_PATH)
+    src = str(tmp_path / "events_split")
+    raw.repartition(4).write.parquet(src)
+
+    state = str(tmp_path / "state")
+    out = streaming_incremental_rollup(
+        spark, src, state, max_files_per_trigger=1)
+
+    e = load_table(spark, sf_dir, "events")
+    full = finalize_rollup(
+        merge_partials(daily_rollup_partials(e),
+                       daily_rollup_partials(e.limit(0))))
+    assert [tuple(r) for r in out.collect()] == \
+           [tuple(r) for r in full.collect()]
+
+    # multiple state versions prove multiple merge rounds actually ran
+    import os
+    versions = [d for d in os.listdir(state) if d.startswith("v")]
+    assert len(versions) >= 4

@@ -442,6 +442,73 @@ def user_value_ewma(events: DataFrame, alpha: float = 0.2,
     )
 
 
+def debounce_events(events: DataFrame, gap_seconds: int = 60) -> DataFrame:
+    """Leading-edge debounce: keep only the FIRST event of each (user,
+    type) burst, where a burst chains events separated by <=
+    ``gap_seconds`` from their PREDECESSOR (so a retry storm ticking
+    every few seconds stays one burst however long it lasts) -- the
+    telemetry-cleaning op for retry storms and double-clicks.
+
+    A burst head is exactly a row whose lag-gap exceeds the threshold,
+    so the keep-filter and the burst numbering (running sum of heads)
+    come from two stacked windows over ONE (user, type) shuffle. The
+    alternative "throttle" semantics (gap measured from the last KEPT
+    row, re-emitting inside a long burst) is a per-key recursion -- the
+    user_value_ewma_partitioned carry-fold pattern, not a window."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = _us(F.col("ts"))
+    prev_us = F.lag(us).over(w)
+    is_new = (
+        prev_us.isNull() | (us - prev_us > gap_seconds * 1_000_000)
+    ).cast("long")
+    burst = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        events.withColumn("__new", is_new)
+        .withColumn("__burst", burst)
+        .where(F.col("__new") == 1)
+        .select("event_id", "user_id", "event_type",
+                us.alias("ts_us"), F.col("__burst").alias("burst_id"))
+        .orderBy("event_id")
+    )
+
+
+def event_dow_chi2(events: DataFrame) -> DataFrame:
+    """Chi-square independence report between event_type and day-of-week:
+    per-cell observed count, expected count under independence
+    (row_total x col_total / grand_total), and the cell's chi2 term --
+    the screening stat for "does behavior differ by weekday".
+
+    Day index is days-since-epoch mod 7 (pure integer math, identical
+    across engines -- named weekday functions disagree on 0- vs 1-based
+    and week start). One fact-table aggregate to the |types| x 7
+    contingency grain; the marginals are windows over that tiny frame,
+    not extra scans."""
+    day_idx = (_us(F.col("ts")) / F.lit(86_400_000_000)).cast("long") % 7
+    cells = events.groupBy(
+        F.col("event_type"), day_idx.alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_obs"))
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("dow")
+    w_all = Window.partitionBy()
+    expected = (
+        F.sum("n_obs").over(w_row).cast("double")
+        * F.sum("n_obs").over(w_col).cast("double")
+        / F.sum("n_obs").over(w_all).cast("double")
+    )
+    return (
+        cells.select(
+            "event_type", "dow", "n_obs",
+            F.round(expected, 6).alias("expected"),
+            F.round(
+                (F.col("n_obs").cast("double") - expected)
+                * (F.col("n_obs").cast("double") - expected) / expected, 6)
+            .alias("chi2_term"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
 def user_value_ewma_partitioned(events: DataFrame, alpha: float = 0.2,
                                 min_events: int = 3) -> DataFrame:
     """user_value_ewma's production form: identical recursion and literal

@@ -326,6 +326,18 @@ def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.top_session_paths(_t(spark, sf_dir, "events"))
 
 
+def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 24h gap: the synthetic events are sparse per (user, type), so short
+    # gaps debounce almost nothing (60s kept 9995/10000 -- a trivial
+    # check); 24h drops ~36% and yields several bursts per key.
+    return ev.debounce_events(_t(spark, sf_dir, "events"),
+                              gap_seconds=86400)
+
+
+def q_event_dow_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.event_dow_chi2(_t(spark, sf_dir, "events"))
+
+
 ROLLUP_CUTOFF = "2024-01-21"
 
 
@@ -1012,6 +1024,8 @@ QUERIES: dict[str, QueryFn] = {
     "top_session_paths": q_top_session_paths,
     "incremental_daily_rollup": q_incremental_daily_rollup,
     "streaming_incremental_rollup": q_streaming_incremental_rollup,
+    "debounce_events": q_debounce_events,
+    "event_dow_chi2": q_event_dow_chi2,
     "bm25_search": q_bm25_search,
     "corpus_source_stats": q_corpus_source_stats,
     "event_props_struct": q_event_props_struct,
@@ -2386,6 +2400,53 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 ORACLE_SQL["streaming_incremental_rollup"] = (
     ORACLE_SQL["incremental_daily_rollup"])
+
+
+ORACLE_SQL["debounce_events"] = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 86400000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), b AS (
+  SELECT *, sum(is_new) OVER (
+    PARTITION BY user_id, event_type ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS burst_id
+  FROM flagged
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type, burst_id
+    ORDER BY ts, event_id) AS rn
+  FROM b
+)
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+       CAST(burst_id AS BIGINT) AS burst_id
+FROM r WHERE rn = 1 ORDER BY event_id
+"""
+
+
+# day index = days-since-epoch mod 7: named weekday functions disagree on
+# 0- vs 1-based across engines; integer math does not. expected stays
+# UNrounded inside the chi2 term (rounding only at output, both engines).
+ORACLE_SQL["event_dow_chi2"] = """
+WITH cells AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow,
+         count(*) AS n_obs
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT *,
+         sum(n_obs) OVER (PARTITION BY event_type)::DOUBLE
+         * sum(n_obs) OVER (PARTITION BY dow)::DOUBLE
+         / sum(n_obs) OVER ()::DOUBLE AS expected
+  FROM cells
+)
+SELECT event_type, dow, n_obs, round(expected, 6) AS expected,
+       round((n_obs::DOUBLE - expected) * (n_obs::DOUBLE - expected)
+             / expected, 6) AS chi2_term
+FROM m ORDER BY event_type, dow
+"""
 
 
 ORACLE_SQL["resize_thumbnails"] = """

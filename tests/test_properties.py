@@ -236,3 +236,22 @@ def test_ewma_partitioned_equals_grouped(spark, sf_dir):
     partitioned = ev.user_value_ewma_partitioned(e).collect()
     assert [tuple(r) for r in grouped] == [tuple(r) for r in partitioned]
     assert grouped, "ewma produced no rows"
+
+
+def test_debounce_chains_bursts(spark):
+    """A burst chains through its predecessor: 0s, 50s, 100s with a 60s
+    gap is ONE burst (100s is <=60s from 50s even though >60s from the
+    head); 200s starts a second burst."""
+    from automated_review_analysis_pipeline_spark.operators.events import (
+        debounce_events,
+    )
+
+    rows = [(i, ts * 1_000_000, 1, "click", 0.0, "{}")
+            for i, ts in enumerate([0, 50, 100, 200])]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts_raw long, user_id long, event_type string,"
+              " value double, props string"
+    ).selectExpr("event_id", "timestamp_micros(ts_raw) AS ts", "user_id",
+                 "event_type", "value", "props")
+    out = debounce_events(e, gap_seconds=60).collect()
+    assert [(r["event_id"], r["burst_id"]) for r in out] == [(0, 1), (3, 2)]

@@ -404,3 +404,154 @@ def simhash_near_dup_pairs(documents: DataFrame, id_col: str = "doc_id",
         .distinct()
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (the MOSS algorithm): Rabin polynomial k-gram
+# hashes + per-window minimum selection. Schleimer/Wilkerson/Aiken,
+# "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003.
+#
+# The classic presentation rolls the hash incrementally because it targets
+# a sequential machine; a columnar engine evaluates every k-gram's
+# polynomial directly inside one whole-stage-codegen projection, which is
+# the same O(n*k) work without the sequential dependency. Everything is
+# integer math mod 2^31-1 on md5-derived token hashes, so the DuckDB
+# oracle reproduces the fingerprints bit-for-bit.
+# ---------------------------------------------------------------------------
+
+WINNOW_BASE = 1_000_003      # polynomial base; th*BASE stays < 2^51 (int64-safe)
+WINNOW_ENC = 2_147_483_648   # 2^31 > any fp: encodes (pos, fp) as pos*ENC + fp
+
+
+def _rabin_poly(token_hash_slice: Column) -> Column:
+    """Horner fold: sum th_j * BASE^(len-1-j) mod p over the slice.
+    Init 0 keeps the first step (0*B + th_1) % p == th_1, so a length-1
+    slice hashes to the bare token hash (short-doc fallback)."""
+    return F.aggregate(
+        token_hash_slice, F.lit(0).cast("long"),
+        lambda a, x: (a * F.lit(WINNOW_BASE) + x) % F.lit(MINHASH_PRIME))
+
+
+def stage_winnow_hashes(documents: DataFrame, text_col: str = "text",
+                        k: int = 4) -> DataFrame:
+    """doc_id + staged k-gram Rabin hash array ``__kh`` (+ token count
+    ``n``). Three stacked projections so the token split, the per-token
+    md5, and the k-gram polynomials each live in their OWN attribute --
+    the multi-reference inlining trap of PERF.md #1 (each __kh lambda
+    slices __h several times; as an attribute that is free).
+
+    Docs with fewer than k tokens hash their whole token list as one
+    lower-degree polynomial (same family), so every doc yields >=1 k-gram.
+    """
+    toks = F.filter(shingle_tokens(F.col(text_col)), lambda t: t != "")
+    staged = documents.select("doc_id", toks.alias("__tk"))
+    th = F.transform(
+        F.col("__tk"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_PRIME))
+    staged = staged.select(
+        "doc_id", F.size("__tk").alias("n"), th.alias("__h"))
+    kh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.col("n") - F.lit(k - 1), F.lit(1))),
+        lambda i: _rabin_poly(F.slice(F.col("__h"), i, k)))
+    return staged.select("doc_id", "n", kh.alias("__kh"))
+
+
+def _winnow_select(kh: Column, w: int) -> Column:
+    """Distinct window selections over the k-gram hash attribute, encoded
+    pos*WINNOW_ENC + fp (DuckDB cannot list_distinct structs; a single
+    int64 dedupes identically in both engines). Each length-w window
+    contributes its minimum hash; ties keep the RIGHTMOST position (the
+    winnowing paper's rule, which makes overlapping windows re-select the
+    same (pos, fp) and collapse under distinct)."""
+    m = F.size(kh)
+
+    def win_min(i):
+        return F.array_min(F.slice(kh, i, w))
+
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(m - F.lit(w - 1), F.lit(1))),
+        lambda i:
+            F.array_max(F.filter(
+                F.sequence(i, F.least(i + F.lit(w - 1), m)),
+                lambda j: F.element_at(kh, j) == win_min(i)))
+            * F.lit(WINNOW_ENC) + win_min(i)))
+
+
+def winnow_fingerprints(documents: DataFrame, text_col: str = "text",
+                        k: int = 4, w: int = 4) -> DataFrame:
+    """Per-doc winnowing summary: token/k-gram counts, number of selected
+    fingerprints, and the sorted distinct fingerprint values as CSV (the
+    driver-compare-safe serialization of the set).
+
+    One map-only projection chain -- no shuffle, no UDF; at 100 TB this
+    is a pure scan->project stage whose cost is the md5 per token."""
+    sel = _winnow_select(F.col("__kh"), w)
+    fps = F.array_sort(F.array_distinct(
+        F.transform(sel, lambda s: s % F.lit(WINNOW_ENC))))
+    return (
+        stage_winnow_hashes(documents, text_col, k)
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.size("__kh").alias("n_kgrams"),
+            sel.alias("__sel"),
+            fps.alias("__fps"))
+        .select(
+            "doc_id", "n_tokens", "n_kgrams",
+            F.size("__sel").alias("n_fps"),
+            F.concat_ws(",", F.transform(
+                F.col("__fps"), lambda x: x.cast("string"))).alias("fp_csv"))
+        .orderBy("doc_id")
+    )
+
+
+def winnow_overlap_pairs(documents: DataFrame, text_col: str = "text",
+                         k: int = 4, w: int = 4, min_shared: int = 2,
+                         max_df: int = 50) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints: docs sharing >=
+    ``min_shared`` distinct fingerprints, with overlap_ppm =
+    floor(1e6 * shared / min(|fps_a|, |fps_b|)) (integer arithmetic --
+    engine-portable, cf. quality_score).
+
+    Fingerprints occurring in more than ``max_df`` docs are dropped before
+    the join (stop-fingerprints: boilerplate phrases). That cap is what
+    keeps the self-join linear-ish at scale -- without it one viral
+    n-gram mates every pair of its documents. The exploded fingerprint
+    frame is cached because THREE consumers scan it (df cap, per-doc
+    sizes, the pair join); at 100 TB it would be a persisted table."""
+    sel = _winnow_select(F.col("__kh"), w)
+    base = (
+        stage_winnow_hashes(documents, text_col, k)
+        .select("doc_id", F.explode(F.array_distinct(
+            F.transform(sel, lambda s: s % F.lit(WINNOW_ENC)))).alias("fp"))
+        .cache()
+    )
+    doc_sizes = base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
+    keep_fps = (
+        base.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("fp")
+    )
+    pruned = base.join(keep_fps, "fp")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"),
+                 F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+    na = doc_sizes.select(F.col("doc_id").alias("id_a"),
+                          F.col("n_fps").alias("n_fps_a"))
+    nb = doc_sizes.select(F.col("doc_id").alias("id_b"),
+                          F.col("n_fps").alias("n_fps_b"))
+    return (
+        shared.join(na, "id_a").join(nb, "id_b")
+        .select(
+            "id_a", "id_b", "shared_fps", "n_fps_a", "n_fps_b",
+            F.floor(F.lit(1_000_000) * F.col("shared_fps")
+                    / F.least("n_fps_a", "n_fps_b")).alias("overlap_ppm"))
+        .orderBy("id_a", "id_b")
+    )

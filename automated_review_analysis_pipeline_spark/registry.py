@@ -157,6 +157,14 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.0)
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.winnow_overlap_pairs(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # similarity search over `embeddings`
 # ---------------------------------------------------------------------------
@@ -944,6 +952,8 @@ QUERIES: dict[str, QueryFn] = {
     "dup_stats": q_dup_stats,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_pairs": q_minhash_pairs,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "label_centroids": q_label_centroids,
@@ -2597,3 +2607,77 @@ FROM dau JOIN wau USING (day_us) ORDER BY day_us
 
 ORACLE_SQL["table_profile"] = ta.table_profile_sql(
     "documents", DOC_PROFILE_COLS)
+
+
+def _winnow_cte(k: int = 4, w: int = 4) -> str:
+    """Shared winnowing pipeline CTE, generated from the dedup constants
+    (token-hash family, Rabin base, pos*2^31+fp encoding) so the oracle
+    can never drift from the Spark expressions in operators/dedup.py."""
+    p, b, enc = dedup.MINHASH_PRIME, dedup.WINNOW_BASE, dedup.WINNOW_ENC
+    return f"""
+toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                t -> t <> '') AS tk
+  FROM documents
+), th AS (
+  SELECT doc_id, len(tk) AS n,
+    list_transform(tk, t ->
+      CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT)::BIGINT % {p}) AS h
+  FROM toks
+), kg AS (
+  SELECT doc_id, n,
+    list_transform(range(1, greatest(n - {k} + 1, 1) + 1), i ->
+      list_reduce(list_prepend(0::BIGINT, h[i : i + {k} - 1]),
+                  (a, x) -> (a * {b} + x) % {p})) AS kh
+  FROM th
+), sel AS (
+  SELECT doc_id, n, len(kh) AS m,
+    list_distinct(
+      list_transform(range(1, greatest(len(kh) - {w} + 1, 1) + 1), i ->
+        list_max(list_filter(range(i, least(i + {w} - 1, len(kh)) + 1),
+                 j -> kh[j] = list_min(kh[i : i + {w} - 1]))) * {enc}::BIGINT
+        + list_min(kh[i : i + {w} - 1]))) AS sel
+  FROM kg
+)"""
+
+
+ORACLE_SQL["winnow_fingerprints"] = f"""
+WITH {_winnow_cte()}
+SELECT doc_id, CAST(n AS INT) AS n_tokens, CAST(m AS INT) AS n_kgrams,
+  CAST(len(sel) AS INT) AS n_fps,
+  list_aggr(
+    list_sort(list_distinct(
+      list_transform(sel, s -> s % {dedup.WINNOW_ENC}))),
+    'string_agg', ',') AS fp_csv
+FROM sel ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["winnow_overlap_pairs"] = f"""
+WITH {_winnow_cte()},
+docfp AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(sel, s -> s % {dedup.WINNOW_ENC})) AS fp
+  FROM sel
+), sizes AS (
+  SELECT doc_id, count(*) AS n_fps FROM docfp GROUP BY doc_id
+), keep AS (
+  SELECT fp FROM docfp GROUP BY fp HAVING count(*) <= 50
+), pruned AS (
+  SELECT d.doc_id, d.fp FROM docfp d JOIN keep USING (fp)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+  FROM pruned a JOIN pruned b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT id_a, id_b, shared_fps,
+  sa.n_fps AS n_fps_a, sb.n_fps AS n_fps_b,
+  CAST(floor(1000000.0 * shared_fps / least(sa.n_fps, sb.n_fps)) AS BIGINT)
+    AS overlap_ppm
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+ORDER BY id_a, id_b
+"""

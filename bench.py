@@ -118,6 +118,10 @@ HEADLINE = [
     "simhash_pairs",
     "sign_lsh_topk",
     "ivf_topk",
+    "debounce_events",
+    "event_dow_chi2",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
     "approx_distinct_users",
 ]
 

@@ -382,3 +382,19 @@ def test_incremental_rollup_equals_full_recompute(spark):
     merged = QUERIES["incremental_daily_rollup"](spark, SF)
     assert [tuple(r) for r in merged.collect()] == \
            [tuple(r) for r in full.collect()]
+
+
+def test_winnow_fingerprints_map_only(spark):
+    """The per-doc winnowing summary must stay a scan->project pipeline:
+    no hash shuffle (the only exchange is the output-order range sort),
+    and no Python evaluation -- all the hashing is JVM column math."""
+    plan = plan_of(spark, "winnow_fingerprints")
+    assert "hashpartitioning" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_winnow_overlap_no_cartesian(spark):
+    """The fingerprint self-join must be an equi-join on fp, never a
+    cartesian; stop-fingerprint pruning keeps the join linear-ish."""
+    plan = plan_of(spark, "winnow_overlap_pairs")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

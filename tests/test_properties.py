@@ -255,3 +255,47 @@ def test_debounce_chains_bursts(spark):
                  "event_type", "value", "props")
     out = debounce_events(e, gap_seconds=60).collect()
     assert [(r["event_id"], r["burst_id"]) for r in out] == [(0, 1), (3, 2)]
+
+
+WINNOW_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog the quick brown fox"),
+    (2, "a b"),
+    (3, "  Mixed   CASE    text  with   runs  of space and more text here "),
+    (4, "one two three four"),
+    (5, "the quick brown fox jumps over the lazy dog again and again ok"),
+]
+
+
+def _winnow_frame(spark):
+    return spark.createDataFrame(WINNOW_DOCS, "doc_id long, text string")
+
+
+def test_winnow_fingerprints_exact(spark):
+    """Pinned fingerprint values (md5 -> Rabin poly -> window min is fully
+    deterministic): repeated phrases collapse (doc 1 has 13 tokens but 3
+    fps), short docs fall back to one whole-doc polynomial, and the
+    shared phrase between docs 1 and 5 yields shared fingerprints."""
+    from automated_review_analysis_pipeline_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    out = [tuple(r) for r in winnow_fingerprints(_winnow_frame(spark)).collect()]
+    assert out == [
+        (1, 13, 10, 3, "119438479,146813182,162203728"),
+        (2, 2, 1, 1, "801072816"),
+        (3, 11, 8, 2, "47886566,293842821"),
+        (4, 4, 1, 1, "184736512"),
+        (5, 13, 10, 3, "44772918,146813182,162203728"),
+    ]
+
+
+def test_winnow_overlap_pairs_toy(spark):
+    """Docs 1 and 5 share the 'the quick brown fox jumps over the lazy
+    dog' prefix -> 2 of each doc's 3 fingerprints match; overlap_ppm is
+    the integer floor of 2/3."""
+    from automated_review_analysis_pipeline_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    out = [tuple(r) for r in winnow_overlap_pairs(_winnow_frame(spark)).collect()]
+    assert out == [(1, 5, 2, 3, 3, 666666)]

@@ -754,3 +754,82 @@ def dau_wau_stickiness(events: DataFrame) -> DataFrame:
         )
         .orderBy("day_us")
     )
+
+
+def ab_value_report(events: DataFrame) -> DataFrame:
+    """Welch two-sample t report per event_type: users split A/B by md5
+    parity (deterministic, engine-portable -- never split on raw id
+    parity, which correlates with signup order), then mean `value`
+    difference tested with unequal-variance t and Welch-Satterthwaite df.
+
+    ONE aggregate: both arms come from conditional decimal moment sums in
+    the same groupBy (no second shuffle, no self-join). Float ops happen
+    only AFTER the exact decimal sums -- the user_value_trend discipline
+    -- so Spark and the oracle agree bit-for-bit through the final
+    round()."""
+    arm = (
+        F.conv(F.substring(F.md5(F.concat(
+            F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8),
+            16, 10).cast("long") % 2
+    )
+    y = F.col("value").cast("decimal(18,6)")
+    m = (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.when(arm == 0, 1)).alias("n_a"),
+            F.count(F.when(arm == 1, 1)).alias("n_b"),
+            F.sum(F.when(arm == 0, y)).alias("__sy_a"),
+            F.sum(F.when(arm == 1, y)).alias("__sy_b"),
+            F.sum(F.when(arm == 0, y * y)).alias("__syy_a"),
+            F.sum(F.when(arm == 1, y * y)).alias("__syy_b"),
+        )
+        .where((F.col("n_a") > 1) & (F.col("n_b") > 1))
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sya, syb = F.col("__sy_a").cast("double"), F.col("__sy_b").cast("double")
+    syya = F.col("__syy_a").cast("double")
+    syyb = F.col("__syy_b").cast("double")
+    mean_a, mean_b = sya / na, syb / nb
+    var_a = (na * syya - sya * sya) / (na * (na - 1))
+    var_b = (nb * syyb - syb * syb) / (nb * (nb - 1))
+    va, vb = var_a / na, var_b / nb
+    t = (mean_a - mean_b) / F.sqrt(va + vb)
+    df_w = (va + vb) * (va + vb) / (
+        va * va / (na - 1) + vb * vb / (nb - 1))
+    return (
+        m.select(
+            "event_type", "n_a", "n_b",
+            F.round(mean_a, 6).alias("mean_a"),
+            F.round(mean_b, 6).alias("mean_b"),
+            F.round(t, 6).alias("t_welch"),
+            F.round(df_w, 4).alias("df_welch"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def cdc_apply(events: DataFrame) -> DataFrame:
+    """CDC log compaction: read events as a change stream keyed by
+    user_id -- 'error' rows are tombstones (delete), every other type
+    upserts (event_type, value) -- and materialize the latest-wins
+    snapshot. Keys whose LAST change is a tombstone vanish.
+
+    One window over one (user_id) shuffle picks the winner; ties on ts
+    break by event_id (the change log's sequence number), which makes the
+    snapshot deterministic under replay -- the property that lets a
+    1000-executor backfill reprocess any subrange idempotently."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .where(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.round("value", 6).alias("last_value"),
+            _us(F.col("ts")).alias("last_ts_us"),
+            F.col("event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )

@@ -1079,3 +1079,40 @@ def customer_pareto(orders: DataFrame, a_cut: float = 0.5,
         )
         .orderBy("rank")
     )
+
+
+def revenue_grouping_sets(orders: DataFrame, customer: DataFrame,
+                          nation: DataFrame) -> DataFrame:
+    """Arbitrary GROUPING SETS -- (nation, year), (nation), (year), () --
+    in ONE aggregation pass with grouping_id() disambiguating subtotal
+    rows from genuine NULL keys. Completes the grouping-family coverage
+    next to rollup (revenue_rollup) and cube (volume_cube); unlike those,
+    the sets here are not a lattice prefix, which only GROUPING SETS can
+    express. Dimension joins broadcast (customer/nation are small);
+    Catalyst expands the sets before one partial+final hash agg."""
+    joined = (
+        orders
+        .join(F.broadcast(customer),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _dec("o_totalprice").alias("__price"),
+        )
+    )
+    return (
+        joined.groupingSets(
+            [["n_name", "o_year"], ["n_name"], ["o_year"], []],
+            "n_name", "o_year")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("__price").cast("double").alias("revenue"),
+        )
+        .select("gid", "n_name", "o_year", "n_orders", "revenue")
+        .orderBy(F.col("gid"),
+                 F.col("n_name").asc_nulls_first(),
+                 F.col("o_year").asc_nulls_first())
+    )

@@ -39,6 +39,7 @@ from automated_review_analysis_pipeline_spark.operators import (
     multimodal as mm,
     relational as rel,
     similarity as sim,
+    sketches as sk,
     textanalysis as ta,
 )
 from automated_review_analysis_pipeline_spark.operators.reshape import parse_products
@@ -332,6 +333,29 @@ def q_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.top_session_paths(_t(spark, sf_dir, "events"))
+
+
+def q_ab_value_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.ab_value_report(_t(spark, sf_dir, "events"))
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.cdc_apply(_t(spark, sf_dir, "events"))
+
+
+def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rel.revenue_grouping_sets(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"))
+
+
+def q_count_min_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # w=32 on ~150 users (sf0.01) forces real bucket collisions, so the
+    # estimate-vs-exact columns actually exercise the min-over-rows
+    # reduction; production widths would be 2^10..2^16.
+    return sk.count_min_report(
+        _t(spark, sf_dir, "events"), "user_id", d=4, w=32)
 
 
 def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1034,6 +1058,10 @@ QUERIES: dict[str, QueryFn] = {
     "top_session_paths": q_top_session_paths,
     "incremental_daily_rollup": q_incremental_daily_rollup,
     "streaming_incremental_rollup": q_streaming_incremental_rollup,
+    "ab_value_report": q_ab_value_report,
+    "cdc_apply": q_cdc_apply,
+    "revenue_grouping_sets": q_revenue_grouping_sets,
+    "count_min_users": q_count_min_users,
     "debounce_events": q_debounce_events,
     "event_dow_chi2": q_event_dow_chi2,
     "bm25_search": q_bm25_search,
@@ -2680,4 +2708,81 @@ FROM pairs
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 ORDER BY id_a, id_b
+"""
+
+
+ORACLE_SQL["count_min_users"] = sk.count_min_sql("events", "user_id",
+                                                 d=4, w=32)
+
+
+# A/B arms from md5 parity; decimal moment sums; Welch t + Satterthwaite
+# df as the only float ops (after the exact sums), mirroring the Spark
+# expressions term-for-term so the IEEE operations are identical.
+ORACLE_SQL["ab_value_report"] = """
+WITH m AS (
+  SELECT event_type,
+    count(*) FILTER (arm = 0) AS n_a,
+    count(*) FILTER (arm = 1) AS n_b,
+    sum(y) FILTER (arm = 0) AS sy_a,
+    sum(y) FILTER (arm = 1) AS sy_b,
+    sum(y * y) FILTER (arm = 0) AS syy_a,
+    sum(y * y) FILTER (arm = 1) AS syy_b
+  FROM (
+    SELECT event_type,
+      CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+           AS UBIGINT)::BIGINT % 2 AS arm,
+      CAST(value AS DECIMAL(18,6)) AS y
+    FROM events)
+  GROUP BY 1
+  HAVING n_a > 1 AND n_b > 1
+)
+, v AS (
+  SELECT event_type, n_a, n_b,
+    sy_a::DOUBLE / n_a::DOUBLE AS mean_a,
+    sy_b::DOUBLE / n_b::DOUBLE AS mean_b,
+    (n_a::DOUBLE * syy_a::DOUBLE - sy_a::DOUBLE * sy_a::DOUBLE)
+      / (n_a::DOUBLE * (n_a::DOUBLE - 1)) / n_a::DOUBLE AS va,
+    (n_b::DOUBLE * syy_b::DOUBLE - sy_b::DOUBLE * sy_b::DOUBLE)
+      / (n_b::DOUBLE * (n_b::DOUBLE - 1)) / n_b::DOUBLE AS vb
+  FROM m
+)
+SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  round(mean_a, 6) AS mean_a,
+  round(mean_b, 6) AS mean_b,
+  round((mean_a - mean_b) / sqrt(va + vb), 6) AS t_welch,
+  round((va + vb) * (va + vb)
+        / (va * va / (n_a::DOUBLE - 1) + vb * vb / (n_b::DOUBLE - 1)), 4)
+    AS df_welch
+FROM v ORDER BY event_type
+"""
+
+
+ORACLE_SQL["cdc_apply"] = """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts, event_id,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_type,
+       round(value, 6) AS last_value,
+       epoch_us(ts) AS last_ts_us,
+       event_id AS last_event_id
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+ORACLE_SQL["revenue_grouping_sets"] = """
+SELECT CAST(GROUPING(n_name, o_year) AS INT) AS gid, n_name, o_year,
+       count(*) AS n_orders,
+       sum(price)::DOUBLE AS revenue
+FROM (
+  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey)
+GROUP BY GROUPING SETS ((n_name, o_year), (n_name), (o_year), ())
+ORDER BY gid, n_name NULLS FIRST, o_year NULLS FIRST
 """

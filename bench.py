@@ -122,6 +122,10 @@ HEADLINE = [
     "event_dow_chi2",
     "winnow_fingerprints",
     "winnow_overlap_pairs",
+    "count_min_users",
+    "ab_value_report",
+    "cdc_apply",
+    "revenue_grouping_sets",
     "approx_distinct_users",
 ]
 

@@ -398,3 +398,29 @@ def test_winnow_overlap_no_cartesian(spark):
     cartesian; stop-fingerprint pruning keeps the join linear-ish."""
     plan = plan_of(spark, "winnow_overlap_pairs")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_count_min_probe_broadcasts_counters(spark):
+    """The d*w counter table must reach the probe join as a broadcast --
+    it is bounded by the sketch dimensions, never by the data."""
+    plan = plan_of(spark, "count_min_users")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grouping_sets_single_agg_broadcast_dims(spark):
+    """GROUPING SETS must expand inside ONE aggregate (a single Expand +
+    partial/final HashAggregate pair over one orders scan), with both
+    dimension joins broadcast."""
+    plan = plan_of(spark, "revenue_grouping_sets")
+    assert plan.count("Expand") == 1
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("FileScan parquet") == 3  # orders + 2 dims, once each
+
+
+def test_cdc_apply_single_shuffle_window(spark):
+    """Latest-wins compaction is one user_id shuffle + one window; the
+    tombstone filter must not add a join or second exchange."""
+    plan = plan_of(spark, "cdc_apply")
+    assert plan.count("hashpartitioning") == 1
+    assert "Join" not in plan

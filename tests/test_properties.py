@@ -299,3 +299,89 @@ def test_winnow_overlap_pairs_toy(spark):
 
     out = [tuple(r) for r in winnow_overlap_pairs(_winnow_frame(spark)).collect()]
     assert out == [(1, 5, 2, 3, 3, 666666)]
+
+
+def test_count_min_never_undercounts(spark, sf_dir):
+    """CMS point estimates are one-sided: cms_n >= exact_n for EVERY key,
+    and each hash row's counters sum to exactly the input row count."""
+    from automated_review_analysis_pipeline_spark.operators.sketches import (
+        count_min_counters,
+        count_min_report,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rep = count_min_report(ev, "user_id", d=4, w=32).collect()
+    assert rep and all(r["cms_n"] >= r["exact_n"] for r in rep)
+    assert all(r["over_n"] == r["cms_n"] - r["exact_n"] for r in rep)
+
+    total = ev.count()
+    sums = (count_min_counters(ev, "user_id", d=4, w=32)
+            .groupBy("row_i").sum("n").collect())
+    assert len(sums) == 4
+    assert all(r["sum(n)"] == total for r in sums)
+
+
+def test_ab_report_matches_numpy_welch(spark, sf_dir):
+    """Independent reimplementation check: numpy float64 Welch t / df on
+    the same md5 arm split agrees to ~1e-9 relative (the decimal-sum
+    path differs from numpy's summation order only in the last ulps)."""
+    import hashlib
+
+    import numpy as np
+
+    from automated_review_analysis_pipeline_spark.operators.events import (
+        ab_value_report,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {r["event_type"]: r for r in ab_value_report(ev).collect()}
+    assert got
+
+    rows = ev.select("event_type", "user_id", "value").collect()
+    by_type: dict = {}
+    for r in rows:
+        arm = int(hashlib.md5(f"ab:{r['user_id']}".encode()).hexdigest()[:8],
+                  16) % 2
+        by_type.setdefault(r["event_type"], ([], []))[arm].append(r["value"])
+    for et, (a, b) in by_type.items():
+        if len(a) < 2 or len(b) < 2:
+            assert et not in got
+            continue
+        a, b = np.array(a), np.array(b)
+        va = a.var(ddof=1) / len(a)
+        vb = b.var(ddof=1) / len(b)
+        t = (a.mean() - b.mean()) / np.sqrt(va + vb)
+        df = (va + vb) ** 2 / (va**2 / (len(a) - 1) + vb**2 / (len(b) - 1))
+        g = got[et]
+        assert g["n_a"] == len(a) and g["n_b"] == len(b)
+        assert abs(g["t_welch"] - t) < 1e-6 * max(1.0, abs(t))
+        assert abs(g["df_welch"] - df) < 1e-4 * df
+
+
+def test_cdc_apply_tombstone_semantics(spark):
+    """Keys whose LAST change is a tombstone vanish; earlier tombstones
+    are overwritten by later upserts; ts ties break by event_id."""
+    from automated_review_analysis_pipeline_spark.operators.events import cdc_apply
+
+    rows = [
+        # user 1: upsert then tombstone -> absent
+        (1, 1000, 1, "click", 1.0, "{}"),
+        (2, 2000, 1, "error", 0.0, "{}"),
+        # user 2: tombstone then upsert -> present with the upsert
+        (3, 1000, 2, "error", 0.0, "{}"),
+        (4, 2000, 2, "purchase", 9.5, "{}"),
+        # user 3: two changes at the SAME ts -> higher event_id wins
+        (5, 3000, 3, "view", 1.0, "{}"),
+        (6, 3000, 3, "signup", 2.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts_raw long, user_id long, event_type string,"
+              " value double, props string"
+    ).selectExpr("event_id", "timestamp_micros(ts_raw) AS ts", "user_id",
+                 "event_type", "value", "props")
+    out = {r["user_id"]: r for r in cdc_apply(e).collect()}
+    assert set(out) == {2, 3}
+    assert out[2]["last_type"] == "purchase" and out[2]["last_value"] == 9.5
+    assert out[3]["last_event_id"] == 6 and out[3]["last_type"] == "signup"

@@ -18,20 +18,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.
 
-    `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    rejects outright -- read it as raw nanos (legacy.parquet.nanosAsLong)
-    and convert with INTEGER division to microseconds (a double division
-    would lose precision: ~1.7e18 ns > 2^53). The result is TimestampType;
-    all event queries pin the session to UTC so wall-clock math matches the
-    oracle's naive TIMESTAMP_NS.
+    `events.ts` has shipped in two physical forms across testdata
+    generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+    rejects outright -- read as raw nanos via legacy.parquet.nanosAsLong
+    and integer-divide to micros; a double division would lose precision at
+    ~1.7e18 ns > 2^53) and plain TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ
+    directly). Normalize both to session-TZ TimestampType; all event
+    queries pin the session to UTC so wall-clock math matches the oracle's
+    naive timestamps either way.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

@@ -21,17 +21,19 @@ from pyspark.sql import functions as F
 
 def read_events_stream(spark: SparkSession, path: str,
                        max_files_per_trigger: int | None = None) -> DataFrame:
-    """Parquet-directory stream of events. Schema is pinned (streaming
-    requires it); `ts` arrives as raw nanos (see sources/tables.py) and is
-    converted with integer division."""
+    """Parquet-directory stream of events. Streaming requires a pinned
+    schema, but `events.ts` has shipped in two physical forms across
+    testdata generations (TIMESTAMP(NANOS) read as raw longs vs plain
+    TIMESTAMP(MICROS) -- see sources/tables.py). Probe the footer with a
+    batch read (metadata-only, no data scan) and pin the stream schema to
+    whatever is actually on disk, then normalize to TimestampType exactly
+    like the batch loader so the stream and batch twins agree."""
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string")
-    )
+    schema = spark.read.parquet(path).schema
+    ts_type = schema["ts"].dataType.simpleString()
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # The file stream source wants a DIRECTORY; a single-file path becomes
@@ -39,8 +41,14 @@ def read_events_stream(spark: SparkSession, path: str,
     if path.endswith(".parquet") and os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
-    return reader.parquet(path).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = reader.parquet(path)
+    if ts_type == "bigint":  # nanos-as-long generation
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif ts_type != "timestamp":
+        raise ValueError(f"unexpected events.ts physical type: {ts_type}")
+    return df
 
 
 def streaming_tumbling_counts(events: DataFrame, duration: str = "1 hour",

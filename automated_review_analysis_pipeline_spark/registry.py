@@ -2440,6 +2440,49 @@ ORACLE_SQL["streaming_incremental_rollup"] = (
     ORACLE_SQL["incremental_daily_rollup"])
 
 
+# Streaming regression fence (VERDICT r2 item 8): the availableNow drain of
+# a single-file source runs in one micro-batch, so no rows are ever
+# watermark-dropped and the streaming result equals the batch twin exactly
+# -- promote these from rows-only to full value-level oracles so the driver
+# catches any unit/semantics drift without pytest. session_window merges
+# gaps of EXACTLY the gap duration (verified empirically), matching the
+# batch gaps-and-islands `>` condition; session end = last event ts + gap.
+ORACLE_SQL["streaming_hourly"] = ORACLE_SQL["events_hourly"]
+
+ORACLE_SQL["streaming_sessions"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) + 30 * 60 * 1000000 AS session_end_us,
+       count(*) AS n_events,
+       round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 4) AS sum_value
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_start_us
+"""
+
+# Exact because the stateful UDF folds value into integer micro-units
+# (= CAST(value AS DECIMAL(18,6)) summation) and one availableNow batch
+# emits exactly one update row per user.
+ORACLE_SQL["streaming_user_profiles"] = """
+SELECT user_id, count(*) AS n_events,
+       round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 4) AS sum_value,
+       epoch_us(max(ts)) AS last_event_us
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 ORACLE_SQL["debounce_events"] = """
 WITH flagged AS (
   SELECT user_id, event_type, ts, event_id,

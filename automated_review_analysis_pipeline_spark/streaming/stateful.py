@@ -19,24 +19,27 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = ("user_id long, n_events long, sum_value double, "
                  "last_event_us long")
-STATE_SCHEMA = "n long, s double, last_us long"
+# value accumulates as integer micro-units (value * 1e6, rounded): a double
+# running sum is order-dependent and can flip the 4th decimal vs the exact
+# decimal SQL oracle; integer micros make the fold exact and commutative.
+STATE_SCHEMA = "n long, s_us long, last_us long"
 
 
 def _update_profile(key, pdf_iter, state: GroupState):
     import pandas as pd
 
     (user_id,) = key
-    n, s, last_us = state.get if state.exists else (0, 0.0, 0)
+    n, s_us, last_us = state.get if state.exists else (0, 0, 0)
     for pdf in pdf_iter:
         n += len(pdf)
-        s += float(pdf["value"].fillna(0.0).sum())
         if len(pdf):
+            s_us += int((pdf["value"].fillna(0.0) * 1_000_000).round().sum())
             last_us = max(last_us, int(pdf["ts_us"].max()))
-    state.update((n, s, last_us))
+    state.update((n, s_us, last_us))
     yield pd.DataFrame({
         "user_id": [user_id],
         "n_events": [n],
-        "sum_value": [round(s, 4)],
+        "sum_value": [round(s_us / 1_000_000, 4)],
         "last_event_us": [last_us],
     })
 

@@ -96,46 +96,119 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def pairwise_cosine_above(embeddings: DataFrame, threshold: float = 0.9,
-                          id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> DataFrame:
-    """Embedding near-duplicate pairs: all (a<b) pairs with cosine >=
-    threshold. Exact O(n^2) baseline: the set is collected once (bounded
-    use -- near-dup candidates, not a full corpus; the scale path is LSH
-    bucketing) and streamed against itself with numpy matmul per Arrow
-    batch; only above-threshold pairs are emitted."""
+def _banded_signatures(df: DataFrame, id_col: str, vec_col: str, alias: str,
+                       planes: list[list[float]], n_bands: int,
+                       band_bits: int) -> DataFrame:
+    """One row per (vector, band): (id, double-vec, norm, band, sig) where
+    sig packs that band's hyperplane sign bits into an int. All bands'
+    bits come from ONE numpy matmul per Arrow batch (BLAS speed)."""
     import numpy as np
     import pandas as pd
 
-    rows = embeddings.select(id_col, vec_col).collect()
-    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
-    A = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    An = A / np.linalg.norm(A, axis=1, keepdims=True)
+    P = np.array(planes, dtype=np.float64).T      # dim x (n_bands*band_bits)
+    weights = (1 << np.arange(band_bits)).astype(np.int64)
 
-    def pair_batches(batches):
+    def sig_batches(batches):
         for b in batches:
             if not len(b):
                 continue
-            C = np.array([list(v) for v in b[vec_col]], dtype=np.float64)
-            c_ids = b[id_col].to_numpy(dtype=np.int64)
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-            sims = np.round(Cn @ An.T, 6)         # |batch| x |all|
-            left, right, vals = [], [], []
-            for i in range(len(c_ids)):
-                mask = (all_ids > c_ids[i]) & (sims[i] >= threshold)
-                js = np.nonzero(mask)[0]
-                left.extend([c_ids[i]] * len(js))
-                right.extend(all_ids[js])
-                vals.extend(sims[i][js])
-            yield pd.DataFrame({
-                "id_a": pd.Series(left, dtype="int64"),
-                "id_b": pd.Series(right, dtype="int64"),
-                "cosine_sim": pd.Series(vals, dtype="float64"),
-            })
+            V = np.array([list(v) for v in b[vec_col]], dtype=np.float64)
+            ids = b[id_col].to_numpy(dtype=np.int64)
+            bits = ((V @ P) >= 0).astype(np.int64)
+            norms = np.linalg.norm(V, axis=1)
+            for band in range(n_bands):
+                sig = bits[:, band * band_bits:(band + 1) * band_bits] @ weights
+                yield pd.DataFrame({
+                    f"{alias}_id": ids,
+                    f"{alias}_vec": list(V),
+                    f"{alias}_norm": norms,
+                    "band": np.full(len(ids), band, dtype=np.int32),
+                    "sig": sig,
+                })
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        pair_batches, "id_a long, id_b long, cosine_sim double"
-    ).orderBy("id_a", "id_b")
+    schema = (f"{alias}_id long, {alias}_vec array<double>, "
+              f"{alias}_norm double, band int, sig long")
+    return df.select(id_col, vec_col).mapInPandas(sig_batches, schema)
+
+
+def pairwise_cosine_above(embeddings: DataFrame, threshold: float = 0.9,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding", *,
+                          exact: bool = False, n_bands: int = 48,
+                          band_bits: int = 2, dim: int = 64) -> DataFrame:
+    """Embedding near-duplicate pairs: all (a<b) pairs with cosine >=
+    threshold.
+
+    Default path (the 100 TB shape): banded sign-LSH candidate generation
+    -- each vector is hashed into ``n_bands`` signatures of ``band_bits``
+    hyperplane sign bits; any pair agreeing on ANY band becomes a
+    candidate, verified with the exact JVM-side cosine fold. Nothing is
+    ever collected to the driver; the self-join on (band, sig) is an
+    ordinary distributed hash join and the pair set is deduped before
+    emission. Per-pair miss probability is (1 - p^band_bits)^n_bands with
+    p = 1 - acos(cos) / pi: the defaults (48 bands x 2 bits) drive it
+    below 1e-9 even at cosine 0.35, so the exact SQL oracle still holds;
+    production dedup at threshold >= 0.8 should RAISE band_bits (e.g. 8
+    bits x 16 bands) so the banding actually prunes -- with 2-bit bands
+    pruning is intentionally sacrificed for exactness at low thresholds.
+
+    ``exact=True`` keeps the O(n^2) numpy-matmul baseline (collects the
+    set once -- only for small, bounded candidate sets)."""
+    import numpy as np
+    import pandas as pd
+
+    if exact:
+        rows = embeddings.select(id_col, vec_col).collect()
+        all_ids = np.array([r[0] for r in rows], dtype=np.int64)
+        A = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+
+        def pair_batches(batches):
+            for b in batches:
+                if not len(b):
+                    continue
+                C = np.array([list(v) for v in b[vec_col]], dtype=np.float64)
+                c_ids = b[id_col].to_numpy(dtype=np.int64)
+                Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+                sims = np.round(Cn @ An.T, 6)     # |batch| x |all|
+                left, right, vals = [], [], []
+                for i in range(len(c_ids)):
+                    mask = (all_ids > c_ids[i]) & (sims[i] >= threshold)
+                    js = np.nonzero(mask)[0]
+                    left.extend([c_ids[i]] * len(js))
+                    right.extend(all_ids[js])
+                    vals.extend(sims[i][js])
+                yield pd.DataFrame({
+                    "id_a": pd.Series(left, dtype="int64"),
+                    "id_b": pd.Series(right, dtype="int64"),
+                    "cosine_sim": pd.Series(vals, dtype="float64"),
+                })
+
+        return embeddings.select(id_col, vec_col).mapInPandas(
+            pair_batches, "id_a long, id_b long, cosine_sim double"
+        ).orderBy("id_a", "id_b")
+
+    planes = _hyperplanes(dim, n_bands * band_bits)
+    sigs = _banded_signatures(embeddings, id_col, vec_col, "a",
+                              planes, n_bands, band_bits)
+    other = sigs.select(
+        F.col("a_id").alias("b_id"), F.col("a_vec").alias("b_vec"),
+        F.col("a_norm").alias("b_norm"), "band", "sig")
+    sim = F.round(
+        dot_product(F.col("a_vec"), F.col("b_vec"))
+        / (F.col("a_norm") * F.col("b_norm")), 6)
+    return (
+        sigs.join(other, ["band", "sig"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            F.col("a_id").alias("id_a"),
+            F.col("b_id").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+        .orderBy("id_a", "id_b")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -352,9 +425,10 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.8,
 
     The min-id rule is deterministic and engine-independent (unlike
     clustering with chained merges, whose membership depends on traversal
-    order), so the result has an exact SQL oracle. Scale path: swap the
-    exact pair generator for sign-LSH buckets (sign_lsh_topk's banding)
-    and the same anti-join survives unchanged.
+    order), so the result has an exact SQL oracle. The pair generator is
+    the banded sign-LSH candidate join (no driver collect) -- the same
+    anti-join works at any scale; raise band_bits for high-threshold
+    production dedup so the banding prunes.
     """
     pairs = pairwise_cosine_above(embeddings, threshold, id_col)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
@@ -366,32 +440,37 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.8,
 
 
 def near_dup_components(embeddings: DataFrame, threshold: float = 0.35,
-                        id_col: str = "vec_id", distributed: bool = False,
-                        max_iterations: int = 25) -> DataFrame:
+                        id_col: str = "vec_id",
+                        distributed: bool | None = None,
+                        max_iterations: int = 25,
+                        max_collect_edges: int = 1_000_000) -> DataFrame:
     """Connected components over the near-duplicate graph: every vector
     labeled with the MIN id reachable through cosine->=threshold edges --
     the cluster assignment that turns pair evidence into dedup groups
     (keep one representative per component, not per pair).
 
-    Default path: the near-dup PAIR set is bounded by construction (it is
-    the dedup evidence a human/job reviews, orders of magnitude smaller
-    than the corpus), so the edge list collects to the driver, a
-    union-find labels it exactly, and the mapping broadcasts back as one
-    join -- two Spark actions total. This mirrors cosine_topk's
-    collect-the-small-side discipline; it is NOT a driver loop over data.
-
-    ``distributed=True`` switches to iterative min-label propagation
-    (one join + one aggregate action per round, O(diameter) rounds) for
-    graphs too large to collect; the 100 TB path is the alternating
+    Path selection (``distributed=None``, the default): count the edges
+    first -- at or below ``max_collect_edges`` the edge list collects to
+    the driver, a union-find labels it exactly, and the mapping broadcasts
+    back as one join (two Spark actions total; mirrors cosine_topk's
+    collect-the-small-side discipline -- NOT a driver loop over data).
+    Above the bound it flips automatically to iterative min-label
+    propagation (one join + one aggregate action per round, O(diameter)
+    rounds) so a larger-than-expected near-dup graph degrades to more
+    rounds, never to a driver OOM; the 100 TB path is the alternating
     large-star/small-star refinement of that loop (O(log n) rounds).
+    ``distributed=True/False`` forces a side.
 
     Deterministic either way: min-label is order- and partitioning-
     independent, so the result has an exact recursive-CTE oracle.
     """
-    pairs = pairwise_cosine_above(embeddings, threshold, id_col)
+    pairs = pairwise_cosine_above(embeddings, threshold, id_col).cache()
+    if distributed is None:
+        distributed = pairs.count() > max_collect_edges
 
     if not distributed:
         edge_rows = pairs.select("id_a", "id_b").collect()
+        pairs.unpersist()
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -457,6 +536,7 @@ def near_dup_components(embeddings: DataFrame, threshold: float = 0.35,
             break
         prev_sum = new_sum
     edges.unpersist()
+    pairs.unpersist()
     out = embeddings.select(F.col(id_col).alias("node")).join(
         labels, "node", "left")
     return out.select(

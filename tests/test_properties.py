@@ -186,19 +186,27 @@ def test_quantize_dequantize_roundtrip(spark, sf_dir):
 
 
 def test_near_dup_components_variants_agree(spark, sf_dir):
-    """The driver union-find (default, bounded candidate graphs) and the
-    distributed min-label propagation loop must produce identical
-    component assignments."""
+    """The driver union-find (small graphs) and the distributed min-label
+    propagation loop must produce identical component assignments, and the
+    edge-count auto-flip (`distributed=None`) must land on the same answer
+    whichever side of `max_collect_edges` the graph falls."""
     from pyspark.sql import functions as F
 
     from automated_review_analysis_pipeline_spark.operators import similarity as sim
     from automated_review_analysis_pipeline_spark.sources.tables import load_table
 
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 150)
-    a = [tuple(r) for r in sim.near_dup_components(e, 0.35).collect()]
+    a = [tuple(r) for r in
+         sim.near_dup_components(e, 0.35, distributed=False).collect()]
     b = [tuple(r) for r in
          sim.near_dup_components(e, 0.35, distributed=True).collect()]
     assert a == b
+    # auto-flip: a zero edge budget forces the distributed path, the
+    # default budget keeps union-find -- results must not depend on it
+    lo = [tuple(r) for r in
+          sim.near_dup_components(e, 0.35, max_collect_edges=0).collect()]
+    hi = [tuple(r) for r in sim.near_dup_components(e, 0.35).collect()]
+    assert lo == a and hi == a
     # every component representative is the min id of its members
     import collections
     groups = collections.defaultdict(list)
@@ -206,6 +214,29 @@ def test_near_dup_components_variants_agree(spark, sf_dir):
         groups[comp].append(node)
     for comp, members in groups.items():
         assert comp == min(members)
+
+
+def test_pairwise_banded_equals_exact_and_is_lazy(spark, sf_dir):
+    """The default (banded sign-LSH) pair generator must (a) build its
+    plan WITHOUT running any Spark job -- the scale guarantee that nothing
+    is collected to the driver -- and (b) emit exactly the pairs the
+    O(n^2) exact path emits at these band settings."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators import similarity as sim
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 150)
+    e.count()  # materialize the input before the job-count fence
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None))
+    banded = sim.pairwise_cosine_above(e, threshold=0.35)
+    assert len(tracker.getJobIdsForGroup(None)) == jobs_before, \
+        "building the banded pair plan ran a Spark job (driver collect?)"
+    got = [tuple(r) for r in banded.collect()]
+    want = [tuple(r) for r in
+            sim.pairwise_cosine_above(e, threshold=0.35, exact=True).collect()]
+    assert got == want
 
 
 def test_pagerank_mass_and_determinism(spark, sf_dir):

@@ -157,21 +157,32 @@ def main() -> None:
             t0 = time.perf_counter()
             try:
                 QUERIES[name](spark, sf_dir).count()
-                dt = round(time.perf_counter() - t0, 4)
+                dt = round(time.perf_counter() - t0, 3)
                 best = dt if best < 0 else min(best, dt)
             except Exception as e:  # pragma: no cover
                 print(f"bench {name} failed: {e}", file=sys.stderr)
                 break
         timings[name] = best
 
-    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Two JSON lines, most-compact encoding: the full per-query line first,
+    # then a SHORT summary line LAST -- the driver's stdout capture keeps
+    # the tail, so the summary (total) stays machine-readable even if the
+    # ~100-entry per-query line gets truncated (BENCH_r02 lesson).
     print(json.dumps({
         "metric": "headline_queries_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }, separators=(",", ":")))
+    print(json.dumps({
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+    }, separators=(",", ":")))
     spark.stop()
 
 

@@ -90,10 +90,14 @@ def analyze_wide(
     df = with_response_id(survey, id_col)
 
     # Stage 1: clean every question column once (the expensive regex pass).
+    # null -> "nan" first: the reference runs str() over every cell
+    # (survey_analysis.py:283), so NA-parsed cells surface as the literal
+    # "nan" in _Answer (then caught by the filler set). Reproducing the
+    # artifact keeps the wide table cell-identical to the reference.
     df = df.select(
         "ResponseID",
         products_col,
-        *[clean_text(F.col(q)).alias(f"{b}_Answer")
+        *[clean_text(F.coalesce(F.col(q), F.lit("nan"))).alias(f"{b}_Answer")
           for q, b in zip(questions, bases)],
     )
 

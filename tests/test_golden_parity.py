@@ -116,6 +116,114 @@ def test_summary_total_equals_wide_times_questions(spark, golden):
     assert {r["Product"] for r in summary} == {r["Product"] for r in rows}
 
 
+# ---------------------------------------------------------------------------
+# Cell-exact parity: execute the REFERENCE analyzer in-process (pandas,
+# lexicon path -- vaderSentiment is absent in this container, so its
+# demo sentiment falls back to the same deterministic lexicon our C2
+# kernel reimplements) and diff every cell of the wide and summary tables.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_mod():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_survey_analysis", "/root/reference/survey_analysis.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # lexicon fallback must be active, otherwise sentiments are VADER's
+    assert mod._VADER_ANALYZER is None
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_outputs(ref_mod):
+    import pandas as pd
+
+    df = pd.read_csv(CSV_PATH)
+    wide, b2d = ref_mod.analyze_dataframe_wide(
+        df=df, industry="retail", client=None, cache_path=None, max_chars=600)
+    summary = ref_mod.build_summary_from_wide(wide)
+    return wide, b2d, summary
+
+
+def _cell(v) -> str:
+    return "" if v is None else str(v)
+
+
+def test_wide_cells_exact_vs_reference(golden, ref_outputs):
+    """Zero differing cells between our Spark wide table and the
+    reference's analyze_dataframe_wide run on the same CSV (survey_analysis
+    .py:223-317, lexicon path)."""
+    _, rows, _ = golden
+    ref_wide, _, _ = ref_outputs
+    cols = list(ref_wide.columns)
+    assert list(rows[0].asDict().keys()) == cols
+    ours = sorted(tuple(_cell(r[c]) for c in cols) for r in rows)
+    theirs = sorted(tuple(_cell(v) for v in t)
+                    for t in ref_wide.itertuples(index=False, name=None))
+    assert len(ours) == len(theirs)
+    diff_cells = [
+        (i, cols[j], a[j], b[j])
+        for i, (a, b) in enumerate(zip(ours, theirs))
+        for j in range(len(cols)) if a[j] != b[j]
+    ]
+    assert not diff_cells, (
+        f"{len(diff_cells)} differing cells; first 5: {diff_cells[:5]}")
+
+
+def test_base_to_display_matches_reference(golden, ref_outputs):
+    _, _, b2d = golden
+    _, ref_b2d, _ = ref_outputs
+    assert dict(b2d) == dict(ref_b2d)
+
+
+def test_summary_cells_exact_vs_reference(spark, ref_outputs):
+    """Zero differing cells between our summary pivot and the reference's
+    build_summary_from_wide (survey_analysis.py:323-354)."""
+    _, _, ref_summary = ref_outputs
+    wide, _ = analyze_wide(read_survey_csv(spark, CSV_PATH))
+    ours_rows = summary_from_wide(wide).collect()
+    cols = list(ref_summary.columns)
+    assert list(ours_rows[0].asDict().keys()) == cols
+    ours = sorted(
+        tuple(_cell(r[c]) if isinstance(r[c], str) else int(r[c]) for c in cols)
+        for r in ours_rows)
+    theirs = sorted(
+        tuple(_cell(v) if isinstance(v, str) else int(v) for v in t)
+        for t in ref_summary.itertuples(index=False, name=None))
+    assert ours == theirs
+
+
+def test_golden_workbook_sheet_inventory(golden):
+    """The golden workbook's 13 sheets must be exactly what our sink
+    derives from the same wide result: per-product data sheets
+    (alphabetical), Summary, then one chart sheet per product."""
+    import re
+    import zipfile
+
+    with zipfile.ZipFile("/root/reference/Example analysis output.xlsx") as z:
+        wb_xml = z.read("xl/workbook.xml").decode()
+    golden_sheets = re.findall(r'name="([^"]+)"', wb_xml)
+
+    _, rows, _ = golden
+    products = sorted({r["Product"] for r in rows})
+    expected = products + ["Summary"] + [f"Charts - {p}" for p in products]
+    assert golden_sheets == expected
+
+
+def test_responseid_sort_is_lexicographic(ref_outputs):
+    """Pin the reference's per-sheet row-order quirk: ResponseID is a
+    STRING, so sheet rows sort '1','10','100',...,'2' -- not numerically
+    (survey_analysis.py:292, :385). Our sink reproduces this order."""
+    ref_wide, _, _ = ref_outputs
+    biggest = ref_wide["Product"].value_counts().index[0]
+    sub = ref_wide[ref_wide["Product"] == biggest]
+    ref_order = list(sub.sort_values("ResponseID")["ResponseID"])
+    assert ref_order == sorted(ref_order)          # python string sort
+    assert ref_order != sorted(ref_order, key=int)  # and NOT numeric
+
+
 def test_keyword_category_matches_reference_cache(spark):
     """Cell-exact kernel parity: the reference's golden memo cache
     (/root/reference/.analysis_cache.json, 278 entries produced by its

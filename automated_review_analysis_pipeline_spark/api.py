@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from automated_review_analysis_pipeline_spark.operators.cache import (
     KEY_COLS,
@@ -25,6 +26,45 @@ from automated_review_analysis_pipeline_spark.plans.survey_pipeline import (
 from automated_review_analysis_pipeline_spark.session import get_spark
 from automated_review_analysis_pipeline_spark.sinks.excel import write_excel_report
 from automated_review_analysis_pipeline_spark.sources.survey import read_survey_csv
+
+
+def detect_survey_language(survey: DataFrame) -> str | None:
+    """P8 sampling diagnostic (survey_analysis.py:95-103, :241-249): take
+    the first non-null value of each question column, clean it, and return
+    the first sample the language heuristic can identify -- log-only, never
+    part of the plan. The reference runs langdetect over the same samples;
+    here the deterministic stopword-evidence heuristic (language_id)
+    substitutes, with 'und' playing langdetect's detection-failure role
+    (skip to the next sample)."""
+    from automated_review_analysis_pipeline_spark.functions.text import clean_text
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+        language_id,
+    )
+    from automated_review_analysis_pipeline_spark.sources.survey import (
+        question_columns,
+    )
+
+    qcols = question_columns(survey)
+    if not qcols:
+        return None
+    # one aggregate job: first non-null sample per question, in file order
+    row = survey.select(*[
+        F.first(F.col(q), ignorenulls=True).alias(f"s{i}")
+        for i, q in enumerate(qcols)
+    ]).first()
+    samples = [(i, row[f"s{i}"]) for i in range(len(qcols))
+               if row[f"s{i}"] is not None]
+    if not samples:
+        return None
+    langs = (
+        survey.sparkSession.createDataFrame(samples, "idx int, sample string")
+        .select("idx", language_id(clean_text(F.col("sample"))).alias("lang"))
+        .collect()
+    )
+    for _, lang in sorted((r["idx"], r["lang"]) for r in langs):
+        if lang != "und":
+            return lang
+    return None
 
 
 def run(
@@ -43,6 +83,10 @@ def run(
     """
     spark = spark or get_spark(app_name="automated-review-analysis-pipeline")
     survey = read_survey_csv(spark, input_path)
+
+    lang = detect_survey_language(survey)
+    if lang:
+        print(f"[info] Detected language: {lang}")
 
     if os.getenv("OPENAI_API_KEY"):
         classifier = llm_kernel(industry)

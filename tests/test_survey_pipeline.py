@@ -128,6 +128,26 @@ def test_schema_validation(spark):
         validate_survey_schema(bad)
 
 
+def test_detect_survey_language_sampling(spark):
+    """P8 diagnostic (survey_analysis.py:95-103, :241-249): first non-null
+    sample per question, first identifiable language wins; undetectable
+    samples are skipped; all-null surveys yield None."""
+    from automated_review_analysis_pipeline_spark.api import detect_survey_language
+
+    schema = ("Email string, Name string, Products string, "
+              "Q1 string, Q2 string")
+    en = spark.createDataFrame(
+        [("e", "n", "P", None, "the quality is good and the fit was right"),
+         ("e", "n", "P", "12345", None)], schema)
+    assert detect_survey_language(en) == "en"
+    es = spark.createDataFrame(
+        [("e", "n", "P", "la calidad es muy buena para el precio", "ok")],
+        schema)
+    assert detect_survey_language(es) == "es"
+    empty = spark.createDataFrame([("e", "n", "P", None, None)], schema)
+    assert detect_survey_language(empty) is None
+
+
 def test_jsonl_roundtrip(spark, tmp_path):
     """documents -> gzip JSONL (partitioned by lang) -> read with explicit
     schema: content-identical, no corrupt lines, partition pruning intact."""

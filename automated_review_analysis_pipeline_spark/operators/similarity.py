@@ -191,21 +191,37 @@ def pairwise_cosine_above(embeddings: DataFrame, threshold: float = 0.9,
     planes = _hyperplanes(dim, n_bands * band_bits)
     sigs = _banded_signatures(embeddings, id_col, vec_col, "a",
                               planes, n_bands, band_bits)
-    other = sigs.select(
-        F.col("a_id").alias("b_id"), F.col("a_vec").alias("b_vec"),
-        F.col("a_norm").alias("b_norm"), "band", "sig")
-    sim = F.round(
-        dot_product(F.col("a_vec"), F.col("b_vec"))
-        / (F.col("a_norm") * F.col("b_norm")), 6)
+
+    # In-bucket verification stays in numpy: ONE normalized matmul per
+    # (band, sig) group replaces an interpreted 64-element JVM fold per
+    # band collision (collisions >> pairs at low thresholds). Only
+    # above-threshold pairs leave the group, so the dedup shuffle carries
+    # the result set, not the candidate set. A group holds ~n/2^band_bits
+    # vectors -- size band_bits so that fits an executor, exactly like
+    # sizing any hash aggregation.
+    def verify(pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine_sim": pd.Series(dtype="float64")})
+        order = np.argsort(pdf["a_id"].to_numpy())
+        ids = pdf["a_id"].to_numpy(dtype=np.int64)[order]
+        V = np.array([list(v) for v in pdf["a_vec"]], dtype=np.float64)[order]
+        norms = pdf["a_norm"].to_numpy(dtype=np.float64)[order]
+        Vn = V / norms[:, None]
+        sims = np.round(Vn @ Vn.T, 6)
+        iu, ju = np.triu_indices(len(ids), k=1)   # ids sorted => id_a < id_b
+        keep = sims[iu, ju] >= threshold
+        return pd.DataFrame({
+            "id_a": ids[iu[keep]],
+            "id_b": ids[ju[keep]],
+            "cosine_sim": sims[iu[keep], ju[keep]],
+        })
+
     return (
-        sigs.join(other, ["band", "sig"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select(
-            F.col("a_id").alias("id_a"),
-            F.col("b_id").alias("id_b"),
-            sim.alias("cosine_sim"),
-        )
-        .where(F.col("cosine_sim") >= threshold)
+        sigs.groupBy("band", "sig")
+        .applyInPandas(verify, "id_a long, id_b long, cosine_sim double")
         .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )

@@ -134,6 +134,85 @@ def decontaminate(documents: DataFrame, text_col: str = "text",
     )
 
 
+def bloom_decontaminate(documents: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        m_bits: int = 1 << 20,
+                        n_hashes: int = 3) -> DataFrame:
+    """Decontamination with a Bloom-filter prefilter: byte-identical
+    output to :func:`decontaminate` (false positives die in the exact
+    verify join; false negatives are impossible), but the train side's
+    shuffle into that join shrinks by the Bloom rejection rate, and the
+    filter is a FIXED-size broadcast (``m_bits/8`` bytes) regardless of
+    test-set size -- the Spark runtime-filter/bloom-join pattern built
+    from first principles, and the right shape when the train side is
+    100 TB and the verify join would otherwise shuffle every train
+    shingle.
+
+    Bit positions are JVM-side xxhash64 double-hashing (h1 + i*h2 mod m);
+    the executor-side membership test is a vectorized numpy bitset probe
+    over Arrow batches -- no Python hashing, no per-row Python.
+    """
+    import numpy as np
+
+    from .dedup import shingle_tokens, word_shingles_from_tokens
+
+    spark = documents.sparkSession
+    toked = documents.select(
+        F.col(id_col), split_key(id_col).alias("__h"),
+        shingle_tokens(F.col(text_col)).alias("__toks"))
+    sh = toked.select(
+        id_col, "__h",
+        F.explode(word_shingles_from_tokens(F.col("__toks"), k))
+        .alias("shingle"))
+    # reduce each hash mod m BEFORE the double-hash combine: h1 + i*h2
+    # overflows int64 under ANSI mode; (h1 mod m) + i*(h2 mod m) is
+    # congruent mod m and stays far below 2^63
+    h1 = F.pmod(F.xxhash64(F.col("shingle")), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(F.concat(F.col("shingle"), F.lit("#b2"))),
+                F.lit(m_bits))
+    pos_exprs = [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)).cast("long").alias(f"__p{i}")
+        for i in range(n_hashes)
+    ]
+
+    test_sh = (sh.where(F.col("__h") >= VAL_MAX)
+               .select("shingle").distinct())
+    # Build the bitset: distinct set positions (bounded by m_bits) fold
+    # into m_bits/8 bytes on the driver -- the bounded-by-construction
+    # collect that makes a Bloom filter a Bloom filter.
+    set_pos = (test_sh.select(F.explode(F.array(*pos_exprs)).alias("p"))
+               .distinct().collect())
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    if set_pos:
+        p = np.array([r[0] for r in set_pos], dtype=np.int64)
+        np.bitwise_or.at(bits, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8))
+    bcast = spark.sparkContext.broadcast(bits.tobytes())
+
+    train_sh = (sh.where(F.col("__h") < TRAIN_MAX)
+                .select(id_col, "shingle", *pos_exprs))
+
+    def probe(batches):
+        b_arr = np.frombuffer(bcast.value, dtype=np.uint8)
+        for b in batches:
+            if not len(b):
+                continue
+            mask = np.ones(len(b), dtype=bool)
+            for i in range(n_hashes):
+                pp = b[f"__p{i}"].to_numpy(dtype=np.int64)
+                mask &= (b_arr[pp >> 3] & (np.uint8(1) << (pp & 7).astype(np.uint8))) != 0
+            if mask.any():
+                yield b.loc[mask, [id_col, "shingle"]]
+
+    survivors = train_sh.mapInPandas(
+        probe, f"{id_col} long, shingle string")
+    return (
+        survivors.join(test_sh, "shingle")      # exact verify: kills FPs
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .orderBy(id_col)
+    )
+
+
 def lang_quota_sample(documents: DataFrame, quota: int = 60,
                       id_col: str = "doc_id") -> DataFrame:
     """Deterministic up-to-``quota`` docs per language, md5-ordered.

@@ -323,6 +323,65 @@ def ngram_jaccard_pairs(documents: DataFrame, text_col: str = "text",
     )
 
 
+def containment_pairs(documents: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      threshold: float = 0.5) -> DataFrame:
+    """Asymmetric n-gram containment C(S, D) = |sh(S) n sh(D)| / |sh(S)|:
+    the fraction of S's word k-shingles that also occur in D. Catches
+    documents largely CONTAINED in a bigger one (quotes, boilerplate
+    wrappers, subset-dups) that symmetric Jaccard under-scores when sizes
+    differ -- the second dedup signal a curation pipeline runs next to
+    Jaccard.
+
+    Same posting-list plan as ngram_jaccard_pairs (hash joins + hash
+    aggregation, nothing pairwise in a join residual); ONE intersection
+    count per unordered pair feeds BOTH directed rows, each emitted only
+    if it clears the threshold. Directed output: (id_src, id_dst,
+    containment) = how much of id_src appears in id_dst.
+    """
+    if threshold <= 0:
+        raise ValueError(
+            "posting-list containment join cannot emit zero-overlap pairs; "
+            "use a threshold > 0")
+    d = stage_shingles(documents.select(id_col, text_col), text_col, k,
+                       "shingles") \
+        .select(F.col(id_col), "shingles",
+                F.size(F.col("shingles")).alias("n_sh")).cache()
+    posts = d.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    pa, pb = posts.alias("pa"), posts.alias("pb")
+    inter = (
+        pa.join(pb, (F.col("pa.sh") == F.col("pb.sh"))
+                & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")))
+        .groupBy(
+            F.col(f"pa.{id_col}").alias("id_a"),
+            F.col(f"pb.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sizes = d.select(F.col(id_col), F.col("n_sh"))
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    both = (
+        inter.join(na, F.col("id_a") == F.col(f"na.{id_col}"))
+        .join(nb, F.col("id_b") == F.col(f"nb.{id_col}"))
+        .select("id_a", "id_b", "__inter",
+                F.col("na.n_sh").alias("__na"),
+                F.col("nb.n_sh").alias("__nb"))
+    )
+    fwd = both.select(
+        F.col("id_a").alias("id_src"), F.col("id_b").alias("id_dst"),
+        F.round(F.col("__inter").cast("double") / F.col("__na"), 6)
+        .alias("containment"))
+    rev = both.select(
+        F.col("id_b").alias("id_src"), F.col("id_a").alias("id_dst"),
+        F.round(F.col("__inter").cast("double") / F.col("__nb"), 6)
+        .alias("containment"))
+    return (
+        fwd.unionByName(rev)
+        .where(F.col("containment") >= threshold)
+        .orderBy("id_src", "id_dst")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (pandas-UDF kernel; rows-only oracle check)
 # ---------------------------------------------------------------------------

@@ -395,6 +395,53 @@ def label_centroids(embeddings: DataFrame, label_col: str = "label",
     )
 
 
+def centroid_assign(embeddings: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Nearest-centroid assignment (the E-step of k-means, or a prototype
+    classifier evaluating embedding quality): per-label mean centroids
+    come from :func:`label_centroids` (decimal-exact, rounded once),
+    pivot to arrays, broadcast, and every vector takes the centroid with
+    the highest rounded cosine (ties -> lowest label). ``hit`` marks
+    vectors whose nearest centroid is their own label -- aggregate it for
+    a separability score.
+
+    Scale: |labels| centroids broadcast; the corpus is scanned once at
+    map-side parallelism, |labels| fold evaluations per row, one
+    partitionBy(id) window over |corpus| x |labels| slim rows. For huge
+    label spaces swap the broadcast nested-loop for the IVF probe shape.
+    """
+    cents = (
+        label_centroids(embeddings, label_col, vec_col)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("c_vec"))
+        .select(F.col("label").alias("c_label"), "c_vec")
+    )
+    v = to_double_array(F.col(vec_col))
+    base = embeddings.select(
+        F.col(id_col), F.col(label_col).alias("label"), v.alias("__v"))
+    sim = dot_product(F.col("__v"), F.col("c_vec")) / (
+        F.sqrt(dot_product(F.col("__v"), F.col("__v")))
+        * F.sqrt(dot_product(F.col("c_vec"), F.col("c_vec"))))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("c_label"))
+    return (
+        base.join(broadcast(cents), F.lit(True))
+        .withColumn("__sim", F.round(sim, 6))
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(
+            id_col, "label",
+            F.col("c_label").alias("assigned_label"),
+            (F.col("c_label") == F.col("label")).cast("int").alias("hit"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def quantize_embeddings(embeddings: DataFrame, vec_col: str = "embedding",
                         id_col: str = "vec_id") -> DataFrame:
     """Symmetric int8 quantization: q_i = round(x_i / max|x| * 127), plus

@@ -241,6 +241,50 @@ def q_near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.near_dup_pagerank(e, threshold=0.35)
 
 
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.centroid_assign(_t(spark, sf_dir, "embeddings"))
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold 0.2: the synthetic docs' containment tail; high enough to
+    # keep the posting-list join selective, low enough to be non-trivial.
+    return dedup.containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cur.bloom_decontaminate(_t(spark, sf_dir, "documents"))
+
+
+def q_streaming_segment_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        read_events_stream,
+        run_available_now,
+        streaming_static_enrich,
+    )
+
+    _utc(spark)
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"))
+    return run_available_now(
+        streaming_static_enrich(stream, dim), "reg_enrich")
+
+
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        read_events_stream,
+        run_available_now,
+        streaming_sliding_counts,
+    )
+
+    _utc(spark)
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_available_now(
+        streaming_sliding_counts(stream, 60, 30), "reg_sliding")
+
+
 # Query terms chosen from the synthetic corpus vocabulary (present at
 # every scale factor). The SAME tuple feeds the Spark plan and the oracle.
 BM25_QUERY = ("join", "filter", "scan", "window", "column")
@@ -1054,6 +1098,11 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_dedup": q_semantic_dedup,
     "near_dup_components": q_near_dup_components,
     "near_dup_pagerank": q_near_dup_pagerank,
+    "centroid_assign": q_centroid_assign,
+    "containment_pairs": q_containment_pairs,
+    "bloom_decontaminate": q_bloom_decontaminate,
+    "streaming_segment_enrich": q_streaming_segment_enrich,
+    "streaming_sliding": q_streaming_sliding,
     "resize_thumbnails": q_resize_thumbnails,
     "top_session_paths": q_top_session_paths,
     "incremental_daily_rollup": q_incremental_daily_rollup,
@@ -2480,6 +2529,76 @@ SELECT user_id, count(*) AS n_events,
        round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 4) AS sum_value,
        epoch_us(max(ts)) AS last_event_us
 FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# bloom prefilter + exact verify join == plain decontaminate, by design
+ORACLE_SQL["bloom_decontaminate"] = ORACLE_SQL["decontaminate"]
+
+# stream-static broadcast join + tumbling agg; single-batch availableNow
+# drain => exact batch equivalence
+ORACLE_SQL["streaming_segment_enrich"] = """
+SELECT epoch_us(date_trunc('hour', e.ts)) AS window_start_us,
+       c.c_mktsegment AS segment,
+       count(*) AS n_events,
+       round(sum(CAST(e.value AS DECIMAL(18,6)))::DOUBLE, 4) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["streaming_sliding"] = ORACLE_SQL["events_sliding"]
+
+
+ORACLE_SQL["containment_pairs"] = f"""
+WITH base AS (
+  SELECT doc_id, {_shingles_sql('text')} AS sh FROM documents
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh, b.sh)) AS ix,
+         len(a.sh) AS na, len(b.sh) AS nb
+  FROM base a JOIN base b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh)) > 0
+), directed AS (
+  SELECT id_a AS id_src, id_b AS id_dst,
+         round(ix::DOUBLE / na, 6) AS containment FROM inter
+  UNION ALL
+  SELECT id_b AS id_src, id_a AS id_dst,
+         round(ix::DOUBLE / nb, 6) AS containment FROM inter
+)
+SELECT id_src, id_dst, containment FROM directed
+WHERE containment >= 0.2 ORDER BY id_src, id_dst
+"""
+
+
+ORACLE_SQL["centroid_assign"] = """
+WITH ex AS (
+  SELECT label, unnest(embedding) AS val,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+), cent AS (
+  SELECT label AS c_label, dim,
+         round(sum(CAST(val AS DECIMAL(18,9)))::DOUBLE / count(*)::DOUBLE, 6)
+           AS centroid
+  FROM ex GROUP BY label, dim
+), carr AS (
+  SELECT c_label, array_agg(centroid ORDER BY dim) AS c_vec
+  FROM cent GROUP BY c_label
+), scored AS (
+  SELECT e.vec_id, e.label, c.c_label,
+         round(list_dot_product(e.embedding::DOUBLE[], c.c_vec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) AS sim
+  FROM embeddings e CROSS JOIN carr c
+), ranked AS (
+  SELECT vec_id, label, c_label,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, c_label) AS rn
+  FROM scored
+)
+SELECT vec_id, label, c_label AS assigned_label,
+       CAST(c_label = label AS INT) AS hit
+FROM ranked WHERE rn = 1 ORDER BY vec_id
 """
 
 

@@ -189,6 +189,59 @@ def streaming_incremental_rollup(spark: SparkSession, events_path: str,
         spark.read.parquet(os.path.join(state_dir, f"v{v}")))
 
 
+def streaming_static_enrich(events: DataFrame, dim: DataFrame,
+                            duration: str = "1 hour",
+                            watermark: str = "2 hours") -> DataFrame:
+    """Stream-static enrichment: a streaming fact joined to a BATCH
+    dimension, then watermark + tumbling aggregation per (segment,
+    window). The static side is broadcast and the join runs map-side
+    inside every micro-batch -- no join state at all (vs stream-stream
+    joins, which must buffer both sides); this is the canonical shape for
+    decorating an event stream with slowly-changing reference data at
+    100 TB. ``dim`` must carry (user_id, segment).
+
+    Inner join + deterministic agg => exact batch SQL oracle.
+    """
+    from pyspark.sql.functions import broadcast
+
+    return (
+        events.join(broadcast(dim), "user_id")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), F.col("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4)
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "segment", "n_events", "sum_value",
+        )
+    )
+
+
+def streaming_sliding_counts(events: DataFrame, window_minutes: int = 60,
+                             slide_minutes: int = 30,
+                             watermark: str = "2 hours") -> DataFrame:
+    """Hopping (sliding) windows through the streaming engine: each event
+    lands in window/slide overlapping windows; watermark bounds how long
+    each open window's state lives. Streaming twin of
+    operators.events.sliding_window_agg (same oracle)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", f"{window_minutes} minutes",
+                     f"{slide_minutes} minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type", "n_events",
+        )
+    )
+
+
 def streaming_click_attribution(events: DataFrame,
                                 max_gap_minutes: int = 30,
                                 watermark: str = "2 hours") -> DataFrame:

@@ -127,6 +127,9 @@ HEADLINE = [
     "cdc_apply",
     "revenue_grouping_sets",
     "approx_distinct_users",
+    "centroid_assign",
+    "containment_pairs",
+    "bloom_decontaminate",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

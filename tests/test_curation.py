@@ -77,6 +77,20 @@ def test_decontaminate_returns_only_train_docs_with_overlap(spark, sf_dir):
         assert r["n_shared_shingles"] >= 1
 
 
+def test_bloom_decontaminate_equals_exact(spark, sf_dir):
+    """The Bloom prefilter + exact verify join must be byte-identical to
+    plain decontaminate (FPs die in the join, FNs are impossible), and
+    must stay identical even with a deliberately tiny, collision-heavy
+    bitset -- correctness may never depend on the FP rate."""
+    docs = _docs(spark, sf_dir)
+    exact = [tuple(r) for r in cur.decontaminate(docs).collect()]
+    bloom = [tuple(r) for r in cur.bloom_decontaminate(docs).collect()]
+    assert bloom == exact
+    tiny = [tuple(r) for r in
+            cur.bloom_decontaminate(docs, m_bits=1 << 10).collect()]
+    assert tiny == exact
+
+
 def test_lang_quota_sample_bounds_and_determinism(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     out = cur.lang_quota_sample(docs, quota=30)

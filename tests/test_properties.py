@@ -239,6 +239,42 @@ def test_pairwise_banded_equals_exact_and_is_lazy(spark, sf_dir):
     assert got == want
 
 
+def test_containment_detects_subset_docs(spark):
+    """A document fully contained in a larger one must score
+    containment 1.0 in the contained->container direction, while the
+    reverse direction scores |small|/|big| -- the asymmetry Jaccard
+    cannot express."""
+    from automated_review_analysis_pipeline_spark.operators import dedup
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally different words here entirely")],
+        "doc_id long, text string")
+    rows = {(r["id_src"], r["id_dst"]): r["containment"]
+            for r in dedup.containment_pairs(docs, k=3,
+                                             threshold=0.01).collect()}
+    assert rows[(1, 2)] == 1.0
+    assert 0 < rows[(2, 1)] < 1.0
+    assert (1, 3) not in rows and (3, 1) not in rows
+
+
+def test_centroid_assign_separates_labels(spark, sf_dir):
+    """Nearest-centroid assignment on the synthetic label-clustered
+    embeddings must (a) cover every vector exactly once, (b) assign only
+    labels that exist, (c) beat random assignment by >2x on hit rate."""
+    from automated_review_analysis_pipeline_spark.operators import similarity as sim
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = sim.centroid_assign(e).collect()
+    assert len(rows) == e.count()
+    labels = {r["label"] for r in rows}
+    assert {r["assigned_label"] for r in rows} <= labels
+    hit_rate = sum(r["hit"] for r in rows) / len(rows)
+    assert hit_rate > 2.0 / len(labels), hit_rate
+
+
 def test_pagerank_mass_and_determinism(spark, sf_dir):
     from automated_review_analysis_pipeline_spark.registry import QUERIES
 

@@ -27,6 +27,46 @@ def stream(spark):
     return read_events_stream(spark, EVENTS_PATH)
 
 
+def test_streaming_sliding_matches_batch(spark, stream, sf_dir):
+    from automated_review_analysis_pipeline_spark.operators.events import (
+        sliding_window_agg,
+    )
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        streaming_sliding_counts,
+    )
+
+    out = run_available_now(streaming_sliding_counts(stream, 60, 30), "slide")
+    batch = sliding_window_agg(load_table(spark, sf_dir, "events"), 60, 30)
+    key = ("window_start_us", "event_type", "n_events")
+    assert sorted(tuple(r[c] for c in key) for r in out.collect()) \
+        == sorted(tuple(r[c] for c in key) for r in batch.collect())
+
+
+def test_streaming_static_enrich_matches_batch_join(spark, stream, sf_dir):
+    """Stream-static broadcast join + tumbling agg == the same plan run
+    in batch; the static side never builds join state."""
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        streaming_static_enrich,
+    )
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"))
+    out = run_available_now(streaming_static_enrich(stream, dim), "enrich")
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.join(dim, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                     .cast("double"), 4).alias("sum_value"))
+        .select(F.unix_micros(F.col("w.start")).alias("window_start_us"),
+                "segment", "n_events", "sum_value"))
+    key = ("window_start_us", "segment", "n_events", "sum_value")
+    assert sorted(tuple(r[c] for c in key) for r in out.collect()) \
+        == sorted(tuple(r[c] for c in key) for r in batch.collect())
+
+
 def test_streaming_tumbling_matches_batch(spark, stream, sf_dir):
     out = run_available_now(
         streaming_tumbling_counts(stream, "1 hour"), "tumble")

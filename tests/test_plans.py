@@ -424,3 +424,33 @@ def test_cdc_apply_single_shuffle_window(spark):
     plan = plan_of(spark, "cdc_apply")
     assert plan.count("hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_centroid_assign_broadcasts_centroids(spark):
+    """The centroid table (|labels| rows) must reach the corpus as a
+    broadcast nested-loop -- the corpus itself must NOT shuffle into the
+    join; the only exchanges are the centroid aggregation and the final
+    per-vector window."""
+    plan = plan_of(spark, "centroid_assign")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_posting_joins_no_cartesian(spark):
+    """The containment posting-list self-join and both size joins must be
+    equi-joins (hash or sort-merge); nothing pairwise may fall into a
+    nested-loop residual."""
+    plan = plan_of(spark, "containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_pairwise_cosine_banded_no_collect_shape(spark):
+    """The banded-LSH near-dup pair generator: signature generation is
+    Python (Arrow), but candidate verification must group by (band, sig)
+    -- ONE hash exchange into applyInPandas -- and the final dedup is a
+    second small exchange. No nested loop, no cartesian."""
+    plan = plan_of(spark, "embedding_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan

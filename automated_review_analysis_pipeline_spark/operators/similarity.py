@@ -131,10 +131,26 @@ def _banded_signatures(df: DataFrame, id_col: str, vec_col: str, alias: str,
     return df.select(id_col, vec_col).mapInPandas(sig_batches, schema)
 
 
+def _auto_bands(threshold: float, band_bits: int,
+                miss_target: float = 1e-9) -> int:
+    """Smallest band count driving the per-pair miss probability at the
+    decision boundary below ``miss_target``: a pair at exactly
+    ``threshold`` agrees on each sign bit with p = 1 - acos(t)/pi, so
+    missing ALL bands has probability (1 - p^bits)^B."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p_band = p ** band_bits
+    if p_band >= 1.0:
+        return 1
+    b = math.ceil(math.log(miss_target) / math.log(1.0 - p_band))
+    return max(8, min(64, b))
+
+
 def pairwise_cosine_above(embeddings: DataFrame, threshold: float = 0.9,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding", *,
-                          exact: bool = False, n_bands: int = 48,
+                          exact: bool = False, n_bands: int | None = None,
                           band_bits: int = 2, dim: int = 64) -> DataFrame:
     """Embedding near-duplicate pairs: all (a<b) pairs with cosine >=
     threshold.
@@ -142,15 +158,16 @@ def pairwise_cosine_above(embeddings: DataFrame, threshold: float = 0.9,
     Default path (the 100 TB shape): banded sign-LSH candidate generation
     -- each vector is hashed into ``n_bands`` signatures of ``band_bits``
     hyperplane sign bits; any pair agreeing on ANY band becomes a
-    candidate, verified with the exact JVM-side cosine fold. Nothing is
-    ever collected to the driver; the self-join on (band, sig) is an
-    ordinary distributed hash join and the pair set is deduped before
-    emission. Per-pair miss probability is (1 - p^band_bits)^n_bands with
-    p = 1 - acos(cos) / pi: the defaults (48 bands x 2 bits) drive it
-    below 1e-9 even at cosine 0.35, so the exact SQL oracle still holds;
-    production dedup at threshold >= 0.8 should RAISE band_bits (e.g. 8
-    bits x 16 bands) so the banding actually prunes -- with 2-bit bands
-    pruning is intentionally sacrificed for exactness at low thresholds.
+    candidate, verified exactly in-bucket. Nothing is ever collected to
+    the driver; the grouping on (band, sig) is an ordinary distributed
+    shuffle and the pair set is deduped before emission. Per-pair miss
+    probability is (1 - p^band_bits)^n_bands with p = 1 - acos(cos) / pi;
+    ``n_bands=None`` (default) auto-sizes the band count to push the miss
+    probability AT the threshold below 1e-9 (fewer bands at higher
+    thresholds -- the banding self-tunes), so the exact SQL oracle still
+    holds. Production dedup at threshold >= 0.8 should RAISE band_bits
+    (e.g. 8 bits) so each bucket also PRUNES: with 2-bit bands pruning is
+    intentionally sacrificed for exactness at low thresholds.
 
     ``exact=True`` keeps the O(n^2) numpy-matmul baseline (collects the
     set once -- only for small, bounded candidate sets)."""
@@ -188,6 +205,8 @@ def pairwise_cosine_above(embeddings: DataFrame, threshold: float = 0.9,
             pair_batches, "id_a long, id_b long, cosine_sim double"
         ).orderBy("id_a", "id_b")
 
+    if n_bands is None:
+        n_bands = _auto_bands(threshold, band_bits)
     planes = _hyperplanes(dim, n_bands * band_bits)
     sigs = _banded_signatures(embeddings, id_col, vec_col, "a",
                               planes, n_bands, band_bits)

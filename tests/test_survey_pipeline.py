@@ -148,6 +148,32 @@ def test_detect_survey_language_sampling(spark):
     assert detect_survey_language(empty) is None
 
 
+def test_orc_roundtrip(spark, tmp_path, sf_dir):
+    """documents -> ORC (partitioned by lang) -> read back: content
+    identical, lang partition column survives, and a lang filter prunes
+    partitions (PartitionFilters in the scan, not a post-filter)."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.sources.columnar import (
+        read_orc,
+        write_orc,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs, out, partition_by="lang")
+    back = read_orc(spark, out)
+    assert sorted(back.columns) == sorted(docs.columns)
+    a = sorted(tuple(r) for r in docs.select(*sorted(docs.columns)).collect())
+    b = sorted(tuple(r) for r in back.select(*sorted(docs.columns)).collect())
+    assert a == b
+    one = back.where(F.col("lang") == "en")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split(
+        "PartitionFilters")[1].split("]")[0]
+
+
 def test_jsonl_roundtrip(spark, tmp_path):
     """documents -> gzip JSONL (partitioned by lang) -> read with explicit
     schema: content-identical, no corrupt lines, partition pruning intact."""

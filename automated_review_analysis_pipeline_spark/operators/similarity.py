@@ -627,6 +627,41 @@ def near_dup_components(embeddings: DataFrame, threshold: float = 0.35,
     ).orderBy(id_col)
 
 
+def near_dup_triangles(embeddings: DataFrame, threshold: float = 0.25,
+                       id_col: str = "vec_id") -> DataFrame:
+    """Per-node triangle counts over the near-duplicate graph: how many
+    cosine>=threshold triangles pass through each vector. Triangle density
+    separates genuine duplicate CLUSTERS (mutually-similar groups worth
+    one representative) from star-shaped false-positive hubs (one template
+    weakly matching many unrelated docs) -- the standard graph evidence a
+    dedup review adds next to components and pagerank.
+
+    Plan: each triangle a<b<c is found exactly once by the classic
+    two-join enumeration (e1(a,b) |x| e2(b,c) on b, then closing edge
+    e3(a,c)); nodes explode out of the closed triangles and one hash
+    aggregate counts per node. Edge lists are cached once; everything is
+    equi-joins -- at cluster scale this is the MapReduce triangle-count
+    shape (partition by lowest-degree vertex to bound join fan-out).
+    """
+    pairs = pairwise_cosine_above(embeddings, threshold, id_col)
+    edges = pairs.select(F.col("id_a").alias("a"),
+                         F.col("id_b").alias("b")).cache()
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = (
+        edges.join(e2, "b")
+        .join(e3, ["a", "c"])           # closing edge => triangle a<b<c
+        .select("a", "b", "c")
+    )
+    node = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    return (
+        node.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .select(F.col("node").alias(id_col), "n_triangles")
+        .orderBy(id_col)
+    )
+
+
 def near_dup_pagerank(embeddings: DataFrame, threshold: float = 0.35,
                       iterations: int = 5, damping: float = 0.85,
                       id_col: str = "vec_id") -> DataFrame:

@@ -245,6 +245,13 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.centroid_assign(_t(spark, sf_dir, "embeddings"))
 
 
+def q_near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 0.25: the graph density where this slice actually closes triangles
+    # (52 at sf0.01); 0.35 yields a forest and a trivially-empty result.
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return sim.near_dup_triangles(e, threshold=0.25)
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold 0.2: the synthetic docs' containment tail; high enough to
     # keep the posting-list join selective, low enough to be non-trivial.
@@ -1099,6 +1106,7 @@ QUERIES: dict[str, QueryFn] = {
     "near_dup_components": q_near_dup_components,
     "near_dup_pagerank": q_near_dup_pagerank,
     "centroid_assign": q_centroid_assign,
+    "near_dup_triangles": q_near_dup_triangles,
     "containment_pairs": q_containment_pairs,
     "bloom_decontaminate": q_bloom_decontaminate,
     "streaming_segment_enrich": q_streaming_segment_enrich,
@@ -2567,6 +2575,28 @@ WITH base AS (
 )
 SELECT id_src, id_dst, containment FROM directed
 WHERE containment >= 0.2 ORDER BY id_src, id_dst
+"""
+
+
+ORACLE_SQL["near_dup_triangles"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 200),
+edges AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {_cosine_sql('a.v', 'b.v')} >= 0.25
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  SELECT unnest([a, b, c]) AS node FROM tri
+)
+SELECT node AS vec_id, count(*) AS n_triangles
+FROM nodes GROUP BY node ORDER BY vec_id
 """
 
 

@@ -127,6 +127,7 @@ HEADLINE = [
     "cdc_apply",
     "revenue_grouping_sets",
     "approx_distinct_users",
+    "near_dup_triangles",
     "centroid_assign",
     "containment_pairs",
     "bloom_decontaminate",

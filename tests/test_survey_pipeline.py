@@ -148,6 +148,30 @@ def test_detect_survey_language_sampling(spark):
     assert detect_survey_language(empty) is None
 
 
+def test_sql_surface_matches_dataframe_twin(spark, sf_dir):
+    """spark.sql over the registered views must equal the DataFrame-API
+    twin (same Catalyst plans underneath), and SQL filters must still
+    push into the parquet scan."""
+    from automated_review_analysis_pipeline_spark.registry import QUERIES
+    from automated_review_analysis_pipeline_spark.sql import sql
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    got = sql(spark, """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP_NTZ '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """, sf_dir)
+    twin = QUERIES["q1_pricing_summary"](spark, sf_dir).select(
+        "l_returnflag", "l_linestatus", "sum_qty")
+    assert [tuple(r) for r in got.collect()] \
+        == [tuple(r) for r in twin.collect()]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split(
+        "PushedFilters")[1].split("]")[0]
+
+
 def test_orc_roundtrip(spark, tmp_path, sf_dir):
     """documents -> ORC (partitioned by lang) -> read back: content
     identical, lang partition column survives, and a lang filter prunes

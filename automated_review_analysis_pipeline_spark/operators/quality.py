@@ -1,0 +1,60 @@
+"""Data-quality expectations: declarative row-level rules evaluated in
+ONE pass, plus uniqueness checks -- the contract-enforcement layer a
+pipeline runs before publishing a table (the Delta Live Tables /
+Great Expectations shape, rebuilt on plain DataFrame ops).
+
+Row rules compile to ``sum(rule violated)`` aggregates inside a single
+hash aggregation: one scan, map-side partials, no per-rule jobs.
+Uniqueness rules need their own groupBy (a shuffle per distinct key set)
+-- that cost is inherent to the check, so they are listed separately and
+the single-pass guarantee is kept honest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def expectations_report(df: DataFrame,
+                        rules: dict[str, Column],
+                        unique: dict[str, list[str]] | None = None
+                        ) -> DataFrame:
+    """Evaluate named expectations and return one row per rule:
+    (rule, n_violations, violation_rate).
+
+    ``rules`` maps rule name -> BOOLEAN Column that is True when the row
+    SATISFIES the expectation (NULL counts as a violation -- an
+    expectation that cannot be evaluated is not met). ``unique`` maps
+    rule name -> key column list; its violation count is the number of
+    EXTRA rows beyond one per key (0 = key is unique).
+    """
+    if not rules and not unique:
+        raise ValueError("at least one rule required")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, cond in rules.items():
+        aggs.append(
+            F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1))
+            .alias(name))
+    base = df.agg(*aggs).collect()[0]
+    n_rows = base["__n"]
+    out_rows = [(name, int(base[name])) for name in rules]
+
+    for name, keys in (unique or {}).items():
+        extra = (
+            df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") > 1)
+            .agg(F.coalesce(F.sum(F.col("__c") - 1), F.lit(0)).alias("x"))
+            .collect()[0]["x"])
+        out_rows.append((name, int(extra)))
+
+    spark = df.sparkSession
+    res = spark.createDataFrame(out_rows, "rule string, n_violations long")
+    denom = float(n_rows) if n_rows else 1.0
+    return (
+        res.select(
+            "rule", "n_violations",
+            F.round(F.col("n_violations") / F.lit(denom), 6)
+            .alias("violation_rate"))
+        .orderBy("rule")
+    )

@@ -245,6 +245,29 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.centroid_assign(_t(spark, sf_dir, "embeddings"))
 
 
+def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality contract on orders: two passing rules,
+    two with real violation mass, one uniqueness check per kind."""
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        expectations_report,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return expectations_report(
+        o,
+        rules={
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "totalprice_under_200k": F.col("o_totalprice") <= 200000,
+            "status_is_final": F.col("o_orderstatus") == "F",
+        },
+        unique={
+            "orderkey_unique": ["o_orderkey"],
+            "custkey_unique": ["o_custkey"],
+        },
+    )
+
+
 def q_near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.25: the graph density where this slice actually closes triangles
     # (52 at sf0.01); 0.35 yields a forest and a trivially-empty result.
@@ -1107,6 +1130,7 @@ QUERIES: dict[str, QueryFn] = {
     "near_dup_pagerank": q_near_dup_pagerank,
     "centroid_assign": q_centroid_assign,
     "near_dup_triangles": q_near_dup_triangles,
+    "expectations_orders": q_expectations_orders,
     "containment_pairs": q_containment_pairs,
     "bloom_decontaminate": q_bloom_decontaminate,
     "streaming_segment_enrich": q_streaming_segment_enrich,
@@ -2575,6 +2599,41 @@ WITH base AS (
 )
 SELECT id_src, id_dst, containment FROM directed
 WHERE containment >= 0.2 ORDER BY id_src, id_dst
+"""
+
+
+ORACLE_SQL["expectations_orders"] = """
+WITH n AS (SELECT count(*)::DOUBLE AS n_rows FROM orders),
+rules AS (
+  SELECT 'custkey_not_null' AS rule,
+         sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'totalprice_positive',
+         sum(CASE WHEN coalesce(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END)
+  FROM orders
+  UNION ALL
+  SELECT 'totalprice_under_200k',
+         sum(CASE WHEN coalesce(o_totalprice <= 200000, FALSE) THEN 0 ELSE 1 END)
+  FROM orders
+  UNION ALL
+  SELECT 'status_is_final',
+         sum(CASE WHEN coalesce(o_orderstatus = 'F', FALSE) THEN 0 ELSE 1 END)
+  FROM orders
+  UNION ALL
+  SELECT 'orderkey_unique',
+         coalesce((SELECT sum(c - 1) FROM (
+            SELECT count(*) AS c FROM orders GROUP BY o_orderkey) g
+            WHERE c > 1), 0)
+  UNION ALL
+  SELECT 'custkey_unique',
+         coalesce((SELECT sum(c - 1) FROM (
+            SELECT count(*) AS c FROM orders GROUP BY o_custkey) g
+            WHERE c > 1), 0)
+)
+SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+       round(n_violations / (SELECT n_rows FROM n), 6) AS violation_rate
+FROM rules ORDER BY rule
 """
 
 

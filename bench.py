@@ -128,6 +128,7 @@ HEADLINE = [
     "revenue_grouping_sets",
     "approx_distinct_users",
     "near_dup_triangles",
+    "expectations_orders",
     "centroid_assign",
     "containment_pairs",
     "bloom_decontaminate",

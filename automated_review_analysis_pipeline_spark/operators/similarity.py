@@ -446,16 +446,22 @@ def centroid_assign(embeddings: DataFrame, id_col: str = "vec_id",
     sim = dot_product(F.col("__v"), F.col("c_vec")) / (
         F.sqrt(dot_product(F.col("__v"), F.col("__v")))
         * F.sqrt(dot_product(F.col("c_vec"), F.col("c_vec"))))
-    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("c_label"))
+    # argmax as max_by over struct(sim, -label): lexicographic max =
+    # highest sim, ties to LOWEST label -- a partial+final hash aggregate
+    # (map-side combine collapses |labels| rows per vector before the
+    # shuffle), where a row_number window would sort the whole
+    # corpus x labels frame.
+    pick = F.max_by(
+        "c_label", F.struct(F.col("__sim"), (-F.col("c_label")).alias("nl")))
     return (
         base.join(broadcast(cents), F.lit(True))
         .withColumn("__sim", F.round(sim, 6))
-        .withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") == 1)
+        .groupBy(id_col, "label")
+        .agg(pick.alias("assigned_label"))
         .select(
-            id_col, "label",
-            F.col("c_label").alias("assigned_label"),
-            (F.col("c_label") == F.col("label")).cast("int").alias("hit"),
+            id_col, "label", "assigned_label",
+            (F.col("assigned_label") == F.col("label")).cast("int")
+            .alias("hit"),
         )
         .orderBy(id_col)
     )

@@ -53,6 +53,40 @@ def load_cache(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame([], CACHE_SCHEMA)
 
 
+def import_json_cache(spark: SparkSession, json_path: str,
+                      cache_path: str) -> int:
+    """Migrate the reference's JSON memo cache into the parquet cache
+    table, so a porting user keeps every classification they already paid
+    for. The reference format (survey_analysis.py:145-165) is one object:
+    ``{"industry|||question|||answer": [sentiment, category], ...}`` --
+    keys split on the literal ``|||`` delimiter (answer may itself
+    contain anything except the delimiter, same contract as the
+    reference's cache_key). Already-imported keys are skipped (anti-join
+    idempotence, like every other cache write). Returns the number of
+    newly imported entries."""
+    import json
+
+    with open(json_path, encoding="utf-8") as f:
+        raw = json.load(f)
+    rows = []
+    for key, val in raw.items():
+        parts = key.split("|||", 2)
+        if len(parts) != 3 or not isinstance(val, (list, tuple)) \
+                or len(val) < 2:
+            continue  # tolerate corrupt entries like the reference loader
+        rows.append((parts[0], parts[1], parts[2], str(val[0]), str(val[1])))
+    if not rows:
+        return 0
+    incoming = spark.createDataFrame(rows, CACHE_SCHEMA).distinct()
+    fresh = incoming.join(load_cache(spark, cache_path), KEY_COLS,
+                          "left_anti").cache()
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(cache_path)
+    fresh.unpersist()
+    return n
+
+
 def classify_with_cache(
     keys: DataFrame,
     classifier: CacheClassifier,

@@ -59,6 +59,44 @@ def test_cache_dedups_and_is_idempotent(spark, tmp_path):
     assert cached.count() == 2
 
 
+def test_import_reference_json_cache(spark, tmp_path):
+    """A porting user's .analysis_cache.json (the reference's memo format)
+    must import losslessly into the parquet cache, skip already-present
+    keys on re-import, and make classify_with_cache treat every imported
+    key as a hit. Exercised against the reference's own 278-entry golden
+    cache."""
+    import json
+
+    from automated_review_analysis_pipeline_spark.operators.cache import (
+        import_json_cache,
+    )
+
+    cache_path = str(tmp_path / "migrated_cache")
+    src = "/root/reference/.analysis_cache.json"
+    n = import_json_cache(spark, src, cache_path)
+    with open(src, encoding="utf-8") as f:
+        raw = json.load(f)
+    assert n == len(raw) == 278
+    cached = load_cache(spark, cache_path)
+    assert cached.count() == 278
+    # spot-check one entry end-to-end
+    key, (sent, cat) = next(iter(raw.items()))
+    ind, q, ans = key.split("|||", 2)
+    row = cached.where(
+        (F.col("industry") == ind) & (F.col("question") == q)
+        & (F.col("answer") == ans)).collect()
+    assert [(row[0]["sentiment"], row[0]["category"])] == [(sent, cat)]
+    # idempotent re-import
+    assert import_json_cache(spark, src, cache_path) == 0
+    # imported keys are cache HITS: classifier sees zero calls
+    keys = spark.createDataFrame(
+        [(ind, q, ans)], KEY_COLS)
+    counter = {"calls": 0}
+    out = classify_with_cache(keys, _counting_classifier(counter), spark,
+                              cache_path)
+    assert out.count() == 1 and counter["calls"] == 0
+
+
 def test_classify_column_with_cache_joins_back(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "love it"), (2, "love it"), (3, "meh")], ["id", "ans"])

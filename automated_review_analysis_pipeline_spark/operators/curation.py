@@ -134,6 +134,74 @@ def decontaminate(documents: DataFrame, text_col: str = "text",
     )
 
 
+def curate_corpus(documents: DataFrame, quota: int = 80, budget: int = 512,
+                  k: int = 5) -> DataFrame:
+    """The full training-corpus curation pipeline as ONE lazy Spark plan:
+
+    1. Gopher quality gate (integer-arithmetic keep rules, semi join)
+    2. Exact text dedup (min doc_id survives per distinct text)
+    3. Train-split selection + held-out-set decontamination (any train doc
+       sharing a word k-shingle with the test split is dropped; the test
+       split is drawn from the ORIGINAL corpus -- curation must never
+       weaken the contamination definition)
+    4. Per-language quota sampling (md5-ordered, deterministic)
+    5. Token-budget shard assignment per language (contiguous offsets)
+
+    Output: (lang, doc_id, n_tokens, tokens_before, shard) -- the shard
+    manifest a data loader consumes. Single action, no intermediate
+    materialization: Catalyst fuses the gates into the scans, and every
+    stage is a hash join / window over the SHRINKING survivor set, so at
+    100 TB the expensive stages (shingle join, windows) see only what the
+    cheap per-row gates let through.
+    """
+    from .dedup import (
+        exact_dedup,
+        shingle_tokens,
+        word_shingles_from_tokens,
+    )
+    from .textanalysis import token_count
+
+    kept_ids = gopher_quality_flags(documents).where("keep").select("doc_id")
+    base = documents.join(kept_ids, "doc_id", "left_semi")
+    deduped = exact_dedup(base, ["text"], ["doc_id"])
+    train = deduped.where(split_key("doc_id") < TRAIN_MAX)
+
+    toked = documents.select(
+        split_key("doc_id").alias("__h"),
+        shingle_tokens(F.col("text")).alias("__toks"))
+    test_sh = (toked.where(F.col("__h") >= VAL_MAX)
+               .select(F.explode(word_shingles_from_tokens(F.col("__toks"), k))
+                       .alias("shingle"))
+               .distinct())
+    tr_toked = train.select(
+        "doc_id", shingle_tokens(F.col("text")).alias("__toks"))
+    tr_sh = tr_toked.select(
+        "doc_id",
+        F.explode(word_shingles_from_tokens(F.col("__toks"), k))
+        .alias("shingle"))
+    contaminated = tr_sh.join(test_sh, "shingle").select("doc_id").distinct()
+    clean = train.join(contaminated, "doc_id", "left_anti")
+
+    w_q = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    sampled = (clean.withColumn("__r", F.row_number().over(w_q))
+               .where(F.col("__r") <= quota))
+
+    w_s = (Window.partitionBy("lang").orderBy("doc_id")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        sampled.select("lang", "doc_id",
+                       token_count(F.col("text")).alias("n_tokens"))
+        .select("lang", "doc_id", "n_tokens",
+                F.coalesce(F.sum("n_tokens").over(w_s), F.lit(0))
+                .alias("tokens_before"))
+        .select("lang", "doc_id", "n_tokens", "tokens_before",
+                F.floor(F.col("tokens_before") / budget).cast("long")
+                .alias("shard"))
+        .orderBy("lang", "doc_id")
+    )
+
+
 def bloom_decontaminate(documents: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 5,
                         m_bits: int = 1 << 20,

@@ -245,6 +245,10 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.centroid_assign(_t(spark, sf_dir, "embeddings"))
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cur.curate_corpus(_t(spark, sf_dir, "documents"))
+
+
 def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality contract on orders: two passing rules,
     two with real violation mass, one uniqueness check per kind."""
@@ -1131,6 +1135,7 @@ QUERIES: dict[str, QueryFn] = {
     "centroid_assign": q_centroid_assign,
     "near_dup_triangles": q_near_dup_triangles,
     "expectations_orders": q_expectations_orders,
+    "curate_corpus": q_curate_corpus,
     "containment_pairs": q_containment_pairs,
     "bloom_decontaminate": q_bloom_decontaminate,
     "streaming_segment_enrich": q_streaming_segment_enrich,
@@ -2599,6 +2604,64 @@ WITH base AS (
 )
 SELECT id_src, id_dst, containment FROM directed
 WHERE containment >= 0.2 ORDER BY id_src, id_dst
+"""
+
+
+# curate_corpus: the end-to-end pipeline oracle composes the SAME stage
+# definitions the standalone oracles use (gopher flags SQL generated from
+# the rule constants, md5 split keys, k=5 shingles, md5 quota order,
+# token-offset shards) -- stages chained as CTEs over the shrinking
+# survivor set.
+_CURATE_TOK = ("CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "
+               "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+ORACLE_SQL["curate_corpus"] = f"""
+WITH flags AS ({cur.gopher_quality_flags_sql().replace("ORDER BY doc_id", "")}),
+kept AS (
+  SELECT d.* FROM documents d JOIN flags f ON d.doc_id = f.doc_id AND f.keep
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1
+),
+train AS (
+  SELECT * FROM dedup
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{cur.TRAIN_MAX}'
+),
+test_sh AS (
+  SELECT DISTINCT unnest({_shingles_sql('text', 5)}) AS shingle
+  FROM documents
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '{cur.VAL_MAX}'
+),
+tr_sh AS (
+  SELECT doc_id, unnest({_shingles_sql('text', 5)}) AS shingle FROM train
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM tr_sh JOIN test_sh USING (shingle)
+),
+clean AS (
+  SELECT * FROM train
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+sampled AS (
+  SELECT * FROM (
+    SELECT lang, doc_id, text,
+           row_number() OVER (
+             PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS qr
+    FROM clean) WHERE qr <= 80
+),
+cum AS (
+  SELECT lang, doc_id, {_CURATE_TOK}::BIGINT AS n_tokens,
+         CAST(coalesce(sum({_CURATE_TOK}) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tokens_before
+  FROM sampled
+)
+SELECT lang, doc_id, n_tokens, tokens_before,
+       CAST(floor(tokens_before / 512) AS BIGINT) AS shard
+FROM cum ORDER BY lang, doc_id
 """
 
 

@@ -129,6 +129,7 @@ HEADLINE = [
     "approx_distinct_users",
     "near_dup_triangles",
     "expectations_orders",
+    "curate_corpus",
     "centroid_assign",
     "containment_pairs",
     "bloom_decontaminate",

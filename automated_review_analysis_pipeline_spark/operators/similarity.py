@@ -633,6 +633,74 @@ def near_dup_components(embeddings: DataFrame, threshold: float = 0.35,
     ).orderBy(id_col)
 
 
+def kmeans_embeddings(embeddings: DataFrame, k: int = 8,
+                      iterations: int = 3, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Deterministic mini k-means (Lloyd) over the embedding table --
+    the iterative-ML-loop shape on DataFrames, fully oracle-comparable:
+
+    * init: the k lowest-id vectors are the starting centroids
+    * assign: cosine argmax against broadcast centroids, sims rounded to
+      6 decimals BEFORE the argmax, ties to the lowest centroid id
+    * update: per-(cluster, dim) mean through DECIMAL(18,9) sums (exact,
+      order-independent), rounded once to 6 decimals; a cluster that
+      loses all members keeps its previous centroid
+    * fixed ``iterations`` -- no data-dependent convergence test, so the
+      DuckDB oracle can unroll the identical recurrence
+
+    Per iteration: one broadcast join + max_by aggregate (assignment) and
+    one explode + hash aggregate (update) -- the corpus is scanned, never
+    shuffled by pair. At cluster scale add localCheckpoint() every few
+    rounds to truncate lineage, same convention as near_dup_pagerank.
+    Returns the final (vec_id, cluster) assignment.
+    """
+    v = to_double_array(F.col(vec_col))
+    base = embeddings.select(F.col(id_col), v.alias("__v")).cache()
+    cents = (
+        base.orderBy(id_col).limit(k)
+        .select(F.col(id_col).alias("cid"), F.col("__v").alias("c_vec"))
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        sim = dot_product(F.col("__v"), F.col("c_vec")) / (
+            F.sqrt(dot_product(F.col("__v"), F.col("__v")))
+            * F.sqrt(dot_product(F.col("c_vec"), F.col("c_vec"))))
+        pick = F.max_by(
+            "cid", F.struct(F.col("__sim"), (-F.col("cid")).alias("nc")))
+        return (
+            base.join(broadcast(cents_df), F.lit(True))
+            .withColumn("__sim", F.round(sim, 6))
+            .groupBy(id_col)
+            .agg(pick.alias("cluster"))
+        )
+
+    for _ in range(iterations):
+        assigned = assign(cents)
+        members = base.join(assigned, id_col).select(
+            F.col("cluster").alias("cid"),
+            F.posexplode(F.col("__v")).alias("dim", "val"))
+        new_cents = (
+            members.groupBy("cid", "dim")
+            .agg(F.round(
+                F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)), 6).alias("cv"))
+            .groupBy("cid")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s["cv"]).alias("c_vec"))
+        )
+        # empty clusters keep their previous centroid
+        cents = (
+            cents.alias("o")
+            .join(new_cents.alias("n"), "cid", "left")
+            .select("cid", F.coalesce(F.col("n.c_vec"),
+                                      F.col("o.c_vec")).alias("c_vec"))
+        )
+
+    out = assign(cents).orderBy(id_col)
+    return out
+
+
 def near_dup_triangles(embeddings: DataFrame, threshold: float = 0.25,
                        id_col: str = "vec_id") -> DataFrame:
     """Per-node triangle counts over the near-duplicate graph: how many

@@ -249,6 +249,10 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.curate_corpus(_t(spark, sf_dir, "documents"))
 
 
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.kmeans_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
 def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality contract on orders: two passing rules,
     two with real violation mass, one uniqueness check per kind."""
@@ -1136,6 +1140,7 @@ QUERIES: dict[str, QueryFn] = {
     "near_dup_triangles": q_near_dup_triangles,
     "expectations_orders": q_expectations_orders,
     "curate_corpus": q_curate_corpus,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "containment_pairs": q_containment_pairs,
     "bloom_decontaminate": q_bloom_decontaminate,
     "streaming_segment_enrich": q_streaming_segment_enrich,
@@ -2605,6 +2610,49 @@ WITH base AS (
 SELECT id_src, id_dst, containment FROM directed
 WHERE containment >= 0.2 ORDER BY id_src, id_dst
 """
+
+
+def _kmeans_sql(k: int = 8, iterations: int = 3) -> str:
+    """Unrolled-Lloyd oracle: the same recurrence kmeans_embeddings runs
+    (rounded-cosine argmax assignment, decimal-exact centroid means,
+    empty clusters keep their previous centroid), one CTE trio per
+    iteration."""
+    cos = _cosine_sql("e.v", "c.cv")
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {k})",
+    ]
+    prev = "c0"
+    for i in range(1, iterations + 1):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos} DESC, c.cid) AS rn
+    FROM e CROSS JOIN {prev} c) WHERE rn = 1)""")
+        parts.append(f"""u{i} AS (
+  SELECT cid, dim,
+         round(sum(CAST(val AS DECIMAL(18,9)))::DOUBLE / count(*)::DOUBLE, 6)
+           AS cv
+  FROM (SELECT a.cluster AS cid, unnest(e.v) AS val,
+               generate_subscripts(e.v, 1) - 1 AS dim
+        FROM e JOIN a{i} a USING (vec_id))
+  GROUP BY cid, dim)""")
+        parts.append(f"""c{i} AS (
+  SELECT p.cid, coalesce(n.cva, p.cv) AS cv
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, array_agg(cv ORDER BY dim) AS cva FROM u{i} GROUP BY cid) n
+  USING (cid))""")
+        prev = f"c{i}"
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT vec_id, cid AS cluster FROM (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos} DESC, c.cid) AS rn
+  FROM e CROSS JOIN {prev} c) WHERE rn = 1 ORDER BY vec_id""")
+
+
+ORACLE_SQL["kmeans_embeddings"] = _kmeans_sql()
 
 
 # curate_corpus: the end-to-end pipeline oracle composes the SAME stage

@@ -130,6 +130,7 @@ HEADLINE = [
     "near_dup_triangles",
     "expectations_orders",
     "curate_corpus",
+    "kmeans_embeddings",
     "centroid_assign",
     "containment_pairs",
     "bloom_decontaminate",

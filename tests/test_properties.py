@@ -259,6 +259,22 @@ def test_containment_detects_subset_docs(spark):
     assert (1, 3) not in rows and (3, 1) not in rows
 
 
+def test_kmeans_deterministic_and_nondegenerate(spark, sf_dir):
+    """Fixed-iteration Lloyd must be run-to-run deterministic (rounded
+    sims, decimal centroid math) and must actually separate the corpus
+    into multiple clusters covering every vector."""
+    from automated_review_analysis_pipeline_spark.operators import similarity as sim
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = [tuple(r) for r in sim.kmeans_embeddings(e, k=4, iterations=2).collect()]
+    b = [tuple(r) for r in sim.kmeans_embeddings(e, k=4, iterations=2).collect()]
+    assert a == b
+    assert len(a) == e.count()
+    n_clusters = len({c for _, c in a})
+    assert 2 <= n_clusters <= 4
+
+
 def test_centroid_assign_separates_labels(spark, sf_dir):
     """Nearest-centroid assignment on the synthetic label-clustered
     embeddings must (a) cover every vector exactly once, (b) assign only

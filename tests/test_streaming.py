@@ -138,3 +138,15 @@ def test_streaming_incremental_rollup_multi_batch(spark, sf_dir, tmp_path):
     import os
     versions = [d for d in os.listdir(state) if d.startswith("v")]
     assert len(versions) >= 4
+
+    # RESTART with the same checkpoint + state dir: the file-source
+    # checkpoint remembers every processed file, so no batch re-runs, no
+    # partials double-merge, and the view is unchanged -- the
+    # exactly-once recovery contract of the foreachBatch pattern.
+    n_versions = len(versions)
+    again = streaming_incremental_rollup(
+        spark, src, state, max_files_per_trigger=1)
+    assert [tuple(r) for r in again.collect()] == \
+           [tuple(r) for r in full.collect()]
+    versions_after = [d for d in os.listdir(state) if d.startswith("v")]
+    assert len(versions_after) == n_versions

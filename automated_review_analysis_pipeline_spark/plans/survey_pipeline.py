@@ -56,15 +56,40 @@ def demo_classifier(question_text: str, answer: Column) -> Column:
 def with_response_id(df: DataFrame, id_col: str | None = None) -> DataFrame:
     """ResponseID = str(source row position + 1) (survey_analysis.py:292).
 
-    With no natural key this needs a global row numbering -- fine at survey
-    scale (the Excel sink is driver-side anyway), but a single-partition
-    sort at 100 TB. Callers with a stable key pass ``id_col`` and skip the
-    sort entirely; that is the scale path.
+    Callers with a stable key pass ``id_col`` and skip numbering entirely
+    (the preferred path). Without one, this runs the distributed
+    zipWithIndex pattern instead of a global single-partition window: one
+    tiny job counts rows per partition (|partitions| rows to the driver),
+    the cumulative offsets broadcast back, and each partition numbers its
+    own rows locally -- scan order is preserved, nothing ever funnels
+    through one task. Same convention as every other bounded driver
+    collect in this repo: the collected set is |partitions|, not |rows|.
     """
     if id_col is not None:
         return df.withColumn("ResponseID", F.col(id_col).cast("string"))
-    w = Window.orderBy(F.monotonically_increasing_id())
-    return df.withColumn("ResponseID", F.row_number().over(w).cast("string"))
+    from pyspark.sql.functions import broadcast
+
+    staged = df.withColumn("__pid", F.spark_partition_id()) \
+               .withColumn("__mono", F.monotonically_increasing_id())
+    counts = (staged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+              .orderBy("__pid").collect())
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["__pid"], acc))
+        acc += r["__n"]
+    spark = df.sparkSession
+    if offsets:
+        off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    else:
+        off_df = spark.createDataFrame([], "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy("__mono")
+    return (
+        staged.join(broadcast(off_df), "__pid")
+        .withColumn(
+            "ResponseID",
+            (F.row_number().over(w) + F.col("__off")).cast("string"))
+        .drop("__pid", "__mono", "__off")
+    )
 
 
 def analyze_wide(

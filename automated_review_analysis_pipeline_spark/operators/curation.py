@@ -243,8 +243,11 @@ def bloom_decontaminate(documents: DataFrame, text_col: str = "text",
         for i in range(n_hashes)
     ]
 
+    # cached: the distinct test-shingle set (bounded -- held-out sets are
+    # tiny vs train) feeds BOTH the bitset build and the exact verify
+    # join; without the cache the full-corpus shingle explode runs twice.
     test_sh = (sh.where(F.col("__h") >= VAL_MAX)
-               .select("shingle").distinct())
+               .select("shingle").distinct().cache())
     # Build the bitset: distinct set positions (bounded by m_bits) fold
     # into m_bits/8 bytes on the driver -- the bounded-by-construction
     # collect that makes a Bloom filter a Bloom filter.

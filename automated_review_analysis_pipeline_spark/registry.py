@@ -908,6 +908,14 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(e, e.where(F.col("vec_id") < N_QUERY_VECS), k=TOP_K)
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # m=32 x 16 codes = 16 bytes/vec (16x compression); recall floor is
+    # pytest-pinned against cosine_topk
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.pq_topk(e, e.where(F.col("vec_id") < N_QUERY_VECS),
+                       k=TOP_K, m=32, ksub=16)
+
+
 def _with_synth_pii(documents: DataFrame) -> DataFrame:
     """Deterministically append one PII item per doc (the testdata corpus
     is synthetic word-salad with no natural PII, so the redaction paths
@@ -1123,6 +1131,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_pairs": q_simhash_pairs,
     "sign_lsh_topk": q_sign_lsh_topk,
     "ivf_topk": q_ivf_topk,
+    "pq_topk": q_pq_topk,
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
     "q9_product_type_profit": q_q9_product_type_profit,
     "q11_revenue_concentration": q_q11_revenue_concentration,

@@ -118,6 +118,7 @@ HEADLINE = [
     "simhash_pairs",
     "sign_lsh_topk",
     "ivf_topk",
+    "pq_topk",
     "debounce_events",
     "event_dow_chi2",
     "winnow_fingerprints",

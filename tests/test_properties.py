@@ -151,6 +151,15 @@ def test_ann_recall_floor(spark, sf_dir):
            for r in sim.ivf_topk(e, qs, k=5, n_centroids=16, n_probe=8).collect()}
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall}"
+    # PQ at 16 bytes/vec (m=32 x 16 codes): deterministic codebooks, so
+    # the floor is stable run-to-run
+    pq = {(r["query_id"], r["neighbor_id"])
+          for r in sim.pq_topk(e, qs, k=5, m=32, ksub=16).collect()}
+    pq_recall = len(exact & pq) / len(exact)
+    assert pq_recall >= 0.4, f"PQ recall {pq_recall}"
+    pq2 = {(r["query_id"], r["neighbor_id"])
+           for r in sim.pq_topk(e, qs, k=5, m=32, ksub=16).collect()}
+    assert pq == pq2  # determinism
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):

@@ -170,13 +170,18 @@ def add_minhash(df: DataFrame, text_col: str = "text", k: int = 3,
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
-                        num_hashes: int = 16, bands: int = 4) -> DataFrame:
+                        num_hashes: int = 16, bands: int = 4,
+                        flag_col: str | None = None) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     num_hashes/bands rows; docs sharing any band bucket are candidates.
 
     Emits distinct (id_a < id_b) pairs. The only shuffles are the
     explode-groupBy on bucket keys and the final distinct -- no cross join
-    anywhere. Requires ``minhash`` column (see add_minhash)."""
+    anywhere. Requires ``minhash`` column (see add_minhash).
+
+    ``flag_col`` (boolean) restricts output to pairs where AT LEAST ONE
+    side is flagged -- the incremental-dedup shape: old-vs-old pairs were
+    already emitted by earlier runs, so only new-vs-anything survives."""
     rows_per_band = num_hashes // bands
     band_keys = F.array(*[
         F.struct(
@@ -188,19 +193,23 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
         )
         for b in range(bands)
     ])
+    extra = [F.col(flag_col).alias("__flag")] if flag_col else []
     buckets = (
-        df.select(F.col(id_col), F.explode(band_keys).alias("bk"))
-        .select(id_col, "bk.band", "bk.bucket")
+        df.select(F.col(id_col), F.explode(band_keys).alias("bk"), *extra)
+        .select(id_col, "bk.band", "bk.bucket",
+                *(["__flag"] if flag_col else []))
     )
     left = buckets.alias("l")
     right = buckets.alias("r")
+    cond = (
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    )
+    if flag_col:
+        cond = cond & (F.col("l.__flag") | F.col("r.__flag"))
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+        left.join(right, cond)
         .select(F.col(f"l.{id_col}").alias("id_a"),
                 F.col(f"r.{id_col}").alias("id_b"))
         .distinct()

@@ -310,6 +310,22 @@ def q_streaming_segment_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_static_enrich(stream, dim), "reg_enrich")
 
 
+def q_streaming_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection drained with availableNow; the
+    accumulated pair set equals batch minhash_near_dup_pairs exactly, so
+    it shares the batch oracle."""
+    import tempfile
+
+    from automated_review_analysis_pipeline_spark.streaming.docs_stream import (
+        streaming_minhash_pairs,
+    )
+
+    work = tempfile.mkdtemp(prefix="arap_minhash_stream_")
+    return streaming_minhash_pairs(
+        spark, f"{sf_dir}/documents.parquet", work,
+        num_hashes=16, bands=4, threshold=0.0)
+
+
 def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automated_review_analysis_pipeline_spark.streaming.events_stream import (
         read_events_stream,
@@ -1154,6 +1170,7 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_decontaminate": q_bloom_decontaminate,
     "streaming_segment_enrich": q_streaming_segment_enrich,
     "streaming_sliding": q_streaming_sliding,
+    "streaming_minhash_pairs": q_streaming_minhash_pairs,
     "resize_thumbnails": q_resize_thumbnails,
     "top_session_paths": q_top_session_paths,
     "incremental_daily_rollup": q_incremental_daily_rollup,
@@ -2598,6 +2615,10 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 ORACLE_SQL["streaming_sliding"] = ORACLE_SQL["events_sliding"]
+
+# incremental minhash emits each pair exactly once (when its later member
+# arrives), so the accumulated set == the batch recompute
+ORACLE_SQL["streaming_minhash_pairs"] = ORACLE_SQL["minhash_pairs"]
 
 
 ORACLE_SQL["containment_pairs"] = f"""

@@ -1,0 +1,121 @@
+"""Streaming near-duplicate detection over a document stream.
+
+The incremental-dedup shape a continuous ingestion pipeline needs: every
+micro-batch's documents are MinHash-signed and LSH-banded, candidate
+pairs are generated against BOTH the batch itself and the persisted
+signature store (all previously seen documents), verified with exact
+Jaccard, and appended to a results table; the batch's signatures then
+append to the store. Old-vs-old pairs are excluded by construction
+(earlier batches already emitted them), so after the stream drains the
+accumulated pair set equals the one-shot batch recompute EXACTLY -- every
+pair (a, b) is found precisely once, when its later-arriving member's
+batch runs. That equivalence gives this streaming operator a full
+value-level SQL oracle (the batch MinHash oracle), rare for streaming.
+
+Scale: the store grows as O(corpus signatures) -- (id, shingles, 16
+int64s) per doc, a small fraction of the raw text -- and each batch's
+work is (batch x store) banded candidates, never store x store. The
+parquet-append store stands in for a real table format; swap the
+directory for Delta/Iceberg and the plan is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_review_analysis_pipeline_spark.operators.dedup import (
+    add_minhash,
+    jaccard_with_sizes,
+    lsh_candidate_pairs,
+)
+
+SIG_SCHEMA = ("doc_id long, __shingles array<string>, __n int, "
+              "minhash array<long>")
+
+
+def read_documents_stream(spark: SparkSession, path: str,
+                          max_files_per_trigger: int | None = None
+                          ) -> DataFrame:
+    """Parquet-directory stream of documents; schema pinned from a batch
+    probe of the same path (footer-only), like read_events_stream."""
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if path.endswith(".parquet") and os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)
+
+
+def streaming_minhash_pairs(spark: SparkSession, docs_path: str,
+                            work_dir: str,
+                            max_files_per_trigger: int | None = None,
+                            k: int = 3, num_hashes: int = 16,
+                            bands: int = 4,
+                            threshold: float = 0.0) -> DataFrame:
+    """Drain ``docs_path`` with availableNow, incrementally detecting
+    near-duplicate pairs (see module docstring); returns the accumulated
+    verified pair set, which equals the batch minhash_near_dup_pairs
+    result on the same corpus."""
+    store_dir = os.path.join(work_dir, "sig_store")
+    results_dir = os.path.join(work_dir, "results")
+    chk = os.path.join(work_dir, "_chk")
+
+    def has_parquet(path: str) -> bool:
+        return os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new_sig = (
+            add_minhash(batch_df.select("doc_id", "text"), "text",
+                        k, num_hashes)
+            .select("doc_id", "__shingles",
+                    F.size("__shingles").cast("int").alias("__n"), "minhash")
+        ).cache()
+        store = (spark.read.parquet(store_dir) if has_parquet(store_dir)
+                 else spark.createDataFrame([], SIG_SCHEMA))
+        allsig = (
+            new_sig.withColumn("__new", F.lit(True))
+            .unionByName(store.withColumn("__new", F.lit(False)))
+        ).cache()
+        cands = lsh_candidate_pairs(allsig, "doc_id", num_hashes, bands,
+                                    flag_col="__new")
+        sides = allsig.select("doc_id", "__shingles", "__n")
+        a, b = sides.alias("sa"), sides.alias("sb")
+        verified = (
+            cands.join(a, F.col("id_a") == F.col("sa.doc_id"))
+            .join(b, F.col("id_b") == F.col("sb.doc_id"))
+            .select(
+                "id_a", "id_b",
+                F.round(jaccard_with_sizes(
+                    F.col("sa.__shingles"), F.col("sb.__shingles"),
+                    F.col("sa.__n"), F.col("sb.__n")), 6)
+                .alias("jaccard_sim"))
+            .where(F.col("jaccard_sim") >= threshold)
+        )
+        verified.write.mode("append").parquet(results_dir)
+        new_sig.select("doc_id", "__shingles", "__n", "minhash") \
+            .write.mode("append").parquet(store_dir)
+        allsig.unpersist()
+        new_sig.unpersist()
+
+    stream = read_documents_stream(spark, docs_path, max_files_per_trigger)
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.awaitTermination()
+    if not has_parquet(results_dir):
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, jaccard_sim double")
+    return (spark.read.parquet(results_dir)
+            .dropDuplicates(["id_a", "id_b"])
+            .orderBy("id_a", "id_b"))

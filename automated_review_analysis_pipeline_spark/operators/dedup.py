@@ -439,28 +439,25 @@ def add_simhash(documents: DataFrame, text_col: str = "text",
     return documents.withColumn("simhash", simhash64(F.col(text_col)))
 
 
-def simhash_near_dup_pairs(documents: DataFrame, id_col: str = "doc_id",
-                           text_col: str = "text",
-                           max_hamming: int = 8) -> DataFrame:
-    """SimHash near-dup: block on 16-bit chunks (a pair within hamming
-    distance 3 shares at least one of 4 chunks; wider distances use more
-    chunks), verify with exact popcount hamming distance."""
-    # Cache the signature frame: a self-join would otherwise run the md5
-    # bit-majority UDF on BOTH sides (plan showed 4 ArrowEval nodes + 2
-    # scans). At 100 TB the production pattern is a persisted signature
-    # table; .cache() is the single-query equivalent (same precedent as
-    # minhash_near_dup_pairs).
-    d = add_simhash(documents, text_col).select(id_col, "simhash").cache()
+def hamming_block_pairs(d: DataFrame, id_col: str, hash_col: str,
+                        max_hamming: int = 8) -> DataFrame:
+    """Generic 64-bit-hash near-dup pairing: block on 16-bit chunks (a
+    pair within hamming distance 3 shares at least one of 4 chunks; wider
+    distances admit some misses -- standard SimHash-family banding),
+    verify with exact popcount hamming. Shared by SimHash text dedup and
+    media perceptual-hash dedup; ``d`` must be (id, hash) and SHOULD be
+    cached/persisted by the caller (both join sides read it)."""
     chunks = F.array(*[
         F.struct(F.lit(i).alias("chunk"),
-                 F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+                 F.shiftrightunsigned(hash_col, i * 16).bitwiseAND(F.lit(0xFFFF))
                  .alias("val"))
         for i in range(4)
     ])
-    blocked = d.select(id_col, "simhash", F.explode(chunks).alias("c")) \
-               .select(id_col, "simhash", "c.chunk", "c.val")
+    blocked = d.select(id_col, hash_col, F.explode(chunks).alias("c")) \
+               .select(id_col, hash_col, "c.chunk", "c.val")
     a, b = blocked.alias("a"), blocked.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    hamming = F.bit_count(
+        F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}")))
     return (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                & (F.col("a.val") == F.col("b.val"))
@@ -472,6 +469,20 @@ def simhash_near_dup_pairs(documents: DataFrame, id_col: str = "doc_id",
         .distinct()
         .orderBy("id_a", "id_b")
     )
+
+
+def simhash_near_dup_pairs(documents: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dup: 16-bit chunk blocking + exact popcount verify
+    (see hamming_block_pairs)."""
+    # Cache the signature frame: a self-join would otherwise run the md5
+    # bit-majority UDF on BOTH sides (plan showed 4 ArrowEval nodes + 2
+    # scans). At 100 TB the production pattern is a persisted signature
+    # table; .cache() is the single-query equivalent (same precedent as
+    # minhash_near_dup_pairs).
+    d = add_simhash(documents, text_col).select(id_col, "simhash").cache()
+    return hamming_block_pairs(d, id_col, "simhash", max_hamming)
 
 
 # ---------------------------------------------------------------------------

@@ -166,3 +166,59 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
     return with_frames.select("media_id", "frame_ts_ms", "payload", "mime") \
         .mapInPandas(decode_frames,
                      "media_id long, frame_ts_ms long, features array<float>")
+
+
+def media_ahash(media: DataFrame, grid: int = 64) -> DataFrame:
+    """64-bit average-hash (aHash) per media payload: the byte stream is
+    resampled into ``grid`` equal buckets, bit_i = (bucket mean >= global
+    mean). On a real image decode the buckets are the 8x8 downsampled
+    grayscale pixels -- the classic perceptual hash; on the byte stream it
+    is the same algorithm over the 1-D signal, deterministic and robust
+    to small local edits (one changed byte flips at most one bucket bit).
+
+    numpy does the whole Arrow batch: one reduceat per payload -- no
+    per-byte Python. Returns (media_id, mime, n_bytes, ahash long)."""
+    import numpy as np
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for p in b["payload"]:
+                if p is None or len(p) == 0:
+                    out.append(0)
+                    continue
+                arr = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.float64)
+                idx = (np.arange(grid) * len(arr)) // grid
+                sums = np.add.reduceat(arr, idx)
+                counts = np.diff(np.append(idx, len(arr)))
+                means = sums / np.maximum(counts, 1)
+                bits = means >= arr.mean()
+                val = np.uint64(0)
+                for i in range(grid):
+                    if bits[i]:
+                        val |= np.uint64(1) << np.uint64(i)
+                out.append(int(val.astype(np.int64)))
+            yield pd.DataFrame({
+                "media_id": b["media_id"],
+                "mime": b["mime"],
+                "n_bytes": [len(p) if p is not None else 0
+                            for p in b["payload"]],
+                "ahash": pd.Series(out, dtype="int64"),
+            })
+
+    return media.select("media_id", "mime", "payload").mapInPandas(
+        hash_batches, "media_id long, mime string, n_bytes long, ahash long")
+
+
+def media_near_dup_pairs(media: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Perceptual near-duplicate media pairs: aHash signatures + the
+    shared 16-bit chunk-blocking / popcount-verify join (same machinery
+    as SimHash text dedup -- dedup.hamming_block_pairs). The image-dedup
+    stage of a multimodal training pipeline: re-encodes and minor edits
+    keep small hamming distance while distinct media do not."""
+    from automated_review_analysis_pipeline_spark.operators.dedup import (
+        hamming_block_pairs,
+    )
+
+    d = media_ahash(media).select("media_id", "ahash").cache()
+    return hamming_block_pairs(d, "media_id", "ahash", max_hamming)

@@ -245,6 +245,23 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.centroid_assign(_t(spark, sf_dir, "embeddings"))
 
 
+def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media dedup over the synthesized media table (same
+    construction as multimodal_features: payload = UTF-8 text bytes).
+    Rows-only at the driver; exact-value and edit-distance behavior is
+    pytest-pinned."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.when(F.col("doc_id") % 2 == 0, "image/png")
+        .otherwise("audio/wav").alias("mime"),
+    )
+    # 16: loose enough that the synthetic corpus pairs non-trivially (16
+    # pairs at sf0.01), tight enough that unrelated payloads stay apart
+    return mm.media_near_dup_pairs(media, max_hamming=16)
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.curate_corpus(_t(spark, sf_dir, "documents"))
 
@@ -1162,6 +1179,7 @@ QUERIES: dict[str, QueryFn] = {
     "near_dup_components": q_near_dup_components,
     "near_dup_pagerank": q_near_dup_pagerank,
     "centroid_assign": q_centroid_assign,
+    "media_near_dup": q_media_near_dup,
     "near_dup_triangles": q_near_dup_triangles,
     "expectations_orders": q_expectations_orders,
     "curate_corpus": q_curate_corpus,

@@ -172,6 +172,41 @@ def test_real_decoder_is_explicit_stub():
         real_decoder(b"x", "image/png")
 
 
+def test_media_ahash_and_near_dup_pairs(spark):
+    """Perceptual aHash: identical payloads hash equal (hamming 0 pair),
+    a one-byte edit flips at most one bucket bit (hamming <= 2 given the
+    global-mean shift), unrelated payloads do not pair at the tight
+    threshold; the whole pipeline is deterministic."""
+    import random
+
+    from automated_review_analysis_pipeline_spark.operators.multimodal import (
+        media_ahash,
+        media_near_dup_pairs,
+    )
+
+    rng = random.Random(11)
+    base = bytes(rng.randrange(256) for _ in range(4096))
+    edited = bytearray(base)
+    edited[100] ^= 0xFF
+    other = bytes(rng.randrange(256) for _ in range(4096))
+    media = spark.createDataFrame(
+        [(1, base, "image/png"), (2, base, "image/png"),
+         (3, bytes(edited), "image/png"), (4, other, "image/png")],
+        "media_id long, payload binary, mime string")
+    hashes = {r["media_id"]: r["ahash"]
+              for r in media_ahash(media).collect()}
+    assert hashes[1] == hashes[2]
+    assert bin(hashes[1] ^ hashes[3]).count("1") <= 2
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in media_near_dup_pairs(media, max_hamming=4).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+    again = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in media_near_dup_pairs(media, max_hamming=4).collect()}
+    assert again == pairs
+
+
 def test_frame_sampling_fanout(spark):
     media = spark.createDataFrame(
         [(1, bytearray(b"vid"), "video/mp4", 0, 0, 3500, "s1")],

@@ -279,7 +279,11 @@ def test_q21_single_pair_aggregate_reused(spark):
 
 def test_decontaminate_split_staged_once_per_branch(spark):
     # the token split must appear once per branch (train + test), not
-    # inlined 4x into the shingle expression or an inferred size filter
+    # inlined 4x into the shingle expression or an inferred size filter.
+    # clearCache first: bloom_decontaminate's cached test-shingle frame
+    # shares this exact subtree, and an InMemoryRelation substitution from
+    # an earlier test would hide the expression being counted
+    spark.catalog.clearCache()
     plan = optimized_of(spark, "decontaminate")
     assert plan.count("split(") <= 2
 

@@ -767,3 +767,54 @@ SELECT '{c}' AS column_name,
        substring(max({sc}), 1, {preview_chars}) AS max_preview
 FROM {table}""")
     return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+def hybrid_search_rrf(documents: DataFrame, embeddings: DataFrame,
+                      query_terms: tuple[str, ...],
+                      query_vec_id: int = 0, k: int = 20,
+                      rrf_k: int = 60) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 (sparse) and exact-cosine (dense)
+    top-k lists with reciprocal-rank fusion, rrf = sum over lists of
+    1/(rrf_k + rank) -- the standard score-free fusion that needs no
+    cross-modality calibration (Cormack et al.). ``doc_id == vec_id``
+    bridges the two modalities (the testdata embeds document i as vector
+    i); a rank of 0 in the output means "absent from that list" and
+    contributes nothing.
+
+    Both inputs are k-row frames, so the fusion join and the rank windows
+    are driver-trivial; all the heavy lifting happened in the two
+    retrievers (each with its own documented scale shape).
+    """
+    from pyspark.sql import Window
+
+    from automated_review_analysis_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    sparse = bm25_search(documents, query_terms, k=k)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    sparse_r = (sparse.select("doc_id", "bm25")
+                .withColumn("bm25_rank", F.row_number().over(w).cast("int"))
+                .drop("bm25"))
+    dense = (
+        cosine_topk(embeddings,
+                    embeddings.where(F.col("vec_id") == query_vec_id), k=k)
+        .select(F.col("neighbor_id").alias("doc_id"),
+                F.col("rank").cast("int").alias("dense_rank"))
+    )
+    fused = sparse_r.join(dense, "doc_id", "full_outer")
+    contrib = (
+        F.when(F.coalesce(F.col("bm25_rank"), F.lit(0)) > 0,
+               1.0 / (rrf_k + F.col("bm25_rank"))).otherwise(0.0)
+        + F.when(F.coalesce(F.col("dense_rank"), F.lit(0)) > 0,
+                 1.0 / (rrf_k + F.col("dense_rank"))).otherwise(0.0)
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.round(contrib, 6).alias("rrf_score"),
+            F.coalesce(F.col("bm25_rank"), F.lit(0)).alias("bm25_rank"),
+            F.coalesce(F.col("dense_rank"), F.lit(0)).alias("dense_rank"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+    )

@@ -369,6 +369,12 @@ def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.corpus_source_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.hybrid_search_rrf(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings"),
+        BM25_QUERY, query_vec_id=0, k=20)
+
+
 def q_event_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.extract_props_struct(_t(spark, sf_dir, "events"))
 
@@ -1200,6 +1206,7 @@ QUERIES: dict[str, QueryFn] = {
     "debounce_events": q_debounce_events,
     "event_dow_chi2": q_event_dow_chi2,
     "bm25_search": q_bm25_search,
+    "hybrid_search": q_hybrid_search,
     "corpus_source_stats": q_corpus_source_stats,
     "event_props_struct": q_event_props_struct,
     "user_event_intervals": q_user_event_intervals,
@@ -2919,6 +2926,42 @@ FROM s ORDER BY media_id
 
 
 ORACLE_SQL["bm25_search"] = ta.bm25_search_sql(BM25_QUERY)
+
+
+# hybrid fusion: wrap the bm25 oracle and the single-query cosine ranking
+# as CTEs; rank 0 = absent from that list (no NULLs -> no cross-engine
+# null-rendering hazards in the compare harness)
+ORACLE_SQL["hybrid_search"] = f"""
+WITH sparse AS ({ta.bm25_search_sql(BM25_QUERY)}),
+sparse_r AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+           AS bm25_rank
+  FROM sparse
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS (
+  SELECT cv.vec_id AS doc_id, {_cosine_sql('qv.v', 'cv.v')} AS cosine_sim
+  FROM cv, qv WHERE cv.vec_id <> 0
+),
+dense_r AS (
+  SELECT doc_id, CAST(row_number() OVER (
+    ORDER BY cosine_sim DESC, doc_id) AS INT) AS dense_rank
+  FROM sims QUALIFY dense_rank <= 20
+),
+fused AS (
+  SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+         coalesce(s.bm25_rank, 0) AS bm25_rank,
+         coalesce(d.dense_rank, 0) AS dense_rank
+  FROM sparse_r s FULL OUTER JOIN dense_r d USING (doc_id)
+)
+SELECT doc_id,
+       round(CASE WHEN bm25_rank > 0 THEN 1.0 / (60 + bm25_rank) ELSE 0 END
+             + CASE WHEN dense_rank > 0 THEN 1.0 / (60 + dense_rank) ELSE 0 END,
+             6) AS rrf_score,
+       bm25_rank, dense_rank
+FROM fused ORDER BY rrf_score DESC, doc_id
+"""
 
 
 ORACLE_SQL["corpus_source_stats"] = ta.corpus_source_stats_sql()

@@ -92,6 +92,7 @@ HEADLINE = [
     "semantic_dedup",
     "near_dup_components",
     "bm25_search",
+    "hybrid_search",
     "corpus_source_stats",
     "event_props_struct",
     "user_event_intervals",

@@ -338,18 +338,33 @@ def sign_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
-    """IVF-style ANN: pick n_centroids corpus vectors as coarse centroids
-    (deterministic: lowest ids), assign every corpus vector to its nearest
-    centroid, and search only the n_probe centroids nearest each query.
+             n_centroids: int = 16, n_probe: int = 4,
+             train_iterations: int = 0) -> DataFrame:
+    """IVF-style ANN: coarse centroids partition the corpus; search only
+    the n_probe centroids nearest each query.
+
+    ``train_iterations=0`` (default) takes the n_centroids lowest-id
+    corpus vectors as centroids (zero training cost, the registry's
+    deterministic baseline); ``>0`` runs that many Lloyd rounds
+    (kmeans_centroids) first -- balanced cells raise recall at the same
+    probe budget, the classic IVF training step.
 
     The centroid table is tiny and broadcast twice (assignment + probe);
     the corpus is scanned once for assignment -- in production the
     assignment is precomputed and the probe join prunes partitions."""
     corpus = _prep(embeddings, id_col, vec_col, "c")
-    cents = (
-        _prep(embeddings.orderBy(id_col).limit(n_centroids), id_col, vec_col, "ct")
-    )
+    if train_iterations > 0:
+        trained = kmeans_centroids(
+            embeddings, n_centroids, train_iterations, id_col, vec_col)
+        cents = trained.select(
+            F.col("cid").alias("ct_id"),
+            F.col("c_vec").alias("ct_vec"),
+            F.sqrt(dot_product(F.col("c_vec"), F.col("c_vec")))
+            .alias("ct_norm"),
+        )
+    else:
+        cents = _prep(embeddings.orderBy(id_col).limit(n_centroids),
+                      id_col, vec_col, "ct")
     csim = dot_product(F.col("c_vec"), F.col("ct_vec")) / (
         F.col("c_norm") * F.col("ct_norm"))
     assign_w = Window.partitionBy("c_id").orderBy(F.desc("__csim"), F.asc("ct_id"))
@@ -774,28 +789,48 @@ def kmeans_embeddings(embeddings: DataFrame, k: int = 8,
     rounds to truncate lineage, same convention as near_dup_pagerank.
     Returns the final (vec_id, cluster) assignment.
     """
+    base = _kmeans_base(embeddings, id_col, vec_col)
+    cents = kmeans_centroids(embeddings, k, iterations, id_col, vec_col,
+                             _base=base)
+    return _kmeans_assign(base, cents, id_col).orderBy(id_col)
+
+
+def _kmeans_base(embeddings: DataFrame, id_col: str,
+                 vec_col: str) -> DataFrame:
     v = to_double_array(F.col(vec_col))
-    base = embeddings.select(F.col(id_col), v.alias("__v")).cache()
+    return embeddings.select(F.col(id_col), v.alias("__v")).cache()
+
+
+def _kmeans_assign(base: DataFrame, cents_df: DataFrame,
+                   id_col: str) -> DataFrame:
+    sim = dot_product(F.col("__v"), F.col("c_vec")) / (
+        F.sqrt(dot_product(F.col("__v"), F.col("__v")))
+        * F.sqrt(dot_product(F.col("c_vec"), F.col("c_vec"))))
+    pick = F.max_by(
+        "cid", F.struct(F.col("__sim"), (-F.col("cid")).alias("nc")))
+    return (
+        base.join(broadcast(cents_df), F.lit(True))
+        .withColumn("__sim", F.round(sim, 6))
+        .groupBy(id_col)
+        .agg(pick.alias("cluster"))
+    )
+
+
+def kmeans_centroids(embeddings: DataFrame, k: int = 8,
+                     iterations: int = 3, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     _base: DataFrame | None = None) -> DataFrame:
+    """The trained centroid table (cid, c_vec) from the same Lloyd
+    recurrence as :func:`kmeans_embeddings` -- reusable as a coarse
+    quantizer (see ivf_topk's trained mode)."""
+    base = _base if _base is not None else _kmeans_base(
+        embeddings, id_col, vec_col)
     cents = (
         base.orderBy(id_col).limit(k)
         .select(F.col(id_col).alias("cid"), F.col("__v").alias("c_vec"))
     )
-
-    def assign(cents_df: DataFrame) -> DataFrame:
-        sim = dot_product(F.col("__v"), F.col("c_vec")) / (
-            F.sqrt(dot_product(F.col("__v"), F.col("__v")))
-            * F.sqrt(dot_product(F.col("c_vec"), F.col("c_vec"))))
-        pick = F.max_by(
-            "cid", F.struct(F.col("__sim"), (-F.col("cid")).alias("nc")))
-        return (
-            base.join(broadcast(cents_df), F.lit(True))
-            .withColumn("__sim", F.round(sim, 6))
-            .groupBy(id_col)
-            .agg(pick.alias("cluster"))
-        )
-
     for _ in range(iterations):
-        assigned = assign(cents)
+        assigned = _kmeans_assign(base, cents, id_col)
         members = base.join(assigned, id_col).select(
             F.col("cluster").alias("cid"),
             F.posexplode(F.col("__v")).alias("dim", "val"))
@@ -816,9 +851,7 @@ def kmeans_embeddings(embeddings: DataFrame, k: int = 8,
             .select("cid", F.coalesce(F.col("n.c_vec"),
                                       F.col("o.c_vec")).alias("c_vec"))
         )
-
-    out = assign(cents).orderBy(id_col)
-    return out
+    return cents
 
 
 def near_dup_triangles(embeddings: DataFrame, threshold: float = 0.25,

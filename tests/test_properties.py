@@ -151,6 +151,16 @@ def test_ann_recall_floor(spark, sf_dir):
            for r in sim.ivf_topk(e, qs, k=5, n_centroids=16, n_probe=8).collect()}
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall}"
+    # Lloyd-trained centroids (train_iterations>0) must clear the same
+    # floor at the same probe budget. (At larger corpora training HELPS
+    # -- 0.94 -> 0.96 measured at sf0.01 -- but on a few hundred vectors
+    # the two recalls can order either way, so the invariant is the
+    # floor, not dominance.)
+    trained = {(r["query_id"], r["neighbor_id"])
+               for r in sim.ivf_topk(e, qs, k=5, n_centroids=16, n_probe=8,
+                                     train_iterations=2).collect()}
+    t_recall = len(exact & trained) / len(exact)
+    assert t_recall >= 0.5, f"trained IVF recall {t_recall}"
     # PQ at 16 bytes/vec (m=32 x 16 codes): deterministic codebooks, so
     # the floor is stable run-to-run
     pq = {(r["query_id"], r["neighbor_id"])

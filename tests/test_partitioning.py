@@ -70,3 +70,44 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan
     assert scan.count() == docs.where(F.col("lang") == "en").count()
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's skew-join handling must actually fire on a pathologically
+    skewed sort-merge join: with the skew thresholds lowered, the
+    executed adaptive plan reports the skewed partition split
+    (isSkew=true / skew=true marker), and results stay correct. This is
+    the runtime half of the skew story (operators/partitioning.py's
+    salting is the plan-time half)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # 50k rows of key 0 vs ~100 of everything else: one partition
+        # dwarfs the rest
+        left = spark.range(0, 60000).select(
+            F.when(F.col("id") < 50000, 0).otherwise(F.col("id") % 100)
+            .alias("k"), F.col("id").alias("v"))
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+        joined = left.join(right, "k")
+        # execute THIS frame (count() would spawn its own QueryExecution
+        # and leave joined's adaptive plan unfinalized)
+        rows = joined.collect()
+        assert len(rows) == 60000  # every left row matches one right key
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan or "isSkew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -818,3 +818,55 @@ def hybrid_search_rrf(documents: DataFrame, embeddings: DataFrame,
         )
         .orderBy(F.desc("rrf_score"), "doc_id")
     )
+
+
+def hashed_text_vectors(documents: DataFrame, dim: int = 64,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Feature-hashing (hashing-trick) vectorizer: token t contributes
+    sign(t) * tf(t) to bucket md5(t) % dim -- a dense fixed-width vector
+    per document with NO trained model, no vocabulary table, and no
+    broadcast state (Weinberger et al.; the random signs make collisions
+    cancel in expectation). The output plugs straight into the ANN /
+    embedding-dedup family, closing the documents -> vectors loop inside
+    the engine when no upstream embedding model exists.
+
+    All-integer md5 arithmetic (same convention as the MinHash family) so
+    the DuckDB oracle reproduces vectors exactly. Plan: one token explode
+    -> (doc, bucket) hash aggregate with map-side combine -> map pivot to
+    a dense 0-filled array. Emitted as a CSV string of ints (the compare
+    harness cannot canonicalize array cells); split(',') to use.
+    """
+    toks = documents.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+    ).where(F.col("w") != "")
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+    sgn = F.when(
+        F.substring(F.md5(F.col("w")), 9, 1)
+        .isin(*"01234567"), F.lit(1)).otherwise(F.lit(-1))
+    sums = (
+        toks.select(F.col(id_col), F.pmod(h, F.lit(dim)).alias("bucket"),
+                    sgn.alias("sgn"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("sgn").alias("val"))
+    )
+    pivoted = (
+        sums.groupBy(id_col)
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("bucket", "val"))).alias("__m"))
+        .select(
+            id_col,
+            F.concat_ws(",", F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.col("__m")[i], F.lit(0))
+                .cast("string"))).alias("vec_csv"))
+    )
+    zeros = ",".join(["0"] * dim)
+    return (
+        documents.select(id_col)
+        .join(pivoted, id_col, "left")
+        .select(id_col,
+                F.coalesce(F.col("vec_csv"), F.lit(zeros)).alias("vec_csv"))
+        .orderBy(id_col)
+    )

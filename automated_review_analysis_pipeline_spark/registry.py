@@ -375,6 +375,10 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         BM25_QUERY, query_vec_id=0, k=20)
 
 
+def q_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.hashed_text_vectors(_t(spark, sf_dir, "documents"), dim=64)
+
+
 def q_event_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.extract_props_struct(_t(spark, sf_dir, "events"))
 
@@ -1207,6 +1211,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_dow_chi2": q_event_dow_chi2,
     "bm25_search": q_bm25_search,
     "hybrid_search": q_hybrid_search,
+    "hashed_vectors": q_hashed_vectors,
     "corpus_source_stats": q_corpus_source_stats,
     "event_props_struct": q_event_props_struct,
     "user_event_intervals": q_user_event_intervals,
@@ -2926,6 +2931,39 @@ FROM s ORDER BY media_id
 
 
 ORACLE_SQL["bm25_search"] = ta.bm25_search_sql(BM25_QUERY)
+
+
+# feature hashing: same md5->int convention as the MinHash oracle
+ORACLE_SQL["hashed_vectors"] = f"""
+WITH toks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+    FROM documents WHERE trim(coalesce(text, '')) <> '')
+  WHERE w <> ''
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT)::BIGINT % 64
+           AS bucket,
+         CASE WHEN substr(md5(w), 9, 1) BETWEEN '0' AND '7'
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks
+), sums AS (
+  SELECT doc_id, bucket, sum(sgn) AS val FROM hashed GROUP BY doc_id, bucket
+), pivoted AS (
+  SELECT doc_id,
+         map(list(bucket ORDER BY bucket), list(val ORDER BY bucket)) AS m
+  FROM sums GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(
+         (SELECT array_to_string(
+            list_transform(range(0, 64),
+                           i -> CAST(coalesce(p.m[i][1], 0) AS VARCHAR)), ',')
+          FROM pivoted p WHERE p.doc_id = d.doc_id),
+         '{",".join(["0"] * 64)}') AS vec_csv
+FROM documents d ORDER BY d.doc_id
+"""
 
 
 # hybrid fusion: wrap the bm25 oracle and the single-query cosine ranking

@@ -93,6 +93,7 @@ HEADLINE = [
     "near_dup_components",
     "bm25_search",
     "hybrid_search",
+    "hashed_vectors",
     "corpus_source_stats",
     "event_props_struct",
     "user_event_intervals",

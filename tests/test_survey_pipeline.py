@@ -172,6 +172,28 @@ def test_sql_surface_matches_dataframe_twin(spark, sf_dir):
         "PushedFilters")[1].split("]")[0]
 
 
+def test_parquet_schema_evolution_merge(spark, tmp_path, sf_dir):
+    """A corpus written in two generations (v2 adds a column) must read
+    back with mergeSchema=true as the union schema, old rows NULL-filled
+    -- the additive-schema-drift contract a long-lived 100 TB corpus
+    directory relies on."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "evolving")
+    docs.where(F.col("doc_id") % 2 == 0).write.parquet(out + "/gen=1")
+    docs.where(F.col("doc_id") % 2 == 1) \
+        .withColumn("quality_tier", F.lit("a")) \
+        .write.parquet(out + "/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    assert "quality_tier" in back.columns
+    assert back.count() == docs.count()
+    nulls = back.where(F.col("quality_tier").isNull()).count()
+    assert nulls == docs.where(F.col("doc_id") % 2 == 0).count()
+
+
 def test_orc_roundtrip(spark, tmp_path, sf_dir):
     """documents -> ORC (partitioned by lang) -> read back: content
     identical, lang partition column survives, and a lang filter prunes

@@ -27,6 +27,64 @@ def stream(spark):
     return read_events_stream(spark, EVENTS_PATH)
 
 
+def test_watermark_drops_late_batch(spark, tmp_path):
+    """Late-data semantics, demonstrated rather than assumed: batch 1
+    advances the watermark past a cutoff; batch 2 delivers events OLDER
+    than the watermark; with append output the late rows must be dropped
+    (their windows already finalized) -- the state-eviction contract that
+    bounds memory on an endless stream."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        streaming_tumbling_counts,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = str(tmp_path / "late_events")
+    cols = ("event_id long, ts string, user_id long, event_type string, "
+            "value double, props string")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, t, 1, "click", 1.0, "{}") for i, t in rows], cols
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    import os
+
+    os.makedirs(src)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = streaming_tumbling_counts(stream, "1 hour",
+                                        watermark="10 minutes")
+        # file sink: supports append + checkpoint recovery (memory does
+        # not), so run 2 resumes run 1's persisted watermark
+        q = (agg.writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", str(tmp_path / "chk"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).collect()
+
+    # run 1: recent events -> watermark persists at 12:00:30 - 10min
+    mk([(1, "2024-01-02 12:00:00"), (2, "2024-01-02 12:00:30")]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    # run 2 (same checkpoint): a day-old event, far behind the watermark
+    mk([(3, "2024-01-01 00:00:00")]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    rows = drain()
+    got_windows = {r["window_start_us"] for r in rows}
+    jan1_window = 1704067200000000  # 2024-01-01 00:00 UTC in micros
+    assert jan1_window not in got_windows, rows
+    total = sum(r["n_events"] for r in rows)
+    assert total <= 2  # the late event's count never surfaces
+
+
 def test_streaming_minhash_multi_batch_equals_batch(spark, sf_dir, tmp_path):
     """Split the corpus into 4 files, stream ONE per micro-batch: the
     incremental pair stream (batch-vs-batch + batch-vs-store, never

@@ -833,3 +833,44 @@ def cdc_apply(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def rolling_distinct_users_sketch(events: DataFrame,
+                                  window_days: int = 7,
+                                  lg_k: int = 14) -> DataFrame:
+    """Rolling N-day distinct users via MERGEABLE HLL sketches -- the
+    100 TB replacement for dau_wau_stickiness' exact (day, user) fan-out:
+    one fixed-size sketch per day (persistable; yesterday's sketches are
+    never recomputed), and each rolling window is a UNION of N daily
+    sketches followed by one estimate. State is |days| x ~2^lg_k bytes,
+    independent of user cardinality; the exact variant's (day, user)
+    distinct grows with users x days.
+
+    Day fan-out happens on the |days|-row SKETCH table, not the fact
+    table. Output (day_us, approx_users) is rows-only at the driver
+    (sketch internals are engine-specific); the error bound vs the exact
+    rolling distinct is pytest-pinned.
+    """
+    MICROS_PER_DAY = 86_400_000_000
+    day_us = F.unix_micros(F.date_trunc("day", F.col("ts")))
+    daily = (
+        events.select(day_us.alias("day_us"), "user_id")
+        .groupBy("day_us")
+        .agg(F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk"))
+    )
+    # each daily sketch contributes to the window ending on days
+    # [day, day + N-1]; fan out the tiny sketch table, not the facts
+    fan = daily.select(
+        F.explode(F.sequence(
+            F.col("day_us"),
+            F.col("day_us") + F.lit((window_days - 1) * MICROS_PER_DAY),
+            F.lit(MICROS_PER_DAY))).alias("w_day_us"),
+        "sk",
+    )
+    return (
+        fan.groupBy("w_day_us")
+        .agg(F.hll_sketch_estimate(
+            F.hll_union_agg("sk")).alias("approx_users"))
+        .select(F.col("w_day_us").alias("day_us"), "approx_users")
+        .orderBy("day_us")
+    )

@@ -379,6 +379,11 @@ def q_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.hashed_text_vectors(_t(spark, sf_dir, "documents"), dim=64)
 
 
+def q_rolling_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    return ev.rolling_distinct_users_sketch(_t(spark, sf_dir, "events"))
+
+
 def q_event_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.extract_props_struct(_t(spark, sf_dir, "events"))
 
@@ -1212,6 +1217,7 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_search": q_bm25_search,
     "hybrid_search": q_hybrid_search,
     "hashed_vectors": q_hashed_vectors,
+    "rolling_users_sketch": q_rolling_users_sketch,
     "corpus_source_stats": q_corpus_source_stats,
     "event_props_struct": q_event_props_struct,
     "user_event_intervals": q_user_event_intervals,

@@ -94,6 +94,7 @@ HEADLINE = [
     "bm25_search",
     "hybrid_search",
     "hashed_vectors",
+    "rolling_users_sketch",
     "corpus_source_stats",
     "event_props_struct",
     "user_event_intervals",

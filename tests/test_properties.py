@@ -172,6 +172,39 @@ def test_ann_recall_floor(spark, sf_dir):
     assert pq == pq2  # determinism
 
 
+def test_rolling_sketch_error_bound(spark, sf_dir):
+    """The per-day HLL sketch union must track the exact rolling 7-day
+    distinct within 5% on every day -- the contract that makes the
+    mergeable-sketch table a safe swap for the (day, user) fan-out."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators.events import (
+        rolling_distinct_users_sketch,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev_df = load_table(spark, sf_dir, "events")
+    approx = {r["day_us"]: r["approx_users"]
+              for r in rolling_distinct_users_sketch(ev_df).collect()}
+    MICROS_PER_DAY = 86_400_000_000
+    day_us = F.unix_micros(F.date_trunc("day", F.col("ts")))
+    day_user = ev_df.select(day_us.alias("day_us"), "user_id").distinct()
+    exact_rows = (
+        day_user.select(
+            F.explode(F.sequence(
+                F.col("day_us"),
+                F.col("day_us") + F.lit(6 * MICROS_PER_DAY),
+                F.lit(MICROS_PER_DAY))).alias("day_us"),
+            "user_id")
+        .distinct().groupBy("day_us")
+        .agg(F.count(F.lit(1)).alias("n")).collect())
+    exact = {r["day_us"]: r["n"] for r in exact_rows}
+    assert set(approx) == set(exact)
+    for d, n in exact.items():
+        assert abs(approx[d] - n) <= max(2, 0.05 * n), (d, approx[d], n)
+
+
 def test_approx_distinct_error_bound(spark, sf_dir):
     """HLL++ (rsd=0.02) must track the exact distinct count within 5%
     relative error per group -- the contract that makes it a safe swap

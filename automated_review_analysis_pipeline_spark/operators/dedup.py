@@ -268,15 +268,42 @@ def minhash_near_dup_pairs(documents: DataFrame, text_col: str = "text",
     )
 
 
+def _cap_posting_lists(posts: DataFrame, group_cols: list[str],
+                       max_posting_freq: int) -> DataFrame:
+    """Frequency-filter an inverted index: drop every posting whose shingle
+    occurs in more than ``max_posting_freq`` documents (within its blocking
+    group). This is the standard stop-shingle guard for posting-list
+    set-similarity joins -- an f-frequency shingle otherwise emits ~f^2/2
+    join rows, which is quadratic on hot shingles at corpus scale. Uses a
+    window count partitioned by the SAME keys the self-join shuffles on, so
+    AQE/exchange-reuse keeps it to one extra pass over the co-located data,
+    not an extra shuffle of the corpus."""
+    w = Window.partitionBy(*group_cols)
+    return (
+        posts.withColumn("__df", F.count(F.lit(1)).over(w))
+        .where(F.col("__df") <= max_posting_freq)
+        .drop("__df")
+    )
+
+
 def ngram_jaccard_pairs(documents: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.1,
-                        block_on: list[str] | None = None) -> DataFrame:
+                        block_on: list[str] | None = None,
+                        max_posting_freq: int | None = None) -> DataFrame:
     """Blocked exact n-gram Jaccard: join within ``block_on`` groups (or a
     cheap derived block), compute exact Jaccard on word-shingle sets.
 
     This is the SQL-oracle-friendly near-dup variant -- deterministic,
-    no hashing family, DuckDB-expressible with list_intersect."""
+    no hashing family, DuckDB-expressible with list_intersect.
+
+    ``max_posting_freq`` drops shingles appearing in more than that many
+    documents (per block) BEFORE the self-join, and recomputes set sizes on
+    the filtered sets, so Jaccard stays exact over the stop-shingle-pruned
+    shingle sets. Without it, one shingle shared by f documents emits f^2/2
+    join rows -- the cap is what makes this operator survive a 100 TB
+    corpus, at the cost of ignoring ubiquitous (hence uninformative)
+    shingles. None = no cap (exact classic Jaccard)."""
     if threshold <= 0:
         raise ValueError(
             "posting-list jaccard join cannot emit zero-overlap pairs; "
@@ -303,6 +330,14 @@ def ngram_jaccard_pairs(documents: DataFrame, text_col: str = "text",
         F.col(id_col), *[F.col(c) for c in block_on],
         F.explode("shingles").alias("sh"),
     )
+    if max_posting_freq is not None:
+        posts = _cap_posting_lists(posts, [*block_on, "sh"],
+                                   max_posting_freq)
+        # sizes over the SURVIVING shingles, so jaccard stays a true set
+        # similarity of the pruned sets (mirrored in the DuckDB oracle)
+        sizes = posts.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        sizes = d.select(F.col(id_col), F.col("n_sh"))
     pa, pb = posts.alias("pa"), posts.alias("pb")
     cond = (F.col("pa.sh") == F.col("pb.sh")) \
         & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"))
@@ -316,7 +351,6 @@ def ngram_jaccard_pairs(documents: DataFrame, text_col: str = "text",
         )
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    sizes = d.select(F.col(id_col), F.col("n_sh"))
     na, nb = sizes.alias("na"), sizes.alias("nb")
     inter_d = F.col("__inter").cast("double")
     union_d = (F.col("na.n_sh") + F.col("nb.n_sh")).cast("double") - inter_d
@@ -334,7 +368,8 @@ def ngram_jaccard_pairs(documents: DataFrame, text_col: str = "text",
 
 def containment_pairs(documents: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      max_posting_freq: int | None = None) -> DataFrame:
     """Asymmetric n-gram containment C(S, D) = |sh(S) n sh(D)| / |sh(S)|:
     the fraction of S's word k-shingles that also occur in D. Catches
     documents largely CONTAINED in a bigger one (quotes, boilerplate
@@ -347,6 +382,12 @@ def containment_pairs(documents: DataFrame, text_col: str = "text",
     count per unordered pair feeds BOTH directed rows, each emitted only
     if it clears the threshold. Directed output: (id_src, id_dst,
     containment) = how much of id_src appears in id_dst.
+
+    ``max_posting_freq`` mirrors :func:`ngram_jaccard_pairs`: drop
+    shingles occurring in more than that many documents before the
+    self-join and recompute |sh(S)| on the pruned sets. Without it a
+    stop-shingle in f docs emits ~f^2/2 join rows -- the cap is the
+    100 TB guard. None = no cap.
     """
     if threshold <= 0:
         raise ValueError(
@@ -357,6 +398,11 @@ def containment_pairs(documents: DataFrame, text_col: str = "text",
         .select(F.col(id_col), "shingles",
                 F.size(F.col("shingles")).alias("n_sh")).cache()
     posts = d.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    if max_posting_freq is not None:
+        posts = _cap_posting_lists(posts, ["sh"], max_posting_freq)
+        sizes = posts.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        sizes = d.select(F.col(id_col), F.col("n_sh"))
     pa, pb = posts.alias("pa"), posts.alias("pb")
     inter = (
         pa.join(pb, (F.col("pa.sh") == F.col("pb.sh"))
@@ -367,7 +413,6 @@ def containment_pairs(documents: DataFrame, text_col: str = "text",
         )
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    sizes = d.select(F.col(id_col), F.col("n_sh"))
     na, nb = sizes.alias("na"), sizes.alias("nb")
     both = (
         inter.join(na, F.col("id_a") == F.col(f"na.{id_col}"))

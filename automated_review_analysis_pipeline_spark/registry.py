@@ -144,9 +144,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold 0.015: the corpus has ONE true near-dup pair (~0.97) and
     # a ~0.02 background band -- 0.05 matched a single row, which barely
     # exercised the jaccard arithmetic.
+    # max_posting_freq=2 keeps the cap ACTIVE at sf0.01 (per-block shingle
+    # df tops out at 3 here): the stop-shingle guard that bounds the
+    # posting self-join to O(rows * cap) at corpus scale.
     return dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), k=3, threshold=0.015,
-        block_on=["lang", "source"],
+        block_on=["lang", "source"], max_posting_freq=2,
     )
 
 
@@ -303,8 +306,10 @@ def q_near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold 0.2: the synthetic docs' containment tail; high enough to
     # keep the posting-list join selective, low enough to be non-trivial.
+    # max_posting_freq=5 prunes the df=6..7 stop-shingles at sf0.01 (cap
+    # ACTIVE) -- the guard that bounds hot-shingle join fanout at scale.
     return dedup.containment_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.2)
+        _t(spark, sf_dir, "documents"), threshold=0.2, max_posting_freq=5)
 
 
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1373,16 +1378,26 @@ GROUP BY lang, source HAVING count(*) > 1 ORDER BY lang, source
 """,
     "ngram_jaccard": f"""
 WITH base AS (
-  SELECT doc_id, lang, source, {_shingles_sql('text')} AS sh FROM documents
+  SELECT doc_id, lang, source, unnest({_shingles_sql('text')}) AS sh
+  FROM documents
+), posts AS (  -- posting-list cap mirrors max_posting_freq=2 (per block)
+  SELECT doc_id, lang, source, sh FROM (
+    SELECT *, count(*) OVER (PARTITION BY lang, source, sh) AS df FROM base
+  ) WHERE df <= 2
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM posts GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+  FROM posts a JOIN posts b
+    ON a.sh = b.sh AND a.lang = b.lang AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.sh, b.sh))::DOUBLE
-             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
-       AS jaccard_sim
-FROM base a JOIN base b
-  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
-            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.015
+SELECT id_a, id_b,
+       round(ix::DOUBLE / (na.n_sh + nb.n_sh - ix), 6) AS jaccard_sim
+FROM inter JOIN sizes na ON id_a = na.doc_id
+           JOIN sizes nb ON id_b = nb.doc_id
+WHERE round(ix::DOUBLE / (na.n_sh + nb.n_sh - ix), 6) >= 0.015
 ORDER BY id_a, id_b
 """,
     "minhash_pairs": _minhash_oracle_sql(),
@@ -2659,19 +2674,27 @@ ORACLE_SQL["streaming_minhash_pairs"] = ORACLE_SQL["minhash_pairs"]
 
 ORACLE_SQL["containment_pairs"] = f"""
 WITH base AS (
-  SELECT doc_id, {_shingles_sql('text')} AS sh FROM documents
+  SELECT doc_id, unnest({_shingles_sql('text')}) AS sh FROM documents
+), posts AS (  -- posting-list cap mirrors max_posting_freq=5
+  SELECT doc_id, sh FROM (
+    SELECT *, count(*) OVER (PARTITION BY sh) AS df FROM base
+  ) WHERE df <= 5
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM posts GROUP BY doc_id
 ), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         len(list_intersect(a.sh, b.sh)) AS ix,
-         len(a.sh) AS na, len(b.sh) AS nb
-  FROM base a JOIN base b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.sh, b.sh)) > 0
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+  FROM posts a JOIN posts b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sized AS (
+  SELECT id_a, id_b, ix, na.n_sh AS na, nb.n_sh AS nb
+  FROM inter JOIN sizes na ON id_a = na.doc_id
+             JOIN sizes nb ON id_b = nb.doc_id
 ), directed AS (
   SELECT id_a AS id_src, id_b AS id_dst,
-         round(ix::DOUBLE / na, 6) AS containment FROM inter
+         round(ix::DOUBLE / na, 6) AS containment FROM sized
   UNION ALL
   SELECT id_b AS id_src, id_a AS id_dst,
-         round(ix::DOUBLE / nb, 6) AS containment FROM inter
+         round(ix::DOUBLE / nb, 6) AS containment FROM sized
 )
 SELECT id_src, id_dst, containment FROM directed
 WHERE containment >= 0.2 ORDER BY id_src, id_dst

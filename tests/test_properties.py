@@ -311,6 +311,63 @@ def test_containment_detects_subset_docs(spark):
     assert (1, 3) not in rows and (3, 1) not in rows
 
 
+def test_posting_freq_cap_prunes_and_is_exact_when_loose(spark):
+    """max_posting_freq is the stop-shingle guard on the posting-list
+    joins: (a) a cap ABOVE the max document frequency is a no-op (result
+    identical to uncapped -- the filter changes nothing, so capped
+    semantics degrade gracefully to exact Jaccard); (b) an active cap
+    removes the hot shingle from every pair's intersection AND from the
+    set sizes, exactly as the DuckDB oracle mirrors it."""
+    from automated_review_analysis_pipeline_spark.operators import dedup
+
+    # 'common common common' k=3 shingle appears in ALL four docs (df=4);
+    # the rare tails distinguish the pairs.
+    docs = spark.createDataFrame(
+        [(1, "common common common alpha beta gamma"),
+         (2, "common common common alpha beta delta"),
+         (3, "common common common zeta eta theta"),
+         (4, "common common common iota kappa lambda")],
+        "doc_id long, text string")
+
+    def pairs(**kw):
+        return {(r["id_a"], r["id_b"]): r["jaccard_sim"]
+                for r in dedup.ngram_jaccard_pairs(
+                    docs, k=3, threshold=0.01, **kw).collect()}
+
+    uncapped = pairs()
+    loose = pairs(max_posting_freq=10)
+    assert loose == uncapped  # cap above max df == exact
+    capped = pairs(max_posting_freq=3)
+    # the df=4 hot shingles are gone: docs 1-2 still overlap via their
+    # rare 'alpha beta *' shingles; 3 and 4 now share nothing.
+    assert all((3, other) not in capped and (other, 3) not in capped
+               for other in (1, 2, 4))
+    assert (1, 2) in capped
+    # and the hot shingle left BOTH the intersection and the sizes
+    # (pruned-set semantics): inter 3->2, union 5->4, so exactly 0.5.
+    assert capped[(1, 2)] == 0.5 and uncapped[(1, 2)] == 0.6
+
+
+def test_posting_freq_cap_bounds_join_fanout(spark):
+    """The scale claim itself: with n docs all sharing one stop-shingle,
+    the uncapped posting self-join emits C(n,2) rows for it; the cap
+    removes them all. Assert on the actual candidate-pair counts."""
+    from automated_review_analysis_pipeline_spark.operators import dedup
+
+    n = 40
+    docs = spark.createDataFrame(
+        [(i, f"stop stop stop word{i} word{i} word{i}") for i in range(n)],
+        "doc_id long, text string")
+    uncapped = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.01).count()
+    assert uncapped == n * (n - 1) // 2  # every pair, via the stop shingle
+    capped = dedup.containment_pairs(
+        docs, k=3, threshold=0.01, max_posting_freq=5).count()
+    assert capped == 0
+    capped_j = dedup.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.01, max_posting_freq=5).count()
+    assert capped_j == 0
+
+
 def test_kmeans_deterministic_and_nondegenerate(spark, sf_dir):
     """Fixed-iteration Lloyd must be run-to-run deterministic (rounded
     sims, decimal centroid math) and must actually separate the corpus

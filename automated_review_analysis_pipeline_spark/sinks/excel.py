@@ -8,9 +8,11 @@ a Summary sheet, and a chart sheet per product with per-question pie
 charts (helper blocks at columns 50/51, 2-per-row grid, 480x320, titles
 "<question> – Sentiment Mix (n=total)").
 
-xlsxwriter is not in this container: the writer degrades to a
-CSV-per-sheet directory with the same sheet inventory so the layout logic
-stays testable. At 100 TB the scalable path is
+When xlsxwriter is absent (it is not in this container's baked-in set),
+the sink writes a byte-real workbook through the bundled dependency-free
+OOXML writer (sinks/xlsx_writer.py) -- same sheets, widths, wrap formats,
+helper blocks, and pie-chart parts, produced by the SAME layout code. At
+100 TB the scalable path is
 ``wide.write.partitionBy("Product").parquet(...)`` (write_partitioned) and
 Excel only ever receives aggregates.
 """
@@ -23,6 +25,7 @@ from pyspark.sql import DataFrame
 
 from automated_review_analysis_pipeline_spark.functions.text import sanitize_sheet_name
 from automated_review_analysis_pipeline_spark.operators.reshape import summary_from_wide
+from automated_review_analysis_pipeline_spark.sinks import xlsx_writer
 
 try:  # gate: not in the container's baked-in set
     import xlsxwriter  # type: ignore  # noqa: F401
@@ -45,7 +48,9 @@ def write_excel_report(wide: DataFrame, out_path: str,
     """Write the report; returns the sheet-name inventory (tested against
     the reference's 13-sheet golden layout shape)."""
     base_to_display = base_to_display or {}
-    summary_rows = summary_from_wide(wide).collect()
+    # (Product, Question) order matches the golden workbook's Summary sheet
+    summary_rows = sorted(summary_from_wide(wide).collect(),
+                          key=lambda r: (r["Product"], r["Question"]))
     wide_rows = wide.orderBy("ResponseID").collect()
     cols = wide.columns
 
@@ -60,16 +65,14 @@ def write_excel_report(wide: DataFrame, out_path: str,
         for p in products
     }
 
-    if HAVE_XLSXWRITER:
-        sheets = _write_xlsx(out_path, cols, per_product, summary_rows,
-                             base_to_display)
-    else:
-        sheets = _write_csv_dir(out_path, cols, per_product, summary_rows)
-    return sheets
+    return _write_xlsx(out_path, cols, per_product, summary_rows,
+                       base_to_display)
 
 
-def _write_csv_dir(out_path: str, cols, per_product, summary_rows) -> list[str]:
-    """Degraded sink: <out_path>/ with one CSV per would-be sheet."""
+def write_csv_dir(out_path: str, cols, per_product, summary_rows) -> list[str]:
+    """Plain-CSV export: <out_path>/ with one CSV per data sheet (kept as
+    an explicit alternative format; the default sink now always writes a
+    real workbook)."""
     import csv
 
     root = out_path if not out_path.endswith(".xlsx") else out_path[:-5]
@@ -87,17 +90,16 @@ def _write_csv_dir(out_path: str, cols, per_product, summary_rows) -> list[str]:
         w.writerow(["Product", "Question", *SENTIMENTS])
         w.writerows([list(r) for r in summary_rows])
     sheets.append("Summary")
-    # chart sheets have no CSV equivalent; record inventory only
-    sheets.extend(f"Charts - {sanitize_sheet_name(p)[:22]}"[:31]
-                  for p in per_product)
     return sheets
 
 
 def _write_xlsx(out_path: str, cols, per_product, summary_rows,
                 base_to_display) -> list[str]:
-    import xlsxwriter  # type: ignore
-
-    wb = xlsxwriter.Workbook(out_path)
+    if HAVE_XLSXWRITER:
+        import xlsxwriter  # type: ignore
+        wb = xlsxwriter.Workbook(out_path)
+    else:
+        wb = xlsx_writer.Workbook(out_path)
     wrap = wb.add_format({"text_wrap": True, "valign": "top"})
     sheets: list[str] = []
 

@@ -249,17 +249,17 @@ def test_empty_survey_guard(spark):
 
 def test_excel_sheet_rows_sorted_lexicographically(spark, tmp_path):
     """O1 quirk: per-product sheet rows sort by ResponseID AS STRING
-    ("1","10","11","2",... not numeric) -- matches the golden workbook."""
-    import csv
-
+    ("1","10","11","2",... not numeric) -- matches the golden workbook.
+    Read back from the real workbook the dependency-free writer emits."""
     from automated_review_analysis_pipeline_spark.sinks.excel import write_excel_report
+    from automated_review_analysis_pipeline_spark.sinks.xlsx_writer import read_workbook
 
     rows = [("u%d@x" % i, "N", "P1", "fine answer %d" % i)
             for i in range(1, 13)]
     survey = spark.createDataFrame(rows, ["Email", "Name", "Products", "Q1"])
     wide, b2d = analyze_wide(survey)
     write_excel_report(wide, str(tmp_path / "r.xlsx"), b2d)
-    with open(tmp_path / "r" / "P1.csv", newline="") as f:
-        ids = [row["ResponseID"] for row in csv.DictReader(f)]
+    grid = read_workbook(str(tmp_path / "r.xlsx"))["P1"]
+    ids = [row[0] for row in grid[1:]]  # skip header
     assert ids == sorted(ids)          # lexicographic
     assert ids != sorted(ids, key=int)  # and NOT numeric

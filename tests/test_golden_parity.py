@@ -212,6 +212,87 @@ def test_golden_workbook_sheet_inventory(golden):
     assert golden_sheets == expected
 
 
+def test_workbook_binary_parity_vs_golden(spark, golden, tmp_path):
+    """K1/K4 closed: the dependency-free OOXML writer produces a REAL
+    workbook from the demo pipeline, and every cell that does not depend
+    on VADER matches the reference's committed artifact byte-for-byte.
+
+    Golden 'Example analysis output.xlsx' was produced WITH vaderSentiment
+    installed, so the *_Sentiment cells (and hence the per-sentiment
+    Summary splits / pie slice values) legitimately differ from our
+    lexicon path; everything else -- 13-sheet inventory in order, per-sheet
+    row counts, every ResponseID/Product/_Answer/_Category cell, Summary
+    row keys and per-question totals, 30 pie-chart parts with identical
+    titles (including n= totals) and category labels -- must be exact."""
+    from automated_review_analysis_pipeline_spark.sinks.excel import write_excel_report
+    from automated_review_analysis_pipeline_spark.sinks.xlsx_writer import (
+        chart_parts,
+        read_workbook,
+    )
+
+    wide, b2d = analyze_wide(read_survey_csv(spark, CSV_PATH))
+    out = str(tmp_path / "report.xlsx")
+    write_excel_report(wide, out, b2d)
+
+    ours = read_workbook(out)
+    ref = read_workbook("/root/reference/Example analysis output.xlsx")
+
+    # 13-sheet inventory, exact order
+    assert list(ours) == list(ref)
+
+    def norm(grid):
+        return [[("" if v is None else v) for v in row] for row in grid]
+
+    for name in ref:
+        if name.startswith("Charts"):
+            continue
+        a, b = norm(ours[name]), norm(ref[name])
+        assert len(a) == len(b), f"{name}: row count {len(a)} != {len(b)}"
+        assert a[0] == b[0], f"{name}: header mismatch"
+        if name == "Summary":
+            # row keys in golden order + per-question totals; the split
+            # across sentiments is VADER's in the golden artifact
+            assert ([(r[0], r[1], sum(r[2:])) for r in a[1:]]
+                    == [(r[0], r[1], sum(r[2:])) for r in b[1:]])
+            continue
+        hdr = b[0]
+        sentiment_cols = {j for j, h in enumerate(hdr)
+                          if h.endswith("_Sentiment")}
+        diffs = [
+            (i, hdr[j], ra[j], rb[j])
+            for i, (ra, rb) in enumerate(zip(a[1:], b[1:]))
+            for j in range(len(hdr))
+            if j not in sentiment_cols and ra[j] != rb[j]
+        ]
+        assert not diffs, f"{name}: {len(diffs)} diffs; first: {diffs[:3]}"
+
+    # chart parts: one pie per (product, question), titles + categories
+    import re as _re
+
+    oc, rc = chart_parts(out), chart_parts(
+        "/root/reference/Example analysis output.xlsx")
+    assert len(oc) == len(rc) == 30
+
+    def by_title(parts):
+        out = {}
+        for xml in parts.values():
+            assert "<c:pieChart>" in xml
+            title = _re.search(r"<a:t>([^<]*)</a:t>", xml).group(1)
+            cats = _re.findall(
+                r'<c:strCache><c:ptCount val="\d+"/>(.*?)</c:strCache>',
+                xml)[0]
+            labels = _re.findall(r"<c:v>([^<]*)</c:v>", cats)
+            ref_range = _re.findall(r"<c:f>([^<]*)</c:f>", xml)
+            out[title] = (labels, ref_range)
+        return out
+
+    ot, rt = by_title(oc), by_title(rc)
+    assert set(ot) == set(rt)  # titles incl. the n= totals
+    for title, (labels, rng) in ot.items():
+        assert labels == rt[title][0]           # Positive/Neutral/... order
+        assert rng == rt[title][1]              # same helper-cell ranges
+
+
 def test_responseid_sort_is_lexicographic(ref_outputs):
     """Pin the reference's per-sheet row-order quirk: ResponseID is a
     STRING, so sheet rows sort '1','10','100',...,'2' -- not numerically

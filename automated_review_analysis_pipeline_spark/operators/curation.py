@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from automated_review_analysis_pipeline_spark.plan_cache import plan_cache
+
 from .dedup import word_shingles
 
 # 4-hex-digit md5 prefix thresholds: 0xCCCD/0x10000 ~= 0.80,
@@ -246,8 +248,8 @@ def bloom_decontaminate(documents: DataFrame, text_col: str = "text",
     # cached: the distinct test-shingle set (bounded -- held-out sets are
     # tiny vs train) feeds BOTH the bitset build and the exact verify
     # join; without the cache the full-corpus shingle explode runs twice.
-    test_sh = (sh.where(F.col("__h") >= VAL_MAX)
-               .select("shingle").distinct().cache())
+    test_sh = plan_cache(sh.where(F.col("__h") >= VAL_MAX)
+                         .select("shingle").distinct())
     # Build the bitset: distinct set positions (bounded by m_bits) fold
     # into m_bits/8 bytes on the driver -- the bounded-by-construction
     # collect that makes a Bloom filter a Bloom filter.

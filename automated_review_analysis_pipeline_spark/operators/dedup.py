@@ -23,6 +23,8 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from automated_review_analysis_pipeline_spark.plan_cache import plan_cache
+
 
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition UP to the session's parallelism when the input arrived
@@ -244,9 +246,9 @@ def minhash_near_dup_pairs(documents: DataFrame, text_col: str = "text",
     # One computation of shingles+signature, cached: four downstream uses
     # (two join sides of candidate generation, two of verification) would
     # otherwise each recompute the md5 pipeline.
-    with_sig = add_minhash(
+    with_sig = plan_cache(add_minhash(
         _spread(documents.select(id_col, text_col), id_col),
-        text_col, k, num_hashes).cache()
+        text_col, k, num_hashes))
     shingle_map = with_sig.select(
         F.col(id_col), F.col("__shingles"),
         F.size(F.col("__shingles")).alias("__n"))
@@ -310,13 +312,13 @@ def ngram_jaccard_pairs(documents: DataFrame, text_col: str = "text",
             "use a threshold > 0")
     block_on = block_on or []
     src = _spread(documents.select(id_col, text_col, *block_on), *block_on)
-    d = stage_shingles(src, text_col, k, "shingles") \
-        .select(
-            F.col(id_col),
-            *[F.col(c) for c in block_on],
-            "shingles",
-            F.size(F.col("shingles")).alias("n_sh"),
-        ).cache()
+    d = plan_cache(stage_shingles(src, text_col, k, "shingles")
+                   .select(
+                       F.col(id_col),
+                       *[F.col(c) for c in block_on],
+                       "shingles",
+                       F.size(F.col("shingles")).alias("n_sh"),
+                   ))
 
     # Posting-list (inverted index) set-similarity join: one row per
     # (shingle, doc), self-join on the shingle within the block, then
@@ -393,10 +395,10 @@ def containment_pairs(documents: DataFrame, text_col: str = "text",
         raise ValueError(
             "posting-list containment join cannot emit zero-overlap pairs; "
             "use a threshold > 0")
-    d = stage_shingles(documents.select(id_col, text_col), text_col, k,
-                       "shingles") \
-        .select(F.col(id_col), "shingles",
-                F.size(F.col("shingles")).alias("n_sh")).cache()
+    d = plan_cache(stage_shingles(documents.select(id_col, text_col),
+                                  text_col, k, "shingles")
+                   .select(F.col(id_col), "shingles",
+                           F.size(F.col("shingles")).alias("n_sh")))
     posts = d.select(F.col(id_col), F.explode("shingles").alias("sh"))
     if max_posting_freq is not None:
         posts = _cap_posting_lists(posts, ["sh"], max_posting_freq)
@@ -526,7 +528,7 @@ def simhash_near_dup_pairs(documents: DataFrame, id_col: str = "doc_id",
     # scans). At 100 TB the production pattern is a persisted signature
     # table; .cache() is the single-query equivalent (same precedent as
     # minhash_near_dup_pairs).
-    d = add_simhash(documents, text_col).select(id_col, "simhash").cache()
+    d = plan_cache(add_simhash(documents, text_col).select(id_col, "simhash"))
     return hamming_block_pairs(d, id_col, "simhash", max_hamming)
 
 
@@ -649,8 +651,8 @@ def winnow_overlap_pairs(documents: DataFrame, text_col: str = "text",
         stage_winnow_hashes(documents, text_col, k)
         .select("doc_id", F.explode(F.array_distinct(
             F.transform(sel, lambda s: s % F.lit(WINNOW_ENC)))).alias("fp"))
-        .cache()
     )
+    base = plan_cache(base)
     doc_sizes = base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
     keep_fps = (
         base.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from automated_review_analysis_pipeline_spark.plan_cache import plan_cache
+
 MEDIA_SCHEMA = (
     "media_id long, payload binary, mime string, width int, height int, "
     "duration_ms long, source string"
@@ -220,5 +222,5 @@ def media_near_dup_pairs(media: DataFrame, max_hamming: int = 8) -> DataFrame:
         hamming_block_pairs,
     )
 
-    d = media_ahash(media).select("media_id", "ahash").cache()
+    d = plan_cache(media_ahash(media).select("media_id", "ahash"))
     return hamming_block_pairs(d, "media_id", "ahash", max_hamming)

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from automated_review_analysis_pipeline_spark.plan_cache import plan_cache
 from pyspark.sql.functions import broadcast
 
 
@@ -459,8 +461,8 @@ def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame,
     """
     brand_parts = broadcast(
         part.where(F.col("p_brand") == brand).select("p_partkey"))
-    brand_items = lineitem.join(
-        brand_parts, F.col("l_partkey") == F.col("p_partkey")).cache()
+    brand_items = plan_cache(lineitem.join(
+        brand_parts, F.col("l_partkey") == F.col("p_partkey")))
     # Exact average: decimal sum -> one double division (order-independent).
     part_avg = (
         brand_items.groupBy("l_partkey")

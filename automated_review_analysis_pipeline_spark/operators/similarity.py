@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from automated_review_analysis_pipeline_spark.plan_cache import plan_cache
 from pyspark.sql.functions import broadcast
 
 from automated_review_analysis_pipeline_spark.functions.vectors import (
@@ -131,27 +133,65 @@ def _banded_signatures(df: DataFrame, id_col: str, vec_col: str, alias: str,
     return df.select(id_col, vec_col).mapInPandas(sig_batches, schema)
 
 
+MAX_AUTO_BANDS = 4096
+
+
 def _auto_bands(threshold: float, band_bits: int,
                 miss_target: float = 1e-9) -> int:
     """Smallest band count driving the per-pair miss probability at the
     decision boundary below ``miss_target``: a pair at exactly
     ``threshold`` agrees on each sign bit with p = 1 - acos(t)/pi, so
-    missing ALL bands has probability (1 - p^bits)^B."""
+    missing ALL bands has probability (1 - p^bits)^B.
+
+    If reaching ``miss_target`` would take more than ``MAX_AUTO_BANDS``
+    bands, the count is clamped WITH a warning stating the achieved
+    bound -- the banded path is probabilistic, and oracle-exact equality
+    relies on this bound staying astronomically small; a silent clamp
+    (pre-round-4 behavior capped at 64) could otherwise surface as an
+    inexplicable oracle mismatch after a threshold/data change."""
     import math
+    import warnings
 
     p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
     p_band = p ** band_bits
     if p_band >= 1.0:
         return 1
     b = math.ceil(math.log(miss_target) / math.log(1.0 - p_band))
-    return max(8, min(64, b))
+    if b > MAX_AUTO_BANDS:
+        achieved = (1.0 - p_band) ** MAX_AUTO_BANDS
+        warnings.warn(
+            f"_auto_bands: {b} bands needed for per-pair miss <"
+            f" {miss_target} at threshold {threshold} with {band_bits}-bit"
+            f" bands; clamping to {MAX_AUTO_BANDS} degrades the miss bound"
+            f" to {achieved:.2e} -- exact-oracle equality is no longer"
+            f" near-certain", stacklevel=3)
+        b = MAX_AUTO_BANDS
+    return max(8, b)
+
+
+def _auto_band_bits(n_rows: int, target_bucket_rows: int = 2048) -> int:
+    """Size band_bits so the MEAN (band, sig) bucket holds about
+    ``target_bucket_rows`` vectors: bits = log2(n / target). With the old
+    fixed band_bits=2 every band had only 4 possible signatures, so each
+    bucket held ~n/4 of the corpus and the in-bucket O(g^2) verify grew
+    quadratically with the corpus -- at 1M vectors a single group's
+    similarity matrix would not fit an executor. Deriving bits from the
+    corpus keeps buckets bounded (and MORE bands of SMALLER buckets is
+    also strictly less total verify work). Small corpora keep bits=2,
+    preserving the low-threshold exactness sweet spot."""
+    import math
+
+    if n_rows <= target_bucket_rows * 4:
+        return 2
+    return min(16, max(2, math.ceil(math.log2(n_rows / target_bucket_rows))))
 
 
 def pairwise_cosine_above(embeddings: DataFrame, threshold: float = 0.9,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding", *,
                           exact: bool = False, n_bands: int | None = None,
-                          band_bits: int = 2, dim: int = 64) -> DataFrame:
+                          band_bits: int | None = None,
+                          dim: int = 64) -> DataFrame:
     """Embedding near-duplicate pairs: all (a<b) pairs with cosine >=
     threshold.
 
@@ -164,10 +204,15 @@ def pairwise_cosine_above(embeddings: DataFrame, threshold: float = 0.9,
     probability is (1 - p^band_bits)^n_bands with p = 1 - acos(cos) / pi;
     ``n_bands=None`` (default) auto-sizes the band count to push the miss
     probability AT the threshold below 1e-9 (fewer bands at higher
-    thresholds -- the banding self-tunes), so the exact SQL oracle still
-    holds. Production dedup at threshold >= 0.8 should RAISE band_bits
-    (e.g. 8 bits) so each bucket also PRUNES: with 2-bit bands pruning is
-    intentionally sacrificed for exactness at low thresholds.
+    thresholds -- the banding self-tunes), warning if the cap
+    MAX_AUTO_BANDS prevents reaching that bound, so the exact SQL oracle
+    still holds (probabilistically, with a stated bound and a fixed
+    seed). ``band_bits=None`` (default) derives the bits from the corpus
+    size so the mean (band, sig) bucket stays ~2k vectors: more bands of
+    smaller buckets is both less total O(g^2) verify work and bounded
+    executor memory -- the shape that survives 1M+ vectors. The in-bucket
+    matmul is additionally row-chunked so a skewed bucket streams its
+    similarity matrix instead of materializing g^2 doubles at once.
 
     ``exact=True`` keeps the O(n^2) numpy-matmul baseline (collects the
     set once -- only for small, bounded candidate sets)."""
@@ -205,21 +250,25 @@ def pairwise_cosine_above(embeddings: DataFrame, threshold: float = 0.9,
             pair_batches, "id_a long, id_b long, cosine_sim double"
         ).orderBy("id_a", "id_b")
 
+    if band_bits is None:
+        band_bits = _auto_band_bits(embeddings.count())
     if n_bands is None:
         n_bands = _auto_bands(threshold, band_bits)
     planes = _hyperplanes(dim, n_bands * band_bits)
     sigs = _banded_signatures(embeddings, id_col, vec_col, "a",
                               planes, n_bands, band_bits)
 
-    # In-bucket verification stays in numpy: ONE normalized matmul per
-    # (band, sig) group replaces an interpreted 64-element JVM fold per
+    # In-bucket verification stays in numpy: normalized matmuls per
+    # (band, sig) group replace an interpreted 64-element JVM fold per
     # band collision (collisions >> pairs at low thresholds). Only
     # above-threshold pairs leave the group, so the dedup shuffle carries
-    # the result set, not the candidate set. A group holds ~n/2^band_bits
-    # vectors -- size band_bits so that fits an executor, exactly like
-    # sizing any hash aggregation.
+    # the result set, not the candidate set. band_bits is sized so a
+    # group holds ~n/2^band_bits ~ 2k vectors; the matmul is row-chunked
+    # anyway (<=32 MB of sims per block) so even a heavily skewed bucket
+    # streams rather than materializing g^2 doubles.
     def verify(pdf):
-        if len(pdf) < 2:
+        g = len(pdf)
+        if g < 2:
             return pd.DataFrame({
                 "id_a": pd.Series(dtype="int64"),
                 "id_b": pd.Series(dtype="int64"),
@@ -229,13 +278,21 @@ def pairwise_cosine_above(embeddings: DataFrame, threshold: float = 0.9,
         V = np.array([list(v) for v in pdf["a_vec"]], dtype=np.float64)[order]
         norms = pdf["a_norm"].to_numpy(dtype=np.float64)[order]
         Vn = V / norms[:, None]
-        sims = np.round(Vn @ Vn.T, 6)
-        iu, ju = np.triu_indices(len(ids), k=1)   # ids sorted => id_a < id_b
-        keep = sims[iu, ju] >= threshold
+        chunk = max(32, (4 << 20) // g)           # ~32 MB of float64 sims
+        la, lb, lv = [], [], []
+        for i0 in range(0, g - 1, chunk):
+            i1 = min(i0 + chunk, g)
+            sims = np.round(Vn[i0:i1] @ Vn.T, 6)  # (i1-i0) x g block
+            bi, bj = np.nonzero(sims >= threshold)
+            keep = (bi + i0) < bj                 # ids sorted => id_a < id_b
+            la.append(ids[bi[keep] + i0])
+            lb.append(ids[bj[keep]])
+            lv.append(sims[bi[keep], bj[keep]])
         return pd.DataFrame({
-            "id_a": ids[iu[keep]],
-            "id_b": ids[ju[keep]],
-            "cosine_sim": sims[iu[keep], ju[keep]],
+            "id_a": np.concatenate(la) if la else np.array([], dtype=np.int64),
+            "id_b": np.concatenate(lb) if lb else np.array([], dtype=np.int64),
+            "cosine_sim": (np.concatenate(lv) if lv
+                           else np.array([], dtype=np.float64)),
         })
 
     return (
@@ -798,7 +855,7 @@ def kmeans_embeddings(embeddings: DataFrame, k: int = 8,
 def _kmeans_base(embeddings: DataFrame, id_col: str,
                  vec_col: str) -> DataFrame:
     v = to_double_array(F.col(vec_col))
-    return embeddings.select(F.col(id_col), v.alias("__v")).cache()
+    return plan_cache(embeddings.select(F.col(id_col), v.alias("__v")))
 
 
 def _kmeans_assign(base: DataFrame, cents_df: DataFrame,
@@ -871,8 +928,8 @@ def near_dup_triangles(embeddings: DataFrame, threshold: float = 0.25,
     shape (partition by lowest-degree vertex to bound join fan-out).
     """
     pairs = pairwise_cosine_above(embeddings, threshold, id_col)
-    edges = pairs.select(F.col("id_a").alias("a"),
-                         F.col("id_b").alias("b")).cache()
+    edges = plan_cache(pairs.select(F.col("id_a").alias("a"),
+                                    F.col("id_b").alias("b")))
     e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e3 = edges.select(F.col("a").alias("a"), F.col("b").alias("c"))
     tri = (
@@ -913,12 +970,13 @@ def near_dup_pagerank(embeddings: DataFrame, threshold: float = 0.35,
     # convention as near_dup_components' distributed path) -- 5 rounds of
     # 32-partition shuffles on a 200-row frame is pure scheduling
     # overhead. At cluster scale remove it and the identical plan shards.
-    edges = (
+    edges = plan_cache((
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"),
                             F.col("id_a").alias("dst")))
-    ).coalesce(1).cache()
-    nodes = embeddings.select(F.col(id_col).alias("node")).coalesce(1).cache()
+    ).coalesce(1))
+    nodes = plan_cache(
+        embeddings.select(F.col(id_col).alias("node")).coalesce(1))
     n = nodes.count()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     base = (1.0 - damping) / n

@@ -69,8 +69,15 @@ def with_response_id(df: DataFrame, id_col: str | None = None) -> DataFrame:
         return df.withColumn("ResponseID", F.col(id_col).cast("string"))
     from pyspark.sql.functions import broadcast
 
+    # localCheckpoint pins the partitioning: the per-partition counts and
+    # the numbering join below are two separate jobs, and without the
+    # checkpoint a non-deterministic upstream (round-robin repartition,
+    # AQE re-coalescing) could assign rows to different partitions in
+    # each, silently misnumbering. Eager materialization of the staged
+    # frame makes both jobs read the same blocks.
     staged = df.withColumn("__pid", F.spark_partition_id()) \
-               .withColumn("__mono", F.monotonically_increasing_id())
+               .withColumn("__mono", F.monotonically_increasing_id()) \
+               .localCheckpoint(eager=True)
     counts = (staged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
               .orderBy("__pid").collect())
     offsets, acc = [], 0

@@ -26,6 +26,7 @@ STATE_SCHEMA = "n long, s_us long, last_us long"
 
 
 def _update_profile(key, pdf_iter, state: GroupState):
+    import numpy as np
     import pandas as pd
 
     (user_id,) = key
@@ -33,7 +34,12 @@ def _update_profile(key, pdf_iter, state: GroupState):
     for pdf in pdf_iter:
         n += len(pdf)
         if len(pdf):
-            s_us += int((pdf["value"].fillna(0.0) * 1_000_000).round().sum())
+            # round half AWAY from zero to match the oracle's
+            # CAST(value AS DECIMAL(18,6)) semantics -- pandas .round()
+            # is half-to-even and would diverge on exact .5 micro-units
+            v = pdf["value"].fillna(0.0).to_numpy(dtype=np.float64)
+            micros = np.sign(v) * np.floor(np.abs(v) * 1_000_000 + 0.5)
+            s_us += int(micros.sum())
             last_us = max(last_us, int(pdf["ts_us"].max()))
     state.update((n, s_us, last_us))
     yield pd.DataFrame({

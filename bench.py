@@ -161,6 +161,10 @@ def main() -> None:
 
     # min of 2 timed runs per query: this box is a shared VM and a single
     # run can absorb a neighbor's CPU burst; the min is the engine's cost.
+    from automated_review_analysis_pipeline_spark.plan_cache import (
+        release_plan_caches,
+    )
+
     timings: dict[str, float] = {}
     for name in names:
         best = -1.0
@@ -174,6 +178,10 @@ def main() -> None:
                 print(f"bench {name} failed: {e}", file=sys.stderr)
                 break
         timings[name] = best
+        # drop plan-embedded caches between queries: keeps the session's
+        # cache footprint flat and stops cross-query InMemoryRelation
+        # substitution from flattering later timings
+        release_plan_caches()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Two JSON lines, most-compact encoding: the full per-query line first,

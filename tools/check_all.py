@@ -50,10 +50,15 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
+    from automated_review_analysis_pipeline_spark.plan_cache import (
+        release_plan_caches,
+    )
+
     bad, ok, rows_only = [], [], []
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        release_plan_caches()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)

@@ -183,7 +183,11 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 
     ``flag_col`` (boolean) restricts output to pairs where AT LEAST ONE
     side is flagged -- the incremental-dedup shape: old-vs-old pairs were
-    already emitted by earlier runs, so only new-vs-anything survives."""
+    already emitted by earlier runs, so only new-vs-anything survives.
+    The flagged subset IS the join's right input (not a post-join
+    filter), so the bucket join is |all| x |new| instead of |all|^2 --
+    old-vs-old candidates are never materialized, which is the whole
+    point of incremental dedup."""
     rows_per_band = num_hashes // bands
     band_keys = F.array(*[
         F.struct(
@@ -201,6 +205,25 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
         .select(id_col, "bk.band", "bk.bucket",
                 *(["__flag"] if flag_col else []))
     )
+    if flag_col:
+        left = buckets.drop("__flag").alias("l")
+        right = buckets.where(F.col("__flag")).drop("__flag").alias("r")
+        cond = (
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+        )
+        # new-new pairs surface twice (either side can be the right row);
+        # least/greatest + distinct canonicalizes
+        return (
+            left.join(right, cond)
+            .select(
+                F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}"))
+                .alias("id_a"),
+                F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}"))
+                .alias("id_b"))
+            .distinct()
+        )
     left = buckets.alias("l")
     right = buckets.alias("r")
     cond = (
@@ -208,8 +231,6 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
         & (F.col("l.bucket") == F.col("r.bucket"))
         & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
     )
-    if flag_col:
-        cond = cond & (F.col("l.__flag") | F.col("r.__flag"))
     return (
         left.join(right, cond)
         .select(F.col(f"l.{id_col}").alias("id_a"),
@@ -268,6 +289,105 @@ def minhash_near_dup_pairs(documents: DataFrame, text_col: str = "text",
         .where(F.col("jaccard_sim") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted MinHash signature table (the production incremental pattern)
+# ---------------------------------------------------------------------------
+
+SIG_TABLE_SCHEMA = ("doc_id long, __shingles array<string>, __n int, "
+                    "minhash array<long>")
+
+
+def build_signature_table(documents: DataFrame, store_dir: str,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          k: int = 3, num_hashes: int = 16,
+                          mode: str = "overwrite") -> DataFrame:
+    """Hash the corpus ONCE and persist (id, shingles, |shingles|,
+    signature) as a parquet table; every later near-dup run reads the
+    table instead of re-running the md5+permutation pipeline over the raw
+    text (PERF.md "known costs": the cold minhash_pairs run re-hashes the
+    corpus on every invocation). At 100 TB this is the difference between
+    an O(corpus) one-time build and paying it per query; the streaming
+    twin (streaming/docs_stream.py) appends to the same shape per
+    micro-batch. Returns the reloaded table."""
+    spark = documents.sparkSession
+    sig = (
+        add_minhash(_spread(documents.select(id_col, text_col), id_col),
+                    text_col, k, num_hashes)
+        .select(F.col(id_col).alias("doc_id"), "__shingles",
+                F.size("__shingles").cast("int").alias("__n"), "minhash")
+    )
+    sig.write.mode(mode).parquet(store_dir)
+    return spark.read.parquet(store_dir)
+
+
+def pairs_from_signature_table(sig: DataFrame, num_hashes: int = 16,
+                               bands: int = 4, threshold: float = 0.7,
+                               flag_col: str | None = None) -> DataFrame:
+    """Verified near-dup pairs from a PRE-COMPUTED signature table: LSH
+    banding + exact-Jaccard verify, zero text hashing. ``flag_col``
+    restricts to pairs with >=1 flagged side (incremental shape)."""
+    cands = lsh_candidate_pairs(sig, "doc_id", num_hashes, bands,
+                                flag_col=flag_col)
+    sides = sig.select("doc_id", "__shingles", "__n")
+    a, b = sides.alias("sa"), sides.alias("sb")
+    return (
+        cands.join(a, F.col("id_a") == F.col("sa.doc_id"))
+        .join(b, F.col("id_b") == F.col("sb.doc_id"))
+        .select(
+            "id_a", "id_b",
+            F.round(jaccard_with_sizes(
+                F.col("sa.__shingles"), F.col("sb.__shingles"),
+                F.col("sa.__n"), F.col("sb.__n")), 6)
+            .alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def incremental_minhash_pairs(spark, store_dir: str, delta_docs: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", k: int = 3,
+                              num_hashes: int = 16, bands: int = 4,
+                              threshold: float = 0.7,
+                              update_store: bool = True) -> DataFrame:
+    """Near-dup pairs involving AT LEAST ONE delta document, generated
+    against the persisted signature store plus the delta itself -- only
+    the delta is hashed, the store's signatures are reused as-is, and
+    old-vs-old pairs are excluded by the flag (earlier runs already
+    emitted them). With ``update_store`` the delta's signatures append to
+    the store, so successive calls accumulate exactly the one-shot batch
+    recompute's pair set (same contract as streaming_minhash_pairs,
+    streaming/docs_stream.py:54 -- this is its batch form).
+
+    The store snapshot is FROZEN at call time by listing the parquet
+    files explicitly, so the returned lazy plan is unaffected by the
+    append (or by any concurrent writer)."""
+    import os
+
+    files = sorted(
+        os.path.join(store_dir, f) for f in
+        (os.listdir(store_dir) if os.path.isdir(store_dir) else [])
+        if f.endswith(".parquet"))
+    store = (spark.read.parquet(*files) if files
+             else spark.createDataFrame([], SIG_TABLE_SCHEMA))
+    new_sig = plan_cache(
+        add_minhash(_spread(delta_docs.select(id_col, text_col), id_col),
+                    text_col, k, num_hashes)
+        .select(F.col(id_col).alias("doc_id"), "__shingles",
+                F.size("__shingles").cast("int").alias("__n"), "minhash"))
+    # cached: four scans consume allsig (two candidate sides, two verify
+    # sides); without it the store parquet read + union re-run per scan
+    allsig = plan_cache(
+        new_sig.withColumn("__new", F.lit(True))
+        .unionByName(store.withColumn("__new", F.lit(False))))
+    pairs = pairs_from_signature_table(allsig, num_hashes, bands, threshold,
+                                       flag_col="__new")
+    if update_store:
+        new_sig.write.mode("append").parquet(store_dir)
+    return pairs
 
 
 def _cap_posting_lists(posts: DataFrame, group_cols: list[str],

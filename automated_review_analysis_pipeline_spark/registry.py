@@ -161,6 +161,35 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.0)
 
 
+def q_incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-signature-table lifecycle: build the store from the
+    first 80% of the corpus, then run the INCREMENTAL pass over the
+    remaining 20% delta (only the delta is hashed; store signatures are
+    reused and appended to). The union of the store-internal pairs and
+    the incremental new-vs-all pairs must equal the one-shot full
+    recompute -- hence this shares minhash_pairs' oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"arap_incr_minhash_{os.path.basename(sf_dir.rstrip('/'))}")
+    store_dir = os.path.join(work, "sig_store")
+    shutil.rmtree(store_dir, ignore_errors=True)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    delta = docs.where(F.col("doc_id") % 5 == 0)
+    store = dedup.build_signature_table(old, store_dir, num_hashes=16)
+    old_pairs = dedup.pairs_from_signature_table(
+        store, num_hashes=16, bands=4, threshold=0.0)
+    inc = dedup.incremental_minhash_pairs(
+        spark, store_dir, delta, num_hashes=16, bands=4, threshold=0.0)
+    return (old_pairs.unionByName(inc)
+            .dropDuplicates(["id_a", "id_b"])
+            .orderBy("id_a", "id_b"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
@@ -1119,6 +1148,7 @@ QUERIES: dict[str, QueryFn] = {
     "dup_stats": q_dup_stats,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_pairs": q_minhash_pairs,
+    "incremental_minhash_pairs": q_incremental_minhash_pairs,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "cosine_topk": q_cosine_topk,
@@ -2670,6 +2700,11 @@ ORACLE_SQL["streaming_sliding"] = ORACLE_SQL["events_sliding"]
 # incremental minhash emits each pair exactly once (when its later member
 # arrives), so the accumulated set == the batch recompute
 ORACLE_SQL["streaming_minhash_pairs"] = ORACLE_SQL["minhash_pairs"]
+
+# store-internal pairs + incremental new-vs-all pairs == full recompute
+# (build once / hash only the delta is a performance property, not a
+# semantic one)
+ORACLE_SQL["incremental_minhash_pairs"] = ORACLE_SQL["minhash_pairs"]
 
 
 ORACLE_SQL["containment_pairs"] = f"""

@@ -138,6 +138,7 @@ HEADLINE = [
     "centroid_assign",
     "containment_pairs",
     "bloom_decontaminate",
+    "incremental_minhash_pairs",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

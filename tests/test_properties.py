@@ -311,6 +311,38 @@ def test_containment_detects_subset_docs(spark):
     assert (1, 3) not in rows and (3, 1) not in rows
 
 
+def test_incremental_minhash_accumulates_to_full_recompute(spark, sf_dir,
+                                                           tmp_path):
+    """Batch form of the streaming incremental-dedup contract: build the
+    signature store from an initial corpus slice, feed three successive
+    deltas through incremental_minhash_pairs (each hashing ONLY its
+    delta), and the accumulated pair set must equal the one-shot
+    minhash_near_dup_pairs recompute over the whole corpus."""
+    from automated_review_analysis_pipeline_spark.operators import dedup
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store_dir = str(tmp_path / "sig_store")
+
+    initial = docs.where(F.col("doc_id") % 4 == 0)
+    store = dedup.build_signature_table(initial, store_dir)
+    acc = [dedup.pairs_from_signature_table(store, threshold=0.0)
+           .select("id_a", "id_b", "jaccard_sim").collect()]
+    for r in (1, 2, 3):
+        delta = docs.where(F.col("doc_id") % 4 == r)
+        acc.append(dedup.incremental_minhash_pairs(
+            spark, store_dir, delta, threshold=0.0).collect())
+
+    got = sorted((r["id_a"], r["id_b"], r["jaccard_sim"])
+                 for batch in acc for r in batch)
+    assert len(got) == len(set(got))  # each pair emitted exactly once
+    want = sorted(
+        (r["id_a"], r["id_b"], r["jaccard_sim"])
+        for r in dedup.minhash_near_dup_pairs(docs, threshold=0.0).collect())
+    assert got == want
+
+
 def test_posting_freq_cap_prunes_and_is_exact_when_loose(spark):
     """max_posting_freq is the stop-shingle guard on the posting-list
     joins: (a) a cap ABOVE the max document frequency is a no-op (result

@@ -425,9 +425,11 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     csim = dot_product(F.col("c_vec"), F.col("ct_vec")) / (
         F.col("c_norm") * F.col("ct_norm"))
     assign_w = Window.partitionBy("c_id").orderBy(F.desc("__csim"), F.asc("ct_id"))
+    # centroid sims round to 6dp BEFORE ranking (mirrored in the SQL
+    # oracle) so a last-ulp float divergence cannot flip an assignment
     assigned = (
         corpus.join(broadcast(cents), F.lit(True))
-        .withColumn("__csim", csim)
+        .withColumn("__csim", F.round(csim, 6))
         .withColumn("__r", F.row_number().over(assign_w))
         .where(F.col("__r") == 1)
         .select("c_id", "c_vec", "c_norm", F.col("ct_id").alias("cell"))
@@ -438,7 +440,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     probe_w = Window.partitionBy("q_id").orderBy(F.desc("__qsim"), F.asc("ct_id"))
     probes = (
         qs.join(broadcast(cents), F.lit(True))
-        .withColumn("__qsim", qsim)
+        .withColumn("__qsim", F.round(qsim, 6))
         .withColumn("__r", F.row_number().over(probe_w))
         .where(F.col("__r") <= n_probe)
         .select("q_id", "q_vec", "q_norm", F.col("ct_id").alias("cell"))

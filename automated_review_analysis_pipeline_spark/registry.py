@@ -1340,6 +1340,90 @@ def _cosine_sql(va: str, vb: str) -> str:
             f"* sqrt(list_dot_product({vb}, {vb}))), 6)")
 
 
+def _sign_lsh_oracle_sql() -> str:
+    """Full-value oracle for sign_lsh_topk: the hyperplanes are a
+    deterministic seeded list (similarity._hyperplanes, seed 42), so the
+    8-bit sign bucket is plain arithmetic -- inline the plane constants
+    and reproduce bucket-join + rank in SQL. Bit-for-bit with the numpy
+    signature kernel because both compute float64 dot products of the
+    same constants (a sign flip would need |dot| ~ 1e-13; the checked
+    dataset is fixed, so equality observed once is frozen)."""
+    from automated_review_analysis_pipeline_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    planes = _hyperplanes(64, 8)
+    bits = ", ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END"
+        for p in planes)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     b AS (SELECT vec_id, v, concat({bits}) AS bucket FROM e),
+     q AS (SELECT * FROM b WHERE vec_id < {N_QUERY_VECS}),
+     sims AS (
+       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              {_cosine_sql('q.v', 'c.v')} AS cosine_sim
+       FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+     ), ranked AS (
+       SELECT *, CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT)
+         AS rank
+       FROM sims
+     )
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+def _ivf_oracle_sql(n_centroids: int = 16, n_probe: int = 4) -> str:
+    """Full-value oracle for ivf_topk (train_iterations=0 baseline): the
+    coarse centroids are the n_centroids lowest-id corpus vectors, so
+    assignment (nearest centroid per corpus vector), probing (n_probe
+    nearest centroids per query), and the in-cell rank are all plain SQL.
+    Centroid similarities round to 6dp on BOTH engines before ranking so
+    a last-ulp float divergence cannot flip an assignment."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     cents AS (SELECT vec_id AS ct_id, v AS ct_v FROM e
+               ORDER BY vec_id LIMIT {n_centroids}),
+     assigned AS (
+       SELECT vec_id AS c_id, v, cell FROM (
+         SELECT e.vec_id, e.v, ct.ct_id AS cell,
+                row_number() OVER (
+                  PARTITION BY e.vec_id
+                  ORDER BY {_cosine_sql('e.v', 'ct.ct_v')} DESC, ct.ct_id)
+                  AS r
+         FROM e CROSS JOIN cents ct
+       ) WHERE r = 1
+     ),
+     probes AS (
+       SELECT vec_id AS q_id, v AS q_v, cell FROM (
+         SELECT e.vec_id, e.v, ct.ct_id AS cell,
+                row_number() OVER (
+                  PARTITION BY e.vec_id
+                  ORDER BY {_cosine_sql('e.v', 'ct.ct_v')} DESC, ct.ct_id)
+                  AS r
+         FROM e CROSS JOIN cents ct WHERE e.vec_id < {N_QUERY_VECS}
+       ) WHERE r <= {n_probe}
+     ),
+     sims AS (
+       SELECT p.q_id AS query_id, a.c_id AS neighbor_id,
+              {_cosine_sql('p.q_v', 'a.v')} AS cosine_sim
+       FROM probes p JOIN assigned a ON p.cell = a.cell
+       WHERE p.q_id <> a.c_id
+     ), ranked AS (
+       SELECT *, CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT)
+         AS rank
+       FROM sims
+     )
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_clean": f"""
 SELECT doc_id, {clean_text_sql('text')} AS clean,
@@ -2705,6 +2789,12 @@ ORACLE_SQL["streaming_minhash_pairs"] = ORACLE_SQL["minhash_pairs"]
 # (build once / hash only the delta is a performance property, not a
 # semantic one)
 ORACLE_SQL["incremental_minhash_pairs"] = ORACLE_SQL["minhash_pairs"]
+
+# ANN variants promoted from rows-only to full value oracles (round 4):
+# hyperplanes / centroid init are deterministic constants, so signature
+# computation and bucket probing are plain SQL arithmetic
+ORACLE_SQL["sign_lsh_topk"] = _sign_lsh_oracle_sql()
+ORACLE_SQL["ivf_topk"] = _ivf_oracle_sql()
 
 
 ORACLE_SQL["containment_pairs"] = f"""

@@ -269,10 +269,13 @@ def test_near_dup_components_variants_agree(spark, sf_dir):
 
 
 def test_pairwise_banded_equals_exact_and_is_lazy(spark, sf_dir):
-    """The default (banded sign-LSH) pair generator must (a) build its
-    plan WITHOUT running any Spark job -- the scale guarantee that nothing
-    is collected to the driver -- and (b) emit exactly the pairs the
-    O(n^2) exact path emits at these band settings."""
+    """The banded sign-LSH pair generator must (a) build its plan WITHOUT
+    running any Spark job when band_bits is given -- the scale guarantee
+    that no DATA is ever collected to the driver (the band_bits=None
+    default additionally runs ONE bounded sizing count, a scalar, to
+    derive bits from the corpus size) -- and (b) emit exactly the pairs
+    the O(n^2) exact path emits, on both the explicit and derived-bits
+    paths."""
     from pyspark.sql import functions as F
 
     from automated_review_analysis_pipeline_spark.operators import similarity as sim
@@ -282,13 +285,16 @@ def test_pairwise_banded_equals_exact_and_is_lazy(spark, sf_dir):
     e.count()  # materialize the input before the job-count fence
     tracker = spark.sparkContext.statusTracker()
     jobs_before = len(tracker.getJobIdsForGroup(None))
-    banded = sim.pairwise_cosine_above(e, threshold=0.35)
+    banded = sim.pairwise_cosine_above(e, threshold=0.35, band_bits=2)
     assert len(tracker.getJobIdsForGroup(None)) == jobs_before, \
         "building the banded pair plan ran a Spark job (driver collect?)"
     got = [tuple(r) for r in banded.collect()]
     want = [tuple(r) for r in
             sim.pairwise_cosine_above(e, threshold=0.35, exact=True).collect()]
     assert got == want
+    auto = [tuple(r) for r in
+            sim.pairwise_cosine_above(e, threshold=0.35).collect()]
+    assert auto == want
 
 
 def test_containment_detects_subset_docs(spark):

@@ -207,7 +207,8 @@ def curate_corpus(documents: DataFrame, quota: int = 80, budget: int = 512,
 def bloom_decontaminate(documents: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 5,
                         m_bits: int = 1 << 20,
-                        n_hashes: int = 3) -> DataFrame:
+                        n_hashes: int = 3,
+                        min_corpus_docs: int = 1_000_000) -> DataFrame:
     """Decontamination with a Bloom-filter prefilter: byte-identical
     output to :func:`decontaminate` (false positives die in the exact
     verify join; false negatives are impossible), but the train side's
@@ -221,10 +222,21 @@ def bloom_decontaminate(documents: DataFrame, text_col: str = "text",
     Bit positions are JVM-side xxhash64 double-hashing (h1 + i*h2 mod m);
     the executor-side membership test is a vectorized numpy bitset probe
     over Arrow batches -- no Python hashing, no per-row Python.
+
+    Below ``min_corpus_docs`` the operator auto-flips to the plain exact
+    join (:func:`decontaminate`): at small scale the prefilter's fixed
+    costs (bitset build action, per-shingle position math, the probe)
+    exceed what it saves, exactly like near_dup_components' edge-count
+    flip. Output is byte-identical on both paths by contract, so the
+    flip can never change an answer; pass ``min_corpus_docs=0`` to force
+    the Bloom path (tests do, pinning bloom == exact equality).
     """
     import numpy as np
 
     from .dedup import shingle_tokens, word_shingles_from_tokens
+
+    if min_corpus_docs and documents.count() < min_corpus_docs:
+        return decontaminate(documents, text_col, id_col, k)
 
     spark = documents.sparkSession
     toked = documents.select(

@@ -84,11 +84,18 @@ def test_bloom_decontaminate_equals_exact(spark, sf_dir):
     bitset -- correctness may never depend on the FP rate."""
     docs = _docs(spark, sf_dir)
     exact = [tuple(r) for r in cur.decontaminate(docs).collect()]
-    bloom = [tuple(r) for r in cur.bloom_decontaminate(docs).collect()]
+    # min_corpus_docs=0 FORCES the Bloom path (the default auto-flips to
+    # the exact join below 1M docs, where the prefilter cannot pay)
+    bloom = [tuple(r) for r in
+             cur.bloom_decontaminate(docs, min_corpus_docs=0).collect()]
     assert bloom == exact
     tiny = [tuple(r) for r in
-            cur.bloom_decontaminate(docs, m_bits=1 << 10).collect()]
+            cur.bloom_decontaminate(docs, m_bits=1 << 10,
+                                    min_corpus_docs=0).collect()]
     assert tiny == exact
+    # and the auto-flipped default is (trivially) identical too
+    auto = [tuple(r) for r in cur.bloom_decontaminate(docs).collect()]
+    assert auto == exact
 
 
 def test_lang_quota_sample_bounds_and_determinism(spark, sf_dir):

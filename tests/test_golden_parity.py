@@ -305,6 +305,51 @@ def test_responseid_sort_is_lexicographic(ref_outputs):
     assert ref_order != sorted(ref_order, key=int)  # and NOT numeric
 
 
+def test_vader_branch_parity_when_installed(spark):
+    """C1 real-branch coverage: when vaderSentiment IS importable, our
+    vader_kernel's Pandas-UDF branch must reproduce the reference's
+    _demo_sentiment VADER path (survey_analysis.py:118-137) cell-exactly
+    on every distinct answer of the bundled CSV. Skipped (with the reason
+    recorded) in containers without vaderSentiment, where both engines
+    take the identical lexicon fallback already pinned by the cell-exact
+    golden tests. (Imports the reference separately from the ref_mod
+    fixture, which asserts the ANALYZER-ABSENT state.)"""
+    pytest.importorskip(
+        "vaderSentiment",
+        reason="vaderSentiment not installed: only the lexicon fallback "
+               "is exercisable in this container (documented in "
+               "OPERATORS.md); the fallback path is golden-pinned")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_survey_analysis_vader", "/root/reference/survey_analysis.py")
+    ref_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_mod)
+    assert ref_mod._VADER_ANALYZER is not None
+
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators.classify import (
+        vader_kernel,
+    )
+
+    answers = sorted({
+        (r[col] or "").strip()
+        for r in _csv_rows()
+        for col in r if col not in ("Email", "Name", "Products")
+    })
+    df = spark.createDataFrame([(a,) for a in answers], "answer string")
+    ours = {
+        r["answer"]: r["res"]["sentiment"]
+        for r in df.select(
+            "answer",
+            vader_kernel()("q", F.col("answer")).alias("res")).collect()
+    }
+    for a in answers:
+        want = ref_mod._demo_sentiment(a, a.lower())
+        assert ours[a] == want, (a, ours[a], want)
+
+
 def test_keyword_category_matches_reference_cache(spark):
     """Cell-exact kernel parity: the reference's golden memo cache
     (/root/reference/.analysis_cache.json, 278 entries produced by its

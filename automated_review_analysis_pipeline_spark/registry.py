@@ -15,6 +15,7 @@ for all time arithmetic; md5 for all hashing (portable across engines).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -625,6 +626,54 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.top_orders_per_customer(_t(spark, sf_dir, "orders"), k=3)
 
 
+def q_bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end bucketed fact-fact join: write orders and lineitem as
+    bucketed+sorted tables on the order key, then join AND aggregate on
+    that key -- the physical plan contains no hash-partition Exchange at
+    all (bucketed scan feeds the sort-merge join, and the groupBy's
+    clustering requirement is satisfied by the bucket partitioning); the
+    only Exchange left is the final presentation sort. The plan gate in
+    test_plans asserts exactly this; the oracle asserts equality with the
+    plain join+agg twin. This is the layout a 100 TB deployment keeps its
+    fact tables in so repeated fact-fact joins never pay the shuffle."""
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    t_orders, t_lines = f"b4_orders_{tag}", f"b4_lineitem_{tag}"
+    # drop any prior incarnation AND its warehouse directory: a fresh
+    # session's in-memory catalog forgets the table but the managed
+    # location survives on disk and would block the re-create
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (t_orders, t_lines):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t.lower()), ignore_errors=True)
+    write_bucketed(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        t_orders, ["o_orderkey"], 8, sort_by=["o_orderkey"])
+    write_bucketed(
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o_orderkey"),
+                "l_extendedprice", "l_discount"),
+        t_lines, ["o_orderkey"], 8, sort_by=["o_orderkey"])
+    joined = bucketed_join(spark, t_orders, t_lines, ["o_orderkey"])
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1).cast("decimal(4,2)")
+              - F.col("l_discount").cast("decimal(4,2)")))
+    return (
+        joined.groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum(rev).cast("double").alias("order_revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+        .where(F.col("order_revenue") > 300000)
+        .orderBy("o_orderkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # event-time operators
 # ---------------------------------------------------------------------------
@@ -1162,6 +1211,7 @@ QUERIES: dict[str, QueryFn] = {
     "q4_order_priority": q_q4_order_priority,
     "q5_local_supplier": q_q5_local_supplier,
     "top_orders_per_customer": q_top_orders,
+    "bucketed_order_revenue": q_bucketed_order_revenue,
     "events_hourly": q_events_hourly,
     "sessions": q_sessions,
     "event_props": q_event_props,
@@ -1602,6 +1652,16 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate <  TIMESTAMP '1997-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name
+""",
+    "bucketed_order_revenue": """
+SELECT o.o_orderkey, o.o_custkey,
+       (sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+            * (1::DECIMAL(4,2) - CAST(l.l_discount AS DECIMAL(4,2)))
+       ))::DOUBLE AS order_revenue,
+       count(*) AS n_lines
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2 HAVING order_revenue > 300000
+ORDER BY o.o_orderkey
 """,
     "top_orders_per_customer": """
 SELECT o_custkey, o_orderkey, o_totalprice,

@@ -139,6 +139,7 @@ HEADLINE = [
     "containment_pairs",
     "bloom_decontaminate",
     "incremental_minhash_pairs",
+    "bucketed_order_revenue",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -288,6 +288,23 @@ def test_decontaminate_split_staged_once_per_branch(spark):
     assert plan.count("split(") <= 2
 
 
+def test_bucketed_order_revenue_no_hash_exchange(spark):
+    """The bucketed fact-fact registry query: both scans read bucketed
+    tables, so the sort-merge join AND the groupBy on the bucket key run
+    without any hash-partition Exchange -- the only Exchange allowed in
+    the executed plan is the final presentation sort's range partition.
+    (Broadcast disabled so the join cannot dodge the assertion.)"""
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "bucketed_order_revenue")
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+
+
 def test_token_freq_single_explode_family(spark):
     # tf and global-freq both derive from the same exploded token rows
     plan = plan_of(spark, "token_freq_score")

@@ -1,0 +1,148 @@
+"""Scale-stress the dedup/similarity family: replicate the sf0.1 corpus
+1x / 3x / 10x and time each operator, checking growth stays near-linear
+(the 100 TB design claim). Replicas get shifted ids plus per-replica
+text suffixes / deterministic sign-flips so cross-replica content is
+DECORRELATED -- otherwise every replica is a near-dup of every other and
+the OUTPUT (not the operator) grows quadratically.
+
+Usage: python tools/scale_stress.py [sf_dir]
+Prints a markdown table for PERF.md.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from automated_review_analysis_pipeline_spark.operators import dedup  # noqa: E402
+from automated_review_analysis_pipeline_spark.operators import (  # noqa: E402
+    similarity as sim,
+)
+from automated_review_analysis_pipeline_spark.plan_cache import (  # noqa: E402
+    release_plan_caches,
+)
+from automated_review_analysis_pipeline_spark.session import get_spark  # noqa: E402
+from automated_review_analysis_pipeline_spark.sources.tables import (  # noqa: E402
+    load_table,
+)
+
+SCALES = (1, 3, 10)
+
+
+def replicate_docs(base: DataFrame, n_docs: int, factor: int) -> DataFrame:
+    """Replica i = the same corpus with every document's WORDS
+    deterministically shuffled by a per-replica hash order. In-replica
+    duplicate texts stay duplicates (same text -> same shuffle), but a
+    document shares almost no word 3-shingles with its other-replica
+    copies -- so near-dup OUTPUT grows linearly with the factor and the
+    measurement isolates operator cost, not result-set blow-up."""
+    def shuffled_text(i: int):
+        if i == 0:
+            return F.col("text")  # replica 0 = the original corpus
+        toks = F.split(F.col("text"), r"\s+")
+        # per-(word, position, replica) hash key: repeated words scatter
+        # instead of clumping into degenerate "w w w" runs
+        keyed = F.transform(
+            toks,
+            lambda w, idx: F.struct(
+                F.md5(F.concat(w, idx.cast("string"),
+                               F.lit(f"replica{i}"))).alias("h"),
+                w.alias("w")))
+        return F.concat_ws(
+            " ", F.transform(F.array_sort(keyed), lambda s: s["w"]))
+
+    parts = [
+        base.select(
+            (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
+            shuffled_text(i).alias("text"),
+            "lang", "source")
+        for i in range(factor)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(32).cache()
+
+
+def replicate_vecs(base: DataFrame, n_vecs: int, dim: int,
+                   factor: int) -> DataFrame:
+    parts = []
+    for i in range(factor):
+        rng = random.Random(1000 + i)
+        signs = F.array(*[F.lit(float(rng.choice((-1.0, 1.0))))
+                          for _ in range(dim)])
+        parts.append(base.select(
+            (F.col("vec_id") + F.lit(i * n_vecs)).alias("vec_id"),
+            F.zip_with(F.col("embedding").cast("array<double>"), signs,
+                       lambda a, b: a * b).alias("embedding")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(32).cache()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs0 = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "lang", "source")
+    vecs0 = load_table(spark, sf_dir, "embeddings")
+    n_docs, n_vecs = docs0.count(), vecs0.count()
+    dim = len(vecs0.select("embedding").first()[0])
+
+    ops = {
+        "minhash_pairs": lambda d, v: dedup.minhash_near_dup_pairs(
+            d, threshold=0.7),
+        "ngram_jaccard (cap=8, blocked)": lambda d, v:
+            dedup.ngram_jaccard_pairs(d, threshold=0.3,
+                                      block_on=["lang", "source"],
+                                      max_posting_freq=8),
+        "containment (cap=8)": lambda d, v: dedup.containment_pairs(
+            d, threshold=0.6, max_posting_freq=8),
+        "simhash_pairs": lambda d, v: dedup.simhash_near_dup_pairs(d),
+        "winnow_overlap": lambda d, v: dedup.winnow_overlap_pairs(d),
+        "banded_cosine (thr 0.8)": lambda d, v: sim.pairwise_cosine_above(
+            v, threshold=0.8),
+    }
+
+    results: dict[str, dict[int, float]] = {k: {} for k in ops}
+    rows_out: dict[str, dict[int, int]] = {k: {} for k in ops}
+    for factor in SCALES:
+        docs = replicate_docs(docs0, n_docs, factor)
+        vecs = replicate_vecs(vecs0, n_vecs, dim, factor)
+        docs.count(), vecs.count()
+        for name, fn in ops.items():
+            best, nrows = 1e9, -1
+            for _ in range(2):
+                release_plan_caches()
+                t0 = time.perf_counter()
+                nrows = fn(docs, vecs).count()
+                best = min(best, time.perf_counter() - t0)
+            results[name][factor] = round(best, 2)
+            rows_out[name][factor] = nrows
+            print(f"  {factor}x {name}: {best:.2f}s ({nrows} pairs)",
+                  flush=True)
+        docs.unpersist()
+        vecs.unpersist()
+
+    print(f"\ncorpus: {n_docs} docs / {n_vecs} vectors at 1x\n")
+    print("| operator | 1x | 3x | 10x | t(10x)/t(1x) | pairs@10x |")
+    print("|---|---|---|---|---|---|")
+    for name in ops:
+        r = results[name]
+        ratio = round(r[10] / r[1], 1) if r[1] else float("inf")
+        print(f"| {name} | {r[1]} s | {r[3]} s | {r[10]} s | {ratio}x "
+              f"| {rows_out[name][10]} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -281,7 +281,9 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash media dedup over the synthesized media table (same
     construction as multimodal_features: payload = UTF-8 text bytes).
-    Rows-only at the driver; exact-value and edit-distance behavior is
+    Full value oracle since round 4: the aHash bucket-mean math and the
+    hamming chunk-block join are reproduced in SQL over hex-extracted
+    payload bytes; exact-value and edit-distance behavior additionally
     pytest-pinned."""
     docs = _t(spark, sf_dir, "documents")
     media = docs.select(
@@ -2849,6 +2851,53 @@ ORACLE_SQL["streaming_minhash_pairs"] = ORACLE_SQL["minhash_pairs"]
 # (build once / hash only the delta is a performance property, not a
 # semantic one)
 ORACLE_SQL["incremental_minhash_pairs"] = ORACLE_SQL["minhash_pairs"]
+
+# Perceptual-hash media dedup promoted to a full value oracle (round 4):
+# the synthesized payload is encode(text), and the aHash (byte stream ->
+# 64 resampled bucket means vs global mean, numpy reduceat semantics
+# incl. the empty-bucket-takes-single-element quirk) is plain SQL over
+# hex-extracted byte values; the hamming verify reuses the simhash
+# oracle's 16-bit chunk-blocking shape at max_hamming=16.
+ORACLE_SQL["media_near_dup"] = r"""
+WITH media AS (SELECT doc_id AS media_id, encode(text) AS payload
+               FROM documents),
+hx AS (SELECT media_id, octet_length(payload) AS n, hex(payload) AS hs
+       FROM media),
+bytes AS (
+  SELECT media_id, n,
+         list_transform(range(0, n),
+           i -> CAST('0x'||substring(hs, 2*i+1, 2) AS BIGINT)) AS arr
+  FROM hx WHERE n > 0
+),
+buckets AS (
+  SELECT media_id, i.i,
+    CASE WHEN ((i.i+1)*n)//64 > (i.i*n)//64
+         THEN list_sum(arr[(i.i*n)//64 + 1 : ((i.i+1)*n)//64])::DOUBLE
+              / (((i.i+1)*n)//64 - (i.i*n)//64)
+         ELSE arr[(i.i*n)//64 + 1]::DOUBLE END AS mean_i,
+    list_sum(arr)::DOUBLE / n AS gmean
+  FROM bytes CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+),
+hashes AS (
+  SELECT media_id,
+         bit_or(CASE WHEN mean_i >= gmean THEN CAST(1 AS UBIGINT) << i
+                     ELSE CAST(0 AS UBIGINT) END) AS h
+  FROM buckets GROUP BY media_id
+),
+sh AS (
+  SELECT m.media_id, CAST(coalesce(x.h, 0) AS UBIGINT) AS h
+  FROM media m LEFT JOIN hashes x USING (media_id)
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.h, b.h)) <= 16
+  AND ((a.h & 65535) = (b.h & 65535)
+    OR ((a.h >> 16) & 65535) = ((b.h >> 16) & 65535)
+    OR ((a.h >> 32) & 65535) = ((b.h >> 32) & 65535)
+    OR ((a.h >> 48) & 65535) = ((b.h >> 48) & 65535))
+ORDER BY id_a, id_b
+"""
 
 # ANN variants promoted from rows-only to full value oracles (round 4):
 # hyperplanes / centroid init are deterministic constants, so signature

@@ -514,8 +514,10 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
     Vectors are L2-normalized before splitting, so squared-L2 ADC ranks
     like cosine; ``approx_sim = 1 - d2/2`` is reported. Deterministic
-    end-to-end (first-k init, rounded distances, id tiebreaks); recall
-    floors vs cosine_topk are pytest-pinned, rows-only at the driver."""
+    end-to-end (first-k init, rounded distances, id tiebreaks), which is
+    what makes the FULL pipeline SQL-expressible: the registry carries a
+    value-level DuckDB oracle (training + encoding + ADC + rank,
+    _pq_oracle_sql) on top of the pytest-pinned recall floors."""
     import numpy as np
     import pandas as pd
 

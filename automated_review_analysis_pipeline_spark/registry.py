@@ -1429,6 +1429,92 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
+def _pq_oracle_sql(m: int = 32, ksub: int = 16, train_n: int = 1024) -> str:
+    """Full-value oracle for pq_topk: the ENTIRE product-quantization
+    pipeline -- L2 normalization, per-subspace codebook training
+    (first-k-distinct init in vec_id order, 2 unrolled Lloyd rounds with
+    round(d2, 9) tie-to-lowest-code assignment, empty cells keeping the
+    previous centroid), corpus encoding, and ADC scoring
+    (approx_sim = 1 - d2/2 rounded to 6dp, summed in subspace order via
+    list(d2 ORDER BY j)) -- reproduced relationally with the subspace
+    index as a plain `j` column. dsub is fixed at 2 (dim 64 / m 32),
+    matching the registry call."""
+    return f"""
+WITH norm AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           e -> e / sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))) AS v
+  FROM embeddings
+),
+sample AS (SELECT vec_id, v FROM norm ORDER BY vec_id LIMIT {train_n}),
+js AS (SELECT unnest(range(0, {m})) AS j),
+sub AS (SELECT s.vec_id, j.j, s.v[2*j.j+1] AS x, s.v[2*j.j+2] AS y
+        FROM sample s CROSS JOIN js j),
+init AS (
+  SELECT j, x, y,
+         CAST(row_number() OVER (PARTITION BY j ORDER BY fv) - 1 AS INT) AS c
+  FROM (SELECT j, x, y, min(vec_id) AS fv FROM sub GROUP BY j, x, y)
+  QUALIFY c < {ksub}
+),
+a1 AS (
+  SELECT j, vec_id, x, y, c FROM (
+    SELECT s.j, s.vec_id, s.x, s.y, i.c,
+      row_number() OVER (PARTITION BY s.j, s.vec_id
+        ORDER BY round((s.x-i.x)*(s.x-i.x)+(s.y-i.y)*(s.y-i.y), 9), i.c) AS r
+    FROM sub s JOIN init i USING (j)) WHERE r = 1
+),
+c1 AS (
+  SELECT i.j, i.c, coalesce(u.mx, i.x) AS x, coalesce(u.my, i.y) AS y
+  FROM init i LEFT JOIN
+    (SELECT j, c, avg(x) AS mx, avg(y) AS my FROM a1 GROUP BY j, c) u
+    ON i.j = u.j AND i.c = u.c
+),
+a2 AS (
+  SELECT j, vec_id, x, y, c FROM (
+    SELECT s.j, s.vec_id, s.x, s.y, i.c,
+      row_number() OVER (PARTITION BY s.j, s.vec_id
+        ORDER BY round((s.x-i.x)*(s.x-i.x)+(s.y-i.y)*(s.y-i.y), 9), i.c) AS r
+    FROM sub s JOIN c1 i USING (j)) WHERE r = 1
+),
+c2 AS (
+  SELECT i.j, i.c, coalesce(u.mx, i.x) AS x, coalesce(u.my, i.y) AS y
+  FROM c1 i LEFT JOIN
+    (SELECT j, c, avg(x) AS mx, avg(y) AS my FROM a2 GROUP BY j, c) u
+    ON i.j = u.j AND i.c = u.c
+),
+corpus_sub AS (SELECT n.vec_id, j.j, n.v[2*j.j+1] AS x, n.v[2*j.j+2] AS y
+               FROM norm n CROSS JOIN js j),
+codes AS (
+  SELECT j, vec_id, cx, cy FROM (
+    SELECT s.j, s.vec_id, b.x AS cx, b.y AS cy,
+      row_number() OVER (PARTITION BY s.j, s.vec_id
+        ORDER BY round((s.x-b.x)*(s.x-b.x)+(s.y-b.y)*(s.y-b.y), 9), b.c) AS r
+    FROM corpus_sub s JOIN c2 b USING (j)) WHERE r = 1
+),
+qsub AS (SELECT vec_id, j, x, y FROM corpus_sub WHERE vec_id < {N_QUERY_VECS}),
+parts AS (
+  SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id, q.j,
+         (q.x-cd.cx)*(q.x-cd.cx) + (q.y-cd.cy)*(q.y-cd.cy) AS d2
+  FROM qsub q JOIN codes cd USING (j)
+  WHERE q.vec_id <> cd.vec_id
+),
+adc AS (
+  SELECT query_id, neighbor_id,
+         round(1.0 - list_sum(list(d2 ORDER BY j)) / 2.0, 6) AS approx_sim
+  FROM parts GROUP BY query_id, neighbor_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY approx_sim DESC, neighbor_id) AS INT)
+    AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, approx_sim, rank
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
 def _ivf_oracle_sql(n_centroids: int = 16, n_probe: int = 4) -> str:
     """Full-value oracle for ivf_topk (train_iterations=0 baseline): the
     coarse centroids are the n_centroids lowest-id corpus vectors, so
@@ -2904,6 +2990,7 @@ ORDER BY id_a, id_b
 # computation and bucket probing are plain SQL arithmetic
 ORACLE_SQL["sign_lsh_topk"] = _sign_lsh_oracle_sql()
 ORACLE_SQL["ivf_topk"] = _ivf_oracle_sql()
+ORACLE_SQL["pq_topk"] = _pq_oracle_sql()
 
 
 ORACLE_SQL["containment_pairs"] = f"""

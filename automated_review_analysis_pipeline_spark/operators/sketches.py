@@ -88,6 +88,148 @@ def count_min_report(df: DataFrame, key_col: str,
     )
 
 
+# ---------------------------------------------------------------------------
+# portable HyperLogLog (cross-engine bit-identical registers)
+# ---------------------------------------------------------------------------
+#
+# Spark's hll_sketch_agg / approx_count_distinct carry engine-private
+# binary sketches (rows-only checkable); this variant builds the HLL
+# registers RELATIONALLY from the portable md5 hash convention, so the
+# DuckDB oracle reproduces every register and the estimate check is
+# exact, not statistical. Same merge property as count-min: the register
+# table is a partial-aggregated groupBy max -- each executor ships at
+# most m rows per group.
+#
+# Layout: 60-bit hash (15 md5 hex chars -- stays inside signed int64 on
+# both engines); top HLL_B bits pick the register, rho = leading-zero
+# count of the remaining 51 bits + 1 via binary-string length (Spark
+# conv(x,10,2) / DuckDB bin(x) agree for positive ints), clamped at
+# HLL_RHO_CLAMP so the 2^-reg sum can be computed as an EXACT integer
+# sum of 2^(CLAMP-reg) -- no float-summation-order divergence between
+# engines. Bias correction follows Flajolet et al. 2007: linear counting
+# below 2.5m with V empty registers.
+
+HLL_B = 9                      # 2^9 = 512 registers
+HLL_M = 1 << HLL_B
+HLL_W_BITS = 60 - HLL_B        # value bits per hash
+HLL_RHO_CLAMP = 50
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _hll_fields(key: Column) -> tuple[Column, Column]:
+    """(register index, rho) for one key."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("hll:"),
+                                          key.cast("string"))), 1, 15),
+               16, 10).cast("long")
+    bucket = F.shiftrightunsigned(h, HLL_W_BITS)
+    w = h.bitwiseAND(F.lit((1 << HLL_W_BITS) - 1))
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.conv(w, 10, 2)))
+    return bucket, F.least(rho, F.lit(HLL_RHO_CLAMP))
+
+
+def portable_hll_report(df: DataFrame, group_col: str,
+                        key_col: str) -> DataFrame:
+    """Per-group exact distinct count vs the portable-HLL estimate:
+    (group, exact_users, hll_users, rel_err). The register build is one
+    partial-aggregated groupBy max; the estimate is pure column math over
+    the <= m-row-per-group register table."""
+    bucket, rho = _hll_fields(F.col(key_col))
+    regs = (
+        df.select(F.col(group_col).alias("grp"), bucket.alias("bucket"),
+                  rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    scale = float(1 << HLL_RHO_CLAMP)
+    per_group = (
+        regs.groupBy("grp")
+        .agg(
+            # shiftleft's python API wants a literal shift; the SQL form
+            # takes a column
+            F.sum(F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST({HLL_RHO_CLAMP} - reg AS INT))")).alias("s_int"),
+            F.count(F.lit(1)).alias("observed"),
+        )
+        .withColumn("v_zero", F.lit(HLL_M) - F.col("observed"))
+        .withColumn(
+            "total",
+            F.col("s_int").cast("double") / F.lit(scale)
+            + F.col("v_zero").cast("double"))
+        .withColumn(
+            "e_raw",
+            F.lit(HLL_ALPHA * HLL_M * HLL_M) / F.col("total"))
+        .withColumn(
+            "hll_users",
+            F.round(
+                F.when(
+                    (F.col("e_raw") <= F.lit(2.5 * HLL_M))
+                    & (F.col("v_zero") > 0),
+                    F.lit(float(HLL_M))
+                    * F.log(F.lit(float(HLL_M))
+                            / F.col("v_zero").cast("double")),
+                ).otherwise(F.col("e_raw")), 4))
+    )
+    exact = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct(key_col).alias("exact_users"))
+    return (
+        exact.join(per_group.select("grp", "hll_users"), "grp")
+        .select(
+            F.col("grp").alias(group_col), "exact_users", "hll_users",
+            F.round(F.abs(F.col("hll_users") - F.col("exact_users"))
+                    / F.col("exact_users"), 4).alias("rel_err"))
+        .orderBy(group_col)
+    )
+
+
+def portable_hll_sql(table: str, group_expr: str, key_expr: str) -> str:
+    """DuckDB twin generated from the same constants: identical registers,
+    identical integer 2^(CLAMP-reg) sum, identical estimate math."""
+    return f"""
+WITH hashed AS (
+  SELECT {group_expr} AS grp,
+         CAST(('0x' || substr(md5('hll:' || CAST({key_expr} AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS h
+  FROM {table}
+), fields AS (
+  SELECT grp, h >> {HLL_W_BITS} AS bucket,
+         least(CASE WHEN (h & {(1 << HLL_W_BITS) - 1}) = 0
+                    THEN {HLL_W_BITS + 1}
+                    ELSE {HLL_W_BITS + 1}
+                         - length(bin(h & {(1 << HLL_W_BITS) - 1})) END,
+               {HLL_RHO_CLAMP}) AS rho
+  FROM hashed
+), regs AS (
+  SELECT grp, bucket, max(rho) AS reg FROM fields GROUP BY grp, bucket
+), per_group AS (
+  SELECT grp,
+         sum(CAST(1 AS BIGINT) << ({HLL_RHO_CLAMP} - reg))::DOUBLE
+           / {float(1 << HLL_RHO_CLAMP)!r}
+           + ({HLL_M} - count(*))::DOUBLE AS total,
+         {HLL_M} - count(*) AS v_zero
+  FROM regs GROUP BY grp
+), est AS (
+  SELECT grp,
+         round(CASE WHEN {HLL_ALPHA * HLL_M * HLL_M!r} / total
+                         <= {2.5 * HLL_M!r} AND v_zero > 0
+                    THEN {float(HLL_M)!r} * ln({float(HLL_M)!r}
+                                               / v_zero::DOUBLE)
+                    ELSE {HLL_ALPHA * HLL_M * HLL_M!r} / total END,
+               4) AS hll_users
+  FROM per_group
+), exact AS (
+  SELECT {group_expr} AS grp,
+         CAST(count(DISTINCT {key_expr}) AS BIGINT) AS exact_users
+  FROM {table} GROUP BY 1
+)
+SELECT e.grp AS {group_expr}, e.exact_users, s.hll_users,
+       round(abs(s.hll_users - e.exact_users) / e.exact_users, 4)
+         AS rel_err
+FROM exact e JOIN est s USING (grp) ORDER BY 1
+"""
+
+
 def count_min_sql(table: str, key_expr: str, d: int = 4,
                   w: int = 1024) -> str:
     """DuckDB twin, generated from the same salts/width so the counters

@@ -238,6 +238,20 @@ def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_portable_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-reproducible HLL: registers built relationally from
+    the portable md5 hash convention, so the DuckDB oracle rebuilds the
+    identical sketch and the value check is exact (unlike the
+    engine-private approx_count_distinct / hll_sketch_agg paths, which
+    stay rows-only by nature)."""
+    from automated_review_analysis_pipeline_spark.operators.sketches import (
+        portable_hll_report,
+    )
+
+    return portable_hll_report(
+        _t(spark, sf_dir, "events"), "event_type", "user_id")
+
+
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct count per group: one pass, mergeable sketch,
     no shuffle-distinct -- the 100 TB path. Sketch internals differ across
@@ -1208,6 +1222,7 @@ QUERIES: dict[str, QueryFn] = {
     "quantize_embeddings": q_quantize_embeddings,
     "distinct_users_per_type": q_distinct_users_per_type,
     "approx_distinct_users": q_approx_distinct_users,
+    "portable_hll_users": q_portable_hll_users,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_shipping_priority": q_q3_shipping_priority,
     "q4_order_priority": q_q4_order_priority,
@@ -2991,6 +3006,14 @@ ORDER BY id_a, id_b
 ORACLE_SQL["sign_lsh_topk"] = _sign_lsh_oracle_sql()
 ORACLE_SQL["ivf_topk"] = _ivf_oracle_sql()
 ORACLE_SQL["pq_topk"] = _pq_oracle_sql()
+
+# portable md5-register HLL: exact value oracle (see sketches.py)
+from automated_review_analysis_pipeline_spark.operators.sketches import (  # noqa: E402
+    portable_hll_sql,
+)
+
+ORACLE_SQL["portable_hll_users"] = portable_hll_sql(
+    "events", "event_type", "user_id")
 
 
 ORACLE_SQL["containment_pairs"] = f"""

@@ -140,6 +140,7 @@ HEADLINE = [
     "bloom_decontaminate",
     "incremental_minhash_pairs",
     "bucketed_order_revenue",
+    "portable_hll_users",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -317,6 +317,32 @@ def test_containment_detects_subset_docs(spark):
     assert (1, 3) not in rows and (3, 1) not in rows
 
 
+def test_portable_hll_error_bound(spark):
+    """The portable md5-register HLL (m=512) must estimate distinct
+    counts within ~3 standard errors (1.04/sqrt(512) ~ 4.6% -> bound 14%)
+    across cardinalities spanning the linear-counting and raw-estimate
+    regimes; exactness of the register build itself is covered by the
+    registry oracle (bit-identical DuckDB twin)."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators.sketches import (
+        portable_hll_report,
+    )
+
+    df = spark.range(60_000).select(
+        F.when(F.col("id") < 300, "tiny")           # linear-counting zone
+        .when(F.col("id") < 10_300, "mid")          # 10k distinct
+        .otherwise("big").alias("grp"),             # ~49.7k distinct
+        F.col("id").alias("user"))
+    rows = {r["grp"]: r for r in
+            portable_hll_report(df, "grp", "user").collect()}
+    assert set(rows) == {"tiny", "mid", "big"}
+    for grp, r in rows.items():
+        assert r["rel_err"] <= 0.14, (grp, dict(r.asDict()))
+    assert rows["tiny"]["exact_users"] == 300
+    assert rows["big"]["exact_users"] == 49_700
+
+
 def test_incremental_minhash_accumulates_to_full_recompute(spark, sf_dir,
                                                            tmp_path):
     """Batch form of the streaming incremental-dedup contract: build the

@@ -128,21 +128,26 @@ def _hll_fields(key: Column) -> tuple[Column, Column]:
     return bucket, F.least(rho, F.lit(HLL_RHO_CLAMP))
 
 
-def portable_hll_report(df: DataFrame, group_col: str,
-                        key_col: str) -> DataFrame:
-    """Per-group exact distinct count vs the portable-HLL estimate:
-    (group, exact_users, hll_users, rel_err). The register build is one
-    partial-aggregated groupBy max; the estimate is pure column math over
-    the <= m-row-per-group register table."""
+def hll_registers(df: DataFrame, group_expr: Column,
+                  key_col: str) -> DataFrame:
+    """(grp, bucket, reg) register table: one partial-aggregated groupBy
+    max. Mergeable by construction -- the union of two sketches is the
+    per-bucket max of their registers, which is just further max
+    aggregation over unioned register tables."""
     bucket, rho = _hll_fields(F.col(key_col))
-    regs = (
-        df.select(F.col(group_col).alias("grp"), bucket.alias("bucket"),
+    return (
+        df.select(group_expr.alias("grp"), bucket.alias("bucket"),
                   rho.alias("rho"))
         .groupBy("grp", "bucket")
         .agg(F.max("rho").alias("reg"))
     )
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """(grp, hll_users) from a register table: integer-exact 2^-reg sum
+    + Flajolet bias correction, pure column math."""
     scale = float(1 << HLL_RHO_CLAMP)
-    per_group = (
+    return (
         regs.groupBy("grp")
         .agg(
             # shiftleft's python API wants a literal shift; the SQL form
@@ -171,6 +176,15 @@ def portable_hll_report(df: DataFrame, group_col: str,
                             / F.col("v_zero").cast("double")),
                 ).otherwise(F.col("e_raw")), 4))
     )
+
+
+def portable_hll_report(df: DataFrame, group_col: str,
+                        key_col: str) -> DataFrame:
+    """Per-group exact distinct count vs the portable-HLL estimate:
+    (group, exact_users, hll_users, rel_err). The register build is one
+    partial-aggregated groupBy max; the estimate is pure column math over
+    the <= m-row-per-group register table."""
+    per_group = hll_estimate(hll_registers(df, F.col(group_col), key_col))
     exact = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.countDistinct(key_col).alias("exact_users"))
     return (
@@ -181,6 +195,96 @@ def portable_hll_report(df: DataFrame, group_col: str,
                     / F.col("exact_users"), 4).alias("rel_err"))
         .orderBy(group_col)
     )
+
+
+def portable_rolling_hll_users(events: DataFrame,
+                               window_days: int = 7,
+                               ts_col: str = "ts",
+                               key_col: str = "user_id") -> DataFrame:
+    """Rolling N-day distinct users from the PORTABLE HLL: per-day
+    register tables (persistable -- yesterday's registers never
+    recompute), each day's registers fan out to the <= N windows they
+    belong to, and the window union is a per-bucket MAX -- the
+    mergeability property made literal as a second groupBy max over the
+    tiny register table, never over the facts. Same shape as
+    events.rolling_distinct_users_sketch but with cross-engine
+    bit-identical registers, so the DuckDB oracle checks VALUES, not just
+    row counts. Output: (day_us, hll_users)."""
+    MICROS_PER_DAY = 86_400_000_000
+    day_us = F.unix_micros(F.date_trunc("day", F.col(ts_col)))
+    daily = hll_registers(events, day_us, key_col)
+    fan = daily.select(
+        F.explode(F.sequence(
+            F.col("grp"),
+            F.col("grp") + F.lit((window_days - 1) * MICROS_PER_DAY),
+            F.lit(MICROS_PER_DAY))).alias("w_day"),
+        "bucket", "reg")
+    merged = (
+        fan.select(F.col("w_day").alias("grp"), "bucket", "reg")
+        .groupBy("grp", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    return (
+        hll_estimate(merged)
+        .select(F.col("grp").alias("day_us"), "hll_users")
+        .orderBy("day_us")
+    )
+
+
+def _hll_fields_sql(key_expr: str) -> tuple[str, str]:
+    """(bucket SQL, rho SQL) -- the DuckDB twin of _hll_fields."""
+    h = (f"CAST(('0x' || substr(md5('hll:' || CAST({key_expr} AS VARCHAR))"
+         f", 1, 15)) AS BIGINT)")
+    w = f"({h} & {(1 << HLL_W_BITS) - 1})"
+    bucket = f"({h} >> {HLL_W_BITS})"
+    rho = (f"least(CASE WHEN {w} = 0 THEN {HLL_W_BITS + 1} "
+           f"ELSE {HLL_W_BITS + 1} - length(bin({w})) END, "
+           f"{HLL_RHO_CLAMP})")
+    return bucket, rho
+
+
+def _hll_estimate_sql(regs_cte: str, out_col: str) -> str:
+    """est CTE body over a (grp, bucket, reg) CTE -- DuckDB twin of
+    hll_estimate."""
+    return f"""
+  SELECT grp,
+         round(CASE WHEN {HLL_ALPHA * HLL_M * HLL_M!r} / total
+                         <= {2.5 * HLL_M!r} AND v_zero > 0
+                    THEN {float(HLL_M)!r} * ln({float(HLL_M)!r}
+                                               / v_zero::DOUBLE)
+                    ELSE {HLL_ALPHA * HLL_M * HLL_M!r} / total END,
+               4) AS {out_col}
+  FROM (
+    SELECT grp,
+           sum(CAST(1 AS BIGINT) << ({HLL_RHO_CLAMP} - reg))::DOUBLE
+             / {float(1 << HLL_RHO_CLAMP)!r}
+             + ({HLL_M} - count(*))::DOUBLE AS total,
+           {HLL_M} - count(*) AS v_zero
+    FROM {regs_cte} GROUP BY grp)
+"""
+
+
+def portable_rolling_hll_sql(table: str = "events",
+                             window_days: int = 7,
+                             ts_expr: str = "ts",
+                             key_expr: str = "user_id") -> str:
+    """DuckDB twin of portable_rolling_hll_users."""
+    bucket, rho = _hll_fields_sql(key_expr)
+    mpd = 86_400_000_000
+    return f"""
+WITH daily AS (
+  SELECT epoch_us(date_trunc('day', {ts_expr})) AS grp,
+         {bucket} AS bucket, max({rho}) AS reg
+  FROM {table} GROUP BY 1, 2
+), fan AS (
+  SELECT unnest(range(grp, grp + {(window_days - 1) * mpd + 1},
+                      {mpd})) AS grp2, bucket, reg
+  FROM daily
+), merged AS (
+  SELECT grp2 AS grp, bucket, max(reg) AS reg FROM fan GROUP BY 1, 2
+), est AS ({_hll_estimate_sql('merged', 'hll_users')})
+SELECT grp AS day_us, hll_users FROM est ORDER BY day_us
+"""
 
 
 def portable_hll_sql(table: str, group_expr: str, key_expr: str) -> str:

@@ -435,6 +435,20 @@ def q_rolling_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.rolling_distinct_users_sketch(_t(spark, sf_dir, "events"))
 
 
+def q_portable_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users from the portable md5-register HLL:
+    per-day register tables unioned per-bucket-max into each window --
+    the mergeable-sketch pattern with a full value oracle (the DuckDB
+    twin rebuilds identical registers), complementing the engine-native
+    rolling_users_sketch whose binary sketches are rows-only."""
+    from automated_review_analysis_pipeline_spark.operators.sketches import (
+        portable_rolling_hll_users,
+    )
+
+    _utc(spark)
+    return portable_rolling_hll_users(_t(spark, sf_dir, "events"))
+
+
 def q_event_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.extract_props_struct(_t(spark, sf_dir, "events"))
 
@@ -1320,6 +1334,7 @@ QUERIES: dict[str, QueryFn] = {
     "hybrid_search": q_hybrid_search,
     "hashed_vectors": q_hashed_vectors,
     "rolling_users_sketch": q_rolling_users_sketch,
+    "portable_rolling_hll": q_portable_rolling_hll,
     "corpus_source_stats": q_corpus_source_stats,
     "event_props_struct": q_event_props_struct,
     "user_event_intervals": q_user_event_intervals,
@@ -3014,6 +3029,12 @@ from automated_review_analysis_pipeline_spark.operators.sketches import (  # noq
 
 ORACLE_SQL["portable_hll_users"] = portable_hll_sql(
     "events", "event_type", "user_id")
+
+from automated_review_analysis_pipeline_spark.operators.sketches import (  # noqa: E402
+    portable_rolling_hll_sql,
+)
+
+ORACLE_SQL["portable_rolling_hll"] = portable_rolling_hll_sql()
 
 
 ORACLE_SQL["containment_pairs"] = f"""

@@ -141,6 +141,7 @@ HEADLINE = [
     "incremental_minhash_pairs",
     "bucketed_order_revenue",
     "portable_hll_users",
+    "portable_rolling_hll",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

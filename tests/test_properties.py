@@ -343,6 +343,36 @@ def test_portable_hll_error_bound(spark):
     assert rows["big"]["exact_users"] == 49_700
 
 
+def test_portable_rolling_hll_error_bound(spark, sf_dir):
+    """The per-day-register union (per-bucket max) must track the exact
+    7-day rolling distinct within the m=512 error band on every window
+    day of the events table."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators.sketches import (
+        portable_rolling_hll_users,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = load_table(spark, sf_dir, "events")
+    got = {r["day_us"]: r["hll_users"]
+           for r in portable_rolling_hll_users(events).collect()}
+    MICROS = 86_400_000_000
+    day = F.unix_micros(F.date_trunc("day", F.col("ts")))
+    exact = {
+        r["w"]: r["n"]
+        for r in events.select(day.alias("d"), "user_id")
+        .select(F.explode(F.sequence(
+            F.col("d"), F.col("d") + F.lit(6 * MICROS),
+            F.lit(MICROS))).alias("w"), "user_id")
+        .groupBy("w").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(got) == set(exact)
+    for w, est in got.items():
+        assert abs(est - exact[w]) / exact[w] <= 0.14, (w, est, exact[w])
+
+
 def test_incremental_minhash_accumulates_to_full_recompute(spark, sf_dir,
                                                            tmp_path):
     """Batch form of the streaming incremental-dedup contract: build the

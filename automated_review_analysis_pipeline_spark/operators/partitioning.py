@@ -81,6 +81,80 @@ def salted_join(big: DataFrame, small: DataFrame, on: str, salt_col: str,
     return big_s.join(small_rep, [on, "__salt"], how).drop("__salt")
 
 
+def morton_code(x: Column, y: Column, bits: int = 16) -> Column:
+    """Two-dimensional Morton (Z-order) code: interleave the low ``bits``
+    bits of two non-negative int columns (x in even positions, y in odd).
+    Pure JVM bit math -- the locality-preserving key behind Z-ordered
+    layouts: sorting by this code keeps rows that are close in BOTH
+    dimensions in the same files, so parquet min/max row-group stats
+    prune reads filtered on EITHER column (a 1-D sort only prunes its own
+    column). The standard lakehouse OPTIMIZE ZORDER BY primitive, built
+    from shifts and masks."""
+    xs = x.cast("long")
+    ys = y.cast("long")
+    code: Column | None = None
+    for i in range(bits):
+        xb = F.shiftleft(F.shiftrightunsigned(xs, i).bitwiseAND(F.lit(1)),
+                         2 * i)
+        yb = F.shiftleft(F.shiftrightunsigned(ys, i).bitwiseAND(F.lit(1)),
+                         2 * i + 1)
+        term = xb.bitwiseOR(yb)
+        code = term if code is None else code.bitwiseOR(term)
+    return code
+
+
+def morton_code_sql(x: str, y: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`morton_code` (same shifts, same masks)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def normalize_to_bits(col: Column, min_col: Column, max_col: Column,
+                      bits: int = 16) -> Column:
+    """Min/max-scale a column onto [0, 2^bits): raw values rarely fill
+    their bit field (custkey 0..1500 leaves the top 5 of 16 bits dead),
+    and dead high bits make the interleave degenerate to a 1-D sort on
+    whichever dimension has the higher top bit. Scaling both dimensions
+    to the full field is what every production Z-order implementation
+    does before interleaving."""
+    span = (max_col - min_col).cast("double")
+    scaled = F.floor(
+        (col - min_col).cast("double") * F.lit(float((1 << bits) - 1))
+        / span).cast("long")
+    return F.when(span == 0, F.lit(0)).otherwise(scaled)
+
+
+def zorder_write(df: DataFrame, path: str, x_col: str, y_col: str,
+                 n_files: int = 8, bits: int = 16) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered by the Morton
+    code of min/max-normalized (x_col, y_col): range-partition on the
+    code (sampled range boundaries, balanced files), sort within each
+    partition so row-group min/max stats are tight in both dimensions.
+    The bounds come from one 1-row aggregate broadcast onto the scan."""
+    from pyspark.sql.functions import broadcast
+
+    bounds = df.agg(
+        F.min(x_col).alias("__minx"), F.max(x_col).alias("__maxx"),
+        F.min(y_col).alias("__miny"), F.max(y_col).alias("__maxy"))
+    coded = (
+        df.crossJoin(broadcast(bounds))
+        .withColumn("__z", morton_code(
+            normalize_to_bits(F.col(x_col), F.col("__minx"),
+                              F.col("__maxx"), bits),
+            normalize_to_bits(F.col(y_col), F.col("__miny"),
+                              F.col("__maxy"), bits),
+            bits))
+        .drop("__minx", "__maxx", "__miny", "__maxy")
+    )
+    (coded.repartitionByRange(n_files, "__z")
+     .sortWithinPartitions("__z")
+     .drop("__z")
+     .write.mode("overwrite").parquet(path))
+
+
 def partitioned_write(df: DataFrame, path: str, partition_cols: list[str],
                       max_records_per_file: int | None = None) -> None:
     """Hive-style partitioned parquet layout: downstream reads with a

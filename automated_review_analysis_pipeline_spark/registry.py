@@ -656,6 +656,37 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.top_orders_per_customer(_t(spark, sf_dir, "orders"), k=3)
 
 
+def q_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering keys over orders: customer key x days
+    since epoch-of-dataset. The layout primitive behind multi-column data
+    skipping (zorder_write clusters files by this code); the code itself
+    is pure bit math, hence fully oracle-checked."""
+    from pyspark.sql.functions import broadcast
+
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        morton_code,
+        normalize_to_bits,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("day"))
+    bounds = o.agg(
+        F.min("o_custkey").alias("minx"), F.max("o_custkey").alias("maxx"),
+        F.min("day").alias("miny"), F.max("day").alias("maxy"))
+    return (
+        o.crossJoin(broadcast(bounds))
+        .select(
+            "o_orderkey",
+            morton_code(
+                normalize_to_bits(F.col("o_custkey"), F.col("minx"),
+                                  F.col("maxx")),
+                normalize_to_bits(F.col("day"), F.col("miny"),
+                                  F.col("maxy"))).alias("zcode"))
+        .orderBy("o_orderkey")
+    )
+
+
 def q_bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end bucketed fact-fact join: write orders and lineitem as
     bucketed+sorted tables on the order key, then join AND aggregate on
@@ -1243,6 +1274,7 @@ QUERIES: dict[str, QueryFn] = {
     "q5_local_supplier": q_q5_local_supplier,
     "top_orders_per_customer": q_top_orders,
     "bucketed_order_revenue": q_bucketed_order_revenue,
+    "zorder_codes": q_zorder_codes,
     "events_hourly": q_events_hourly,
     "sessions": q_sessions,
     "event_props": q_event_props,
@@ -3035,6 +3067,34 @@ from automated_review_analysis_pipeline_spark.operators.sketches import (  # noq
 )
 
 ORACLE_SQL["portable_rolling_hll"] = portable_rolling_hll_sql()
+
+from automated_review_analysis_pipeline_spark.operators.partitioning import (  # noqa: E402
+    morton_code_sql,
+)
+
+def _norm_sql(col: str, mn: str, mx: str, bits: int = 16) -> str:
+    """DuckDB twin of partitioning.normalize_to_bits (identical IEEE op
+    order: subtract, multiply by the literal, divide by span, floor)."""
+    return (f"(CASE WHEN ({mx} - {mn}) = 0 THEN 0 ELSE "
+            f"CAST(floor((({col} - {mn})::DOUBLE * {float((1 << bits) - 1)!r})"
+            f" / ({mx} - {mn})::DOUBLE) AS BIGINT) END)")
+
+
+ORACLE_SQL["zorder_codes"] = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         datediff('day', DATE '1992-01-01', o_orderdate) AS day
+  FROM orders
+), b AS (
+  SELECT min(o_custkey) AS minx, max(o_custkey) AS maxx,
+         min(day) AS miny, max(day) AS maxy
+  FROM o
+)
+SELECT o_orderkey,
+       {morton_code_sql(_norm_sql('o_custkey', 'minx', 'maxx'),
+                        _norm_sql('day', 'miny', 'maxy'))} AS zcode
+FROM o CROSS JOIN b ORDER BY o_orderkey
+"""
 
 
 ORACLE_SQL["containment_pairs"] = f"""

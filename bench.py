@@ -142,6 +142,7 @@ HEADLINE = [
     "bucketed_order_revenue",
     "portable_hll_users",
     "portable_rolling_hll",
+    "zorder_codes",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

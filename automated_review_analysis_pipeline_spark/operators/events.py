@@ -835,6 +835,38 @@ def cdc_apply(events: DataFrame) -> DataFrame:
     )
 
 
+def scd2_intervals(events: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change log: each change
+    (user_id, ts, event_type, value) opens a validity interval that the
+    NEXT change for the same key closes -- valid_from/valid_to via one
+    lead() window over one (user_id) shuffle; the open interval carries
+    valid_to NULL and is_current true. Tombstones ('error' type) CLOSE
+    the running interval without opening one (the deleted state is
+    simply absent afterwards), the standard SCD2 delete treatment.
+
+    Ties on ts break by event_id like cdc_apply, so replay is
+    deterministic. This is the dimension-table build a warehouse runs on
+    every CDC batch; at scale the window is partition-local after the
+    key shuffle and the output appends to the dimension partitioned by
+    is_current."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    nxt_ts = F.lead(_us(F.col("ts"))).over(w)
+    return (
+        events.withColumn("valid_to_us", nxt_ts)
+        .where(F.col("event_type") != "error")   # tombstones close only
+        .select(
+            "user_id",
+            F.col("event_type").alias("state_type"),
+            F.round("value", 6).alias("state_value"),
+            _us(F.col("ts")).alias("valid_from_us"),
+            "valid_to_us",
+            F.col("valid_to_us").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from_us")
+    )
+
+
 def rolling_distinct_users_sketch(events: DataFrame,
                                   window_days: int = 7,
                                   lg_k: int = 14) -> DataFrame:

@@ -378,6 +378,20 @@ def q_streaming_segment_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_static_enrich(stream, dim), "reg_enrich")
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        read_events_stream,
+        run_available_now,
+        streaming_dedup_keys,
+    )
+
+    _utc(spark)
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_available_now(
+        streaming_dedup_keys(stream), "reg_dedup",
+        output_mode="append").orderBy("user_id", "event_type")
+
+
 def q_streaming_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup detection drained with availableNow; the
     accumulated pair set equals batch minhash_near_dup_pairs exactly, so
@@ -536,6 +550,13 @@ def q_ab_value_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.cdc_apply(_t(spark, sf_dir, "events"))
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build from the events change log: one lead()
+    window turns each change into a validity interval; tombstones close
+    the running interval without opening one."""
+    return ev.scd2_intervals(_t(spark, sf_dir, "events"))
 
 
 def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1351,6 +1372,7 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_decontaminate": q_bloom_decontaminate,
     "streaming_segment_enrich": q_streaming_segment_enrich,
     "streaming_sliding": q_streaming_sliding,
+    "streaming_dedup": q_streaming_dedup,
     "streaming_minhash_pairs": q_streaming_minhash_pairs,
     "resize_thumbnails": q_resize_thumbnails,
     "top_session_paths": q_top_session_paths,
@@ -1358,6 +1380,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_incremental_rollup": q_streaming_incremental_rollup,
     "ab_value_report": q_ab_value_report,
     "cdc_apply": q_cdc_apply,
+    "scd2_intervals": q_scd2_intervals,
     "revenue_grouping_sets": q_revenue_grouping_sets,
     "count_min_users": q_count_min_users,
     "debounce_events": q_debounce_events,
@@ -2991,6 +3014,13 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 ORACLE_SQL["streaming_sliding"] = ORACLE_SQL["events_sliding"]
 
+# watermark exceeds the dataset span => no state eviction can re-admit a
+# key, so the streaming dedup's emitted key set == batch DISTINCT exactly
+ORACLE_SQL["streaming_dedup"] = """
+SELECT DISTINCT user_id, event_type FROM events
+ORDER BY user_id, event_type
+"""
+
 # incremental minhash emits each pair exactly once (when its later member
 # arrives), so the accumulated set == the batch recompute
 ORACLE_SQL["streaming_minhash_pairs"] = ORACLE_SQL["minhash_pairs"]
@@ -3701,6 +3731,21 @@ SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
 FROM v ORDER BY event_type
 """
 
+
+ORACLE_SQL["scd2_intervals"] = """
+WITH base AS (
+  SELECT user_id, event_type, value, epoch_us(ts) AS ts_us, event_id,
+    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS valid_to_us
+  FROM events
+)
+SELECT user_id, event_type AS state_type,
+       round(value, 6) AS state_value,
+       ts_us AS valid_from_us, valid_to_us,
+       valid_to_us IS NULL AS is_current
+FROM base WHERE event_type <> 'error'
+ORDER BY user_id, valid_from_us
+"""
 
 ORACLE_SQL["cdc_apply"] = """
 WITH ranked AS (

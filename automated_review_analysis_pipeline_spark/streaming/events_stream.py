@@ -129,6 +129,24 @@ def run_available_now(stream_df: DataFrame, table_suffix: str = "",
     return spark.table(name)
 
 
+def streaming_dedup_keys(events: DataFrame,
+                         watermark: str = "30 days") -> DataFrame:
+    """Streaming deduplication with watermark-bounded state:
+    dropDuplicatesWithinWatermark keeps one row per (user_id, event_type)
+    and evicts a key's state once the watermark passes its event time --
+    the exactly-once ingestion guard whose state is bounded by the
+    retention window instead of all history (plain streaming
+    dropDuplicates never forgets). The watermark here exceeds the test
+    dataset's time span so no eviction can re-admit a key, making the
+    emitted key set EQUAL to batch SELECT DISTINCT -- the exact oracle;
+    production sets it to the dedup SLA (e.g. 24h)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
 def streaming_incremental_rollup(spark: SparkSession, events_path: str,
                                  state_dir: str,
                                  max_files_per_trigger: int | None = None

@@ -143,6 +143,8 @@ HEADLINE = [
     "portable_hll_users",
     "portable_rolling_hll",
     "zorder_codes",
+    "scd2_intervals",
+    "streaming_dedup",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -115,6 +115,31 @@ def test_streaming_minhash_multi_batch_equals_batch(spark, sf_dir, tmp_path):
     assert len(parts) >= 2
 
 
+def test_streaming_dedup_multi_batch_each_key_once(spark, sf_dir, tmp_path):
+    """Split events into 4 files, one micro-batch each: the watermarked
+    streaming dedup must emit every (user_id, event_type) key EXACTLY
+    once across batches (the state store carries seen keys between
+    micro-batches) and the key set must equal batch DISTINCT."""
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        streaming_dedup_keys,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_split")
+    events.repartition(4).write.parquet(src)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    out = run_available_now(streaming_dedup_keys(stream), "t_dedup",
+                            output_mode="append").collect()
+    keys = [(r["user_id"], r["event_type"]) for r in out]
+    assert len(keys) == len(set(keys))  # exactly once across batches
+    expected = {(r["user_id"], r["event_type"])
+                for r in events.select("user_id", "event_type")
+                .distinct().collect()}
+    assert set(keys) == expected
+
+
 def test_streaming_sliding_matches_batch(spark, stream, sf_dir):
     from automated_review_analysis_pipeline_spark.operators.events import (
         sliding_window_agg,

@@ -155,6 +155,29 @@ def zorder_write(df: DataFrame, path: str, x_col: str, y_col: str,
      .write.mode("overwrite").parquet(path))
 
 
+def compact_files(spark: SparkSession, path: str, out_path: str,
+                  target_file_bytes: int = 128 << 20) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files. The small-files problem is the #1
+    operational tax of long-running ingestion (every micro-batch appends
+    a file; a year of 1-minute batches is 500k files whose footer reads
+    alone dominate planning), and periodic compaction is the fix every
+    table format schedules. File count derives from the ACTUAL on-disk
+    bytes (filesystem metadata, no data scan); the rewrite is one
+    coalesce -- no shuffle, each output task concatenates whole input
+    partitions. Returns the output file count."""
+    import glob
+    import os
+
+    total = sum(os.path.getsize(f)
+                for f in glob.glob(os.path.join(path, "*.parquet")))
+    n_files = max(1, -(-total // target_file_bytes))
+    (spark.read.parquet(path)
+     .coalesce(int(n_files))
+     .write.mode("overwrite").parquet(out_path))
+    return int(n_files)
+
+
 def partitioned_write(df: DataFrame, path: str, partition_cols: list[str],
                       max_records_per_file: int | None = None) -> None:
     """Hive-style partitioned parquet layout: downstream reads with a

@@ -90,6 +90,47 @@ def test_zorder_layout_skips_in_both_dimensions(spark, sf_dir, tmp_path):
     assert avg_day < s_avg_day / 2
 
 
+def test_compact_files_reduces_count_preserves_rows(spark, sf_dir, tmp_path):
+    """64 tiny files -> byte-budgeted few files, zero row loss, and the
+    rewrite plan is shuffle-free (coalesce, not repartition)."""
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        compact_files,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "fragmented")
+    docs.repartition(64).write.parquet(src)
+    import glob
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+
+    out = str(tmp_path / "compacted")
+    n = compact_files(spark, src, out, target_file_bytes=1 << 20)
+    produced = glob.glob(f"{out}/*.parquet")
+    assert len(produced) == n < 64
+    assert spark.read.parquet(out).count() == docs.count()
+    # content equality, not just counts
+    assert (spark.read.parquet(out).select("doc_id").exceptAll(
+        docs.select("doc_id")).count() == 0)
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Source-level schema evolution: two parquet generations with
+    different columns read back as ONE union schema via mergeSchema --
+    how a long-lived ingestion directory keeps old files readable after
+    a column is added."""
+    spark.createDataFrame([(1, "a")], "id long, old_col string") \
+        .write.parquet(str(tmp_path / "t"), mode="append")
+    spark.createDataFrame([(2, "b", 9.5)],
+                          "id long, old_col string, new_col double") \
+        .write.parquet(str(tmp_path / "t"), mode="append")
+    merged = spark.read.option("mergeSchema", "true") \
+        .parquet(str(tmp_path / "t"))
+    assert set(merged.columns) == {"id", "old_col", "new_col"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["new_col"] is None      # backfilled null for old files
+    assert rows[2]["new_col"] == 9.5
+
+
 def test_salted_aggregate_matches_direct(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     direct = {

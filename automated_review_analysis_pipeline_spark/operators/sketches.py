@@ -17,7 +17,7 @@ keeps the operator oracle-checkable and the plan transparent.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 CMS_PRIME = 2_147_483_647
@@ -331,6 +331,90 @@ SELECT e.grp AS {group_expr}, e.exact_users, s.hll_users,
        round(abs(s.hll_users - e.exact_users) / e.exact_users, 4)
          AS rel_err
 FROM exact e JOIN est s USING (grp) ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# portable sample-based quantiles (deterministic md5-ordered sample)
+# ---------------------------------------------------------------------------
+
+def portable_sample_quantiles(df: DataFrame, group_col: str,
+                              value_col: str, id_col: str,
+                              qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+                              sample_n: int = 256) -> DataFrame:
+    """Approximate per-group quantiles from a DETERMINISTIC bounded
+    sample: the md5-lowest ``sample_n`` rows per group (the same portable
+    deterministic-sampling convention as lang_quota_sample), then exact
+    linear-interpolation quantiles over the sorted sample. Rank error is
+    O(1/sqrt(sample_n)) like any sample quantile, but unlike GK/t-digest
+    sketches every intermediate is plain relational math, so the DuckDB
+    twin reproduces the VALUES exactly -- the cross-engine-checkable
+    member of the approx-percentile family (the engine-native
+    approx_percentile stays rows-only by nature). Per group the state is
+    <= sample_n values; the sample selection is one window over the
+    group shuffle."""
+    w = Window.partitionBy("grp").orderBy("__ord", id_col)
+    sampled = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).cast("double").alias("x"),
+            F.col(id_col),
+            F.md5(F.col(id_col).cast("string")).alias("__ord"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= sample_n)
+    )
+    agged = sampled.groupBy("grp").agg(
+        F.array_sort(F.collect_list("x")).alias("xs"),
+        F.count(F.lit(1)).alias("n_sample"))
+
+    def interp(q: float):
+        m = F.col("n_sample")
+        h = (m - 1).cast("double") * F.lit(q)
+        lo = F.floor(h).cast("int")
+        frac = h - lo.cast("double")
+        x_lo = F.col("xs")[lo]
+        x_hi = F.col("xs")[F.least(lo + 1, m.cast("int") - 1)]
+        return F.round(x_lo + frac * (x_hi - x_lo), 6)
+
+    cols = [interp(q).alias(f"p{int(q * 100)}") for q in qs]
+    return (
+        agged.select(F.col("grp").alias(group_col), *cols, "n_sample")
+        .orderBy(group_col)
+    )
+
+
+def portable_sample_quantiles_sql(table: str, group_expr: str,
+                                  value_expr: str, id_expr: str,
+                                  qs: tuple[float, ...] = (0.25, 0.5, 0.75,
+                                                           0.9),
+                                  sample_n: int = 256) -> str:
+    """DuckDB twin: identical md5 sample, identical interpolation order
+    of operations."""
+    def interp(q: float) -> str:
+        h = f"((n_sample - 1)::DOUBLE * {q!r})"
+        lo = f"CAST(floor({h}) AS INT)"
+        frac = f"({h} - floor({h}))"
+        x_lo = f"xs[{lo} + 1]"
+        x_hi = f"xs[least({lo} + 1, CAST(n_sample AS INT) - 1) + 1]"
+        return (f"round({x_lo} + {frac} * ({x_hi} - {x_lo}), 6) "
+                f"AS p{int(q * 100)}")
+
+    sel = ", ".join(interp(q) for q in qs)
+    return f"""
+WITH sampled AS (
+  SELECT grp, x FROM (
+    SELECT {group_expr} AS grp, CAST({value_expr} AS DOUBLE) AS x,
+           row_number() OVER (
+             PARTITION BY {group_expr}
+             ORDER BY md5(CAST({id_expr} AS VARCHAR)), {id_expr}) AS rn
+    FROM {table}) WHERE rn <= {sample_n}
+), agged AS (
+  SELECT grp, list_sort(list(x)) AS xs,
+         CAST(count(*) AS BIGINT) AS n_sample
+  FROM sampled GROUP BY grp
+)
+SELECT grp AS {group_expr}, {sel}, n_sample
+FROM agged ORDER BY 1
 """
 
 

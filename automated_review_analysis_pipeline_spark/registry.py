@@ -986,6 +986,20 @@ def q_order_value_percentiles_approx(spark: SparkSession,
     return rel.order_value_percentiles_approx(_t(spark, sf_dir, "orders"))
 
 
+def q_portable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-sample quantiles per priority: the cross-engine-
+    checkable member of the approx-percentile family (md5-ordered bounded
+    sample + exact interpolation, values oracle-matched), alongside the
+    engine-native GK variant which stays rows-only."""
+    from automated_review_analysis_pipeline_spark.operators.sketches import (
+        portable_sample_quantiles,
+    )
+
+    return portable_sample_quantiles(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice",
+        "o_orderkey")
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.cohort_retention(_t(spark, sf_dir, "events"))
 
@@ -1340,6 +1354,7 @@ QUERIES: dict[str, QueryFn] = {
     "hourly_anomalies": q_hourly_anomalies,
     "multimodal_features": q_multimodal_features,
     "order_value_percentiles_approx": q_order_value_percentiles_approx,
+    "portable_quantiles": q_portable_quantiles,
     "events_sliding": q_events_sliding,
     "streaming_hourly": q_streaming_hourly,
     "streaming_sessions": q_streaming_sessions,
@@ -3097,6 +3112,13 @@ from automated_review_analysis_pipeline_spark.operators.sketches import (  # noq
 )
 
 ORACLE_SQL["portable_rolling_hll"] = portable_rolling_hll_sql()
+
+from automated_review_analysis_pipeline_spark.operators.sketches import (  # noqa: E402
+    portable_sample_quantiles_sql,
+)
+
+ORACLE_SQL["portable_quantiles"] = portable_sample_quantiles_sql(
+    "orders", "o_orderpriority", "o_totalprice", "o_orderkey")
 
 from automated_review_analysis_pipeline_spark.operators.partitioning import (  # noqa: E402
     morton_code_sql,

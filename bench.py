@@ -145,6 +145,7 @@ HEADLINE = [
     "zorder_codes",
     "scd2_intervals",
     "streaming_dedup",
+    "portable_quantiles",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -343,6 +343,39 @@ def test_portable_hll_error_bound(spark):
     assert rows["big"]["exact_users"] == 49_700
 
 
+def test_portable_sample_quantiles_rank_error(spark, sf_dir):
+    """Each sampled quantile's TRUE rank in the full group must sit
+    within ~3 binomial standard errors of the target rank
+    (3 * sqrt(q(1-q)/256) ~ 0.09) -- the bound deterministic sampling
+    buys; value-exactness of the sample math itself is the oracle's
+    job."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators.sketches import (
+        portable_sample_quantiles,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    est = portable_sample_quantiles(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey").collect()
+    full = {
+        r["o_orderpriority"]: sorted(x[0] for x in r["vals"])
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.collect_list(F.struct("o_totalprice")).alias("vals"))
+        .collect()
+    }
+    import bisect
+
+    for r in est:
+        xs = full[r["o_orderpriority"]]
+        for q, col in ((0.25, "p25"), (0.5, "p50"),
+                       (0.75, "p75"), (0.9, "p90")):
+            rank = bisect.bisect_left(xs, r[col]) / (len(xs) - 1)
+            assert abs(rank - q) <= 0.12, (r["o_orderpriority"], q,
+                                           rank, r[col])
+
+
 def test_portable_rolling_hll_error_bound(spark, sf_dir):
     """The per-day-register union (per-bucket max) must track the exact
     7-day rolling distinct within the m=512 error band on every window

@@ -116,28 +116,32 @@ HLL_RHO_CLAMP = 50
 HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 
 
-def _hll_fields(key: Column) -> tuple[Column, Column]:
-    """(register index, rho) for one key."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit("hll:"),
-                                          key.cast("string"))), 1, 15),
-               16, 10).cast("long")
-    bucket = F.shiftrightunsigned(h, HLL_W_BITS)
-    w = h.bitwiseAND(F.lit((1 << HLL_W_BITS) - 1))
-    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
-        F.lit(HLL_W_BITS + 1) - F.length(F.conv(w, 10, 2)))
-    return bucket, F.least(rho, F.lit(HLL_RHO_CLAMP))
-
-
 def hll_registers(df: DataFrame, group_expr: Column,
                   key_col: str) -> DataFrame:
     """(grp, bucket, reg) register table: one partial-aggregated groupBy
     max. Mergeable by construction -- the union of two sketches is the
     per-bucket max of their registers, which is just further max
-    aggregation over unioned register tables."""
-    bucket, rho = _hll_fields(F.col(key_col))
+    aggregation over unioned register tables.
+
+    The md5+conv hash is STAGED in its own projection (one evaluation
+    per row); bucket and rho both reference the staged attribute, which
+    CollapseProject declines to inline because it is expensive and
+    multi-referenced (same discipline as dedup.stage_shingles -- without
+    it the hash ran 3x per row)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll:"),
+                                   F.col(key_col).cast("string"))), 1, 15),
+        16, 10).cast("long")
+    staged = df.select(group_expr.alias("grp"), h.alias("__h"))
+    hc = F.col("__h")
+    bucket = F.shiftrightunsigned(hc, HLL_W_BITS)
+    w = hc.bitwiseAND(F.lit((1 << HLL_W_BITS) - 1))
+    rho = F.least(
+        F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+            F.lit(HLL_W_BITS + 1) - F.length(F.conv(w, 10, 2))),
+        F.lit(HLL_RHO_CLAMP))
     return (
-        df.select(group_expr.alias("grp"), bucket.alias("bucket"),
-                  rho.alias("rho"))
+        staged.select("grp", bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("grp", "bucket")
         .agg(F.max("rho").alias("reg"))
     )

@@ -35,10 +35,26 @@ _RELS_ROOT = (
     'Target="xl/workbook.xml"/></Relationships>')
 # XML 1.0 forbids control chars other than tab/newline/carriage-return
 _BAD_XML_CHARS = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+# \r survives XML only via the ECMA-376 _xHHHH_ escape (parsers normalize
+# literal \r to \n per the XML line-ending rules); literal text that
+# LOOKS like the escape gets its underscore escaped first
+_ESCAPE_LOOKALIKE = re.compile(r"_(?=x[0-9A-Fa-f]{4}_)")
+_X_ESCAPE = re.compile(r"_x([0-9A-Fa-f]{4})_")
 
 
 def _clean(s: str) -> str:
     return _BAD_XML_CHARS.sub("", s)
+
+
+def _encode_text(s: str) -> str:
+    """Strip XML-invalid control chars, then apply the _xHHHH_ escape for
+    carriage returns (protecting literal look-alikes)."""
+    s = _ESCAPE_LOOKALIKE.sub("_x005F_", _clean(s))
+    return s.replace("\r", "_x000D_")
+
+
+def _decode_text(s: str) -> str:
+    return _X_ESCAPE.sub(lambda m: chr(int(m.group(1), 16)), s)
 
 
 def col_letter(idx: int) -> str:
@@ -140,7 +156,7 @@ class Workbook:
         strings: dict[str, int] = {}
 
         def sid(s: str) -> int:
-            s = _clean(s)
+            s = _encode_text(s)
             if s not in strings:
                 strings[s] = len(strings)
             return strings[s]
@@ -449,8 +465,9 @@ def read_workbook(path: str) -> dict[str, list[list[Any]]]:
         if "xl/sharedStrings.xml" in z.namelist():
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in root.findall("m:si", ns):
-                shared.append("".join(t.text or ""
-                                      for t in si.iter(f"{{{ns['m']}}}t")))
+                shared.append(_decode_text(
+                    "".join(t.text or ""
+                            for t in si.iter(f"{{{ns['m']}}}t"))))
         wb = ET.fromstring(z.read("xl/workbook.xml"))
         rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
         target_of = {

@@ -343,6 +343,55 @@ def test_portable_hll_error_bound(spark):
     assert rows["big"]["exact_users"] == 49_700
 
 
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_xlsx_writer_roundtrips_arbitrary_strings(values):
+    """The dependency-free OOXML writer must round-trip arbitrary text
+    (XML metacharacters, quotes, unicode, leading/trailing whitespace)
+    through sharedStrings; XML-invalid control characters are stripped
+    (the one lossy case, required by the XML 1.0 spec)."""
+    import re
+    import tempfile
+
+    from automated_review_analysis_pipeline_spark.sinks.xlsx_writer import (
+        Workbook,
+        read_workbook,
+    )
+
+    bad = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+    with tempfile.NamedTemporaryFile(suffix=".xlsx") as f:
+        wb = Workbook(f.name)
+        ws = wb.add_worksheet("Data")
+        for i, v in enumerate(values):
+            ws.write(i, 0, v)
+            ws.write(i, 1, i)          # numeric column alongside
+        wb.close()
+        grid = read_workbook(f.name)["Data"]
+    for i, v in enumerate(values):
+        want = bad.sub("", v)
+        got = grid[i][0]
+        assert (got if got is not None else "") == want
+        assert grid[i][1] == i
+
+
+def test_xlsx_writer_rejects_duplicate_sheets():
+    from automated_review_analysis_pipeline_spark.sinks.xlsx_writer import Workbook
+
+    wb = Workbook("/tmp/unused.xlsx")
+    wb.add_worksheet("A")
+    try:
+        wb.add_worksheet("A")
+        raise AssertionError("duplicate sheet name accepted")
+    except ValueError:
+        pass
+
+
+def test_plan_cache_release_counts():
+    from automated_review_analysis_pipeline_spark import plan_cache as pc
+
+    assert pc.release_plan_caches() == 0  # idempotent when empty
+
+
 def test_portable_sample_quantiles_rank_error(spark, sf_dir):
     """Each sampled quantile's TRUE rank in the full group must sit
     within ~3 binomial standard errors of the target rank

@@ -305,6 +305,54 @@ def test_bucketed_order_revenue_no_hash_exchange(spark):
                        str(64 * 1024 * 1024))
 
 
+def test_incremental_minhash_reads_store_not_rehash(spark, sf_dir, tmp_path):
+    """The incremental pass must READ the persisted signature table (the
+    whole point: the store side is never re-hashed). Gate: the plan scans
+    the store's parquet files; the md5 signature pipeline appears only
+    once (the delta side)."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators import dedup
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store_dir = str(tmp_path / "sig_store")
+    dedup.build_signature_table(docs.where(F.col("doc_id") % 2 == 0),
+                                store_dir)
+    inc = dedup.incremental_minhash_pairs(
+        spark, store_dir, docs.where(F.col("doc_id") % 2 == 1),
+        update_store=False)
+    plan = inc._jdf.queryExecution().optimizedPlan().toString()
+    # the store parquet is actually scanned: its signature schema shows
+    # up as a parquet ReadSchema (paths are elided from the plan string)
+    assert "ReadSchema: struct<doc_id:bigint,__shingles:array<string>" \
+        in plan
+    exec_plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in exec_plan
+    assert "BroadcastNestedLoop" not in exec_plan
+
+
+def test_zorder_codes_prunes_scan_columns(spark):
+    """Morton-code projection must read only the three columns it needs
+    from orders (column pruning reaches the parquet scan)."""
+    import re
+
+    plan = plan_of(spark, "zorder_codes")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"o_orderkey", "o_custkey", "o_orderdate"}, cols
+
+
+def test_portable_hll_partial_aggregates(spark):
+    """Both HLL aggregation layers (register max, estimate sum/count)
+    must partial-aggregate map-side -- the mergeability claim as a plan
+    property."""
+    plan = plan_of(spark, "portable_hll_users")
+    assert "partial_max" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_token_freq_single_explode_family(spark):
     # tf and global-freq both derive from the same exploded token rows
     plan = plan_of(spark, "token_freq_score")

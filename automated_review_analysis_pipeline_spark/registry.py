@@ -392,6 +392,58 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append").orderBy("user_id", "event_type")
 
 
+def q_streaming_finalized_sessions(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Custom stateful operator with event-time TIMEOUT EVICTION
+    (applyInPandasWithState): gap sessions finalize either in-data or
+    when the watermark passes last_event + gap, and idle keys are
+    evicted from the state store. The corpus is split into two
+    time-ordered files (one micro-batch each) so cross-batch state merge
+    AND the timeout path both execute; the accumulated output equals
+    batch sessionization minus each user's still-open trailing session
+    -- the exactly-characterized contract the SQL oracle mirrors."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        read_events_stream,
+        run_available_now,
+    )
+    from automated_review_analysis_pipeline_spark.streaming.stateful import (
+        finalized_sessions,
+    )
+
+    _utc(spark)
+    events = _t(spark, sf_dir, "events").select("user_id", "ts")
+    mn, mx = events.agg(F.unix_micros(F.min("ts")),
+                        F.unix_micros(F.max("ts"))).first()
+    split = (mn + mx) // 2
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"arap_fsess_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(os.path.join(work, "src"))
+    events.where(F.unix_micros(F.col("ts")) < split).coalesce(1) \
+        .write.parquet(os.path.join(work, "p1"))
+    events.where(F.unix_micros(F.col("ts")) >= split).coalesce(1) \
+        .write.parquet(os.path.join(work, "p2"))
+    src = os.path.join(work, "src")
+    shutil.copy(glob.glob(os.path.join(work, "p1", "*.parquet"))[0],
+                os.path.join(src, "a_first.parquet"))
+    shutil.copy(glob.glob(os.path.join(work, "p2", "*.parquet"))[0],
+                os.path.join(src, "b_second.parquet"))
+    now = time.time()
+    os.utime(os.path.join(src, "a_first.parquet"), (now - 100, now - 100))
+    os.utime(os.path.join(src, "b_second.parquet"), (now, now))
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    return run_available_now(
+        finalized_sessions(stream), "reg_fsess",
+        output_mode="append").orderBy("user_id", "session_start_us")
+
+
 def q_streaming_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup detection drained with availableNow; the
     accumulated pair set equals batch minhash_near_dup_pairs exactly, so
@@ -1359,7 +1411,6 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_hourly": q_streaming_hourly,
     "streaming_sessions": q_streaming_sessions,
     "streaming_user_profiles": q_streaming_user_profiles,
-    "streaming_dedup": q_streaming_dedup,
     "simhash_pairs": q_simhash_pairs,
     "sign_lsh_topk": q_sign_lsh_topk,
     "ivf_topk": q_ivf_topk,
@@ -1388,6 +1439,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_segment_enrich": q_streaming_segment_enrich,
     "streaming_sliding": q_streaming_sliding,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_finalized_sessions": q_streaming_finalized_sessions,
     "streaming_minhash_pairs": q_streaming_minhash_pairs,
     "resize_thumbnails": q_resize_thumbnails,
     "top_session_paths": q_top_session_paths,
@@ -3034,6 +3086,41 @@ ORACLE_SQL["streaming_sliding"] = ORACLE_SQL["events_sliding"]
 ORACLE_SQL["streaming_dedup"] = """
 SELECT DISTINCT user_id, event_type FROM events
 ORDER BY user_id, event_type
+"""
+
+# timeout-evicting stateful sessions: accumulated output == batch gap
+# sessionization minus each user's still-open trailing session (open =
+# last_event + gap has not been passed by the final watermark = max ts,
+# in the engine's millisecond watermark precision)
+ORACLE_SQL["streaming_finalized_sessions"] = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT *, sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts
+    ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), agg AS (
+  SELECT user_id, session_id,
+         epoch_us(min(ts)) AS session_start_us,
+         epoch_us(max(ts)) AS session_end_us,
+         count(*) AS n_events
+  FROM sess GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY session_start_us DESC) AS rdesc
+  FROM agg
+), mx AS (SELECT epoch_us(max(ts)) AS mx_us FROM events)
+SELECT user_id, session_start_us, session_end_us, n_events
+FROM ranked CROSS JOIN mx
+WHERE rdesc > 1
+   OR (session_end_us // 1000 + 30 * 60 * 1000 < mx_us // 1000)
+ORDER BY user_id, session_start_us
 """
 
 # incremental minhash emits each pair exactly once (when its later member

@@ -50,6 +50,90 @@ def _update_profile(key, pdf_iter, state: GroupState):
     })
 
 
+SESSION_OUT_SCHEMA = ("user_id long, session_start_us long, "
+                      "session_end_us long, n_events long")
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def _session_finalizer(gap_us: int):
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        done: list[tuple[int, int, int]] = []
+        if state.hasTimedOut:
+            # watermark passed last_event + gap with no new data: the
+            # open session is final -- emit and EVICT the key's state
+            start_us, last_us, n = state.get
+            done.append((start_us, last_us, n))
+            state.remove()
+        else:
+            ts: list[int] = []
+            for pdf in pdf_iter:
+                ts.extend(int(v) for v in pdf["ts_us"])
+            ts.sort()
+            start_us, last_us, n = (state.get if state.exists
+                                    else (None, None, 0))
+            for t in ts:
+                if last_us is not None and t - last_us > gap_us:
+                    done.append((start_us, last_us, n))   # closed in-data
+                    start_us, n = None, 0
+                if start_us is None:
+                    start_us = t
+                n += 1
+                last_us = t
+            state.update((start_us, last_us, n))
+            # event-time timeout in MILLISECONDS: fires once the
+            # watermark passes the open session's last event + gap
+            state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+        yield pd.DataFrame({
+            "user_id": pd.Series([user_id] * len(done), dtype="int64"),
+            "session_start_us": pd.Series([d[0] for d in done],
+                                          dtype="int64"),
+            "session_end_us": pd.Series([d[1] for d in done],
+                                        dtype="int64"),
+            "n_events": pd.Series([d[2] for d in done], dtype="int64"),
+        })
+
+    return fn
+
+
+def finalized_sessions(events_stream: DataFrame,
+                       gap_minutes: int = 30) -> DataFrame:
+    """Gap-sessionization as a CUSTOM stateful operator with event-time
+    TIMEOUT EVICTION: each key's open session lives in the state store;
+    a session is emitted either when an in-stream event arrives more than
+    ``gap_minutes`` after its last event (closed in-data) or when the
+    WATERMARK passes last_event + gap with no new data -- the
+    applyInPandasWithState timeout path, which is also what bounds state:
+    idle keys are evicted, so state is O(active users), not O(all users
+    ever seen). The built-in session_window covers plain windowed aggs;
+    this is the shape for bespoke per-session logic (custom merge rules,
+    early triggers, enrichment at finalization).
+
+    Emits FINALIZED sessions only (append mode). With a 0-second
+    watermark delay over a drained time-ordered stream, the accumulated
+    output equals batch gap-sessionization minus each user's still-open
+    trailing session -- an exactly-characterizable (and SQL-oracle-able)
+    result."""
+    from pyspark.sql import functions as F
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    prepped = (
+        events_stream.select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withColumn("ts_us", F.unix_micros(F.col("ts")))
+        .withWatermark("ts", "0 seconds")
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _session_finalizer(gap_us),
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def running_user_profiles(events_stream: DataFrame) -> DataFrame:
     """Per-user running profile over an event stream. State lives in the
     state store (checkpointed, recoverable); each micro-batch updates only

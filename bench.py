@@ -146,6 +146,7 @@ HEADLINE = [
     "scd2_intervals",
     "streaming_dedup",
     "portable_quantiles",
+    "streaming_finalized_sessions",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

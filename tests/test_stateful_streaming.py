@@ -63,3 +63,65 @@ def test_running_profiles_across_batches(spark, sf_dir, tmp_path):
         assert f["n_events"] == b["n"], uid
         assert abs(f["sum_value"] - b["s"]) < 1e-6, uid
         assert f["last_event_us"] == b["last"], uid
+
+
+def test_finalized_sessions_timeout_eviction(spark, tmp_path):
+    """Hand-built two-batch stream pins all three finalization paths:
+    (1) a session closed IN-DATA by a later event > gap after it,
+    (2) a session finalized by the event-time TIMEOUT once the second
+        batch's watermark passes last + gap (idle-key eviction),
+    (3) the still-open trailing session is withheld (never emitted)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from automated_review_analysis_pipeline_spark.streaming.stateful import (
+        finalized_sessions,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    MIN = 60 * 1_000_000  # one minute in micros
+    t0 = 1_700_000_000_000_000
+
+    def mk(rows, name):
+        df = spark.createDataFrame(
+            [(u, t) for u, t in rows], "user_id long, ts_raw long"
+        ).select("user_id",
+                 F.timestamp_micros(F.col("ts_raw")).alias("ts"))
+        p = str(tmp_path / name)
+        df.coalesce(1).write.parquet(p)
+        return glob.glob(f"{p}/*.parquet")[0]
+
+    # batch 1: user 1 has two sessions split in-data (gap > 30min);
+    # user 2 has one session that will finalize by TIMEOUT in batch 2
+    f1 = mk([(1, t0), (1, t0 + 5 * MIN),
+             (1, t0 + 60 * MIN),               # >30min after -> new session
+             (2, t0 + 10 * MIN)], "b1")
+    # batch 2 advances the watermark far past user 2's last+gap; its own
+    # rows form user 3's trailing (withheld) session
+    f2 = mk([(3, t0 + 300 * MIN), (3, t0 + 310 * MIN)], "b2")
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(f1, os.path.join(src, "a.parquet"))
+    shutil.copy(f2, os.path.join(src, "b.parquet"))
+    now = time.time()
+    os.utime(os.path.join(src, "a.parquet"), (now - 100, now - 100))
+    os.utime(os.path.join(src, "b.parquet"), (now, now))
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    out = (
+        finalized_sessions(stream, gap_minutes=30)
+        .writeStream.format("memory").queryName("fsess_unit")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2")).start()
+    )
+    out.awaitTermination()
+    got = sorted(tuple(r) for r in spark.table("fsess_unit").collect())
+    assert got == [
+        (1, t0, t0 + 5 * MIN, 2),              # closed in-data
+        (1, t0 + 60 * MIN, t0 + 60 * MIN, 1),  # finalized by timeout
+        (2, t0 + 10 * MIN, t0 + 10 * MIN, 1),  # finalized by timeout
+        # user 3's trailing session correctly withheld
+    ]

@@ -389,6 +389,7 @@ def test_xlsx_writer_rejects_duplicate_sheets():
 def test_plan_cache_release_counts():
     from automated_review_analysis_pipeline_spark import plan_cache as pc
 
+    pc.release_plan_caches()              # drain earlier tests' caches
     assert pc.release_plan_caches() == 0  # idempotent when empty
 
 

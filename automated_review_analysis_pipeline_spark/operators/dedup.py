@@ -615,7 +615,14 @@ def hamming_block_pairs(d: DataFrame, id_col: str, hash_col: str,
     distances admit some misses -- standard SimHash-family banding),
     verify with exact popcount hamming. Shared by SimHash text dedup and
     media perceptual-hash dedup; ``d`` must be (id, hash) and SHOULD be
-    cached/persisted by the caller (both join sides read it)."""
+    cached/persisted by the caller (both join sides read it).
+
+    Scale note: f documents with IDENTICAL hashes emit f^2/2 pairs --
+    but those pairs ARE the requested output (hamming 0), not join
+    waste; the pipeline discipline is to run :func:`exact_dedup` on the
+    text/payload FIRST so exact copies collapse to one representative
+    before any near-dup family runs (curate_corpus stages them in that
+    order)."""
     chunks = F.array(*[
         F.struct(F.lit(i).alias("chunk"),
                  F.shiftrightunsigned(hash_col, i * 16).bitwiseAND(F.lit(0xFFFF))

@@ -353,6 +353,41 @@ def test_portable_hll_partial_aggregates(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_no_plan_hazards_across_entire_registry(spark):
+    """One sweeping gate over EVERY registry query's physical plan:
+    (a) no row-at-a-time Python UDF anywhere (BatchEvalPython -- Arrow
+        paths show as ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas,
+        which are allowed),
+    (b) no CartesianProduct anywhere.
+    (BroadcastNestedLoopJoin is NOT treated as a hazard: its build side
+    is a broadcast by construction, and every use here is a bounded
+    scalar/centroid/bucket-table attach or an explicit-broadcast range
+    join -- an unbroadcastable large-large cross join would surface as
+    CartesianProduct, which IS gated.) This turns the repo-wide 'UDFs
+    are the slow path / no cross joins' claims into an executable
+    assertion rather than prose."""
+    sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    hazards = []
+    for name, fn in QUERIES.items():
+        try:
+            plan = fn(spark, sf)._jdf.queryExecution() \
+                .executedPlan().toString()
+        except Exception as e:  # lifecycle ops that need env quirks
+            hazards.append((name, f"PLAN BUILD FAILED: {e}"))
+            continue
+        if "BatchEvalPython" in plan:
+            hazards.append((name, "row-at-a-time Python UDF"))
+        if "CartesianProduct" in plan:
+            hazards.append((name, "cartesian product"))
+    from automated_review_analysis_pipeline_spark.plan_cache import (
+        release_plan_caches,
+    )
+
+    release_plan_caches()
+    assert not hazards, hazards
+
+
 def test_token_freq_single_explode_family(spark):
     # tf and global-freq both derive from the same exploded token rows
     plan = plan_of(spark, "token_freq_score")

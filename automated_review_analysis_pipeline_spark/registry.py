@@ -1187,6 +1187,16 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(e, e.where(F.col("vec_id") < N_QUERY_VECS), k=TOP_K)
 
 
+def q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED coarse centroids (2 Lloyd rounds) -- the classic
+    IVF training step: balanced cells raise recall at the same probe
+    budget. Fully oracled by composing the kmeans unrolled-Lloyd CTEs
+    with the IVF probe CTEs."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(e, e.where(F.col("vec_id") < N_QUERY_VECS),
+                        k=TOP_K, train_iterations=2)
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # m=32 x 16 codes = 16 bytes/vec (16x compression); recall floor is
     # pytest-pinned against cosine_topk
@@ -1414,6 +1424,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_pairs": q_simhash_pairs,
     "sign_lsh_topk": q_sign_lsh_topk,
     "ivf_topk": q_ivf_topk,
+    "ivf_trained_topk": q_ivf_trained_topk,
     "pq_topk": q_pq_topk,
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
     "q9_product_type_profit": q_q9_product_type_profit,
@@ -3265,11 +3276,12 @@ WHERE containment >= 0.2 ORDER BY id_src, id_dst
 """
 
 
-def _kmeans_sql(k: int = 8, iterations: int = 3) -> str:
-    """Unrolled-Lloyd oracle: the same recurrence kmeans_embeddings runs
-    (rounded-cosine argmax assignment, decimal-exact centroid means,
-    empty clusters keep their previous centroid), one CTE trio per
-    iteration."""
+def _kmeans_centroid_ctes(k: int, iterations: int) -> tuple[list[str], str]:
+    """The unrolled-Lloyd centroid CTE chain (shared by the kmeans oracle
+    and the trained-IVF oracle): returns (CTE list, final centroid CTE
+    name). Same recurrence as kmeans_centroids -- rounded-cosine argmax
+    assignment, decimal-exact 6dp centroid means, empty clusters keep the
+    previous centroid."""
     cos = _cosine_sql("e.v", "c.cv")
     parts = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
@@ -3297,6 +3309,14 @@ def _kmeans_sql(k: int = 8, iterations: int = 3) -> str:
     SELECT cid, array_agg(cv ORDER BY dim) AS cva FROM u{i} GROUP BY cid) n
   USING (cid))""")
         prev = f"c{i}"
+    return parts, prev
+
+
+def _kmeans_sql(k: int = 8, iterations: int = 3) -> str:
+    """Unrolled-Lloyd oracle for kmeans_embeddings (final assignment over
+    the trained centroids)."""
+    cos = _cosine_sql("e.v", "c.cv")
+    parts, prev = _kmeans_centroid_ctes(k, iterations)
     return ("WITH " + ",\n".join(parts) + f"""
 SELECT vec_id, cid AS cluster FROM (
   SELECT e.vec_id, c.cid,
@@ -3305,7 +3325,49 @@ SELECT vec_id, cid AS cluster FROM (
   FROM e CROSS JOIN {prev} c) WHERE rn = 1 ORDER BY vec_id""")
 
 
+def _ivf_trained_oracle_sql(n_centroids: int = 16, train_iterations: int = 2,
+                            n_probe: int = 4) -> str:
+    """Full-value oracle for ivf_topk's TRAINED mode: the coarse
+    centroids come from the same unrolled-Lloyd CTE chain as the kmeans
+    oracle, then assignment / n_probe probing / in-cell ranking proceed
+    exactly like the untrained IVF oracle (centroid sims rounded to 6dp
+    on both engines before ranking)."""
+    parts, cent = _kmeans_centroid_ctes(n_centroids, train_iterations)
+    parts.append(
+        f"cents AS (SELECT cid AS ct_id, cv AS ct_v FROM {cent})")
+    parts.append(f"""assigned AS (
+  SELECT vec_id AS c_id, v, cell FROM (
+    SELECT e.vec_id, e.v, ct.ct_id AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cosine_sql('e.v', 'ct.ct_v')} DESC, ct.ct_id) AS r
+    FROM e CROSS JOIN cents ct
+  ) WHERE r = 1)""")
+    parts.append(f"""probes AS (
+  SELECT vec_id AS q_id, v AS q_v, cell FROM (
+    SELECT e.vec_id, e.v, ct.ct_id AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cosine_sql('e.v', 'ct.ct_v')} DESC, ct.ct_id) AS r
+    FROM e CROSS JOIN cents ct WHERE e.vec_id < {N_QUERY_VECS}
+  ) WHERE r <= {n_probe})""")
+    parts.append(f"""sims AS (
+  SELECT p.q_id AS query_id, a.c_id AS neighbor_id,
+         {_cosine_sql('p.q_v', 'a.v')} AS cosine_sim
+  FROM probes p JOIN assigned a ON p.cell = a.cell
+  WHERE p.q_id <> a.c_id)""")
+    parts.append("""ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT)
+    AS rank
+  FROM sims)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank""")
+
+
 ORACLE_SQL["kmeans_embeddings"] = _kmeans_sql()
+ORACLE_SQL["ivf_trained_topk"] = _ivf_trained_oracle_sql()
 
 
 # curate_corpus: the end-to-end pipeline oracle composes the SAME stage

@@ -147,6 +147,7 @@ HEADLINE = [
     "streaming_dedup",
     "portable_quantiles",
     "streaming_finalized_sessions",
+    "ivf_trained_topk",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

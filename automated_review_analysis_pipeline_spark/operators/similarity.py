@@ -191,6 +191,7 @@ def pairwise_cosine_above(embeddings: DataFrame, threshold: float = 0.9,
                           vec_col: str = "embedding", *,
                           exact: bool = False, n_bands: int | None = None,
                           band_bits: int | None = None,
+                          n_rows: int | None = None,
                           dim: int = 64) -> DataFrame:
     """Embedding near-duplicate pairs: all (a<b) pairs with cosine >=
     threshold.
@@ -251,7 +252,11 @@ def pairwise_cosine_above(embeddings: DataFrame, threshold: float = 0.9,
         ).orderBy("id_a", "id_b")
 
     if band_bits is None:
-        band_bits = _auto_band_bits(embeddings.count())
+        # one bounded sizing count (a scalar, not a data collect); pass
+        # n_rows when the caller already knows the corpus size to keep
+        # plan construction fully lazy
+        band_bits = _auto_band_bits(
+            n_rows if n_rows is not None else embeddings.count())
     if n_bands is None:
         n_bands = _auto_bands(threshold, band_bits)
     planes = _hyperplanes(dim, n_bands * band_bits)
@@ -278,7 +283,11 @@ def pairwise_cosine_above(embeddings: DataFrame, threshold: float = 0.9,
         V = np.array([list(v) for v in pdf["a_vec"]], dtype=np.float64)[order]
         norms = pdf["a_norm"].to_numpy(dtype=np.float64)[order]
         Vn = V / norms[:, None]
-        chunk = max(32, (4 << 20) // g)           # ~32 MB of float64 sims
+        # ~32 MB of float64 sims per block; floor 1 so a pathological
+        # multi-million-row bucket still honors the byte budget (a floor
+        # of 32 would make each block 32*g*8 bytes -- the OOM this
+        # chunking exists to prevent)
+        chunk = max(1, (4 << 20) // g)
         la, lb, lv = [], [], []
         for i0 in range(0, g - 1, chunk):
             i1 = min(i0 + chunk, g)

@@ -174,9 +174,12 @@ def q_incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     docs = _t(spark, sf_dir, "documents")
+    # pid-scoped so concurrent sessions on the same sf (bench + a sweep)
+    # cannot race on each other's store
     work = os.path.join(
         tempfile.gettempdir(),
-        f"arap_incr_minhash_{os.path.basename(sf_dir.rstrip('/'))}")
+        f"arap_incr_minhash_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}")
     store_dir = os.path.join(work, "sig_store")
     shutil.rmtree(store_dir, ignore_errors=True)
     old = docs.where(F.col("doc_id") % 5 != 0)
@@ -378,20 +381,6 @@ def q_streaming_segment_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_static_enrich(stream, dim), "reg_enrich")
 
 
-def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
-        read_events_stream,
-        run_available_now,
-        streaming_dedup_keys,
-    )
-
-    _utc(spark)
-    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
-    return run_available_now(
-        streaming_dedup_keys(stream), "reg_dedup",
-        output_mode="append").orderBy("user_id", "event_type")
-
-
 def q_streaming_finalized_sessions(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     """Custom stateful operator with event-time TIMEOUT EVICTION
@@ -423,7 +412,8 @@ def q_streaming_finalized_sessions(spark: SparkSession,
     split = (mn + mx) // 2
     work = os.path.join(
         tempfile.gettempdir(),
-        f"arap_fsess_{os.path.basename(sf_dir.rstrip('/'))}")
+        f"arap_fsess_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(os.path.join(work, "src"))
     events.where(F.unix_micros(F.col("ts")) < split).coalesce(1) \
@@ -775,7 +765,10 @@ def q_bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bucketed,
     )
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # pid in the tag: concurrent sessions must not drop each other's
+    # managed tables mid-read
+    tag = (os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+           + f"_{os.getpid()}")
     t_orders, t_lines = f"b4_orders_{tag}", f"b4_lineitem_{tag}"
     # drop any prior incarnation AND its warehouse directory: a fresh
     # session's in-memory catalog forgets the table but the managed
@@ -3091,13 +3084,6 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 ORACLE_SQL["streaming_sliding"] = ORACLE_SQL["events_sliding"]
-
-# watermark exceeds the dataset span => no state eviction can re-admit a
-# key, so the streaming dedup's emitted key set == batch DISTINCT exactly
-ORACLE_SQL["streaming_dedup"] = """
-SELECT DISTINCT user_id, event_type FROM events
-ORDER BY user_id, event_type
-"""
 
 # timeout-evicting stateful sessions: accumulated output == batch gap
 # sessionization minus each user's still-open trailing session (open =

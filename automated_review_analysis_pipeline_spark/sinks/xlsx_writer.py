@@ -162,7 +162,6 @@ class Workbook:
             return strings[s]
 
         sheet_xmls = []
-        n_charts = 0
         drawings: list[tuple[int, Worksheet]] = []  # (drawing_idx, ws)
         for ws in self.sheets:
             if ws.charts:
@@ -220,7 +219,6 @@ class Workbook:
                     'drawingml/2006/spreadsheetDrawing" xmlns:a="http://'
                     'schemas.openxmlformats.org/drawingml/2006/main">'
                     + "".join(anchors) + "</xdr:wsDr>")
-                n_charts += len(ws.charts)
             z.writestr("xl/sharedStrings.xml", self._shared_strings(strings))
 
     def _content_types(self, drawings) -> str:
@@ -348,6 +346,8 @@ class Workbook:
             cells = []
             for c, v in sorted(by_row[r]):
                 ref = cell_ref(r, c)
+                if v is None:
+                    continue  # blank cell, matching xlsxwriter semantics
                 if isinstance(v, bool):
                     cells.append(f'<c r="{ref}" t="b"><v>{int(v)}</v></c>')
                 elif isinstance(v, (int, float)):

@@ -93,7 +93,7 @@ def streaming_session_stats(events: DataFrame, gap: str = "30 minutes",
 
 def streaming_dedup_keys(events: DataFrame,
                          keys: tuple[str, ...] = ("user_id", "event_type"),
-                         watermark: str = "2 hours") -> DataFrame:
+                         watermark: str = "30 days") -> DataFrame:
     """Streaming exact dedup: emit each key combination once (first
     arrival wins; only the key columns are returned, so the result is
     arrival-order independent and equals batch SELECT DISTINCT).
@@ -102,7 +102,11 @@ def streaming_dedup_keys(events: DataFrame,
     the watermark passes the key's first-seen event time -- bounded state,
     unlike plain dropDuplicates which retains every key forever. This is
     the streaming twin of exact dedup for continuous ingestion (e.g.
-    dedup-before-classify on a document firehose)."""
+    dedup-before-classify on a document firehose). The default watermark
+    exceeds the test dataset's time span, so no eviction can re-admit a
+    key and the emitted key set EQUALS batch SELECT DISTINCT (the exact
+    oracle + the multi-batch exactly-once test rely on this); production
+    sets it to the dedup SLA (e.g. 24h)."""
     return (
         events.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark([*keys])
@@ -127,24 +131,6 @@ def run_available_now(stream_df: DataFrame, table_suffix: str = "",
     )
     q.awaitTermination()
     return spark.table(name)
-
-
-def streaming_dedup_keys(events: DataFrame,
-                         watermark: str = "30 days") -> DataFrame:
-    """Streaming deduplication with watermark-bounded state:
-    dropDuplicatesWithinWatermark keeps one row per (user_id, event_type)
-    and evicts a key's state once the watermark passes its event time --
-    the exactly-once ingestion guard whose state is bounded by the
-    retention window instead of all history (plain streaming
-    dropDuplicates never forgets). The watermark here exceeds the test
-    dataset's time span so no eviction can re-admit a key, making the
-    emitted key set EQUAL to batch SELECT DISTINCT -- the exact oracle;
-    production sets it to the dedup SLA (e.g. 24h)."""
-    return (
-        events.withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .select("user_id", "event_type")
-    )
 
 
 def streaming_incremental_rollup(spark: SparkSession, events_path: str,

@@ -420,8 +420,10 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     assignment is precomputed and the probe join prunes partitions."""
     corpus = _prep(embeddings, id_col, vec_col, "c")
     if train_iterations > 0:
-        trained = kmeans_centroids(
-            embeddings, n_centroids, train_iterations, id_col, vec_col)
+        # plan_cache: the trained table feeds BOTH the corpus assignment
+        # and the query probe; without it the Lloyd training runs twice
+        trained = plan_cache(kmeans_centroids(
+            embeddings, n_centroids, train_iterations, id_col, vec_col))
         cents = trained.select(
             F.col("cid").alias("ct_id"),
             F.col("c_vec").alias("ct_vec"),
@@ -435,7 +437,13 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         F.col("c_norm") * F.col("ct_norm"))
     assign_w = Window.partitionBy("c_id").orderBy(F.desc("__csim"), F.asc("ct_id"))
     # centroid sims round to 6dp BEFORE ranking (mirrored in the SQL
-    # oracle) so a last-ulp float divergence cannot flip an assignment
+    # oracle) so a last-ulp float divergence cannot flip an assignment.
+    # (A max_by-aggregate assignment + corpus join-back was A/B'd: the
+    # aggregate alone is 1.9x faster than this window, but the join-back
+    # shuffle erases the gain end-to-end at sf0.1 -- net 1.5x SLOWER. At
+    # cluster scale, where shuffling corpus x n_centroids expanded rows
+    # with vectors dominates, precompute the assignment once and store
+    # it with the corpus, as the docstring notes.)
     assigned = (
         corpus.join(broadcast(cents), F.lit(True))
         .withColumn("__csim", F.round(csim, 6))
@@ -914,7 +922,14 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 8,
                 F.array_sort(F.collect_list(F.struct("dim", "cv"))),
                 lambda s: s["cv"]).alias("c_vec"))
         )
-        # empty clusters keep their previous centroid
+        # empty clusters keep their previous centroid. The recurrence
+        # references the previous centroids twice (assignment + this
+        # left join) but stays UNCACHED on purpose: exchange/subquery
+        # reuse already dedupes the identical subtrees inside the one
+        # job, and a measured per-round plan_cache variant was 2.8x
+        # SLOWER (three serialized materialization jobs vs one fused
+        # DAG). Callers that consume the result more than once cache the
+        # k-row OUTPUT instead (see ivf_topk's trained branch).
         cents = (
             cents.alias("o")
             .join(new_cents.alias("n"), "cid", "left")

@@ -20,6 +20,7 @@ this a small-data sink; the 100 TB path is ``write_partitioned``.
 
 from __future__ import annotations
 
+import os
 import re
 import zipfile
 from typing import Any
@@ -172,6 +173,8 @@ class Workbook:
         for ws in self.sheets:
             sheet_xmls.append(self._sheet_xml(ws, sid, drawing_of))
 
+        parent = os.path.dirname(os.path.abspath(self.path))
+        os.makedirs(parent, exist_ok=True)
         with zipfile.ZipFile(self.path, "w", zipfile.ZIP_DEFLATED) as z:
             z.writestr("[Content_Types].xml",
                        self._content_types(drawings))

@@ -444,3 +444,94 @@ SELECT doc_id,
          AS keep
 FROM documents ORDER BY doc_id
 """
+
+
+def shuffle_shards(documents: DataFrame, n_shards: int = 8,
+                   seed: str = "epoch0",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global training shuffle + shard assignment: every
+    document gets a pseudo-random position defined ONLY by (seed, id) --
+    the step that turns a curated corpus into training shards whose read
+    order is decorrelated from the ingestion order (adjacent source
+    documents land in different shards at different positions), while
+    staying exactly reproducible across engines, runs, and retries.
+    Vary ``seed`` per epoch for a fresh permutation.
+
+    Plan: the shuffle key is md5(seed-id) (the portable hash used by the
+    split/quota operators); the shard is the key's first 8 hex digits mod
+    ``n_shards`` (uniform, no coordination), and the in-shard position is
+    a row_number per shard ordered by (key, id). Only (id, key, shard)
+    triples ever shuffle -- document payloads are joined back by the
+    writer at shard granularity. Size n_shards to the cluster (hundreds+
+    at 100 TB) so the per-shard sort stays partition-local.
+    """
+    key = F.md5(F.concat_ws("-", F.lit(seed), F.col(id_col).cast("string")))
+    staged = documents.select(
+        F.col(id_col), key.alias("__key"),
+    ).withColumn(
+        "shard",
+        F.pmod(F.conv(F.substring(F.col("__key"), 1, 8), 16, 10)
+               .cast("long"), F.lit(n_shards)).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return (
+        staged.withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+def line_dedup(documents: DataFrame, min_doc_freq: int = 10,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Cross-document boilerplate LINE removal (the CCNet/RefinedWeb
+    pass): drop every line that occurs in at least ``min_doc_freq``
+    distinct documents -- navigation bars, cookie banners, copyright
+    footers repeat verbatim across a crawl while real content lines are
+    (near-)unique -- then reassemble each document from its surviving
+    lines in original order.
+
+    Plan: split -> posexplode to (doc, pos, line); line document-
+    frequency is one hash aggregate GROUPED ON md5(line) so only 32-hex
+    keys shuffle, never line text; the keep-filter is a join back on the
+    same hash; reassembly is collect_list(struct(pos, line)) sorted
+    in-array (array_sort on the struct orders by pos) -- one shuffle by
+    doc. A document whose every line is boilerplate survives with empty
+    ``clean_text`` (and its removal count), so downstream length filters
+    can drop it explicitly.
+    """
+    base = documents.select(
+        F.col(id_col),
+        F.split(F.col(text_col), "\n").alias("__ls"),
+    )
+    lines = base.select(
+        F.col(id_col),
+        F.posexplode("__ls").alias("pos", "line"),
+    ).withColumn("__lh", F.md5(F.col("line")))
+    freq = (
+        lines.groupBy("__lh")
+        .agg(F.countDistinct(F.col(id_col)).alias("__df"))
+        .where(F.col("__df") >= min_doc_freq)
+    )
+    kept = lines.join(freq, "__lh", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"])).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    return (
+        base.select(F.col(id_col), F.size("__ls").alias("__n_lines"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("__n_kept"), F.lit(0)).cast("int")
+            .alias("n_lines_kept"),
+            (F.col("__n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("int").alias("n_lines_removed"),
+        )
+        .orderBy(id_col)
+    )

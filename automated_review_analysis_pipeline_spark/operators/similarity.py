@@ -716,6 +716,92 @@ def quantize_embeddings(embeddings: DataFrame, vec_col: str = "embedding",
     )
 
 
+def random_projection(embeddings: DataFrame, out_dim: int = 8,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dim: int = 64, seed: int = 7) -> DataFrame:
+    """Seeded Gaussian random projection (Johnson-Lindenstrauss): project
+    each embedding onto ``out_dim`` fixed pseudo-random directions --
+    the standard cheap dimensionality reduction before clustering /
+    visualization / coarse ANN when PCA's data pass is not worth it (JL:
+    pairwise distances are preserved within (1 +- eps) w.h.p.).
+
+    The projection matrix is the deterministic seeded-Gaussian family
+    already used for sign-LSH (same generator, different seed), inlined
+    as literal arrays, so the whole operator is per-row JVM arithmetic:
+    no shuffle, no UDF, runs at scan parallelism -- and the identical
+    constants make it exactly reproducible in the SQL oracle. Components
+    round to 6dp once.
+
+    Returns ``id_col`` + ``p0..p{out_dim-1}`` double columns (columnar
+    output, ready to write back or feed kmeans over the reduced space).
+    """
+    from automated_review_analysis_pipeline_spark.functions.vectors import (
+        to_double_array,
+    )
+
+    planes = _hyperplanes(dim, out_dim, seed)
+    v = to_double_array(F.col(vec_col))
+    staged = embeddings.select(F.col(id_col), v.alias("__v"))
+    projs = [
+        F.round(dot_product(
+            F.col("__v"), F.array(*[F.lit(float(x)) for x in p])), 6)
+        .alias(f"p{j}")
+        for j, p in enumerate(planes)
+    ]
+    return staged.select(F.col(id_col), *projs).orderBy(id_col)
+
+
+def prototype_prune(embeddings: DataFrame, k: int = 8,
+                    keep_per_cluster: int = 32, iterations: int = 2,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Prototype-based data pruning (SSL-prototypes style): train k
+    coarse centroids (Lloyd, deterministic), assign every vector to its
+    nearest centroid, and within each cluster KEEP only the
+    ``keep_per_cluster`` vectors FARTHEST from their centroid -- the
+    "hard examples first" pruning rule: near-centroid vectors are
+    redundant prototypes contributing little training signal, far ones
+    carry the cluster's diversity. (Sorscher et al.'s self-supervised
+    prototype metric; the complement of SemDeDup's near-dup removal,
+    which :func:`semantic_dedup` covers.)
+
+    Plan shape: the centroid table is tiny and broadcast; assignment is
+    one corpus scan; the per-cluster ranking shuffles only
+    (id, cluster, sim) triples -- vectors never shuffle. Centroid sims
+    round to 6dp BEFORE both the assignment argmax and the hardness
+    ranking (ties -> lowest centroid id / lowest vec id), so the unrolled
+    Lloyd SQL oracle reproduces the decision exactly.
+    """
+    base = _kmeans_base(embeddings, id_col, vec_col)
+    cents = kmeans_centroids(
+        embeddings, k, iterations, id_col, vec_col, _base=base)
+    sim = dot_product(F.col("__v"), F.col("c_vec")) / (
+        F.sqrt(dot_product(F.col("__v"), F.col("__v")))
+        * F.sqrt(dot_product(F.col("c_vec"), F.col("c_vec"))))
+    # same map-side max_by shape as _kmeans_assign (the struct value
+    # carries the winning sim along with its centroid id): the corpus x k
+    # expansion collapses before the shuffle; ties -> lowest cid via the
+    # negated-id struct key, identical to the oracle's row_number order
+    pick = F.max_by(
+        F.struct(F.col("cid"), F.col("__sim")),
+        F.struct(F.col("__sim"), (-F.col("cid")).alias("nc")))
+    assigned = (
+        base.join(broadcast(cents), F.lit(True))
+        .withColumn("__sim", F.round(sim, 6))
+        .groupBy(id_col)
+        .agg(pick.alias("__best"))
+        .select(F.col(id_col), F.col("__best.cid").alias("cluster"),
+                F.col("__best.__sim").alias("centroid_sim"))
+    )
+    hard_w = Window.partitionBy("cluster").orderBy(
+        F.asc("centroid_sim"), F.asc(id_col))
+    return (
+        assigned.withColumn("hardness_rank", F.row_number().over(hard_w))
+        .where(F.col("hardness_rank") <= keep_per_cluster)
+        .orderBy("cluster", "hardness_rank")
+    )
+
+
 def semantic_dedup(embeddings: DataFrame, threshold: float = 0.8,
                    id_col: str = "vec_id") -> DataFrame:
     """Semantic dedup DECISION over an embedding table: drop every vector

@@ -1338,6 +1338,51 @@ def q_q20_dominant_part_suppliers(spark: SparkSession,
         _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem"))
 
 
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss reduction of the embedding table to 8
+    seeded-Gaussian components -- per-row JVM arithmetic, no shuffle."""
+    return sim.random_projection(_t(spark, sf_dir, "embeddings"))
+
+
+def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes data pruning: keep the 32 hardest (least
+    prototypical) vectors per trained cluster."""
+    return sim.prototype_prune(_t(spark, sf_dir, "embeddings"))
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle of the curated corpus into 8 training
+    shards (md5 permutation + per-shard positions)."""
+    return cur.shuffle_shards(_t(spark, sf_dir, "documents"))
+
+
+# The testdata corpus is single-line, so the line-dedup query synthesizes
+# the multi-line crawl shape it targets (same convention as the PII and
+# multimodal queries): a per-source NAV header + two fixed-width body
+# slices + a per-source copyright footer. At sf0.01 each source spans ~25
+# documents, so headers/footers cross the min_doc_freq=10 bar and are
+# removed while (unique) body slices survive. The identical synthesis runs
+# in the DuckDB oracle.
+def _synth_multiline(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("NAV "), F.col("source"),
+                     F.lit(" home about contact products support")),
+            F.substring(F.col("text"), 1, 120),
+            F.substring(F.col("text"), 121, 120),
+            F.concat(F.lit("(c) "), F.col("source"),
+                     F.lit(" all rights reserved")),
+        ).alias("text"),
+    )
+
+
+def q_boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cur.line_dedup(_synth_multiline(_t(spark, sf_dir, "documents")),
+                          min_doc_freq=10)
+
+
 QUERIES: dict[str, QueryFn] = {
     "doc_clean": q_doc_clean,
     "doc_classify": q_doc_classify,
@@ -1475,6 +1520,10 @@ QUERIES: dict[str, QueryFn] = {
     "event_transitions": q_event_transitions,
     "dau_wau_stickiness": q_dau_wau_stickiness,
     "table_profile": q_table_profile,
+    "random_projection": q_random_projection,
+    "prototype_prune": q_prototype_prune,
+    "shuffle_shards": q_shuffle_shards,
+    "boilerplate_line_dedup": q_boilerplate_line_dedup,
 }
 
 
@@ -3932,4 +3981,121 @@ FROM (
   JOIN nation ON c_nationkey = n_nationkey)
 GROUP BY GROUPING SETS ((n_name, o_year), (n_name), (o_year), ())
 ORDER BY gid, n_name NULLS FIRST, o_year NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-4b additions: JL projection, prototype pruning, epoch sharding,
+# boilerplate line dedup
+# ---------------------------------------------------------------------------
+
+def _random_projection_oracle_sql(out_dim: int = 8, dim: int = 64,
+                                  seed: int = 7) -> str:
+    """Full-value oracle for random_projection: the projection matrix is
+    the deterministic seeded-Gaussian family (similarity._hyperplanes,
+    seed 7), inlined as literal arrays -- both engines compute float64
+    dot products of identical constants, rounded to 6dp."""
+    from automated_review_analysis_pipeline_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    planes = _hyperplanes(dim, out_dim, seed)
+    cols = ",\n       ".join(
+        "round(list_dot_product(v, ["
+        + ", ".join(repr(x) for x in p)
+        + f"]), 6) AS p{j}"
+        for j, p in enumerate(planes))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id,
+       {cols}
+FROM e ORDER BY vec_id
+"""
+
+
+ORACLE_SQL["random_projection"] = _random_projection_oracle_sql()
+
+
+def _prototype_prune_oracle_sql(k: int = 8, keep: int = 32,
+                                iterations: int = 2) -> str:
+    """Full-value oracle for prototype_prune: centroids come from the
+    shared unrolled-Lloyd CTE chain; assignment argmax and the per-
+    cluster hardness ranking both order on the 6dp-rounded cosine with
+    the same tie-breaks as the Spark windows."""
+    parts, prev = _kmeans_centroid_ctes(k, iterations)
+    cos = _cosine_sql("e.v", "c.cv")
+    parts.append(f"""assigned AS (
+  SELECT vec_id, cid AS cluster, sim AS centroid_sim FROM (
+    SELECT e.vec_id, c.cid, {cos} AS sim,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos} DESC, c.cid) AS rn
+    FROM e CROSS JOIN {prev} c) WHERE rn = 1)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT * FROM (
+  SELECT vec_id, cluster, centroid_sim,
+         CAST(row_number() OVER (PARTITION BY cluster
+              ORDER BY centroid_sim ASC, vec_id) AS INT) AS hardness_rank
+  FROM assigned)
+WHERE hardness_rank <= {keep}
+ORDER BY cluster, hardness_rank""")
+
+
+ORACLE_SQL["prototype_prune"] = _prototype_prune_oracle_sql()
+
+
+ORACLE_SQL["shuffle_shards"] = """
+WITH s AS (
+  SELECT doc_id,
+         md5('epoch0-' || CAST(doc_id AS VARCHAR)) AS key
+  FROM documents
+), sh AS (
+  SELECT doc_id, key,
+         CAST(CAST('0x' || substring(key, 1, 8) AS BIGINT) % 8 AS INT)
+           AS shard
+  FROM s
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+            AS INT) AS pos
+FROM sh ORDER BY shard, pos
+"""
+
+
+# same synthesis as _synth_multiline, then the line-frequency pass
+ORACLE_SQL["boilerplate_line_dedup"] = """
+WITH synth AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           'NAV ' || source || ' home about contact products support',
+           substring(text, 1, 120),
+           substring(text, 121, 120),
+           '(c) ' || source || ' all rights reserved') AS text
+  FROM documents
+),
+split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM synth
+),
+lines AS (
+  SELECT doc_id, unnest(ls) AS line,
+         generate_subscripts(ls, 1) - 1 AS pos
+  FROM split
+),
+boiler AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING count(DISTINCT doc_id) >= 10
+),
+kept AS (
+  SELECT * FROM lines WHERE line NOT IN (SELECT line FROM boiler)
+),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(coalesce(r.n_kept, 0) AS INT) AS n_lines_kept,
+       CAST(len(b.ls) - coalesce(r.n_kept, 0) AS INT) AS n_lines_removed
+FROM split b LEFT JOIN reb r USING (doc_id)
+ORDER BY doc_id
 """

@@ -148,6 +148,10 @@ HEADLINE = [
     "portable_quantiles",
     "streaming_finalized_sessions",
     "ivf_trained_topk",
+    "random_projection",
+    "prototype_prune",
+    "shuffle_shards",
+    "boilerplate_line_dedup",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

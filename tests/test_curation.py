@@ -217,3 +217,64 @@ def test_approx_percentiles_within_error_bound(spark, sf_dir):
             # GK sketch at accuracy=10k on ~1.5k rows/group: near-exact;
             # allow 2% relative drift as the stable bound
             assert abs(a[q] - e[q]) <= 0.02 * e[q], (prio, q)
+
+
+def test_shuffle_shards_is_a_permutation(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    out = cur.shuffle_shards(docs, n_shards=4).collect()
+    assert len(out) == n
+    assert len({r["doc_id"] for r in out}) == n           # every doc once
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_shuffle_shards_seed_changes_order_and_is_deterministic(
+        spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a1 = cur.shuffle_shards(docs, n_shards=4, seed="epoch0").collect()
+    a2 = cur.shuffle_shards(docs, n_shards=4, seed="epoch0").collect()
+    b = cur.shuffle_shards(docs, n_shards=4, seed="epoch1").collect()
+    key = lambda rows: [(r["doc_id"], r["shard"], r["pos"]) for r in rows]
+    assert key(a1) == key(a2)                             # reproducible
+    assert key(a1) != key(b)                              # new permutation
+    # decorrelated from ingestion order: consecutive ids split up
+    shard_of = {r["doc_id"]: r["shard"] for r in a1}
+    ids = sorted(shard_of)
+    runs = sum(1 for i, j in zip(ids, ids[1:])
+               if shard_of[i] == shard_of[j])
+    assert runs < 0.5 * len(ids)  # ~1/4 expected for 4 uniform shards
+
+
+def test_line_dedup_removes_boilerplate_preserves_order(spark):
+    rows = [
+        (1, "UNIQUE one\nSHARED banner\nUNIQUE two"),
+        (2, "SHARED banner\nUNIQUE three"),
+        (3, "UNIQUE four\nSHARED banner"),
+        (4, "SHARED banner"),                  # all lines boilerplate
+        (5, "UNIQUE five\nUNIQUE six"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in cur.line_dedup(docs, min_doc_freq=3).collect()}
+    assert out[1]["clean_text"] == "UNIQUE one\nUNIQUE two"
+    assert out[2]["clean_text"] == "UNIQUE three"
+    assert out[3]["clean_text"] == "UNIQUE four"
+    assert out[4]["clean_text"] == "" and out[4]["n_lines_kept"] == 0
+    assert out[5]["clean_text"] == "UNIQUE five\nUNIQUE six"
+    assert out[1]["n_lines_removed"] == 1
+    assert out[5]["n_lines_removed"] == 0
+
+
+def test_line_dedup_threshold_boundary(spark):
+    # a line in exactly min_doc_freq-1 docs is KEPT; at min_doc_freq cut
+    rows = [(i, "EDGE line\nbody %d" % i) for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = cur.line_dedup(docs, min_doc_freq=4).collect()
+    assert all(r["clean_text"].startswith("EDGE line") for r in kept)
+    cut = cur.line_dedup(docs, min_doc_freq=3).collect()
+    assert all(r["clean_text"] == "body %d" % r["doc_id"] for r in cut)

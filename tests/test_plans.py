@@ -558,3 +558,21 @@ def test_pairwise_cosine_banded_no_collect_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+
+
+def test_random_projection_narrow_no_shuffle_no_udf(spark):
+    """JL projection must be pure per-row JVM arithmetic: no hash
+    exchange (the only Exchange is the presentation sort's range
+    partition) and no Python evaluation anywhere in the plan."""
+    plan = plan_of(spark, "random_projection")
+    assert "hashpartitioning" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_prototype_prune_broadcasts_centroids_no_udf(spark):
+    """The trained-centroid table must reach the assignment as a
+    broadcast (never a shuffled join side), and the whole Lloyd +
+    ranking pipeline stays JVM-side."""
+    plan = plan_of(spark, "prototype_prune")
+    assert "BroadcastExchange" in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan

@@ -754,3 +754,51 @@ def test_cdc_apply_tombstone_semantics(spark):
     assert set(out) == {2, 3}
     assert out[2]["last_type"] == "purchase" and out[2]["last_value"] == 9.5
     assert out[3]["last_event_id"] == 6 and out[3]["last_type"] == "signup"
+
+
+def test_random_projection_matches_numpy(spark, sf_dir):
+    """The Spark fold and a numpy matmul over the same seeded planes
+    agree to the 6dp rounding on real embeddings."""
+    import numpy as np
+
+    from automated_review_analysis_pipeline_spark.operators.similarity import (
+        _hyperplanes,
+        random_projection,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(20)
+    rows = emb.collect()
+    P = np.array(_hyperplanes(64, 8, 7))            # (8, 64)
+    got = {r["vec_id"]: [r[f"p{j}"] for j in range(8)]
+           for r in random_projection(emb).collect()}
+    for r in rows:
+        v = np.array(list(r["embedding"]), dtype=np.float64)
+        want = np.round(P @ v, 6)
+        assert np.allclose(got[r["vec_id"]], want, atol=1e-9), r["vec_id"]
+
+
+def test_prototype_prune_keeps_hardest_per_cluster(spark, sf_dir):
+    from automated_review_analysis_pipeline_spark.operators.similarity import (
+        prototype_prune,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = prototype_prune(emb, k=4, keep_per_cluster=10,
+                          iterations=1).collect()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert len(out) <= 4 * 10
+    for cid, rows in by_cluster.items():
+        assert len(rows) <= 10
+        ranks = [r["hardness_rank"] for r in rows]
+        assert sorted(ranks) == list(range(1, len(rows) + 1)), cid
+        sims = [r["centroid_sim"]
+                for r in sorted(rows, key=lambda r: r["hardness_rank"])]
+        assert sims == sorted(sims), cid   # hardest (lowest sim) first

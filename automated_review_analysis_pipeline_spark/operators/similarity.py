@@ -420,10 +420,12 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     assignment is precomputed and the probe join prunes partitions."""
     corpus = _prep(embeddings, id_col, vec_col, "c")
     if train_iterations > 0:
-        # plan_cache: the trained table feeds BOTH the corpus assignment
-        # and the query probe; without it the Lloyd training runs twice
-        trained = plan_cache(kmeans_centroids(
-            embeddings, n_centroids, train_iterations, id_col, vec_col))
+        # truncate_lineage: the trained table feeds BOTH the corpus
+        # assignment and the query probe; the checkpoint materializes
+        # the Lloyd rounds once (and linearly) for the two consumers
+        trained = kmeans_centroids(
+            embeddings, n_centroids, train_iterations, id_col, vec_col,
+            truncate_lineage=True)
         cents = trained.select(
             F.col("cid").alias("ct_id"),
             F.col("c_vec").alias("ct_vec"),
@@ -774,7 +776,8 @@ def prototype_prune(embeddings: DataFrame, k: int = 8,
     """
     base = _kmeans_base(embeddings, id_col, vec_col)
     cents = kmeans_centroids(
-        embeddings, k, iterations, id_col, vec_col, _base=base)
+        embeddings, k, iterations, id_col, vec_col,
+        truncate_lineage=True, _base=base)
     sim = dot_product(F.col("__v"), F.col("c_vec")) / (
         F.sqrt(dot_product(F.col("__v"), F.col("__v")))
         * F.sqrt(dot_product(F.col("c_vec"), F.col("c_vec"))))
@@ -983,10 +986,23 @@ def _kmeans_assign(base: DataFrame, cents_df: DataFrame,
 def kmeans_centroids(embeddings: DataFrame, k: int = 8,
                      iterations: int = 3, id_col: str = "vec_id",
                      vec_col: str = "embedding",
+                     truncate_lineage: bool = False,
                      _base: DataFrame | None = None) -> DataFrame:
     """The trained centroid table (cid, c_vec) from the same Lloyd
     recurrence as :func:`kmeans_embeddings` -- reusable as a coarse
-    quantizer (see ivf_topk's trained mode)."""
+    quantizer (see ivf_topk's trained mode).
+
+    ``truncate_lineage=True`` localCheckpoints the k-row centroid frame
+    after every round (eager; coalesced to one partition, so the
+    checkpointed content is deterministic): the recurrence references
+    the previous round twice, so the LAZY plan doubles per round --
+    AQE's stage reuse absorbs that when the result feeds one consumer
+    (kmeans_embeddings stays lazy and fast), but compositions that
+    broadcast the trained table into further joins re-materialize the
+    doubled tree (measured 36 vs 7 jobs at sf0.1) and any
+    iterations>3 run risks exponential planning at cluster scale.
+    Checkpointing makes both linear at the cost of one tiny job per
+    round."""
     base = _base if _base is not None else _kmeans_base(
         embeddings, id_col, vec_col)
     cents = (
@@ -1010,18 +1026,19 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 8,
         )
         # empty clusters keep their previous centroid. The recurrence
         # references the previous centroids twice (assignment + this
-        # left join) but stays UNCACHED on purpose: exchange/subquery
-        # reuse already dedupes the identical subtrees inside the one
-        # job, and a measured per-round plan_cache variant was 2.8x
-        # SLOWER (three serialized materialization jobs vs one fused
-        # DAG). Callers that consume the result more than once cache the
-        # k-row OUTPUT instead (see ivf_topk's trained branch).
+        # left join); by default it stays LAZY (AQE stage reuse dedupes
+        # the doubled subtrees when one consumer executes the plan, and
+        # a per-round plan_cache variant measured 2.8x slower), while
+        # truncate_lineage=True checkpoints each round for the composed
+        # consumers where stage reuse does not reach -- see docstring.
         cents = (
             cents.alias("o")
             .join(new_cents.alias("n"), "cid", "left")
             .select("cid", F.coalesce(F.col("n.c_vec"),
                                       F.col("o.c_vec")).alias("c_vec"))
         )
+        if truncate_lineage:
+            cents = cents.coalesce(1).localCheckpoint(eager=True)
     return cents
 
 

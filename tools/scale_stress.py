@@ -22,7 +22,13 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from automated_review_analysis_pipeline_spark.operators import dedup  # noqa: E402
 from automated_review_analysis_pipeline_spark.operators import (  # noqa: E402
+    curation as cur,
+)
+from automated_review_analysis_pipeline_spark.operators import (  # noqa: E402
     similarity as sim,
+)
+from automated_review_analysis_pipeline_spark.registry import (  # noqa: E402
+    _synth_multiline,
 )
 from automated_review_analysis_pipeline_spark.plan_cache import (  # noqa: E402
     release_plan_caches,
@@ -111,7 +117,17 @@ def main() -> None:
         "winnow_overlap": lambda d, v: dedup.winnow_overlap_pairs(d),
         "banded_cosine (thr 0.8)": lambda d, v: sim.pairwise_cosine_above(
             v, threshold=0.8),
+        "random_projection": lambda d, v: sim.random_projection(v),
+        "prototype_prune (k=8, keep=32)": lambda d, v:
+            sim.prototype_prune(v),
+        "shuffle_shards (32)": lambda d, v: cur.shuffle_shards(
+            d, n_shards=32),
+        "line_dedup (freq>=10)": lambda d, v: cur.line_dedup(
+            _synth_multiline(d), min_doc_freq=10),
     }
+    only = set(sys.argv[2:])
+    if only:
+        ops = {k: f for k, f in ops.items() if k.split(" ")[0] in only}
 
     results: dict[str, dict[int, float]] = {k: {} for k in ops}
     rows_out: dict[str, dict[int, int]] = {k: {} for k in ops}

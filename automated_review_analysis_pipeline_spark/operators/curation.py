@@ -535,3 +535,90 @@ def line_dedup(documents: DataFrame, min_doc_freq: int = 10,
         )
         .orderBy(id_col)
     )
+
+
+def weighted_sample(documents: DataFrame, n: int = 100,
+                    weight_col: str = "n_chars", seed: str = "ws0",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): every row gets key = ln(u) / w with u a
+    seeded md5-uniform in (0, 1] and w its weight; the n largest keys
+    are the sample. Inclusion probability is proportional to weight --
+    the standard quality- or length-weighted corpus selection -- and the
+    whole draw is reproducible from (seed, id) alone: adding documents
+    never flips the relative order of existing ones (the property that
+    lets a 100 TB sample be recomputed incrementally).
+
+    u comes from the first 12 md5 hex digits ((v+1) / 16^12, never 0);
+    keys round to 9dp before ranking (mirrored in the SQL oracle, ties
+    -> lowest id) so a last-ulp ln() divergence between engines cannot
+    reorder. Top-n executes as TakeOrdered (per-partition local top-n,
+    one tiny merge) -- no global sort.
+    """
+    scale = float(16 ** 12)
+    u = (F.conv(F.substring(
+        F.md5(F.concat_ws("-", F.lit(seed), F.col(id_col).cast("string"))),
+        1, 12), 16, 10).cast("double") + F.lit(1.0)) / F.lit(scale)
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    staged = documents.select(
+        F.col(id_col), F.col(weight_col).alias("weight"),
+        F.round(F.log(u) / w, 9).alias("sample_key"),
+    ).orderBy(F.desc("sample_key"), F.asc(id_col)).limit(n)
+    w_rank = Window.orderBy(F.desc("sample_key"), F.asc(id_col))
+    return staged.withColumn("rank", F.row_number().over(w_rank)) \
+        .orderBy("rank")
+
+
+def contamination_report(documents: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """Graded benchmark-contamination report: for EVERY train-split
+    document, the fraction of its distinct word k-shingles that occur in
+    the test split -- the severity view a release review needs
+    (:func:`decontaminate` is the boolean drop rule). ``severity`` is
+    'clean' (0), 'trace' (< 5%), else 'high'.
+
+    Same single-join shape as decontaminate (per-doc distinct shingles,
+    distinct test-shingle set, one hash join + one aggregate; no doc x
+    doc comparison); the left join keeps clean documents in the report
+    with n_shared = 0.
+    """
+    from .dedup import shingle_tokens, word_shingles_from_tokens
+
+    toked = documents.select(
+        F.col(id_col), split_key(id_col).alias("__h"),
+        shingle_tokens(F.col(text_col)).alias("__toks"))
+    sh = toked.select(
+        id_col, "__h",
+        F.explode(word_shingles_from_tokens(F.col("__toks"), k))
+        .alias("shingle"))
+    test_sh = (sh.where(F.col("__h") >= VAL_MAX)
+               .select("shingle").distinct())
+    # cached test-shingle set (same convention/cost note as
+    # decontaminate) + ONE marked left join per train shingle: totals
+    # and shared counts come out of a single aggregation pass, so the
+    # full-corpus shingle explode runs twice total (test materialize +
+    # train pass), not three times (measured 3.5 s -> decontaminate-
+    # class cost at sf0.1)
+    test_sh = plan_cache(test_sh)
+    train_sh = sh.where(F.col("__h") < TRAIN_MAX).select(id_col, "shingle")
+    marked = train_sh.join(
+        test_sh.withColumn("__hit", F.lit(1)), "shingle", "left")
+    counts = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__shared"),
+    )
+    frac = F.round(F.col("__shared").cast("double")
+                   / F.col("n_shingles").cast("double"), 6)
+    return (
+        counts.select(
+            F.col(id_col), "n_shingles",
+            F.col("__shared").cast("long").alias("n_shared"),
+            frac.alias("contamination_frac"),
+        )
+        .withColumn(
+            "severity",
+            F.when(F.col("n_shared") == 0, "clean")
+            .when(F.col("contamination_frac") < 0.05, "trace")
+            .otherwise("high"))
+        .orderBy(id_col)
+    )

@@ -1383,6 +1383,16 @@ def q_boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                           min_doc_freq=10)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted A-ES corpus sample (top-100, seeded md5 keys)."""
+    return cur.weighted_sample(_t(spark, sf_dir, "documents"))
+
+
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded shingle-contamination fractions for every train doc."""
+    return cur.contamination_report(_t(spark, sf_dir, "documents"))
+
+
 QUERIES: dict[str, QueryFn] = {
     "doc_clean": q_doc_clean,
     "doc_classify": q_doc_classify,
@@ -1524,6 +1534,8 @@ QUERIES: dict[str, QueryFn] = {
     "prototype_prune": q_prototype_prune,
     "shuffle_shards": q_shuffle_shards,
     "boilerplate_line_dedup": q_boilerplate_line_dedup,
+    "weighted_sample": q_weighted_sample,
+    "contamination_report": q_contamination_report,
 }
 
 
@@ -4098,4 +4110,56 @@ SELECT b.doc_id,
        CAST(len(b.ls) - coalesce(r.n_kept, 0) AS INT) AS n_lines_removed
 FROM split b LEFT JOIN reb r USING (doc_id)
 ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["weighted_sample"] = """
+WITH keys AS (
+  SELECT doc_id, n_chars AS weight,
+         round(ln((CAST(CAST('0x' || substring(
+                  md5('ws0-' || CAST(doc_id AS VARCHAR)), 1, 12)
+                AS BIGINT) AS DOUBLE) + 1.0) / 281474976710656.0)
+               / greatest(CAST(n_chars AS DOUBLE), 1.0), 9) AS sample_key
+  FROM documents
+)
+SELECT doc_id, weight, sample_key,
+       CAST(row_number() OVER (ORDER BY sample_key DESC, doc_id) AS INT)
+         AS rank
+FROM keys
+ORDER BY sample_key DESC, doc_id
+LIMIT 100
+"""
+
+
+ORACLE_SQL["contamination_report"] = f"""
+WITH sh AS (
+  SELECT doc_id,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h,
+         unnest({_shingles_sql('text', 5)}) AS shingle
+  FROM documents
+),
+test_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE h >= '{cur.VAL_MAX}'
+),
+train_sh AS (
+  SELECT doc_id, shingle FROM sh WHERE h < '{cur.TRAIN_MAX}'
+),
+totals AS (
+  SELECT doc_id, count(*) AS n_shingles FROM train_sh GROUP BY doc_id
+),
+shared AS (
+  SELECT doc_id, count(*) AS n_shared
+  FROM train_sh JOIN test_sh USING (shingle)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_shingles,
+       coalesce(s.n_shared, 0) AS n_shared,
+       coalesce(round(s.n_shared::DOUBLE / t.n_shingles::DOUBLE, 6), 0.0)
+         AS contamination_frac,
+       CASE WHEN coalesce(s.n_shared, 0) = 0 THEN 'clean'
+            WHEN round(s.n_shared::DOUBLE / t.n_shingles::DOUBLE, 6) < 0.05
+              THEN 'trace'
+            ELSE 'high' END AS severity
+FROM totals t LEFT JOIN shared s USING (doc_id)
+ORDER BY t.doc_id
 """

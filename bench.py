@@ -152,6 +152,8 @@ HEADLINE = [
     "prototype_prune",
     "shuffle_shards",
     "boilerplate_line_dedup",
+    "weighted_sample",
+    "contamination_report",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

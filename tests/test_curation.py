@@ -278,3 +278,39 @@ def test_line_dedup_threshold_boundary(spark):
     assert all(r["clean_text"].startswith("EDGE line") for r in kept)
     cut = cur.line_dedup(docs, min_doc_freq=3).collect()
     assert all(r["clean_text"] == "body %d" % r["doc_id"] for r in cut)
+
+
+def test_weighted_sample_biased_deterministic_stable(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    s1 = cur.weighted_sample(docs, n=50).collect()
+    s2 = cur.weighted_sample(docs, n=50).collect()
+    assert [(r["doc_id"], r["sample_key"], r["rank"]) for r in s1] == \
+           [(r["doc_id"], r["sample_key"], r["rank"]) for r in s2]
+    assert [r["rank"] for r in s1] == list(range(1, 51))
+    assert all(r["sample_key"] < 0 for r in s1)      # ln(u)/w, u in (0,1]
+    # weight bias: the length-weighted sample skews long
+    mean_all = docs.agg(F.avg("n_chars")).first()[0]
+    mean_sample = sum(r["weight"] for r in s1) / len(s1)
+    assert mean_sample > mean_all
+    # sample keys depend on (seed, id) only: a shrunken corpus keeps them
+    sub = cur.weighted_sample(docs.where(F.col("doc_id") < 100), n=50)
+    key_full = {r["doc_id"]: r["sample_key"] for r in s1}
+    for r in sub.collect():
+        if r["doc_id"] in key_full:
+            assert r["sample_key"] == key_full[r["doc_id"]]
+
+
+def test_contamination_report_consistent_with_decontaminate(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    rep = {r["doc_id"]: r
+           for r in cur.contamination_report(docs).collect()}
+    dec = {r["doc_id"]: r["n_shared_shingles"]
+           for r in cur.decontaminate(docs).collect()}
+    flagged = {d for d, r in rep.items() if r["n_shared"] > 0}
+    assert flagged == set(dec)
+    for d in flagged:
+        assert rep[d]["n_shared"] == dec[d]
+        assert 0 < rep[d]["contamination_frac"] <= 1
+        assert rep[d]["severity"] in ("trace", "high")
+    clean = set(rep) - flagged
+    assert all(rep[d]["severity"] == "clean" for d in clean)

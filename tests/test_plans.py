@@ -576,3 +576,8 @@ def test_prototype_prune_broadcasts_centroids_no_udf(spark):
     plan = plan_of(spark, "prototype_prune")
     assert "BroadcastExchange" in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_weighted_sample_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "weighted_sample")
+    assert "TakeOrderedAndProject" in plan, plan

@@ -870,3 +870,67 @@ def hashed_text_vectors(documents: DataFrame, dim: int = 64,
                 F.coalesce(F.col("vec_csv"), F.lit(zeros)).alias("vec_csv"))
         .orderBy(id_col)
     )
+
+
+def bigram_lm_score(documents: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    k_smooth: float = 0.5) -> DataFrame:
+    """Language-model quality scoring (the CCNet-style perplexity
+    filter, with an add-k bigram model standing in for KenLM's 5-gram):
+    train token bigram statistics on the corpus itself, then score every
+    document by its average negative log-probability -- low scores read
+    like the corpus (fluent), high scores flag gibberish, boilerplate
+    soup, or out-of-domain text. A curation pipeline thresholds or
+    buckets on this score.
+
+    Two-phase shape, both phases JVM-side over one cached bigram table:
+    counts c(a,b) and c(a) are hash aggregates; V is the distinct-token
+    scalar; scoring joins each document bigram to its two count rows --
+    the LM "model" is just two aggregate tables, shuffled by token key
+    exactly like any fact-dim join (bucket it at 100 TB). Per-bigram
+    log-probs ln((c_ab + k) / (c_a + k*V)) round to 9dp and sum through
+    DECIMAL(18,9) so the per-doc mean is order-independent and the SQL
+    oracle reproduces it bit-for-bit; the mean negates and rounds to 6dp.
+    Documents with fewer than two tokens carry no bigram evidence and
+    are excluded (mirrored in the oracle)."""
+    from automated_review_analysis_pipeline_spark.plan_cache import (
+        plan_cache,
+    )
+
+    toks = tokens(F.lower(F.col(text_col)))
+    staged = plan_cache(
+        documents.select(F.col(id_col), toks.alias("__t"))
+        .where(F.size("__t") >= 2))
+    pairs = F.expr(
+        "transform(sequence(1, size(__t) - 1),"
+        " i -> struct(__t[i-1] AS a, __t[i] AS b))")
+    bg = plan_cache(
+        staged.select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(F.col(id_col), F.col("p.a").alias("a"),
+                F.col("p.b").alias("b")))
+    c_ab = plan_cache(
+        bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab")))
+    # context counts roll up from the (much smaller) bigram-count table
+    # instead of re-scanning the full bigram stream
+    c_a = c_ab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    vocab = staged.select(F.explode("__t").alias("tok")) \
+        .agg(F.countDistinct("tok").alias("v"))
+    lp = F.round(
+        F.log((F.col("c_ab") + F.lit(k_smooth))
+              / (F.col("c_a") + F.lit(k_smooth) * F.col("v"))), 9)
+    scored = (
+        bg.join(c_ab, ["a", "b"])
+        .join(c_a, ["a"])
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), lp.cast("decimal(18,9)").alias("__lp"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-(F.sum("__lp").cast("double"))
+                    / F.count(F.lit(1)).cast("double"), 6)
+            .alias("avg_neg_logprob"),
+        )
+        .orderBy(id_col)
+    )

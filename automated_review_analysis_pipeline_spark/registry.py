@@ -1393,6 +1393,12 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.contamination_report(_t(spark, sf_dir, "documents"))
 
 
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-k bigram LM perplexity scoring (CCNet-style
+    quality filter)."""
+    return ta.bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
 QUERIES: dict[str, QueryFn] = {
     "doc_clean": q_doc_clean,
     "doc_classify": q_doc_classify,
@@ -1536,6 +1542,7 @@ QUERIES: dict[str, QueryFn] = {
     "boilerplate_line_dedup": q_boilerplate_line_dedup,
     "weighted_sample": q_weighted_sample,
     "contamination_report": q_contamination_report,
+    "bigram_lm_score": q_bigram_lm_score,
 }
 
 
@@ -4162,4 +4169,36 @@ SELECT t.doc_id, t.n_shingles,
             ELSE 'high' END AS severity
 FROM totals t LEFT JOIN shared s USING (doc_id)
 ORDER BY t.doc_id
+"""
+
+
+# add-k bigram LM: both engines compute ln((c_ab+k)/(c_a+k*V)) from the
+# SAME integer counts, round each term to 9dp, and sum through
+# DECIMAL(18,9) -- order-independent, so the mean matches exactly
+ORACLE_SQL["bigram_lm_score"] = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+bg AS (
+  SELECT doc_id, p['a'] AS a, p['b'] AS b FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                  i -> {'a': toks[i], 'b': toks[i + 1]})) AS p
+    FROM tt)
+),
+cab AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+ca AS (SELECT a, count(*) AS c_a FROM bg GROUP BY a),
+v AS (SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(toks) AS tok FROM tt)),
+terms AS (
+  SELECT bg.doc_id,
+         CAST(round(ln((cab.c_ab + 0.5) / (ca.c_a + 0.5 * v.v)), 9)
+              AS DECIMAL(18,9)) AS lp
+  FROM bg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(-(sum(lp)::DOUBLE) / count(*)::DOUBLE, 6) AS avg_neg_logprob
+FROM terms GROUP BY doc_id ORDER BY doc_id
 """

@@ -154,6 +154,7 @@ HEADLINE = [
     "boilerplate_line_dedup",
     "weighted_sample",
     "contamination_report",
+    "bigram_lm_score",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

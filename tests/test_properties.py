@@ -802,3 +802,30 @@ def test_prototype_prune_keeps_hardest_per_cluster(spark, sf_dir):
         sims = [r["centroid_sim"]
                 for r in sorted(rows, key=lambda r: r["hardness_rank"])]
         assert sims == sorted(sims), cid   # hardest (lowest sim) first
+
+
+def test_bigram_lm_scores_fluent_below_gibberish(spark):
+    """Documents built from the corpus's dominant bigrams must score
+    lower (more probable) than a document of bigrams seen nowhere
+    else."""
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+        bigram_lm_score,
+    )
+
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((100, "zqx wvu tsr qpo nml kji"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["avg_neg_logprob"]
+           for r in bigram_lm_score(docs).collect()}
+    fluent = max(v for d, v in out.items() if d < 100)
+    assert out[100] > fluent
+    # scores are deterministic
+    again = {r["doc_id"]: r["avg_neg_logprob"]
+             for r in bigram_lm_score(docs).collect()}
+    assert out == again
+    # single-token / empty docs carry no bigram evidence -> excluded
+    docs2 = spark.createDataFrame(
+        [(1, "hello world"), (2, "solo"), (3, "")],
+        "doc_id long, text string")
+    ids = {r["doc_id"] for r in bigram_lm_score(docs2).collect()}
+    assert ids == {1}

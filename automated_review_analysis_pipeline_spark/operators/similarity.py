@@ -1131,3 +1131,42 @@ def near_dup_pagerank(embeddings: DataFrame, threshold: float = 0.35,
                      F.round(F.col("rank"), 6).alias("pagerank"))
         .orderBy(F.desc("pagerank"), id_col)
     )
+
+
+def dedup_representatives(embeddings: DataFrame, scores: DataFrame,
+                          threshold: float = 0.8,
+                          id_col: str = "vec_id",
+                          score_col: str = "score") -> DataFrame:
+    """Quality-aware canonical selection over near-duplicate clusters:
+    connected components of the cosine>=threshold graph pick ONE
+    representative each -- the member with the highest ``score_col``
+    (ties -> lowest id). This is the production keep-rule
+    (:func:`semantic_dedup`'s min-id rule is the cheap deterministic
+    baseline; real pipelines keep the longest / highest-quality / most
+    central member, any of which arrives here as the score column, e.g.
+    token count, gopher pass count, or negated LM perplexity).
+
+    Plan: components come from :func:`near_dup_components` (banded
+    candidate generation, driver/distributed flip); scores join on id
+    (at scale both sides are id-partitioned); the per-component argmax
+    is one max_by aggregate with map-side partial combine -- no window
+    sort, no per-component shuffle of score payloads beyond the struct.
+    """
+    comp = near_dup_components(embeddings, threshold, id_col)
+    joined = comp.join(
+        scores.select(F.col(id_col), F.col(score_col).alias("__s")),
+        id_col)
+    pick = F.max_by(
+        F.struct(F.col(id_col).alias("rid"), F.col("__s")),
+        F.struct(F.col("__s"), (-F.col(id_col)).alias("ni")))
+    return (
+        joined.groupBy("component")
+        .agg(pick.alias("__b"), F.count(F.lit(1)).alias("n_members"))
+        .select(
+            "component",
+            F.col("__b.rid").alias("representative"),
+            F.col("__b.__s").alias("rep_score"),
+            "n_members",
+        )
+        .orderBy("component")
+    )

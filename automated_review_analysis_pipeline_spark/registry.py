@@ -1399,6 +1399,18 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.bigram_lm_score(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup component keep
+    the longest document (n_chars as the quality score). Same <200
+    subgraph and threshold as the components query so the recursive-CTE
+    oracle composes."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    s = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200) \
+        .select(F.col("doc_id").alias("vec_id"),
+                F.col("n_chars").alias("score"))
+    return sim.dedup_representatives(e, s, threshold=0.35)
+
+
 QUERIES: dict[str, QueryFn] = {
     "doc_clean": q_doc_clean,
     "doc_classify": q_doc_classify,
@@ -1543,6 +1555,7 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_sample": q_weighted_sample,
     "contamination_report": q_contamination_report,
     "bigram_lm_score": q_bigram_lm_score,
+    "dedup_representatives": q_dedup_representatives,
 }
 
 
@@ -4202,3 +4215,23 @@ SELECT doc_id, count(*) AS n_bigrams,
        round(-(sum(lp)::DOUBLE) / count(*)::DOUBLE, 6) AS avg_neg_logprob
 FROM terms GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# composes the recursive-CTE component oracle with a score argmax --
+# the production "keep the best member" rule next to semantic_dedup's
+# min-id baseline
+ORACLE_SQL["dedup_representatives"] = ORACLE_SQL["near_dup_components"].replace(
+    "SELECT src AS vec_id, min(dst) AS component\nFROM reach GROUP BY src ORDER BY vec_id",
+    """, comp AS (SELECT src AS vec_id, min(dst) AS component
+           FROM reach GROUP BY src),
+sc AS (SELECT doc_id AS vec_id, n_chars AS s FROM documents
+       WHERE doc_id < 200),
+ranked AS (
+  SELECT c.component, c.vec_id, sc.s,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY sc.s DESC, c.vec_id) AS rn,
+         count(*) OVER (PARTITION BY c.component) AS nm
+  FROM comp c JOIN sc USING (vec_id))
+SELECT component, vec_id AS representative, s AS rep_score,
+       nm AS n_members
+FROM ranked WHERE rn = 1 ORDER BY component""")

@@ -155,6 +155,7 @@ HEADLINE = [
     "weighted_sample",
     "contamination_report",
     "bigram_lm_score",
+    "dedup_representatives",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

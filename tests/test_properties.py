@@ -829,3 +829,38 @@ def test_bigram_lm_scores_fluent_below_gibberish(spark):
         "doc_id long, text string")
     ids = {r["doc_id"] for r in bigram_lm_score(docs2).collect()}
     assert ids == {1}
+
+
+def test_dedup_representatives_pick_best_member(spark, sf_dir):
+    """Every component's representative must be its highest-score member
+    (ties -> lowest id), and component partitioning must match
+    near_dup_components exactly."""
+    from automated_review_analysis_pipeline_spark.operators.similarity import (
+        dedup_representatives,
+        near_dup_components,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .where(F.col("vec_id") < 100)
+    docs = load_table(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") < 100) \
+        .select(F.col("doc_id").alias("vec_id"),
+                F.col("n_chars").alias("score"))
+    comp = {r["vec_id"]: r["component"]
+            for r in near_dup_components(emb, threshold=0.35).collect()}
+    score = {r["vec_id"]: r["score"] for r in docs.collect()}
+    reps = dedup_representatives(emb, docs, threshold=0.35).collect()
+    members: dict[int, list[int]] = {}
+    for v, c in comp.items():
+        members.setdefault(c, []).append(v)
+    assert {r["component"] for r in reps} == set(members)
+    for r in reps:
+        ms = members[r["component"]]
+        assert r["n_members"] == len(ms)
+        best = max(ms, key=lambda v: (score[v], -v))
+        assert r["representative"] == best
+        assert r["rep_score"] == score[best]

@@ -864,3 +864,48 @@ def test_dedup_representatives_pick_best_member(spark, sf_dir):
         best = max(ms, key=lambda v: (score[v], -v))
         assert r["representative"] == best
         assert r["rep_score"] == score[best]
+
+
+def test_round4b_operators_handle_empty_and_tiny_inputs(spark):
+    """Degenerate-input hardening for the round-4b family: empty frames
+    flow through (no exceptions, zero rows) and tiny corpora smaller
+    than k / keep / n parameters still return well-formed results."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators import (
+        curation as cur,
+    )
+    from automated_review_analysis_pipeline_spark.operators import (
+        similarity as sim,
+    )
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+        bigram_lm_score,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert cur.line_dedup(empty_docs).count() == 0
+    assert bigram_lm_score(empty_docs).count() == 0
+
+    empty_docs_n = spark.createDataFrame(
+        [], "doc_id long, text string, n_chars long")
+    assert cur.shuffle_shards(empty_docs_n).count() == 0
+    assert cur.weighted_sample(empty_docs_n, n=10).count() == 0
+
+    empty_vecs = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>")
+    assert sim.random_projection(empty_vecs).count() == 0
+
+    # tiny corpus: fewer vectors than k and keep_per_cluster
+    tiny = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(64)]) for i in range(3)],
+        "vec_id long, embedding array<float>")
+    out = sim.prototype_prune(tiny, k=8, keep_per_cluster=32,
+                              iterations=1).collect()
+    assert {r["vec_id"] for r in out} == {0, 1, 2}
+
+    # fewer docs than the sample size
+    three = spark.createDataFrame(
+        [(i, "t", 10 + i) for i in range(3)],
+        "doc_id long, text string, n_chars long")
+    s = cur.weighted_sample(three, n=100).collect()
+    assert len(s) == 3 and [r["rank"] for r in s] == [1, 2, 3]

@@ -97,6 +97,37 @@ def redact_pii(documents: DataFrame, text_col: str = "text",
     ).orderBy(id_col)
 
 
+def _split_shingle_stages(documents: DataFrame, text_col: str,
+                          id_col: str, k: int
+                          ) -> tuple[DataFrame, DataFrame]:
+    """Shared staging for the contamination operators: (test_sh,
+    train_sh) where test_sh is the DISTINCT shingle set of the test
+    split and train_sh is (id, shingle) for the train split. This is
+    the project's SINGLE definition of contamination semantics
+    (tokenizer, shingle k, split boundaries) -- decontaminate (the
+    boolean rule) and contamination_report (the graded view) both build
+    on it, so they can never drift apart.
+
+    Tokens are staged in their own projection and shingles built INSIDE
+    the explode: exploding a pre-aliased shingle attribute makes
+    InferFiltersFromGenerate add a size()>0 filter whose pushdown
+    re-inlines the whole shingle pipeline per row (measured 2.7s vs
+    0.75s at sf0.1)."""
+    from .dedup import shingle_tokens, word_shingles_from_tokens
+
+    toked = documents.select(
+        F.col(id_col), split_key(id_col).alias("__h"),
+        shingle_tokens(F.col(text_col)).alias("__toks"))
+    sh = toked.select(
+        id_col, "__h",
+        F.explode(word_shingles_from_tokens(F.col("__toks"), k))
+        .alias("shingle"))
+    test_sh = (sh.where(F.col("__h") >= VAL_MAX)
+               .select("shingle").distinct())
+    train_sh = sh.where(F.col("__h") < TRAIN_MAX).select(id_col, "shingle")
+    return test_sh, train_sh
+
+
 def decontaminate(documents: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 5) -> DataFrame:
     """Flag train docs sharing any word k-shingle with the test split.
@@ -111,23 +142,8 @@ def decontaminate(documents: DataFrame, text_col: str = "text",
     vs train), then a single hash join on the shingle string + one
     aggregate on doc_id. No pairwise doc x doc comparison ever happens.
     """
-    from .dedup import shingle_tokens, word_shingles_from_tokens
-
-    # Tokens staged in their own projection, shingles built INSIDE the
-    # explode: exploding a pre-aliased shingle attribute instead makes
-    # InferFiltersFromGenerate add a size()>0 filter whose pushdown
-    # re-inlines the whole shingle pipeline per row (measured 2.7s vs
-    # 0.75s at sf0.1).
-    toked = documents.select(
-        F.col(id_col), split_key(id_col).alias("__h"),
-        shingle_tokens(F.col(text_col)).alias("__toks"))
-    sh = toked.select(
-        id_col, "__h",
-        F.explode(word_shingles_from_tokens(F.col("__toks"), k))
-        .alias("shingle"))
-    test_sh = (sh.where(F.col("__h") >= VAL_MAX)
-               .select("shingle").distinct())
-    train_sh = sh.where(F.col("__h") < TRAIN_MAX).select(id_col, "shingle")
+    test_sh, train_sh = _split_shingle_stages(
+        documents, text_col, id_col, k)
     return (
         train_sh.join(test_sh, "shingle")
         .groupBy(id_col)
@@ -500,10 +516,13 @@ def line_dedup(documents: DataFrame, min_doc_freq: int = 10,
     ``clean_text`` (and its removal count), so downstream length filters
     can drop it explicitly.
     """
-    base = documents.select(
+    # the split stage feeds three consumers (line frequency, keep
+    # filter, original line counts); plan_cache it so the corpus text is
+    # scanned and split once, not three times
+    base = plan_cache(documents.select(
         F.col(id_col),
         F.split(F.col(text_col), "\n").alias("__ls"),
-    )
+    ))
     lines = base.select(
         F.col(id_col),
         F.posexplode("__ls").alias("pos", "line"),
@@ -552,15 +571,21 @@ def weighted_sample(documents: DataFrame, n: int = 100,
     u comes from the first 12 md5 hex digits ((v+1) / 16^12, never 0);
     keys round to 9dp before ranking (mirrored in the SQL oracle, ties
     -> lowest id) so a last-ulp ln() divergence between engines cannot
-    reorder. Top-n executes as TakeOrdered (per-partition local top-n,
-    one tiny merge) -- no global sort.
+    reorder. Rows with weight <= 0 are excluded (zero sampling mass).
+    Top-n executes as TakeOrdered (per-partition local top-n, one tiny
+    merge) -- no global sort.
     """
     scale = float(16 ** 12)
     u = (F.conv(F.substring(
         F.md5(F.concat_ws("-", F.lit(seed), F.col(id_col).cast("string"))),
         1, 12), 16, 10).cast("double") + F.lit(1.0)) / F.lit(scale)
-    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
-    staged = documents.select(
+    # raw positive weights keep inclusion genuinely proportional
+    # (fractional quality scores in (0,1] are the common case); rows
+    # with weight <= 0 carry no sampling mass and are excluded, same as
+    # E-S prescribes -- clamping them to 1 would silently flatten the
+    # distribution
+    w = F.col(weight_col).cast("double")
+    staged = documents.where(w > 0).select(
         F.col(id_col), F.col(weight_col).alias("weight"),
         F.round(F.log(u) / w, 9).alias("sample_key"),
     ).orderBy(F.desc("sample_key"), F.asc(id_col)).limit(n)
@@ -582,17 +607,8 @@ def contamination_report(documents: DataFrame, text_col: str = "text",
     doc comparison); the left join keeps clean documents in the report
     with n_shared = 0.
     """
-    from .dedup import shingle_tokens, word_shingles_from_tokens
-
-    toked = documents.select(
-        F.col(id_col), split_key(id_col).alias("__h"),
-        shingle_tokens(F.col(text_col)).alias("__toks"))
-    sh = toked.select(
-        id_col, "__h",
-        F.explode(word_shingles_from_tokens(F.col("__toks"), k))
-        .alias("shingle"))
-    test_sh = (sh.where(F.col("__h") >= VAL_MAX)
-               .select("shingle").distinct())
+    test_sh, train_sh = _split_shingle_stages(
+        documents, text_col, id_col, k)
     # cached test-shingle set (same convention/cost note as
     # decontaminate) + ONE marked left join per train shingle: totals
     # and shared counts come out of a single aggregation pass, so the
@@ -600,7 +616,6 @@ def contamination_report(documents: DataFrame, text_col: str = "text",
     # train pass), not three times (measured 3.5 s -> decontaminate-
     # class cost at sf0.1)
     test_sh = plan_cache(test_sh)
-    train_sh = sh.where(F.col("__h") < TRAIN_MAX).select(id_col, "shingle")
     marked = train_sh.join(
         test_sh.withColumn("__hit", F.lit(1)), "shingle", "left")
     counts = marked.groupBy(id_col).agg(

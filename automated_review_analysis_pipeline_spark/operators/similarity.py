@@ -737,10 +737,6 @@ def random_projection(embeddings: DataFrame, out_dim: int = 8,
     Returns ``id_col`` + ``p0..p{out_dim-1}`` double columns (columnar
     output, ready to write back or feed kmeans over the reduced space).
     """
-    from automated_review_analysis_pipeline_spark.functions.vectors import (
-        to_double_array,
-    )
-
     planes = _hyperplanes(dim, out_dim, seed)
     v = to_double_array(F.col(vec_col))
     staged = embeddings.select(F.col(id_col), v.alias("__v"))
@@ -778,24 +774,10 @@ def prototype_prune(embeddings: DataFrame, k: int = 8,
     cents = kmeans_centroids(
         embeddings, k, iterations, id_col, vec_col,
         truncate_lineage=True, _base=base)
-    sim = dot_product(F.col("__v"), F.col("c_vec")) / (
-        F.sqrt(dot_product(F.col("__v"), F.col("__v")))
-        * F.sqrt(dot_product(F.col("c_vec"), F.col("c_vec"))))
-    # same map-side max_by shape as _kmeans_assign (the struct value
-    # carries the winning sim along with its centroid id): the corpus x k
-    # expansion collapses before the shuffle; ties -> lowest cid via the
-    # negated-id struct key, identical to the oracle's row_number order
-    pick = F.max_by(
-        F.struct(F.col("cid"), F.col("__sim")),
-        F.struct(F.col("__sim"), (-F.col("cid")).alias("nc")))
-    assigned = (
-        base.join(broadcast(cents), F.lit(True))
-        .withColumn("__sim", F.round(sim, 6))
-        .groupBy(id_col)
-        .agg(pick.alias("__best"))
-        .select(F.col(id_col), F.col("__best.cid").alias("cluster"),
-                F.col("__best.__sim").alias("centroid_sim"))
-    )
+    # shared assignment helper (with_sim=True keeps the winning rounded
+    # cosine): the 6dp rounding + lowest-cid tie-break the oracles
+    # mirror lives in exactly one place
+    assigned = _kmeans_assign(base, cents, id_col, with_sim=True)
     hard_w = Window.partitionBy("cluster").orderBy(
         F.asc("centroid_sim"), F.asc(id_col))
     return (
@@ -969,17 +951,31 @@ def _kmeans_base(embeddings: DataFrame, id_col: str,
 
 
 def _kmeans_assign(base: DataFrame, cents_df: DataFrame,
-                   id_col: str) -> DataFrame:
+                   id_col: str, with_sim: bool = False) -> DataFrame:
+    """Broadcast rounded-cosine argmax assignment (map-side max_by, ties
+    -> lowest cid). The 6dp rounding and tie-break here are the SINGLE
+    source of the assignment ordering every kmeans-family SQL oracle
+    mirrors. ``with_sim=True`` additionally returns the winning rounded
+    cosine as ``centroid_sim`` (prototype_prune's hardness input)."""
     sim = dot_product(F.col("__v"), F.col("c_vec")) / (
         F.sqrt(dot_product(F.col("__v"), F.col("__v")))
         * F.sqrt(dot_product(F.col("c_vec"), F.col("c_vec"))))
-    pick = F.max_by(
-        "cid", F.struct(F.col("__sim"), (-F.col("cid")).alias("nc")))
-    return (
+    expanded = (
         base.join(broadcast(cents_df), F.lit(True))
         .withColumn("__sim", F.round(sim, 6))
-        .groupBy(id_col)
-        .agg(pick.alias("cluster"))
+    )
+    if not with_sim:
+        pick = F.max_by(
+            "cid", F.struct(F.col("__sim"), (-F.col("cid")).alias("nc")))
+        return expanded.groupBy(id_col).agg(pick.alias("cluster"))
+    pick = F.max_by(
+        F.struct(F.col("cid"), F.col("__sim")),
+        F.struct(F.col("__sim"), (-F.col("cid")).alias("nc")))
+    return (
+        expanded.groupBy(id_col)
+        .agg(pick.alias("__b"))
+        .select(F.col(id_col), F.col("__b.cid").alias("cluster"),
+                F.col("__b.__sim").alias("centroid_sim"))
     )
 
 
@@ -1002,7 +998,17 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 8,
     doubled tree (measured 36 vs 7 jobs at sf0.1) and any
     iterations>3 run risks exponential planning at cluster scale.
     Checkpointing makes both linear at the cost of one tiny job per
-    round."""
+    round.
+
+    Trade-offs of the eager checkpoint, stated explicitly: (a) the Lloyd
+    training runs at DataFrame-CONSTRUCTION time (building the plan
+    costs iterations x 2 small jobs even if the result is never acted
+    on); (b) the k-row checkpoint blocks live outside the plan_cache
+    lifecycle -- kilobytes per call here, freed on driver GC; (c)
+    localCheckpoint is non-reliable storage: on a real cluster an
+    executor loss invalidates the blocks and later actions fail rather
+    than recompute -- swap in reliable ``checkpoint()`` (HDFS/object
+    store) when running with decommissionable executors."""
     base = _base if _base is not None else _kmeans_base(
         embeddings, id_col, vec_col)
     cents = (
@@ -1152,16 +1158,23 @@ def dedup_representatives(embeddings: DataFrame, scores: DataFrame,
     is one max_by aggregate with map-side partial combine -- no window
     sort, no per-component shuffle of score payloads beyond the struct.
     """
-    comp = near_dup_components(embeddings, threshold, id_col)
+    comp = plan_cache(near_dup_components(embeddings, threshold, id_col))
+    # n_members counts EVERY component member; the argmax runs over the
+    # scored members only (inner join), so a member missing from
+    # ``scores`` can never silently shrink the cluster size -- if a
+    # whole component carries no score row, its representative columns
+    # come back NULL rather than the component vanishing
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"))
     joined = comp.join(
         scores.select(F.col(id_col), F.col(score_col).alias("__s")),
         id_col)
     pick = F.max_by(
         F.struct(F.col(id_col).alias("rid"), F.col("__s")),
         F.struct(F.col("__s"), (-F.col(id_col)).alias("ni")))
+    reps = joined.groupBy("component").agg(pick.alias("__b"))
     return (
-        joined.groupBy("component")
-        .agg(pick.alias("__b"), F.count(F.lit(1)).alias("n_members"))
+        sizes.join(reps, "component", "left")
         .select(
             "component",
             F.col("__b.rid").alias("representative"),

@@ -4139,8 +4139,8 @@ WITH keys AS (
          round(ln((CAST(CAST('0x' || substring(
                   md5('ws0-' || CAST(doc_id AS VARCHAR)), 1, 12)
                 AS BIGINT) AS DOUBLE) + 1.0) / 281474976710656.0)
-               / greatest(CAST(n_chars AS DOUBLE), 1.0), 9) AS sample_key
-  FROM documents
+               / CAST(n_chars AS DOUBLE), 9) AS sample_key
+  FROM documents WHERE n_chars > 0
 )
 SELECT doc_id, weight, sample_key,
        CAST(row_number() OVER (ORDER BY sample_key DESC, doc_id) AS INT)
@@ -4226,12 +4226,15 @@ ORACLE_SQL["dedup_representatives"] = ORACLE_SQL["near_dup_components"].replace(
            FROM reach GROUP BY src),
 sc AS (SELECT doc_id AS vec_id, n_chars AS s FROM documents
        WHERE doc_id < 200),
+sizes AS (
+  SELECT component, count(*) AS n_members FROM comp GROUP BY component),
 ranked AS (
   SELECT c.component, c.vec_id, sc.s,
          row_number() OVER (PARTITION BY c.component
-                            ORDER BY sc.s DESC, c.vec_id) AS rn,
-         count(*) OVER (PARTITION BY c.component) AS nm
+                            ORDER BY sc.s DESC, c.vec_id) AS rn
   FROM comp c JOIN sc USING (vec_id))
-SELECT component, vec_id AS representative, s AS rep_score,
-       nm AS n_members
-FROM ranked WHERE rn = 1 ORDER BY component""")
+SELECT z.component, r.vec_id AS representative, r.s AS rep_score,
+       z.n_members
+FROM sizes z LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+  USING (component)
+ORDER BY z.component""")

@@ -42,10 +42,13 @@ def _update_profile(key, pdf_iter, state: GroupState):
             s_us += int(micros.sum())
             last_us = max(last_us, int(pdf["ts_us"].max()))
     state.update((n, s_us, last_us))
+    # micro-units -> 4dp HALF-AWAY (python round() is half-to-even and
+    # diverges from the oracle's DECIMAL semantics at 50-micro sums)
+    sum_4dp = (-1 if s_us < 0 else 1) * ((abs(s_us) + 50) // 100) / 10_000
     yield pd.DataFrame({
         "user_id": [user_id],
         "n_events": [n],
-        "sum_value": [round(s_us / 1_000_000, 4)],
+        "sum_value": [sum_4dp],
         "last_event_us": [last_us],
     })
 

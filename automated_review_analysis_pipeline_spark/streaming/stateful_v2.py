@@ -69,11 +69,17 @@ class UserProfileProcessor(StatefulProcessor):
                     self._types.updateValue((str(t),), (1,))
         self._agg.update((n, s_us))
         n_types = sum(1 for _ in self._types.keys())
+        # integer micro-units -> 4dp with HALF-AWAY rounding (Python's
+        # round() is half-to-even on binary floats and diverges from the
+        # batch F.round / DECIMAL cast when the sum lands on a 50-micro
+        # boundary)
+        sign = -1 if s_us < 0 else 1
+        sum_4dp = sign * ((abs(s_us) + 50) // 100) / 10_000
         yield pd.DataFrame({
             "user_id": [int(key[0])],
             "n_events": [n],
             "n_types": [int(n_types)],
-            "sum_value": [round(s_us / 1_000_000, 4)],
+            "sum_value": [sum_4dp],
         })
 
     def close(self) -> None:

@@ -314,3 +314,16 @@ def test_contamination_report_consistent_with_decontaminate(spark, sf_dir):
         assert rep[d]["severity"] in ("trace", "high")
     clean = set(rep) - flagged
     assert all(rep[d]["severity"] == "clean" for d in clean)
+
+
+def test_weighted_sample_fractional_weights_stay_proportional(spark):
+    """Fractional weights in (0,1] must keep proportional inclusion (a
+    pre-fix clamp flattened them to uniform), and weight <= 0 rows are
+    excluded."""
+    rows = [(0, "t", 1_000_000.0)] + [(i, "t", 0.001) for i in range(1, 60)]
+    rows += [(100, "t", 0.0), (101, "t", -5.0)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, w double")
+    out = cur.weighted_sample(docs, n=10, weight_col="w").collect()
+    assert out[0]["doc_id"] == 0           # overwhelming weight wins
+    ids = {r["doc_id"] for r in out}
+    assert 100 not in ids and 101 not in ids

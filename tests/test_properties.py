@@ -909,3 +909,39 @@ def test_round4b_operators_handle_empty_and_tiny_inputs(spark):
         "doc_id long, text string, n_chars long")
     s = cur.weighted_sample(three, n=100).collect()
     assert len(s) == 3 and [r["rank"] for r in s] == [1, 2, 3]
+
+
+def test_dedup_representatives_score_gaps_do_not_shrink_clusters(spark, sf_dir):
+    """Members missing from the scores table still count in n_members;
+    a fully-unscored component keeps its row with NULL representative."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators.similarity import (
+        dedup_representatives,
+        near_dup_components,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .where(F.col("vec_id") < 100)
+    comp = {r["vec_id"]: r["component"]
+            for r in near_dup_components(emb, threshold=0.35).collect()}
+    sizes: dict[int, int] = {}
+    for v, c in comp.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    # score only EVEN ids: odd members must still be counted
+    scores = spark.createDataFrame(
+        [(v, 10 + v) for v in comp if v % 2 == 0],
+        "vec_id long, score long")
+    reps = {r["component"]: r
+            for r in dedup_representatives(emb, scores,
+                                           threshold=0.35).collect()}
+    assert set(reps) == set(sizes)
+    for c, r in reps.items():
+        assert r["n_members"] == sizes[c], c
+        if r["representative"] is not None:
+            assert r["representative"] % 2 == 0
+        else:  # component of odd-only members keeps a NULL-rep row
+            assert all(v % 2 == 1 for v, cc in comp.items() if cc == c)

@@ -637,3 +637,40 @@ def contamination_report(documents: DataFrame, text_col: str = "text",
             .otherwise("high"))
         .orderBy(id_col)
     )
+
+
+def quality_filter_observed(documents: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text"):
+    """Gopher quality filter with SINGLE-PASS pipeline telemetry via the
+    Observation API: total/kept/dropped counts and the mean token count
+    accumulate during the same job that produces the filtered output --
+    the metrics a production curation DAG exports per stage, without a
+    second scan, a cache, or an accumulator race (Observation metrics
+    are exactly-once per action, unlike raw accumulators which recount
+    on task retries).
+
+    Returns ``(filtered_df, observation)``; read
+    ``observation.get`` AFTER an action on the filtered frame. The
+    filtered output is ordinary deterministic rows (oracle-checkable);
+    the observation is engine telemetry (pytest-checked).
+    """
+    from pyspark.sql import Observation
+
+    flags = gopher_quality_flags(documents, id_col=id_col,
+                                 text_col=text_col)
+    joined = documents.join(
+        flags.select(id_col, "keep", "n_tokens"), id_col)
+    obs = Observation("quality_filter")
+    observed = joined.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+    )
+    out = (
+        observed.where(F.col("keep"))
+        .drop("keep")
+        .orderBy(id_col)
+    )
+    return out, obs

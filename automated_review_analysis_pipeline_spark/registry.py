@@ -1399,6 +1399,14 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.bigram_lm_score(_t(spark, sf_dir, "documents"))
 
 
+def q_quality_filter_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation-API quality filter: the filtered rows are the
+    oracle-checked output; the single-pass telemetry metrics are
+    pytest-checked (engine-side state, not SQL-expressible)."""
+    out, _obs = cur.quality_filter_observed(_t(spark, sf_dir, "documents"))
+    return out
+
+
 def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection: per near-dup component keep
     the longest document (n_chars as the quality score). Same <200
@@ -1556,6 +1564,7 @@ QUERIES: dict[str, QueryFn] = {
     "contamination_report": q_contamination_report,
     "bigram_lm_score": q_bigram_lm_score,
     "dedup_representatives": q_dedup_representatives,
+    "quality_filter_observed": q_quality_filter_observed,
 }
 
 
@@ -4238,3 +4247,13 @@ SELECT z.component, r.vec_id AS representative, r.s AS rep_score,
 FROM sizes z LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
   USING (component)
 ORDER BY z.component""")
+
+
+# observed filter: same rows as the gopher keep-filter join; the
+# Observation metrics are engine telemetry, asserted in pytest
+ORACLE_SQL["quality_filter_observed"] = f"""
+WITH flags AS ({cur.gopher_quality_flags_sql().replace("ORDER BY doc_id", "")})
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, f.n_tokens
+FROM documents d JOIN flags f ON d.doc_id = f.doc_id AND f.keep
+ORDER BY d.doc_id
+"""

@@ -156,6 +156,7 @@ HEADLINE = [
     "contamination_report",
     "bigram_lm_score",
     "dedup_representatives",
+    "quality_filter_observed",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -327,3 +327,19 @@ def test_weighted_sample_fractional_weights_stay_proportional(spark):
     assert out[0]["doc_id"] == 0           # overwhelming weight wins
     ids = {r["doc_id"] for r in out}
     assert 100 not in ids and 101 not in ids
+
+
+def test_quality_filter_observed_metrics_single_pass(spark, sf_dir):
+    """The Observation metrics must reconcile exactly with the filter's
+    own output after ONE action: total = corpus size, kept = emitted
+    rows, avg_tokens matches the flags aggregate."""
+    docs = _docs(spark, sf_dir)
+    out, obs = cur.quality_filter_observed(docs)
+    kept_rows = out.count()                     # the single action
+    m = obs.get
+    assert m["n_total"] == docs.count()
+    assert m["n_kept"] == kept_rows
+    want_avg = (cur.gopher_quality_flags(docs)
+                .agg(F.round(F.avg("n_tokens"), 2)).first()[0])
+    assert m["avg_tokens"] == want_avg
+    assert m["n_kept"] <= m["n_total"]

@@ -521,7 +521,9 @@ def line_dedup(documents: DataFrame, min_doc_freq: int = 10,
     # scanned and split once, not three times
     base = plan_cache(documents.select(
         F.col(id_col),
-        F.split(F.col(text_col), "\n").alias("__ls"),
+        # null text -> one empty line (not a NULL array, whose size()
+        # would poison the removed-count arithmetic downstream)
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n").alias("__ls"),
     ))
     lines = base.select(
         F.col(id_col),

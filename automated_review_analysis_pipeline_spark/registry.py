@@ -719,6 +719,32 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.top_orders_per_customer(_t(spark, sf_dir, "orders"), k=3)
 
 
+LATERAL_TOP_ORDERS_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+) t
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (per-customer top-3 orders) through
+    the SQL entry point: Catalyst decorrelates the LATERAL + LIMIT into
+    a ranked join (DomainJoin rewrite) -- the declarative twin of
+    top_orders_per_customer's explicit window. Views are re-registered
+    for THIS sf_dir (createOrReplace) so a warm session never serves
+    another scale factor's cached view."""
+    from automated_review_analysis_pipeline_spark.sql import register_tables
+
+    _utc(spark)
+    register_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(LATERAL_TOP_ORDERS_SQL)
+
+
 def q_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering keys over orders: customer key x days
     since epoch-of-dataset. The layout primitive behind multi-column data
@@ -1565,6 +1591,7 @@ QUERIES: dict[str, QueryFn] = {
     "bigram_lm_score": q_bigram_lm_score,
     "dedup_representatives": q_dedup_representatives,
     "quality_filter_observed": q_quality_filter_observed,
+    "lateral_top_orders": q_lateral_top_orders,
 }
 
 
@@ -4257,3 +4284,8 @@ SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, f.n_tokens
 FROM documents d JOIN flags f ON d.doc_id = f.doc_id AND f.keep
 ORDER BY d.doc_id
 """
+
+
+# identical LATERAL SQL runs on both engines (DuckDB supports correlated
+# LATERAL + LIMIT natively)
+ORACLE_SQL["lateral_top_orders"] = LATERAL_TOP_ORDERS_SQL

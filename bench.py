@@ -157,6 +157,7 @@ HEADLINE = [
     "bigram_lm_score",
     "dedup_representatives",
     "quality_filter_observed",
+    "lateral_top_orders",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

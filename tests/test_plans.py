@@ -581,3 +581,12 @@ def test_prototype_prune_broadcasts_centroids_no_udf(spark):
 def test_weighted_sample_take_ordered_not_global_sort(spark):
     plan = plan_of(spark, "weighted_sample")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_lateral_top_orders_decorrelates_no_cartesian(spark):
+    """The correlated LATERAL + LIMIT must decorrelate into a ranked
+    equi-join -- never a cartesian/nested-loop over customers x
+    orders."""
+    plan = plan_of(spark, "lateral_top_orders")
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan or "TakeOrdered" in plan, plan

@@ -906,3 +906,27 @@ def rolling_distinct_users_sketch(events: DataFrame,
         .select(F.col("w_day_us").alias("day_us"), "approx_users")
         .orderBy("day_us")
     )
+
+
+def extract_props_variant(events: DataFrame) -> DataFrame:
+    """Open-schema JSON extraction through Spark 4's VARIANT type:
+    ``parse_json`` encodes the document once into the binary VARIANT
+    form, then ``variant_get`` does typed path extraction from the
+    encoded bytes. This is the third point on the semi-structured
+    spectrum the engine offers -- get_json_object (re-parses the string
+    per key, extract_props), from_json into a FIXED struct
+    (extract_props_struct), and VARIANT (parse once, schema-free, typed
+    access per read -- the shape for event streams whose property keys
+    drift over time). Same result surface as the other two, so all
+    three share one oracle; what differs is the encoding strategy.
+    ``try_parse_json``-style permissiveness comes from variant_get
+    returning NULL on missing paths."""
+    return (
+        events.select(
+            "event_id", "event_type",
+            F.parse_json(F.col("props")).alias("__v"))
+        .select(
+            "event_id", "event_type",
+            F.variant_get(F.col("__v"), "$.k", "long").alias("prop_k"))
+        .orderBy("event_id")
+    )

@@ -843,6 +843,13 @@ def q_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.extract_props(_t(spark, sf_dir, "events"))
 
 
+def q_event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-typed JSON extraction (Spark 4 parse_json/variant_get);
+    shares the event_props oracle -- the encoding differs, the values
+    must not."""
+    return ev.extract_props_variant(_t(spark, sf_dir, "events"))
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.event_type_funnel(_t(spark, sf_dir, "events"))
 
@@ -1592,6 +1599,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_representatives": q_dedup_representatives,
     "quality_filter_observed": q_quality_filter_observed,
     "lateral_top_orders": q_lateral_top_orders,
+    "event_props_variant": q_event_props_variant,
 }
 
 
@@ -3764,6 +3772,9 @@ ORACLE_SQL["corpus_source_stats"] = ta.corpus_source_stats_sql()
 # Shared oracle with event_props: from_json vs get_json_object differ only
 # in PLAN (one parse vs one per key), never in result.
 ORACLE_SQL["event_props_struct"] = ORACLE_SQL["event_props"]
+
+# VARIANT parse-once extraction: same values, different encoding
+ORACLE_SQL["event_props_variant"] = ORACLE_SQL["event_props"]
 
 
 ORACLE_SQL["user_event_intervals"] = """

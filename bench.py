@@ -158,6 +158,7 @@ HEADLINE = [
     "dedup_representatives",
     "quality_filter_observed",
     "lateral_top_orders",
+    "event_props_variant",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

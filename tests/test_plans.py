@@ -590,3 +590,14 @@ def test_lateral_top_orders_decorrelates_no_cartesian(spark):
     plan = plan_of(spark, "lateral_top_orders")
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan or "TakeOrdered" in plan, plan
+
+
+def test_event_props_three_json_strategies_agree(spark):
+    """get_json_object, from_json struct, and VARIANT extraction must
+    produce identical rows -- three encodings, one semantics."""
+    a = QUERIES["event_props"](spark, SF).collect()
+    b = QUERIES["event_props_struct"](spark, SF).collect()
+    c = QUERIES["event_props_variant"](spark, SF).collect()
+    key = lambda rows: [(r["event_id"], r["event_type"], r["prop_k"])
+                        for r in rows]
+    assert key(a) == key(b) == key(c)

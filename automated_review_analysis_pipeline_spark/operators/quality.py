@@ -58,3 +58,38 @@ def expectations_report(df: DataFrame,
             .alias("violation_rate"))
         .orderBy("rule")
     )
+
+
+def table_fingerprint(df: DataFrame, group_cols: list[str],
+                      cols: list[str] | None = None) -> DataFrame:
+    """Cross-engine, order-independent content fingerprint per group:
+    the backfill/migration validation primitive -- run it on both sides
+    of a copy (engines, clusters, formats) and compare (n_rows,
+    fingerprint) per partition group instead of shipping either dataset.
+
+    Each row canonicalizes to md5(concat_ws(US, <cols as strings>))
+    with NULL -> a sentinel (so NULL and the string 'null' differ);
+    the group fingerprint is the BIT_XOR of the first-12-hex-digit
+    integers of those hashes -- commutative (row order never matters),
+    overflow-free at any row count, and identical arithmetic on any
+    engine with md5 + xor (the same portability discipline as the
+    split/quota/HLL operators). One hash aggregate with map-side
+    partials: at 100 TB this runs at scan parallelism and shuffles one
+    (group, 8-byte xor, count) triple per group.
+    """
+    use_cols = cols if cols is not None else [
+        c for c in df.columns if c not in group_cols]
+    canon = [F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00"))
+             for c in use_cols]
+    row_h = F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", *canon)), 1, 12), 16, 10
+    ).cast("long")
+    return (
+        df.select(*group_cols, row_h.alias("__h"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(__h)").alias("fingerprint"),
+        )
+        .orderBy(*group_cols)
+    )

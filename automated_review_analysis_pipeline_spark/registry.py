@@ -731,6 +731,16 @@ ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
 """
 
 
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-source content checksum of the documents
+    table -- the validate-both-sides-of-a-copy primitive."""
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        table_fingerprint,
+    )
+
+    return table_fingerprint(_t(spark, sf_dir, "documents"), ["source"])
+
+
 def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery (per-customer top-3 orders) through
     the SQL entry point: Catalyst decorrelates the LATERAL + LIMIT into
@@ -1600,6 +1610,7 @@ QUERIES: dict[str, QueryFn] = {
     "quality_filter_observed": q_quality_filter_observed,
     "lateral_top_orders": q_lateral_top_orders,
     "event_props_variant": q_event_props_variant,
+    "table_fingerprint": q_table_fingerprint,
 }
 
 
@@ -4300,3 +4311,21 @@ ORDER BY d.doc_id
 # identical LATERAL SQL runs on both engines (DuckDB supports correlated
 # LATERAL + LIMIT natively)
 ORACLE_SQL["lateral_top_orders"] = LATERAL_TOP_ORDERS_SQL
+
+
+# same canonicalization arithmetic: md5 of US-joined stringified
+# columns, first-12-hex int, xor-folded per group
+ORACLE_SQL["table_fingerprint"] = """
+WITH h AS (
+  SELECT source,
+         CAST(CAST('0x' || substring(md5(concat_ws(chr(31),
+             coalesce(CAST(doc_id AS VARCHAR), chr(0)||'NULL'||chr(0)),
+             coalesce(text, chr(0)||'NULL'||chr(0)),
+             coalesce(lang, chr(0)||'NULL'||chr(0)),
+             coalesce(CAST(n_chars AS VARCHAR), chr(0)||'NULL'||chr(0))
+           )), 1, 12) AS BIGINT) AS BIGINT) AS hh
+  FROM documents
+)
+SELECT source, count(*) AS n_rows, bit_xor(hh) AS fingerprint
+FROM h GROUP BY source ORDER BY source
+"""

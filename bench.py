@@ -159,6 +159,7 @@ HEADLINE = [
     "quality_filter_observed",
     "lateral_top_orders",
     "event_props_variant",
+    "table_fingerprint",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -945,3 +945,38 @@ def test_dedup_representatives_score_gaps_do_not_shrink_clusters(spark, sf_dir):
             assert r["representative"] % 2 == 0
         else:  # component of odd-only members keeps a NULL-rep row
             assert all(v % 2 == 1 for v, cc in comp.items() if cc == c)
+
+
+def test_table_fingerprint_order_invariant_and_sensitive(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        table_fingerprint,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["source"]: (r["n_rows"], r["fingerprint"])
+         for r in table_fingerprint(docs, ["source"]).collect()}
+    # invariant under arbitrary repartition/row order
+    shuffled = docs.repartition(7, F.col("doc_id") % 3)
+    b = {r["source"]: (r["n_rows"], r["fingerprint"])
+         for r in table_fingerprint(shuffled, ["source"]).collect()}
+    assert a == b
+    # sensitive to a single cell change
+    mutated = docs.withColumn(
+        "text", F.when(F.col("doc_id") == 0, F.lit("tampered"))
+        .otherwise(F.col("text")))
+    c = {r["source"]: (r["n_rows"], r["fingerprint"])
+         for r in table_fingerprint(mutated, ["source"]).collect()}
+    src0 = docs.where(F.col("doc_id") == 0).first()["source"]
+    assert c[src0] != a[src0]
+    assert all(c[s] == a[s] for s in a if s != src0)
+    # NULL must hash differently from the STRING 'null'
+    x = spark.createDataFrame([(1, None)], "g int, v string")
+    z = spark.createDataFrame([(1, "null")], "g int, v string")
+    fx = table_fingerprint(x, ["g"]).first()["fingerprint"]
+    fz = table_fingerprint(z, ["g"]).first()["fingerprint"]
+    assert fz != fx

@@ -75,6 +75,64 @@ def deterministic_split(documents: DataFrame,
     )
 
 
+def leakage_safe_split(embeddings: DataFrame, threshold: float = 0.35,
+                       id_col: str = "vec_id") -> DataFrame:
+    """Group-aware train/val/test split: near-duplicate CLUSTERS are
+    assigned to a split atomically, so no near-dup pair ever straddles
+    train and eval -- the contamination a per-document hash split cannot
+    prevent (a paraphrase of a training doc landing in the test set
+    inflates eval scores even though the doc ids differ).
+
+    Composition, not new machinery: connected components over the
+    cosine>=threshold graph (similarity.near_dup_components -- banded
+    sign-LSH candidates, min-label clusters) produce a deterministic
+    ``component`` representative per vector, and the standard
+    ``split_label`` hash is applied to the COMPONENT id instead of the
+    row id. Every member inherits its cluster's draw, split fractions
+    stay ~80/10/10 over clusters, and the assignment is stable under
+    re-runs and incremental appends (a new member of an existing cluster
+    lands in that cluster's split).
+
+    Scale: inherits near_dup_components' bounds (distributed min-label
+    propagation above the edge bound); the split itself is a narrow
+    per-row expression on the component column -- no extra shuffle.
+    """
+    from .similarity import near_dup_components
+
+    comps = near_dup_components(embeddings, threshold, id_col)
+    return comps.select(
+        F.col(id_col), F.col("component"),
+        split_label("component").alias("split"),
+    ).orderBy(id_col)
+
+
+def self_line_dedup(documents: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """WITHIN-document repeated-line removal (the self-repetition pass of
+    Gopher/RefinedWeb repetition filtering): keep the FIRST occurrence of
+    each line inside a document, drop later verbatim repeats -- templated
+    pages and scraper glitches repeat their own nav/footer/signature
+    blocks many times within one page. Complements ``line_dedup`` (which
+    removes lines repeated ACROSS documents) -- run this first so a
+    100×-self-repeated line can't dominate a document's shingle set.
+
+    Plan: ENTIRELY narrow -- split, order-preserving ``array_distinct``
+    (Spark keeps first-occurrence order), re-join, sizes. One codegen'd
+    projection, zero shuffles, zero UDFs: at 100 TB this is a pure
+    map-side pass that composes with any downstream filter. The DuckDB
+    oracle mirrors it with a min-position group-by (list_distinct's
+    order is not guaranteed there).
+    """
+    ls = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    uniq = F.array_distinct(ls)
+    return documents.select(
+        F.col(id_col),
+        F.concat_ws("\n", uniq).alias("clean_text"),
+        F.size(uniq).cast("int").alias("n_lines_kept"),
+        (F.size(ls) - F.size(uniq)).cast("int").alias("n_lines_removed"),
+    ).orderBy(id_col)
+
+
 def redact_pii(documents: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Redact emails/URLs/phone numbers; count each kind pre-redaction.

@@ -1426,6 +1426,28 @@ def q_boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                           min_doc_freq=10)
 
 
+def q_self_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repeats synthesized from the corpus: a signature line
+    and the opening chunk each appear twice inside every document."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring(F.col("text"), 1, 80),
+            F.lit("SIG sent from my phone"),
+            F.substring(F.col("text"), 81, 80),
+            F.lit("SIG sent from my phone"),
+            F.substring(F.col("text"), 1, 80),
+        ).alias("text"),
+    )
+    return cur.self_line_dedup(d)
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return cur.leakage_safe_split(e, threshold=0.35)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted A-ES corpus sample (top-100, seeded md5 keys)."""
     return cur.weighted_sample(_t(spark, sf_dir, "documents"))
@@ -1611,6 +1633,8 @@ QUERIES: dict[str, QueryFn] = {
     "lateral_top_orders": q_lateral_top_orders,
     "event_props_variant": q_event_props_variant,
     "table_fingerprint": q_table_fingerprint,
+    "self_line_dedup": q_self_line_dedup,
+    "leakage_safe_split": q_leakage_safe_split,
 }
 
 
@@ -4328,4 +4352,60 @@ WITH h AS (
 )
 SELECT source, count(*) AS n_rows, bit_xor(hh) AS fingerprint
 FROM h GROUP BY source ORDER BY source
+"""
+
+
+# order-preserving within-doc distinct: Spark's array_distinct keeps
+# first-occurrence order; DuckDB's list_distinct doesn't guarantee it,
+# so the twin is a min-position group-by + ordered string_agg
+ORACLE_SQL["self_line_dedup"] = """
+WITH synth AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           substring(text, 1, 80),
+           'SIG sent from my phone',
+           substring(text, 81, 80),
+           'SIG sent from my phone',
+           substring(text, 1, 80)) AS text
+  FROM documents
+),
+split AS (
+  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+  FROM synth
+),
+lines AS (
+  SELECT doc_id, unnest(ls) AS line,
+         generate_subscripts(ls, 1) AS pos
+  FROM split
+),
+firsts AS (
+  SELECT doc_id, line, min(pos) AS p
+  FROM lines GROUP BY doc_id, line
+),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS clean_text,
+         count(*) AS n_kept
+  FROM firsts GROUP BY doc_id
+)
+SELECT s.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(coalesce(r.n_kept, 0) AS INT) AS n_lines_kept,
+       CAST(len(s.ls) - coalesce(r.n_kept, 0) AS INT) AS n_lines_removed
+FROM split s LEFT JOIN reb r USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+# composes the recursive-CTE component oracle with the standard
+# deterministic-split hash applied to the COMPONENT id (cluster-atomic
+# split assignment)
+ORACLE_SQL["leakage_safe_split"] = f"""
+SELECT vec_id, component,
+  CASE WHEN substring(md5(CAST(component AS VARCHAR)), 1, 4)
+         < '{cur.TRAIN_MAX}' THEN 'train'
+       WHEN substring(md5(CAST(component AS VARCHAR)), 1, 4)
+         < '{cur.VAL_MAX}' THEN 'val'
+       ELSE 'test' END AS split
+FROM ({ORACLE_SQL["near_dup_components"].replace("ORDER BY vec_id", "")}) c
+ORDER BY vec_id
 """

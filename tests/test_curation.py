@@ -343,3 +343,59 @@ def test_quality_filter_observed_metrics_single_pass(spark, sf_dir):
                 .agg(F.round(F.avg("n_tokens"), 2)).first()[0])
     assert m["avg_tokens"] == want_avg
     assert m["n_kept"] <= m["n_total"]
+
+
+def test_self_line_dedup_keeps_first_occurrence_order(spark):
+    rows = [
+        (1, "alpha\nbeta\nalpha\ngamma\nbeta"),   # repeats out of order
+        (2, "same\nsame\nsame"),                  # all one line
+        (3, "only"),                              # nothing to remove
+        (4, None),                                # null text -> one empty line
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cur.self_line_dedup(docs).collect()}
+    assert out[1]["clean_text"] == "alpha\nbeta\ngamma"
+    assert (out[1]["n_lines_kept"], out[1]["n_lines_removed"]) == (3, 2)
+    assert out[2]["clean_text"] == "same"
+    assert (out[2]["n_lines_kept"], out[2]["n_lines_removed"]) == (1, 2)
+    assert out[3]["clean_text"] == "only"
+    assert out[3]["n_lines_removed"] == 0
+    assert out[4]["clean_text"] == ""
+    assert (out[4]["n_lines_kept"], out[4]["n_lines_removed"]) == (1, 0)
+
+
+def test_self_line_dedup_is_narrow_no_shuffle(spark):
+    """The within-doc pass must stay a pure projection: no Exchange in
+    the physical plan (the 100 TB guarantee the docstring claims)."""
+    docs = spark.createDataFrame([(1, "a\nb\na")], "doc_id long, text string")
+    plan = (cur.self_line_dedup(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan.replace("Exchange rangepartitioning", "")
+
+
+def test_leakage_safe_split_is_cluster_atomic(spark, sf_dir):
+    """No near-dup pair may straddle splits, and every member's split is
+    the hash draw of its component representative."""
+    from automated_review_analysis_pipeline_spark.operators import (
+        similarity as sim,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 150)
+    out = cur.leakage_safe_split(e, threshold=0.35).collect()
+    assert len(out) == e.count()                  # total assignment
+    split_of = {r["vec_id"]: r["split"] for r in out}
+    comp_of = {r["vec_id"]: r["component"] for r in out}
+    pairs = sim.pairwise_cosine_above(e, threshold=0.35).collect()
+    assert pairs, "fixture must contain near-dup pairs"
+    for p in pairs:
+        assert split_of[p["id_a"]] == split_of[p["id_b"]]
+    # the draw is the standard split hash applied to the component id
+    import hashlib
+    for vid, comp in comp_of.items():
+        h = hashlib.md5(str(comp).encode()).hexdigest()[:4]
+        want = ("train" if h < cur.TRAIN_MAX
+                else "val" if h < cur.VAL_MAX else "test")
+        assert split_of[vid] == want, (vid, comp)

@@ -423,6 +423,48 @@ def mix_corpus(documents: DataFrame, weights: dict[str, float],
     )
 
 
+def temperature_mix(documents: DataFrame, alpha: float = 0.3,
+                    group_col: str = "lang",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based corpus rebalancing (the XLM-R/mT5 multilingual
+    sampling rule): with observed group shares p_g, sample mass q_g is
+    proportional to p_g^alpha -- alpha<1 flattens the distribution so
+    low-resource groups are up-weighted RELATIVELY without duplicating
+    rows. Realized as per-group keep fractions normalized so the
+    smallest group keeps everything:  f_g = (n_g / n_min)^(alpha-1),
+    which yields exactly the q_g proportions among survivors.
+
+    Unlike :func:`mix_corpus` (explicit per-source weights), the weights
+    here are DERIVED from the corpus itself -- one tiny count aggregate,
+    broadcast back; the keep decision is the same salted-md5 integer key
+    under a per-group threshold (deterministic across engines, runs, and
+    partitioning). Scale: one group-by on the (low-cardinality) group
+    column + a broadcast join; no row-level shuffle of the corpus.
+    Threshold = round(f_g * 65536) compared against the first-4-hex-digit
+    md5 key as an INTEGER, mirrored digit-for-digit in the SQL oracle.
+    """
+    counts = documents.groupBy(group_col).agg(F.count("*").alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    groups = counts.crossJoin(F.broadcast(nmin)).select(
+        group_col,
+        F.round(
+            F.pow(F.col("__n").cast("double") / F.col("__nmin"),
+                  F.lit(alpha - 1.0)) * 65536
+        ).cast("long").alias("keep_threshold"),
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("tmix:"), F.col(id_col).cast("string"))),
+            1, 4),
+        16, 10).cast("long")
+    return (
+        documents.join(F.broadcast(groups), group_col)
+        .where(key < F.col("keep_threshold"))
+        .select(id_col, group_col, "keep_threshold")
+        .orderBy(id_col)
+    )
+
+
 def mix_case_sql(weights: dict[str, float], default: float = 1.0) -> str:
     """DuckDB twin of mix_corpus's threshold CASE, generated from the
     same dict so the two can never drift."""

@@ -1448,6 +1448,10 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.leakage_safe_split(e, threshold=0.35)
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cur.temperature_mix(_t(spark, sf_dir, "documents"), alpha=0.3)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted A-ES corpus sample (top-100, seeded md5 keys)."""
     return cur.weighted_sample(_t(spark, sf_dir, "documents"))
@@ -1635,6 +1639,7 @@ QUERIES: dict[str, QueryFn] = {
     "table_fingerprint": q_table_fingerprint,
     "self_line_dedup": q_self_line_dedup,
     "leakage_safe_split": q_leakage_safe_split,
+    "temperature_mix": q_temperature_mix,
 }
 
 
@@ -4408,4 +4413,23 @@ SELECT vec_id, component,
        ELSE 'test' END AS split
 FROM ({ORACLE_SQL["near_dup_components"].replace("ORDER BY vec_id", "")}) c
 ORDER BY vec_id
+"""
+
+
+# same arithmetic as cur.temperature_mix(alpha=0.3): keep fraction
+# (n_g/n_min)^(alpha-1) -> integer threshold vs the 4-hex md5 key
+ORACLE_SQL["temperature_mix"] = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS nmin FROM c),
+g AS (
+  SELECT lang,
+         CAST(round(pow(CAST(n AS DOUBLE) / nmin, 0.3 - 1.0) * 65536)
+           AS BIGINT) AS keep_threshold
+  FROM c, m
+)
+SELECT d.doc_id, d.lang, g.keep_threshold
+FROM documents d JOIN g USING (lang)
+WHERE CAST(('0x' || substring(md5('tmix:' || CAST(doc_id AS VARCHAR)),
+                              1, 4)) AS BIGINT) < g.keep_threshold
+ORDER BY d.doc_id
 """

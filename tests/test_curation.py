@@ -399,3 +399,29 @@ def test_leakage_safe_split_is_cluster_atomic(spark, sf_dir):
         want = ("train" if h < cur.TRAIN_MAX
                 else "val" if h < cur.VAL_MAX else "test")
         assert split_of[vid] == want, (vid, comp)
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    """alpha<1 must (a) keep the smallest group whole, (b) down-sample
+    larger groups by ~(n_g/n_min)^(alpha-1), (c) be deterministic."""
+    rows = ([(i, "big") for i in range(4000)]
+            + [(i + 10_000, "mid") for i in range(1000)]
+            + [(i + 20_000, "small") for i in range(100)])
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = cur.temperature_mix(docs, alpha=0.3)
+    kept = out.groupBy("lang").agg(F.count("*").alias("k")).collect()
+    k = {r["lang"]: r["k"] for r in kept}
+    assert k["small"] == 100                       # smallest: all kept
+    # expected keep fractions (n/nmin)^(alpha-1)
+    exp_big = (4000 / 100) ** (0.3 - 1.0)          # ~0.076
+    exp_mid = (1000 / 100) ** (0.3 - 1.0)          # ~0.200
+    assert abs(k["big"] / 4000 - exp_big) < 0.02
+    assert abs(k["mid"] / 1000 - exp_mid) < 0.04
+    # survivors' shares are FLATTER than the raw shares
+    raw_ratio = 4000 / 100
+    new_ratio = k["big"] / k["small"]
+    assert new_ratio < raw_ratio / 5
+    # deterministic: identical survivor set on re-run
+    a = [r["doc_id"] for r in out.collect()]
+    b = [r["doc_id"] for r in cur.temperature_mix(docs, alpha=0.3).collect()]
+    assert a == b

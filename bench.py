@@ -160,6 +160,9 @@ HEADLINE = [
     "lateral_top_orders",
     "event_props_variant",
     "table_fingerprint",
+    "self_line_dedup",
+    "leakage_safe_split",
+    "temperature_mix",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -872,6 +872,107 @@ def hashed_text_vectors(documents: DataFrame, dim: int = 64,
     )
 
 
+def train_quality_classifier(documents: DataFrame, dim: int = 16,
+                             iterations: int = 3, lr: float = 0.5,
+                             target_lang: str = "en",
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """fastText-style linear classifier trained IN the engine (hashing-
+    trick features + batch-gradient logistic regression) and applied back
+    to the corpus -- the "train a cheap classifier on a trusted slice,
+    score everything" curation pattern (CCNet's wiki-reference LM,
+    LLaMA's Wikipedia classifier). Here the supervision is the ``lang``
+    column (y = doc is ``target_lang``), making it a trained language-
+    targeting filter; swapping the label column retargets it to any
+    binary quality signal without touching the training loop.
+
+    Features: signed-tf hashing into ``dim`` buckets (same md5 integer
+    arithmetic as :func:`hashed_text_vectors`), normalized by token
+    count, plus a constant bias feature at index ``dim``. Training:
+    ``iterations`` full-batch GD steps, w <- w - lr * grad/n. The long
+    (doc, j, x) feature table is built once and plan-cached; each step is
+    ONE distributed pass (decimal-summed margins per doc -> sigmoid ->
+    error -> decimal-summed gradient per feature) collecting exactly
+    ``dim+1`` gradient rows to the driver -- the kmeans bounded-collect
+    discipline, never row data. At 100 TB each step is a scan + two hash
+    aggregates over hashed keys; the model state is dim+1 doubles.
+
+    Determinism for the unrolled-CTE oracle: margin and gradient terms
+    round to 9dp and sum through DECIMAL(18,9) (order-independent, the
+    bigram_lm_score convention); sigmoid outputs round to 9dp; the
+    driver-side weight update replicates Spark's HALF_UP rounding via
+    python Decimal. Zero-token docs carry no evidence and are excluded
+    (mirrored in the oracle).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from automated_review_analysis_pipeline_spark.plan_cache import (
+        plan_cache,
+    )
+
+    toks = documents.select(
+        F.col(id_col),
+        (F.col("lang") == target_lang).cast("int").alias("y"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+    ).where(F.col("w") != "")
+    labels = plan_cache(
+        toks.groupBy(id_col, "y").agg(F.count(F.lit(1)).alias("nt")))
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+    sgn = F.when(
+        F.substring(F.md5(F.col("w")), 9, 1)
+        .isin(*"01234567"), F.lit(1)).otherwise(F.lit(-1))
+    sums = (
+        toks.select(F.col(id_col), F.pmod(h, F.lit(dim)).alias("j"),
+                    sgn.alias("sgn"))
+        .groupBy(id_col, "j").agg(F.sum("sgn").alias("val"))
+    )
+    feats = plan_cache(
+        sums.join(labels, id_col)
+        .select(id_col, "j",
+                (F.col("val").cast("double") / F.col("nt")).alias("x"))
+        .unionByName(labels.select(
+            id_col, F.lit(dim).cast("long").alias("j"),
+            F.lit(1.0).alias("x")))
+    )
+    n = labels.count()
+
+    def _r9(v: float) -> float:
+        # Spark F.round semantics: BigDecimal(double).setScale(9, HALF_UP)
+        return float(Decimal(v).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
+    def _margins(w: list[float]) -> DataFrame:
+        warr = F.array(*[F.lit(float(v)) for v in w])
+        term = F.round(F.element_at(warr, F.col("j").cast("int") + 1)
+                       * F.col("x"), 9).cast("decimal(18,9)")
+        return (feats.select(F.col(id_col), term.alias("__t"))
+                .groupBy(id_col)
+                .agg(F.round(F.sum("__t").cast("double"), 9).alias("mg")))
+
+    sigmoid9 = lambda mg: F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-mg)), 9)
+    w = [0.0] * (dim + 1)
+    for _ in range(iterations):
+        err = (_margins(w).join(labels, id_col)
+               .select(F.col(id_col),
+                       (sigmoid9(F.col("mg")) - F.col("y")).alias("err")))
+        grads = (
+            feats.join(err, id_col)
+            .select("j", F.round(F.col("err") * F.col("x"), 9)
+                    .cast("decimal(18,9)").alias("__t"))
+            .groupBy("j").agg(F.sum("__t").cast("double").alias("g"))
+            .collect())
+        gd = {int(r["j"]): float(r["g"]) for r in grads}
+        w = [_r9(w[j] - lr * gd.get(j, 0.0) / n) for j in range(dim + 1)]
+
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("mg"))), 6)
+    return (
+        _margins(w).join(labels, id_col)
+        .select(F.col(id_col), F.col("y"), p.alias("p_target"),
+                (p >= 0.5).cast("int").alias("pred"))
+        .orderBy(id_col)
+    )
+
+
 def bigram_lm_score(documents: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
                     k_smooth: float = 0.5) -> DataFrame:

@@ -1452,6 +1452,10 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.temperature_mix(_t(spark, sf_dir, "documents"), alpha=0.3)
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.train_quality_classifier(_t(spark, sf_dir, "documents"))
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted A-ES corpus sample (top-100, seeded md5 keys)."""
     return cur.weighted_sample(_t(spark, sf_dir, "documents"))
@@ -1640,6 +1644,7 @@ QUERIES: dict[str, QueryFn] = {
     "self_line_dedup": q_self_line_dedup,
     "leakage_safe_split": q_leakage_safe_split,
     "temperature_mix": q_temperature_mix,
+    "quality_classifier": q_quality_classifier,
 }
 
 
@@ -4433,3 +4438,75 @@ WHERE CAST(('0x' || substring(md5('tmix:' || CAST(doc_id AS VARCHAR)),
                               1, 4)) AS BIGINT) < g.keep_threshold
 ORDER BY d.doc_id
 """
+
+
+def _logreg_sql(dim: int = 16, iterations: int = 3, lr: float = 0.5,
+                target_lang: str = "en") -> str:
+    """Unrolled batch-GD twin of ta.train_quality_classifier: iteration
+    count is fixed, so each step is three more CTEs applying the same
+    margin -> sigmoid-error -> gradient -> weight-update recurrence, with
+    every term 9dp-rounded and summed through DECIMAL(18,9) exactly as
+    the Spark side does."""
+    dsum = ("CAST(sum(CAST(round({term}, 9) AS DECIMAL(18,9))) AS DOUBLE)")
+    ctes = [
+        """toks AS (
+  SELECT doc_id, lang, w FROM (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+    FROM documents WHERE trim(coalesce(text, '')) <> '')
+  WHERE w <> '')""",
+        f"""lbl AS (
+  SELECT doc_id, CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END AS y,
+         count(*) AS nt
+  FROM toks GROUP BY doc_id, lang)""",
+        f"""hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT)::BIGINT % {dim}
+           AS j,
+         CASE WHEN substr(md5(w), 9, 1) BETWEEN '0' AND '7'
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks)""",
+        """sums AS (
+  SELECT doc_id, j, sum(sgn) AS val FROM hashed GROUP BY doc_id, j)""",
+        f"""feats AS (
+  SELECT s.doc_id, s.j, CAST(s.val AS DOUBLE) / l.nt AS x
+  FROM sums s JOIN lbl l USING (doc_id)
+  UNION ALL
+  SELECT doc_id, {dim} AS j, 1.0 AS x FROM lbl)""",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM lbl)",
+        f"w0 AS (SELECT CAST(t.j AS BIGINT) AS j, 0.0 AS w "
+        f"FROM range(0, {dim + 1}) t(j))",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""m{i} AS (
+  SELECT f.doc_id, round({dsum.format(term='w.w * f.x')}, 9) AS mg
+  FROM feats f JOIN w{i - 1} w USING (j) GROUP BY f.doc_id)""")
+        ctes.append(
+            f"""e{i} AS (
+  SELECT m.doc_id, round(1.0 / (1.0 + exp(-m.mg)), 9) - l.y AS err
+  FROM m{i} m JOIN lbl l USING (doc_id))""")
+        ctes.append(
+            f"""g{i} AS (
+  SELECT f.j, {dsum.format(term='e.err * f.x')} AS g
+  FROM feats f JOIN e{i} e USING (doc_id) GROUP BY f.j)""")
+        ctes.append(
+            f"""w{i} AS (
+  SELECT w.j,
+         round(w.w - {lr} * coalesce(g.g, 0.0) / (SELECT n FROM nn), 9)
+           AS w
+  FROM w{i - 1} w LEFT JOIN g{i} g USING (j))""")
+    ctes.append(
+        f"""mf AS (
+  SELECT f.doc_id, round({dsum.format(term='w.w * f.x')}, 9) AS mg
+  FROM feats f JOIN w{iterations} w USING (j) GROUP BY f.doc_id)""")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT m.doc_id, l.y,
+       round(1.0 / (1.0 + exp(-m.mg)), 6) AS p_target,
+       CASE WHEN round(1.0 / (1.0 + exp(-m.mg)), 6) >= 0.5
+            THEN 1 ELSE 0 END AS pred
+FROM mf m JOIN lbl l USING (doc_id)
+ORDER BY m.doc_id""")
+
+
+ORACLE_SQL["quality_classifier"] = _logreg_sql()

@@ -163,6 +163,7 @@ HEADLINE = [
     "self_line_dedup",
     "leakage_safe_split",
     "temperature_mix",
+    "quality_classifier",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -980,3 +980,27 @@ def test_table_fingerprint_order_invariant_and_sensitive(spark, sf_dir):
     fx = table_fingerprint(x, ["g"]).first()["fingerprint"]
     fz = table_fingerprint(z, ["g"]).first()["fingerprint"]
     assert fz != fx
+
+
+def test_quality_classifier_learns_separable_labels(spark):
+    """Three GD steps on a linearly separable corpus must (a) score the
+    target class higher on average, (b) beat the majority-class baseline,
+    (c) be deterministic across re-runs."""
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+        train_quality_classifier,
+    )
+
+    rows = ([(i, "the quick brown fox jumps over the lazy dog", "en")
+             for i in range(30)]
+            + [(i + 100, "el rapido zorro marron salta sobre el perro", "es")
+               for i in range(30)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = train_quality_classifier(docs).collect()
+    assert len(out) == 60
+    p_en = [r["p_target"] for r in out if r["y"] == 1]
+    p_es = [r["p_target"] for r in out if r["y"] == 0]
+    assert sum(p_en) / len(p_en) > sum(p_es) / len(p_es)
+    acc = sum(1 for r in out if r["pred"] == r["y"]) / len(out)
+    assert acc > 0.5                                 # beats majority class
+    again = train_quality_classifier(docs).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]

@@ -402,6 +402,38 @@ def sign_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def ann_recall_report(embeddings: DataFrame, queries: DataFrame,
+                      k: int = 5, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """In-engine ANN index evaluation: per-query recall@k of the sign-LSH
+    index against the exact brute-force ranking -- the report a pipeline
+    runs on a SAMPLED query set before trusting an approximate index for
+    production dedup/retrieval at scale. Joins the two top-k lists on
+    (query, neighbor); recall = |approx ∩ exact| / |exact|.
+
+    Cost model: the exact side is the expensive baseline (one corpus
+    scan per evaluation), so this runs over a bounded query sample --
+    the corpus-side plans are exactly cosine_topk's (local top-k per
+    Arrow batch, corpus never shuffles) and sign_lsh_topk's (bucket
+    join). The report itself adds one k·|queries|-row join.
+    """
+    exact = cosine_topk(embeddings, queries, k, id_col, vec_col)
+    approx = sign_lsh_topk(embeddings, queries, k, id_col, vec_col)
+    hits = (approx.select("query_id", "neighbor_id")
+            .withColumn("__hit", F.lit(1)))
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_exact"),
+             F.coalesce(F.sum("__hit"), F.lit(0)).cast("int")
+             .alias("n_hits"))
+        .withColumn("recall",
+                    F.round(F.col("n_hits") / F.col("n_exact"), 4))
+        .orderBy("query_id")
+    )
+
+
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_centroids: int = 16, n_probe: int = 4,

@@ -1456,6 +1456,12 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.train_quality_classifier(_t(spark, sf_dir, "documents"))
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.ann_recall_report(
+        e, e.where(F.col("vec_id") < N_QUERY_VECS), k=TOP_K)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted A-ES corpus sample (top-100, seeded md5 keys)."""
     return cur.weighted_sample(_t(spark, sf_dir, "documents"))
@@ -1645,6 +1651,7 @@ QUERIES: dict[str, QueryFn] = {
     "leakage_safe_split": q_leakage_safe_split,
     "temperature_mix": q_temperature_mix,
     "quality_classifier": q_quality_classifier,
+    "ann_recall": q_ann_recall,
 }
 
 
@@ -4510,3 +4517,22 @@ ORDER BY m.doc_id""")
 
 
 ORACLE_SQL["quality_classifier"] = _logreg_sql()
+
+
+# index evaluation composes the two existing top-k oracles: recall@k =
+# |approx ∩ exact| / |exact| per query
+ORACLE_SQL["ann_recall"] = f"""
+WITH exact AS (SELECT * FROM ({ORACLE_SQL["cosine_topk"]})),
+approx AS (SELECT * FROM ({ORACLE_SQL["sign_lsh_topk"]}))
+SELECT e.query_id,
+       CAST(count(*) AS INT) AS n_exact,
+       CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                              THEN 1 END), 0) AS INT) AS n_hits,
+       round(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                               THEN 1 END), 0)::DOUBLE / count(*), 4)
+         AS recall
+FROM exact e
+LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id ORDER BY e.query_id
+"""

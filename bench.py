@@ -164,6 +164,7 @@ HEADLINE = [
     "leakage_safe_split",
     "temperature_mix",
     "quality_classifier",
+    "ann_recall",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -1004,3 +1004,26 @@ def test_quality_classifier_learns_separable_labels(spark):
     assert acc > 0.5                                 # beats majority class
     again = train_quality_classifier(docs).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_ann_recall_report_bounds_and_consistency(spark, sf_dir):
+    """The in-engine index evaluation must agree with the definition:
+    n_exact = k per query (corpus >> k), 0 <= n_hits <= n_exact, and the
+    recall column is exactly n_hits/n_exact."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators import (
+        similarity as sim,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = sim.ann_recall_report(
+        e, e.where(F.col("vec_id") < 10), k=5).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["n_exact"] == 5
+        assert 0 <= r["n_hits"] <= r["n_exact"]
+        assert abs(r["recall"] - r["n_hits"] / r["n_exact"]) < 1e-9

@@ -1035,3 +1035,37 @@ def bigram_lm_score(documents: DataFrame, text_col: str = "text",
         )
         .orderBy(id_col)
     )
+
+
+def perplexity_filter(documents: DataFrame, quantile: float = 0.9,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Self-calibrating LM-quality cutoff (the CCNet deployment of the
+    perplexity score): score every document with the corpus-trained
+    bigram LM, take the corpus P{quantile} of ``avg_neg_logprob`` as the
+    threshold, and KEEP documents strictly below it -- the worst
+    (1-quantile) tail is dropped without hand-picking an absolute
+    number, so the same pipeline config works on corpora with different
+    base perplexities.
+
+    Plan: the scored table is built once (plan_cached -- it feeds both
+    the threshold aggregate and the filter); the threshold is a 1-row
+    exact-percentile aggregate attached by broadcast crossJoin, so the
+    corpus-side filter stays a narrow predicate. The 6dp rounding on
+    both score and cutoff makes the strict < boundary engine-exact.
+    """
+    from automated_review_analysis_pipeline_spark.plan_cache import (
+        plan_cache,
+    )
+
+    scored = plan_cache(
+        bigram_lm_score(documents, text_col=text_col, id_col=id_col))
+    thr = scored.agg(
+        F.round(F.expr(f"percentile(avg_neg_logprob, {quantile})"), 6)
+        .alias("cutoff"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .where(F.col("avg_neg_logprob") < F.col("cutoff"))
+        .select(F.col(id_col), "avg_neg_logprob", "cutoff")
+        .orderBy(id_col)
+    )

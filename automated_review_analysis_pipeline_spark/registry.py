@@ -1462,6 +1462,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.where(F.col("vec_id") < N_QUERY_VECS), k=TOP_K)
 
 
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.perplexity_filter(_t(spark, sf_dir, "documents"))
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted A-ES corpus sample (top-100, seeded md5 keys)."""
     return cur.weighted_sample(_t(spark, sf_dir, "documents"))
@@ -1652,6 +1656,7 @@ QUERIES: dict[str, QueryFn] = {
     "temperature_mix": q_temperature_mix,
     "quality_classifier": q_quality_classifier,
     "ann_recall": q_ann_recall,
+    "perplexity_filter": q_perplexity_filter,
 }
 
 
@@ -4535,4 +4540,18 @@ FROM exact e
 LEFT JOIN approx a
   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.query_id ORDER BY e.query_id
+"""
+
+
+# self-calibrating cutoff composes the bigram-LM oracle with an exact
+# percentile; quantile_cont = Spark's percentile (linear interpolation)
+# on identical 6dp-rounded scores, so the strict < boundary is exact
+ORACLE_SQL["perplexity_filter"] = f"""
+WITH scored AS (SELECT * FROM ({ORACLE_SQL["bigram_lm_score"]})),
+thr AS (SELECT round(quantile_cont(avg_neg_logprob, 0.9), 6) AS cutoff
+        FROM scored)
+SELECT s.doc_id, s.avg_neg_logprob, t.cutoff
+FROM scored s, thr t
+WHERE s.avg_neg_logprob < t.cutoff
+ORDER BY s.doc_id
 """

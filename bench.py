@@ -165,6 +165,7 @@ HEADLINE = [
     "temperature_mix",
     "quality_classifier",
     "ann_recall",
+    "perplexity_filter",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -1027,3 +1027,27 @@ def test_ann_recall_report_bounds_and_consistency(spark, sf_dir):
         assert r["n_exact"] == 5
         assert 0 <= r["n_hits"] <= r["n_exact"]
         assert abs(r["recall"] - r["n_hits"] / r["n_exact"]) < 1e-9
+
+
+def test_perplexity_filter_drops_worst_tail(spark, sf_dir):
+    """The self-calibrating cutoff must keep ~quantile of scorable docs,
+    every survivor strictly below the cutoff, and the dropped set must be
+    exactly the worst scores."""
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+        bigram_lm_score,
+        perplexity_filter,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = {r["doc_id"]: r["avg_neg_logprob"]
+              for r in bigram_lm_score(docs).collect()}
+    kept = perplexity_filter(docs, quantile=0.9).collect()
+    assert abs(len(kept) - 0.9 * len(scored)) <= 0.02 * len(scored)
+    cutoff = kept[0]["cutoff"]
+    assert all(r["avg_neg_logprob"] < cutoff for r in kept)
+    dropped = set(scored) - {r["doc_id"] for r in kept}
+    worst_kept = max(r["avg_neg_logprob"] for r in kept)
+    assert all(scored[d] >= worst_kept for d in dropped)

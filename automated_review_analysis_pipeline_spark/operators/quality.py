@@ -93,3 +93,55 @@ def table_fingerprint(df: DataFrame, group_cols: list[str],
         )
         .orderBy(*group_cols)
     )
+
+
+def psi_drift(documents: DataFrame, value_col: str = "n_chars",
+              n_bins: int = 10, bin_width: int = 200) -> DataFrame:
+    """Population Stability Index between the train and test splits of a
+    corpus -- the standard production drift monitor: bucketize a numeric
+    signal into equi-width bins, compare the two bin-share distributions,
+    and report each bin's contribution psi = (p - q) * ln(p / q). Total
+    PSI (sum of terms) > 0.2 conventionally flags actionable drift; here
+    the reference/current populations are the deterministic hash splits
+    (so on an UNSHIFTED corpus PSI ~ 0, a self-test of the split's
+    uniformity), and retargeting ``documents`` to two time windows or
+    snapshot versions monitors real drift with the same plan.
+
+    Add-half smoothing ((n + 0.5) / (N + 0.5 * B)) keeps empty bins
+    finite without dropping them. Plan: one narrow projection (split
+    hash + bin), one hash aggregate pivoting both sides via conditional
+    sums, then per-bin arithmetic against broadcast totals -- one
+    shuffle on the bin key regardless of corpus size. Terms round to
+    9dp for the cross-engine oracle.
+    """
+    from automated_review_analysis_pipeline_spark.operators.curation import (
+        split_label,
+    )
+
+    binned = documents.select(
+        split_label("doc_id").alias("split"),
+        F.least(F.lit(n_bins - 1),
+                F.floor(F.coalesce(F.col(value_col), F.lit(0)) / bin_width))
+        .cast("int")
+        .alias("bin"),
+    ).where(F.col("split").isin("train", "test"))
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .alias("n_ref"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .alias("n_cur"),
+    )
+    totals = counts.agg(F.sum("n_ref").alias("__tr"),
+                        F.sum("n_cur").alias("__tc"))
+    p = ((F.col("n_ref") + 0.5)
+         / (F.col("__tr") + 0.5 * n_bins))
+    q = ((F.col("n_cur") + 0.5)
+         / (F.col("__tc") + 0.5 * n_bins))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bin", "n_ref", "n_cur",
+            F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )

@@ -1466,6 +1466,14 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.perplexity_filter(_t(spark, sf_dir, "documents"))
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        psi_drift,
+    )
+
+    return psi_drift(_t(spark, sf_dir, "documents"))
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted A-ES corpus sample (top-100, seeded md5 keys)."""
     return cur.weighted_sample(_t(spark, sf_dir, "documents"))
@@ -1657,6 +1665,7 @@ QUERIES: dict[str, QueryFn] = {
     "quality_classifier": q_quality_classifier,
     "ann_recall": q_ann_recall,
     "perplexity_filter": q_perplexity_filter,
+    "psi_drift": q_psi_drift,
 }
 
 
@@ -4554,4 +4563,36 @@ SELECT s.doc_id, s.avg_neg_logprob, t.cutoff
 FROM scored s, thr t
 WHERE s.avg_neg_logprob < t.cutoff
 ORDER BY s.doc_id
+"""
+
+
+# same smoothing arithmetic as quality.psi_drift (add-half over 10 bins,
+# width 200, train-vs-test hash splits)
+ORACLE_SQL["psi_drift"] = f"""
+WITH binned AS (
+  SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                < '{cur.TRAIN_MAX}' THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                < '{cur.VAL_MAX}' THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(least(9, floor(coalesce(n_chars, 0) / 200)) AS INT) AS bin
+  FROM documents
+),
+counts AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_cur
+  FROM binned WHERE split IN ('train', 'test') GROUP BY bin
+),
+tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts)
+SELECT c.bin, c.n_ref, c.n_cur,
+       round(((c.n_ref + 0.5) / (t.tr + 0.5 * 10)
+              - (c.n_cur + 0.5) / (t.tc + 0.5 * 10))
+             * ln(((c.n_ref + 0.5) / (t.tr + 0.5 * 10))
+                  / ((c.n_cur + 0.5) / (t.tc + 0.5 * 10))), 9)
+         AS psi_term
+FROM counts c, tot t
+ORDER BY c.bin
 """

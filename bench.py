@@ -166,6 +166,7 @@ HEADLINE = [
     "quality_classifier",
     "ann_recall",
     "perplexity_filter",
+    "psi_drift",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

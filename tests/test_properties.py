@@ -1051,3 +1051,36 @@ def test_perplexity_filter_drops_worst_tail(spark, sf_dir):
     dropped = set(scored) - {r["doc_id"] for r in kept}
     worst_kept = max(r["avg_neg_logprob"] for r in kept)
     assert all(scored[d] >= worst_kept for d in dropped)
+
+
+def test_psi_drift_small_on_uniform_large_on_shift(spark):
+    """Hash splits of one population must show ~zero PSI (split
+    uniformity self-test); a population whose value distribution differs
+    between the train and test splits must score far above the 0.2
+    actionable-drift convention."""
+    import hashlib
+
+    from automated_review_analysis_pipeline_spark.operators import (
+        curation as cur,
+    )
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        psi_drift,
+    )
+
+    same = spark.createDataFrame(
+        [(i, 100 + (i % 5) * 200) for i in range(4000)],
+        "doc_id long, n_chars long")
+    total = sum(r["psi_term"] for r in psi_drift(same).collect())
+    assert abs(total) < 0.02
+
+    def split_of(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()[:4]
+        return ("train" if h < cur.TRAIN_MAX
+                else "val" if h < cur.VAL_MAX else "test")
+
+    shifted = spark.createDataFrame(
+        [(i, 100 if split_of(i) == "train" else 1500)
+         for i in range(4000)],
+        "doc_id long, n_chars long")
+    total = sum(r["psi_term"] for r in psi_drift(shifted).collect())
+    assert total > 0.5

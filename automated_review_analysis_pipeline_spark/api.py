@@ -91,7 +91,17 @@ def run(
     if os.getenv("OPENAI_API_KEY"):
         classifier = llm_kernel(industry)
     else:
-        classifier = demo_classifier
+        # Demo mode mirrors the reference's optional-import ladder
+        # (survey_analysis.py:41-48, 118-137): VADER when a lexicon is
+        # available (in-engine scorer, functions/vader.py), else the
+        # deterministic tiny-lexicon kernel -- which stays a pure column
+        # expression (the fast, whole-stage-codegen path).
+        from automated_review_analysis_pipeline_spark.operators.classify import (
+            vader_kernel,
+        )
+
+        candidate = vader_kernel()
+        classifier = candidate if candidate.uses_vader else demo_classifier
 
     wide, base_to_display = analyze_wide(
         survey, classifier=classifier, max_chars=max_chars)

@@ -92,10 +92,18 @@ def classify_with_cache(
     classifier: CacheClassifier,
     spark: SparkSession,
     cache_path: str | None = None,
+    max_parallelism: int | None = None,
 ) -> DataFrame:
     """Classify distinct (industry, question, answer) keys, consulting and
     extending the cache table. Returns KEY_COLS + VAL_COLS for every input
-    key. ``keys`` may contain duplicates; they are collapsed first."""
+    key. ``keys`` may contain duplicates; they are collapsed first.
+
+    ``max_parallelism`` bounds API-mode concurrency: the miss set is
+    repartitioned to that many partitions before the classifier UDF, so at
+    most that many concurrent request streams hit the endpoint (the
+    reference's single sequential loop, survey_analysis.py:189-217, is the
+    rate-limit precedent -- ``max_parallelism=1`` reproduces it; None
+    leaves the shuffle-parallelism default)."""
     distinct_keys = keys.select(*KEY_COLS).distinct()
     cache = (
         load_cache(spark, cache_path)
@@ -104,6 +112,8 @@ def classify_with_cache(
     )
 
     misses = distinct_keys.join(cache, KEY_COLS, "left_anti")
+    if max_parallelism is not None:
+        misses = misses.repartition(max_parallelism)
     computed = classifier(misses).select(*KEY_COLS, *VAL_COLS)
 
     if cache_path:
@@ -124,6 +134,7 @@ def classify_column_with_cache(
     answer_col: str,
     classifier: CacheClassifier,
     cache_path: str | None = None,
+    max_parallelism: int | None = None,
 ) -> DataFrame:
     """Attach (sentiment, category) for one answer column via the cache
     rewrite. The join back is a broadcast when the distinct-answer table
@@ -133,7 +144,8 @@ def classify_column_with_cache(
               .withColumn("question", F.lit(question)) \
               .withColumn("answer", F.col(answer_col))
     results = classify_with_cache(
-        keyed.select(*KEY_COLS), classifier, spark, cache_path)
+        keyed.select(*KEY_COLS), classifier, spark, cache_path,
+        max_parallelism=max_parallelism)
     return (
         keyed.join(F.broadcast(results), KEY_COLS, "left")
         .drop("industry", "question", "answer")

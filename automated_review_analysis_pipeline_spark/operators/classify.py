@@ -49,6 +49,22 @@ _FILLER = set(FILLER_VALUES)
 
 RESULT_TYPE = "sentiment string, category string"
 
+# C5 prompt text, byte-identical to the reference's literals
+# (survey_analysis.py:182-187) -- with a real key, classifications must
+# match the reference's, so the wording cannot drift. Pinned by
+# tests/test_llm_kernel.py::test_prompt_text_matches_reference_verbatim.
+SYS_PROMPT = ("You are an expert CRM assistant that analyzes online "
+              "customer feedback.")
+
+
+def build_user_prompt(industry: str, question_text: str, answer: str) -> str:
+    return (
+        "Respond ONLY as JSON with keys 'sentiment' and 'category'.\n"
+        f"Industry: {industry}\nQuestion: {question_text}\nAnswer: {answer}\n"
+        "Sentiment must be one of: Positive, Neutral, Negative, Mixed. "
+        "Category should be 1 to 3 words."
+    )
+
 _NORMALIZE = {"positive": "Positive", "neutral": "Neutral",
               "negative": "Negative", "mixed": "Mixed"}
 
@@ -71,30 +87,41 @@ def _lexicon_sentiment(low: str) -> str:
         "Positive" if p else ("Negative" if n else "Neutral"))
 
 
-def vader_kernel() -> Callable[[str, Column], Column]:
+def vader_kernel(
+    lexicon_dir: str | None = None,
+) -> Callable[[str, Column], Column]:
     """C1: VADER compound >= 0.35 -> Positive; <= -0.35 -> Negative;
-    |score| < 0.35 with a contrast conjunction -> Mixed; else Neutral.
-    vaderSentiment absent -> lexicon fallback (reference behavior)."""
+    |score| < 0.35 with a contrast conjunction -> Mixed; else Neutral
+    (survey_analysis.py:118-129).
+
+    The scorer is the ENGINE'S OWN implementation of the published VADER
+    algorithm (functions/vader.py, score-exact vs vaderSentiment 3.3.2);
+    the word/emoji lexicons load once on the driver -- from
+    ``lexicon_dir``, the ``ARAP_VADER_LEXICON_DIR`` env var, or an
+    installed vaderSentiment package -- and ride the UDF closure to the
+    executors. No lexicon discoverable -> tiny-lexicon fallback, exactly
+    like the reference when its optional import fails (:131-137)."""
+    from automated_review_analysis_pipeline_spark.functions.vader import (
+        build_scorer,
+    )
+
+    scorer = build_scorer(lexicon_dir)
 
     @pandas_udf(RESULT_TYPE)
     def _vader(texts: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-        try:
-            from vaderSentiment.vaderSentiment import SentimentIntensityAnalyzer
-            analyzer = SentimentIntensityAnalyzer()
-        except Exception:
-            analyzer = None
         for batch in texts:
             sents, cats = [], []
             for t in batch.fillna(""):
                 txt = str(t).strip()
                 low = txt.lower()
-                if analyzer is not None:
-                    sc = analyzer.polarity_scores(txt)["compound"]
+                if scorer is not None:
+                    sc = scorer.polarity_scores(txt)["compound"]
                     if sc >= 0.35:
                         s = "Positive"
                     elif sc <= -0.35:
                         s = "Negative"
-                    elif any(w in low for w in CONTRAST_WORDS):
+                    elif any(w in low for w in CONTRAST_WORDS) \
+                            and abs(sc) < 0.35:
                         s = "Mixed"
                     else:
                         s = "Neutral"
@@ -107,6 +134,7 @@ def vader_kernel() -> Callable[[str, Column], Column]:
     def classifier(question_text: str, answer: Column) -> Column:
         return _vader(answer)
 
+    classifier.uses_vader = scorer is not None
     return classifier
 
 
@@ -183,15 +211,6 @@ def llm_kernel(
                     return "Neutral", "No Feedback"
                 if client is None:
                     return "Neutral", "No Feedback"
-                prompt = (
-                    "You are an expert CRM assistant analyzing customer "
-                    "survey feedback.\n"
-                    f"Industry: {industry}\n"
-                    f"Question: {question_text}\n"
-                    f"Answer: {ans}\n"
-                    "Respond with JSON {\"sentiment\": one of Positive/"
-                    "Neutral/Negative/Mixed, \"category\": 1-3 words}."
-                )
                 delay = base_delay
                 for attempt in range(max_retries):
                     try:
@@ -201,23 +220,28 @@ def llm_kernel(
                             max_tokens=max_tokens,
                             response_format={"type": "json_object"},
                             messages=[
-                                {"role": "system",
-                                 "content": "You are an expert CRM assistant."},
-                                {"role": "user", "content": prompt},
+                                {"role": "system", "content": SYS_PROMPT},
+                                {"role": "user", "content":
+                                 build_user_prompt(industry, question_text,
+                                                   ans)},
                             ],
                         )
-                        data = json.loads(resp.choices[0].message.content)
+                        content = resp.choices[0].message.content or "{}"
+                        data = json.loads(content)
                         sentiment = _normalize_sentiment(
-                            str(data.get("sentiment", "")))
-                        category = str(data.get("category", "")).strip()
-                        return sentiment, category or "No Feedback"
+                            str(data.get("sentiment", "Neutral")))
+                        category = (data.get("category")
+                                    or "No Feedback").strip()
+                        if not category:
+                            category = "No Feedback"
+                        return sentiment, category
                     except Exception as e:
                         if attempt == max_retries - 1:
                             print(f"LLM classify failed after {max_retries} "
                                   f"tries: {e}", file=sys.stderr)
                             return "Neutral", "No Feedback"
-                        time.sleep(min(delay, 8.0 * base_delay))
-                        delay *= 2
+                        time.sleep(delay)
+                        delay = min(delay * 2, 8.0 * base_delay)
                 return "Neutral", "No Feedback"
 
             for batch in texts:
@@ -226,4 +250,7 @@ def llm_kernel(
 
         return _llm(answer)
 
+    # P6: only API-bound text is truncated to max_chars
+    # (survey_analysis.py:264-265); analyze_wide reads this flag
+    classifier.truncate_input = True
     return classifier

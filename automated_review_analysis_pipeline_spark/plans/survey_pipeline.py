@@ -111,8 +111,12 @@ def analyze_wide(
     the triplet {base}_Answer, {base}_Sentiment, {base}_Category in original
     question order. Row count = sum over responses of max(1, #products).
 
-    ``max_chars`` caps the text handed to the classifier (reference P6,
-    survey_analysis.py:265) -- the emitted _Answer column stays uncapped.
+    ``max_chars`` caps ONLY the text handed to classifiers that declare
+    ``truncate_input = True`` (the API kernel) -- reference P6 truncates
+    just the API-bound string (survey_analysis.py:264-265,
+    ``ans_for_api = ans[:max_chars]``) while the demo/VADER path scores
+    the full cleaned answer (:263). The emitted _Answer column is always
+    uncapped, and the cache key uses the full answer (:259).
     """
     questions = [q for q in question_columns(survey) if q != id_col]
     base_to_display = {sanitize_base(q): q for q in questions}
@@ -136,14 +140,16 @@ def analyze_wide(
     # Stage 2: classify from the cleaned ATTRIBUTE (not the regex expr).
     # Filler short-circuit (P3, survey_analysis.py:284-285) skips the
     # classifier -- with a UDF kernel this also skips the Python/API call.
+    truncate = getattr(classifier, "truncate_input", False)
     res_cols = []
     for q, b in zip(questions, bases):
         ans = F.col(f"{b}_Answer")
+        cls_input = F.substring(ans, 1, max_chars) if truncate else ans
         res = F.when(
             is_filler(ans),
             F.struct(F.lit("Neutral").alias("sentiment"),
                      F.lit("No Feedback").alias("category")),
-        ).otherwise(classifier(q, F.substring(ans, 1, max_chars)))
+        ).otherwise(classifier(q, cls_input))
         res_cols.append(res.alias(f"__res_{b}"))
     df = df.select("*", *res_cols)
 

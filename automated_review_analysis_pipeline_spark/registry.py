@@ -2161,9 +2161,9 @@ WITH base AS (
 ), cls AS (
   SELECT doc_id, products, ans,
     CASE WHEN {is_filler_sql('ans')} THEN 'Neutral'
-         ELSE {lexicon_sentiment_sql("substring(ans, 1, 600)")} END AS sentiment,
+         ELSE {lexicon_sentiment_sql("ans")} END AS sentiment,
     CASE WHEN {is_filler_sql('ans')} THEN 'No Feedback'
-         ELSE {keyword_category_sql("substring(ans, 1, 600)")} END AS category
+         ELSE {keyword_category_sql("ans")} END AS category
   FROM cleaned
 ), toks AS (
   SELECT doc_id, ans, sentiment, category,

@@ -136,6 +136,9 @@ def _write_xlsx(out_path: str, cols, per_product, summary_rows,
         name = sanitize_sheet_name(f"Charts - {product}")
         sheets.append(name)
         ws = wb.add_worksheet(name)
+        # bold sheet title in A1 (survey_analysis.py:412)
+        ws.write(0, 0, f"Sentiment Mix per Question — {product}",
+                 wb.add_format({"bold": True}))
         for i, row in enumerate(rows):
             helper_row = 2 + 6 * i
             counts = [row[s] for s in SENTIMENTS]

@@ -109,7 +109,9 @@ class Worksheet:
         # (anchor_row, anchor_col, Chart)
         self.charts: list[tuple[int, int, Chart]] = []
 
-    def write(self, row: int, col: int, value: Any) -> None:
+    def write(self, row: int, col: int, value: Any,
+              fmt: Format | None = None) -> None:
+        # formats affect styling only; cell values are what parity checks
         self.cells[(row, col)] = value
 
     def write_row(self, row: int, col: int, values: list[Any]) -> None:

@@ -293,6 +293,56 @@ def test_workbook_binary_parity_vs_golden(spark, golden, tmp_path):
         assert rng == rt[title][1]              # same helper-cell ranges
 
 
+def test_workbook_full_binary_parity_with_vader(spark, tmp_path):
+    """The COMPLETE golden-workbook gate: with the in-engine VADER kernel
+    (the classifier the golden artifact was actually produced with),
+    every cell of every sheet -- including *_Sentiment columns, the
+    per-sentiment Summary splits, and the pie-chart helper values on the
+    chart sheets -- must match 'Example analysis output.xlsx' exactly.
+    This supersedes the lexicon-path test above (kept, because it pins
+    the fallback branch) by covering the PRIMARY C1 sentiment branch."""
+    import os
+
+    from test_vader import REF_VADER_DIR
+
+    if not os.path.isfile(os.path.join(REF_VADER_DIR, "vader_lexicon.txt")):
+        pytest.skip("reference venv with vaderSentiment lexicon not present")
+
+    from automated_review_analysis_pipeline_spark.operators.classify import (
+        vader_kernel,
+    )
+    from automated_review_analysis_pipeline_spark.sinks.excel import (
+        write_excel_report,
+    )
+    from automated_review_analysis_pipeline_spark.sinks.xlsx_writer import (
+        read_workbook,
+    )
+
+    wide, b2d = analyze_wide(
+        read_survey_csv(spark, CSV_PATH),
+        classifier=vader_kernel(lexicon_dir=REF_VADER_DIR))
+    out = str(tmp_path / "report_vader.xlsx")
+    write_excel_report(wide, out, b2d)
+
+    ours = read_workbook(out)
+    ref = read_workbook("/root/reference/Example analysis output.xlsx")
+    assert list(ours) == list(ref)
+
+    def norm(grid):
+        return [[("" if v is None else v) for v in row] for row in grid]
+
+    diffs = []
+    for name in ref:
+        a, b = norm(ours[name]), norm(ref[name])
+        assert len(a) == len(b), f"{name}: row count {len(a)} != {len(b)}"
+        for i, (ra, rb) in enumerate(zip(a, b)):
+            assert len(ra) == len(rb), f"{name} row {i} width"
+            for j, (va, vb) in enumerate(zip(ra, rb)):
+                if va != vb:
+                    diffs.append((name, i, j, va, vb))
+    assert not diffs, f"{len(diffs)} differing cells; first 10: {diffs[:10]}"
+
+
 def test_responseid_sort_is_lexicographic(ref_outputs):
     """Pin the reference's per-sheet row-order quirk: ResponseID is a
     STRING, so sheet rows sort '1','10','100',...,'2' -- not numerically
@@ -305,27 +355,23 @@ def test_responseid_sort_is_lexicographic(ref_outputs):
     assert ref_order != sorted(ref_order, key=int)  # and NOT numeric
 
 
-def test_vader_branch_parity_when_installed(spark):
-    """C1 real-branch coverage: when vaderSentiment IS importable, our
-    vader_kernel's Pandas-UDF branch must reproduce the reference's
-    _demo_sentiment VADER path (survey_analysis.py:118-137) cell-exactly
-    on every distinct answer of the bundled CSV. Skipped (with the reason
-    recorded) in containers without vaderSentiment, where both engines
-    take the identical lexicon fallback already pinned by the cell-exact
-    golden tests. (Imports the reference separately from the ref_mod
-    fixture, which asserts the ANALYZER-ABSENT state.)"""
-    pytest.importorskip(
-        "vaderSentiment",
-        reason="vaderSentiment not installed: only the lexicon fallback "
-               "is exercisable in this container (documented in "
-               "OPERATORS.md); the fallback path is golden-pinned")
+def test_vader_branch_parity_against_real_reference(spark):
+    """C1 real-branch coverage, no longer skipped: the reference module is
+    loaded WITH the real vaderSentiment (imported from its bundled venv's
+    site-packages) so its _VADER_ANALYZER is live, and our vader_kernel --
+    running the ENGINE'S OWN scorer (functions/vader.py) -- must reproduce
+    the reference's _demo_sentiment VADER path (survey_analysis.py:118-129)
+    cell-exactly on every distinct answer of the bundled CSV. (Imports the
+    reference separately from the ref_mod fixture, which asserts the
+    ANALYZER-ABSENT fallback state; sys.modules is scrubbed afterwards so
+    that fixture still observes a vaderSentiment-free interpreter.)"""
     import importlib.util
+    import os
 
-    spec = importlib.util.spec_from_file_location(
-        "ref_survey_analysis_vader", "/root/reference/survey_analysis.py")
-    ref_mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(ref_mod)
-    assert ref_mod._VADER_ANALYZER is not None
+    from test_vader import REF_VADER_DIR, real_vader_analyzer
+
+    if not os.path.isfile(os.path.join(REF_VADER_DIR, "vader_lexicon.txt")):
+        pytest.skip("reference venv with vaderSentiment lexicon not present")
 
     from pyspark.sql import functions as F
 
@@ -343,11 +389,19 @@ def test_vader_branch_parity_when_installed(spark):
         r["answer"]: r["res"]["sentiment"]
         for r in df.select(
             "answer",
-            vader_kernel()("q", F.col("answer")).alias("res")).collect()
+            vader_kernel(lexicon_dir=REF_VADER_DIR)(
+                "q", F.col("answer")).alias("res")).collect()
     }
-    for a in answers:
-        want = ref_mod._demo_sentiment(a, a.lower())
-        assert ours[a] == want, (a, ours[a], want)
+
+    with real_vader_analyzer():
+        spec = importlib.util.spec_from_file_location(
+            "ref_survey_analysis_vader", "/root/reference/survey_analysis.py")
+        ref_mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_mod)
+        assert ref_mod._VADER_ANALYZER is not None
+        for a in answers:
+            want = ref_mod._demo_sentiment(a, a.lower())
+            assert ours[a] == want, (a, ours[a], want)
 
 
 def test_keyword_category_matches_reference_cache(spark):

@@ -103,6 +103,108 @@ def test_llm_kernel_terminal_failure_default(spark):
     assert r["Q1_Category"] == "No Feedback"
 
 
+def test_prompt_text_matches_reference_verbatim(spark, tmp_path):
+    """C5 parity: the system prompt and user prompt our kernel sends must
+    be BYTE-IDENTICAL to what the reference's call_openai_analyze sends
+    (survey_analysis.py:180-187) for the same (industry, question, answer)
+    -- with a real key, classifications must match the reference's, so the
+    wording cannot drift. Both sides run against recording fake clients;
+    request kwargs (model, temperature, max_tokens, response_format) are
+    compared too."""
+    import importlib.util
+    import json
+
+    industry, question, answer = (
+        "retail", "Overall comments", "The fit was great, shipping slow.")
+
+    # -- reference side: capture what IT sends ------------------------------
+    spec = importlib.util.spec_from_file_location(
+        "ref_survey_analysis_prompt", "/root/reference/survey_analysis.py")
+    ref_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_mod)
+
+    ref_captured = {}
+
+    class _RefResp:
+        def __init__(self):
+            msg = type("M", (), {"content": json.dumps(
+                {"sentiment": "Neutral", "category": "General"})})
+            self.choices = [type("C", (), {"message": msg})]
+
+    class _RefCompletions:
+        def create(self, **kwargs):
+            ref_captured.update(kwargs)
+            return _RefResp()
+
+    ref_client = type("Client", (), {
+        "chat": type("Chat", (), {"completions": _RefCompletions()})()})()
+    ref_mod.call_openai_analyze(industry, question, answer, ref_client)
+
+    # -- engine side: capture what WE send (executor writes to shared fs) --
+    capture_path = str(tmp_path / "captured.json")
+
+    def factory():
+        import json as _json
+
+        class _Resp:
+            def __init__(self):
+                msg = type("M", (), {"content": _json.dumps(
+                    {"sentiment": "Neutral", "category": "General"})})
+                self.choices = [type("C", (), {"message": msg})]
+
+        class _Completions:
+            def create(self, **kwargs):
+                with open(capture_path, "w", encoding="utf-8") as f:
+                    _json.dump(kwargs, f)
+                return _Resp()
+
+        return type("Client", (), {
+            "chat": type("Chat", (), {"completions": _Completions()})()})()
+
+    kernel = llm_kernel(industry, client_factory=factory, base_delay=0.001)
+    rows = [("a@x", "A", "P1", answer)]
+    survey = spark.createDataFrame(rows, ["Email", "Name", "Products",
+                                          question])
+    wide, _ = analyze_wide(survey, classifier=kernel)
+    wide.collect()
+    with open(capture_path, encoding="utf-8") as f:
+        ours = json.load(f)
+
+    assert ours["messages"] == ref_captured["messages"]  # byte-identical
+    for k in ("model", "temperature", "max_tokens", "response_format"):
+        assert ours[k] == ref_captured[k], k
+
+
+def test_classify_stage_respects_max_parallelism(spark):
+    """API-mode concurrency bound: classify_with_cache repartitions the
+    miss set to exactly max_parallelism partitions before the classifier
+    runs (the reference's sequential loop = max_parallelism 1)."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators.cache import (
+        classify_with_cache,
+    )
+
+    keys = spark.createDataFrame(
+        [("retail", "q", f"answer {i}") for i in range(40)],
+        "industry string, question string, answer string")
+
+    observed = {}
+
+    def classifier(misses):
+        observed["partitions"] = misses.rdd.getNumPartitions()
+        return misses.select(
+            "*", F.lit("Neutral").alias("sentiment"),
+            F.lit("General").alias("category"))
+
+    out = classify_with_cache(keys, classifier, spark, max_parallelism=3)
+    assert out.count() == 40
+    assert observed["partitions"] == 3
+
+    classify_with_cache(keys, classifier, spark, max_parallelism=1).count()
+    assert observed["partitions"] == 1
+
+
 def test_llm_kernel_filler_short_circuit_skips_api(spark, tmp_path):
     """Filler answers never reach the client. Spark hoists the UDF into an
     ArrowEvalPython stage that runs for ALL rows, so the cost guard lives

@@ -89,9 +89,17 @@ def leakage_safe_split(embeddings: DataFrame, threshold: float = 0.35,
     ``component`` representative per vector, and the standard
     ``split_label`` hash is applied to the COMPONENT id instead of the
     row id. Every member inherits its cluster's draw, split fractions
-    stay ~80/10/10 over clusters, and the assignment is stable under
-    re-runs and incremental appends (a new member of an existing cluster
-    lands in that cluster's split).
+    stay ~80/10/10 over clusters, and the assignment is deterministic
+    for a given input set. Stability under incremental appends holds
+    ONLY while each cluster's minimum-id member set is unchanged: the
+    component label is the min reachable id, so an appended vector with
+    a smaller id than its cluster's current min -- or one bridging two
+    previously separate clusters -- relabels the component and re-draws
+    the whole cluster's split (possibly moving former eval members into
+    train). Pipelines that append must either re-audit eval membership
+    after each extension or freeze the eval set once drawn; a
+    representative-hash scheme cannot fix this in general, because ANY
+    cluster-derived label changes when clusters merge.
 
     Scale: inherits near_dup_components' bounds (distributed min-label
     propagation above the edge bound); the split itself is a narrow
@@ -442,11 +450,19 @@ def temperature_mix(documents: DataFrame, alpha: float = 0.3,
     column + a broadcast join; no row-level shuffle of the corpus.
     Threshold = round(f_g * 65536) compared against the first-4-hex-digit
     md5 key as an INTEGER, mirrored digit-for-digit in the SQL oracle.
+
+    NULL ``group_col`` values coalesce to the sentinel group
+    ``__null__`` BEFORE counting and joining, so unlabeled documents
+    form their own rebalanced group rather than silently vanishing
+    through the equi-join (the emitted group column carries the
+    sentinel for those rows).
     """
-    counts = documents.groupBy(group_col).agg(F.count("*").alias("__n"))
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    docs = documents.withColumn("__grp", grp)
+    counts = docs.groupBy("__grp").agg(F.count("*").alias("__n"))
     nmin = counts.agg(F.min("__n").alias("__nmin"))
     groups = counts.crossJoin(F.broadcast(nmin)).select(
-        group_col,
+        "__grp",
         F.round(
             F.pow(F.col("__n").cast("double") / F.col("__nmin"),
                   F.lit(alpha - 1.0)) * 65536
@@ -458,9 +474,9 @@ def temperature_mix(documents: DataFrame, alpha: float = 0.3,
             1, 4),
         16, 10).cast("long")
     return (
-        documents.join(F.broadcast(groups), group_col)
+        docs.join(F.broadcast(groups), "__grp")
         .where(key < F.col("keep_threshold"))
-        .select(id_col, group_col, "keep_threshold")
+        .select(id_col, F.col("__grp").alias(group_col), "keep_threshold")
         .orderBy(id_col)
     )
 

@@ -108,11 +108,17 @@ def psi_drift(documents: DataFrame, value_col: str = "n_chars",
     snapshot versions monitors real drift with the same plan.
 
     Add-half smoothing ((n + 0.5) / (N + 0.5 * B)) keeps empty bins
-    finite without dropping them. Plan: one narrow projection (split
-    hash + bin), one hash aggregate pivoting both sides via conditional
-    sums, then per-bin arithmetic against broadcast totals -- one
-    shuffle on the bin key regardless of corpus size. Terms round to
-    9dp for the cross-engine oracle.
+    finite without dropping them, and the output always carries the FULL
+    0..n_bins-1 spine (a static n_bins-row frame left-joined with the
+    observed counts), so the emitted p/q shares sum to 1 and total PSI
+    equals the standard all-bins formula even when some bins are empty
+    in both splits. Values below 0 (or NULL) clamp into bin 0, values
+    past the last edge into bin n_bins-1. Plan: one narrow projection
+    (split hash + bin), one hash aggregate pivoting both sides via
+    conditional sums, a broadcast join against the tiny spine, then
+    per-bin arithmetic against broadcast totals -- one shuffle on the
+    bin key regardless of corpus size. Terms round to 9dp for the
+    cross-engine oracle.
     """
     from automated_review_analysis_pipeline_spark.operators.curation import (
         split_label,
@@ -120,16 +126,26 @@ def psi_drift(documents: DataFrame, value_col: str = "n_chars",
 
     binned = documents.select(
         split_label("doc_id").alias("split"),
-        F.least(F.lit(n_bins - 1),
-                F.floor(F.coalesce(F.col(value_col), F.lit(0)) / bin_width))
+        F.greatest(
+            F.lit(0),
+            F.least(F.lit(n_bins - 1),
+                    F.floor(F.coalesce(F.col(value_col), F.lit(0))
+                            / bin_width)))
         .cast("int")
         .alias("bin"),
     ).where(F.col("split").isin("train", "test"))
-    counts = binned.groupBy("bin").agg(
-        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
-        .alias("n_ref"),
-        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
-        .alias("n_cur"),
+    spine = documents.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin"))
+    counts = (
+        spine.join(
+            binned.groupBy("bin").agg(
+                F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+                .alias("n_ref"),
+                F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+                .alias("n_cur"),
+            ),
+            "bin", "left")
+        .na.fill(0, ["n_ref", "n_cur"])
     )
     totals = counts.agg(F.sum("n_ref").alias("__tr"),
                         F.sum("n_cur").alias("__tc"))

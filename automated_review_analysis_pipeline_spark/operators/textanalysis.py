@@ -876,15 +876,19 @@ def train_quality_classifier(documents: DataFrame, dim: int = 16,
                              iterations: int = 3, lr: float = 0.5,
                              target_lang: str = "en",
                              id_col: str = "doc_id",
-                             text_col: str = "text") -> DataFrame:
+                             text_col: str = "text",
+                             label_col: "str | Column | None" = None
+                             ) -> DataFrame:
     """fastText-style linear classifier trained IN the engine (hashing-
     trick features + batch-gradient logistic regression) and applied back
     to the corpus -- the "train a cheap classifier on a trusted slice,
     score everything" curation pattern (CCNet's wiki-reference LM,
-    LLaMA's Wikipedia classifier). Here the supervision is the ``lang``
+    LLaMA's Wikipedia classifier). Default supervision is the ``lang``
     column (y = doc is ``target_lang``), making it a trained language-
-    targeting filter; swapping the label column retargets it to any
-    binary quality signal without touching the training loop.
+    targeting filter; pass ``label_col`` -- a boolean/0-1 column name or
+    Column expression -- to retarget it to any binary quality signal
+    without touching the training loop (e.g. ``label_col=F.col("score")
+    > 0.8`` trains a high-quality-lookalike scorer).
 
     Features: signed-tf hashing into ``dim`` buckets (same md5 integer
     arithmetic as :func:`hashed_text_vectors`), normalized by token
@@ -910,9 +914,15 @@ def train_quality_classifier(documents: DataFrame, dim: int = 16,
         plan_cache,
     )
 
+    if label_col is None:
+        label = F.col("lang") == target_lang
+    elif isinstance(label_col, str):
+        label = F.col(label_col)
+    else:
+        label = label_col
     toks = documents.select(
         F.col(id_col),
-        (F.col("lang") == target_lang).cast("int").alias("y"),
+        label.cast("int").alias("y"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
     ).where(F.col("w") != "")
     labels = plan_cache(
@@ -1043,16 +1053,20 @@ def perplexity_filter(documents: DataFrame, quantile: float = 0.9,
     """Self-calibrating LM-quality cutoff (the CCNet deployment of the
     perplexity score): score every document with the corpus-trained
     bigram LM, take the corpus P{quantile} of ``avg_neg_logprob`` as the
-    threshold, and KEEP documents strictly below it -- the worst
+    threshold, and KEEP documents at or below it (``<=``) -- the worst
     (1-quantile) tail is dropped without hand-picking an absolute
     number, so the same pipeline config works on corpora with different
-    base perplexities.
+    base perplexities. The inclusive boundary keeps ties WITH the
+    cutoff: on low-entropy corpora where many documents share the
+    cutoff score the kept fraction can exceed ``quantile`` (never
+    collapse below it), and the degenerate all-equal corpus keeps
+    every row rather than zero.
 
     Plan: the scored table is built once (plan_cached -- it feeds both
     the threshold aggregate and the filter); the threshold is a 1-row
     exact-percentile aggregate attached by broadcast crossJoin, so the
     corpus-side filter stays a narrow predicate. The 6dp rounding on
-    both score and cutoff makes the strict < boundary engine-exact.
+    both score and cutoff makes the <= boundary engine-exact.
     """
     from automated_review_analysis_pipeline_spark.plan_cache import (
         plan_cache,
@@ -1065,7 +1079,7 @@ def perplexity_filter(documents: DataFrame, quantile: float = 0.9,
         .alias("cutoff"))
     return (
         scored.crossJoin(F.broadcast(thr))
-        .where(F.col("avg_neg_logprob") < F.col("cutoff"))
+        .where(F.col("avg_neg_logprob") <= F.col("cutoff"))
         .select(F.col(id_col), "avg_neg_logprob", "cutoff")
         .orderBy(id_col)
     )

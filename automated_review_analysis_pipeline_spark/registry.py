@@ -4445,16 +4445,20 @@ ORDER BY vec_id
 # same arithmetic as cur.temperature_mix(alpha=0.3): keep fraction
 # (n_g/n_min)^(alpha-1) -> integer threshold vs the 4-hex md5 key
 ORACLE_SQL["temperature_mix"] = """
-WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+WITH d0 AS (
+  SELECT doc_id, coalesce(CAST(lang AS VARCHAR), '__null__') AS grp
+  FROM documents
+),
+c AS (SELECT grp, count(*) AS n FROM d0 GROUP BY grp),
 m AS (SELECT min(n) AS nmin FROM c),
 g AS (
-  SELECT lang,
+  SELECT grp,
          CAST(round(pow(CAST(n AS DOUBLE) / nmin, 0.3 - 1.0) * 65536)
            AS BIGINT) AS keep_threshold
   FROM c, m
 )
-SELECT d.doc_id, d.lang, g.keep_threshold
-FROM documents d JOIN g USING (lang)
+SELECT d.doc_id, d.grp AS lang, g.keep_threshold
+FROM d0 d JOIN g USING (grp)
 WHERE CAST(('0x' || substring(md5('tmix:' || CAST(doc_id AS VARCHAR)),
                               1, 4)) AS BIGINT) < g.keep_threshold
 ORDER BY d.doc_id
@@ -4561,7 +4565,7 @@ thr AS (SELECT round(quantile_cont(avg_neg_logprob, 0.9), 6) AS cutoff
         FROM scored)
 SELECT s.doc_id, s.avg_neg_logprob, t.cutoff
 FROM scored s, thr t
-WHERE s.avg_neg_logprob < t.cutoff
+WHERE s.avg_neg_logprob <= t.cutoff
 ORDER BY s.doc_id
 """
 
@@ -4575,16 +4579,23 @@ WITH binned AS (
               WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
                 < '{cur.VAL_MAX}' THEN 'val'
               ELSE 'test' END AS split,
-         CAST(least(9, floor(coalesce(n_chars, 0) / 200)) AS INT) AS bin
+         CAST(greatest(0, least(9, floor(coalesce(n_chars, 0) / 200)))
+           AS INT) AS bin
   FROM documents
 ),
-counts AS (
+observed AS (
   SELECT bin,
          CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
            AS BIGINT) AS n_ref,
          CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
            AS BIGINT) AS n_cur
   FROM binned WHERE split IN ('train', 'test') GROUP BY bin
+),
+counts AS (
+  SELECT CAST(s.range AS INT) AS bin,
+         coalesce(o.n_ref, 0) AS n_ref,
+         coalesce(o.n_cur, 0) AS n_cur
+  FROM range(10) s LEFT JOIN observed o ON CAST(s.range AS INT) = o.bin
 ),
 tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts)
 SELECT c.bin, c.n_ref, c.n_cur,

@@ -425,3 +425,17 @@ def test_temperature_mix_flattens_toward_uniform(spark):
     a = [r["doc_id"] for r in out.collect()]
     b = [r["doc_id"] for r in cur.temperature_mix(docs, alpha=0.3).collect()]
     assert a == b
+
+
+def test_temperature_mix_null_group_forms_own_group(spark):
+    """NULL group values must NOT vanish through the equi-join: they
+    coalesce to the '__null__' sentinel and are rebalanced as their own
+    group."""
+    rows = ([(i, "big") for i in range(2000)]
+            + [(i + 10_000, None) for i in range(100)])
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = cur.temperature_mix(docs, alpha=0.3).collect()
+    groups = {r["lang"] for r in out}
+    assert groups == {"big", "__null__"}
+    # the NULL group is the smallest -> kept whole
+    assert sum(1 for r in out if r["lang"] == "__null__") == 100

@@ -1047,10 +1047,81 @@ def test_perplexity_filter_drops_worst_tail(spark, sf_dir):
     kept = perplexity_filter(docs, quantile=0.9).collect()
     assert abs(len(kept) - 0.9 * len(scored)) <= 0.02 * len(scored)
     cutoff = kept[0]["cutoff"]
-    assert all(r["avg_neg_logprob"] < cutoff for r in kept)
+    assert all(r["avg_neg_logprob"] <= cutoff for r in kept)  # ties kept
     dropped = set(scored) - {r["doc_id"] for r in kept}
     worst_kept = max(r["avg_neg_logprob"] for r in kept)
     assert all(scored[d] >= worst_kept for d in dropped)
+
+
+def test_perplexity_filter_degenerate_all_equal_keeps_all(spark):
+    """Every document scoring exactly the cutoff (zero-entropy corpus)
+    must keep ALL rows -- the inclusive <= boundary -- not zero."""
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+        perplexity_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "same words every time") for i in range(50)],
+        "doc_id long, text string")
+    kept = perplexity_filter(docs, quantile=0.9).collect()
+    assert len(kept) == 50
+    assert all(r["avg_neg_logprob"] == kept[0]["cutoff"] for r in kept)
+
+
+def test_psi_drift_emits_full_bin_spine_and_clamps(spark):
+    """All n_bins bins appear even when empty in BOTH splits (so shares
+    sum to 1), and negative/NULL values clamp into bin 0."""
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        psi_drift,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([-500, None, 50, 50, 250, 1_000_000]
+                                      * 40)],
+        "doc_id long, n_chars long")
+    rows = psi_drift(docs, n_bins=10, bin_width=200).collect()
+    assert [r["bin"] for r in rows] == list(range(10))  # full spine
+    by_bin = {r["bin"]: r for r in rows}
+    # -500 and NULL land in bin 0 (clamped), 1e6 in bin 9 (capped)
+    assert by_bin[0]["n_ref"] + by_bin[0]["n_cur"] > 0
+    assert by_bin[9]["n_ref"] + by_bin[9]["n_cur"] > 0
+    # bins 2..8 are empty in both splits but still present with counts 0
+    assert all(by_bin[b]["n_ref"] == 0 and by_bin[b]["n_cur"] == 0
+               for b in range(2, 9))
+    # smoothed shares over the FULL spine sum to 1 on each side
+    tr = sum(r["n_ref"] for r in rows)
+    tc = sum(r["n_cur"] for r in rows)
+    p_sum = sum((r["n_ref"] + 0.5) / (tr + 0.5 * 10) for r in rows)
+    q_sum = sum((r["n_cur"] + 0.5) / (tc + 0.5 * 10) for r in rows)
+    assert abs(p_sum - 1) < 1e-9 and abs(q_sum - 1) < 1e-9
+
+
+def test_quality_classifier_label_col_retargets(spark):
+    """Supervision is parameterizable: label_col as a Column expression
+    must reproduce the default lang-equality labels exactly, and an
+    unrelated binary signal must train without touching the loop."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+        train_quality_classifier,
+    )
+
+    rows = ([(i, "the quick brown fox jumps over the lazy dog", "en")
+             for i in range(20)]
+            + [(i + 100, "el rapido zorro marron salta sobre el perro", "es")
+               for i in range(20)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    default = train_quality_classifier(docs).collect()
+    explicit = train_quality_classifier(
+        docs, label_col=F.col("lang") == "en").collect()
+    assert [tuple(r) for r in default] == [tuple(r) for r in explicit]
+    # retarget: label by id parity -- text is perfectly correlated with
+    # id range here, so the classifier must again separate the classes
+    retarget = train_quality_classifier(
+        docs, label_col=F.col("doc_id") < 100).collect()
+    p1 = [r["p_target"] for r in retarget if r["y"] == 1]
+    p0 = [r["p_target"] for r in retarget if r["y"] == 0]
+    assert sum(p1) / len(p1) > sum(p0) / len(p0)
 
 
 def test_psi_drift_small_on_uniform_large_on_shift(spark):
@@ -1071,7 +1142,10 @@ def test_psi_drift_small_on_uniform_large_on_shift(spark):
         [(i, 100 + (i % 5) * 200) for i in range(4000)],
         "doc_id long, n_chars long")
     total = sum(r["psi_term"] for r in psi_drift(same).collect())
-    assert abs(total) < 0.02
+    # the full 10-bin spine keeps smoothing terms for the 5 empty bins
+    # (train/test totals differ, so those terms are small but nonzero);
+    # still far below the 0.2 actionable-drift convention
+    assert abs(total) < 0.05
 
     def split_of(i):
         h = hashlib.md5(str(i).encode()).hexdigest()[:4]

@@ -337,66 +337,78 @@ def sign_lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
-def _with_signature(df: DataFrame, id_col: str, vec_col: str, alias: str,
-                    planes: list[list[float]]) -> DataFrame:
-    """(id, double-vec, norm, sign-LSH bucket) in ONE numpy pass per Arrow
-    batch: the (batch x dim) @ (dim x planes) matmul computes every plane's
-    sign bit at BLAS speed, where the Column-expression form ran an
-    interpreted 64-element fold per plane per row (8x fold cost dominated
-    sign_lsh_topk's runtime)."""
-    import numpy as np
-    import pandas as pd
-
-    P = np.array(planes, dtype=np.float64).T          # dim x planes
-
-    def sig_batches(batches):
-        for b in batches:
-            if not len(b):
-                continue
-            V = np.array([list(v) for v in b[vec_col]], dtype=np.float64)
-            ids = b[id_col].to_numpy(dtype=np.int64)
-            bits = (V @ P) >= 0
-            yield pd.DataFrame({
-                f"{alias}_id": ids,
-                f"{alias}_vec": list(V),
-                f"{alias}_norm": np.linalg.norm(V, axis=1),
-                "bucket": ["".join("1" if x else "0" for x in row)
-                           for row in bits],
-            })
-
-    schema = (f"{alias}_id long, {alias}_vec array<double>, "
-              f"{alias}_norm double, bucket string")
-    return df.select(id_col, vec_col).mapInPandas(sig_batches, schema)
-
-
 def sign_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   n_planes: int = 8, dim: int = 64) -> DataFrame:
     """Approximate cosine top-k: compare only within matching sign-LSH
     buckets. Recall < 1.0 by construction; tests measure it against
-    cosine_topk. The bucket join replaces the full-corpus scan with a hash
-    join on the signature -- the 100 TB shape. Signatures come from the
-    vectorized numpy kernel; the per-pair cosine stays a JVM-side fold
-    because bucket collisions bound the pair count (~|corpus|/2^planes
-    candidates per query)."""
+    cosine_topk.
+
+    Execution is cosine_topk's single-pass shape restricted to bucket
+    matches: the (small-by-contract) query set is collected, its sign
+    signatures computed once on the driver, and the corpus streams
+    through ONE mapInPandas where a per-batch numpy matmul produces both
+    the corpus sign bits and -- for bucket-colliding (query, corpus-row)
+    groups only -- the normalized similarities, emitting each batch's
+    LOCAL top-k per query in final rank order. A tiny global window
+    merges them. vs the previous two-mapInPandas + broadcast-join +
+    JVM-fold plan this removes the per-pair interpreted 64-element dot
+    (the old hot spot) and a whole Arrow round-trip; the corpus still
+    never shuffles (k rows per query per batch move), which is the
+    100 TB shape -- bucket collisions bound candidates to
+    ~|corpus|/2^planes per query."""
+    import numpy as np
+    import pandas as pd
+
     planes = _hyperplanes(dim, n_planes)
-    corpus = _with_signature(embeddings, id_col, vec_col, "c", planes)
-    qs = _with_signature(queries, id_col, vec_col, "q", planes)
-    sim = dot_product(F.col("q_vec"), F.col("c_vec")) / (
-        F.col("q_norm") * F.col("c_norm")
-    )
+    P = np.array(planes, dtype=np.float64).T          # dim x planes
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    if len(q_rows):
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        q_sig = np.packbits((Q @ P) >= 0, axis=1, bitorder="little")
+        q_key = q_sig[:, 0].astype(np.int64) if n_planes <= 8 else \
+            np.array([bytes(r) for r in q_sig])
+    else:
+        Qn, q_key = Q, np.array([])
+
+    def topk_batches(batches):
+        for b in batches:
+            if not len(b) or not len(q_ids):
+                continue
+            C = np.array([list(v) for v in b[vec_col]], dtype=np.float64)
+            c_ids = b[id_col].to_numpy(dtype=np.int64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            c_sig = np.packbits((C @ P) >= 0, axis=1, bitorder="little")
+            c_key = c_sig[:, 0].astype(np.int64) if n_planes <= 8 else \
+                np.array([bytes(r) for r in c_sig])
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                mask = (c_key == q_key[qi]) & (c_ids != q_ids[qi])
+                cand = np.nonzero(mask)[0]
+                if not len(cand):
+                    continue
+                col = np.round(Cn[cand] @ Qn[qi], 6)
+                order = np.lexsort((c_ids[cand], -col))
+                keep = order[:k]
+                out_q.extend([q_ids[qi]] * len(keep))
+                out_c.extend(c_ids[cand[keep]])
+                out_s.extend(col[keep])
+            yield pd.DataFrame({
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "neighbor_id": pd.Series(out_c, dtype="int64"),
+                "cosine_sim": pd.Series(out_s, dtype="float64"),
+            })
+
+    local = embeddings.select(id_col, vec_col).mapInPandas(
+        topk_batches,
+        "query_id long, neighbor_id long, cosine_sim double")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
     return (
-        corpus.join(broadcast(qs), ["bucket"])
-        .where(F.col("q_id") != F.col("c_id"))
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("neighbor_id"),
-            F.round(sim, 6).alias("cosine_sim"),
-        )
-        .withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )

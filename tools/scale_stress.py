@@ -86,11 +86,34 @@ def replicate_vecs(base: DataFrame, n_vecs: int, dim: int,
         parts.append(base.select(
             (F.col("vec_id") + F.lit(i * n_vecs)).alias("vec_id"),
             F.zip_with(F.col("embedding").cast("array<double>"), signs,
-                       lambda a, b: a * b).alias("embedding")))
+                       lambda a, b: a * b).alias("embedding"),
+            "label"))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.repartition(32).cache()
+
+
+def _incremental_minhash(docs: DataFrame) -> DataFrame:
+    """Store-build + incremental pass over a 20% delta, per scale --
+    times the full lifecycle so super-linearity in EITHER phase shows."""
+    import os
+    import shutil
+    import tempfile
+
+    from automated_review_analysis_pipeline_spark.operators.dedup import (
+        build_signature_table,
+        incremental_minhash_pairs,
+    )
+
+    store = os.path.join(tempfile.gettempdir(),
+                         f"arap_stress_store_{os.getpid()}")
+    shutil.rmtree(store, ignore_errors=True)
+    build_signature_table(docs.where(F.col("doc_id") % 5 != 0), store,
+                          num_hashes=16)
+    return incremental_minhash_pairs(
+        docs.sparkSession, store, docs.where(F.col("doc_id") % 5 == 0),
+        num_hashes=16, bands=4, threshold=0.7, update_store=False)
 
 
 def main() -> None:
@@ -124,6 +147,19 @@ def main() -> None:
             d, n_shards=32),
         "line_dedup (freq>=10)": lambda d, v: cur.line_dedup(
             _synth_multiline(d), min_doc_freq=10),
+        # round-5 extension: the remaining dedup/similarity/curation
+        # family members the 4c sweep did not cover
+        "exact_dedup (lang,source)": lambda d, v: dedup.exact_dedup(
+            d, ["lang", "source"], order_by=["doc_id"]),
+        "near_dup_components (thr 0.8)": lambda d, v:
+            sim.near_dup_components(v, threshold=0.8),
+        "semantic_dedup (thr 0.8)": lambda d, v: sim.semantic_dedup(
+            v, threshold=0.8),
+        "leakage_safe_split (thr 0.8)": lambda d, v:
+            cur.leakage_safe_split(v, threshold=0.8),
+        "curate_corpus": lambda d, v: cur.curate_corpus(d),
+        "incremental_minhash (20% delta)": lambda d, v:
+            _incremental_minhash(d),
     }
     only = set(sys.argv[2:])
     if only:

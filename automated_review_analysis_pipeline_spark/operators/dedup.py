@@ -459,6 +459,8 @@ def ngram_jaccard_pairs(documents: DataFrame, text_col: str = "text",
                                    max_posting_freq)
         # sizes over the SURVIVING shingles, so jaccard stays a true set
         # similarity of the pruned sets (mirrored in the DuckDB oracle)
+        # (measured: plan-caching this table costs MORE than the 3x
+        # recompute at sf0.1 -- materialization isn't free; leave lazy)
         sizes = posts.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     else:
         sizes = d.select(F.col(id_col), F.col("n_sh"))

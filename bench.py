@@ -167,7 +167,17 @@ HEADLINE = [
     "ann_recall",
     "perplexity_filter",
     "psi_drift",
+    "media_near_dup",
 ]
+
+# Deliberately NOT in the headline list: the 8 streaming_* drain variants
+# (streaming_hourly/sessions/sliding/minhash_pairs/click_attribution/
+# user_profiles/segment_enrich/incremental_rollup). Each is an
+# availableNow drain whose wall-clock is micro-batch trigger latency, not
+# engine throughput, and each shares its BATCH twin's oracle + kernel --
+# the batch twins are all benched above. The streaming execution path
+# itself stays represented by streaming_dedup and
+# streaming_finalized_sessions (the stateful one).
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 

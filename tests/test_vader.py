@@ -163,6 +163,37 @@ def test_polarity_scores_exact_under_fuzz(scorer):
 
 
 @needs_ref_vader
+def test_polarity_scores_exact_on_hypothesis_unicode(scorer):
+    """Property: on ARBITRARY unicode (astral emoji, exotic whitespace,
+    random codepoints mixed with sentiment/negation/punctuation tokens),
+    our scorer returns the identical dict. Hypothesis shrinks any
+    divergence to a minimal reproducer."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    token = st.one_of(
+        st.sampled_from(["good", "bad", "love", "hate", "not", "but",
+                         "so", "very", "kind", "of", "at", "least",
+                         "GOOD", "BAD", ":)", "!!!", "??"]),
+        st.text(min_size=1, max_size=8),
+        st.text(alphabet=st.characters(min_codepoint=0x1F300,
+                                       max_codepoint=0x1F9FF),
+                min_size=1, max_size=2),
+    )
+    texts = st.lists(token, max_size=12).map(" ".join)
+
+    with real_vader_analyzer() as real:
+
+        @settings(max_examples=300, deadline=None)
+        @given(texts)
+        def check(text):
+            assert scorer.polarity_scores(text) == \
+                real.polarity_scores(text), repr(text)
+
+        check()
+
+
+@needs_ref_vader
 def test_golden_cache_sentiments_reproduced(scorer):
     """The reference's committed demo-run cache (278 entries,
     .analysis_cache.json) pins the sentiment its VADER branch

@@ -160,6 +160,17 @@ def main() -> None:
         "curate_corpus": lambda d, v: cur.curate_corpus(d),
         "incremental_minhash (20% delta)": lambda d, v:
             _incremental_minhash(d),
+        # ANN query family: FIXED 10-query set (replica-0 ids) against the
+        # replicated corpus -- measures corpus-scan/index scaling at
+        # constant query load, the production retrieval shape
+        "cosine_topk (10q, k=5)": lambda d, v: sim.cosine_topk(
+            v, v.where(F.col("vec_id") < 10), k=5),
+        "sign_lsh_topk (10q, k=5)": lambda d, v: sim.sign_lsh_topk(
+            v, v.where(F.col("vec_id") < 10), k=5),
+        "ivf_topk (10q, k=5)": lambda d, v: sim.ivf_topk(
+            v, v.where(F.col("vec_id") < 10), k=5),
+        "pq_topk (10q, k=5)": lambda d, v: sim.pq_topk(
+            v, v.where(F.col("vec_id") < 10), k=5),
     }
     only = set(sys.argv[2:])
     if only:

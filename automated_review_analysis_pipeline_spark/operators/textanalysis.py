@@ -387,6 +387,108 @@ def token_budget_shards(documents: DataFrame, budget: int = 512,
     )
 
 
+def pack_sequences(documents: DataFrame, seq_len: int = 128,
+                   group_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Concat-then-chunk sequence packing: the manifest a pretraining
+    data loader consumes. Within each ``group_col`` stream (ordered by
+    doc_id), documents are conceptually concatenated and cut into
+    fixed-``seq_len``-token training sequences; a document that straddles
+    a cut emits ONE ROW PER SEQUENCE it touches, with exact offsets:
+
+        (group, doc_id, seq_id,
+         doc_offset  -- first token of the doc used by this sequence,
+         seq_offset  -- position of that token inside the sequence,
+         n_in_seq)   -- tokens of the doc in this sequence
+
+    This is the standard packing used for LLM pretraining (concat +
+    chunk, documents cross boundaries); the companion
+    :func:`token_budget_shards` gives the coarser shard assignment.
+    Zero-token documents contribute nothing and are omitted.
+
+    Scale: one hash shuffle on the group key, one window running-sum,
+    then a pure-arithmetic ``sequence()`` explode whose fan-out per doc
+    is ceil(n_tokens/seq_len)+1 at most -- no UDFs, no driver work, and
+    each group's packing is independent (the 100 TB layout: one stream
+    per shard/worker). Deterministic on any cluster: the running sum is
+    exact int64 over the (group, doc_id) order.
+    """
+    from pyspark.sql.window import Window
+
+    n = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy("__grp").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toked = (
+        documents.select(
+            "doc_id", F.col(group_col).alias("__grp"), n.alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id", "__grp", "n_tokens",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            .alias("__before"),
+        )
+    )
+    first_seq = F.floor(F.col("__before") / seq_len)
+    last_seq = F.floor((F.col("__before") + F.col("n_tokens") - 1) / seq_len)
+    seq_start = F.col("seq_id") * seq_len
+    doc_off = F.greatest(F.lit(0), seq_start - F.col("__before"))
+    seq_off = F.greatest(F.lit(0), F.col("__before") - seq_start)
+    n_in = (
+        F.least(seq_start + seq_len, F.col("__before") + F.col("n_tokens"))
+        - F.greatest(seq_start, F.col("__before"))
+    )
+    return (
+        toked.select(
+            "doc_id", "__grp", "n_tokens", "__before",
+            F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"))
+        .select(
+            F.col("__grp").alias(group_col), "doc_id",
+            F.col("seq_id").cast("long").alias("seq_id"),
+            doc_off.cast("long").alias("doc_offset"),
+            seq_off.cast("long").alias("seq_offset"),
+            n_in.cast("long").alias("n_in_seq"),
+        )
+        .orderBy(group_col, "seq_id", "seq_offset", "doc_id")
+    )
+
+
+def pack_sequences_sql(seq_len: int = 128) -> str:
+    """DuckDB twin of :func:`pack_sequences` (same token proxy, same
+    cumsum order, generate_series explode)."""
+    tok = ("CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "
+           "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+    return f"""
+WITH toked AS (
+  SELECT source, doc_id, {tok} AS n_tokens FROM documents
+), nz AS (
+  SELECT * FROM toked WHERE n_tokens > 0
+), cum AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS before_t
+  FROM nz
+), seqs AS (
+  SELECT source, doc_id, n_tokens, before_t,
+         unnest(generate_series(
+           CAST(floor(before_t / {seq_len}) AS BIGINT),
+           CAST(floor((before_t + n_tokens - 1) / {seq_len}) AS BIGINT)))
+           AS seq_id
+  FROM cum
+)
+SELECT source, doc_id, seq_id,
+       greatest(0, seq_id * {seq_len} - before_t) AS doc_offset,
+       greatest(0, before_t - seq_id * {seq_len}) AS seq_offset,
+       least(seq_id * {seq_len} + {seq_len}, before_t + n_tokens)
+         - greatest(seq_id * {seq_len}, before_t) AS n_in_seq
+FROM seqs
+ORDER BY source, seq_id, seq_offset, doc_id
+"""
+
+
 def token_budget_shards_sql(budget: int = 512) -> str:
     """DuckDB twin of :func:`token_budget_shards`."""
     tok = ("CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "

@@ -1090,6 +1090,12 @@ def q_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.token_budget_shards(_t(spark, sf_dir, "documents"))
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk training-sequence manifest (128-token sequences
+    per source stream; straddling docs emit one row per touched seq)."""
+    return ta.pack_sequences(_t(spark, sf_dir, "documents"), seq_len=128)
+
+
 def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.order_value_percentiles(_t(spark, sf_dir, "orders"))
 
@@ -1606,6 +1612,7 @@ QUERIES: dict[str, QueryFn] = {
     "tf_idf_top_terms": q_tf_idf_top_terms,
     "chunk_documents": q_chunk_documents,
     "token_budget_shards": q_token_budget_shards,
+    "pack_sequences": q_pack_sequences,
     "order_value_percentiles": q_order_value_percentiles,
     "totalprice_histogram": q_totalprice_histogram,
     "lineitem_stats": q_lineitem_stats,
@@ -2696,6 +2703,7 @@ ORACLE_SQL["chunk_documents"] = ta.chunk_documents_sql(64, 16)
 
 
 ORACLE_SQL["token_budget_shards"] = ta.token_budget_shards_sql(512)
+ORACLE_SQL["pack_sequences"] = ta.pack_sequences_sql(128)
 
 
 ORACLE_SQL["lineitem_stats"] = """

@@ -168,6 +168,7 @@ HEADLINE = [
     "perplexity_filter",
     "psi_drift",
     "media_near_dup",
+    "pack_sequences",
 ]
 
 # Deliberately NOT in the headline list: the 8 streaming_* drain variants

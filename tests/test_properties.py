@@ -1096,6 +1096,64 @@ def test_psi_drift_emits_full_bin_spine_and_clamps(spark):
     assert abs(p_sum - 1) < 1e-9 and abs(q_sum - 1) < 1e-9
 
 
+def test_pack_sequences_reconstructs_streams(spark, sf_dir):
+    """Concat-then-chunk invariants on real data: (a) per-document rows
+    reconstruct the doc exactly (n_in_seq sums to n_tokens, doc_offsets
+    contiguous from 0); (b) every sequence except each group's last is
+    filled to exactly seq_len with contiguous seq_offsets; (c) straddling
+    docs appear once per touched sequence."""
+    from collections import defaultdict
+
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+        pack_sequences,
+        token_count,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    L = 128
+    rows = pack_sequences(docs, seq_len=L).collect()
+    n_tok = {r["doc_id"]: r["nt"] for r in docs.select(
+        "doc_id", token_count(F.col("text")).alias("nt")).collect()}
+
+    per_doc = defaultdict(list)
+    per_seq = defaultdict(list)
+    for r in rows:
+        per_doc[r["doc_id"]].append(r)
+        per_seq[(r["source"], r["seq_id"])].append(r)
+
+    for doc_id, parts in per_doc.items():
+        parts.sort(key=lambda r: r["doc_offset"])
+        assert parts[0]["doc_offset"] == 0
+        assert sum(p["n_in_seq"] for p in parts) == n_tok[doc_id]
+        off = 0
+        for p in parts:
+            assert p["doc_offset"] == off   # contiguous doc coverage
+            off += p["n_in_seq"]
+        # one row per touched sequence, consecutive seq ids
+        seq_ids = [p["seq_id"] for p in parts]
+        assert seq_ids == list(range(seq_ids[0], seq_ids[0] + len(seq_ids)))
+
+    last_seq = {g: max(s for (gg, s) in per_seq if gg == g)
+                for g in {gg for gg, _ in per_seq}}
+    for (g, s), parts in per_seq.items():
+        parts.sort(key=lambda r: r["seq_offset"])
+        total = sum(p["n_in_seq"] for p in parts)
+        if s < last_seq[g]:
+            assert total == L, (g, s, total)   # full sequence
+        else:
+            assert 0 < total <= L
+        off = 0
+        for p in parts:
+            assert p["seq_offset"] == off      # contiguous fill
+            off += p["n_in_seq"]
+    # zero-token docs are omitted entirely
+    assert all(n_tok[d] > 0 for d in per_doc)
+
+
 def test_quality_classifier_label_col_retargets(spark):
     """Supervision is parameterizable: label_col as a Column expression
     must reproduce the default lang-equality labels exactly, and an

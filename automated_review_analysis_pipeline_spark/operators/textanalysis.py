@@ -589,6 +589,81 @@ GROUP BY ngram ORDER BY n_occurrences DESC, ngram LIMIT {k}
 """
 
 
+def bpe_pair_counts(documents: DataFrame, k: int = 100,
+                    text_col: str = "text") -> DataFrame:
+    """First iteration of BPE tokenizer training at corpus scale:
+    adjacent-symbol-pair frequencies over the corpus, computed on the
+    DISTINCT-WORD frequency table (the classic Sennrich 2016 "work on
+    the vocabulary, weight by word count" optimization -- |distinct
+    words| << |corpus tokens|, which is what makes tokenizer induction
+    on a 100 TB corpus a small job after the word count). Each
+    lowercased word contributes its corpus frequency to every adjacent
+    (symbol, symbol) pair of its character sequence terminated by the
+    '</w>' end-of-word marker; the top pair is the first merge BPE would
+    learn, and re-running after applying merges iterates the algorithm.
+
+    Plan: one partial+final word-count aggregate (the only full-data
+    shuffle), then per-distinct-word pure array arithmetic (substring
+    sequence, no UDF) exploded into a second bounded aggregate keyed by
+    the pair, finished with TakeOrderedAndProject. Deterministic
+    tie-break: (count desc, left asc, right asc).
+    """
+    words = documents.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
+    ).where(F.col("word") != "")
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    n = F.length(F.col("word"))
+    syms = F.concat(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: F.col("word").substr(i, F.lit(1))),
+        F.array(F.lit("</w>")),
+    )
+    staged = wc.select("freq", syms.alias("__syms"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__syms")) - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("__syms"), i).alias("left"),
+            F.element_at(F.col("__syms"), i + 1).alias("right"),
+        ),
+    )
+    return (
+        staged.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.left").alias("left"),
+                 F.col("p.right").alias("right"))
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "left", "right")
+        .limit(k)
+    )
+
+
+def bpe_pair_counts_sql(k: int = 100) -> str:
+    """DuckDB twin of :func:`bpe_pair_counts` (1-based char slicing +
+    list_append end marker)."""
+    toks = tokens_sql("lower(text)")
+    return f"""
+WITH words AS (
+  SELECT unnest({toks}) AS word FROM documents
+), wc AS (
+  SELECT word, count(*) AS freq FROM words WHERE word <> '' GROUP BY word
+), symed AS (
+  SELECT freq,
+         list_append(list_transform(range(1, length(word) + 1),
+                                    i -> word[i:i]), '</w>') AS syms
+  FROM wc
+), pairs AS (
+  SELECT freq,
+         unnest(list_transform(range(1, len(syms)),
+                               i -> {{'left': syms[i],
+                                      'right': syms[i + 1]}})) AS p
+  FROM symed
+)
+SELECT p['left'] AS left, p['right'] AS right,
+       CAST(sum(freq) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY 1, 2
+ORDER BY n_occurrences DESC, "left", "right" LIMIT {k}
+"""
+
+
 def token_freq_score(documents: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Per-document mean corpus-frequency of its tokens -- the integer

@@ -1096,6 +1096,12 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.pack_sequences(_t(spark, sf_dir, "documents"), seq_len=128)
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE-training iteration: corpus-weighted adjacent-symbol pair
+    counts over the distinct-word table, top 100."""
+    return ta.bpe_pair_counts(_t(spark, sf_dir, "documents"), k=100)
+
+
 def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.order_value_percentiles(_t(spark, sf_dir, "orders"))
 
@@ -1613,6 +1619,7 @@ QUERIES: dict[str, QueryFn] = {
     "chunk_documents": q_chunk_documents,
     "token_budget_shards": q_token_budget_shards,
     "pack_sequences": q_pack_sequences,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "order_value_percentiles": q_order_value_percentiles,
     "totalprice_histogram": q_totalprice_histogram,
     "lineitem_stats": q_lineitem_stats,
@@ -2704,6 +2711,7 @@ ORACLE_SQL["chunk_documents"] = ta.chunk_documents_sql(64, 16)
 
 ORACLE_SQL["token_budget_shards"] = ta.token_budget_shards_sql(512)
 ORACLE_SQL["pack_sequences"] = ta.pack_sequences_sql(128)
+ORACLE_SQL["bpe_pair_counts"] = ta.bpe_pair_counts_sql(100)
 
 
 ORACLE_SQL["lineitem_stats"] = """

@@ -169,6 +169,7 @@ HEADLINE = [
     "psi_drift",
     "media_near_dup",
     "pack_sequences",
+    "bpe_pair_counts",
 ]
 
 # Deliberately NOT in the headline list: the 8 streaming_* drain variants

@@ -1154,6 +1154,31 @@ def test_pack_sequences_reconstructs_streams(spark, sf_dir):
     assert all(n_tok[d] > 0 for d in per_doc)
 
 
+def test_bpe_pair_counts_hand_computed(spark):
+    """First BPE iteration on a tiny corpus, checked against the
+    hand-derived Sennrich table: 'low'x3 + 'lower'x1 with </w> markers.
+    Also the mass invariant: total pair count = sum over words of
+    freq * len(word)."""
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+        bpe_pair_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower low"), (2, "Low")], "doc_id long, text string")
+    got = {(r["left"], r["right"]): r["n_occurrences"]
+           for r in bpe_pair_counts(docs, k=50).collect()}
+    assert got == {
+        ("l", "o"): 4, ("o", "w"): 4, ("w", "</w>"): 3,
+        ("w", "e"): 1, ("e", "r"): 1, ("r", "</w>"): 1,
+    }
+    # mass: 3x'low' (len 3) + 1x'lower' (len 5) = 9 + 5 = 14
+    assert sum(got.values()) == 14
+    # the top pair is the first merge BPE would learn, tie-broken
+    # deterministically: ('l','o') before ('o','w') at equal count
+    first = bpe_pair_counts(docs, k=1).collect()[0]
+    assert (first["left"], first["right"]) == ("l", "o")
+
+
 def test_quality_classifier_label_col_retargets(spark):
     """Supervision is parameterizable: label_col as a Column expression
     must reproduce the default lang-equality labels exactly, and an

@@ -14,10 +14,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from automated_review_analysis_pipeline_spark.operators.cache import (
-    KEY_COLS,
-    classify_with_cache,
-)
 from automated_review_analysis_pipeline_spark.operators.classify import llm_kernel
 from automated_review_analysis_pipeline_spark.plans.survey_pipeline import (
     analyze_wide,
@@ -74,13 +70,26 @@ def run(
     cache: str | None = ".analysis_cache_parquet",
     max_chars: int = 600,
     spark: SparkSession | None = None,
+    max_parallelism: int | None = None,
 ) -> DataFrame:
     """CSV in -> classified wide table + Excel(/CSV) report out.
 
     Returns the wide DataFrame (lazy; the sink already collect()ed the
     small aggregates). Demo mode is fully deterministic end-to-end, like
     the reference's zero-spend reviewer path (README.md:32).
-    """
+
+    With a ``cache`` path the memo cache is consulted and extended in
+    BOTH modes, exactly like the reference's get_sent_cat
+    (survey_analysis.py:257-273): distinct non-filler keys anti-join the
+    parquet cache table, only misses reach the classifier, and a
+    migrated reference .analysis_cache.json (import_json_cache)
+    short-circuits every classification it already paid for.
+    ``max_parallelism`` bounds API-mode concurrency; ``cache=None``
+    classifies inline (the reference with caching disabled)."""
+    from automated_review_analysis_pipeline_spark.plans.survey_pipeline import (
+        analyze_wide_cached,
+    )
+
     spark = spark or get_spark(app_name="automated-review-analysis-pipeline")
     survey = read_survey_csv(spark, input_path)
 
@@ -103,8 +112,13 @@ def run(
         candidate = vader_kernel()
         classifier = candidate if candidate.uses_vader else demo_classifier
 
-    wide, base_to_display = analyze_wide(
-        survey, classifier=classifier, max_chars=max_chars)
+    if cache:
+        wide, base_to_display = analyze_wide_cached(
+            survey, classifier, industry, cache, max_chars=max_chars,
+            max_parallelism=max_parallelism)
+    else:
+        wide, base_to_display = analyze_wide(
+            survey, classifier=classifier, max_chars=max_chars)
     write_excel_report(wide, output, base_to_display)
     return wide
 
@@ -119,8 +133,13 @@ def main() -> None:
     p.add_argument("--output", default="data analysis output.xlsx")
     p.add_argument("--cache", default=".analysis_cache_parquet")
     p.add_argument("--max-chars", type=int, default=600)
+    p.add_argument("--max-parallelism", type=int, default=None,
+                   help="bound API-mode concurrency (partitions of the "
+                        "cache-miss classify stage); default: session "
+                        "parallelism")
     args = p.parse_args()
-    run(args.input, args.industry, args.output, args.cache, args.max_chars)
+    run(args.input, args.industry, args.output, args.cache, args.max_chars,
+        max_parallelism=args.max_parallelism)
 
 
 if __name__ == "__main__":

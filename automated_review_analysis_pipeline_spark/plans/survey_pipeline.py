@@ -99,6 +99,39 @@ def with_response_id(df: DataFrame, id_col: str | None = None) -> DataFrame:
     )
 
 
+def _staged_clean(survey: DataFrame, id_col: str | None):
+    """Stage 1 shared by the cached and uncached plans: ResponseID +
+    products column + every question column cleaned once (null -> "nan"
+    first: the reference str()s every cell, survey_analysis.py:283)."""
+    questions = [q for q in question_columns(survey) if q != id_col]
+    base_to_display = {sanitize_base(q): q for q in questions}
+    bases = [sanitize_base(q) for q in questions]
+    products_col = survey.columns[2]
+    df = with_response_id(survey, id_col).select(
+        "ResponseID",
+        products_col,
+        *[clean_text(F.coalesce(F.col(q), F.lit("nan"))).alias(f"{b}_Answer")
+          for q, b in zip(questions, bases)],
+    )
+    return df, questions, bases, products_col, base_to_display
+
+
+def _finalize_wide(df: DataFrame, bases: list[str],
+                   products_col: str) -> DataFrame:
+    """Stage 3 shared by both plans: explode AFTER classification
+    (classify once per response, replicate per product), flatten
+    triplets in question order."""
+    df = explode_products(df, products_col=products_col, out_col="Product")
+    ordered: list[Column] = [F.col("ResponseID"), F.col("Product")]
+    for b in bases:
+        ordered.extend([
+            F.col(f"{b}_Answer"),
+            F.col(f"__res_{b}.sentiment").alias(f"{b}_Sentiment"),
+            F.col(f"__res_{b}.category").alias(f"{b}_Category"),
+        ])
+    return df.select(*ordered)
+
+
 def analyze_wide(
     survey: DataFrame,
     classifier: Classifier = demo_classifier,
@@ -118,24 +151,8 @@ def analyze_wide(
     the full cleaned answer (:263). The emitted _Answer column is always
     uncapped, and the cache key uses the full answer (:259).
     """
-    questions = [q for q in question_columns(survey) if q != id_col]
-    base_to_display = {sanitize_base(q): q for q in questions}
-    bases = [sanitize_base(q) for q in questions]
-    products_col = survey.columns[2]
-
-    df = with_response_id(survey, id_col)
-
-    # Stage 1: clean every question column once (the expensive regex pass).
-    # null -> "nan" first: the reference runs str() over every cell
-    # (survey_analysis.py:283), so NA-parsed cells surface as the literal
-    # "nan" in _Answer (then caught by the filler set). Reproducing the
-    # artifact keeps the wide table cell-identical to the reference.
-    df = df.select(
-        "ResponseID",
-        products_col,
-        *[clean_text(F.coalesce(F.col(q), F.lit("nan"))).alias(f"{b}_Answer")
-          for q, b in zip(questions, bases)],
-    )
+    df, questions, bases, products_col, base_to_display = \
+        _staged_clean(survey, id_col)
 
     # Stage 2: classify from the cleaned ATTRIBUTE (not the regex expr).
     # Filler short-circuit (P3, survey_analysis.py:284-285) skips the
@@ -153,14 +170,77 @@ def analyze_wide(
         res_cols.append(res.alias(f"__res_{b}"))
     df = df.select("*", *res_cols)
 
-    # Stage 3: explode AFTER classification (classify once per response,
-    # replicate per product), then flatten triplets in question order.
-    df = explode_products(df, products_col=products_col, out_col="Product")
-    ordered: list[Column] = [F.col("ResponseID"), F.col("Product")]
-    for b in bases:
-        ordered.extend([
-            F.col(f"{b}_Answer"),
-            F.col(f"__res_{b}.sentiment").alias(f"{b}_Sentiment"),
-            F.col(f"__res_{b}.category").alias(f"{b}_Category"),
-        ])
-    return df.select(*ordered), base_to_display
+    return _finalize_wide(df, bases, products_col), base_to_display
+
+
+def analyze_wide_cached(
+    survey: DataFrame,
+    classifier: Classifier,
+    industry: str,
+    cache_path: str,
+    id_col: str | None = None,
+    max_chars: int = 600,
+    max_parallelism: int | None = None,
+) -> tuple[DataFrame, dict[str, str]]:
+    """analyze_wide with the reference's memo cache wired in (C7,
+    survey_analysis.py:257-273): every distinct non-filler (industry,
+    question-header, answer) key is classified ONCE through the parquet
+    cache table -- anti-join selects the misses, the kernel runs only on
+    those, results append atomically, and the (hit + new) table
+    broadcast-joins back onto the wide frame per question. Filler rows
+    never enter the cache (the reference short-circuits BEFORE
+    get_sent_cat, :284-285), and the cache key carries the FULL cleaned
+    answer while only API-bound text is truncated (:259, :264-265).
+
+    This is the plan the CLI runs when a cache path is configured, in
+    BOTH modes (the reference consults the cache before VADER too) -- a
+    reference user's migrated .analysis_cache.json (import_json_cache)
+    short-circuits every already-paid classification. ``max_parallelism``
+    bounds API-mode concurrency (classify_with_cache repartitions the
+    miss set)."""
+    from automated_review_analysis_pipeline_spark.operators.cache import (
+        KEY_COLS,
+        classify_with_cache,
+    )
+
+    df, questions, bases, products_col, base_to_display = \
+        _staged_clean(survey, id_col)
+    spark = survey.sparkSession
+    truncate = getattr(classifier, "truncate_input", False)
+
+    for q, b in zip(questions, bases):
+        ansc = F.col(f"{b}_Answer")
+        keys = df.select(
+            F.lit(industry).alias("industry"),
+            F.lit(str(q).strip()).alias("question"),
+            ansc.alias("answer"),
+        ).where(~is_filler(F.col("answer")))
+
+        def kernel(misses: DataFrame, _q: str = q) -> DataFrame:
+            inp = F.substring(F.col("answer"), 1, max_chars) \
+                if truncate else F.col("answer")
+            return misses.select(
+                *KEY_COLS, classifier(_q, inp).alias("__r")
+            ).select(
+                *KEY_COLS,
+                F.col("__r.sentiment").alias("sentiment"),
+                F.col("__r.category").alias("category"),
+            )
+
+        res = classify_with_cache(keys, kernel, spark, cache_path,
+                                  max_parallelism=max_parallelism)
+        res_b = res.select(
+            F.col("answer").alias(f"{b}_Answer"),
+            F.col("sentiment").alias(f"__s_{b}"),
+            F.col("category").alias(f"__c_{b}"),
+        )
+        df = df.join(F.broadcast(res_b), f"{b}_Answer", "left")
+        # unmatched = filler (excluded from keys) -> the P3 defaults
+        df = df.withColumn(f"__res_{b}", F.struct(
+            F.coalesce(F.col(f"__s_{b}"), F.lit("Neutral"))
+            .alias("sentiment"),
+            F.coalesce(F.col(f"__c_{b}"), F.lit("No Feedback"))
+            .alias("category"),
+        )).drop(f"__s_{b}", f"__c_{b}")
+
+    return _finalize_wide(df, bases, products_col), base_to_display

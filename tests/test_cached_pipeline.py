@@ -1,0 +1,130 @@
+"""End-to-end memo-cache wiring (C7 in the CLI plan): api.run with a
+cache path must consult and extend the parquet cache exactly like the
+reference's get_sent_cat (survey_analysis.py:257-273) -- in BOTH modes.
+
+The decisive provenance test: import the reference's golden
+.analysis_cache.json (industry 'Apparel', questions Q1..Q5, sentiments
+produced by ITS VADER run) and run the pipeline with the lexicon-fallback
+kernel, which CANNOT produce those sentiments. If every sentiment cell
+still matches the golden workbook, the values demonstrably came from the
+cache -- cache precedence proven by value provenance, not instrumentation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from automated_review_analysis_pipeline_spark.operators.cache import (
+    import_json_cache,
+    load_cache,
+)
+from automated_review_analysis_pipeline_spark.plans.survey_pipeline import (
+    analyze_wide,
+    analyze_wide_cached,
+    demo_classifier,
+)
+from automated_review_analysis_pipeline_spark.sources.survey import (
+    read_survey_csv,
+)
+
+CSV_PATH = "/root/reference/example_survey_large.csv"
+REF_CACHE = "/root/reference/.analysis_cache.json"
+
+
+@pytest.fixture()
+def migrated_cache(spark, tmp_path):
+    path = str(tmp_path / "cache")
+    assert import_json_cache(spark, REF_CACHE, path) == 278
+    return path
+
+
+def test_cached_pipeline_reproduces_reference_vader_cells(
+        spark, migrated_cache):
+    """Fallback kernel + migrated reference cache => the wide table's
+    sentiment cells equal the reference's VADER demo run (cache-sourced:
+    the fallback kernel cannot emit those values), and the cache gains
+    ZERO new entries (the golden cache covers every distinct non-filler
+    key of its own CSV)."""
+    import json
+
+    survey = read_survey_csv(spark, CSV_PATH)
+    wide, b2d = analyze_wide_cached(
+        survey, demo_classifier, "Apparel", migrated_cache)
+    rows = wide.collect()
+
+    golden = {}
+    with open(REF_CACHE, encoding="utf-8") as f:
+        for key, (sent, cat) in json.load(f).items():
+            _, q, ans = key.split("|||", 2)
+            golden[(q, ans)] = (sent, cat)
+
+    from automated_review_analysis_pipeline_spark.functions.text import (
+        FILLER_VALUES,
+    )
+    fillers = set(FILLER_VALUES)
+    checked = 0
+    for r in rows:
+        for base in b2d:
+            ans = r[f"{base}_Answer"]
+            got = (r[f"{base}_Sentiment"], r[f"{base}_Category"])
+            if (ans or "").strip().lower() in fillers:
+                assert got == ("Neutral", "No Feedback")
+            else:
+                assert got == golden[(b2d[base], ans)], (base, ans, got)
+                checked += 1
+    assert checked > 1500   # all non-filler cells came from the cache
+    assert load_cache(spark, migrated_cache).count() == 278  # no growth
+
+
+def test_cached_pipeline_writes_back_misses_and_is_idempotent(
+        spark, tmp_path):
+    """Fresh cache: first run classifies every distinct non-filler key
+    once and appends it; an immediate second run classifies ZERO rows
+    (anti-join idempotence) and returns identical cells."""
+    cache = str(tmp_path / "fresh_cache")
+    survey = read_survey_csv(spark, CSV_PATH)
+
+    calls = {"n": 0}
+
+    def counting_classifier(question_text, answer):
+        calls["n"] += 1   # plan-construction count: once per question
+        return demo_classifier(question_text, answer)
+
+    wide1, _ = analyze_wide_cached(
+        survey, counting_classifier, "Apparel", cache)
+    first = sorted(tuple(r) for r in wide1.collect())
+    n_keys = load_cache(spark, cache).count()
+    assert n_keys == 278   # same distinct key set as the reference's run
+
+    wide2, _ = analyze_wide_cached(
+        survey, counting_classifier, "Apparel", cache)
+    second = sorted(tuple(r) for r in wide2.collect())
+    assert second == first
+    assert load_cache(spark, cache).count() == n_keys  # nothing re-added
+
+
+def test_cached_pipeline_matches_uncached_demo(spark, tmp_path):
+    """With an empty starting cache the cached plan's cells equal plain
+    analyze_wide's (same kernels, same filler short-circuit) -- the cache
+    rewrite changes the execution, never the result."""
+    survey = read_survey_csv(spark, CSV_PATH)
+    cached, _ = analyze_wide_cached(
+        survey, demo_classifier, "Apparel", str(tmp_path / "c2"))
+    plain, _ = analyze_wide(survey, classifier=demo_classifier)
+    a = sorted(tuple(r) for r in cached.collect())
+    b = sorted(tuple(r) for r in plain.collect())
+    assert a == b
+
+
+def test_run_cli_uses_cache(spark, tmp_path, monkeypatch):
+    """api.run with a cache path populates the cache on disk (the S6
+    surface now carries C7, like the reference CLI)."""
+    from automated_review_analysis_pipeline_spark import api
+
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    monkeypatch.delenv("ARAP_VADER_LEXICON_DIR", raising=False)
+    cache = str(tmp_path / "cli_cache")
+    out = str(tmp_path / "report.xlsx")
+    api.run(CSV_PATH, "Apparel", output=out, cache=cache, spark=spark)
+    assert load_cache(spark, cache).count() == 278

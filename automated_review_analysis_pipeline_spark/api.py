@@ -137,7 +137,18 @@ def main() -> None:
                    help="bound API-mode concurrency (partitions of the "
                         "cache-miss classify stage); default: session "
                         "parallelism")
+    p.add_argument("--import-cache", default=None, metavar="JSON",
+                   help="migrate a reference .analysis_cache.json into "
+                        "the parquet cache before running (idempotent)")
     args = p.parse_args()
+    if args.import_cache and args.cache:
+        from automated_review_analysis_pipeline_spark.operators.cache import (
+            import_json_cache,
+        )
+
+        spark = get_spark(app_name="automated-review-analysis-pipeline")
+        n = import_json_cache(spark, args.import_cache, args.cache)
+        print(f"[info] Imported {n} cache entries from {args.import_cache}")
     run(args.input, args.industry, args.output, args.cache, args.max_chars,
         max_parallelism=args.max_parallelism)
 

@@ -87,6 +87,31 @@ def import_json_cache(spark: SparkSession, json_path: str,
     return n
 
 
+def export_json_cache(spark: SparkSession, cache_path: str,
+                      json_path: str) -> int:
+    """Inverse of :func:`import_json_cache`: write the parquet cache
+    table back out in the reference's memo format
+    (``{"industry|||question|||answer": [sentiment, category]}``,
+    survey_analysis.py:154-161, ensure_ascii=False like its save_cache)
+    so a user can carry classifications BACK to the reference script.
+    Keys containing the ``|||`` delimiter are unrepresentable in that
+    format and are skipped (counted out of the return value). The cache
+    is distinct-keys small by construction -- this is a bounded driver
+    collect, same class as the Excel sink."""
+    import json
+
+    rows = load_cache(spark, cache_path).collect()
+    out = {}
+    for r in rows:
+        if any("|||" in (r[c] or "") for c in KEY_COLS):
+            continue
+        key = f"{r['industry']}|||{r['question']}|||{r['answer']}"
+        out[key] = [r["sentiment"], r["category"]]
+    with open(json_path, "w", encoding="utf-8") as f:
+        json.dump(out, f, ensure_ascii=False)
+    return len(out)
+
+
 def classify_with_cache(
     keys: DataFrame,
     classifier: CacheClassifier,

@@ -117,6 +117,27 @@ def test_cached_pipeline_matches_uncached_demo(spark, tmp_path):
     assert a == b
 
 
+def test_cache_json_round_trip(spark, tmp_path):
+    """import -> export reproduces the reference's memo JSON exactly
+    (key set and [sentiment, category] values) -- a porting user can
+    carry classifications in BOTH directions."""
+    import json
+
+    from automated_review_analysis_pipeline_spark.operators.cache import (
+        export_json_cache,
+    )
+
+    cache = str(tmp_path / "rt_cache")
+    assert import_json_cache(spark, REF_CACHE, cache) == 278
+    out_json = str(tmp_path / "exported.json")
+    assert export_json_cache(spark, cache, out_json) == 278
+    with open(REF_CACHE, encoding="utf-8") as f:
+        want = {k: list(v) for k, v in json.load(f).items()}
+    with open(out_json, encoding="utf-8") as f:
+        got = json.load(f)
+    assert got == want
+
+
 def test_run_cli_uses_cache(spark, tmp_path, monkeypatch):
     """api.run with a cache path populates the cache on disk (the S6
     surface now carries C7, like the reference CLI)."""

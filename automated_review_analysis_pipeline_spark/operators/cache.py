@@ -42,12 +42,20 @@ CacheClassifier = Callable[[DataFrame], DataFrame]
 def load_cache(spark: SparkSession, path: str) -> DataFrame:
     """Parquet cache table; missing/empty -> empty frame (the reference
     tolerates a missing/corrupt cache file the same way,
-    survey_analysis.py:145-153)."""
+    survey_analysis.py:145-153).
+
+    Keys are deduplicated on read: two concurrent runs over an empty
+    cache can both classify the same miss set and both append (the
+    reference's JSON dict could never hold duplicate keys; the
+    append-only parquet design can), and a duplicated key would fan out
+    every later broadcast join. One row per key survives, arbitrarily --
+    the same last-write-wins outcome as concurrent reference processes
+    overwriting each other's JSON."""
     try:
         if os.path.isdir(path) and any(
             f.endswith(".parquet") for f in os.listdir(path)
         ):
-            return spark.read.parquet(path)
+            return spark.read.parquet(path).dropDuplicates(KEY_COLS)
     except OSError:
         pass
     return spark.createDataFrame([], CACHE_SCHEMA)
@@ -94,16 +102,19 @@ def export_json_cache(spark: SparkSession, cache_path: str,
     (``{"industry|||question|||answer": [sentiment, category]}``,
     survey_analysis.py:154-161, ensure_ascii=False like its save_cache)
     so a user can carry classifications BACK to the reference script.
-    Keys containing the ``|||`` delimiter are unrepresentable in that
-    format and are skipped (counted out of the return value). The cache
-    is distinct-keys small by construction -- this is a bounded driver
-    collect, same class as the Excel sink."""
+    An ``industry`` or ``question`` containing the ``|||`` delimiter is
+    unrepresentable in that format (the importer splits with
+    maxsplit=2) and is skipped, counted out of the return value; the
+    ANSWER may contain the delimiter freely -- everything after the
+    second separator round-trips verbatim. The cache is distinct-keys
+    small by construction -- this is a bounded driver collect, same
+    class as the Excel sink."""
     import json
 
     rows = load_cache(spark, cache_path).collect()
     out = {}
     for r in rows:
-        if any("|||" in (r[c] or "") for c in KEY_COLS):
+        if any("|||" in (r[c] or "") for c in ("industry", "question")):
             continue
         key = f"{r['industry']}|||{r['question']}|||{r['answer']}"
         out[key] = [r["sentiment"], r["category"]]
@@ -143,9 +154,11 @@ def classify_with_cache(
 
     if cache_path:
         # Atomic append of the miss partition (replaces the reference's
-        # flush-every-200); re-runs then classify zero rows.
+        # flush-every-200); re-runs then classify zero rows. Read back
+        # through load_cache so concurrently-appended duplicate keys
+        # collapse to one row before the join-back.
         computed.write.mode("append").parquet(cache_path)
-        computed = spark.read.parquet(cache_path).join(
+        computed = load_cache(spark, cache_path).join(
             distinct_keys, KEY_COLS, "left_semi")
         return computed
 

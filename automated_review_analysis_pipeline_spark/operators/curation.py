@@ -454,8 +454,13 @@ def temperature_mix(documents: DataFrame, alpha: float = 0.3,
     NULL ``group_col`` values coalesce to the sentinel group
     ``__null__`` BEFORE counting and joining, so unlabeled documents
     form their own rebalanced group rather than silently vanishing
-    through the equi-join (the emitted group column carries the
-    sentinel for those rows).
+    through the equi-join. Two caveats of that representation, by
+    design: the emitted group column is ALWAYS a string (non-string
+    group columns are cast, so the output carries '3' for 3), and a
+    corpus whose group column literally contains the string
+    ``'__null__'`` merges that group with the NULL group -- pre-fill
+    NULLs upstream with a corpus-safe sentinel if that collision is
+    possible.
     """
     grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
     docs = documents.withColumn("__grp", grp)

@@ -205,15 +205,20 @@ def analyze_wide_cached(
 
     df, questions, bases, products_col, base_to_display = \
         _staged_clean(survey, id_col)
+    # keys derive from the PRE-JOIN cleaned frame: classify_with_cache's
+    # eager cache-append executes its key plan, and building question
+    # N's keys from the progressively-joined df would re-run all N-1
+    # prior broadcast joins (O(Q^2) re-execution) just to project one
+    # answer column
+    cleaned = df
     spark = survey.sparkSession
     truncate = getattr(classifier, "truncate_input", False)
 
     for q, b in zip(questions, bases):
-        ansc = F.col(f"{b}_Answer")
-        keys = df.select(
+        keys = cleaned.select(
             F.lit(industry).alias("industry"),
             F.lit(str(q).strip()).alias("question"),
-            ansc.alias("answer"),
+            F.col(f"{b}_Answer").alias("answer"),
         ).where(~is_filler(F.col("answer")))
 
         def kernel(misses: DataFrame, _q: str = q) -> DataFrame:

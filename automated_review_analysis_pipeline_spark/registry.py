@@ -865,7 +865,12 @@ def q_bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "l_extendedprice", "l_discount"),
             t_lines, ["o_orderkey"], 8, sort_by=["o_orderkey"])
 
-    _fixture_once(f"bucketed_{t_orders}", _build)
+    # key includes the Spark applicationId: unlike the other fixtures
+    # (plain files on disk), managed tables live in the per-session
+    # in-memory catalog, so a NEW session in the same process must
+    # rebuild even though the pid matches
+    _fixture_once(
+        f"bucketed_{t_orders}_{spark.sparkContext.applicationId}", _build)
     joined = bucketed_join(spark, t_orders, t_lines, ["o_orderkey"])
     rev = (F.col("l_extendedprice").cast("decimal(12,2)")
            * (F.lit(1).cast("decimal(4,2)")

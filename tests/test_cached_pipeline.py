@@ -138,6 +138,64 @@ def test_cache_json_round_trip(spark, tmp_path):
     assert got == want
 
 
+def test_duplicate_cache_keys_collapse_on_read(spark, tmp_path):
+    """Two concurrent runs can append the same miss set twice (the
+    JSON-dict reference could never hold duplicate keys; append-only
+    parquet can) -- load_cache dedups so the broadcast join-back never
+    fans out and the wide table never duplicates rows."""
+    from automated_review_analysis_pipeline_spark.operators.cache import (
+        CACHE_SCHEMA,
+        classify_with_cache,
+        load_cache,
+    )
+
+    cache = str(tmp_path / "dup_cache")
+    row = [("Apparel", "Q1", "great stuff", "Positive", "Praise")]
+    spark.createDataFrame(row, CACHE_SCHEMA).write.mode("append") \
+        .parquet(cache)
+    spark.createDataFrame(row, CACHE_SCHEMA).write.mode("append") \
+        .parquet(cache)  # simulated concurrent second append
+    assert load_cache(spark, cache).count() == 1
+
+    keys = spark.createDataFrame(
+        [("Apparel", "Q1", "great stuff")],
+        "industry string, question string, answer string")
+    out = classify_with_cache(
+        keys, lambda m: m.selectExpr(
+            "*", "'X' AS sentiment", "'Y' AS category"),
+        spark, cache)
+    assert out.count() == 1   # not fanned out by the duplicate
+
+
+def test_export_keeps_answers_containing_delimiter(spark, tmp_path):
+    """Answers may contain '|||' (the importer splits maxsplit=2) --
+    export must round-trip them, skipping only industry/question
+    delimiter collisions."""
+    import json
+
+    from automated_review_analysis_pipeline_spark.operators.cache import (
+        CACHE_SCHEMA,
+        export_json_cache,
+        import_json_cache,
+    )
+
+    cache = str(tmp_path / "delim_cache")
+    rows = [
+        ("Apparel", "Q1", "great ||| would buy again", "Positive", "P"),
+        ("bad|||industry", "Q1", "x", "Neutral", "C"),   # unrepresentable
+    ]
+    spark.createDataFrame(rows, CACHE_SCHEMA).write.parquet(cache)
+    out_json = str(tmp_path / "x.json")
+    assert export_json_cache(spark, cache, out_json) == 1
+    with open(out_json, encoding="utf-8") as f:
+        got = json.load(f)
+    assert got == {"Apparel|||Q1|||great ||| would buy again":
+                   ["Positive", "P"]}
+    # and the exported form re-imports to the same key
+    cache2 = str(tmp_path / "delim_cache2")
+    assert import_json_cache(spark, out_json, cache2) == 1
+
+
 def test_run_cli_uses_cache(spark, tmp_path, monkeypatch):
     """api.run with a cache path populates the cache on disk (the S6
     surface now carries C7, like the reference CLI)."""

@@ -200,41 +200,76 @@ def analyze_wide_cached(
     miss set)."""
     from automated_review_analysis_pipeline_spark.operators.cache import (
         KEY_COLS,
-        classify_with_cache,
+        load_cache,
+    )
+    from automated_review_analysis_pipeline_spark.plan_cache import (
+        plan_cache,
     )
 
     df, questions, bases, products_col, base_to_display = \
         _staged_clean(survey, id_col)
-    # keys derive from the PRE-JOIN cleaned frame: classify_with_cache's
-    # eager cache-append executes its key plan, and building question
-    # N's keys from the progressively-joined df would re-run all N-1
-    # prior broadcast joins (O(Q^2) re-execution) just to project one
-    # answer column
+    # keys derive from the PRE-JOIN cleaned frame (df before the
+    # result joins below): the eager cache-append executes the key
+    # plan, and threading keys through the progressively-joined frame
+    # would re-run every prior broadcast join inside it (O(Q^2))
     cleaned = df
     spark = survey.sparkSession
     truncate = getattr(classifier, "truncate_input", False)
+    q_names = [str(q).strip() for q in questions]
 
-    for q, b in zip(questions, bases):
-        keys = cleaned.select(
+    # ONE cache pass for all questions (vs one anti-join + append per
+    # question): union the per-question distinct key sets, anti-join the
+    # cache once, run each question's kernel on ITS slice of the
+    # plan-cached miss set (per-question slices, not a when-chain over
+    # UDFs -- Spark evaluates every UDF referenced in a projection for
+    # every row, which would multiply API calls by |questions|), append
+    # the union atomically, and read the combined results back.
+    all_keys = None
+    for qn, b in zip(q_names, bases):
+        k = cleaned.select(
             F.lit(industry).alias("industry"),
-            F.lit(str(q).strip()).alias("question"),
+            F.lit(qn).alias("question"),
             F.col(f"{b}_Answer").alias("answer"),
         ).where(~is_filler(F.col("answer")))
+        all_keys = k if all_keys is None else all_keys.unionByName(k)
+    # ONE distinct over the union (narrow selects feed a single shuffle),
+    # cached: the key set is consumed by the anti-join AND the read-back
+    # semi-join -- uncached it would recompute per consumer
+    all_keys = plan_cache(all_keys.distinct())
 
-        def kernel(misses: DataFrame, _q: str = q) -> DataFrame:
-            inp = F.substring(F.col("answer"), 1, max_chars) \
-                if truncate else F.col("answer")
-            return misses.select(
-                *KEY_COLS, classifier(_q, inp).alias("__r")
-            ).select(
-                *KEY_COLS,
-                F.col("__r.sentiment").alias("sentiment"),
-                F.col("__r.category").alias("category"),
-            )
+    cache = load_cache(spark, cache_path)
+    # repartition bounds BOTH the API concurrency (max_parallelism) and
+    # the task fan-out of the per-question kernel branches below (each
+    # branch scans every partition of the cached miss set, so partition
+    # count multiplies by |questions| in the write job)
+    misses = (
+        all_keys.join(cache, KEY_COLS, "left_anti")
+        .repartition(max_parallelism
+                     or spark.sparkContext.defaultParallelism)
+    )
+    misses = plan_cache(misses)
 
-        res = classify_with_cache(keys, kernel, spark, cache_path,
-                                  max_parallelism=max_parallelism)
-        res_b = res.select(
+    inp = F.substring(F.col("answer"), 1, max_chars) \
+        if truncate else F.col("answer")
+    computed = None
+    for qn in q_names:
+        part = misses.where(F.col("question") == qn).select(
+            *KEY_COLS, classifier(qn, inp).alias("__r")
+        ).select(
+            *KEY_COLS,
+            F.col("__r.sentiment").alias("sentiment"),
+            F.col("__r.category").alias("category"),
+        )
+        computed = part if computed is None else computed.unionByName(part)
+
+    # atomic append of ALL misses (replaces the reference's
+    # flush-every-200); re-runs then classify zero rows
+    computed.write.mode("append").parquet(cache_path)
+    results = plan_cache(
+        load_cache(spark, cache_path).join(all_keys, KEY_COLS, "left_semi"))
+
+    for qn, b in zip(q_names, bases):
+        res_b = results.where(F.col("question") == qn).select(
             F.col("answer").alias(f"{b}_Answer"),
             F.col("sentiment").alias(f"__s_{b}"),
             F.col("category").alias(f"__c_{b}"),

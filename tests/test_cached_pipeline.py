@@ -138,6 +138,66 @@ def test_cache_json_round_trip(spark, tmp_path):
     assert got == want
 
 
+def test_cached_pipeline_with_llm_kernel_bills_only_misses(
+        spark, tmp_path):
+    """THE production path (api.run in API mode with a cache): the LLM
+    kernel must be invoked once per distinct non-filler (question,
+    answer) key -- never per row -- and a second run must make ZERO API
+    calls. Observed via executor-side marker files (local mode shares
+    the filesystem), like the filler short-circuit test."""
+    import os
+
+    from automated_review_analysis_pipeline_spark.operators.classify import (
+        llm_kernel,
+    )
+
+    marker = str(tmp_path / "api_calls")
+    os.makedirs(marker)
+
+    def factory():
+        import json as _json
+        import uuid
+
+        class _Resp:
+            def __init__(self):
+                msg = type("M", (), {"content": _json.dumps(
+                    {"sentiment": "Positive", "category": "General"})})
+                self.choices = [type("C", (), {"message": msg})]
+
+        class _Completions:
+            def create(self, **kwargs):
+                open(os.path.join(marker, uuid.uuid4().hex), "w").close()
+                return _Resp()
+
+        return type("Client", (), {
+            "chat": type("Chat", (), {"completions": _Completions()})()})()
+
+    kernel = llm_kernel("retail", client_factory=factory, base_delay=0.001)
+    # 6 rows, 2 questions; Q1 has 2 distinct non-filler answers (one
+    # repeated 4x), Q2 has 1 distinct answer + fillers
+    rows = [("a@x", "A", "P1", "love it", "fine product"),
+            ("b@x", "B", "P1", "love it", "n/a"),
+            ("c@x", "C", "P1", "love it", "fine product"),
+            ("d@x", "D", "P1", "love it", "none"),
+            ("e@x", "E", "P1", "hate it", "-"),
+            ("f@x", "F", "P1", "n/a", "fine product")]
+    survey = spark.createDataFrame(
+        rows, ["Email", "Name", "Products", "Q1", "Q2"])
+    cache = str(tmp_path / "api_cache")
+
+    wide, _ = analyze_wide_cached(survey, kernel, "retail", cache)
+    got = {(r["Q1_Answer"], r["Q1_Sentiment"]) for r in wide.collect()}
+    assert ("love it", "Positive") in got
+    assert ("n/a", "Neutral") in got          # filler short-circuit
+    # 3 distinct keys billed: Q1 x {love it, hate it}, Q2 x {fine product}
+    assert len(os.listdir(marker)) == 3
+    assert load_cache(spark, cache).count() == 3
+
+    wide2, _ = analyze_wide_cached(survey, kernel, "retail", cache)
+    wide2.collect()
+    assert len(os.listdir(marker)) == 3       # second run: zero API calls
+
+
 def test_duplicate_cache_keys_collapse_on_read(spark, tmp_path):
     """Two concurrent runs can append the same miss set twice (the
     JSON-dict reference could never hold duplicate keys; append-only

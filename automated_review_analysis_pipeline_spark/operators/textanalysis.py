@@ -608,29 +608,8 @@ def bpe_pair_counts(documents: DataFrame, k: int = 100,
     the pair, finished with TakeOrderedAndProject. Deterministic
     tie-break: (count desc, left asc, right asc).
     """
-    words = documents.select(
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
-    ).where(F.col("word") != "")
-    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-    n = F.length(F.col("word"))
-    syms = F.concat(
-        F.transform(F.sequence(F.lit(1), n),
-                    lambda i: F.col("word").substr(i, F.lit(1))),
-        F.array(F.lit("</w>")),
-    )
-    staged = wc.select("freq", syms.alias("__syms"))
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("__syms")) - 1),
-        lambda i: F.struct(
-            F.element_at(F.col("__syms"), i).alias("left"),
-            F.element_at(F.col("__syms"), i + 1).alias("right"),
-        ),
-    )
     return (
-        staged.select("freq", F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.left").alias("left"),
-                 F.col("p.right").alias("right"))
-        .agg(F.sum("freq").alias("n_occurrences"))
+        _pair_counts_from_symbols(_bpe_word_symbols(documents, text_col))
         .orderBy(F.desc("n_occurrences"), "left", "right")
         .limit(k)
     )
@@ -662,6 +641,151 @@ SELECT p['left'] AS left, p['right'] AS right,
 FROM pairs GROUP BY 1, 2
 ORDER BY n_occurrences DESC, "left", "right" LIMIT {k}
 """
+
+
+def _bpe_word_symbols(documents: DataFrame,
+                      text_col: str) -> DataFrame:
+    """(freq, syms) over DISTINCT lowercased words: characters plus the
+    '</w>' end-of-word marker."""
+    words = documents.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
+    ).where(F.col("word") != "")
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    n = F.length(F.col("word"))
+    syms = F.concat(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: F.col("word").substr(i, F.lit(1))),
+        F.array(F.lit("</w>")),
+    )
+    return wc.select("freq", syms.alias("syms"))
+
+
+def _pair_counts_from_symbols(symed: DataFrame) -> DataFrame:
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("syms")) - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("syms"), i).alias("left"),
+            F.element_at(F.col("syms"), i + 1).alias("right"),
+        ),
+    )
+    return (
+        symed.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.left").alias("left"),
+                 F.col("p.right").alias("right"))
+        .agg(F.sum("freq").alias("n_occurrences"))
+    )
+
+
+def _apply_merge(syms_col: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right application of one BPE merge to a symbol
+    sequence: a fold that replaces every adjacent (left, right) with the
+    concatenated token; after a replacement the NEW token is the fold's
+    last element, so overlapping occurrences ('a a a' under (a,a)) merge
+    exactly as the sequential BPE algorithm does."""
+    merged = left + right
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(documents: DataFrame, n_merges: int = 3,
+              text_col: str = "text") -> DataFrame:
+    """The BPE tokenizer TRAINING LOOP in the engine (Sennrich 2016):
+    ``n_merges`` rounds of count-adjacent-pairs -> take the most frequent
+    -> apply the merge to every word's symbol sequence -> recount.
+    Returns the learned merge table (merge_rank, left, right, merged,
+    n_occurrences) -- the artifact a tokenizer builder consumes;
+    :func:`bpe_pair_counts` is this loop's first half, exposed
+    standalone.
+
+    Distributed shape (the kmeans/GD discipline): the word-frequency
+    table is built once (one full-data shuffle) and every round is one
+    bounded aggregate over distinct words plus a ONE-ROW collect (the
+    winning pair); the merge application is a pure array fold
+    (F.aggregate) -- no UDFs, no row data to the driver. Ties break
+    (count desc, left asc, right asc), mirrored in the unrolled-CTE
+    DuckDB oracle, so the learned merges are engine-exact.
+    """
+    from automated_review_analysis_pipeline_spark.plan_cache import (
+        plan_cache,
+    )
+
+    spark = documents.sparkSession
+    symed = plan_cache(_bpe_word_symbols(documents, text_col))
+    learned: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            _pair_counts_from_symbols(symed)
+            .orderBy(F.desc("n_occurrences"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, n = top[0]["left"], top[0]["right"], \
+            top[0]["n_occurrences"]
+        learned.append((rank, left, right, left + right, int(n)))
+        symed = plan_cache(symed.select(
+            "freq", _apply_merge(F.col("syms"), left, right).alias("syms")))
+    return spark.createDataFrame(
+        learned,
+        "merge_rank int, left string, right string, merged string, "
+        "n_occurrences long",
+    ).orderBy("merge_rank")
+
+
+def bpe_train_sql(n_merges: int = 3) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`bpe_train` (the quality-
+    classifier unrolled-GD convention): each round is a pair-count CTE,
+    a 1-row argmax CTE, and a list_reduce merge-application CTE; the
+    lambda captures the round's winning pair as correlated columns."""
+    toks = tokens_sql("lower(text)")
+    parts = [f"""
+WITH words AS (
+  SELECT unnest({toks}) AS word FROM documents
+), wc AS (
+  SELECT word, count(*) AS freq FROM words WHERE word <> '' GROUP BY word
+), s0 AS (
+  SELECT freq,
+         list_append(list_transform(range(1, length(word) + 1),
+                                    i -> word[i:i]), '</w>') AS syms
+  FROM wc
+)"""]
+    for i in range(1, n_merges + 1):
+        prev = f"s{i - 1}"
+        parts.append(f""",
+p{i} AS (
+  SELECT p['l'] AS l, p['r'] AS r, CAST(sum(freq) AS BIGINT) AS n
+  FROM (SELECT freq,
+               unnest(list_transform(range(1, len(syms)),
+                                     j -> {{'l': syms[j],
+                                            'r': syms[j + 1]}})) AS p
+        FROM {prev})
+  GROUP BY 1, 2
+),
+m{i} AS (SELECT l, r, n FROM p{i} ORDER BY n DESC, l, r LIMIT 1),
+s{i} AS (
+  SELECT freq,
+         list_reduce(list_transform(syms, x -> [x]),
+           (acc, s) -> CASE WHEN len(acc) > 0 AND acc[-1] = m{i}.l
+                                 AND s[1] = m{i}.r
+                            THEN list_append(acc[1:-2], m{i}.l || m{i}.r)
+                            ELSE list_concat(acc, s) END) AS syms
+  FROM {prev}, m{i}
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, l AS \"left\", r AS \"right\", "
+        f"l || r AS merged, n AS n_occurrences FROM m{i}"
+        for i in range(1, n_merges + 1))
+    return "".join(parts) + f"\n{selects}\nORDER BY merge_rank\n"
 
 
 def token_freq_score(documents: DataFrame, id_col: str = "doc_id",

@@ -1107,6 +1107,12 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.bpe_pair_counts(_t(spark, sf_dir, "documents"), k=100)
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three full BPE merge rounds (count -> argmax -> apply -> recount);
+    returns the learned merge table."""
+    return ta.bpe_train(_t(spark, sf_dir, "documents"), n_merges=3)
+
+
 def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.order_value_percentiles(_t(spark, sf_dir, "orders"))
 
@@ -1625,6 +1631,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_budget_shards": q_token_budget_shards,
     "pack_sequences": q_pack_sequences,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_train": q_bpe_train,
     "order_value_percentiles": q_order_value_percentiles,
     "totalprice_histogram": q_totalprice_histogram,
     "lineitem_stats": q_lineitem_stats,
@@ -2717,6 +2724,7 @@ ORACLE_SQL["chunk_documents"] = ta.chunk_documents_sql(64, 16)
 ORACLE_SQL["token_budget_shards"] = ta.token_budget_shards_sql(512)
 ORACLE_SQL["pack_sequences"] = ta.pack_sequences_sql(128)
 ORACLE_SQL["bpe_pair_counts"] = ta.bpe_pair_counts_sql(100)
+ORACLE_SQL["bpe_train"] = ta.bpe_train_sql(3)
 
 
 ORACLE_SQL["lineitem_stats"] = """

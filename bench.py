@@ -170,6 +170,7 @@ HEADLINE = [
     "media_near_dup",
     "pack_sequences",
     "bpe_pair_counts",
+    "bpe_train",
 ]
 
 # Deliberately NOT in the headline list: the 8 streaming_* drain variants

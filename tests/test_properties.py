@@ -1179,6 +1179,37 @@ def test_bpe_pair_counts_hand_computed(spark):
     assert (first["left"], first["right"]) == ("l", "o")
 
 
+def test_bpe_train_learns_expected_merges(spark):
+    """Three training rounds on the Sennrich-style corpus: merge 1 is
+    (l,o) [count 4, tie-broken before (o,w)], merge 2 is (lo,w) [the
+    recounted table's top], merge 3 chains to (low, '</w>'). Also the
+    overlapping-merge edge: 'aaa a' under merge (a,a) folds greedily
+    left-to-right."""
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower low"), (2, "Low")], "doc_id long, text string")
+    merges = [(r["merge_rank"], r["left"], r["right"], r["merged"],
+               r["n_occurrences"]) for r in bpe_train(docs, 3).collect()]
+    assert merges == [
+        (1, "l", "o", "lo", 4),
+        (2, "lo", "w", "low", 4),
+        (3, "low", "</w>", "low</w>", 3),
+    ]
+
+    # greedy overlap: 'aaaa' = [a,a,a,a,</w>] -> merge (a,a) applied
+    # left-to-right gives [aa,aa,</w>] (NOT [a,aa,a,..]), so round 2's
+    # candidates are (aa,aa) and (aa,</w>), tied at 2 -- the
+    # deterministic tie-break (left asc, right asc) picks (aa,'</w>')
+    # because '<' sorts before 'a'
+    docs2 = spark.createDataFrame([(1, "aaaa aaaa")],
+                                  "doc_id long, text string")
+    m2 = [(r["left"], r["right"]) for r in bpe_train(docs2, 2).collect()]
+    assert m2 == [("a", "a"), ("aa", "</w>")]
+
+
 def test_quality_classifier_label_col_retargets(spark):
     """Supervision is parameterizable: label_col as a Column expression
     must reproduce the default lang-equality labels exactly, and an

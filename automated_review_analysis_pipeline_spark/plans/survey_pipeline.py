@@ -217,6 +217,12 @@ def analyze_wide_cached(
     truncate = getattr(classifier, "truncate_input", False)
     q_names = [str(q).strip() for q in questions]
 
+    # degenerate survey (no question columns past the 3 fixed ones):
+    # nothing to classify, so skip the cache pass entirely -- mirrors
+    # plain analyze_wide, which loops zero times and finalizes
+    if not q_names:
+        return _finalize_wide(df, bases, products_col), base_to_display
+
     # ONE cache pass for all questions (vs one anti-join + append per
     # question): union the per-question distinct key sets, anti-join the
     # cache once, run each question's kernel on ITS slice of the

@@ -256,6 +256,26 @@ def test_export_keeps_answers_containing_delimiter(spark, tmp_path):
     assert import_json_cache(spark, out_json, cache2) == 1
 
 
+def test_cached_pipeline_degenerate_no_question_columns(spark, tmp_path):
+    """A survey with only the 3 fixed columns (zero questions) must not
+    crash the cached path (it used to AttributeError on the None key
+    union) and must match plain analyze_wide's output on the same
+    input -- and leave the cache untouched."""
+    import os
+
+    survey = spark.createDataFrame(
+        [("a@x", "A", "P1"), ("b@x", "B", "P2")],
+        ["Email", "Name", "Products"])
+    cache = str(tmp_path / "degenerate_cache")
+    cached, b2d = analyze_wide_cached(
+        survey, demo_classifier, "Apparel", cache)
+    plain, _ = analyze_wide(survey, classifier=demo_classifier)
+    assert b2d == {}
+    assert sorted(tuple(r) for r in cached.collect()) == \
+        sorted(tuple(r) for r in plain.collect())
+    assert not os.path.exists(cache)   # no cache pass ran
+
+
 def test_run_cli_uses_cache(spark, tmp_path, monkeypatch):
     """api.run with a cache path populates the cache on disk (the S6
     surface now carries C7, like the reference CLI)."""

@@ -413,16 +413,48 @@ def pack_sequences(documents: DataFrame, seq_len: int = 128,
     per shard/worker). Deterministic on any cluster: the running sum is
     exact int64 over the (group, doc_id) order.
     """
+    n = token_count(F.col(text_col))
+    toked = documents.select(
+        "doc_id", F.col(group_col).alias("__grp"), n.alias("n_tokens"))
+    return _pack_counted(toked, seq_len, group_col)
+
+
+def pack_sequences_bpe(documents: DataFrame, seq_len: int = 128,
+                       n_merges: int = 3, group_col: str = "source",
+                       text_col: str = "text") -> DataFrame:
+    """Token-EXACT sequence packing: :func:`pack_sequences` driven by
+    real BPE token counts from :func:`bpe_encode` (train-then-encode on
+    the same corpus) instead of the whitespace proxy -- the manifest now
+    cuts exactly where the tokenizer's sequences do. Same output schema
+    and reconstruction invariant; zero-BPE-token documents (empty text)
+    contribute nothing, exactly as the proxy's ``n_tokens > 0`` filter.
+
+    Plan: encode's vocab join + per-doc agg feeds the identical window
+    cumsum + arithmetic explode -- the extra cost over the proxy is
+    exactly the encode pass, nothing in the packing changes shape.
+    """
+    enc = bpe_encode(documents, n_merges=n_merges, text_col=text_col)
+    toked = (
+        documents.select("doc_id", F.col(group_col).alias("__grp"))
+        .join(enc.select(
+            "doc_id", F.col("n_bpe_tokens").alias("n_tokens")), "doc_id")
+    )
+    return _pack_counted(toked, seq_len, group_col)
+
+
+def _pack_counted(toked: DataFrame, seq_len: int,
+                  group_col: str) -> DataFrame:
+    """Shared packing tail: (doc_id, __grp, n_tokens) -> the sequence
+    manifest (window cumsum + sequence() explode; see
+    :func:`pack_sequences` for the offset algebra)."""
     from pyspark.sql.window import Window
 
-    n = token_count(F.col(text_col))
     w = (
         Window.partitionBy("__grp").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     toked = (
-        documents.select(
-            "doc_id", F.col(group_col).alias("__grp"), n.alias("n_tokens"))
+        toked
         .where(F.col("n_tokens") > 0)
         .select(
             "doc_id", "__grp", "n_tokens",
@@ -645,8 +677,9 @@ ORDER BY n_occurrences DESC, "left", "right" LIMIT {k}
 
 def _bpe_word_symbols(documents: DataFrame,
                       text_col: str) -> DataFrame:
-    """(freq, syms) over DISTINCT lowercased words: characters plus the
-    '</w>' end-of-word marker."""
+    """(word, freq, syms) over DISTINCT lowercased words: characters plus
+    the '</w>' end-of-word marker. ``word`` rides along so the encoder
+    can join symbol sequences back onto document token streams."""
     words = documents.select(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
     ).where(F.col("word") != "")
@@ -657,7 +690,7 @@ def _bpe_word_symbols(documents: DataFrame,
                     lambda i: F.col("word").substr(i, F.lit(1))),
         F.array(F.lit("</w>")),
     )
-    return wc.select("freq", syms.alias("syms"))
+    return wc.select("word", "freq", syms.alias("syms"))
 
 
 def _pair_counts_from_symbols(symed: DataFrame) -> DataFrame:
@@ -714,11 +747,24 @@ def bpe_train(documents: DataFrame, n_merges: int = 3,
     (count desc, left asc, right asc), mirrored in the unrolled-CTE
     DuckDB oracle, so the learned merges are engine-exact.
     """
+    learned = _train_merges(documents, n_merges, text_col)
+    return documents.sparkSession.createDataFrame(
+        learned,
+        "merge_rank int, left string, right string, merged string, "
+        "n_occurrences long",
+    ).orderBy("merge_rank")
+
+
+def _train_merges(documents: DataFrame, n_merges: int,
+                  text_col: str) -> list[tuple]:
+    """The :func:`bpe_train` loop, returning the learned
+    (rank, left, right, merged, n_occurrences) tuples driver-side --
+    shared with :func:`bpe_encode`, which consumes the merge list as a
+    broadcast-literal expression rather than a DataFrame."""
     from automated_review_analysis_pipeline_spark.plan_cache import (
         plan_cache,
     )
 
-    spark = documents.sparkSession
     symed = plan_cache(_bpe_word_symbols(documents, text_col))
     learned: list[tuple] = []
     for rank in range(1, n_merges + 1):
@@ -735,11 +781,7 @@ def bpe_train(documents: DataFrame, n_merges: int = 3,
         learned.append((rank, left, right, left + right, int(n)))
         symed = plan_cache(symed.select(
             "freq", _apply_merge(F.col("syms"), left, right).alias("syms")))
-    return spark.createDataFrame(
-        learned,
-        "merge_rank int, left string, right string, merged string, "
-        "n_occurrences long",
-    ).orderBy("merge_rank")
+    return learned
 
 
 def bpe_train_sql(n_merges: int = 3) -> str:
@@ -786,6 +828,190 @@ s{i} AS (
         f"l || r AS merged, n AS n_occurrences FROM m{i}"
         for i in range(1, n_merges + 1))
     return "".join(parts) + f"\n{selects}\nORDER BY merge_rank\n"
+
+
+def _apply_merges(syms_col: Column, merges_col: Column) -> Column:
+    """Fold an ORDERED merge table (array<struct<left,right>>) over one
+    symbol sequence: the outer F.aggregate walks merges in rank order,
+    the inner one is :func:`_apply_merge`'s greedy left-to-right pass.
+    One constant-size expression regardless of how many merges were
+    learned -- the merge table travels as a broadcast literal, never as
+    a join."""
+    return F.aggregate(
+        merges_col,
+        syms_col,
+        lambda acc, m: F.aggregate(
+            acc,
+            F.array().cast("array<string>"),
+            lambda a2, s: F.when(
+                (F.size(a2) > 0)
+                & (F.element_at(a2, -1) == m["left"])
+                & (s == m["right"]),
+                F.concat(F.slice(a2, 1, F.size(a2) - 1),
+                         F.array(F.concat(m["left"], m["right"]))),
+            ).otherwise(F.concat(a2, F.array(s))),
+        ),
+    )
+
+
+def bpe_encode(documents: DataFrame, n_merges: int = 3,
+               text_col: str = "text", id_col: str = "doc_id",
+               merges: list[tuple] | None = None) -> DataFrame:
+    """Tokenize the corpus with a learned BPE merge table -- the step a
+    pretraining pipeline actually runs at scale, completing
+    :func:`bpe_train` (which only produces the table). Per document:
+
+        (doc_id, n_bpe_tokens, bpe_tokens)   -- tokens space-joined
+
+    ``merges`` takes a pre-learned list (the tuples
+    :func:`_train_merges` returns / :func:`bpe_train`'s rows); by
+    default the table is trained on the same corpus first.
+
+    Distributed shape (the Sennrich discipline again): merges apply to
+    the DISTINCT-WORD table -- |vocab| array folds, not |corpus| -- via
+    ONE constant-size nested F.aggregate expression carrying the merge
+    list as a broadcast literal. Document token streams then join the
+    encoded vocabulary on the word key (the classic vocab-lookup join;
+    at 100 TB the vocab side is millions of rows -- broadcast it or let
+    AQE pick), and per-doc order is restored by an array_sort over
+    (pos, syms) structs, so no window and no skew beyond the word key's
+    natural zipf (stop words -- salt or broadcast at scale).
+    Zero-token documents emit no row (they have no token events), like
+    :func:`token_freq_score`.
+    """
+    learned = (merges if merges is not None
+               else _train_merges(documents, n_merges, text_col))
+    wordtab = _bpe_word_symbols(documents, text_col)
+    if learned:
+        merge_arr = F.array(*[
+            F.struct(F.lit(lt).alias("left"), F.lit(rt).alias("right"))
+            for _, lt, rt, _, _ in learned
+        ])
+        wordtab = wordtab.select(
+            "word", _apply_merges(F.col("syms"), merge_arr).alias("syms"))
+    else:
+        wordtab = wordtab.select("word", "syms")
+    doc_words = documents.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "word"),
+    ).where(F.col("word") != "")
+    return (
+        doc_words.join(wordtab, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.size("syms")).cast("long").alias("n_bpe_tokens"),
+            F.concat_ws(" ", F.flatten(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                lambda x: x["syms"]))).alias("bpe_tokens"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def bpe_encode_sql(n_merges: int = 3) -> str:
+    """DuckDB twin of :func:`bpe_encode` with in-query training:
+    :func:`bpe_train_sql`'s unrolled rounds with ``word`` carried
+    through each s{i}, then a positional word->syms join per document
+    and an ORDER BY pos string_agg."""
+    return _bpe_encode_ctes(n_merges) + f"""
+SELECT doc_id,
+       CAST(sum(len(syms)) AS BIGINT) AS n_bpe_tokens,
+       string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos)
+         AS bpe_tokens
+FROM dwords JOIN s{n_merges} USING (word)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _bpe_encode_ctes(n_merges: int) -> str:
+    """The WITH-clause body shared by :func:`bpe_encode_sql` and
+    :func:`pack_sequences_bpe_sql`: unrolled training rounds carrying
+    ``word``, plus the positional per-document word stream (dwords)."""
+    toks = tokens_sql("lower(text)")
+    parts = [f"""
+WITH words AS (
+  SELECT unnest({toks}) AS word FROM documents
+), wc AS (
+  SELECT word, count(*) AS freq FROM words WHERE word <> '' GROUP BY word
+), s0 AS (
+  SELECT word, freq,
+         list_append(list_transform(range(1, length(word) + 1),
+                                    i -> word[i:i]), '</w>') AS syms
+  FROM wc
+)"""]
+    for i in range(1, n_merges + 1):
+        prev = f"s{i - 1}"
+        parts.append(f""",
+p{i} AS (
+  SELECT p['l'] AS l, p['r'] AS r, CAST(sum(freq) AS BIGINT) AS n
+  FROM (SELECT freq,
+               unnest(list_transform(range(1, len(syms)),
+                                     j -> {{'l': syms[j],
+                                            'r': syms[j + 1]}})) AS p
+        FROM {prev})
+  GROUP BY 1, 2
+),
+m{i} AS (SELECT l, r, n FROM p{i} ORDER BY n DESC, l, r LIMIT 1),
+s{i} AS (
+  SELECT word, freq,
+         list_reduce(list_transform(syms, x -> [x]),
+           (acc, s) -> CASE WHEN len(acc) > 0 AND acc[-1] = m{i}.l
+                                 AND s[1] = m{i}.r
+                            THEN list_append(acc[1:-2], m{i}.l || m{i}.r)
+                            ELSE list_concat(acc, s) END) AS syms
+  FROM {prev}, m{i}
+)""")
+    parts.append(f""",
+doc_toked AS (SELECT doc_id, {toks} AS toks FROM documents),
+dpos AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks
+  FROM doc_toked
+),
+dwords AS (
+  SELECT doc_id, pos, toks[pos] AS word FROM dpos WHERE toks[pos] <> ''
+)""")
+    return "".join(parts)
+
+
+def pack_sequences_bpe_sql(seq_len: int = 128, n_merges: int = 3) -> str:
+    """DuckDB twin of :func:`pack_sequences_bpe`: the encode CTEs
+    produce per-doc BPE token counts, then :func:`pack_sequences_sql`'s
+    cumsum + generate_series tail runs on those counts."""
+    return _bpe_encode_ctes(n_merges) + f""",
+counts AS (
+  SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_tokens
+  FROM dwords JOIN s{n_merges} USING (word)
+  GROUP BY doc_id
+),
+nz AS (
+  SELECT d.source, c.doc_id, c.n_tokens
+  FROM counts c JOIN documents d USING (doc_id)
+  WHERE c.n_tokens > 0
+),
+cum AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS before_t
+  FROM nz
+),
+seqs AS (
+  SELECT source, doc_id, n_tokens, before_t,
+         unnest(generate_series(
+           CAST(floor(before_t / {seq_len}) AS BIGINT),
+           CAST(floor((before_t + n_tokens - 1) / {seq_len}) AS BIGINT)))
+           AS seq_id
+  FROM cum
+)
+SELECT source, doc_id, seq_id,
+       greatest(0, seq_id * {seq_len} - before_t) AS doc_offset,
+       greatest(0, before_t - seq_id * {seq_len}) AS seq_offset,
+       least(seq_id * {seq_len} + {seq_len}, before_t + n_tokens)
+         - greatest(seq_id * {seq_len}, before_t) AS n_in_seq
+FROM seqs
+ORDER BY source, seq_id, seq_offset, doc_id
+"""
 
 
 def token_freq_score(documents: DataFrame, id_col: str = "doc_id",

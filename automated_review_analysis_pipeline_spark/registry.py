@@ -1113,6 +1113,21 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.bpe_train(_t(spark, sf_dir, "documents"), n_merges=3)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the learned 3-merge BPE table: per doc
+    (n_bpe_tokens, space-joined token string) via the distinct-word
+    vocab join."""
+    return ta.bpe_encode(_t(spark, sf_dir, "documents"), n_merges=3)
+
+
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-EXACT sequence packing: the pack_sequences manifest driven
+    by real BPE token counts (train-then-encode) instead of the
+    whitespace proxy."""
+    return ta.pack_sequences_bpe(
+        _t(spark, sf_dir, "documents"), seq_len=128, n_merges=3)
+
+
 def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.order_value_percentiles(_t(spark, sf_dir, "orders"))
 
@@ -1632,6 +1647,8 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": q_pack_sequences,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
+    "pack_sequences_bpe": q_pack_sequences_bpe,
     "order_value_percentiles": q_order_value_percentiles,
     "totalprice_histogram": q_totalprice_histogram,
     "lineitem_stats": q_lineitem_stats,
@@ -2725,6 +2742,8 @@ ORACLE_SQL["token_budget_shards"] = ta.token_budget_shards_sql(512)
 ORACLE_SQL["pack_sequences"] = ta.pack_sequences_sql(128)
 ORACLE_SQL["bpe_pair_counts"] = ta.bpe_pair_counts_sql(100)
 ORACLE_SQL["bpe_train"] = ta.bpe_train_sql(3)
+ORACLE_SQL["bpe_encode"] = ta.bpe_encode_sql(3)
+ORACLE_SQL["pack_sequences_bpe"] = ta.pack_sequences_bpe_sql(128, 3)
 
 
 ORACLE_SQL["lineitem_stats"] = """

@@ -1210,6 +1210,84 @@ def test_bpe_train_learns_expected_merges(spark):
     assert m2 == [("a", "a"), ("aa", "</w>")]
 
 
+def test_bpe_encode_hand_computed_roundtrip(spark):
+    """encode(train(corpus)) on the classic Sennrich corpus
+    (low x6, lower x2, newest x7, widest x3 including doc 3): merges
+    1-3 are (e,s)->(es,t)->(est,</w>), so 'newest' encodes to
+    [n, e, w, est</w>] and 'widest' to [w, i, d, est</w>]; 'low' stays
+    fully split. n_bpe_tokens counts the '</w>'-terminated symbols, and
+    word order inside each document is preserved."""
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2)),
+         (2, " ".join(["newest"] * 6 + ["widest"] * 3)),
+         (3, "newest low")],
+        "doc_id long, text string")
+    merges = [(r["merge_rank"], r["left"], r["right"], r["merged"],
+               r["n_occurrences"]) for r in bpe_train(docs, 3).collect()]
+    assert merges == [
+        (1, "e", "s", "es", 10),
+        (2, "es", "t", "est", 10),
+        (3, "est", "</w>", "est</w>", 10),
+    ]
+
+    got = {r["doc_id"]: (r["n_bpe_tokens"], r["bpe_tokens"])
+           for r in bpe_encode(docs, n_merges=3).collect()}
+    low, lower = "l o w </w>", "l o w e r </w>"
+    newest, widest = "n e w est</w>", "w i d est</w>"
+    assert got[1] == (5 * 4 + 2 * 6, " ".join([low] * 5 + [lower] * 2))
+    assert got[2] == (6 * 4 + 3 * 4, " ".join([newest] * 6 + [widest] * 3))
+    assert got[3] == (4 + 4, newest + " " + low)   # doc order preserved
+
+    # passing the pre-learned table explicitly is the same encoding,
+    # and zero-token documents emit no row
+    docs4 = spark.createDataFrame(
+        [(7, "newest"), (8, "   ")], "doc_id long, text string")
+    enc = {r["doc_id"]: r["bpe_tokens"]
+           for r in bpe_encode(docs4, merges=merges).collect()}
+    assert enc == {7: newest}
+
+
+def test_pack_sequences_bpe_token_exact(spark):
+    """pack_sequences_bpe cuts on REAL BPE token counts: on the
+    Sennrich corpus, doc 2's 9 whitespace tokens are 36 BPE tokens, so
+    a seq_len=8 manifest splits where the tokenizer's sequences do, and
+    n_in_seq sums reconstruct each doc's n_bpe_tokens exactly."""
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+        bpe_encode,
+        pack_sequences_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2), "s"),
+         (2, " ".join(["newest"] * 6 + ["widest"] * 3), "s"),
+         (3, "", "s")],
+        "doc_id long, text string, source string")
+    # merges (e,s)(es,t)(est,</w>) as in the encode test: low=4 syms,
+    # lower=6, newest=4, widest=4 -> doc1 = 32 BPE tokens, doc2 = 36
+    n_bpe = {r["doc_id"]: r["n_bpe_tokens"]
+             for r in bpe_encode(docs, n_merges=3).collect()}
+    assert n_bpe == {1: 32, 2: 36}
+    rows = pack_sequences_bpe(docs, seq_len=8, n_merges=3).collect()
+
+    from collections import defaultdict
+    per_doc = defaultdict(int)
+    for r in rows:
+        per_doc[r["doc_id"]] += r["n_in_seq"]
+    assert dict(per_doc) == n_bpe
+    # doc 1 fills seqs 0..3 exactly; doc 2 fills 4..7 + 4 tokens of seq
+    # 8 -- boundaries fall on BPE counts (36), not whitespace counts (9)
+    assert {(r["doc_id"], r["seq_id"], r["n_in_seq"]) for r in rows} == {
+        (1, 0, 8), (1, 1, 8), (1, 2, 8), (1, 3, 8),
+        (2, 4, 8), (2, 5, 8), (2, 6, 8), (2, 7, 8), (2, 8, 4)}
+    # empty doc contributes nothing
+    assert all(r["doc_id"] != 3 for r in rows)
+
+
 def test_quality_classifier_label_col_retargets(spark):
     """Supervision is parameterizable: label_col as a Column expression
     must reproduce the default lang-equality labels exactly, and an

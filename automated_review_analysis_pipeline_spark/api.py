@@ -140,6 +140,10 @@ def main() -> None:
     p.add_argument("--import-cache", default=None, metavar="JSON",
                    help="migrate a reference .analysis_cache.json into "
                         "the parquet cache before running (idempotent)")
+    p.add_argument("--compact-cache", action="store_true",
+                   help="after the run, rewrite the append-only cache "
+                        "directory as few-files one-row-per-key parquet "
+                        "(crash-safe swap; idempotent)")
     args = p.parse_args()
     if args.import_cache and args.cache:
         from automated_review_analysis_pipeline_spark.operators.cache import (
@@ -151,6 +155,15 @@ def main() -> None:
         print(f"[info] Imported {n} cache entries from {args.import_cache}")
     run(args.input, args.industry, args.output, args.cache, args.max_chars,
         max_parallelism=args.max_parallelism)
+    if args.compact_cache and args.cache:
+        from automated_review_analysis_pipeline_spark.operators.cache import (
+            compact_cache,
+        )
+
+        n = compact_cache(
+            get_spark(app_name="automated-review-analysis-pipeline"),
+            args.cache)
+        print(f"[info] Compacted cache to {n} file(s)")
 
 
 if __name__ == "__main__":

@@ -123,6 +123,45 @@ def export_json_cache(spark: SparkSession, cache_path: str,
     return len(out)
 
 
+def compact_cache(spark: SparkSession, path: str,
+                  target_file_bytes: int = 128 << 20) -> int:
+    """Rewrite the append-only cache directory as few-files,
+    one-row-per-key parquet. Every run appends one miss partition set
+    (classify_with_cache / analyze_wide_cached), so a long-lived cache
+    accumulates small files whose footer reads eventually dominate
+    load_cache planning -- the standard small-files tax, fixed the
+    standard way: periodic compaction (same sizing rule as
+    partitioning.compact_files -- ceil(on-disk bytes / target), one
+    coalesce, no shuffle) plus the dedup-on-key rewrite load_cache
+    applies on read, made durable.
+
+    Crash-safe swap: the compacted table lands in a sibling ``.tmp``
+    directory first, the live directory moves aside, the tmp renames
+    in, and only then is the old data deleted -- a crash at any point
+    leaves a complete copy on disk (``path`` or ``path + ".old"``).
+    Returns the output file count (0 = nothing to compact). Idempotent:
+    re-running compacts the already-compact table to itself.
+    """
+    import glob
+    import shutil
+
+    if not (os.path.isdir(path)
+            and any(f.endswith(".parquet") for f in os.listdir(path))):
+        return 0
+    live = load_cache(spark, path)
+    total = sum(os.path.getsize(f)
+                for f in glob.glob(os.path.join(path, "*.parquet")))
+    n_files = max(1, -(-total // target_file_bytes))
+    tmp, old = path + ".compact.tmp", path + ".compact.old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    live.coalesce(int(n_files)).write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return int(n_files)
+
+
 def classify_with_cache(
     keys: DataFrame,
     classifier: CacheClassifier,

@@ -276,6 +276,69 @@ def test_cached_pipeline_degenerate_no_question_columns(spark, tmp_path):
     assert not os.path.exists(cache)   # no cache pass ran
 
 
+def test_compact_cache_shrinks_files_keeps_contents(spark, tmp_path):
+    """N runs append N file sets; compaction rewrites to the byte-sized
+    budget (1 file here), load_cache contents are IDENTICAL (including
+    the durable dedup of concurrently-appended duplicate keys), and
+    re-compacting is a no-op rewrite. Missing/empty cache -> 0."""
+    import os
+
+    from automated_review_analysis_pipeline_spark.operators.cache import (
+        CACHE_SCHEMA,
+        compact_cache,
+        load_cache,
+    )
+
+    cache = str(tmp_path / "grown_cache")
+    assert compact_cache(spark, cache) == 0          # missing dir
+
+    for i in range(4):
+        spark.createDataFrame(
+            [("Apparel", "Q1", f"answer {i}", "Positive", "P")],
+            CACHE_SCHEMA).write.mode("append").parquet(cache)
+    # a concurrent duplicate append on an existing key
+    spark.createDataFrame(
+        [("Apparel", "Q1", "answer 0", "Positive", "P")],
+        CACHE_SCHEMA).write.mode("append").parquet(cache)
+
+    def pq_files():
+        return [f for f in os.listdir(cache) if f.endswith(".parquet")]
+
+    before = sorted(tuple(r) for r in load_cache(spark, cache).collect())
+    assert len(pq_files()) >= 5
+    assert compact_cache(spark, cache) == 1
+    assert len(pq_files()) == 1
+    after = sorted(tuple(r) for r in load_cache(spark, cache).collect())
+    assert after == before and len(after) == 4       # dedup made durable
+    assert not os.path.exists(cache + ".compact.tmp")
+    assert not os.path.exists(cache + ".compact.old")
+
+    assert compact_cache(spark, cache) == 1          # idempotent
+    assert sorted(tuple(r)
+                  for r in load_cache(spark, cache).collect()) == before
+
+
+def test_cli_compact_cache_flag(spark, tmp_path, monkeypatch):
+    """The CLI surface: --compact-cache leaves a single-file cache with
+    the full 278-key content after the run."""
+    import os
+    import sys
+
+    from automated_review_analysis_pipeline_spark import api
+
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    monkeypatch.delenv("ARAP_VADER_LEXICON_DIR", raising=False)
+    cache = str(tmp_path / "cli_compact_cache")
+    out = str(tmp_path / "report.xlsx")
+    monkeypatch.setattr(sys, "argv", [
+        "api", "--input", CSV_PATH, "--industry", "Apparel",
+        "--output", out, "--cache", cache, "--compact-cache"])
+    api.main()
+    files = [f for f in os.listdir(cache) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert load_cache(spark, cache).count() == 278
+
+
 def test_run_cli_uses_cache(spark, tmp_path, monkeypatch):
     """api.run with a cache path populates the cache on disk (the S6
     surface now carries C7, like the reference CLI)."""

@@ -44,12 +44,129 @@ def deterministic_fake_decoder(payload: bytes, mime: str) -> list[float]:
     return [float(n)] + [float(b) for b in head[:7]]
 
 
-def real_decoder(payload: bytes, mime: str) -> list[float]:
-    """The production decode hook. Container has no PIL/ffmpeg -> explicit
-    NotImplementedError rather than a silent fake."""
+def decode_image(payload: bytes):
+    """Dependency-free pixel decode for the two classic uncompressed
+    raster formats -> (H, W, 3) uint8 numpy array:
+
+    - binary PPM (P6, maxval <= 255; header comments/whitespace per the
+      netpbm spec)
+    - uncompressed 24-bit BI_RGB Windows BMP (BITMAPINFOHEADER,
+      bottom-up or top-down, 4-byte row padding, BGR -> RGB)
+
+    Anything else (all genuinely-compressed formats: JPEG/PNG/WebP/...)
+    raises NotImplementedError -- those need real codec libraries this
+    container does not ship."""
+    import numpy as np
+
+    if payload is None or len(payload) < 2:
+        raise NotImplementedError("empty or truncated payload")
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     raise NotImplementedError(
-        "media decode requires image/audio codecs not present in this "
-        "environment; inject deterministic_fake_decoder or a real codec")
+        "only uncompressed PPM (P6) and 24-bit BI_RGB BMP decode here; "
+        "compressed formats require codec libraries not present in this "
+        "environment -- inject deterministic_fake_decoder or a real codec")
+
+
+def _decode_ppm(payload: bytes):
+    import numpy as np
+
+    # netpbm header: 'P6', width, height, maxval -- tokens separated by
+    # whitespace, '#' comments to end-of-line, then EXACTLY ONE
+    # whitespace byte before the raster
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(payload):
+            raise NotImplementedError("truncated PPM header")
+        c = payload[pos:pos + 1]
+        if c == b"#":
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) \
+                    and not payload[pos:pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    raster = payload[pos:pos + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise NotImplementedError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _decode_bmp(payload: bytes):
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54:
+        raise NotImplementedError("truncated BMP header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            "only uncompressed 24-bit BI_RGB BMP supported")
+    h, bottom_up = abs(h_raw), h_raw > 0
+    stride = ((w * 3 + 3) // 4) * 4
+    raster = payload[data_off:data_off + stride * h]
+    if len(raster) != stride * h:
+        raise NotImplementedError("truncated BMP raster")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+    img = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]   # BGR -> RGB
+    return img[::-1] if bottom_up else img
+
+
+def encode_ppm(img) -> bytes:
+    """(H, W, 3) uint8 -> canonical binary PPM (P6) bytes."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype("uint8").tobytes()
+
+
+def resize_image_nearest(img, new_w: int, new_h: int):
+    """Deterministic nearest-neighbor resample (floor index mapping:
+    src_i = (dst_i * src_len) // dst_len) -- exact, library-free, and
+    cheap enough to stay vectorized inside the Arrow batch."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    rows = (np.arange(new_h) * h) // new_h
+    cols = (np.arange(new_w) * w) // new_w
+    return img[rows][:, cols]
+
+
+def real_decoder(payload: bytes, mime: str) -> list[float]:
+    """The production decode hook, REAL for uncompressed raster formats:
+    PPM (P6) and 24-bit BMP payloads decode to pixels via
+    :func:`decode_image` and yield 8 deterministic pixel-statistics
+    features (width, height, mean R/G/B, global mean/min/max).
+    Compressed formats still raise NotImplementedError -- their codecs
+    are not in this container."""
+    img = decode_image(payload)
+    f = img.astype("float64")
+    return [
+        float(img.shape[1]), float(img.shape[0]),
+        float(f[:, :, 0].mean()), float(f[:, :, 1].mean()),
+        float(f[:, :, 2].mean()),
+        float(f.mean()), float(f.min()), float(f.max()),
+    ]
+
+
+def real_encoder(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """Real thumbnail re-encode for uncompressed raster payloads:
+    decode (PPM/BMP) -> nearest-neighbor resize -> canonical P6 PPM
+    bytes, exact pixels. Compressed formats raise NotImplementedError."""
+    return encode_ppm(resize_image_nearest(decode_image(payload),
+                                           new_w, new_h))
 
 
 def attach_media_features(media: DataFrame,

@@ -1,0 +1,167 @@
+"""Real (dependency-free) raster codec in the multimodal path: PPM (P6)
+and uncompressed 24-bit BMP decode to EXACT pixels, the nearest-neighbor
+thumbnail re-encode produces exact expected rasters through the Spark
+resize plan, and NotImplementedError is now reserved for genuinely
+compressed formats only."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from automated_review_analysis_pipeline_spark.operators.multimodal import (
+    attach_media_features,
+    decode_image,
+    encode_ppm,
+    media_near_dup_pairs,
+    real_decoder,
+    real_encoder,
+    resize_image_nearest,
+    resize_media,
+)
+
+MEDIA_COLS = ("media_id long, payload binary, mime string, width int, "
+              "height int, duration_ms long, source string")
+
+
+def _ppm(img: np.ndarray) -> bytes:
+    return encode_ppm(img)
+
+
+def _bmp24(img: np.ndarray) -> bytes:
+    """Minimal bottom-up 24-bit BI_RGB BMP writer (test-side golden)."""
+    h, w = img.shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    raster = bytearray()
+    for row in img[::-1]:                     # bottom-up
+        line = bytearray()
+        for px in row:
+            line += bytes([px[2], px[1], px[0]])   # BGR
+        line += b"\0" * (stride - len(line))
+        raster += line
+    off = 14 + 40
+    header = (b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(raster), 2835, 2835, 0, 0))
+    return bytes(header + raster)
+
+
+def _grad(h: int, w: int) -> np.ndarray:
+    """Deterministic test image: channel-coded coordinates."""
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = (y * 16 % 256, x * 16 % 256, (y + x) % 256)
+    return img
+
+
+def test_ppm_decode_exact_and_roundtrip():
+    img = _grad(3, 5)
+    assert np.array_equal(decode_image(_ppm(img)), img)
+    # canonical round-trip
+    assert encode_ppm(decode_image(_ppm(img))) == _ppm(img)
+    # header comments and extra whitespace per the netpbm spec
+    commented = (b"P6\n# a comment\n 5 \n# another\n3\n255\n"
+                 + img.tobytes())
+    assert np.array_equal(decode_image(commented), img)
+
+
+def test_bmp_decode_exact_with_padding():
+    # width 3 -> 9 raster bytes/row, padded to 12: exercises the stride
+    img = _grad(2, 3)
+    assert np.array_equal(decode_image(_bmp24(img)), img)
+    # top-down variant (negative height) decodes identically
+    b = bytearray(_bmp24(img))
+    raster = bytes(b[54:])
+    stride = 12
+    flipped = b"".join(raster[i * stride:(i + 1) * stride]
+                       for i in reversed(range(2)))
+    b[18:26] = struct.pack("<ii", 3, -2)
+    assert np.array_equal(decode_image(bytes(b[:54]) + flipped), img)
+
+
+def test_compressed_formats_still_raise():
+    for magic in (b"\xff\xd8\xff\xe0JFIF", b"\x89PNG\r\n\x1a\n",
+                  b"RIFF....WEBP"):
+        with pytest.raises(NotImplementedError):
+            decode_image(magic + b"\0" * 64)
+    with pytest.raises(NotImplementedError):
+        real_decoder(b"\xff\xd8\xff\xe0" + b"\0" * 64, "image/jpeg")
+
+
+def test_nearest_resize_exact():
+    img = _grad(4, 4)
+    out = resize_image_nearest(img, 2, 2)
+    # floor mapping: dst (0,0)->(0,0), (0,1)->(0,2), (1,0)->(2,0), ...
+    want = img[[0, 2]][:, [0, 2]]
+    assert np.array_equal(out, want)
+
+
+def test_real_decoder_pixel_statistics():
+    img = _grad(3, 5)
+    for payload in (_ppm(img), _bmp24(img)):
+        f = real_decoder(payload, "")
+        arr = img.astype(np.float64)
+        assert f == [5.0, 3.0, arr[:, :, 0].mean(), arr[:, :, 1].mean(),
+                     arr[:, :, 2].mean(), arr.mean(), arr.min(),
+                     arr.max()]
+
+
+def test_resize_media_real_codec_exact_pixels(spark):
+    """The Spark resize plan with the REAL codec: a 8x4 PPM bounded to
+    4x4 scales by 1/2 (aspect preserved -> 4x2), and the output payload
+    is the exact nearest-neighbor P6 raster; a smaller-than-bounds BMP
+    passes through at scale 1 re-encoded as PPM with identical pixels."""
+    big = _grad(4, 8)          # h=4, w=8
+    small = _grad(2, 3)
+    rows = [(1, bytearray(_ppm(big)), "image/x-portable-pixmap",
+             8, 4, None, "t"),
+            (2, bytearray(_bmp24(small)), "image/bmp", 3, 2, None, "t")]
+    media = spark.createDataFrame(rows, MEDIA_COLS)
+    got = {r["media_id"]: r for r in
+           resize_media(media, max_w=4, max_h=4,
+                        encoder=real_encoder).collect()}
+
+    assert (got[1]["new_width"], got[1]["new_height"]) == (4, 2)
+    want1 = encode_ppm(resize_image_nearest(big, 4, 2))
+    assert bytes(got[1]["payload"]) == want1
+    # hand-check one pixel of the scaled raster: dst (1,2) -> src (2,4)
+    dec = decode_image(want1)
+    assert tuple(dec[1, 2]) == tuple(big[2, 4])
+
+    assert (got[2]["new_width"], got[2]["new_height"]) == (3, 2)  # no upscale
+    assert np.array_equal(decode_image(bytes(got[2]["payload"])), small)
+
+
+def test_attach_media_features_real_codec(spark):
+    img = _grad(3, 5)
+    media = spark.createDataFrame(
+        [(1, bytearray(_ppm(img)), "image/x-portable-pixmap",
+          5, 3, None, "t")], MEDIA_COLS)
+    row = attach_media_features(media, decoder=real_decoder).collect()[0]
+    assert row["n_bytes"] == len(_ppm(img))
+    feats = [pytest.approx(v) for v in real_decoder(_ppm(img), "")]
+    assert list(row["features"]) == feats
+
+
+def test_media_near_dup_on_real_ppm_bytes(spark):
+    """Perceptual near-dup over REAL PPM payloads: a one-pixel edit
+    keeps hamming distance tiny (pair found); an inverted image does
+    not pair."""
+    base = _grad(8, 8)
+    edited = base.copy()
+    edited[3, 3] = (255, 255, 255)
+    inverted = (255 - base).astype(np.uint8)
+    rows = [(1, bytearray(_ppm(base)), "image/x-portable-pixmap",
+             8, 8, None, "t"),
+            (2, bytearray(_ppm(edited)), "image/x-portable-pixmap",
+             8, 8, None, "t"),
+            (3, bytearray(_ppm(inverted)), "image/x-portable-pixmap",
+             8, 8, None, "t")]
+    media = spark.createDataFrame(rows, MEDIA_COLS)
+    pairs = {(r[0], r[1]) for r in
+             media_near_dup_pairs(media, max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)

@@ -106,9 +106,15 @@ def export_json_cache(spark: SparkSession, cache_path: str,
     unrepresentable in that format (the importer splits with
     maxsplit=2) and is skipped, counted out of the return value; the
     ANSWER may contain the delimiter freely -- everything after the
-    second separator round-trips verbatim. The cache is distinct-keys
-    small by construction -- this is a bounded driver collect, same
-    class as the Excel sink."""
+    second separator round-trips verbatim. This is a bounded driver
+    collect -- bounded by DISTINCT classifications (industry x question
+    x distinct answer), not by survey rows; in practice
+    thousands-to-low-millions of short strings (the bundled survey's
+    2,071 cells collapse to 278 keys), the same in-memory-dict scale
+    the reference itself holds (survey_analysis.py:145-165). A cache
+    too big to collect would also be too big for the reference's JSON
+    format this function exists to emit -- keep such caches in parquet
+    and skip the export."""
     import json
 
     rows = load_cache(spark, cache_path).collect()

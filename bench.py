@@ -171,6 +171,8 @@ HEADLINE = [
     "pack_sequences",
     "bpe_pair_counts",
     "bpe_train",
+    "bpe_encode",
+    "pack_sequences_bpe",
 ]
 
 # Deliberately NOT in the headline list: the 8 streaming_* drain variants
@@ -207,19 +209,34 @@ def main() -> None:
         release_plan_caches,
     )
 
+    # Sub-second queries can swing +/-60% run-to-run on this shared VM;
+    # when the two samples disagree by >30% a third sample is taken so
+    # the recorded min stops flagging phantom regressions round-to-round.
+    # The summary line reports how many queries needed the extra sample.
     timings: dict[str, float] = {}
+    n_extra_samples = 0
     for name in names:
-        best = -1.0
+        samples: list[float] = []
+        failed = False
         for _ in range(2):
             t0 = time.perf_counter()
             try:
                 QUERIES[name](spark, sf_dir).count()
-                dt = round(time.perf_counter() - t0, 3)
-                best = dt if best < 0 else min(best, dt)
+                samples.append(round(time.perf_counter() - t0, 3))
             except Exception as e:  # pragma: no cover
                 print(f"bench {name} failed: {e}", file=sys.stderr)
+                failed = True
                 break
-        timings[name] = best
+        if not failed and len(samples) == 2 \
+                and max(samples) > 1.3 * max(min(samples), 1e-9):
+            n_extra_samples += 1
+            t0 = time.perf_counter()
+            try:
+                QUERIES[name](spark, sf_dir).count()
+                samples.append(round(time.perf_counter() - t0, 3))
+            except Exception as e:  # pragma: no cover
+                print(f"bench {name} failed: {e}", file=sys.stderr)
+        timings[name] = min(samples) if samples and not failed else -1.0
         # drop plan-embedded caches between queries: keeps the session's
         # cache footprint flat and stops cross-query InMemoryRelation
         # substitution from flattering later timings
@@ -243,6 +260,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "n_extra_samples": n_extra_samples,
     }, separators=(",", ":")))
     spark.stop()
 

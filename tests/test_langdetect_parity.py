@@ -106,10 +106,12 @@ def test_survey_language_diagnostic_matches_reference_end_to_end(spark):
 @needs_langdetect
 def test_per_sample_divergence_is_exactly_as_documented(spark):
     """Pin the per-sample comparison on the reference's 5 question
-    samples: identical on 4, divergent ONLY on sample #3 where the
-    stopword heuristic abstains ('und') and langdetect guesses 'en'.
-    Any change to LANG_MARKERS or the heuristic that shifts this table
-    must update OPERATORS.md (P8) and this pin together."""
+    samples: with the character-n-gram profiles (LANG_TRIGRAMS) the
+    table is now IDENTICAL on all 5 -- sample #3 ('Arrived late but in
+    good condition.'), where the stopword-only heuristic used to
+    abstain, is decided 'en' by its '-tion'/'oo' n-grams. Any change to
+    LANG_MARKERS/LANG_TRIGRAMS that shifts this table must update
+    OPERATORS.md (P8) and this pin together."""
     from pyspark.sql import functions as F
 
     from automated_review_analysis_pipeline_spark.operators.textanalysis import (
@@ -132,8 +134,7 @@ def test_per_sample_divergence_is_exactly_as_documented(spark):
     assert table == [
         ("en", "en"),
         ("en", "en"),
-        ("en", "und"),   # 'Arrived late but in good condition.' -- no
-                         # stopword evidence; heuristic abstains
+        ("en", "en"),    # decided by n-gram evidence ('tio', 'oo ')
         ("en", "en"),
         ("es", "es"),
     ], table
@@ -142,10 +143,11 @@ def test_per_sample_divergence_is_exactly_as_documented(spark):
 @needs_langdetect
 def test_corpus_agreement_rate_floor(spark):
     """Broad-corpus guard: over all 277 distinct cleaned answers, the
-    heuristic must agree with seeded langdetect on the clear-evidence
-    majority (>= 55%); disagreements are dominated by the heuristic's
-    deliberate 'und' abstention on short/mixed texts (recorded in
-    OPERATORS.md P8)."""
+    stopword + character-n-gram heuristic agrees with seeded langdetect
+    on >= 220 (the exact count this round: 222 -- 'und' abstentions are
+    down to 8); remaining disagreements are dominated by en/es
+    code-switched sentences where the two models weight different
+    halves (recorded in OPERATORS.md P8)."""
     from pyspark.sql import functions as F
 
     from automated_review_analysis_pipeline_spark.operators.textanalysis import (
@@ -173,7 +175,9 @@ def test_corpus_agreement_rate_floor(spark):
                 und_abstain += 1
             else:
                 diff_other += 1
-    assert same / len(answers) >= 0.55
+    assert same >= 220
+    # abstention is now rare (n-grams decide most short texts)
+    assert und_abstain <= 15
     # hard disagreements (both assign, different language) stay a small
     # minority -- they are en/es code-switched sentences where the two
     # models weight different halves

@@ -27,6 +27,9 @@ from automated_review_analysis_pipeline_spark.operators import (  # noqa: E402
 from automated_review_analysis_pipeline_spark.operators import (  # noqa: E402
     similarity as sim,
 )
+from automated_review_analysis_pipeline_spark.operators import (  # noqa: E402
+    textanalysis as ta,
+)
 from automated_review_analysis_pipeline_spark.registry import (  # noqa: E402
     _synth_multiline,
 )
@@ -171,6 +174,15 @@ def main() -> None:
             v, v.where(F.col("vec_id") < 10), k=5),
         "pq_topk (10q, k=5)": lambda d, v: sim.pq_topk(
             v, v.where(F.col("vec_id") < 10), k=5),
+        # round-6 extension: the BPE tokenizer family. Word-shuffled
+        # replicas keep the DISTINCT-WORD vocabulary constant while the
+        # corpus token stream grows -- exactly the Sennrich claim under
+        # test (training cost ~ vocab after the word count; encode adds
+        # the linear per-occurrence join)
+        "bpe_train (3 merges)": lambda d, v: ta.bpe_train(d, n_merges=3),
+        "bpe_encode (3 merges)": lambda d, v: ta.bpe_encode(d, n_merges=3),
+        "pack_sequences_bpe (128)": lambda d, v:
+            ta.pack_sequences_bpe(d, seq_len=128, n_merges=3),
     }
     only = set(sys.argv[2:])
     if only:

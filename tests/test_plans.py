@@ -601,3 +601,27 @@ def test_event_props_three_json_strategies_agree(spark):
     key = lambda rows: [(r["event_id"], r["event_type"], r["prop_k"])
                         for r in rows]
     assert key(a) == key(b) == key(c)
+
+
+def test_bpe_encode_vocab_join_no_cartesian_no_udf(spark):
+    """bpe_encode's merge table must travel as a broadcast LITERAL
+    inside the fold expression (never a join side), the vocab lookup
+    must be a hash join (no cartesian/nested-loop), and the whole
+    encode stays JVM-side -- no Python evaluation anywhere."""
+    plan = plan_of(spark, "bpe_encode")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    # the learned merges appear as literals in an aggregate (fold)
+    # expression over the symbol array, not as a scan of a merge table
+    assert "aggregate(" in plan, plan
+
+
+def test_pack_sequences_bpe_single_window_no_cartesian(spark):
+    """Token-exact packing = encode + ONE window cumsum + arithmetic
+    explode: no cartesian, no Python, and exactly one Window operator
+    (the running sum -- the explode is sequence(), not a join)."""
+    plan = plan_of(spark, "pack_sequences_bpe")
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert plan.count("Window") >= 1, plan

@@ -966,6 +966,74 @@ def bpe_encode(documents: DataFrame, n_merges: int = 3,
     )
 
 
+def bpe_vocab(documents: DataFrame, n_merges: int = 3,
+              text_col: str = "text") -> DataFrame:
+    """The tokenizer VOCABULARY artifact a runtime consumes: base
+    symbols (every distinct character of the corpus's words, plus the
+    '</w>' end-of-word marker) enumerated in lexicographic order, then
+    the learned merge tokens appended in rank order --
+
+        (vocab_id, token, kind)   kind in ('base', 'merge')
+
+    Together with :func:`bpe_train`'s merge table this is everything a
+    BPE tokenizer implementation needs; :func:`bpe_encode` is the
+    engine applying it in-plan.
+
+    Scale: the base alphabet is a DISTINCT over exploded symbols --
+    bounded by the character set, so the single-partition enumeration
+    window is a few hundred rows at any corpus size (same bounded-window
+    convention as the Excel sink); merges are ``n_merges`` driver-side
+    rows appended with offset ids.
+    """
+    from pyspark.sql.window import Window
+
+    learned = _train_merges(documents, n_merges, text_col)
+    base = (
+        _bpe_word_symbols(documents, text_col)
+        .select(F.explode("syms").alias("token"))
+        .distinct()
+    )
+    w = Window.orderBy("token")
+    base_ids = base.select(
+        F.row_number().over(w).cast("long").alias("vocab_id"),
+        "token", F.lit("base").alias("kind"))
+    n_base = base_ids.count()
+    merges_df = documents.sparkSession.createDataFrame(
+        [(n_base + rank, merged, "merge")
+         for rank, _, _, merged, _ in learned],
+        "vocab_id long, token string, kind string")
+    return base_ids.unionByName(merges_df).orderBy("vocab_id")
+
+
+def bpe_vocab_sql(n_merges: int = 3) -> str:
+    """DuckDB twin of :func:`bpe_vocab`: base alphabet from the s0
+    symbol table, merge tokens from the unrolled training rounds with
+    offset ids."""
+    # reuse the unrolled-round CTEs (they end after s{n}; dwords unused)
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, l || r AS token FROM m{i}"
+        for i in range(1, n_merges + 1))
+    return _bpe_encode_ctes(n_merges) + f""",
+base AS (
+  SELECT DISTINCT unnest(syms) AS token FROM s0
+),
+base_ids AS (
+  SELECT row_number() OVER (ORDER BY token) AS vocab_id, token,
+         'base' AS kind
+  FROM base
+),
+merge_ids AS (
+  SELECT (SELECT count(*) FROM base) + merge_rank AS vocab_id, token,
+         'merge' AS kind
+  FROM ({merge_rows})
+)
+SELECT CAST(vocab_id AS BIGINT) AS vocab_id, token, kind FROM base_ids
+UNION ALL
+SELECT CAST(vocab_id AS BIGINT) AS vocab_id, token, kind FROM merge_ids
+ORDER BY vocab_id
+"""
+
+
 def bpe_encode_sql(n_merges: int = 3) -> str:
     """DuckDB twin of :func:`bpe_encode` with in-query training:
     :func:`bpe_train_sql`'s unrolled rounds with ``word`` carried

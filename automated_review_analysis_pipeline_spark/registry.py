@@ -1113,6 +1113,12 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.bpe_train(_t(spark, sf_dir, "documents"), n_merges=3)
 
 
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer vocabulary artifact: lexicographic base alphabet
+    (+ '</w>') then the 3 learned merge tokens with offset ids."""
+    return ta.bpe_vocab(_t(spark, sf_dir, "documents"), n_merges=3)
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with the learned 3-merge BPE table: per doc
     (n_bpe_tokens, space-joined token string) via the distinct-word
@@ -1648,6 +1654,7 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
+    "bpe_vocab": q_bpe_vocab,
     "pack_sequences_bpe": q_pack_sequences_bpe,
     "order_value_percentiles": q_order_value_percentiles,
     "totalprice_histogram": q_totalprice_histogram,
@@ -2743,6 +2750,7 @@ ORACLE_SQL["pack_sequences"] = ta.pack_sequences_sql(128)
 ORACLE_SQL["bpe_pair_counts"] = ta.bpe_pair_counts_sql(100)
 ORACLE_SQL["bpe_train"] = ta.bpe_train_sql(3)
 ORACLE_SQL["bpe_encode"] = ta.bpe_encode_sql(3)
+ORACLE_SQL["bpe_vocab"] = ta.bpe_vocab_sql(3)
 ORACLE_SQL["pack_sequences_bpe"] = ta.pack_sequences_bpe_sql(128, 3)
 
 

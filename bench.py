@@ -173,6 +173,7 @@ HEADLINE = [
     "bpe_train",
     "bpe_encode",
     "pack_sequences_bpe",
+    "bpe_vocab",
 ]
 
 # Deliberately NOT in the headline list: the 8 streaming_* drain variants

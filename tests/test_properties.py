@@ -1288,6 +1288,67 @@ def test_pack_sequences_bpe_token_exact(spark):
     assert all(r["doc_id"] != 3 for r in rows)
 
 
+def test_bpe_vocab_artifact(spark):
+    """The vocabulary artifact on the Sennrich corpus: base ids
+    enumerate the distinct characters + '</w>' lexicographically from
+    1, merges append in rank order with offset ids, and every merge
+    token's parts are concatenations of earlier vocabulary entries
+    (the BPE closure property a tokenizer runtime relies on)."""
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+        bpe_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2)),
+         (2, " ".join(["newest"] * 6 + ["widest"] * 3)),
+         (3, "newest low")],
+        "doc_id long, text string")
+    rows = bpe_vocab(docs, n_merges=3).collect()
+    base = [(r["vocab_id"], r["token"]) for r in rows
+            if r["kind"] == "base"]
+    merges = [(r["vocab_id"], r["token"]) for r in rows
+              if r["kind"] == "merge"]
+    chars = sorted(set("lowernewstid")) + ["</w>"]
+    assert base == list(enumerate(sorted(chars), start=1))
+    n_base = len(base)
+    assert merges == [(n_base + 1, "es"), (n_base + 2, "est"),
+                      (n_base + 3, "est</w>")]
+    # ids are a gapless 1..N enumeration
+    assert [r["vocab_id"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_bpe_encode_reconstruction_invariant(spark, sf_dir):
+    """On the real documents table: every doc's bpe_tokens reassemble
+    EXACTLY into its lowercased whitespace token stream (strip spaces,
+    split on '</w>') and n_bpe_tokens equals the symbol count -- the
+    lossless-encoding property, corpus-wide."""
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+        bpe_encode,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = {r["doc_id"]: (r["n_bpe_tokens"], r["bpe_tokens"])
+           for r in bpe_encode(docs, n_merges=3).collect()}
+    texts = {r["doc_id"]: r["text"]
+             for r in docs.select("doc_id", "text").collect()}
+    assert enc, "corpus should produce encodings"
+    for doc_id, (n, toks) in enc.items():
+        syms = toks.split(" ")
+        assert n == len(syms)
+        words = [w for w in
+                 "".join(syms).split("</w>") if w != ""]
+        want = [w for w in (texts[doc_id] or "").lower().split()
+                if w != ""]
+        assert words == want, doc_id
+    # docs with zero tokens are exactly the ones missing from enc
+    empty = {d for d, t in texts.items()
+             if not (t or "").strip()}
+    assert set(texts) - set(enc) == empty
+
+
 def test_quality_classifier_label_col_retargets(spark):
     """Supervision is parameterizable: label_col as a Column expression
     must reproduce the default lang-equality labels exactly, and an

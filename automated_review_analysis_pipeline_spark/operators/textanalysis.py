@@ -752,13 +752,21 @@ def _bpe_word_symbols(documents: DataFrame,
 
 
 def _pair_counts_from_symbols(symed: DataFrame) -> DataFrame:
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("syms")) - 1),
-        lambda i: F.struct(
-            F.element_at(F.col("syms"), i).alias("left"),
-            F.element_at(F.col("syms"), i + 1).alias("right"),
+    # the >= 2 guard matters: Spark's sequence(1, 0) runs DESCENDING
+    # ([1, 0]), so a fully-merged single-symbol word (every 1-char word
+    # once enough merges have been learned, e.g. 'k' -> ['k</w>'])
+    # would index element_at(syms, 2) out of bounds -- where DuckDB's
+    # range(1, 1) is already empty. Found by training 50 merges.
+    pairs = F.when(
+        F.size(F.col("syms")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("syms")) - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("syms"), i).alias("left"),
+                F.element_at(F.col("syms"), i + 1).alias("right"),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
     return (
         symed.select("freq", F.explode(pairs).alias("p"))
         .groupBy(F.col("p.left").alias("left"),
@@ -818,12 +826,29 @@ def _train_merges(documents: DataFrame, n_merges: int,
     """The :func:`bpe_train` loop, returning the learned
     (rank, left, right, merged, n_occurrences) tuples driver-side --
     shared with :func:`bpe_encode`, which consumes the merge list as a
-    broadcast-literal expression rather than a DataFrame."""
+    broadcast-literal expression rather than a DataFrame.
+
+    Lineage discipline (the kmeans Lloyd-round lesson,
+    similarity.py:kmeans_centroids): rounds chain through cheap
+    in-memory caches, and every CHECKPOINT_EVERY rounds the chain is cut
+    with an eager localCheckpoint -- bounding plan-tree depth at a
+    constant while keeping the per-round cost at cache speed. Chaining
+    ALL rounds lazily (the original shape) nests an InMemoryRelation +
+    AQE subtree per round: fine for 3 merges, but a real tokenizer run
+    (hundreds of merges) overflows plan-tree traversal long before any
+    data is large; checkpointing EVERY round instead costs a
+    vocab-materialization job per merge (~10x slower measured at
+    sf0.1). localCheckpoint is non-reliable storage: on a real cluster,
+    an executor loss mid-training restarts the job -- the standard
+    trade for iterative algorithms whose state (the distinct-word
+    table) re-derives cheaply from the source."""
     from automated_review_analysis_pipeline_spark.plan_cache import (
         plan_cache,
     )
 
-    symed = plan_cache(_bpe_word_symbols(documents, text_col))
+    CHECKPOINT_EVERY = 8
+    symed = plan_cache(
+        _bpe_word_symbols(documents, text_col).select("freq", "syms"))
     learned: list[tuple] = []
     for rank in range(1, n_merges + 1):
         top = (
@@ -837,8 +862,12 @@ def _train_merges(documents: DataFrame, n_merges: int,
         left, right, n = top[0]["left"], top[0]["right"], \
             top[0]["n_occurrences"]
         learned.append((rank, left, right, left + right, int(n)))
-        symed = plan_cache(symed.select(
-            "freq", _apply_merge(F.col("syms"), left, right).alias("syms")))
+        nxt = symed.select(
+            "freq", _apply_merge(F.col("syms"), left, right).alias("syms"))
+        if rank % CHECKPOINT_EVERY == 0:
+            symed = nxt.localCheckpoint(eager=True)
+        else:
+            symed = plan_cache(nxt)
     return learned
 
 

@@ -1288,6 +1288,35 @@ def test_pack_sequences_bpe_token_exact(spark):
     assert all(r["doc_id"] != 3 for r in rows)
 
 
+def test_bpe_train_survives_fully_merged_words(spark):
+    """Regression: once enough merges are learned, 1-char words collapse
+    to a SINGLE symbol ('a' -> ['a</w>']) -- Spark's sequence(1, 0) runs
+    DESCENDING, so the unguarded pair builder indexed out of bounds
+    (DuckDB's range(1,1) was already empty). Train far past exhaustion:
+    every adjacent pair of every word gets merged, training stops early,
+    and encode emits one symbol per fully-merged word."""
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a bb bb c")], "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=50).collect()
+    # vocabulary exhausts after 4 merges: (a,</w>) count 3; then the
+    # (b,b)/(b,</w>) tie at 2 breaks right-ascending ('<' < 'b') to
+    # (b,</w>); then (b,b</w>); finally (c,</w>) -- and round 5 finds
+    # no pairs left, so training stops early
+    assert [(m["left"], m["right"]) for m in merges] == [
+        ("a", "</w>"), ("b", "</w>"), ("b", "b</w>"), ("c", "</w>")]
+    enc = bpe_encode(
+        docs, merges=[(m["merge_rank"], m["left"], m["right"],
+                       m["merged"], m["n_occurrences"])
+                      for m in merges]).collect()
+    assert (enc[0]["n_bpe_tokens"], enc[0]["bpe_tokens"]) == (
+        6, "a</w> a</w> a</w> bb</w> bb</w> c</w>")
+
+
 def test_bpe_vocab_artifact(spark):
     """The vocabulary artifact on the Sennrich corpus: base ids
     enumerate the distinct characters + '</w>' lexicographically from

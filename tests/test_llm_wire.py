@@ -201,6 +201,56 @@ def test_real_sdk_wire_roundtrip_retry_and_terminal_default(
     assert all(r["path"] == "/v1/chat/completions" for r in reqs)
 
 
+def test_cli_api_mode_end_to_end_bills_278_wire_requests(
+        wire_server, tmp_path):
+    """THE production path, whole-CLI: a subprocess runs
+    `python -m ...api` with OPENAI_API_KEY set (S5 env-mode selection
+    -> llm_kernel with the DEFAULT client construction -- OpenAI() from
+    env, base_url via OPENAI_BASE_URL), PYTHONPATH carrying the
+    reference venv's openai SDK into the UDF workers. On the bundled
+    2,071-non-filler-cell survey the memo cache must collapse the wire
+    traffic to EXACTLY the 278 distinct keys, every one authenticated
+    and answered by the loopback server, and the cache must hold the
+    wire-sourced values."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    port = wire_server.server_address[1]
+    out = str(tmp_path / "api_mode_report.xlsx")
+    cache = str(tmp_path / "api_mode_cache")
+    env = dict(os.environ)
+    env["OPENAI_API_KEY"] = "loopback-cli-key"
+    env["OPENAI_BASE_URL"] = f"http://127.0.0.1:{port}/v1"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [SHIM_DIR, REF_SITE_PACKAGES, env.get("PYTHONPATH", "")])
+    proc = subprocess.run(
+        [sys.executable, "-m", "automated_review_analysis_pipeline_spark.api",
+         "--input", "/root/reference/example_survey_large.csv",
+         "--industry", "Apparel", "--output", out, "--cache", cache,
+         "--max-parallelism", "4"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=420)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    reqs = wire_server.requests
+    # one wire request per DISTINCT non-filler key -- never per cell
+    assert len(reqs) == 278
+    assert len({r["answer"] for r in reqs}) == 278
+    assert all(r["auth"] == "Bearer loopback-cli-key" for r in reqs)
+
+    # the cache table holds exactly those wire-sourced classifications
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT count(*), count(DISTINCT answer) FROM '{cache}/*.parquet'"
+    ).fetchone()
+    assert rows == (278, 278)
+    cats = {c for (c,) in con.execute(
+        f"SELECT DISTINCT category FROM '{cache}/*.parquet'").fetchall()}
+    assert cats == {"General"}   # the loopback default response
+
+
 def test_real_sdk_request_payload_is_reference_exact(spark, wire_server):
     """The decisive C5 parity check at the WIRE level: the JSON body the
     real SDK serializes must equal survey_analysis.py:193-202's parameter

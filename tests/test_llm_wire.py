@@ -60,16 +60,22 @@ class _LoopbackHandler(http.server.BaseHTTPRequestHandler):
     def do_POST(self):  # noqa: N802  (http.server API)
         n = int(self.headers.get("Content-Length", 0))
         payload = json.loads(self.rfile.read(n))
-        answer = ""
-        for line in payload["messages"][1]["content"].splitlines():
-            if line.startswith("Answer: "):
-                answer = line[len("Answer: "):]
+        # slice, don't line-scan: answers may be MULTILINE (S1 parses
+        # quoted embedded-newline CSV cells) and must stay distinct here
+        content = payload["messages"][1]["content"]
+        q_start = content.index("Question: ") + len("Question: ")
+        start = content.index("Answer: ", q_start)
+        question = content[q_start:start - 1]          # strip the \n
+        start += len("Answer: ")
+        end = content.rindex("\nSentiment must be one of:")
+        answer = content[start:end]
         srv = self.server
         with srv.lock:
             srv.requests.append({
                 "path": self.path,
                 "auth": self.headers.get("Authorization"),
                 "payload": payload,
+                "question": question,
                 "answer": answer,
                 "t": time.monotonic(),
             })
@@ -223,8 +229,13 @@ def test_cli_api_mode_end_to_end_bills_278_wire_requests(
     env = dict(os.environ)
     env["OPENAI_API_KEY"] = "loopback-cli-key"
     env["OPENAI_BASE_URL"] = f"http://127.0.0.1:{port}/v1"
+    # SHIM_DIR only: its sitecustomize.py appends the reference venv to
+    # the END of sys.path in the driver AND every UDF worker, so the
+    # pure-Python openai stack imports while the venv's cp39-darwin
+    # pandas can never shadow the native one (the round-6 failure mode
+    # of putting REF_SITE_PACKAGES directly on PYTHONPATH).
     env["PYTHONPATH"] = os.pathsep.join(
-        [SHIM_DIR, REF_SITE_PACKAGES, env.get("PYTHONPATH", "")])
+        [SHIM_DIR, env.get("PYTHONPATH", "")])
     proc = subprocess.run(
         [sys.executable, "-m", "automated_review_analysis_pipeline_spark.api",
          "--input", "/root/reference/example_survey_large.csv",
@@ -235,15 +246,19 @@ def test_cli_api_mode_end_to_end_bills_278_wire_requests(
     assert proc.returncode == 0, proc.stderr[-3000:]
 
     reqs = wire_server.requests
-    # one wire request per DISTINCT non-filler key -- never per cell
+    # one wire request per DISTINCT non-filler key -- never per cell.
+    # The memo key is (industry, question, answer): 278 distinct keys,
+    # but only 274 distinct answer STRINGS (a few answers recur under
+    # more than one question), so distinctness is asserted on the pair.
     assert len(reqs) == 278
-    assert len({r["answer"] for r in reqs}) == 278
+    assert len({(r["question"], r["answer"]) for r in reqs}) == 278
     assert all(r["auth"] == "Bearer loopback-cli-key" for r in reqs)
 
     # the cache table holds exactly those wire-sourced classifications
     con = duckdb.connect()
     rows = con.execute(
-        f"SELECT count(*), count(DISTINCT answer) FROM '{cache}/*.parquet'"
+        f"SELECT count(*), count(DISTINCT (question, answer)) "
+        f"FROM '{cache}/*.parquet'"
     ).fetchone()
     assert rows == (278, 278)
     cats = {c for (c,) in con.execute(

@@ -613,8 +613,12 @@ def test_bpe_encode_vocab_join_no_cartesian_no_udf(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
     # the learned merges appear as literals in an aggregate (fold)
-    # expression over the symbol array, not as a scan of a merge table
-    assert "aggregate(" in plan, plan
+    # expression over the symbol array, not as a scan of a merge table.
+    # Checked on the OPTIMIZED plan: the physical-plan string does not
+    # render HashAggregate result expressions, so the fold literal is
+    # invisible there even though it executes JVM-side.
+    opt = optimized_of(spark, "bpe_encode")
+    assert "aggregate(" in opt, opt
 
 
 def test_pack_sequences_bpe_single_window_no_cartesian(spark):

@@ -52,6 +52,7 @@ def load_cache(spark: SparkSession, path: str) -> DataFrame:
     the same last-write-wins outcome as concurrent reference processes
     overwriting each other's JSON."""
     try:
+        _recover_interrupted_compaction(path)
         if os.path.isdir(path) and any(
             f.endswith(".parquet") for f in os.listdir(path)
         ):
@@ -59,6 +60,17 @@ def load_cache(spark: SparkSession, path: str) -> DataFrame:
     except OSError:
         pass
     return spark.createDataFrame([], CACHE_SCHEMA)
+
+
+def _recover_interrupted_compaction(path: str) -> None:
+    """If a compact_cache run crashed between its two renames, the only
+    complete copy of the cache sits at ``path + ".compact.old"`` while
+    ``path`` itself is gone -- and every later run would silently
+    re-classify from scratch. Restore it: the .old directory is, by
+    construction, the pre-compaction live table."""
+    old = path + ".compact.old"
+    if os.path.isdir(old) and not os.path.isdir(path):
+        os.rename(old, path)
 
 
 def import_json_cache(spark: SparkSession, json_path: str,
@@ -144,26 +156,58 @@ def compact_cache(spark: SparkSession, path: str,
     Crash-safe swap: the compacted table lands in a sibling ``.tmp``
     directory first, the live directory moves aside, the tmp renames
     in, and only then is the old data deleted -- a crash at any point
-    leaves a complete copy on disk (``path`` or ``path + ".old"``).
-    Returns the output file count (0 = nothing to compact). Idempotent:
-    re-running compacts the already-compact table to itself.
+    leaves a complete copy on disk (``path`` or ``path + ".compact.old"``),
+    and load_cache/compact_cache automatically restore a stranded
+    ``.compact.old`` on their next run. Returns the output file count
+    (0 = nothing to compact). Idempotent: re-running compacts the
+    already-compact table to itself.
+
+    Concurrent appenders are tolerated, not required to stop: the
+    compaction reads an explicit SNAPSHOT of the parquet files present
+    at entry, and any file that lands in ``path`` afterwards -- whether
+    it was swept into ``.compact.old`` by the first rename or appended
+    into a recreated ``path`` between the renames -- is moved back into
+    the live directory before the old copy is deleted. Nothing a
+    concurrent run paid for is ever dropped; the duplicate-key rows a
+    concurrent append can introduce are collapsed by load_cache's
+    dedup-on-read, same as always.
     """
     import glob
     import shutil
 
-    if not (os.path.isdir(path)
-            and any(f.endswith(".parquet") for f in os.listdir(path))):
+    _recover_interrupted_compaction(path)
+    snapshot = sorted(glob.glob(os.path.join(path, "*.parquet"))) \
+        if os.path.isdir(path) else []
+    if not snapshot:
         return 0
-    live = load_cache(spark, path)
-    total = sum(os.path.getsize(f)
-                for f in glob.glob(os.path.join(path, "*.parquet")))
+    # read exactly the snapshot files: appends racing the write job must
+    # not be half-included (they are reconciled by filename below)
+    live = spark.read.parquet(*snapshot).dropDuplicates(KEY_COLS)
+    total = sum(os.path.getsize(f) for f in snapshot)
     n_files = max(1, -(-total // target_file_bytes))
     tmp, old = path + ".compact.tmp", path + ".compact.old"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     live.coalesce(int(n_files)).write.mode("overwrite").parquet(tmp)
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # an append between the renames recreated ``path``: keep those
+        # fresh files, then fill in the compacted table around them
+        for f in glob.glob(os.path.join(tmp, "*")):
+            dst = os.path.join(path, os.path.basename(f))
+            if not os.path.exists(dst):
+                os.rename(f, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+    # files swept into .old that were NOT in the snapshot are concurrent
+    # appends -- move them back into the live table before deleting
+    snap_names = {os.path.basename(f) for f in snapshot}
+    for f in glob.glob(os.path.join(old, "*.parquet")):
+        if os.path.basename(f) not in snap_names:
+            dst = os.path.join(path, os.path.basename(f))
+            if not os.path.exists(dst):
+                os.rename(f, dst)
     shutil.rmtree(old)
     return int(n_files)
 

@@ -183,10 +183,20 @@ def attach_media_features(media: DataFrame,
         parts = max(1, (n_rows * approx_row_bytes) // target_bytes_per_partition)
         media = media.repartition(int(parts))
 
+    def safe_decode(p, m):
+        # per-row tolerance: one NULL / truncated / compressed payload
+        # (real_decoder raises NotImplementedError on JPEG/PNG, ValueError
+        # on corrupt headers) must null ITS features, not fail the whole
+        # corpus-scale job
+        try:
+            return decoder(p, m)
+        except Exception:
+            return None
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             feats = [
-                decoder(p, m) for p, m in zip(b["payload"], b["mime"])
+                safe_decode(p, m) for p, m in zip(b["payload"], b["mime"])
             ]
             yield pd.DataFrame({
                 "media_id": b["media_id"],
@@ -232,10 +242,18 @@ def resize_media(media: DataFrame, max_w: int = 224, max_h: int = 224,
         F.greatest(F.floor(F.col("height") * s), F.lit(1)).cast("int"),
     )
 
+    def safe_encode(p, w, h):
+        # same per-row tolerance as attach_media_features: an
+        # undecodable/compressed payload nulls its thumbnail only
+        try:
+            return encoder(p, w, h)
+        except Exception:
+            return None
+
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = [
-                encoder(p, w, h)
+                safe_encode(p, w, h)
                 for p, w, h in zip(b["payload"], b["new_width"],
                                    b["new_height"])
             ]

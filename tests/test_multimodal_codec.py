@@ -165,3 +165,33 @@ def test_media_near_dup_on_real_ppm_bytes(spark):
              media_near_dup_pairs(media, max_hamming=8).collect()}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_bad_payloads_null_their_row_not_the_job(spark):
+    """Per-row error tolerance: a batch mixing a good PPM, a compressed
+    JPEG (real_decoder raises NotImplementedError), a NULL payload, and
+    a truncated header must complete -- bad rows get NULL
+    features/payload, the good row keeps exact values."""
+    img = _grad(3, 5)
+    rows = [
+        (1, bytearray(_ppm(img)), "image/x-portable-pixmap", 5, 3,
+         None, "t"),
+        (2, bytearray(b"\xff\xd8\xff\xe0" + b"\0" * 64), "image/jpeg",
+         5, 3, None, "t"),
+        (3, None, "image/x-portable-pixmap", 5, 3, None, "t"),
+        (4, bytearray(b"P6 5"), "image/x-portable-pixmap", 5, 3,
+         None, "t"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_COLS)
+
+    feats = {r["media_id"]: r["features"] for r in
+             attach_media_features(media, decoder=real_decoder).collect()}
+    assert list(feats[1]) == [pytest.approx(v)
+                              for v in real_decoder(_ppm(img), "")]
+    assert feats[2] is None and feats[3] is None and feats[4] is None
+
+    thumbs = {r["media_id"]: r["payload"] for r in
+              resize_media(media, max_w=4, max_h=4,
+                           encoder=real_encoder).collect()}
+    assert decode_image(bytes(thumbs[1])).shape == (2, 4, 3)  # resized
+    assert thumbs[2] is None and thumbs[3] is None and thumbs[4] is None

@@ -479,7 +479,8 @@ def pack_sequences(documents: DataFrame, seq_len: int = 128,
 
 def pack_sequences_bpe(documents: DataFrame, seq_len: int = 128,
                        n_merges: int = 3, group_col: str = "source",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       merges: list[tuple] | None = None) -> DataFrame:
     """Token-EXACT sequence packing: :func:`pack_sequences` driven by
     real BPE token counts from :func:`bpe_encode` (train-then-encode on
     the same corpus) instead of the whitespace proxy -- the manifest now
@@ -491,7 +492,8 @@ def pack_sequences_bpe(documents: DataFrame, seq_len: int = 128,
     cumsum + arithmetic explode -- the extra cost over the proxy is
     exactly the encode pass, nothing in the packing changes shape.
     """
-    enc = bpe_encode(documents, n_merges=n_merges, text_col=text_col)
+    enc = bpe_encode(documents, n_merges=n_merges, text_col=text_col,
+                     merges=merges)
     toked = (
         documents.select("doc_id", F.col(group_col).alias("__grp"))
         .join(enc.select(
@@ -795,8 +797,46 @@ def _apply_merge(syms_col: Column, left: str, right: str) -> Column:
     )
 
 
+def _apply_merge_batch(syms_col: Column,
+                       pairs: list[tuple[str, str]]) -> Column:
+    """One greedy left-to-right pass applying a BATCH of symbol-disjoint
+    merges simultaneously: the pair lookup is a literal map keyed by a
+    length-prefixed ``left`` + ``right`` concatenation (unambiguous even
+    if a symbol embeds another), so the fold costs ONE pass per round no
+    matter how many merges the round learned.
+
+    Correctness requires the batch to be symbol-disjoint (no symbol of
+    one pair equals a component or the merged token of another) -- then
+    simultaneous single-pass application is exactly equivalent to
+    applying the pairs sequentially in rank order, because no pair's
+    merge can create or destroy another pair's adjacency.
+    :func:`_select_disjoint` enforces the invariant.
+    """
+    entries: list[Column] = []
+    for left, right in pairs:
+        entries.append(F.lit(f"{len(left):04d}{left}{right}"))
+        entries.append(F.lit(left + right))
+    lut = F.create_map(*entries)
+
+    def step(acc: Column, s: Column) -> Column:
+        # try_element_at(acc, -1) is null on the empty accumulator, which
+        # nulls the whole key, which nulls the lookup -- the ANSI-safe
+        # way to express "no previous symbol, no merge".
+        last = F.try_element_at(acc, F.lit(-1))
+        key = F.concat(
+            F.lpad(F.length(last).cast("string"), 4, "0"), last, s)
+        repl = F.try_element_at(lut, key)
+        return F.when(
+            repl.isNotNull(),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(repl)),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(
+        syms_col, F.array().cast("array<string>"), step)
+
+
 def bpe_train(documents: DataFrame, n_merges: int = 3,
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text", batch: int = 1) -> DataFrame:
     """The BPE tokenizer TRAINING LOOP in the engine (Sennrich 2016):
     ``n_merges`` rounds of count-adjacent-pairs -> take the most frequent
     -> apply the merge to every word's symbol sequence -> recount.
@@ -804,6 +844,17 @@ def bpe_train(documents: DataFrame, n_merges: int = 3,
     n_occurrences) -- the artifact a tokenizer builder consumes;
     :func:`bpe_pair_counts` is this loop's first half, exposed
     standalone.
+
+    ``batch=1`` (default) is EXACT Sennrich -- one global argmax per
+    merge, mirrored by the unrolled-CTE DuckDB oracle. ``batch=m`` is
+    the standard practical variant for realistic merge counts (8k-32k):
+    each round collects the top 4m pairs, keeps a greedy symbol-disjoint
+    prefix (:func:`_select_disjoint` -- disjointness makes the batch's
+    occurrence counts exact and its single-pass application equal to
+    sequential), and applies them in ONE fold pass -- cutting driver
+    round-trips and recount aggregates ~m-fold. The learned table can
+    differ from exact Sennrich only in rank interleavings where a
+    newly-created pair would out-count the round's remaining picks.
 
     Distributed shape (the kmeans/GD discipline): the word-frequency
     table is built once (one full-data shuffle) and every round is one
@@ -813,7 +864,7 @@ def bpe_train(documents: DataFrame, n_merges: int = 3,
     (count desc, left asc, right asc), mirrored in the unrolled-CTE
     DuckDB oracle, so the learned merges are engine-exact.
     """
-    learned = _train_merges(documents, n_merges, text_col)
+    learned = _train_merges(documents, n_merges, text_col, batch=batch)
     return documents.sparkSession.createDataFrame(
         learned,
         "merge_rank int, left string, right string, merged string, "
@@ -821,8 +872,29 @@ def bpe_train(documents: DataFrame, n_merges: int = 3,
     ).orderBy("merge_rank")
 
 
+def _select_disjoint(cands: list[tuple], batch: int) -> list[tuple]:
+    """Greedy prefix filter for batched training: walk (left, right, n)
+    candidates in (count desc, left, right) order and keep a pair only
+    if none of {left, right, left+right} collides with any component or
+    merged token already kept -- the symbol-disjointness invariant
+    :func:`_apply_merge_batch` needs for simultaneous application to
+    equal sequential rank-order application. The top-1 candidate always
+    survives, so every round makes progress."""
+    used: set[str] = set()
+    kept: list[tuple] = []
+    for left, right, n in cands:
+        trio = {left, right, left + right}
+        if used & trio:
+            continue
+        used |= trio
+        kept.append((left, right, n))
+        if len(kept) >= batch:
+            break
+    return kept
+
+
 def _train_merges(documents: DataFrame, n_merges: int,
-                  text_col: str) -> list[tuple]:
+                  text_col: str, batch: int = 1) -> list[tuple]:
     """The :func:`bpe_train` loop, returning the learned
     (rank, left, right, merged, n_occurrences) tuples driver-side --
     shared with :func:`bpe_encode`, which consumes the merge list as a
@@ -850,21 +922,37 @@ def _train_merges(documents: DataFrame, n_merges: int,
     symed = plan_cache(
         _bpe_word_symbols(documents, text_col).select("freq", "syms"))
     learned: list[tuple] = []
-    for rank in range(1, n_merges + 1):
+    rounds = 0
+    while len(learned) < n_merges:
+        rounds += 1
+        want = min(batch, n_merges - len(learned))
         top = (
             _pair_counts_from_symbols(symed)
             .orderBy(F.desc("n_occurrences"), "left", "right")
-            .limit(1)
+            .limit(max(1, 4 * want))
             .collect()
         )
         if not top:
             break
-        left, right, n = top[0]["left"], top[0]["right"], \
-            top[0]["n_occurrences"]
-        learned.append((rank, left, right, left + right, int(n)))
-        nxt = symed.select(
-            "freq", _apply_merge(F.col("syms"), left, right).alias("syms"))
-        if rank % CHECKPOINT_EVERY == 0:
+        picked = _select_disjoint(
+            [(r["left"], r["right"], r["n_occurrences"]) for r in top],
+            want)
+        for left, right, n in picked:
+            learned.append(
+                (len(learned) + 1, left, right, left + right, int(n)))
+        if len(picked) == 1:
+            left, right, _ = picked[0]
+            nxt = symed.select(
+                "freq",
+                _apply_merge(F.col("syms"), left, right).alias("syms"))
+        else:
+            nxt = symed.select(
+                "freq",
+                _apply_merge_batch(
+                    F.col("syms"),
+                    [(left, right) for left, right, _ in picked]
+                ).alias("syms"))
+        if rounds % CHECKPOINT_EVERY == 0:
             symed = nxt.localCheckpoint(eager=True)
         else:
             symed = plan_cache(nxt)
@@ -941,9 +1029,75 @@ def _apply_merges(syms_col: Column, merges_col: Column) -> Column:
     )
 
 
+# Past this many merges the literal-expression merge table (one struct
+# literal per merge inside a nested F.aggregate) stresses Catalyst's
+# expression tree the same way the per-round lineage chain did at 20
+# merges; bpe_encode auto-switches to the Arrow kernel above it.
+LITERAL_MERGE_LIMIT = 128
+
+
+def _bpe_kernel_udf(spark, merge_pairs: list[tuple[str, str]]):
+    """Arrow-batched Pandas UDF applying a learned merge table to words
+    -- the realistic-merge-count (8k-32k) path where a literal
+    expression cannot carry the table. The merges ship once per executor
+    as a Spark broadcast (never as an expression or a join side), and
+    the UDF runs over the DISTINCT-WORD table only, so the Python cost
+    is |vocab| x O(|word|^2) dict lookups, not |corpus|.
+
+    Semantics are EXACTLY the engine's fold (:func:`_apply_merges`):
+    merges apply in strictly increasing rank order, one greedy
+    left-to-right pass each; a pair adjacency created by a later rank
+    never re-triggers an earlier rank (rank-monotone -- note this
+    differs from re-visiting encoders like GPT-2's, which re-scan from
+    the lowest rank; our canon is the fold + the unrolled DuckDB CTEs).
+    The skip-list trick: instead of folding all n ranks per word, jump
+    straight to the next applicable rank present among the word's
+    current adjacencies -- at most |word| applications per word, so
+    per-word cost is flat in merge count.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    bmerges = spark.sparkContext.broadcast(merge_pairs)
+
+    @pandas_udf("array<string>")
+    def enc(words):
+        import pandas as pd
+
+        pairs = bmerges.value
+        ranks = {p: i for i, p in enumerate(pairs)}
+
+        def one(w: str) -> list[str]:
+            syms = list(w)
+            syms.append("</w>")
+            last = -1
+            while len(syms) >= 2:
+                best = -1
+                for p in zip(syms, syms[1:]):
+                    rk = ranks.get(p, -1)
+                    if rk > last and (best < 0 or rk < best):
+                        best = rk
+                if best < 0:
+                    break
+                left, right = pairs[best]
+                out: list[str] = []
+                for s in syms:
+                    if out and out[-1] == left and s == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(s)
+                syms = out
+                last = best
+            return syms
+
+        return pd.Series([one(w) for w in words])
+
+    return enc
+
+
 def bpe_encode(documents: DataFrame, n_merges: int = 3,
                text_col: str = "text", id_col: str = "doc_id",
-               merges: list[tuple] | None = None) -> DataFrame:
+               merges: list[tuple] | None = None,
+               strategy: str = "auto") -> DataFrame:
     """Tokenize the corpus with a learned BPE merge table -- the step a
     pretraining pipeline actually runs at scale, completing
     :func:`bpe_train` (which only produces the table). Per document:
@@ -965,19 +1119,37 @@ def bpe_encode(documents: DataFrame, n_merges: int = 3,
     natural zipf (stop words -- salt or broadcast at scale).
     Zero-token documents emit no row (they have no token events), like
     :func:`token_freq_score`.
+
+    ``strategy`` selects how the merge table is applied to the
+    distinct-word table: ``"literal"`` (the constant-size nested
+    F.aggregate with the merges as a literal -- pure JVM, the oracle
+    plan), ``"kernel"`` (Arrow-batched Pandas UDF with the merges as a
+    Spark broadcast -- the realistic 8k-32k-merge path, see
+    :func:`_bpe_kernel_udf`), or ``"auto"`` (literal up to
+    ``LITERAL_MERGE_LIMIT`` merges, kernel past it). Both strategies
+    produce identical symbol sequences (pinned by pytest equality at
+    overlapping sizes).
     """
     learned = (merges if merges is not None
                else _train_merges(documents, n_merges, text_col))
+    if strategy == "auto":
+        strategy = ("literal" if len(learned) <= LITERAL_MERGE_LIMIT
+                    else "kernel")
     wordtab = _bpe_word_symbols(documents, text_col)
-    if learned:
+    if not learned:
+        wordtab = wordtab.select("word", "syms")
+    elif strategy == "kernel":
+        enc = _bpe_kernel_udf(
+            documents.sparkSession,
+            [(lt, rt) for _, lt, rt, _, _ in learned])
+        wordtab = wordtab.select("word", enc("word").alias("syms"))
+    else:
         merge_arr = F.array(*[
             F.struct(F.lit(lt).alias("left"), F.lit(rt).alias("right"))
             for _, lt, rt, _, _ in learned
         ])
         wordtab = wordtab.select(
             "word", _apply_merges(F.col("syms"), merge_arr).alias("syms"))
-    else:
-        wordtab = wordtab.select("word", "syms")
     doc_words = documents.select(
         F.col(id_col),
         F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "word"),
@@ -996,7 +1168,8 @@ def bpe_encode(documents: DataFrame, n_merges: int = 3,
 
 
 def bpe_vocab(documents: DataFrame, n_merges: int = 3,
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text",
+              merges: list[tuple] | None = None) -> DataFrame:
     """The tokenizer VOCABULARY artifact a runtime consumes: base
     symbols (every distinct character of the corpus's words, plus the
     '</w>' end-of-word marker) enumerated in lexicographic order, then
@@ -1016,7 +1189,8 @@ def bpe_vocab(documents: DataFrame, n_merges: int = 3,
     """
     from pyspark.sql.window import Window
 
-    learned = _train_merges(documents, n_merges, text_col)
+    learned = (merges if merges is not None
+               else _train_merges(documents, n_merges, text_col))
     base = (
         _bpe_word_symbols(documents, text_col)
         .select(F.explode("syms").alias("token"))

@@ -1,0 +1,98 @@
+"""Tokenizer interchange artifacts: merges.txt + vocab.json.
+
+The in-engine BPE family (operators/textanalysis.py: bpe_train ->
+bpe_vocab -> bpe_encode) produces the merge and vocabulary tables as
+DataFrames; a training stack consumes them as files in the standard
+GPT-2/HF interchange form -- ``merges.txt`` ("#version: 0.2" header,
+one "left right" pair per line in rank order) and ``vocab.json`` (a
+token -> id object). This module is that last mile, plus the inverse
+(import) so a table exported here -- or produced by any tokenizer
+trainer using the same format -- can drive :func:`bpe_encode` directly.
+
+Driver-side small-artifact IO, the same convention as the memo cache's
+JSON migration (operators/cache.py:import_json_cache): the artifacts
+are KB-to-MB sized regardless of corpus scale (they are vocabulary-,
+not corpus-, sized), so files on the driver are the right tool -- no
+Spark job is involved.
+
+Export is byte-stable: same inputs -> identical bytes (sorted-by-id
+vocab, '\n' line endings, compact JSON separators), pinned by pytest.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+MERGES_FILE = "merges.txt"
+VOCAB_FILE = "vocab.json"
+MERGES_HEADER = "#version: 0.2"
+
+
+def export_tokenizer(merges: list[tuple], vocab: DataFrame | list[tuple],
+                     out_dir: str) -> dict[str, str]:
+    """Write ``merges.txt`` + ``vocab.json`` under ``out_dir``.
+
+    ``merges``: the learned (rank, left, right, merged, n_occurrences)
+    tuples (bpe_train's rows / _train_merges' return). ``vocab``: the
+    :func:`~..operators.textanalysis.bpe_vocab` DataFrame -- or its
+    (vocab_id, token, kind) rows -- written as {token: id} in id order.
+    Returns {"merges": path, "vocab": path}.
+
+    Symbols never contain whitespace (the pre-tokenizer emits \\w+ runs
+    or single non-space symbols), which is what makes the
+    space-separated merges.txt line format unambiguous; guarded anyway
+    so a foreign merge table cannot silently corrupt the artifact.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    rows = (vocab.select("vocab_id", "token").collect()
+            if isinstance(vocab, DataFrame) else
+            [(r[0], r[1]) for r in vocab])
+
+    lines = [MERGES_HEADER]
+    for _, left, right, _, _ in sorted(merges, key=lambda m: m[0]):
+        if any(ch.isspace() for ch in left + right):
+            raise ValueError(
+                f"merge pair ({left!r}, {right!r}) contains whitespace; "
+                "not representable in merges.txt")
+        lines.append(f"{left} {right}")
+    merges_path = os.path.join(out_dir, MERGES_FILE)
+    with open(merges_path, "w", encoding="utf-8", newline="\n") as f:
+        f.write("\n".join(lines) + "\n")
+
+    vocab_obj = {token: int(vid)
+                 for vid, token in sorted(rows, key=lambda r: int(r[0]))}
+    vocab_path = os.path.join(out_dir, VOCAB_FILE)
+    with open(vocab_path, "w", encoding="utf-8", newline="\n") as f:
+        json.dump(vocab_obj, f, ensure_ascii=False,
+                  separators=(",", ":"))
+        f.write("\n")
+    return {"merges": merges_path, "vocab": vocab_path}
+
+
+def import_tokenizer(in_dir: str) -> tuple[list[tuple], dict[str, int]]:
+    """Read ``merges.txt`` + ``vocab.json`` back into the engine's
+    shapes: a merge list consumable by ``bpe_encode(merges=...)`` (ranks
+    re-derived from line order; n_occurrences is not part of the
+    interchange format and comes back 0) and the {token: id} vocab dict.
+    ``vocab.json`` is optional -- encode only needs the merges."""
+    merges_path = os.path.join(in_dir, MERGES_FILE)
+    merges: list[tuple] = []
+    with open(merges_path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            left, sep, right = line.partition(" ")
+            if not sep or not left or not right:
+                raise ValueError(f"malformed merges.txt line: {line!r}")
+            merges.append(
+                (len(merges) + 1, left, right, left + right, 0))
+
+    vocab_path = os.path.join(in_dir, VOCAB_FILE)
+    vocab: dict[str, int] = {}
+    if os.path.exists(vocab_path):
+        with open(vocab_path, encoding="utf-8") as f:
+            vocab = {str(k): int(v) for k, v in json.load(f).items()}
+    return merges, vocab

@@ -1,0 +1,72 @@
+"""Tokenizer artifact round-trip: export -> bytes stable -> import ->
+encode equality (the cache-JSON migration convention applied to the
+tokenizer; sinks/tokenizer.py)."""
+from __future__ import annotations
+
+import os
+
+from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+    _train_merges,
+    bpe_encode,
+    bpe_vocab,
+)
+from automated_review_analysis_pipeline_spark.sinks.tokenizer import (
+    MERGES_HEADER,
+    export_tokenizer,
+    import_tokenizer,
+)
+
+
+def _sennrich_docs(spark):
+    return spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2)),
+         (2, " ".join(["newest"] * 6 + ["widest"] * 3)),
+         (3, "newest low")],
+        "doc_id long, text string")
+
+
+def test_export_bytes_stable_and_import_roundtrip(spark, tmp_path):
+    docs = _sennrich_docs(spark)
+    learned = _train_merges(docs, 3, "text")
+    vocab = bpe_vocab(docs, merges=learned)
+
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    paths = export_tokenizer(learned, vocab, out1)
+    export_tokenizer(learned, vocab, out2)
+    for name in ("merges.txt", "vocab.json"):
+        b1 = open(os.path.join(out1, name), "rb").read()
+        b2 = open(os.path.join(out2, name), "rb").read()
+        assert b1 == b2 and b1  # byte-stable, non-empty
+
+    # merges.txt is the GPT-2/HF line format
+    lines = open(paths["merges"], encoding="utf-8").read().splitlines()
+    assert lines[0] == MERGES_HEADER
+    assert lines[1:] == ["e s", "es t", "est </w>"]
+
+    imported, vocab_ids = import_tokenizer(out1)
+    assert [(m[1], m[2], m[3]) for m in imported] == [
+        ("e", "s", "es"), ("es", "t", "est"), ("est", "</w>", "est</w>")]
+    # vocab ids round-trip in id order, base alphabet then merges
+    assert vocab_ids["est</w>"] == max(vocab_ids.values())
+    assert len(vocab_ids) == vocab.count()
+
+    # encode with the imported table == encode with the in-session table
+    assert (bpe_encode(docs, merges=imported).collect()
+            == bpe_encode(docs, merges=learned).collect())
+
+
+def test_export_rejects_whitespace_symbols(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        export_tokenizer([(1, "a b", "c", "a bc", 1)], [], str(tmp_path))
+
+
+def test_import_tolerates_missing_vocab_and_blank_lines(tmp_path):
+    d = tmp_path / "t"
+    d.mkdir()
+    (d / "merges.txt").write_text("#version: 0.2\na b\n\nab c\n")
+    merges, vocab = import_tokenizer(str(d))
+    assert [(m[0], m[1], m[2], m[3]) for m in merges] == [
+        (1, "a", "b", "ab"), (2, "ab", "c", "abc")]
+    assert vocab == {}

@@ -812,3 +812,96 @@ def winnow_overlap_pairs(documents: DataFrame, text_col: str = "text",
                     / F.least("n_fps_a", "n_fps_b")).alias("overlap_ppm"))
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring removal (Lee et al. 2022-style, bounded k-gram)
+# ---------------------------------------------------------------------------
+
+def substring_dedup(documents: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """Remove exact duplicated substrings ACROSS documents -- the other
+    standard LLM-corpus dedup next to near-dup removal ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022). The
+    suffix-array construction of the paper is replaced by a bounded,
+    SQL-expressible k-gram variant: a token k-gram occurring in >= 2
+    distinct documents is a duplicated run; every token position it
+    covers is excised from every document EXCEPT the gram's canonical
+    owner (min doc_id), which keeps its text intact. Runs longer than k
+    are handled for free -- each of their length-k windows is itself
+    duplicated, so overlapping covered windows excise the whole run.
+
+    Output per document with >= 1 token, ordered by doc_id:
+
+        (doc_id, n_tokens, n_removed, text_deduped)
+
+    where ``text_deduped`` re-joins the surviving tokens in order (the
+    lowercased token stream, not the raw text -- same normalization as
+    every other text operator here).
+
+    Scale shape: grams never meet pairwise -- one groupBy(gram) computes
+    (n_docs, owner), one join back marks covered occurrences, one
+    explode + distinct turns them into covered positions, and a
+    left join + groupBy(doc_id) rebuilds the text. Everything shuffles
+    on gram or doc_id; a viral boilerplate gram costs one big posting
+    list in ONE aggregate, never a pairwise blow-up (unlike similarity
+    joins, no df-cap is needed -- we only need each gram's min doc_id
+    and distinct-doc count).
+    """
+    from .textanalysis import tokens as word_tokens
+
+    toked = documents.select(
+        F.col(id_col).alias("doc_id"),
+        word_tokens(F.lower(F.col(text_col))).alias("toks"),
+    ).where(F.size("toks") > 0)
+    toked = plan_cache(toked)
+
+    grams = (
+        toked.where(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.explode(F.transform(
+                F.sequence(F.lit(1), F.size("toks") - k + 1),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.concat_ws(" ", F.slice("toks", i, k)).alias("gram")),
+            )).alias("g"))
+        .select("doc_id", F.col("g.start").alias("start"),
+                F.col("g.gram").alias("gram"))
+    )
+    grams = plan_cache(grams)
+
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.min("doc_id").alias("owner"))
+        .where(F.col("n_docs") >= 2)
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .where(F.col("doc_id") != F.col("owner"))
+        .select("doc_id",
+                F.explode(F.sequence(
+                    F.col("start"), F.col("start") + k - 1)).alias("pos"))
+        .distinct()
+        .withColumn("__cut", F.lit(1))
+    )
+    tokpos = (
+        toked.select("doc_id", F.posexplode("toks").alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    kept_struct = F.when(
+        F.col("__cut").isNull(), F.struct("pos", "tok"))
+    return (
+        tokpos.join(covered, ["doc_id", "pos"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("__cut"), F.lit(0)))
+            .cast("long").alias("n_removed"),
+            F.concat_ws(" ", F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["tok"])).alias("text_deduped"),
+        )
+        .orderBy("doc_id")
+    )

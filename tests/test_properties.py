@@ -1440,3 +1440,36 @@ def test_psi_drift_small_on_uniform_large_on_shift(spark):
         "doc_id long, n_chars long")
     total = sum(r["psi_term"] for r in psi_drift(shifted).collect())
     assert total > 0.5
+
+
+def test_substring_dedup_excises_cross_doc_runs(spark):
+    """Hand-built overlap: docs 1 and 2 share a 10-token run (every
+    8-gram window of it is duplicated, so the whole run is excised from
+    the non-owner), doc 3 is disjoint and survives untouched, and the
+    owner (min doc_id) keeps its text verbatim."""
+    from automated_review_analysis_pipeline_spark.operators.dedup import (
+        substring_dedup,
+    )
+
+    run = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    docs = spark.createDataFrame(
+        [(1, f"alpha {run} beta"),
+         (2, f"gamma delta {run} epsilon"),
+         (3, "zeta eta theta iota kappa")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_deduped"])
+           for r in substring_dedup(docs, k=8).collect()}
+    # owner keeps everything
+    assert got[1] == (12, 0, f"alpha {run} beta")
+    # non-owner loses exactly the 10 shared tokens
+    assert got[2] == (13, 10, "gamma delta epsilon")
+    # disjoint doc untouched
+    assert got[3] == (5, 0, "zeta eta theta iota kappa")
+
+    # a run shorter than k survives (no duplicated 8-gram exists)
+    docs2 = spark.createDataFrame(
+        [(1, "s1 s2 s3 s4 s5 s6 s7 x"), (2, "s1 s2 s3 s4 s5 s6 s7 y")],
+        "doc_id long, text string")
+    got2 = {r["doc_id"]: r["n_removed"]
+            for r in substring_dedup(docs2, k=8).collect()}
+    assert got2 == {1: 0, 2: 0}

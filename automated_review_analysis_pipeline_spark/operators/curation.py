@@ -218,32 +218,18 @@ def decontaminate(documents: DataFrame, text_col: str = "text",
     )
 
 
-def curate_corpus(documents: DataFrame, quota: int = 80, budget: int = 512,
-                  k: int = 5) -> DataFrame:
-    """The full training-corpus curation pipeline as ONE lazy Spark plan:
-
-    1. Gopher quality gate (integer-arithmetic keep rules, semi join)
-    2. Exact text dedup (min doc_id survives per distinct text)
-    3. Train-split selection + held-out-set decontamination (any train doc
-       sharing a word k-shingle with the test split is dropped; the test
-       split is drawn from the ORIGINAL corpus -- curation must never
-       weaken the contamination definition)
-    4. Per-language quota sampling (md5-ordered, deterministic)
-    5. Token-budget shard assignment per language (contiguous offsets)
-
-    Output: (lang, doc_id, n_tokens, tokens_before, shard) -- the shard
-    manifest a data loader consumes. Single action, no intermediate
-    materialization: Catalyst fuses the gates into the scans, and every
-    stage is a hash join / window over the SHRINKING survivor set, so at
-    100 TB the expensive stages (shingle join, windows) see only what the
-    cheap per-row gates let through.
-    """
+def _curation_survivors(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Stages 1-3 of the curation pipeline, shared by
+    :func:`curate_corpus` (doc-count quotas) and
+    :func:`curate_corpus_tokens` (token-budget quotas): Gopher quality
+    gate -> exact text dedup -> train-split selection -> held-out-set
+    decontamination. Returns the clean train-split survivor set with all
+    document columns."""
     from .dedup import (
         exact_dedup,
         shingle_tokens,
         word_shingles_from_tokens,
     )
-    from .textanalysis import token_count
 
     kept_ids = gopher_quality_flags(documents).where("keep").select("doc_id")
     base = documents.join(kept_ids, "doc_id", "left_semi")
@@ -264,7 +250,32 @@ def curate_corpus(documents: DataFrame, quota: int = 80, budget: int = 512,
         F.explode(word_shingles_from_tokens(F.col("__toks"), k))
         .alias("shingle"))
     contaminated = tr_sh.join(test_sh, "shingle").select("doc_id").distinct()
-    clean = train.join(contaminated, "doc_id", "left_anti")
+    return train.join(contaminated, "doc_id", "left_anti")
+
+
+def curate_corpus(documents: DataFrame, quota: int = 80, budget: int = 512,
+                  k: int = 5) -> DataFrame:
+    """The full training-corpus curation pipeline as ONE lazy Spark plan:
+
+    1. Gopher quality gate (integer-arithmetic keep rules, semi join)
+    2. Exact text dedup (min doc_id survives per distinct text)
+    3. Train-split selection + held-out-set decontamination (any train doc
+       sharing a word k-shingle with the test split is dropped; the test
+       split is drawn from the ORIGINAL corpus -- curation must never
+       weaken the contamination definition)
+    4. Per-language quota sampling (md5-ordered, deterministic)
+    5. Token-budget shard assignment per language (contiguous offsets)
+
+    Output: (lang, doc_id, n_tokens, tokens_before, shard) -- the shard
+    manifest a data loader consumes. Single action, no intermediate
+    materialization: Catalyst fuses the gates into the scans, and every
+    stage is a hash join / window over the SHRINKING survivor set, so at
+    100 TB the expensive stages (shingle join, windows) see only what the
+    cheap per-row gates let through.
+    """
+    from .textanalysis import token_count
+
+    clean = _curation_survivors(documents, k)
 
     w_q = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id")
@@ -280,6 +291,64 @@ def curate_corpus(documents: DataFrame, quota: int = 80, budget: int = 512,
                 F.coalesce(F.sum("n_tokens").over(w_s), F.lit(0))
                 .alias("tokens_before"))
         .select("lang", "doc_id", "n_tokens", "tokens_before",
+                F.floor(F.col("tokens_before") / budget).cast("long")
+                .alias("shard"))
+        .orderBy("lang", "doc_id")
+    )
+
+
+def curate_corpus_tokens(documents: DataFrame, token_quota: int = 2048,
+                         budget: int = 512, k: int = 5,
+                         n_merges: int = 3,
+                         merges: list[tuple] | None = None) -> DataFrame:
+    """:func:`curate_corpus` with TOKEN-budget quotas -- real pretraining
+    mixes are budgeted in tokenizer tokens, not document counts. Stages
+    1-3 (gate, dedup, decontam) are identical; the quota stage then
+    admits documents per language in the same deterministic md5 order
+    until ``token_quota`` BPE tokens are reached (greedy prefix: a doc
+    is admitted iff the tokens admitted before it are under the quota,
+    so the last admitted doc may overflow it -- the standard fill rule),
+    and shard offsets accumulate the SAME exact token counts, so the
+    shard manifest a data loader consumes carries real tokenizer token
+    counts end to end.
+
+    Token counts come from :func:`~.textanalysis.bpe_encode` (trained on
+    the full corpus, like the registry's encode query; pass ``merges``
+    to reuse a learned table). Documents the encoder emits no row for
+    (zero tokens) count 0 toward the quota.
+
+    Output: (lang, doc_id, n_bpe_tokens, tokens_before, shard).
+    """
+    from .textanalysis import bpe_encode
+
+    clean = _curation_survivors(documents, k)
+    enc = bpe_encode(documents, n_merges=n_merges,
+                     merges=merges).select("doc_id", "n_bpe_tokens")
+    base = (
+        clean.select("lang", "doc_id")
+        .join(enc, "doc_id", "left")
+        .select("lang", "doc_id",
+                F.coalesce("n_bpe_tokens", F.lit(0)).cast("long")
+                .alias("n_bpe_tokens"))
+    )
+    w_q = (Window.partitionBy("lang")
+           .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    admitted = (
+        base.select(
+            "lang", "doc_id", "n_bpe_tokens",
+            F.coalesce(F.sum("n_bpe_tokens").over(w_q), F.lit(0))
+            .alias("__quota_before"))
+        .where(F.col("__quota_before") < token_quota)
+    )
+    w_s = (Window.partitionBy("lang").orderBy("doc_id")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        admitted.select(
+            "lang", "doc_id", "n_bpe_tokens",
+            F.coalesce(F.sum("n_bpe_tokens").over(w_s), F.lit(0))
+            .cast("long").alias("tokens_before"))
+        .select("lang", "doc_id", "n_bpe_tokens", "tokens_before",
                 F.floor(F.col("tokens_before") / budget).cast("long")
                 .alias("shard"))
         .orderBy("lang", "doc_id")

@@ -229,6 +229,13 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_overlap_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring excision (Lee et al.-style, bounded
+    k-gram variant): token 8-grams shared across docs are cut from every
+    doc but the min-doc_id owner; rebuilt text + removal counts."""
+    return dedup.substring_dedup(_t(spark, sf_dir, "documents"), k=8)
+
+
 # ---------------------------------------------------------------------------
 # similarity search over `embeddings`
 # ---------------------------------------------------------------------------
@@ -343,6 +350,14 @@ def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.curate_corpus(_t(spark, sf_dir, "documents"))
+
+
+def q_curate_corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: same gate/dedup/decontam survivors, quota
+    and shards measured in exact BPE tokens (2048/lang, 512/shard)."""
+    return cur.curate_corpus_tokens(
+        _t(spark, sf_dir, "documents"), token_quota=2048, budget=512,
+        merges=_shared_merges(spark, sf_dir, 3))
 
 
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1634,6 +1649,7 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_minhash_pairs": q_incremental_minhash_pairs,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
+    "substring_dedup": q_substring_dedup,
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "label_centroids": q_label_centroids,
@@ -1726,6 +1742,7 @@ QUERIES: dict[str, QueryFn] = {
     "near_dup_triangles": q_near_dup_triangles,
     "expectations_orders": q_expectations_orders,
     "curate_corpus": q_curate_corpus,
+    "curate_corpus_tokens": q_curate_corpus_tokens,
     "kmeans_embeddings": q_kmeans_embeddings,
     "containment_pairs": q_containment_pairs,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -2115,6 +2132,46 @@ FROM inter JOIN sizes na ON id_a = na.doc_id
            JOIN sizes nb ON id_b = nb.doc_id
 WHERE round(ix::DOUBLE / (na.n_sh + nb.n_sh - ix), 6) >= 0.015
 ORDER BY id_a, id_b
+""",
+    "substring_dedup": f"""
+WITH toked AS (
+  SELECT doc_id, toks FROM (
+    SELECT doc_id, {ta.tokens_sql('lower(text)')} AS toks FROM documents)
+  WHERE len(toks) > 0
+),
+grams AS (
+  SELECT doc_id, g['start'] AS start, g['gram'] AS gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 8 + 2),
+                  i -> {{'start': i,
+                         'gram': array_to_string(toks[i:(i + 7)], ' ')}}))
+             AS g
+    FROM toked WHERE len(toks) >= 8)
+),
+dup AS (
+  SELECT gram, min(doc_id) AS owner FROM grams
+  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT g.doc_id, unnest(range(g.start, g.start + 8)) AS pos
+    FROM grams g JOIN dup USING (gram) WHERE g.doc_id <> dup.owner)
+),
+tp AS (
+  SELECT doc_id, pos, toks[pos] AS tok FROM (
+    SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks
+    FROM toked)
+),
+marked AS (
+  SELECT tp.doc_id, tp.pos, tp.tok, (c.pos IS NOT NULL) AS cut
+  FROM tp LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       coalesce(string_agg(CASE WHEN NOT cut THEN tok END, ' '
+                           ORDER BY pos), '') AS text_deduped
+FROM marked GROUP BY doc_id ORDER BY doc_id
 """,
     "minhash_pairs": _minhash_oracle_sql(),
     "cosine_topk": f"""
@@ -3677,8 +3734,11 @@ ORACLE_SQL["ivf_trained_topk"] = _ivf_trained_oracle_sql()
 # survivor set.
 _CURATE_TOK = ("CASE WHEN trim(coalesce(text,'')) = '' THEN 0 "
                "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
-ORACLE_SQL["curate_corpus"] = f"""
-WITH flags AS ({cur.gopher_quality_flags_sql().replace("ORDER BY doc_id", "")}),
+# Stages 1-3 (gate -> dedup -> train split -> decontam), shared by the
+# doc-count (curate_corpus) and token-budget (curate_corpus_tokens)
+# oracles -- mirrors operators/curation.py:_curation_survivors.
+_CURATE_STAGES = f"""
+flags AS ({cur.gopher_quality_flags_sql().replace("ORDER BY doc_id", "")}),
 kept AS (
   SELECT d.* FROM documents d JOIN flags f ON d.doc_id = f.doc_id AND f.keep
 ),
@@ -3705,7 +3765,9 @@ contaminated AS (
 clean AS (
   SELECT * FROM train
   WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
-),
+)"""
+ORACLE_SQL["curate_corpus"] = f"""
+WITH {_CURATE_STAGES},
 sampled AS (
   SELECT * FROM (
     SELECT lang, doc_id, text,
@@ -3725,6 +3787,42 @@ cum AS (
 SELECT lang, doc_id, n_tokens, tokens_before,
        CAST(floor(tokens_before / 512) AS BIGINT) AS shard
 FROM cum ORDER BY lang, doc_id
+"""
+
+
+# curate_corpus_tokens: the token-budget variant -- the bpe_encode CTEs
+# (trained in-query, 3 merges) provide exact per-doc BPE token counts;
+# the same survivor stages feed a greedy md5-order token-quota prefix
+# per language, then token-offset shards.
+ORACLE_SQL["curate_corpus_tokens"] = ta._bpe_encode_ctes(3) + f""",
+counts AS (
+  SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_bpe
+  FROM dwords JOIN s3 USING (word) GROUP BY doc_id
+),
+{_CURATE_STAGES.lstrip()},
+tok_base AS (
+  SELECT c.lang, c.doc_id, coalesce(n.n_bpe, 0) AS n_bpe_tokens
+  FROM clean c LEFT JOIN counts n ON c.doc_id = n.doc_id
+),
+adm AS (
+  SELECT lang, doc_id, n_bpe_tokens,
+         coalesce(sum(n_bpe_tokens) OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS qb
+  FROM tok_base
+),
+tok_cum AS (
+  SELECT lang, doc_id, CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+         CAST(coalesce(sum(n_bpe_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tokens_before
+  FROM adm WHERE qb < 2048
+)
+SELECT lang, doc_id, n_bpe_tokens, tokens_before,
+       CAST(floor(tokens_before / 512) AS BIGINT) AS shard
+FROM tok_cum ORDER BY lang, doc_id
 """
 
 

@@ -439,3 +439,54 @@ def test_temperature_mix_null_group_forms_own_group(spark):
     assert groups == {"big", "__null__"}
     # the NULL group is the smallest -> kept whole
     assert sum(1 for r in out if r["lang"] == "__null__") == 100
+
+
+def test_curate_corpus_tokens_quota_and_shards(spark, sf_dir):
+    """Token-budget curation invariants on real data: (a) admitted docs
+    are exactly the survivor set's greedy md5-order prefix whose
+    pre-admission token sum is under the quota, per language; (b)
+    tokens_before is the exact cumsum of n_bpe_tokens in doc_id order;
+    (c) shard = floor(tokens_before / budget); (d) n_bpe_tokens matches
+    bpe_encode on the same corpus."""
+    from automated_review_analysis_pipeline_spark.operators import (
+        curation as cur,
+    )
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+        _train_merges,
+        bpe_encode,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _train_merges(docs, 3, "text")
+    quota, budget = 1500, 300
+    out = cur.curate_corpus_tokens(
+        docs, token_quota=quota, budget=budget, merges=merges).collect()
+    assert out
+
+    enc = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_encode(docs, merges=merges).collect()}
+    from collections import defaultdict
+    per_lang = defaultdict(list)
+    for r in out:
+        assert r["n_bpe_tokens"] == enc.get(r["doc_id"], 0)
+        per_lang[r["lang"]].append(r)
+    for lang, rows in per_lang.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        before = 0
+        for r in rows:
+            assert r["tokens_before"] == before
+            assert r["shard"] == before // budget
+            before += r["n_bpe_tokens"]
+        # greedy quota: every admitted doc was admitted while the
+        # md5-order running sum was still under quota
+        import hashlib
+        md5_order = sorted(
+            rows, key=lambda r: (hashlib.md5(
+                str(r["doc_id"]).encode()).hexdigest(), r["doc_id"]))
+        run = 0
+        for r in md5_order:
+            assert run < quota
+            run += r["n_bpe_tokens"]

@@ -502,7 +502,8 @@ def mix_corpus(documents: DataFrame, weights: dict[str, float],
 
 def temperature_mix(documents: DataFrame, alpha: float = 0.3,
                     group_col: str = "lang",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    weight_col: str | None = None) -> DataFrame:
     """Temperature-based corpus rebalancing (the XLM-R/mT5 multilingual
     sampling rule): with observed group shares p_g, sample mass q_g is
     proportional to p_g^alpha -- alpha<1 flattens the distribution so
@@ -530,10 +531,18 @@ def temperature_mix(documents: DataFrame, alpha: float = 0.3,
     ``'__null__'`` merges that group with the NULL group -- pre-fill
     NULLs upstream with a corpus-safe sentinel if that collision is
     possible.
+
+    ``weight_col`` switches the group-mass measure from row counts to
+    the sum of that column -- the token-budget form of the rule (real
+    multilingual mixes weight languages by TOKENS, not documents; feed
+    it :func:`~.textanalysis.bpe_encode`'s n_bpe_tokens). The keep
+    decision stays per-document; only the p_g shares change.
     """
     grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
     docs = documents.withColumn("__grp", grp)
-    counts = docs.groupBy("__grp").agg(F.count("*").alias("__n"))
+    mass = (F.count("*") if weight_col is None
+            else F.sum(weight_col))
+    counts = docs.groupBy("__grp").agg(mass.alias("__n"))
     nmin = counts.agg(F.min("__n").alias("__nmin"))
     groups = counts.crossJoin(F.broadcast(nmin)).select(
         "__grp",

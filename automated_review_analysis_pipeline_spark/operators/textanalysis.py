@@ -1167,6 +1167,74 @@ def bpe_encode(documents: DataFrame, n_merges: int = 3,
     )
 
 
+def bpe_encode_ids(documents: DataFrame, n_merges: int = 3,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   merges: list[tuple] | None = None,
+                   strategy: str = "auto") -> DataFrame:
+    """:func:`bpe_encode` emitting VOCABULARY IDS -- the integer stream
+    a training loader actually consumes. Per document:
+
+        (doc_id, n_bpe_tokens, token_ids: array<long>)
+
+    ids are :func:`bpe_vocab`'s vocab_id (lexicographic base alphabet
+    from 1, merge tokens appended in rank order).
+
+    Plan: the symbol->id mapping happens at the DISTINCT-WORD level
+    (explode each word's post-merge symbols, broadcast-join the
+    vocabulary -- it is alphabet+merges sized -- and re-aggregate to an
+    id array per word), so the corpus-sized side only pays the same
+    word-key lookup join as :func:`bpe_encode`; ids never explode per
+    occurrence.
+    """
+    learned = (merges if merges is not None
+               else _train_merges(documents, n_merges, text_col))
+    vocab = bpe_vocab(documents, n_merges=n_merges, text_col=text_col,
+                      merges=learned)
+    wordtab = _bpe_word_symbols(documents, text_col)
+    if learned:
+        if strategy == "auto":
+            strategy = ("literal" if len(learned) <= LITERAL_MERGE_LIMIT
+                        else "kernel")
+        if strategy == "kernel":
+            enc = _bpe_kernel_udf(
+                documents.sparkSession,
+                [(lt, rt) for _, lt, rt, _, _ in learned])
+            wordtab = wordtab.select("word", enc("word").alias("syms"))
+        else:
+            merge_arr = F.array(*[
+                F.struct(F.lit(lt).alias("left"), F.lit(rt).alias("right"))
+                for _, lt, rt, _, _ in learned
+            ])
+            wordtab = wordtab.select(
+                "word",
+                _apply_merges(F.col("syms"), merge_arr).alias("syms"))
+    else:
+        wordtab = wordtab.select("word", "syms")
+    wids = (
+        wordtab.select("word", F.posexplode("syms").alias("i", "token"))
+        .join(F.broadcast(vocab.select("token", "vocab_id")), "token")
+        .groupBy("word")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "vocab_id"))),
+            lambda x: x["vocab_id"]).alias("ids"))
+    )
+    doc_words = documents.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "word"),
+    ).where(F.col("word") != "")
+    return (
+        doc_words.join(wids, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.size("ids")).cast("long").alias("n_bpe_tokens"),
+            F.flatten(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ids"))),
+                lambda x: x["ids"])).alias("token_ids"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def bpe_vocab(documents: DataFrame, n_merges: int = 3,
               text_col: str = "text",
               merges: list[tuple] | None = None) -> DataFrame:
@@ -1300,6 +1368,47 @@ dwords AS (
   SELECT doc_id, pos, toks[pos] AS word FROM dpos WHERE toks[pos] <> ''
 )""")
     return "".join(parts)
+
+
+def bpe_encode_ids_sql(n_merges: int = 3) -> str:
+    """DuckDB twin of :func:`bpe_encode_ids`: the encode CTEs + the
+    vocab enumeration (as in :func:`bpe_vocab_sql`), joined at the
+    word-symbol level and re-aggregated; ids emitted space-joined (the
+    registry stringifies the Spark array the same way -- array columns
+    do not survive the driver's compare canonicalization)."""
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, l || r AS token FROM m{i}"
+        for i in range(1, n_merges + 1))
+    return _bpe_encode_ctes(n_merges) + f""",
+base AS (SELECT DISTINCT unnest(syms) AS token FROM s0),
+base_ids AS (
+  SELECT row_number() OVER (ORDER BY token) AS vocab_id, token FROM base
+),
+merge_ids AS (
+  SELECT (SELECT count(*) FROM base) + merge_rank AS vocab_id, token
+  FROM ({merge_rows})
+),
+vocab AS (
+  SELECT CAST(vocab_id AS BIGINT) AS vocab_id, token FROM base_ids
+  UNION ALL
+  SELECT CAST(vocab_id AS BIGINT) AS vocab_id, token FROM merge_ids
+),
+wtok AS (
+  SELECT word, i, syms[i] AS token FROM (
+    SELECT word, unnest(range(1, len(syms) + 1)) AS i, syms
+    FROM s{n_merges})
+),
+wids AS (
+  SELECT word, list(CAST(vocab_id AS VARCHAR) ORDER BY i) AS ids
+  FROM wtok JOIN vocab USING (token) GROUP BY word
+)
+SELECT doc_id,
+       CAST(sum(len(ids)) AS BIGINT) AS n_bpe_tokens,
+       string_agg(array_to_string(ids, ' '), ' ' ORDER BY pos)
+         AS token_ids
+FROM dwords JOIN wids USING (word)
+GROUP BY doc_id ORDER BY doc_id
+"""
 
 
 def pack_sequences_bpe_sql(seq_len: int = 128, n_merges: int = 3) -> str:

@@ -1165,6 +1165,18 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                          merges=_shared_merges(spark, sf_dir, 3))
 
 
+def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenized to VOCAB IDS (the loader-facing integer stream);
+    ids space-joined because array columns do not survive the driver's
+    compare canonicalization."""
+    out = ta.bpe_encode_ids(_t(spark, sf_dir, "documents"), n_merges=3,
+                            merges=_shared_merges(spark, sf_dir, 3))
+    return out.select(
+        "doc_id", "n_bpe_tokens",
+        F.concat_ws(" ", F.transform(
+            "token_ids", lambda x: x.cast("string"))).alias("token_ids"))
+
+
 def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-EXACT sequence packing: the pack_sequences manifest driven
     by real BPE token counts (train-then-encode) instead of the
@@ -1578,6 +1590,22 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.temperature_mix(_t(spark, sf_dir, "documents"), alpha=0.3)
 
 
+def q_temperature_mix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature rebalancing with group mass measured in exact BPE
+    tokens (the real multilingual-mix weighting) instead of doc counts;
+    keep decisions stay the same per-doc salted-md5 rule."""
+    docs = _t(spark, sf_dir, "documents")
+    enc = ta.bpe_encode(
+        docs, n_merges=3,
+        merges=_shared_merges(spark, sf_dir, 3)).select(
+            "doc_id", "n_bpe_tokens")
+    weighted = (docs.join(enc, "doc_id", "left")
+                .select("doc_id", "lang",
+                        F.coalesce("n_bpe_tokens", F.lit(0))
+                        .alias("__w")))
+    return cur.temperature_mix(weighted, alpha=0.3, weight_col="__w")
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.train_quality_classifier(_t(spark, sf_dir, "documents"))
 
@@ -1696,6 +1724,7 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
     "bpe_vocab": q_bpe_vocab,
+    "bpe_encode_ids": q_bpe_encode_ids,
     "pack_sequences_bpe": q_pack_sequences_bpe,
     "order_value_percentiles": q_order_value_percentiles,
     "totalprice_histogram": q_totalprice_histogram,
@@ -1796,6 +1825,7 @@ QUERIES: dict[str, QueryFn] = {
     "self_line_dedup": q_self_line_dedup,
     "leakage_safe_split": q_leakage_safe_split,
     "temperature_mix": q_temperature_mix,
+    "temperature_mix_tokens": q_temperature_mix_tokens,
     "quality_classifier": q_quality_classifier,
     "ann_recall": q_ann_recall,
     "perplexity_filter": q_perplexity_filter,
@@ -2833,6 +2863,7 @@ ORACLE_SQL["bpe_pair_counts"] = ta.bpe_pair_counts_sql(100)
 ORACLE_SQL["bpe_train"] = ta.bpe_train_sql(3)
 ORACLE_SQL["bpe_encode"] = ta.bpe_encode_sql(3)
 ORACLE_SQL["bpe_vocab"] = ta.bpe_vocab_sql(3)
+ORACLE_SQL["bpe_encode_ids"] = ta.bpe_encode_ids_sql(3)
 ORACLE_SQL["pack_sequences_bpe"] = ta.pack_sequences_bpe_sql(128, 3)
 
 
@@ -4681,6 +4712,34 @@ g AS (
 SELECT d.doc_id, d.grp AS lang, g.keep_threshold
 FROM d0 d JOIN g USING (grp)
 WHERE CAST(('0x' || substring(md5('tmix:' || CAST(doc_id AS VARCHAR)),
+                              1, 4)) AS BIGINT) < g.keep_threshold
+ORDER BY d.doc_id
+"""
+
+
+# temperature_mix_tokens: identical rule with group mass = sum of exact
+# BPE token counts (encode CTEs, 3 merges) instead of row counts.
+ORACLE_SQL["temperature_mix_tokens"] = ta._bpe_encode_ctes(3) + """,
+tcounts AS (
+  SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS w
+  FROM dwords JOIN s3 USING (word) GROUP BY doc_id
+),
+d0 AS (
+  SELECT d.doc_id, coalesce(CAST(d.lang AS VARCHAR), '__null__') AS grp,
+         coalesce(t.w, 0) AS w
+  FROM documents d LEFT JOIN tcounts t ON d.doc_id = t.doc_id
+),
+c AS (SELECT grp, sum(w) AS n FROM d0 GROUP BY grp),
+m AS (SELECT min(n) AS nmin FROM c),
+g AS (
+  SELECT grp,
+         CAST(round(pow(CAST(n AS DOUBLE) / nmin, 0.3 - 1.0) * 65536)
+           AS BIGINT) AS keep_threshold
+  FROM c, m
+)
+SELECT d.doc_id, d.grp AS lang, g.keep_threshold
+FROM d0 d JOIN g USING (grp)
+WHERE CAST(('0x' || substring(md5('tmix:' || CAST(d.doc_id AS VARCHAR)),
                               1, 4)) AS BIGINT) < g.keep_threshold
 ORDER BY d.doc_id
 """

@@ -110,3 +110,32 @@ def test_rank_monotone_semantics_pinned_across_strategies(spark):
     for strategy in ("literal", "kernel"):
         rows = bpe_encode(docs, merges=merges, strategy=strategy).collect()
         assert rows[0]["bpe_tokens"] == "a bc </w>", strategy
+
+
+def test_bpe_encode_ids_decode_back_to_tokens(spark):
+    """ids are exactly bpe_vocab's vocab_id: mapping each document's
+    token_ids back through the vocabulary reproduces bpe_encode's token
+    string, and n_bpe_tokens agrees."""
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2)),
+         (2, " ".join(["newest"] * 6 + ["widest"] * 3)),
+         (3, "newest low")],
+        "doc_id long, text string")
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+        _train_merges,
+        bpe_encode,
+    )
+    merges = _train_merges(docs, 3, "text")
+    id2tok = {r["vocab_id"]: r["token"]
+              for r in bpe_vocab(docs, merges=merges).collect()}
+    enc_str = {r["doc_id"]: (r["n_bpe_tokens"], r["bpe_tokens"])
+               for r in bpe_encode(docs, merges=merges).collect()}
+    for r in bpe_encode_ids(docs, merges=merges).collect():
+        n, toks = enc_str[r["doc_id"]]
+        assert r["n_bpe_tokens"] == n == len(r["token_ids"])
+        assert " ".join(id2tok[i] for i in r["token_ids"]) == toks

@@ -490,3 +490,28 @@ def test_curate_corpus_tokens_quota_and_shards(spark, sf_dir):
         for r in md5_order:
             assert run < quota
             run += r["n_bpe_tokens"]
+
+
+def test_temperature_mix_weighted_upweights_token_poor_group(spark):
+    """weight_col switches the group-mass measure: with unit weights the
+    result equals the row-count rule; with group 'b' carrying 10x the
+    tokens per doc, 'a' becomes the low-resource group and keeps
+    everything while 'b' is subsampled."""
+    from automated_review_analysis_pipeline_spark.operators import (
+        curation as cur,
+    )
+    from pyspark.sql import functions as F
+
+    rows = ([(i, "a", 1) for i in range(200)]
+            + [(i + 1000, "b", 10) for i in range(200)])
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    unit = docs.withColumn("w", F.lit(1))
+    assert (cur.temperature_mix(unit, alpha=0.3, weight_col="w").collect()
+            == cur.temperature_mix(unit, alpha=0.3).collect())
+
+    out = cur.temperature_mix(docs, alpha=0.3, weight_col="w").collect()
+    thr = {r["lang"]: r["keep_threshold"] for r in out}
+    assert thr["a"] == 65536          # min-mass group keeps everything
+    assert thr["b"] < 65536           # 10x token mass -> subsampled
+    n_a = sum(1 for r in out if r["lang"] == "a")
+    assert n_a == 200

@@ -629,3 +629,39 @@ def test_pack_sequences_bpe_single_window_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
     assert plan.count("Window") >= 1, plan
+
+
+def test_substring_dedup_gram_grouped_no_pairwise(spark):
+    """Duplicated-substring removal must never compare documents
+    pairwise: grams meet only in a groupBy(gram) + a hash join back,
+    and the whole plan stays JVM-side."""
+    plan = plan_of(spark, "substring_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_bpe_encode_ids_broadcast_vocab_no_python(spark):
+    """The symbol->id mapping joins the bounded vocabulary BROADCAST
+    (alphabet+merges sized), at small merge counts fully JVM-side."""
+    plan = plan_of(spark, "bpe_encode_ids")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_curate_corpus_tokens_no_python_no_cartesian(spark):
+    plan = plan_of(spark, "curate_corpus_tokens")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_temperature_mix_tokens_broadcast_thresholds(spark):
+    """Group thresholds attach via broadcast (low-cardinality group
+    table); the only corpus-sized shuffles are the encode path's."""
+    plan = plan_of(spark, "temperature_mix_tokens")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -119,6 +119,14 @@ def _incremental_minhash(docs: DataFrame) -> DataFrame:
         num_hashes=16, bands=4, threshold=0.7, update_store=False)
 
 
+def _tmix_tokens(docs: DataFrame) -> DataFrame:
+    enc = ta.bpe_encode(docs, n_merges=3).select("doc_id", "n_bpe_tokens")
+    weighted = (docs.join(enc, "doc_id", "left")
+                .select("doc_id", "lang",
+                        F.coalesce("n_bpe_tokens", F.lit(0)).alias("__w")))
+    return cur.temperature_mix(weighted, alpha=0.3, weight_col="__w")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale-stress")
@@ -183,6 +191,15 @@ def main() -> None:
         "bpe_encode (3 merges)": lambda d, v: ta.bpe_encode(d, n_merges=3),
         "pack_sequences_bpe (128)": lambda d, v:
             ta.pack_sequences_bpe(d, seq_len=128, n_merges=3),
+        # round-7 extension: substring dedup (gram-grouped, no pairwise
+        # join), loader-facing id encoding, token-budget curation/mix
+        "substring_dedup (k=8)": lambda d, v: dedup.substring_dedup(
+            d, k=8),
+        "bpe_encode_ids (3 merges)": lambda d, v: ta.bpe_encode_ids(
+            d, n_merges=3),
+        "curate_corpus_tokens (2048)": lambda d, v:
+            cur.curate_corpus_tokens(d, token_quota=2048),
+        "temperature_mix_tokens": lambda d, v: _tmix_tokens(d),
     }
     only = set(sys.argv[2:])
     if only:

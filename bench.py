@@ -174,6 +174,10 @@ HEADLINE = [
     "bpe_encode",
     "pack_sequences_bpe",
     "bpe_vocab",
+    "bpe_encode_ids",
+    "substring_dedup",
+    "curate_corpus_tokens",
+    "temperature_mix_tokens",
 ]
 
 # Deliberately NOT in the headline list: the 8 streaming_* drain variants

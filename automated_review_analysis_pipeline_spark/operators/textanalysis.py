@@ -1184,13 +1184,21 @@ def bpe_encode_ids(documents: DataFrame, n_merges: int = 3,
     vocabulary -- it is alphabet+merges sized -- and re-aggregate to an
     id array per word), so the corpus-sized side only pays the same
     word-key lookup join as :func:`bpe_encode`; ids never explode per
-    occurrence.
+    occurrence. The distinct-word symbol table is built ONCE and
+    plan-cached: the vocabulary's alphabet collect materializes it, and
+    the merge application + id join reuse it, so the whole operator
+    costs the same two corpus scans as :func:`bpe_encode` (wordtab
+    groupBy + the per-document token stream) instead of four.
     """
+    from automated_review_analysis_pipeline_spark.plan_cache import (
+        plan_cache,
+    )
+
     learned = (merges if merges is not None
                else _train_merges(documents, n_merges, text_col))
+    wordtab = plan_cache(_bpe_word_symbols(documents, text_col))
     vocab = bpe_vocab(documents, n_merges=n_merges, text_col=text_col,
-                      merges=learned)
-    wordtab = _bpe_word_symbols(documents, text_col)
+                      merges=learned, symbols=wordtab)
     if learned:
         if strategy == "auto":
             strategy = ("literal" if len(learned) <= LITERAL_MERGE_LIMIT
@@ -1237,7 +1245,8 @@ def bpe_encode_ids(documents: DataFrame, n_merges: int = 3,
 
 def bpe_vocab(documents: DataFrame, n_merges: int = 3,
               text_col: str = "text",
-              merges: list[tuple] | None = None) -> DataFrame:
+              merges: list[tuple] | None = None,
+              symbols: DataFrame | None = None) -> DataFrame:
     """The tokenizer VOCABULARY artifact a runtime consumes: base
     symbols (every distinct character of the corpus's words, plus the
     '</w>' end-of-word marker) enumerated in lexicographic order, then
@@ -1250,30 +1259,29 @@ def bpe_vocab(documents: DataFrame, n_merges: int = 3,
     engine applying it in-plan.
 
     Scale: the base alphabet is a DISTINCT over exploded symbols --
-    bounded by the character set, so the single-partition enumeration
-    window is a few hundred rows at any corpus size (same bounded-window
-    convention as the Excel sink); merges are ``n_merges`` driver-side
-    rows appended with offset ids.
+    bounded by the character set at any corpus size -- collected with
+    ONE bounded driver action and enumerated in Python (codepoint order
+    == Spark/DuckDB binary string order for valid UTF-8), so the
+    returned vocabulary is a LocalRelation: downstream broadcast joins
+    against it never re-run the corpus scan, where the previous
+    window + count() shape re-derived the alphabet on every reuse.
+    ``symbols`` lets a caller that already built the distinct-word
+    symbol table (:func:`bpe_encode_ids`) share that scan.
     """
-    from pyspark.sql.window import Window
-
     learned = (merges if merges is not None
                else _train_merges(documents, n_merges, text_col))
-    base = (
-        _bpe_word_symbols(documents, text_col)
-        .select(F.explode("syms").alias("token"))
-        .distinct()
-    )
-    w = Window.orderBy("token")
-    base_ids = base.select(
-        F.row_number().over(w).cast("long").alias("vocab_id"),
-        "token", F.lit("base").alias("kind"))
-    n_base = base_ids.count()
-    merges_df = documents.sparkSession.createDataFrame(
-        [(n_base + rank, merged, "merge")
-         for rank, _, _, merged, _ in learned],
-        "vocab_id long, token string, kind string")
-    return base_ids.unionByName(merges_df).orderBy("vocab_id")
+    symed = (symbols if symbols is not None
+             else _bpe_word_symbols(documents, text_col))
+    base = sorted(
+        r["token"]
+        for r in symed.select(F.explode("syms").alias("token"))
+        .distinct().collect())
+    rows = ([(i + 1, tok, "base") for i, tok in enumerate(base)]
+            + [(len(base) + rank, merged, "merge")
+               for rank, _, _, merged, _ in learned])
+    return documents.sparkSession.createDataFrame(
+        rows, "vocab_id long, token string, kind string"
+    ).orderBy("vocab_id")
 
 
 def bpe_vocab_sql(n_merges: int = 3) -> str:

@@ -144,13 +144,131 @@ def resize_image_nearest(img, new_w: int, new_h: int):
     return img[rows][:, cols]
 
 
+def decode_wav(payload: bytes):
+    """Dependency-free RIFF/WAVE integer-PCM decode ->
+    ``(samples, sample_rate)`` where ``samples`` is an
+    (n_frames, n_channels) int32 numpy array of raw PCM values (8-bit
+    unsigned payloads stay 0..255; 16-bit signed stay -32768..32767).
+    Walks the chunk list per the public RIFF/WAVE spec (Multimedia
+    Programming Interface and Data Specifications 1.0): unknown chunks
+    (LIST/fact/cue/...) are skipped, chunk bodies are word-aligned.
+
+    Anything non-integer-PCM (ADPCM, float, mp3-in-WAV, ...) raises
+    NotImplementedError -- the same honest contract as
+    :func:`decode_image` for JPEG/PNG: those need codec libraries this
+    container does not ship."""
+    import struct
+
+    import numpy as np
+
+    if (payload is None or len(payload) < 12 or payload[:4] != b"RIFF"
+            or payload[8:12] != b"WAVE"):
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise NotImplementedError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunk bodies are word-aligned
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise NotImplementedError("missing fmt /data chunk")
+    audio_format, n_channels, sample_rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_format != 1 or bits not in (8, 16) or n_channels < 1:
+        raise NotImplementedError(
+            "only integer PCM (8/16-bit) decodes here; compressed WAV "
+            "encodings need codec libraries not present in this "
+            "environment")
+    dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+    frame_bytes = n_channels * bits // 8
+    if len(data) % frame_bytes:
+        raise NotImplementedError("truncated WAV data chunk")
+    samples = np.frombuffer(data, dtype=dtype).astype(np.int32)
+    return samples.reshape(-1, n_channels), int(sample_rate)
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """(n_frames[, n_channels]) int array -> canonical 16-bit PCM WAV
+    bytes (RIFF + 16-byte fmt + data, no extension chunks)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_channels = arr.shape[1]
+    data = arr.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                      sample_rate * n_channels * 2, n_channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def wav_header_pcm8(n_data_bytes: int, sample_rate: int = 8000) -> bytes:
+    """The constant 44-byte canonical header of a MONO 8-BIT PCM WAV
+    with a fixed-size data chunk. With the data size fixed the whole
+    header is a compile-time constant, so a Spark plan can synthesize
+    REAL WAV payloads as ``concat(lit(header), <sample bytes>)`` -- one
+    JVM-side binary concat, no Python -- and the registry's audio query
+    gets a full DuckDB value oracle (the oracle recomputes the features
+    from the same sample bytes)."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate, 1, 8)
+    return (b"RIFF" + struct.pack("<I", 36 + n_data_bytes) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", n_data_bytes))
+
+
+def resample_audio_nearest(samples, n_out: int):
+    """Deterministic nearest-index resample to ``n_out`` frames (floor
+    mapping src_i = (dst_i * n) // n_out -- the 1-D analogue of
+    :func:`resize_image_nearest`; exact and library-free)."""
+    import numpy as np
+
+    n = samples.shape[0]
+    idx = (np.arange(n_out) * n) // n_out
+    return samples[idx]
+
+
+def audio_features(payload: bytes) -> list[float]:
+    """8 deterministic integer-valued features off a REAL PCM decode:
+    [sample_rate, n_channels, n_frames, duration_ms (floor), min
+    sample, max sample, sum of samples, peak absolute deviation from
+    the stream mean's integer floor]. Integer-valued by construction so
+    the driver's int-rendered compare is exact across engines."""
+    samples, rate = decode_wav(payload)
+    n = samples.shape[0]
+    flat = samples.ravel()
+    center = int(flat.sum()) // max(flat.size, 1)
+    peak = int(abs(flat - center).max()) if flat.size else 0
+    return [
+        float(rate), float(samples.shape[1]), float(n),
+        float((n * 1000) // max(rate, 1)),
+        float(flat.min()) if flat.size else 0.0,
+        float(flat.max()) if flat.size else 0.0,
+        float(flat.sum()), float(peak),
+    ]
+
+
 def real_decoder(payload: bytes, mime: str) -> list[float]:
-    """The production decode hook, REAL for uncompressed raster formats:
-    PPM (P6) and 24-bit BMP payloads decode to pixels via
+    """The production decode hook, REAL for uncompressed formats:
+    PPM (P6) / 24-bit BMP payloads decode to pixels via
     :func:`decode_image` and yield 8 deterministic pixel-statistics
-    features (width, height, mean R/G/B, global mean/min/max).
-    Compressed formats still raise NotImplementedError -- their codecs
-    are not in this container."""
+    features (width, height, mean R/G/B, global mean/min/max);
+    RIFF/WAVE integer-PCM payloads decode via :func:`decode_wav` and
+    yield the 8 :func:`audio_features`. Compressed formats still raise
+    NotImplementedError -- their codecs are not in this container."""
+    if payload is not None and payload[:4] == b"RIFF":
+        return audio_features(payload)
     img = decode_image(payload)
     f = img.astype("float64")
     return [

@@ -1470,6 +1470,42 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode through the binary pipeline: each document's
+    first 256 bytes (space-padded to fixed size) become the sample
+    bytes of a genuine mono 8-bit PCM 8 kHz WAV -- the constant 44-byte
+    RIFF header is one binary literal, so payload synthesis is a single
+    JVM-side concat -- and attach_media_features runs real_decoder,
+    which chunk-walks the RIFF container and emits integer sample
+    statistics. The oracle recomputes the identical features from the
+    same 256 text bytes, so the audio decode path is value-checked
+    end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    n = 256
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.lit(mm.wav_header_pcm8(n)),
+            F.encode(
+                F.rpad(F.substring(F.coalesce(F.col("text"), F.lit("")),
+                                   1, n), n, " "),
+                "UTF-8"),
+        ).alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit((n * 1000) // 8000).cast("long").alias("duration_ms"),
+        F.col("source"),
+    )
+    out = mm.attach_media_features(media, decoder=mm.real_decoder)
+    return out.select(
+        "media_id", "mime", "n_bytes",
+        F.array_join(F.transform(F.col("features"),
+                                 lambda x: x.cast("int").cast("string")),
+                     ",").alias("features_csv"),
+    ).orderBy("media_id")
+
+
 def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.gopher_quality_flags(_t(spark, sf_dir, "documents"))
 
@@ -1742,6 +1778,7 @@ QUERIES: dict[str, QueryFn] = {
     "rolling_user_value": q_rolling_user_value,
     "hourly_anomalies": q_hourly_anomalies,
     "multimodal_features": q_multimodal_features,
+    "audio_features": q_audio_features,
     "order_value_percentiles_approx": q_order_value_percentiles_approx,
     "portable_quantiles": q_portable_quantiles,
     "events_sliding": q_events_sliding,
@@ -3185,6 +3222,33 @@ SELECT media_id, mime,
       CASE WHEN i <= length(t) THEN ascii(substr(t, i, 1))
            ELSE 0 END), ',') AS features_csv
 FROM m ORDER BY media_id
+"""
+
+
+# audio_features: the oracle rebuilds the WAV's sample bytes (the
+# space-padded first 256 text chars -- corpus text is ASCII, so char i ==
+# byte i, same convention as multimodal_features above) and recomputes
+# the decoder's integer statistics; the header fields (8000 Hz, 1 ch)
+# and the fixed sizes (256 frames -> 32 ms, 44+256 payload bytes) are
+# compile-time constants of the synthesis.
+ORACLE_SQL["audio_features"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         rpad(substr(coalesce(text, ''), 1, 256), 256, ' ') AS t
+  FROM documents
+), s AS (
+  SELECT media_id,
+         list_transform(range(1, 257), i -> ascii(substr(t, i, 1))) AS b
+  FROM m
+), c AS (
+  SELECT media_id, b, list_sum(b) // 256 AS center FROM s
+)
+SELECT media_id, 'audio/wav' AS mime, CAST(300 AS BIGINT) AS n_bytes,
+  array_to_string(
+    [8000, 1, 256, 32, list_min(b), list_max(b), list_sum(b),
+     list_max(list_transform(b, x -> abs(x - center)))], ',')
+    AS features_csv
+FROM c ORDER BY media_id
 """
 
 

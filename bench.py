@@ -79,6 +79,7 @@ HEADLINE = [
     "rolling_user_value",
     "hourly_anomalies",
     "multimodal_features",
+    "audio_features",
     "order_value_percentiles_approx",
     "q2_min_cost_supplier",
     "q9_product_type_profit",

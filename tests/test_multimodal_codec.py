@@ -195,3 +195,77 @@ def test_bad_payloads_null_their_row_not_the_job(spark):
                            encoder=real_encoder).collect()}
     assert decode_image(bytes(thumbs[1])).shape == (2, 4, 3)  # resized
     assert thumbs[2] is None and thumbs[3] is None and thumbs[4] is None
+
+
+# ---- RIFF/WAVE integer-PCM codec ----------------------------------------
+
+from automated_review_analysis_pipeline_spark.operators.multimodal import (  # noqa: E402
+    audio_features,
+    decode_wav,
+    encode_wav,
+    resample_audio_nearest,
+    wav_header_pcm8,
+)
+
+
+def test_wav_16bit_stereo_roundtrip_exact():
+    frames = np.array([[0, 1], [-32768, 32767], [100, -100], [7, 7]],
+                      dtype=np.int16)
+    payload = encode_wav(frames, 44100)
+    samples, rate = decode_wav(payload)
+    assert rate == 44100
+    assert samples.shape == (4, 2)
+    assert np.array_equal(samples, frames.astype(np.int32))
+
+
+def test_wav_8bit_mono_header_plus_raw_bytes():
+    """wav_header_pcm8 + raw bytes IS a decodable WAV whose samples are
+    the bytes -- the exact synthesis contract the registry query uses."""
+    data = bytes(range(10))
+    samples, rate = decode_wav(wav_header_pcm8(len(data)) + data)
+    assert rate == 8000
+    assert samples.shape == (10, 1)
+    assert list(samples[:, 0]) == list(range(10))
+
+
+def test_wav_chunk_walk_skips_unknown_chunks():
+    """A LIST metadata chunk (odd-sized body, so word-alignment padding
+    is exercised) between fmt and data must be skipped per the RIFF
+    spec."""
+    base = encode_wav(np.array([5, -5, 9], dtype=np.int16), 8000)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\0"  # pad byte
+    payload = bytearray(base[:fmt_end] + extra + base[fmt_end:])
+    struct.pack_into("<I", payload, 4, len(payload) - 8)
+    samples, rate = decode_wav(bytes(payload))
+    assert list(samples[:, 0]) == [5, -5, 9]
+
+
+def test_wav_compressed_and_corrupt_raise():
+    # IMA ADPCM (format tag 0x11) -- genuinely compressed
+    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 4055, 256, 4)
+    adpcm = (b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+             + b"fmt " + struct.pack("<I", 16) + fmt
+             + b"data" + struct.pack("<I", 4) + b"\0\0\0\0")
+    for bad in (adpcm, b"RIFF\x04\0\0\0WAVE", b"OggS" + b"\0" * 40,
+                wav_header_pcm8(100) + b"short"):
+        with pytest.raises(NotImplementedError):
+            decode_wav(bad)
+
+
+def test_resample_audio_nearest_floor_mapping():
+    s = np.arange(8, dtype=np.int32)[:, None]
+    down = resample_audio_nearest(s, 4)
+    assert list(down[:, 0]) == [0, 2, 4, 6]
+    up = resample_audio_nearest(s[:2], 4)
+    assert list(up[:, 0]) == [0, 0, 1, 1]
+
+
+def test_real_decoder_dispatches_riff_to_audio_features():
+    data = bytes([10, 20, 250, 0])
+    payload = wav_header_pcm8(len(data)) + data
+    f = real_decoder(payload, "audio/wav")
+    assert f == audio_features(payload)
+    # [rate, ch, n_frames, duration_ms, min, max, sum, peak]; center =
+    # 280 // 4 = 70, peak = |250 - 70| = 180
+    assert f == [8000.0, 1.0, 4.0, 0.0, 0.0, 250.0, 280.0, 180.0]

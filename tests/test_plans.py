@@ -665,3 +665,15 @@ def test_temperature_mix_tokens_broadcast_thresholds(spark):
     plan = plan_of(spark, "temperature_mix_tokens")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_audio_features_single_python_stage_pruned_scan(spark):
+    """The audio decode crosses into Python exactly once (the Arrow
+    mapInPandas batch decode); payload synthesis -- RIFF-header literal
+    concat + rpad/substring/encode -- stays JVM-side, and the documents
+    scan prunes to the columns the media frame needs."""
+    plan = plan_of(spark, "audio_features")
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "doc_id" in read and "text" in read and "lang" not in read

@@ -119,6 +119,29 @@ def _incremental_minhash(docs: DataFrame) -> DataFrame:
         num_hashes=16, bands=4, threshold=0.7, update_store=False)
 
 
+def _audio_features(docs: DataFrame) -> DataFrame:
+    """Round-7 audio path: synthesize genuine mono 8-bit PCM WAVs from
+    the text bytes (one JVM binary concat) and run the REAL RIFF decode
+    through mapInPandas -- times the per-payload Python/Arrow crossing,
+    the only part whose scaling is not plain column arithmetic."""
+    from automated_review_analysis_pipeline_spark.operators import (
+        multimodal as mm,
+    )
+
+    n = 256
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.lit(mm.wav_header_pcm8(n)),
+            F.encode(F.rpad(F.substring(F.coalesce(F.col("text"),
+                                                   F.lit("")), 1, n),
+                            n, " "), "UTF-8"),
+        ).alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+    )
+    return mm.attach_media_features(media, decoder=mm.real_decoder)
+
+
 def _tmix_tokens(docs: DataFrame) -> DataFrame:
     enc = ta.bpe_encode(docs, n_merges=3).select("doc_id", "n_bpe_tokens")
     weighted = (docs.join(enc, "doc_id", "left")
@@ -200,6 +223,8 @@ def main() -> None:
         "curate_corpus_tokens (2048)": lambda d, v:
             cur.curate_corpus_tokens(d, token_quota=2048),
         "temperature_mix_tokens": lambda d, v: _tmix_tokens(d),
+        "audio_features (real PCM decode)": lambda d, v:
+            _audio_features(d),
     }
     only = set(sys.argv[2:])
     if only:

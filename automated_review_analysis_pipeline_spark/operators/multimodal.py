@@ -2,9 +2,13 @@
 
 Images/audio/video are opaque `binary` columns with a typed metadata
 struct. The Spark-side plumbing -- schema, partition sizing, mapInPandas
-batch shape, UDF signatures -- is real and tested; the actual codec calls
-are stubbed behind ``decoder`` callables (the image/audio libraries are
-not in this container) with a deterministic fake used by tests.
+batch shape, UDF signatures -- is real and tested. Codecs are injected
+``decoder`` callables; the built-in :func:`real_decoder` genuinely
+decodes PPM (P6), uncompressed 24-bit BMP, 8-bit non-interlaced PNG
+(DEFLATE via the stdlib zlib -- no external library), and RIFF/WAVE
+integer PCM. Formats needing real entropy/DCT codec libraries
+(JPEG/WebP/GIF, compressed audio) raise NotImplementedError; a
+deterministic fake decoder remains the SQL-expressible oracle path.
 
 Plan shape at 100 TB: binary payloads dominate partition size, so the
 operators repartition by byte budget BEFORE any decode (a 128 MB parquet
@@ -45,17 +49,19 @@ def deterministic_fake_decoder(payload: bytes, mime: str) -> list[float]:
 
 
 def decode_image(payload: bytes):
-    """Dependency-free pixel decode for the two classic uncompressed
-    raster formats -> (H, W, 3) uint8 numpy array:
+    """Dependency-free pixel decode -> (H, W, 3) uint8 numpy array:
 
     - binary PPM (P6, maxval <= 255; header comments/whitespace per the
       netpbm spec)
     - uncompressed 24-bit BI_RGB Windows BMP (BITMAPINFOHEADER,
       bottom-up or top-down, 4-byte row padding, BGR -> RGB)
+    - PNG (8-bit gray/RGB/palette/alpha, non-interlaced) -- PNG's
+      compression is DEFLATE + scanline filters, and zlib ships with
+      CPython, so no external codec is needed (:func:`_decode_png`)
 
-    Anything else (all genuinely-compressed formats: JPEG/PNG/WebP/...)
-    raises NotImplementedError -- those need real codec libraries this
-    container does not ship."""
+    Anything else (formats needing real entropy/DCT codecs:
+    JPEG/WebP/GIF/...) raises NotImplementedError -- those need codec
+    libraries this container does not ship."""
     import numpy as np
 
     if payload is None or len(payload) < 2:
@@ -64,10 +70,13 @@ def decode_image(payload: bytes):
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     raise NotImplementedError(
-        "only uncompressed PPM (P6) and 24-bit BI_RGB BMP decode here; "
-        "compressed formats require codec libraries not present in this "
-        "environment -- inject deterministic_fake_decoder or a real codec")
+        "only PPM (P6), 24-bit BI_RGB BMP, and 8-bit non-interlaced PNG "
+        "decode here; other compressed formats require codec libraries "
+        "not present in this environment -- inject "
+        "deterministic_fake_decoder or a real codec")
 
 
 def _decode_ppm(payload: bytes):
@@ -124,6 +133,131 @@ def _decode_bmp(payload: bytes):
     rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
     img = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]   # BGR -> RGB
     return img[::-1] if bottom_up else img
+
+
+def _decode_png(payload: bytes):
+    """Dependency-free PNG decode -> (H, W, 3) uint8. PNG's
+    "compression" is DEFLATE plus per-scanline byte filters, and zlib
+    ships with CPython -- no codec library needed. Supports the common
+    web shapes: 8-bit depth, color types 0 (gray), 2 (RGB), 3
+    (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced. Adam7
+    interlacing, 16-bit depth, and sub-byte palette depths raise
+    NotImplementedError. Written against the public W3C PNG spec /
+    RFC 2083. Alpha is dropped (features/thumbnails want opaque RGB);
+    gray replicates across channels; palette indices look up PLTE.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG signature")
+    pos, idat, ihdr, plte = 8, [], None, None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8:pos + 8 + ln]
+        if len(body) != ln:
+            raise NotImplementedError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + body + crc
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise NotImplementedError("missing IHDR/IDAT chunk")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or channels is None or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            "only 8-bit depth, color types 0/2/3/4/6 PNG supported")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise NotImplementedError(f"corrupt PNG stream: {exc}") from exc
+    stride = w * channels
+    if len(raw) != (stride + 1) * h or h == 0 or w == 0:
+        raise NotImplementedError("PNG raster size mismatch")
+
+    # un-filter scanlines (spec filters 0 None, 1 Sub, 2 Up, 3 Average,
+    # 4 Paeth); Up is vectorized (uint8 wraps mod 256), the
+    # left-dependent filters walk the scanline
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride,
+                             y * (stride + 1) + 1)
+        if f == 0:
+            cur = line.copy()
+        elif f == 2:
+            cur = line + prev
+        elif f in (1, 3, 4):
+            c32 = line.astype(np.int32)
+            p32 = prev.astype(np.int32)
+            for x in range(stride):
+                a = c32[x - bpp] if x >= bpp else 0
+                b = p32[x]
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = p32[x - bpp] if x >= bpp else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else \
+                        (b if pb <= pc else c)
+                c32[x] = (c32[x] + pred) & 0xFF
+            cur = c32.astype(np.uint8)
+        else:
+            raise NotImplementedError(f"unknown PNG filter {f}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, channels)
+
+    if ctype == 2:
+        return px.copy()
+    if ctype == 6:
+        return px[:, :, :3].copy()
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    # ctype 3: palette lookup
+    if plte is None or len(plte) % 3:
+        raise NotImplementedError("palette PNG without a valid PLTE")
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = px[:, :, 0]
+    if int(idx.max()) >= pal.shape[0]:
+        raise NotImplementedError("palette index out of range")
+    return pal[idx]
+
+
+def encode_png(img) -> bytes:
+    """(H, W, 3) uint8 -> canonical 8-bit truecolor PNG bytes (filter 0
+    scanlines, one zlib-deflated IDAT, CRC-correct chunks)."""
+    import struct
+    import zlib
+
+    h, w = img.shape[:2]
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    raw = b"".join(b"\0" + img[y].astype("uint8").tobytes()
+                   for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
 
 def encode_ppm(img) -> bytes:
@@ -260,13 +394,15 @@ def audio_features(payload: bytes) -> list[float]:
 
 
 def real_decoder(payload: bytes, mime: str) -> list[float]:
-    """The production decode hook, REAL for uncompressed formats:
-    PPM (P6) / 24-bit BMP payloads decode to pixels via
+    """The production decode hook, REAL for every format a
+    dependency-free codec can cover: PPM (P6) / 24-bit BMP / 8-bit
+    non-interlaced PNG payloads decode to pixels via
     :func:`decode_image` and yield 8 deterministic pixel-statistics
     features (width, height, mean R/G/B, global mean/min/max);
     RIFF/WAVE integer-PCM payloads decode via :func:`decode_wav` and
-    yield the 8 :func:`audio_features`. Compressed formats still raise
-    NotImplementedError -- their codecs are not in this container."""
+    yield the 8 :func:`audio_features`. Formats needing real
+    entropy/DCT codec libraries (JPEG/WebP/GIF) still raise
+    NotImplementedError -- those are not in this container."""
     if payload is not None and payload[:4] == b"RIFF":
         return audio_features(payload)
     img = decode_image(payload)

@@ -83,7 +83,9 @@ def test_bmp_decode_exact_with_padding():
 
 
 def test_compressed_formats_still_raise():
-    for magic in (b"\xff\xd8\xff\xe0JFIF", b"\x89PNG\r\n\x1a\n",
+    # PNG left this list in round 7 (stdlib-zlib decode); JPEG/GIF/WebP
+    # genuinely need entropy/DCT codec libraries
+    for magic in (b"\xff\xd8\xff\xe0JFIF", b"GIF89a",
                   b"RIFF....WEBP"):
         with pytest.raises(NotImplementedError):
             decode_image(magic + b"\0" * 64)
@@ -269,3 +271,136 @@ def test_real_decoder_dispatches_riff_to_audio_features():
     # [rate, ch, n_frames, duration_ms, min, max, sum, peak]; center =
     # 280 // 4 = 70, peak = |250 - 70| = 180
     assert f == [8000.0, 1.0, 4.0, 0.0, 0.0, 250.0, 280.0, 180.0]
+
+
+# ---- PNG codec (DEFLATE via stdlib zlib -- dependency-free) --------------
+
+import zlib  # noqa: E402
+
+from automated_review_analysis_pipeline_spark.operators.multimodal import (  # noqa: E402
+    _decode_png,
+    encode_png,
+)
+
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+
+def _png(raw_scanlines: bytes, w: int, h: int, ctype: int,
+         plte: bytes | None = None, depth: int = 8,
+         interlace: int = 0) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    parts = [b"\x89PNG\r\n\x1a\n", _png_chunk(b"IHDR", ihdr)]
+    if plte is not None:
+        parts.append(_png_chunk(b"PLTE", plte))
+    # split the stream across two IDATs to exercise concatenation
+    z = zlib.compress(raw_scanlines)
+    parts += [_png_chunk(b"IDAT", z[:7]), _png_chunk(b"IDAT", z[7:]),
+              _png_chunk(b"IEND", b"")]
+    return b"".join(parts)
+
+
+def _filter_line(f: int, line: np.ndarray, prev: np.ndarray,
+                 bpp: int) -> bytes:
+    """Spec-side FORWARD filter (test golden): produces the filtered
+    bytes the decoder must invert."""
+    out = bytearray()
+    for x in range(len(line)):
+        a = int(line[x - bpp]) if x >= bpp else 0
+        b = int(prev[x])
+        c = int(prev[x - bpp]) if x >= bpp else 0
+        if f == 0:
+            pred = 0
+        elif f == 1:
+            pred = a
+        elif f == 2:
+            pred = b
+        elif f == 3:
+            pred = (a + b) // 2
+        else:
+            pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        out.append((int(line[x]) - pred) & 0xFF)
+    return bytes(out)
+
+
+def test_png_roundtrip_exact():
+    img = _grad(5, 7)
+    assert np.array_equal(decode_image(encode_png(img)), img)
+
+
+def test_png_all_filters_decode_exact():
+    """One scanline per filter type 0..4, forward-filtered by the
+    spec-side golden above -- the decoder must reconstruct the exact
+    pixels."""
+    img = _grad(5, 4)  # h=5 rows, one per filter
+    flat = img.reshape(5, -1)
+    raw = bytearray()
+    prev = np.zeros(flat.shape[1], dtype=np.uint8)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        raw += bytes([f]) + _filter_line(f, flat[y], prev, 3)
+        prev = flat[y]
+    payload = _png(bytes(raw), 4, 5, ctype=2)
+    assert np.array_equal(decode_image(payload), img)
+
+
+def test_png_palette_gray_and_alpha_variants():
+    # palette: 3 colors, 2x2
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+    raw = b"".join(b"\0" + idx[y].tobytes() for y in range(2))
+    got = decode_image(_png(raw, 2, 2, ctype=3, plte=pal))
+    assert tuple(got[0, 0]) == (255, 0, 0)
+    assert tuple(got[1, 0]) == (0, 0, 255)
+
+    # grayscale replicates channels
+    g = np.array([[7, 200]], dtype=np.uint8)
+    got = decode_image(_png(b"\0" + g[0].tobytes(), 2, 1, ctype=0))
+    assert np.array_equal(got, np.repeat(g[:, :, None], 3, axis=2))
+
+    # RGBA drops alpha; gray+alpha keeps the gray
+    rgba = bytes([1, 2, 3, 128, 9, 8, 7, 0])
+    got = decode_image(_png(b"\0" + rgba, 2, 1, ctype=6))
+    assert tuple(got[0, 0]) == (1, 2, 3) and tuple(got[0, 1]) == (9, 8, 7)
+    ga = bytes([42, 10, 99, 200])
+    got = decode_image(_png(b"\0" + ga, 2, 1, ctype=4))
+    assert tuple(got[0, 0]) == (42, 42, 42)
+    assert tuple(got[0, 1]) == (99, 99, 99)
+
+
+def test_png_unsupported_shapes_raise():
+    img = _grad(2, 2)
+    raw = b"".join(b"\0" + img[y].tobytes() for y in range(2))
+    with pytest.raises(NotImplementedError):  # Adam7
+        _decode_png(_png(raw, 2, 2, ctype=2, interlace=1))
+    with pytest.raises(NotImplementedError):  # 16-bit
+        _decode_png(_png(raw, 2, 2, ctype=2, depth=16))
+    with pytest.raises(NotImplementedError):  # corrupt DEFLATE
+        _decode_png(b"\x89PNG\r\n\x1a\n"
+                    + _png_chunk(b"IHDR",
+                                 struct.pack(">IIBBBBB", 2, 2, 8, 2,
+                                             0, 0, 0))
+                    + _png_chunk(b"IDAT", b"junkjunk")
+                    + _png_chunk(b"IEND", b""))
+
+
+def test_png_through_spark_resize_and_features(spark):
+    """A real PNG payload drives the full Spark media path: features
+    are exact pixel statistics and the thumbnail is the exact
+    nearest-neighbor raster."""
+    img = _grad(4, 8)
+    rows = [(1, bytearray(encode_png(img)), "image/png", 8, 4, None,
+             "t")]
+    media = spark.createDataFrame(rows, MEDIA_COLS)
+    row = attach_media_features(media, decoder=real_decoder).collect()[0]
+    arr = img.astype(np.float64)
+    assert list(row["features"]) == [
+        pytest.approx(v) for v in
+        [8.0, 4.0, arr[:, :, 0].mean(), arr[:, :, 1].mean(),
+         arr[:, :, 2].mean(), arr.mean(), arr.min(), arr.max()]]
+    thumb = resize_media(media, max_w=4, max_h=4,
+                         encoder=real_encoder).collect()[0]
+    assert np.array_equal(decode_image(bytes(thumb["payload"])),
+                          resize_image_nearest(img, 4, 2))

@@ -5,10 +5,11 @@ struct. The Spark-side plumbing -- schema, partition sizing, mapInPandas
 batch shape, UDF signatures -- is real and tested. Codecs are injected
 ``decoder`` callables; the built-in :func:`real_decoder` genuinely
 decodes PPM (P6), uncompressed 24-bit BMP, 8-bit non-interlaced PNG
-(DEFLATE via the stdlib zlib -- no external library), and RIFF/WAVE
-integer PCM. Formats needing real entropy/DCT codec libraries
-(JPEG/WebP/GIF, compressed audio) raise NotImplementedError; a
-deterministic fake decoder remains the SQL-expressible oracle path.
+(DEFLATE via the stdlib zlib -- no external library), GIF (LZW is pure
+dictionary logic), and RIFF/WAVE integer PCM. Formats needing real
+entropy/DCT codec libraries (JPEG/WebP, compressed audio) raise
+NotImplementedError; a deterministic fake decoder remains the
+SQL-expressible oracle path.
 
 Plan shape at 100 TB: binary payloads dominate partition size, so the
 operators repartition by byte budget BEFORE any decode (a 128 MB parquet
@@ -58,9 +59,11 @@ def decode_image(payload: bytes):
     - PNG (8-bit gray/RGB/palette/alpha, non-interlaced) -- PNG's
       compression is DEFLATE + scanline filters, and zlib ships with
       CPython, so no external codec is needed (:func:`_decode_png`)
+    - GIF 87a/89a first frame -- LZW is pure dictionary logic
+      (:func:`_decode_gif`), including 4-pass interlacing
 
     Anything else (formats needing real entropy/DCT codecs:
-    JPEG/WebP/GIF/...) raises NotImplementedError -- those need codec
+    JPEG/WebP/...) raises NotImplementedError -- those need codec
     libraries this container does not ship."""
     import numpy as np
 
@@ -72,10 +75,12 @@ def decode_image(payload: bytes):
         return _decode_bmp(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     raise NotImplementedError(
-        "only PPM (P6), 24-bit BI_RGB BMP, and 8-bit non-interlaced PNG "
-        "decode here; other compressed formats require codec libraries "
-        "not present in this environment -- inject "
+        "only PPM (P6), 24-bit BI_RGB BMP, 8-bit non-interlaced PNG, and "
+        "GIF decode here; other compressed formats require codec "
+        "libraries not present in this environment -- inject "
         "deterministic_fake_decoder or a real codec")
 
 
@@ -241,6 +246,131 @@ def _decode_png(payload: bytes):
     return pal[idx]
 
 
+def _lzw_decode(data: bytes, min_code_size: int,
+                max_pixels: int) -> list[int]:
+    """GIF-variant LZW decompression (LSB-first variable-width codes,
+    CLEAR/EOI, 12-bit table cap with deferred clear) -- pure logic, no
+    codec library. Written against the public GIF89a specification
+    Appendix F."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh():
+        return [[i] for i in range(clear)] + [None, None]
+
+    table = fresh()
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + width <= total_bits and len(out) < max_pixels:
+        i = bitpos >> 3
+        chunk = int.from_bytes(data[i:i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = fresh()
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise NotImplementedError("bad first LZW code")
+            entry = table[code]
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + [entry[0]])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + [prev[0]]  # the KwKwK case
+            table.append(entry)
+        else:
+            raise NotImplementedError("corrupt LZW code stream")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def _decode_gif(payload: bytes):
+    """Dependency-free GIF decode -> (H, W, 3) uint8 of the FIRST image
+    frame. GIF's compression is LZW -- pure dictionary logic, no codec
+    library needed (:func:`_lzw_decode`). Handles GIF87a/89a, global and
+    local color tables, extension-block skipping, sub-block reassembly,
+    and Adam-style 4-pass interlacing. Animated GIFs yield frame 0
+    composited on nothing (the features/thumbnail use case); transparency
+    is ignored (opaque RGB out, same convention as PNG alpha)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        raise NotImplementedError("not a GIF payload")
+    packed = payload[10]
+    pos, gct = 13, None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        tbl = payload[pos:pos + 3 * n]
+        if len(tbl) != 3 * n:
+            raise NotImplementedError("truncated GIF color table")
+        gct = np.frombuffer(tbl, dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label byte + data sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise NotImplementedError("truncated GIF image descriptor")
+            _, _, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+            ipacked = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                tbl = payload[pos:pos + 3 * n]
+                if len(tbl) != 3 * n:
+                    raise NotImplementedError("truncated GIF color table")
+                ct = np.frombuffer(tbl, dtype=np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if ct is None or w == 0 or h == 0:
+                raise NotImplementedError("GIF frame without a color table")
+            if pos >= len(payload):
+                raise NotImplementedError("truncated GIF data")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(data), min_code, w * h)
+            if len(idx) < w * h:
+                raise NotImplementedError("truncated GIF raster")
+            arr = np.array(idx[:w * h], dtype=np.int64).reshape(h, w)
+            if ipacked & 0x40:  # 4-pass interlace: rows arrive 8/8,
+                order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                         + list(range(2, h, 4)) + list(range(1, h, 2)))
+                out = np.empty_like(arr)
+                out[order] = arr
+                arr = out
+            if int(arr.max()) >= ct.shape[0]:
+                raise NotImplementedError("GIF index out of color table")
+            return ct[arr]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise NotImplementedError(f"unknown GIF block 0x{block:02x}")
+    raise NotImplementedError("GIF contains no image data")
+
+
 def encode_png(img) -> bytes:
     """(H, W, 3) uint8 -> canonical 8-bit truecolor PNG bytes (filter 0
     scanlines, one zlib-deflated IDAT, CRC-correct chunks)."""
@@ -401,7 +531,7 @@ def real_decoder(payload: bytes, mime: str) -> list[float]:
     features (width, height, mean R/G/B, global mean/min/max);
     RIFF/WAVE integer-PCM payloads decode via :func:`decode_wav` and
     yield the 8 :func:`audio_features`. Formats needing real
-    entropy/DCT codec libraries (JPEG/WebP/GIF) still raise
+    entropy/DCT codec libraries (JPEG/WebP) still raise
     NotImplementedError -- those are not in this container."""
     if payload is not None and payload[:4] == b"RIFF":
         return audio_features(payload)

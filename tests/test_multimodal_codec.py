@@ -83,9 +83,9 @@ def test_bmp_decode_exact_with_padding():
 
 
 def test_compressed_formats_still_raise():
-    # PNG left this list in round 7 (stdlib-zlib decode); JPEG/GIF/WebP
-    # genuinely need entropy/DCT codec libraries
-    for magic in (b"\xff\xd8\xff\xe0JFIF", b"GIF89a",
+    # PNG and GIF left this list in round 7 (stdlib zlib / pure-logic
+    # LZW); JPEG/WebP/TIFF genuinely need codec libraries
+    for magic in (b"\xff\xd8\xff\xe0JFIF", b"II*\x00",
                   b"RIFF....WEBP"):
         with pytest.raises(NotImplementedError):
             decode_image(magic + b"\0" * 64)
@@ -404,3 +404,118 @@ def test_png_through_spark_resize_and_features(spark):
                          encoder=real_encoder).collect()[0]
     assert np.array_equal(decode_image(bytes(thumb["payload"])),
                           resize_image_nearest(img, 4, 2))
+
+
+# ---- GIF codec (LZW is pure dictionary logic -- dependency-free) ---------
+
+from automated_review_analysis_pipeline_spark.operators.multimodal import (  # noqa: E402
+    _decode_gif,
+    _lzw_decode,
+)
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """Test-side GIF-variant LZW compressor (spec Appendix F): real
+    dictionary growth and width escalation, so round-trips exercise the
+    decoder's full table lifecycle (not just literal codes)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits: list[int] = []
+    width = min_code_size + 1
+
+    def emit(code: int, w: int) -> None:
+        for i in range(w):
+            bits.append((code >> i) & 1)
+
+    emit(clear, width)
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    w = (indices[0],)
+    for k in indices[1:]:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        w = (k,)
+    emit(table[w], width)
+    emit(eoi, width)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for j, bit in enumerate(bits[i:i + 8]):
+            b |= bit << j
+        data.append(b)
+    return bytes(data)
+
+
+def _gif(idx: np.ndarray, palette: bytes, min_code_size: int = 2,
+         interlace: bool = False, with_gce: bool = False) -> bytes:
+    """Minimal GIF89a container around LZW-compressed indices."""
+    h, w = idx.shape
+    s = 0
+    while (2 << s) * 3 < len(palette):
+        s += 1
+    pal = palette.ljust((2 << s) * 3, b"\0")
+    rows = idx
+    if interlace:
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+        rows = idx[order]  # stored in pass order
+    stream = _lzw_encode([int(v) for v in rows.ravel()], min_code_size)
+    subs = b"".join(bytes([len(stream[i:i + 255])]) + stream[i:i + 255]
+                    for i in range(0, len(stream), 255))
+    gce = (b"\x21\xf9\x04\x00\x00\x00\x00\x00" if with_gce else b"")
+    return (b"GIF89a" + struct.pack("<HH", w, h)
+            + bytes([0x80 | s, 0, 0]) + pal + gce
+            + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+            + bytes([0x40 if interlace else 0])
+            + bytes([min_code_size]) + subs + b"\x00" + b"\x3b")
+
+
+PAL4 = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+
+
+def test_lzw_hand_derived_golden():
+    """Codes [CLEAR,0,6,7,0,EOI] at min_code_size=2, hand-packed
+    LSB-first: exercises the KwKwK case twice and one width bump."""
+    assert _lzw_decode(bytes([0x84, 0x0F, 0x05]), 2, 100) == [0] * 7
+
+
+def test_gif_roundtrip_exact_pixels():
+    rng = np.random.RandomState(7)
+    idx = rng.randint(0, 4, size=(9, 13)).astype(np.uint8)
+    got = decode_image(_gif(idx, PAL4))
+    pal = np.frombuffer(PAL4, np.uint8).reshape(-1, 3)
+    assert np.array_equal(got, pal[idx])
+
+
+def test_gif_interlaced_and_gce_skipping():
+    rng = np.random.RandomState(11)
+    idx = rng.randint(0, 4, size=(17, 5)).astype(np.uint8)
+    pal = np.frombuffer(PAL4, np.uint8).reshape(-1, 3)
+    got = decode_image(_gif(idx, PAL4, interlace=True, with_gce=True))
+    assert np.array_equal(got, pal[idx])
+
+
+def test_gif_table_saturation_roundtrip():
+    """Low-entropy raster long enough to saturate the 12-bit LZW table
+    (deferred-clear regime)."""
+    idx = np.tile(np.array([0, 0, 1, 0, 2, 0, 3], dtype=np.uint8),
+                  2000).reshape(100, 140)
+    pal = np.frombuffer(PAL4, np.uint8).reshape(-1, 3)
+    assert np.array_equal(decode_image(_gif(idx, PAL4)), pal[idx])
+
+
+def test_gif_corrupt_raises():
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    good = _gif(idx, PAL4)
+    with pytest.raises(NotImplementedError):
+        _decode_gif(good[:20])           # truncated mid-stream
+    with pytest.raises(NotImplementedError):
+        _decode_gif(b"GIF89a" + b"\0" * 20)  # no image descriptor

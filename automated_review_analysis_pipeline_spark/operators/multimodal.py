@@ -6,10 +6,10 @@ batch shape, UDF signatures -- is real and tested. Codecs are injected
 ``decoder`` callables; the built-in :func:`real_decoder` genuinely
 decodes PPM (P6), uncompressed 24-bit BMP, 8-bit non-interlaced PNG
 (DEFLATE via the stdlib zlib -- no external library), GIF (LZW is pure
-dictionary logic), and RIFF/WAVE integer PCM. Formats needing real
-entropy/DCT codec libraries (JPEG/WebP, compressed audio) raise
-NotImplementedError; a deterministic fake decoder remains the
-SQL-expressible oracle path.
+dictionary logic), baseline JPEG (Huffman + IDCT in numpy), and
+RIFF/WAVE integer PCM. Formats needing codec libraries this container
+lacks (WebP/TIFF/AVIF, compressed audio) raise NotImplementedError; a
+deterministic fake decoder remains the SQL-expressible oracle path.
 
 Plan shape at 100 TB: binary payloads dominate partition size, so the
 operators repartition by byte budget BEFORE any decode (a 128 MB parquet
@@ -62,9 +62,12 @@ def decode_image(payload: bytes):
     - GIF 87a/89a first frame -- LZW is pure dictionary logic
       (:func:`_decode_gif`), including 4-pass interlacing
 
-    Anything else (formats needing real entropy/DCT codecs:
-    JPEG/WebP/...) raises NotImplementedError -- those need codec
-    libraries this container does not ship."""
+    - baseline sequential JPEG -- Huffman entropy decode is pure
+      dictionary logic and the 8x8 IDCT is two numpy matrix multiplies
+      (:func:`_decode_jpeg`); progressive/arithmetic modes raise
+
+    Anything else (WebP/TIFF/AVIF/...) raises NotImplementedError --
+    those need codec libraries this container does not ship."""
     import numpy as np
 
     if payload is None or len(payload) < 2:
@@ -77,10 +80,12 @@ def decode_image(payload: bytes):
         return _decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     raise NotImplementedError(
-        "only PPM (P6), 24-bit BI_RGB BMP, 8-bit non-interlaced PNG, and "
-        "GIF decode here; other compressed formats require codec "
-        "libraries not present in this environment -- inject "
+        "only PPM (P6), 24-bit BI_RGB BMP, 8-bit non-interlaced PNG, "
+        "GIF, and baseline JPEG decode here; other formats require "
+        "codec libraries not present in this environment -- inject "
         "deterministic_fake_decoder or a real codec")
 
 
@@ -244,6 +249,424 @@ def _decode_png(payload: bytes):
     if int(idx.max()) >= pal.shape[0]:
         raise NotImplementedError("palette index out of range")
     return pal[idx]
+
+
+# JPEG (ITU-T T.81 baseline sequential DCT) -- decoded with numpy +
+# stdlib only: Huffman entropy coding is dictionary logic, the 8x8 IDCT
+# is two matrix multiplies. Natural-order index of the i-th coefficient
+# in zigzag scan order, per spec Figure A.6:
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8x8 DCT-II matrix C: forward F = C X C^T, inverse
+    X = C^T F C."""
+    import numpy as np
+
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    c = np.cos((2 * x + 1) * u * np.pi / 16) * np.sqrt(2.0 / 8)
+    c[0, :] = np.sqrt(1.0 / 8)
+    return c
+
+
+def _jpeg_huff_decode_table(bits: list[int], vals: bytes) -> dict:
+    """Canonical Huffman per T.81 Annex C: (length, code) -> symbol."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _decode_jpeg(payload: bytes):
+    """Dependency-free BASELINE JPEG decode -> (H, W, 3) uint8, written
+    against the public ITU-T T.81 spec: marker segments, DQT/DHT tables
+    carried in-stream, interleaved MCU scan with byte stuffing and
+    restart markers, integer-ratio chroma subsampling (4:4:4 / 4:2:2 /
+    4:2:0), DC prediction, zigzag dequantization, orthonormal IDCT,
+    JFIF YCbCr -> RGB. Progressive (SOF2), arithmetic coding, 12-bit
+    precision, and hierarchical modes raise NotImplementedError.
+
+    Throughput note: the entropy decode is a per-symbol Python loop --
+    correct and bounded, but the scale path is Arrow-batch parallelism
+    across payloads (one mapInPandas worker per batch), not per-pixel
+    speed within one image."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise NotImplementedError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        seg = payload[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq:
+                    vals = np.frombuffer(seg[i:i + 128],
+                                         dtype=">u2").astype(np.float64)
+                    i += 128
+                else:
+                    vals = np.frombuffer(seg[i:i + 64],
+                                         dtype=np.uint8).astype(np.float64)
+                    i += 64
+                if vals.size != 64:
+                    raise NotImplementedError("truncated JPEG DQT")
+                qt[tq] = vals  # zigzag order
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1:i + 17])
+                n = sum(bits)
+                vals = seg[i + 17:i + 17 + n]
+                if len(vals) != n:
+                    raise NotImplementedError("truncated JPEG DHT")
+                huff[(tc, th)] = _jpeg_huff_decode_table(bits, vals)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1: (extended) sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append([cid, hv >> 4, hv & 15, tq])
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0/SOF1) supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS -- entropy-coded data follows
+            if frame is None:
+                raise NotImplementedError("JPEG SOS before SOF")
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel[cid] = (tt >> 4, tt & 15)
+            return _jpeg_decode_scan(payload, pos + 2 + ln, frame, sel,
+                                     qt, huff, restart_interval)
+        # APPn/COM/other: skip
+        pos += 2 + ln
+    raise NotImplementedError("JPEG contains no scan data")
+
+
+def _jpeg_decode_scan(buf: bytes, start: int, frame, sel, qt, huff,
+                      restart_interval: int):
+    import numpy as np
+
+    H, W, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (W + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+    planes = {c[0]: np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8),
+                             dtype=np.float64) for c in comps}
+    pred = {c[0]: 0 for c in comps}
+    C = _jpeg_dct_matrix()
+    zig = np.array(_JPEG_ZIGZAG)
+
+    idx, bit = start, 0
+
+    def read_bit() -> int:
+        nonlocal idx, bit
+        if idx >= len(buf):
+            raise NotImplementedError("truncated JPEG scan")
+        b = buf[idx]
+        if b == 0xFF and (idx + 1 >= len(buf) or buf[idx + 1] != 0x00):
+            raise NotImplementedError("unexpected marker inside JPEG scan")
+        v = (b >> (7 - bit)) & 1
+        bit += 1
+        if bit == 8:
+            bit = 0
+            idx += 2 if b == 0xFF else 1  # skip the stuffed 0x00
+        return v
+
+    def read_bits(n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | read_bit()
+        return v
+
+    def huffdecode(table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | read_bit()
+            if (length, code) in table:
+                return table[(length, code)]
+        raise NotImplementedError("invalid JPEG huffman code")
+
+    def extend(v: int, t: int) -> int:
+        return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+    def align_restart() -> None:
+        nonlocal idx, bit
+        if bit:
+            b = buf[idx]
+            bit = 0
+            idx += 2 if b == 0xFF else 1
+        if (idx + 1 < len(buf) and buf[idx] == 0xFF
+                and 0xD0 <= buf[idx + 1] <= 0xD7):
+            idx += 2
+        else:
+            raise NotImplementedError("missing JPEG restart marker")
+
+    nmcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and nmcu and nmcu % restart_interval == 0:
+                align_restart()
+                for k in pred:
+                    pred[k] = 0
+            for cid, ch, cv, tq in comps:
+                if cid not in sel:
+                    raise NotImplementedError("JPEG component not in scan")
+                dct, act = sel[cid]
+                dc_table = huff.get((0, dct))
+                ac_table = huff.get((1, act))
+                qtab = qt.get(tq)
+                if dc_table is None or ac_table is None or qtab is None:
+                    raise NotImplementedError("missing JPEG table")
+                for by in range(cv):
+                    for bx in range(ch):
+                        t = huffdecode(dc_table)
+                        pred[cid] += extend(read_bits(t), t) if t else 0
+                        coefs = np.zeros(64)
+                        coefs[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = huffdecode(ac_table)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise NotImplementedError(
+                                    "JPEG AC index overflow")
+                            coefs[k] = extend(read_bits(s), s)
+                            k += 1
+                        fblk = np.zeros(64)
+                        fblk[zig] = coefs * qtab
+                        spatial = C.T @ fblk.reshape(8, 8) @ C + 128.0
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = spatial
+            nmcu += 1
+
+    full = []
+    for cid, ch, cv, _ in comps:
+        p = planes[cid]
+        if ch != hmax or cv != vmax:
+            if hmax % ch or vmax % cv:
+                raise NotImplementedError(
+                    "non-integer JPEG sampling ratio")
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0),
+                          hmax // ch, axis=1)
+        full.append(p[:H, :W])
+    if len(full) == 1:
+        g = np.clip(full[0].round(), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if len(full) != 3:
+        raise NotImplementedError("only 1- or 3-component JPEG supported")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=2).round(),
+                   0, 255).astype(np.uint8)
+
+
+def _jpeg_huff_encode_codes(bits: list[int], vals) -> dict:
+    """Inverse of :func:`_jpeg_huff_decode_table`: symbol -> (code, len)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# Simple valid Huffman tables for the encoder (JPEG files CARRY their
+# tables, so these need not be the Annex K defaults): all 12 DC size
+# categories at 4 bits, all 162 AC run/size symbols at 8 bits -- both
+# canonical, neither fills its length (no all-ones code).
+_JPEG_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_ENC_DC_VALS = bytes(range(12))
+_JPEG_ENC_AC_BITS = [0] * 7 + [162] + [0] * 8
+_JPEG_ENC_AC_VALS = bytes(sorted(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                    for s in range(1, 11)]))
+
+
+def encode_jpeg(img, quant: int = 1, subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """(H, W, 3) uint8 -> baseline sequential JPEG bytes (T.81):
+    uniform quantization ``quant`` (1 = near-lossless, error only from
+    DCT rounding), optional 2x2 luma sampling (4:2:0, chroma averaged),
+    optional restart markers every ``restart_interval`` MCUs. Tables
+    are carried in-stream per the spec."""
+    import struct
+
+    import numpy as np
+
+    C = _jpeg_dct_matrix()
+    zig = np.array(_JPEG_ZIGZAG)
+    qtab = np.full(64, float(quant))
+    dc_codes = _jpeg_huff_encode_codes(_JPEG_ENC_DC_BITS,
+                                       _JPEG_ENC_DC_VALS)
+    ac_codes = _jpeg_huff_encode_codes(_JPEG_ENC_AC_BITS,
+                                       _JPEG_ENC_AC_VALS)
+
+    H, W = img.shape[:2]
+    f = img.astype(np.float64)
+    r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    hs = vs = 2 if subsample else 1
+    mcux = (W + 8 * hs - 1) // (8 * hs)
+    mcuy = (H + 8 * vs - 1) // (8 * vs)
+
+    def pad(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                      mode="edge")
+
+    yp = pad(y, mcuy * vs * 8, mcux * hs * 8)
+    if subsample:
+        cb = cb[:mcuy * 16, :mcux * 16]
+        cb = pad(cb, mcuy * 16, mcux * 16)
+        cr = pad(cr[:mcuy * 16, :mcux * 16], mcuy * 16, mcux * 16)
+        cbp = cb.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+        crp = cr.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+    else:
+        cbp = pad(cb, mcuy * 8, mcux * 8)
+        crp = pad(cr, mcuy * 8, mcux * 8)
+    comps = [(1, hs, vs, yp), (2, 1, 1, cbp), (3, 1, 1, crp)]
+
+    scan = bytearray()
+    acc, nacc = 0, 0
+
+    def wbits(code: int, length: int) -> None:
+        nonlocal acc, nacc
+        for i in range(length - 1, -1, -1):
+            acc = (acc << 1) | ((code >> i) & 1)
+            nacc += 1
+            if nacc == 8:
+                scan.append(acc)
+                if acc == 0xFF:
+                    scan.append(0x00)
+                acc, nacc = 0, 0
+
+    def flush() -> None:
+        nonlocal acc, nacc
+        if nacc:
+            v = (acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)
+            scan.append(v)
+            if v == 0xFF:
+                scan.append(0x00)
+            acc, nacc = 0, 0
+
+    pred = {cid: 0 for cid, _, _, _ in comps}
+
+    def encode_block(blk: np.ndarray, cid: int) -> None:
+        fq = C @ (blk - 128.0) @ C.T
+        qz = np.round(fq.reshape(-1)[zig] / qtab).astype(np.int64)
+        qz[1:] = np.clip(qz[1:], -1023, 1023)  # baseline AC range
+        diff = int(qz[0]) - pred[cid]
+        pred[cid] = int(qz[0])
+        t = abs(diff).bit_length()
+        code, ln = dc_codes[t]
+        wbits(code, ln)
+        if t:
+            wbits(diff if diff > 0 else diff + (1 << t) - 1, t)
+        run = 0
+        for k in range(1, 64):
+            v = int(qz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_codes[0xF0]
+                wbits(code, ln)
+                run -= 16
+            s = abs(v).bit_length()
+            code, ln = ac_codes[(run << 4) | s]
+            wbits(code, ln)
+            wbits(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            code, ln = ac_codes[0x00]  # EOB
+            wbits(code, ln)
+
+    nmcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and nmcu and nmcu % restart_interval == 0:
+                flush()
+                scan += bytes([0xFF,
+                               0xD0 + ((nmcu // restart_interval - 1)
+                                       % 8)])
+                for k in pred:
+                    pred[k] = 0
+            for cid, ch, cv, plane in comps:
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        encode_block(plane[y0:y0 + 8, x0:x0 + 8], cid)
+            nmcu += 1
+    flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qtab))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(_JPEG_ENC_DC_BITS)
+               + _JPEG_ENC_DC_VALS)
+           + seg(0xC4, bytes([0x10]) + bytes(_JPEG_ENC_AC_BITS)
+                 + _JPEG_ENC_AC_VALS))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, H, W, 3)
+              + bytes([1, (hs << 4) | vs, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    dri = (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + dht + sof + dri + sos + bytes(scan)
+            + b"\xff\xd9")
 
 
 def _lzw_decode(data: bytes, min_code_size: int,
@@ -419,7 +842,7 @@ def decode_wav(payload: bytes):
 
     Anything non-integer-PCM (ADPCM, float, mp3-in-WAV, ...) raises
     NotImplementedError -- the same honest contract as
-    :func:`decode_image` for JPEG/PNG: those need codec libraries this
+    :func:`decode_image` for WebP: those need codec libraries this
     container does not ship."""
     import struct
 
@@ -530,9 +953,10 @@ def real_decoder(payload: bytes, mime: str) -> list[float]:
     :func:`decode_image` and yield 8 deterministic pixel-statistics
     features (width, height, mean R/G/B, global mean/min/max);
     RIFF/WAVE integer-PCM payloads decode via :func:`decode_wav` and
-    yield the 8 :func:`audio_features`. Formats needing real
-    entropy/DCT codec libraries (JPEG/WebP) still raise
-    NotImplementedError -- those are not in this container."""
+    yield the 8 :func:`audio_features`. Since round 7 this covers
+    baseline JPEG, PNG, and GIF too -- only formats whose codecs are
+    genuinely absent (WebP/TIFF/AVIF, compressed audio) still raise
+    NotImplementedError."""
     if payload is not None and payload[:4] == b"RIFF":
         return audio_features(payload)
     img = decode_image(payload)
@@ -568,9 +992,9 @@ def attach_media_features(media: DataFrame,
         media = media.repartition(int(parts))
 
     def safe_decode(p, m):
-        # per-row tolerance: one NULL / truncated / compressed payload
-        # (real_decoder raises NotImplementedError on JPEG/PNG, ValueError
-        # on corrupt headers) must null ITS features, not fail the whole
+        # per-row tolerance: one NULL / truncated / unsupported payload
+        # (real_decoder raises NotImplementedError on WebP or corrupt
+        # streams) must null ITS features, not fail the whole
         # corpus-scale job
         try:
             return decoder(p, m)

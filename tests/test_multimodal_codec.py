@@ -1,8 +1,10 @@
-"""Real (dependency-free) raster codec in the multimodal path: PPM (P6)
-and uncompressed 24-bit BMP decode to EXACT pixels, the nearest-neighbor
-thumbnail re-encode produces exact expected rasters through the Spark
-resize plan, and NotImplementedError is now reserved for genuinely
-compressed formats only."""
+"""Real (dependency-free) codecs in the multimodal path: PPM (P6),
+24-bit BMP, PNG (stdlib zlib), GIF (pure-logic LZW), baseline JPEG
+(numpy Huffman + IDCT), and RIFF/WAVE PCM all decode for real; the
+nearest-neighbor thumbnail re-encode produces exact expected rasters
+through the Spark resize plan; NotImplementedError is reserved for
+formats whose codec libraries this container genuinely lacks
+(WebP/TIFF) and for corrupt streams."""
 
 from __future__ import annotations
 
@@ -82,9 +84,10 @@ def test_bmp_decode_exact_with_padding():
     assert np.array_equal(decode_image(bytes(b[:54]) + flipped), img)
 
 
-def test_compressed_formats_still_raise():
-    # PNG and GIF left this list in round 7 (stdlib zlib / pure-logic
-    # LZW); JPEG/WebP/TIFF genuinely need codec libraries
+def test_unsupported_or_corrupt_formats_still_raise():
+    # PNG, GIF, and baseline JPEG left this list in round 7 (stdlib
+    # zlib / pure-logic LZW / numpy Huffman+IDCT); WebP/TIFF genuinely
+    # need codec libraries, and a corrupt JPEG stream raises cleanly
     for magic in (b"\xff\xd8\xff\xe0JFIF", b"II*\x00",
                   b"RIFF....WEBP"):
         with pytest.raises(NotImplementedError):
@@ -170,9 +173,9 @@ def test_media_near_dup_on_real_ppm_bytes(spark):
 
 
 def test_bad_payloads_null_their_row_not_the_job(spark):
-    """Per-row error tolerance: a batch mixing a good PPM, a compressed
-    JPEG (real_decoder raises NotImplementedError), a NULL payload, and
-    a truncated header must complete -- bad rows get NULL
+    """Per-row error tolerance: a batch mixing a good PPM, a corrupt
+    JPEG stream (real_decoder raises NotImplementedError), a NULL
+    payload, and a truncated header must complete -- bad rows get NULL
     features/payload, the good row keeps exact values."""
     img = _grad(3, 5)
     rows = [
@@ -519,3 +522,85 @@ def test_gif_corrupt_raises():
         _decode_gif(good[:20])           # truncated mid-stream
     with pytest.raises(NotImplementedError):
         _decode_gif(b"GIF89a" + b"\0" * 20)  # no image descriptor
+
+
+# ---- baseline JPEG codec (Huffman + IDCT in numpy -- dependency-free) ----
+
+from automated_review_analysis_pipeline_spark.operators.multimodal import (  # noqa: E402
+    _decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _maxerr(a: np.ndarray, b: np.ndarray) -> int:
+    return int(np.abs(a.astype(int) - b.astype(int)).max())
+
+
+def test_jpeg_flat_color_exact():
+    img = np.full((8, 8, 3), (200, 30, 90), dtype=np.uint8)
+    assert _maxerr(decode_image(encode_jpeg(img)), img) == 0
+
+
+def test_jpeg_roundtrip_within_dct_rounding():
+    """quant=1 4:4:4: the only loss is DCT/color-transform rounding, so
+    every pixel must land within +/-2 -- on asymmetric non-multiple-of-8
+    shapes (catches transposes and padding bugs)."""
+    img = _grad(20, 13)
+    dec = decode_image(encode_jpeg(img))
+    assert dec.shape == img.shape
+    assert _maxerr(dec, img) <= 2
+    rng = np.random.RandomState(3)
+    noisy = rng.randint(0, 256, (24, 17, 3)).astype(np.uint8)
+    assert _maxerr(decode_image(encode_jpeg(noisy)), noisy) <= 2
+
+
+def test_jpeg_420_subsampling_and_restart_markers():
+    # constant-chroma image: 2x2 chroma averaging loses nothing
+    img = np.zeros((19, 22, 3), dtype=np.uint8)
+    img[:, :] = (np.arange(22) * 11 % 256)[None, :, None]
+    assert _maxerr(decode_image(encode_jpeg(img, subsample=True)),
+                   img) <= 1
+    # restart markers every 3 MCUs: DC predictors reset + realignment
+    img = _grad(33, 41)
+    assert _maxerr(decode_image(encode_jpeg(img, restart_interval=3)),
+                   img) <= 2
+
+
+def test_jpeg_hand_built_dc_only_golden():
+    """Spec-level vector built WITHOUT the encoder: a single grayscale
+    8x8 block carrying only DC category 3 / value bits 100 (diff = 4)
+    then EOB, quant table all 16s. Canonical Huffman per T.81 Annex C
+    puts DC symbol t at code t (length 4) and EOB at code 0 (length 8),
+    so the scan is exactly 0x38 0x01 -- and the orthonormal IDCT of a
+    lone DC gives the flat value 4*16/8 + 128 = 136 everywhere."""
+
+    def seg(m: int, body: bytes) -> bytes:
+        return bytes([0xFF, m]) + struct.pack(">H", len(body) + 2) + body
+
+    acvals = bytes(sorted([0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                                          for s in range(1, 11)]))
+    jp = (b"\xff\xd8"
+          + seg(0xDB, bytes([0]) + bytes([16] * 64))
+          + seg(0xC4, bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12)
+                + bytes(range(12)))
+          + seg(0xC4, bytes([0x10]) + bytes([0] * 7 + [162] + [0] * 8)
+                + acvals)
+          + seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+          + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+          + bytes([0x38, 0x01]) + b"\xff\xd9")
+    out = _decode_jpeg(jp)
+    assert out.shape == (8, 8, 3)
+    assert set(np.unique(out)) == {136}
+
+
+def test_jpeg_unsupported_modes_raise():
+    img = _grad(8, 8)
+    good = bytearray(encode_jpeg(img))
+    # flip SOF0 -> SOF2 (progressive)
+    sof = good.find(b"\xff\xc0")
+    assert sof > 0
+    good[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        _decode_jpeg(bytes(good))
+    with pytest.raises(NotImplementedError):  # truncated scan
+        _decode_jpeg(encode_jpeg(img)[:-20])

@@ -970,11 +970,26 @@ def real_decoder(payload: bytes, mime: str) -> list[float]:
 
 
 def real_encoder(payload: bytes, new_w: int, new_h: int) -> bytes:
-    """Real thumbnail re-encode for uncompressed raster payloads:
-    decode (PPM/BMP) -> nearest-neighbor resize -> canonical P6 PPM
-    bytes, exact pixels. Compressed formats raise NotImplementedError."""
+    """Real thumbnail re-encode: decode any supported raster
+    (PPM/BMP/PNG/GIF/baseline JPEG) -> nearest-neighbor resize ->
+    canonical P6 PPM bytes, exact pixels. Unsupported formats raise
+    NotImplementedError."""
     return encode_ppm(resize_image_nearest(decode_image(payload),
                                            new_w, new_h))
+
+
+def real_encoder_png(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """:func:`real_encoder` variant emitting PNG thumbnails (lossless,
+    stdlib-zlib deflate) -- the web-interchange target."""
+    return encode_png(resize_image_nearest(decode_image(payload),
+                                           new_w, new_h))
+
+
+def real_encoder_jpeg(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """:func:`real_encoder` variant emitting baseline-JPEG thumbnails
+    (uniform quant 4, 4:4:4) -- the compact training-artifact target."""
+    return encode_jpeg(resize_image_nearest(decode_image(payload),
+                                            new_w, new_h), quant=4)
 
 
 def attach_media_features(media: DataFrame,

@@ -604,3 +604,30 @@ def test_jpeg_unsupported_modes_raise():
         _decode_jpeg(bytes(good))
     with pytest.raises(NotImplementedError):  # truncated scan
         _decode_jpeg(encode_jpeg(img)[:-20])
+
+
+def test_resize_media_png_and_jpeg_thumbnail_targets(spark):
+    """The Spark resize plan with PNG / JPEG thumbnail encoders: PNG is
+    pixel-exact vs the PPM reference thumbnail; JPEG lands within DCT
+    rounding of it."""
+    from automated_review_analysis_pipeline_spark.operators.multimodal import (
+        real_encoder_jpeg,
+        real_encoder_png,
+    )
+
+    img = _grad(4, 8)
+    want = resize_image_nearest(img, 4, 2)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_png(img)), "image/png", 8, 4, None, "t")],
+        MEDIA_COLS)
+    png_thumb = resize_media(media, max_w=4, max_h=4,
+                             encoder=real_encoder_png).collect()[0]
+    got = decode_image(bytes(png_thumb["payload"]))
+    assert bytes(png_thumb["payload"])[:8] == b"\x89PNG\r\n\x1a\n"
+    assert np.array_equal(got, want)
+
+    jpg_thumb = resize_media(media, max_w=4, max_h=4,
+                             encoder=real_encoder_jpeg).collect()[0]
+    assert bytes(jpg_thumb["payload"])[:2] == b"\xff\xd8"
+    got = decode_image(bytes(jpg_thumb["payload"]))
+    assert _maxerr(got, want) <= 8  # quant-4 DCT rounding

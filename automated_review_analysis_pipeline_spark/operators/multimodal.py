@@ -4,8 +4,8 @@ Images/audio/video are opaque `binary` columns with a typed metadata
 struct. The Spark-side plumbing -- schema, partition sizing, mapInPandas
 batch shape, UDF signatures -- is real and tested. Codecs are injected
 ``decoder`` callables; the built-in :func:`real_decoder` genuinely
-decodes PPM (P6), uncompressed 24-bit BMP, 8-bit non-interlaced PNG
-(DEFLATE via the stdlib zlib -- no external library), GIF (LZW is pure
+decodes PPM (P6), uncompressed 24-bit BMP, PNG incl. 16-bit and
+Adam7-interlaced (DEFLATE via the stdlib zlib), GIF (LZW is pure
 dictionary logic), baseline JPEG (Huffman + IDCT in numpy), and
 RIFF/WAVE integer PCM. Formats needing codec libraries this container
 lacks (WebP/TIFF/AVIF, compressed audio) raise NotImplementedError; a
@@ -56,9 +56,10 @@ def decode_image(payload: bytes):
       netpbm spec)
     - uncompressed 24-bit BI_RGB Windows BMP (BITMAPINFOHEADER,
       bottom-up or top-down, 4-byte row padding, BGR -> RGB)
-    - PNG (8-bit gray/RGB/palette/alpha, non-interlaced) -- PNG's
-      compression is DEFLATE + scanline filters, and zlib ships with
-      CPython, so no external codec is needed (:func:`_decode_png`)
+    - PNG (8/16-bit gray/RGB/palette/alpha, non-interlaced or Adam7
+      interlaced) -- PNG's compression is DEFLATE + scanline filters,
+      and zlib ships with CPython, so no external codec is needed
+      (:func:`_decode_png`)
     - GIF 87a/89a first frame -- LZW is pure dictionary logic
       (:func:`_decode_gif`), including 4-pass interlacing
 
@@ -83,8 +84,8 @@ def decode_image(payload: bytes):
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
     raise NotImplementedError(
-        "only PPM (P6), 24-bit BI_RGB BMP, 8-bit non-interlaced PNG, "
-        "GIF, and baseline JPEG decode here; other formats require "
+        "only PPM (P6), 24-bit BI_RGB BMP, PNG, GIF, and baseline "
+        "JPEG decode here; other formats require "
         "codec libraries not present in this environment -- inject "
         "deterministic_fake_decoder or a real codec")
 
@@ -148,13 +149,15 @@ def _decode_bmp(payload: bytes):
 def _decode_png(payload: bytes):
     """Dependency-free PNG decode -> (H, W, 3) uint8. PNG's
     "compression" is DEFLATE plus per-scanline byte filters, and zlib
-    ships with CPython -- no codec library needed. Supports the common
-    web shapes: 8-bit depth, color types 0 (gray), 2 (RGB), 3
-    (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced. Adam7
-    interlacing, 16-bit depth, and sub-byte palette depths raise
-    NotImplementedError. Written against the public W3C PNG spec /
-    RFC 2083. Alpha is dropped (features/thumbnails want opaque RGB);
-    gray replicates across channels; palette indices look up PLTE.
+    ships with CPython -- no codec library needed. Supports 8- and
+    16-bit depth (16-bit samples reduce to their high byte for the
+    8-bit pixel output), color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), and BOTH non-interlaced and
+    Adam7-interlaced streams (seven independently-filtered
+    sub-images). Sub-byte depths raise NotImplementedError. Written
+    against the public W3C PNG spec / RFC 2083. Alpha is dropped
+    (features/thumbnails want opaque RGB); gray replicates across
+    channels; palette indices look up PLTE.
     """
     import struct
     import zlib
@@ -183,55 +186,83 @@ def _decode_png(payload: bytes):
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr)
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if depth != 8 or channels is None or comp != 0 or filt != 0:
+    if depth not in (8, 16) or channels is None or comp != 0 or filt != 0:
         raise NotImplementedError(
-            "only 8-bit depth, color types 0/2/3/4/6 PNG supported")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+            "only 8/16-bit depth, color types 0/2/3/4/6 PNG supported")
+    if depth == 16 and ctype == 3:
+        raise NotImplementedError("16-bit palette PNG is not legal")
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
         raise NotImplementedError(f"corrupt PNG stream: {exc}") from exc
-    stride = w * channels
-    if len(raw) != (stride + 1) * h or h == 0 or w == 0:
-        raise NotImplementedError("PNG raster size mismatch")
+    if h == 0 or w == 0:
+        raise NotImplementedError("empty PNG raster")
+    bpp = channels * (depth // 8)
 
-    # un-filter scanlines (spec filters 0 None, 1 Sub, 2 Up, 3 Average,
-    # 4 Paeth); Up is vectorized (uint8 wraps mod 256), the
-    # left-dependent filters walk the scanline
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    bpp = channels
-    for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(raw, np.uint8, stride,
-                             y * (stride + 1) + 1)
-        if f == 0:
-            cur = line.copy()
-        elif f == 2:
-            cur = line + prev
-        elif f in (1, 3, 4):
-            c32 = line.astype(np.int32)
-            p32 = prev.astype(np.int32)
-            for x in range(stride):
-                a = c32[x - bpp] if x >= bpp else 0
-                b = p32[x]
-                if f == 1:
-                    pred = a
-                elif f == 3:
-                    pred = (a + b) // 2
-                else:
-                    c = p32[x - bpp] if x >= bpp else 0
-                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                    pred = a if pa <= pb and pa <= pc else \
-                        (b if pb <= pc else c)
-                c32[x] = (c32[x] + pred) & 0xFF
-            cur = c32.astype(np.uint8)
-        else:
-            raise NotImplementedError(f"unknown PNG filter {f}")
-        out[y] = cur
-        prev = cur
-    px = out.reshape(h, w, channels)
+    def unfilter(buf: bytes, height: int, width_px: int) -> np.ndarray:
+        # spec filters 0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth; Up is
+        # vectorized (uint8 wraps mod 256), the left-dependent filters
+        # walk the scanline
+        stride = width_px * bpp
+        if len(buf) != (stride + 1) * height:
+            raise NotImplementedError("PNG raster size mismatch")
+        out = np.empty((height, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(height):
+            f = buf[y * (stride + 1)]
+            line = np.frombuffer(buf, np.uint8, stride,
+                                 y * (stride + 1) + 1)
+            if f == 0:
+                cur = line.copy()
+            elif f == 2:
+                cur = line + prev
+            elif f in (1, 3, 4):
+                c32 = line.astype(np.int32)
+                p32 = prev.astype(np.int32)
+                for x in range(stride):
+                    a = c32[x - bpp] if x >= bpp else 0
+                    b = p32[x]
+                    if f == 1:
+                        pred = a
+                    elif f == 3:
+                        pred = (a + b) // 2
+                    else:
+                        c = p32[x - bpp] if x >= bpp else 0
+                        pa, pb = abs(b - c), abs(a - c)
+                        pc = abs(a + b - 2 * c)
+                        pred = a if pa <= pb and pa <= pc else \
+                            (b if pb <= pc else c)
+                    c32[x] = (c32[x] + pred) & 0xFF
+                cur = c32.astype(np.uint8)
+            else:
+                raise NotImplementedError(f"unknown PNG filter {f}")
+            out[y] = cur
+            prev = cur
+        return out
+
+    def to_samples(rows: np.ndarray, height: int,
+                   width_px: int) -> np.ndarray:
+        # 16-bit samples reduce to their high byte (8-bit output)
+        if depth == 16:
+            return rows.reshape(height, width_px, channels, 2)[..., 0]
+        return rows.reshape(height, width_px, channels)
+
+    if interlace == 0:
+        px = to_samples(unfilter(raw, h, w), h, w)
+    else:  # Adam7: seven independently-filtered sub-images
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                               (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            chunk = (pw * bpp + 1) * ph
+            sub = unfilter(raw[offset:offset + chunk], ph, pw)
+            offset += chunk
+            px[y0::dy, x0::dx] = to_samples(sub, ph, pw)
 
     if ctype == 2:
         return px.copy()

@@ -373,13 +373,38 @@ def test_png_palette_gray_and_alpha_variants():
     assert tuple(got[0, 1]) == (99, 99, 99)
 
 
+def test_png_adam7_interlaced_decode_exact():
+    """Adam7: seven independently-filtered sub-images reassemble to the
+    exact pixels (9x9 exercises every pass including 1-pixel ones)."""
+    img = _grad(9, 9)
+    raw = bytearray()
+    for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                           (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                           (0, 1, 1, 2)):
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw += b"\0" + row.tobytes()
+    got = decode_image(_png(bytes(raw), 9, 9, ctype=2, interlace=1))
+    assert np.array_equal(got, img)
+
+
+def test_png_16bit_reduces_to_high_byte():
+    img = _grad(2, 3)
+    wide = np.zeros((2, 3, 3, 2), dtype=np.uint8)
+    wide[..., 0] = img          # high byte
+    wide[..., 1] = 0xAB         # low byte, discarded
+    raw = b"".join(b"\0" + wide[y].tobytes() for y in range(2))
+    got = decode_image(_png(raw, 3, 2, ctype=2, depth=16))
+    assert np.array_equal(got, img)
+
+
 def test_png_unsupported_shapes_raise():
     img = _grad(2, 2)
     raw = b"".join(b"\0" + img[y].tobytes() for y in range(2))
-    with pytest.raises(NotImplementedError):  # Adam7
-        _decode_png(_png(raw, 2, 2, ctype=2, interlace=1))
-    with pytest.raises(NotImplementedError):  # 16-bit
-        _decode_png(_png(raw, 2, 2, ctype=2, depth=16))
+    with pytest.raises(NotImplementedError):  # sub-byte depth
+        _decode_png(_png(raw, 2, 2, ctype=2, depth=4))
     with pytest.raises(NotImplementedError):  # corrupt DEFLATE
         _decode_png(b"\x89PNG\r\n\x1a\n"
                     + _png_chunk(b"IHDR",

@@ -4,7 +4,7 @@ Images/audio/video are opaque `binary` columns with a typed metadata
 struct. The Spark-side plumbing -- schema, partition sizing, mapInPandas
 batch shape, UDF signatures -- is real and tested. Codecs are injected
 ``decoder`` callables; the built-in :func:`real_decoder` genuinely
-decodes PPM (P6), uncompressed 24-bit BMP, PNG incl. 16-bit and
+decodes PPM (P6), uncompressed 24/32-bit BMP, PNG incl. 16-bit and
 Adam7-interlaced (DEFLATE via the stdlib zlib), GIF (LZW is pure
 dictionary logic), baseline JPEG (Huffman + IDCT in numpy), and
 RIFF/WAVE integer PCM. Formats needing codec libraries this container
@@ -54,8 +54,9 @@ def decode_image(payload: bytes):
 
     - binary PPM (P6, maxval <= 255; header comments/whitespace per the
       netpbm spec)
-    - uncompressed 24-bit BI_RGB Windows BMP (BITMAPINFOHEADER,
-      bottom-up or top-down, 4-byte row padding, BGR -> RGB)
+    - uncompressed 24/32-bit Windows BMP (BI_RGB or standard-mask
+      BI_BITFIELDS; bottom-up or top-down, 4-byte row padding,
+      BGR(A) -> RGB)
     - PNG (8/16-bit gray/RGB/palette/alpha, non-interlaced or Adam7
       interlaced) -- PNG's compression is DEFLATE + scanline filters,
       and zlib ships with CPython, so no external codec is needed
@@ -84,7 +85,7 @@ def decode_image(payload: bytes):
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
     raise NotImplementedError(
-        "only PPM (P6), 24-bit BI_RGB BMP, PNG, GIF, and baseline "
+        "only PPM (P6), 24/32-bit BMP, PNG, GIF, and baseline "
         "JPEG decode here; other formats require "
         "codec libraries not present in this environment -- inject "
         "deterministic_fake_decoder or a real codec")
@@ -133,16 +134,26 @@ def _decode_bmp(payload: bytes):
     w, h_raw = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if bpp != 24 or compression != 0:
+    # 24-bit BI_RGB, 32-bit BI_RGB (BGRX), and 32-bit BI_BITFIELDS with
+    # the standard BGRA masks all decode; anything else (RLE, 16-bit
+    # masks, palettes) raises
+    if compression == 3 and bpp == 32 and len(payload) >= 66:
+        masks = struct.unpack_from("<III", payload, 54)
+        if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise NotImplementedError("non-standard BMP bitfield masks")
+    elif compression != 0 or bpp not in (24, 32):
         raise NotImplementedError(
-            "only uncompressed 24-bit BI_RGB BMP supported")
+            "only uncompressed 24/32-bit BI_RGB(/standard BI_BITFIELDS) "
+            "BMP supported")
     h, bottom_up = abs(h_raw), h_raw > 0
-    stride = ((w * 3 + 3) // 4) * 4
+    nch = bpp // 8
+    stride = ((w * nch + 3) // 4) * 4
     raster = payload[data_off:data_off + stride * h]
     if len(raster) != stride * h:
         raise NotImplementedError("truncated BMP raster")
     rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
-    img = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]   # BGR -> RGB
+    px = rows[:, :w * nch].reshape(h, w, nch)
+    img = px[:, :, 2::-1]  # BGR(X/A) -> RGB, alpha/pad byte dropped
     return img[::-1] if bottom_up else img
 
 

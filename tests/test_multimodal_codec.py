@@ -656,3 +656,35 @@ def test_resize_media_png_and_jpeg_thumbnail_targets(spark):
     assert bytes(jpg_thumb["payload"])[:2] == b"\xff\xd8"
     got = decode_image(bytes(jpg_thumb["payload"]))
     assert _maxerr(got, want) <= 8  # quant-4 DCT rounding
+
+
+def test_bmp_32bit_variants_decode_exact():
+    """32-bit BGRX (BI_RGB) and standard-mask BI_BITFIELDS BMPs decode
+    to the same pixels as the 24-bit golden; alpha/pad bytes drop."""
+    img = _grad(3, 2)
+    h, w = 3, 2
+    raster = bytearray()
+    for row in img[::-1]:
+        for px in row:
+            raster += bytes([px[2], px[1], px[0], 0x7F])  # BGRA
+    off_rgb = 14 + 40
+    hdr = (b"BM" + struct.pack("<IHHI", off_rgb + len(raster), 0, 0,
+                               off_rgb)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0,
+                         len(raster), 2835, 2835, 0, 0))
+    assert np.array_equal(decode_image(bytes(hdr) + bytes(raster)), img)
+
+    off_bf = 14 + 40 + 12
+    hdr_bf = (b"BM" + struct.pack("<IHHI", off_bf + len(raster), 0, 0,
+                                  off_bf)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 3,
+                            len(raster), 2835, 2835, 0, 0)
+              + struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF))
+    assert np.array_equal(decode_image(bytes(hdr_bf) + bytes(raster)),
+                          img)
+
+    bad_masks = (bytes(hdr_bf[:54])
+                 + struct.pack("<III", 0x000000FF, 0x0000FF00,
+                               0x00FF0000) + bytes(raster))
+    with pytest.raises(NotImplementedError):
+        decode_image(bad_masks)

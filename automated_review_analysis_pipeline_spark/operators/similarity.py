@@ -416,21 +416,32 @@ def sign_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
 def ann_recall_report(embeddings: DataFrame, queries: DataFrame,
                       k: int = 5, id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
-    """In-engine ANN index evaluation: per-query recall@k of the sign-LSH
-    index against the exact brute-force ranking -- the report a pipeline
-    runs on a SAMPLED query set before trusting an approximate index for
-    production dedup/retrieval at scale. Joins the two top-k lists on
-    (query, neighbor); recall = |approx ∩ exact| / |exact|.
+                      vec_col: str = "embedding",
+                      index: str = "lsh") -> DataFrame:
+    """In-engine ANN index evaluation: per-query recall@k of the chosen
+    approximate index (``index`` = "lsh" sign-LSH, "ivf" coarse-probe,
+    or "pq" product-quantization, each at its registry-default
+    parameters) against the exact brute-force ranking -- the report a
+    pipeline runs on a SAMPLED query set before trusting an approximate
+    index for production dedup/retrieval at scale. Joins the two top-k
+    lists on (query, neighbor); recall = |approx ∩ exact| / |exact|.
 
     Cost model: the exact side is the expensive baseline (one corpus
     scan per evaluation), so this runs over a bounded query sample --
     the corpus-side plans are exactly cosine_topk's (local top-k per
-    Arrow batch, corpus never shuffles) and sign_lsh_topk's (bucket
-    join). The report itself adds one k·|queries|-row join.
+    Arrow batch, corpus never shuffles) plus the chosen index's (bucket
+    join / probe join / ADC scan). The report itself adds one
+    k·|queries|-row join.
     """
     exact = cosine_topk(embeddings, queries, k, id_col, vec_col)
-    approx = sign_lsh_topk(embeddings, queries, k, id_col, vec_col)
+    if index == "lsh":
+        approx = sign_lsh_topk(embeddings, queries, k, id_col, vec_col)
+    elif index == "ivf":
+        approx = ivf_topk(embeddings, queries, k, id_col, vec_col)
+    elif index == "pq":
+        approx = pq_topk(embeddings, queries, k, id_col, vec_col)
+    else:
+        raise ValueError(f"unknown ANN index {index!r}")
     hits = (approx.select("query_id", "neighbor_id")
             .withColumn("__hit", F.lit(1)))
     return (

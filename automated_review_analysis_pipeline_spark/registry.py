@@ -1646,6 +1646,15 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.train_quality_classifier(_t(spark, sf_dir, "documents"))
 
 
+def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF coarse-probe index (registry-default
+    centroids/probes) against the exact brute-force ranking -- the same
+    evaluation surface as ann_recall, per index family."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.ann_recall_report(
+        e, e.where(F.col("vec_id") < N_QUERY_VECS), k=TOP_K, index="ivf")
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return sim.ann_recall_report(
@@ -1865,6 +1874,7 @@ QUERIES: dict[str, QueryFn] = {
     "temperature_mix_tokens": q_temperature_mix_tokens,
     "quality_classifier": q_quality_classifier,
     "ann_recall": q_ann_recall,
+    "ann_recall_ivf": q_ann_recall_ivf,
     "perplexity_filter": q_perplexity_filter,
     "psi_drift": q_psi_drift,
 }
@@ -4886,6 +4896,23 @@ ORACLE_SQL["quality_classifier"] = _logreg_sql()
 ORACLE_SQL["ann_recall"] = f"""
 WITH exact AS (SELECT * FROM ({ORACLE_SQL["cosine_topk"]})),
 approx AS (SELECT * FROM ({ORACLE_SQL["sign_lsh_topk"]}))
+SELECT e.query_id,
+       CAST(count(*) AS INT) AS n_exact,
+       CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                              THEN 1 END), 0) AS INT) AS n_hits,
+       round(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                               THEN 1 END), 0)::DOUBLE / count(*), 4)
+         AS recall
+FROM exact e
+LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id ORDER BY e.query_id
+"""
+
+
+ORACLE_SQL["ann_recall_ivf"] = f"""
+WITH exact AS (SELECT * FROM ({ORACLE_SQL["cosine_topk"]})),
+approx AS (SELECT * FROM ({ORACLE_SQL["ivf_topk"]}))
 SELECT e.query_id,
        CAST(count(*) AS INT) AS n_exact,
        CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL

@@ -166,6 +166,7 @@ HEADLINE = [
     "temperature_mix",
     "quality_classifier",
     "ann_recall",
+    "ann_recall_ivf",
     "perplexity_filter",
     "psi_drift",
     "media_near_dup",

@@ -1020,13 +1020,18 @@ def test_ann_recall_report_bounds_and_consistency(spark, sf_dir):
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    rows = sim.ann_recall_report(
-        e, e.where(F.col("vec_id") < 10), k=5).collect()
-    assert len(rows) == 10
-    for r in rows:
-        assert r["n_exact"] == 5
-        assert 0 <= r["n_hits"] <= r["n_exact"]
-        assert abs(r["recall"] - r["n_hits"] / r["n_exact"]) < 1e-9
+    for index in ("lsh", "ivf", "pq"):
+        rows = sim.ann_recall_report(
+            e, e.where(F.col("vec_id") < 10), k=5, index=index).collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert r["n_exact"] == 5
+            assert 0 <= r["n_hits"] <= r["n_exact"]
+            assert abs(r["recall"] - r["n_hits"] / r["n_exact"]) < 1e-9
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sim.ann_recall_report(e, e.where(F.col("vec_id") < 10), k=5,
+                              index="hnsw")
 
 
 def test_perplexity_filter_drops_worst_tail(spark, sf_dir):

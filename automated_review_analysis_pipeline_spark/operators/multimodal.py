@@ -112,7 +112,11 @@ def _decode_ppm(payload: bytes):
             while pos < len(payload) \
                     and not payload[pos:pos + 1].isspace():
                 pos += 1
-            fields.append(int(payload[start:pos]))
+            try:
+                fields.append(int(payload[start:pos]))
+            except ValueError as exc:
+                raise NotImplementedError(
+                    f"malformed PPM header token: {exc}") from exc
     pos += 1  # the single whitespace byte after maxval
     w, h, maxval = fields
     if maxval > 255:

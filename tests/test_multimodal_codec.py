@@ -688,3 +688,31 @@ def test_bmp_32bit_variants_decode_exact():
                                0x00FF0000) + bytes(raster))
     with pytest.raises(NotImplementedError):
         decode_image(bad_masks)
+
+
+def test_codec_fuzz_no_uncontrolled_exceptions():
+    """Library-API hardening: decode_image / decode_wav on arbitrary
+    bytes (seeded fuzz, 4000 payloads biased toward real magic
+    prefixes) either succeed or raise exactly NotImplementedError --
+    never a raw ValueError/struct.error/zlib.error -- so callers
+    outside the Spark per-row-tolerant path get one catchable
+    contract."""
+    import random
+
+    from automated_review_analysis_pipeline_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    rng = random.Random(0)
+    magics = [b"P6", b"BM", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a",
+              b"\xff\xd8", b"RIFF"]
+    for _ in range(4000):
+        body = bytes(rng.randrange(256)
+                     for _ in range(rng.randint(0, 200)))
+        payload = (rng.choice(magics)
+                   if rng.random() < 0.8 else b"") + body
+        for fn in (decode_image, decode_wav):
+            try:
+                fn(payload)
+            except NotImplementedError:
+                pass

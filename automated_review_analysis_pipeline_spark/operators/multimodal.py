@@ -39,9 +39,10 @@ Decoder = Callable[[bytes, str], list[float]]
 
 
 def deterministic_fake_decoder(payload: bytes, mime: str) -> list[float]:
-    """Stand-in for a real codec: 8 deterministic float features derived
-    from the byte content (so tests assert exact values). Replace with a
-    real image/audio decode when the libraries exist."""
+    """Stand-in decoder: 8 deterministic float features derived from
+    the byte content (so tests and the DuckDB oracles assert exact
+    values -- this is the SQL-expressible path). :func:`real_decoder`
+    is the genuine-decode hook."""
     if payload is None:
         return [0.0] * 8
     n = len(payload)

@@ -6,9 +6,11 @@ batch shape, UDF signatures -- is real and tested. Codecs are injected
 ``decoder`` callables; the built-in :func:`real_decoder` genuinely
 decodes PPM (P6), uncompressed 24/32-bit BMP, PNG incl. 16-bit and
 Adam7-interlaced (DEFLATE via the stdlib zlib), GIF (LZW is pure
-dictionary logic), baseline JPEG (Huffman + IDCT in numpy), and
+dictionary logic), baseline JPEG (Huffman + IDCT in numpy), lossless
+WebP's entropy layer + subtract-green/palette transforms (webp.py), and
 RIFF/WAVE integer PCM. Formats needing codec libraries this container
-lacks (WebP/TIFF/AVIF, compressed audio) raise NotImplementedError; a
+lacks (lossy WebP, TIFF/AVIF, compressed audio) raise
+NotImplementedError; a
 deterministic fake decoder remains the SQL-expressible oracle path.
 
 Plan shape at 100 TB: binary payloads dominate partition size, so the
@@ -68,9 +70,13 @@ def decode_image(payload: bytes):
     - baseline sequential JPEG -- Huffman entropy decode is pure
       dictionary logic and the 8x8 IDCT is two numpy matrix multiplies
       (:func:`_decode_jpeg`); progressive/arithmetic modes raise
+    - lossless WebP (VP8L) -- full entropy layer (prefix codes, LZ77,
+      color cache, meta groups) + subtract-green/palette transforms
+      (operators/webp.py); the predictor/cross-color transforms and
+      lossy VP8 raise
 
-    Anything else (WebP/TIFF/AVIF/...) raises NotImplementedError --
-    those need codec libraries this container does not ship."""
+    Anything else (TIFF/AVIF/...) raises NotImplementedError -- those
+    need codec libraries this container does not ship."""
     import numpy as np
 
     if payload is None or len(payload) < 2:
@@ -85,9 +91,15 @@ def decode_image(payload: bytes):
         return _decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from automated_review_analysis_pipeline_spark.operators.webp import (
+            decode_webp_lossless,
+        )
+
+        return decode_webp_lossless(payload)
     raise NotImplementedError(
-        "only PPM (P6), 24/32-bit BMP, PNG, GIF, and baseline "
-        "JPEG decode here; other formats require "
+        "only PPM (P6), 24/32-bit BMP, PNG, GIF, baseline JPEG, and "
+        "lossless WebP decode here; other formats require "
         "codec libraries not present in this environment -- inject "
         "deterministic_fake_decoder or a real codec")
 
@@ -722,6 +734,8 @@ def _lzw_decode(data: bytes, min_code_size: int,
     CLEAR/EOI, 12-bit table cap with deferred clear) -- pure logic, no
     codec library. Written against the public GIF89a specification
     Appendix F."""
+    if not 1 <= min_code_size <= 11:  # LZW codes are capped at 12 bits
+        raise NotImplementedError("invalid GIF LZW minimum code size")
     clear = 1 << min_code_size
     eoi = clear + 1
 
@@ -1004,7 +1018,8 @@ def real_decoder(payload: bytes, mime: str) -> list[float]:
     baseline JPEG, PNG, and GIF too -- only formats whose codecs are
     genuinely absent (WebP/TIFF/AVIF, compressed audio) still raise
     NotImplementedError."""
-    if payload is not None and payload[:4] == b"RIFF":
+    if payload is not None and payload[:4] == b"RIFF" \
+            and payload[8:12] != b"WEBP":
         return audio_features(payload)
     img = decode_image(payload)
     f = img.astype("float64")

@@ -705,7 +705,7 @@ def test_codec_fuzz_no_uncontrolled_exceptions():
 
     rng = random.Random(0)
     magics = [b"P6", b"BM", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a",
-              b"\xff\xd8", b"RIFF"]
+              b"\xff\xd8", b"RIFF", b"RIFF\x10\x00\x00\x00WEBPVP8L"]
     for _ in range(4000):
         body = bytes(rng.randrange(256)
                      for _ in range(rng.randint(0, 200)))
@@ -716,3 +716,283 @@ def test_codec_fuzz_no_uncontrolled_exceptions():
                 fn(payload)
             except NotImplementedError:
                 pass
+
+
+# ---- WebP lossless (VP8L) codec -----------------------------------------
+
+from automated_review_analysis_pipeline_spark.operators.webp import (  # noqa: E402
+    BitReader,
+    BitWriter,
+    _canonical_codes,
+    _read_prefix_code,
+    decode_webp_lossless,
+    encode_webp_lossless,
+)
+
+_VP8L_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
+               14, 15]
+_VP8L_GREEN = 280
+
+
+def _w_prefix(bw, lengths):
+    """Test-side 'normal' prefix-code writer (plain CL symbols)."""
+    used = sorted({ln for ln in lengths})
+    cl = [0] * 19
+    if len(used) == 1:
+        cl[used[0]] = 1
+    else:
+        depth = max(1, (len(used) - 1).bit_length())
+        for s in used:
+            cl[s] = depth
+    bw.write(0, 1)
+    num = max(max((i + 1 for i, s in enumerate(_VP8L_ORDER) if cl[s]),
+                  default=0), 4)
+    bw.write(num - 4, 4)
+    for i in range(num):
+        bw.write(cl[_VP8L_ORDER[i]], 3)
+    bw.write(0, 1)
+    clc = _canonical_codes(cl)
+    if len(used) > 1:
+        for ln in lengths:
+            c, n = clc[ln]
+            bw.write_code(c, n)
+    return _canonical_codes(lengths), sum(1 for ln in lengths if ln)
+
+
+def _emit(bw, pref, sym):
+    codes, nsyms = pref
+    if nsyms > 1:  # single-symbol codes consume ZERO bits
+        c, n = codes[sym]
+        bw.write_code(c, n)
+
+
+def _simple1(bw, sym):
+    bw.write(1, 1)
+    bw.write(0, 1)
+    bw.write(1, 1)
+    bw.write(sym, 8)
+
+
+def _vp8l(bw):
+    body = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\0"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _hdr(bw, w, h):
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+
+
+def _lens(used, size=256):
+    out = [0] * size
+    depth = max(1, (len(used) - 1).bit_length()) if len(used) > 1 else 1
+    for s in used:
+        out[s] = depth
+    return out
+
+
+def test_webp_lossless_roundtrips():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (6, 9, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_image(encode_webp_lossless(img)), img)
+    assert np.array_equal(
+        decode_image(encode_webp_lossless(img, subtract_green=True)),
+        img)
+
+
+def test_webp_lz77_both_distance_forms():
+    # distance code > 120: literal run copy at distance 1
+    bw = BitWriter()
+    _hdr(bw, 5, 1)
+    bw.write(0, 1), bw.write(0, 1), bw.write(0, 1)
+    gl = [0] * _VP8L_GREEN
+    gl[1] = 1
+    gl[2] = 2
+    gl[258] = 2   # length code 2 -> length 3
+    g = _w_prefix(bw, gl)
+    _w_prefix(bw, _lens([0]))
+    _w_prefix(bw, _lens([0]))
+    _w_prefix(bw, _lens([255]))
+    _simple1(bw, 13)          # distance symbol 13: offset 96, 5 extra
+    _emit(bw, g, 1)
+    _emit(bw, g, 2)
+    _emit(bw, g, 258)
+    bw.write(24, 5)           # val 96+24+1=121 -> distance 1
+    got = decode_webp_lossless(_vp8l(bw))
+    want = np.array([[[0, 1, 0]] + [[0, 2, 0]] * 4], dtype=np.uint8)
+    assert np.array_equal(got, want)
+
+    # 2-D distance map: plane code 1 -> (0,1) -> copy the row above
+    bw = BitWriter()
+    _hdr(bw, 3, 2)
+    bw.write(0, 1), bw.write(0, 1), bw.write(0, 1)
+    gl = [0] * _VP8L_GREEN
+    gl[7] = 1
+    gl[9] = 2
+    gl[258] = 2
+    g = _w_prefix(bw, gl)
+    _w_prefix(bw, _lens([0]))
+    _w_prefix(bw, _lens([0]))
+    _w_prefix(bw, _lens([255]))
+    _simple1(bw, 0)           # distance val 1 -> plane (0,1) -> dist=w
+    for gr in (7, 9, 7):
+        _emit(bw, g, gr)
+    _emit(bw, g, 258)
+    got = decode_webp_lossless(_vp8l(bw))
+    want = np.array([[[0, 7, 0], [0, 9, 0], [0, 7, 0]]] * 2,
+                    dtype=np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_webp_color_cache():
+    bw = BitWriter()
+    _hdr(bw, 3, 1)
+    bw.write(0, 1)
+    bw.write(1, 1)
+    bw.write(4, 4)            # cache_bits = 4
+    bw.write(0, 1)
+    P = (255 << 24) | (5 << 8)
+    idx = ((0x1E35A7BD * P) & 0xFFFFFFFF) >> 28
+    gl = [0] * (_VP8L_GREEN + 16)
+    gl[5] = 1
+    gl[9] = 2
+    gl[280 + idx] = 2
+    g = _w_prefix(bw, gl)
+    _w_prefix(bw, _lens([0]))
+    _w_prefix(bw, _lens([0]))
+    _w_prefix(bw, _lens([255]))
+    _simple1(bw, 0)
+    _emit(bw, g, 5)
+    _emit(bw, g, 9)
+    _emit(bw, g, 280 + idx)   # cache hit re-emits the first pixel
+    got = decode_webp_lossless(_vp8l(bw))
+    want = np.array([[[0, 5, 0], [0, 9, 0], [0, 5, 0]]], dtype=np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_webp_palette_transform_with_bundling():
+    bw = BitWriter()
+    _hdr(bw, 6, 1)
+    bw.write(1, 1)            # transform present
+    bw.write(3, 2)            # color indexing
+    bw.write(3, 8)            # 4 colors
+    cols = [(255, 10, 0, 0), (255, 0, 20, 0), (255, 0, 0, 30),
+            (255, 40, 40, 40)]
+    deltas, prev = [], (0, 0, 0, 0)
+    for c in cols:
+        deltas.append(tuple((c[i] - prev[i]) & 0xFF for i in range(4)))
+        prev = c
+    bw.write(0, 1)            # palette sub-stream: no cache
+    g = _w_prefix(bw, _lens(sorted({d[2] for d in deltas}), _VP8L_GREEN))
+    r = _w_prefix(bw, _lens(sorted({d[1] for d in deltas})))
+    b = _w_prefix(bw, _lens(sorted({d[3] for d in deltas})))
+    a = _w_prefix(bw, _lens(sorted({d[0] for d in deltas})))
+    _simple1(bw, 0)
+    for d in deltas:
+        _emit(bw, g, d[2])
+        _emit(bw, r, d[1])
+        _emit(bw, b, d[3])
+        _emit(bw, a, d[0])
+    bw.write(0, 1)            # end of transform list
+    # 4 colors -> 2 bits/px, 4 px per green byte; [0,1,2,3,2,1] ->
+    # bytes 0xE4, 0x06 over bundled width 2
+    bw.write(0, 1)
+    bw.write(0, 1)
+    g2 = _w_prefix(bw, _lens([0x06, 0xE4], _VP8L_GREEN))
+    _w_prefix(bw, _lens([0]))
+    _w_prefix(bw, _lens([0]))
+    _w_prefix(bw, _lens([255]))
+    _simple1(bw, 0)
+    _emit(bw, g2, 0xE4)
+    _emit(bw, g2, 0x06)
+    got = decode_webp_lossless(_vp8l(bw))
+    want = np.array([[[10, 0, 0], [0, 20, 0], [0, 0, 30],
+                      [40, 40, 40], [0, 0, 30], [0, 20, 0]]],
+                    dtype=np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_webp_meta_prefix_groups():
+    bw = BitWriter()
+    _hdr(bw, 8, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(1, 1)            # meta prefix present
+    bw.write(0, 3)            # huffman_bits=2 -> two 4px tiles
+    bw.write(0, 1)            # huffman-image sub-stream: no cache
+    hg = _w_prefix(bw, _lens([0, 1], _VP8L_GREEN))
+    _w_prefix(bw, _lens([0]))
+    _w_prefix(bw, _lens([0]))
+    _w_prefix(bw, _lens([255]))
+    _simple1(bw, 0)
+    _emit(bw, hg, 0)          # tile 0 -> group 0
+    _emit(bw, hg, 1)          # tile 1 -> group 1
+    for gsym in (50, 60):     # two all-single-symbol groups
+        _w_prefix(bw, _lens([gsym], _VP8L_GREEN))
+        _w_prefix(bw, _lens([0]))
+        _w_prefix(bw, _lens([0]))
+        _w_prefix(bw, _lens([255]))
+        _simple1(bw, 0)
+    got = decode_webp_lossless(_vp8l(bw))
+    want = np.array([[[0, 50, 0]] * 4 + [[0, 60, 0]] * 4],
+                    dtype=np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_webp_prefix_repeat_codes():
+    """CL symbols 16 (repeat prev) and 17 (zero runs) in a normal
+    prefix header."""
+    bw = BitWriter()
+    cl = [0] * 19
+    for s in (8, 16, 17, 0):
+        cl[s] = 2
+    bw.write(0, 1)
+    num = max(i + 1 for i, s in enumerate(_VP8L_ORDER) if cl[s])
+    bw.write(num - 4, 4)
+    for i in range(num):
+        bw.write(cl[_VP8L_ORDER[i]], 3)
+    bw.write(0, 1)
+    clc = _canonical_codes(cl)
+
+    def em(sym, extra=None, nbits=0):
+        c, n = clc[sym]
+        bw.write_code(c, n)
+        if extra is not None:
+            bw.write(extra, nbits)
+
+    em(8)
+    em(16, 0, 2)              # repeat len-8 three times (syms 1-3)
+    em(17, 2, 3)              # 5 zeros
+    em(8)                     # sym 9
+    for _ in range(3):
+        em(17, 7, 3)          # 30 zeros
+    p = _read_prefix_code(BitReader(bw.bytes()), 40)
+    lens = {sym: ln for (ln, code), sym in p.table.items()}
+    assert lens == {0: 8, 1: 8, 2: 8, 3: 8, 9: 8}
+
+
+def test_webp_unsupported_modes_raise():
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (3, 3, 3)).astype(np.uint8)
+    # predictor transform (type 0) honestly raises
+    bw = BitWriter()
+    _hdr(bw, 3, 3)
+    bw.write(1, 1)
+    bw.write(0, 2)            # predictor
+    with pytest.raises(NotImplementedError):
+        decode_webp_lossless(_vp8l(bw))
+    # lossy VP8 raises
+    lossy = (b"RIFF" + struct.pack("<I", 20) + b"WEBP"
+             + b"VP8 " + struct.pack("<I", 8) + b"\0" * 8)
+    with pytest.raises(NotImplementedError):
+        decode_image(lossy)
+    # truncated VP8L raises
+    with pytest.raises(NotImplementedError):
+        decode_webp_lossless(encode_webp_lossless(img)[:-6])

@@ -7,10 +7,11 @@ batch shape, UDF signatures -- is real and tested. Codecs are injected
 decodes PPM (P6), uncompressed 24/32-bit BMP, PNG incl. 16-bit and
 Adam7-interlaced (DEFLATE via the stdlib zlib), GIF (LZW is pure
 dictionary logic), baseline JPEG (Huffman + IDCT in numpy), lossless
-WebP's entropy layer + subtract-green/palette transforms (webp.py), and
-RIFF/WAVE integer PCM. Formats needing codec libraries this container
-lacks (lossy WebP, TIFF/AVIF, compressed audio) raise
-NotImplementedError; a
+WebP's entropy layer + subtract-green/palette transforms (webp.py),
+baseline TIFF (uncompressed/PackBits strips), and RIFF/WAVE integer
+PCM. Formats needing codec libraries this container
+lacks (lossy WebP, LZW/JPEG TIFF variants, AVIF, compressed audio)
+raise NotImplementedError; a
 deterministic fake decoder remains the SQL-expressible oracle path.
 
 Plan shape at 100 TB: binary payloads dominate partition size, so the
@@ -74,8 +75,10 @@ def decode_image(payload: bytes):
       color cache, meta groups) + subtract-green/palette transforms
       (operators/webp.py); the predictor/cross-color transforms and
       lossy VP8 raise
+    - baseline TIFF (8-bit gray/RGB/RGBA strips, both byte orders,
+      uncompressed or PackBits; :func:`_decode_tiff`)
 
-    Anything else (TIFF/AVIF/...) raises NotImplementedError -- those
+    Anything else (AVIF/HEIC/...) raises NotImplementedError -- those
     need codec libraries this container does not ship."""
     import numpy as np
 
@@ -91,6 +94,8 @@ def decode_image(payload: bytes):
         return _decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from automated_review_analysis_pipeline_spark.operators.webp import (
             decode_webp_lossless,
@@ -98,8 +103,9 @@ def decode_image(payload: bytes):
 
         return decode_webp_lossless(payload)
     raise NotImplementedError(
-        "only PPM (P6), 24/32-bit BMP, PNG, GIF, baseline JPEG, and "
-        "lossless WebP decode here; other formats require "
+        "only PPM (P6), 24/32-bit BMP, PNG, GIF, baseline JPEG, "
+        "lossless WebP, and baseline TIFF decode here; other formats "
+        "require "
         "codec libraries not present in this environment -- inject "
         "deterministic_fake_decoder or a real codec")
 
@@ -308,6 +314,121 @@ def _decode_png(payload: bytes):
     if int(idx.max()) >= pal.shape[0]:
         raise NotImplementedError("palette index out of range")
     return pal[idx]
+
+
+def _packbits(data: bytes, expected: int) -> bytes:
+    """PackBits RLE decode (TIFF compression 32773; Apple PackBits)."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:                      # copy n+1 literal bytes
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:                    # repeat next byte 257-n times
+            if i >= len(data):
+                break
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) < expected:
+        raise NotImplementedError("truncated PackBits stream")
+    return bytes(out[:expected])
+
+
+def _decode_tiff(payload: bytes):
+    """Dependency-free baseline TIFF decode -> (H, W, 3) uint8, written
+    against the public TIFF 6.0 specification: both byte orders (II/MM),
+    IFD walking with inline-or-offset values, strip assembly, 8-bit
+    gray/RGB/RGBA in chunky planar config, compression 1 (none) or
+    32773 (PackBits). LZW/JPEG-in-TIFF, tiles, planar=2, and non-8-bit
+    depths raise NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise NotImplementedError("not a TIFF payload")
+    if len(payload) < 8:
+        raise NotImplementedError("truncated TIFF header")
+    ifd_off = struct.unpack_from(e + "I", payload, 4)[0]
+    if ifd_off + 2 > len(payload):
+        raise NotImplementedError("truncated TIFF IFD")
+    n = struct.unpack_from(e + "H", payload, ifd_off)[0]
+    type_size = {1: 1, 3: 2, 4: 4}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        if base + 12 > len(payload):
+            raise NotImplementedError("truncated TIFF IFD entry")
+        tag, typ = struct.unpack_from(e + "HH", payload, base)
+        count = struct.unpack_from(e + "I", payload, base + 4)[0]
+        if typ not in type_size:
+            continue  # RATIONAL/ASCII etc. -- not needed
+        total = type_size[typ] * count
+        if total <= 4:
+            src = base + 8
+        else:
+            src = struct.unpack_from(e + "I", payload, base + 8)[0]
+        if src + total > len(payload) or count > 1 << 20:
+            raise NotImplementedError("truncated TIFF tag data")
+        tags[tag] = list(struct.unpack_from(
+            e + type_fmt[typ] * count, payload, src))
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise NotImplementedError(f"TIFF missing tag {tag}")
+        return default
+
+    w = one(256)
+    h = one(257)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    compression = one(259, 1)
+    planar = one(284, 1)
+    if any(b != 8 for b in bits) or planar != 1 or w == 0 or h == 0:
+        raise NotImplementedError(
+            "only 8-bit chunky-planar TIFF supported")
+    if compression not in (1, 32773):
+        raise NotImplementedError(
+            "only uncompressed or PackBits TIFF supported (LZW/JPEG "
+            "variants need codec work this container cannot validate)")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise NotImplementedError("TIFF missing strip tables")
+    rows_per_strip = one(278, h)
+    raster = bytearray()
+    rows_done = 0
+    for off, cnt in zip(offsets, counts):
+        strip = payload[off:off + cnt]
+        if len(strip) != cnt:
+            raise NotImplementedError("truncated TIFF strip")
+        rows = min(rows_per_strip, h - rows_done)
+        expected = rows * w * spp
+        if compression == 32773:
+            raster += _packbits(strip, expected)
+        else:
+            if len(strip) < expected:
+                raise NotImplementedError("short TIFF strip")
+            raster += strip[:expected]
+        rows_done += rows
+    if len(raster) != h * w * spp:
+        raise NotImplementedError("TIFF raster size mismatch")
+    px = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(h, w, spp)
+    if spp == 1:
+        return np.repeat(px, 3, axis=2)
+    if spp >= 3:
+        return px[:, :, :3].copy()
+    raise NotImplementedError("unsupported TIFF samples per pixel")
 
 
 # JPEG (ITU-T T.81 baseline sequential DCT) -- decoded with numpy +

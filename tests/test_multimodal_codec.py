@@ -705,7 +705,8 @@ def test_codec_fuzz_no_uncontrolled_exceptions():
 
     rng = random.Random(0)
     magics = [b"P6", b"BM", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a",
-              b"\xff\xd8", b"RIFF", b"RIFF\x10\x00\x00\x00WEBPVP8L"]
+              b"\xff\xd8", b"RIFF", b"RIFF\x10\x00\x00\x00WEBPVP8L",
+              b"II*\x00", b"MM\x00*"]
     for _ in range(4000):
         body = bytes(rng.randrange(256)
                      for _ in range(rng.randint(0, 200)))
@@ -996,3 +997,126 @@ def test_webp_unsupported_modes_raise():
     # truncated VP8L raises
     with pytest.raises(NotImplementedError):
         decode_webp_lossless(encode_webp_lossless(img)[:-6])
+
+
+# ---- baseline TIFF (uncompressed / PackBits strips) ----------------------
+
+from automated_review_analysis_pipeline_spark.operators.multimodal import (  # noqa: E402
+    _decode_tiff,
+    _packbits,
+)
+
+
+def _tiff(img: np.ndarray, endian: str = "<", compression: int = 1,
+          rows_per_strip: int | None = None) -> bytes:
+    """Minimal test-side TIFF writer: 8-bit RGB chunky strips."""
+    h, w = img.shape[:2]
+    rows_per_strip = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        raw = img[y0:y0 + rows_per_strip].tobytes()
+        if compression == 32773:
+            # trivial PackBits encode: literal runs of <=128 bytes
+            out = bytearray()
+            for i in range(0, len(raw), 128):
+                chunk = raw[i:i + 128]
+                out += bytes([len(chunk) - 1]) + chunk
+            strips.append(bytes(out))
+        else:
+            strips.append(raw)
+    entries = []
+    extra = bytearray()
+    header_len = 8
+    n_entries = 9
+    ifd_len = 2 + 12 * n_entries + 4
+    data_base = header_len + ifd_len
+
+    def entry(tag, typ, values, fmt):
+        nonlocal extra
+        size = {1: 1, 3: 2, 4: 4}[typ] * len(values)
+        body = struct.pack(endian + fmt * len(values), *values)
+        if size <= 4:
+            entries.append((tag, typ, len(values),
+                            body.ljust(4, b"\0")))
+        else:
+            off = data_base + len(extra)
+            extra += body
+            entries.append((tag, typ, len(values),
+                            struct.pack(endian + "I", off)))
+
+    entry(256, 3, [w], "H")
+    entry(257, 3, [h], "H")
+    entry(258, 3, [8, 8, 8], "H")
+    entry(259, 3, [compression], "H")
+    entry(262, 3, [2], "H")
+    entry(277, 3, [3], "H")
+    entry(278, 3, [rows_per_strip], "H")
+    # reserve strip tables in 'extra'
+    so_off = data_base + len(extra)
+    extra += b"\0" * (4 * len(strips))
+    entries.append((273, 4, len(strips),
+                    struct.pack(endian + "I", so_off)
+                    if len(strips) > 1 else None))
+    sc_vals = [len(s) for s in strips]
+    if len(strips) > 1:
+        sc_off = data_base + len(extra)
+        extra += struct.pack(endian + "I" * len(strips), *sc_vals)
+        entries.append((279, 4, len(strips),
+                        struct.pack(endian + "I", sc_off)))
+    else:
+        entries.append((279, 4, 1,
+                        struct.pack(endian + "I", sc_vals[0])))
+    strip_base = data_base + len(extra)
+    offs = []
+    p = strip_base
+    for s_ in strips:
+        offs.append(p)
+        p += len(s_)
+    if len(strips) > 1:
+        extra[so_off - data_base:so_off - data_base + 4 * len(strips)] = \
+            struct.pack(endian + "I" * len(strips), *offs)
+        entries[-2] = (273, 4, len(strips),
+                       struct.pack(endian + "I", so_off))
+    else:
+        entries[-2] = (273, 4, 1, struct.pack(endian + "I", offs[0]))
+    entries.sort(key=lambda t: t[0])
+    magic = b"II*\x00" if endian == "<" else b"MM\x00*"
+    out = magic + struct.pack(endian + "I", 8)
+    out += struct.pack(endian + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack(endian + "HHI", tag, typ, cnt) + val
+    out += struct.pack(endian + "I", 0)  # no next IFD
+    return out + bytes(extra) + b"".join(strips)
+
+
+def test_tiff_uncompressed_both_endians_and_strips():
+    img = _grad(5, 4)
+    for endian in ("<", ">"):
+        assert np.array_equal(decode_image(_tiff(img, endian)), img)
+    # multi-strip (2 rows per strip -> 3 strips)
+    assert np.array_equal(
+        decode_image(_tiff(img, "<", rows_per_strip=2)), img)
+
+
+def test_tiff_packbits_decode():
+    img = _grad(3, 7)
+    assert np.array_equal(
+        decode_image(_tiff(img, "<", compression=32773)), img)
+    # packbits repeat form: 257-n repeats
+    assert _packbits(bytes([0xFE, 7, 0x01, 1, 2]), 5) == bytes(
+        [7, 7, 7, 1, 2])
+    with pytest.raises(NotImplementedError):
+        _packbits(bytes([0x05, 1, 2]), 10)  # truncated
+
+
+def test_tiff_unsupported_raises():
+    img = _grad(2, 2)
+    good = bytearray(_tiff(img))
+    # flip compression tag (259) to LZW (5)
+    i = good.find(struct.pack("<HHI", 259, 3, 1))
+    assert i > 0
+    good[i + 8:i + 10] = struct.pack("<H", 5)
+    with pytest.raises(NotImplementedError):
+        _decode_tiff(bytes(good))
+    with pytest.raises(NotImplementedError):
+        _decode_tiff(b"II*\x00" + b"\0" * 3)  # truncated

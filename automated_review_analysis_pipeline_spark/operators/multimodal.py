@@ -1135,9 +1135,10 @@ def real_decoder(payload: bytes, mime: str) -> list[float]:
     :func:`decode_image` and yield 8 deterministic pixel-statistics
     features (width, height, mean R/G/B, global mean/min/max);
     RIFF/WAVE integer-PCM payloads decode via :func:`decode_wav` and
-    yield the 8 :func:`audio_features`. Since round 7 this covers
-    baseline JPEG, PNG, and GIF too -- only formats whose codecs are
-    genuinely absent (WebP/TIFF/AVIF, compressed audio) still raise
+    yield the 8 :func:`audio_features`. Covers baseline JPEG, PNG,
+    GIF, lossless WebP (VP8L), and baseline TIFF too -- only formats
+    whose codecs are genuinely absent (lossy-VP8 WebP, AVIF/HEIC,
+    LZW/JPEG-compressed TIFF variants, compressed audio) still raise
     NotImplementedError."""
     if payload is not None and payload[:4] == b"RIFF" \
             and payload[8:12] != b"WEBP":

@@ -107,9 +107,15 @@ def _read_prefix_code(br: BitReader, alphabet_size: int) -> Prefix:
         lengths = [0] * alphabet_size
         if num_symbols == 2:
             sym1 = br.read(8)
+            if sym0 >= alphabet_size or sym1 >= alphabet_size:
+                raise NotImplementedError(
+                    "VP8L simple-code symbol out of range")
             lengths[sym0] = 1
             lengths[sym1] = 1
         else:
+            if sym0 >= alphabet_size:
+                raise NotImplementedError(
+                    "VP8L simple-code symbol out of range")
             lengths[sym0] = 1  # single-symbol: read() returns it, 0 bits
         p = Prefix(lengths)
         if num_symbols == 1:
@@ -429,14 +435,15 @@ def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
 def _write_flat_prefix(bw: BitWriter, alphabet_size: int,
                        n_used: int) -> dict[int, tuple[int, int]]:
     """Write a 'normal' prefix code assigning 8-bit lengths to symbols
-    0..n_used-1 (n_used must make a valid-ish code; with 256 symbols at
-    8 bits the code is exactly full)."""
+    0..255 only — exactly full at 8 bits (Kraft sum 1).  The max_symbol
+    short-circuit caps the decoder's fill loop at 256, so alphabets
+    larger than 256 (the 280-entry green alphabet) stay length-0 past
+    255 instead of inheriting length 8 and over-subscribing the code —
+    strict decoders (libwebp) reject Kraft > 1."""
     assert n_used == 256
     bw.write(0, 1)            # not simple
-    # code length code: we need symbol '8' with SOME length; use one
-    # other symbol too so the CL code has 2 symbols (lengths 1/1):
-    # symbols 8 (emit 8) and 0 (unused padding? we don't need 0) --
-    # single-symbol CL codes are legal per Prefix(single). Use only '8'.
+    # code length code: single symbol '8'; single-symbol CL codes are
+    # legal per Prefix(single) and cost 0 bits per emitted length.
     clcl = [0] * 19
     clcl[8] = 1
     num = 0
@@ -447,10 +454,11 @@ def _write_flat_prefix(bw: BitWriter, alphabet_size: int,
     bw.write(num - 4, 4)
     for i in range(num):
         bw.write(clcl[CODE_LENGTH_ORDER[i]], 3)
-    bw.write(0, 1)            # no max_symbol
-    # now emit 256 CL symbols '8' -- each is the single symbol -> 0 bits
-    # per symbol; the decoder's while loop consumes alphabet_size syms
-    # reading 0 bits each. That works with Prefix.single.
+    bw.write(1, 1)            # use max_symbol
+    bw.write(3, 3)            # length_nbits = 2 + 2*3 = 8
+    bw.write(254, 8)          # max_symbol = 2 + 254 = 256
+    # decoder emits exactly 256 CL symbols '8' (0 bits each), leaving
+    # any symbols past 255 at length 0 -> exactly-full canonical code.
     return _canonical_codes([8] * 256 + [0] * (alphabet_size - 256))
 
 

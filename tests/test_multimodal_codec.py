@@ -999,6 +999,45 @@ def test_webp_unsupported_modes_raise():
         decode_webp_lossless(encode_webp_lossless(img)[:-6])
 
 
+def test_webp_encoder_flat_prefix_is_kraft_valid():
+    # Regression: the encoder's flat code on the 280-entry green
+    # alphabet must cap at 256 symbols via max_symbol (Kraft sum
+    # exactly 1), not let the decoder fill all 280 to length 8
+    # (Kraft 280/256 > 1 -- strict decoders reject that).
+    from automated_review_analysis_pipeline_spark.operators.webp import (
+        _write_flat_prefix,
+    )
+    bw = BitWriter()
+    _write_flat_prefix(bw, _VP8L_GREEN, 256)
+    pref = _read_prefix_code(BitReader(bw.bytes()), _VP8L_GREEN)
+    assert pref.table is not None and len(pref.table) == 256
+    assert all(ln == 8 for (ln, _code) in pref.table)
+    assert sum(2.0 ** -ln for (ln, _code) in pref.table) == 1.0
+    assert all(sym < 256 for sym in pref.table.values())
+
+
+def test_webp_simple_code_symbol_out_of_range_raises():
+    # A 'simple' prefix code naming symbol 200 in the 40-entry distance
+    # alphabet must raise the module's single catchable error, not
+    # IndexError.
+    for two_symbols in (False, True):
+        bw = BitWriter()
+        _hdr(bw, 1, 1)
+        bw.write(0, 1)        # no transform
+        bw.write(0, 1)        # no color cache
+        bw.write(0, 1)        # no meta prefix
+        for _ in range(4):    # green/red/blue/alpha: simple, symbol 0
+            _simple1(bw, 0)
+        bw.write(1, 1)        # distance code: simple
+        bw.write(1 if two_symbols else 0, 1)
+        bw.write(1, 1)        # 8-bit first symbol
+        bw.write(200, 8)      # out of range for alphabet 40
+        if two_symbols:
+            bw.write(5, 8)
+        with pytest.raises(NotImplementedError):
+            decode_webp_lossless(_vp8l(bw))
+
+
 # ---- baseline TIFF (uncompressed / PackBits strips) ----------------------
 
 from automated_review_analysis_pipeline_spark.operators.multimodal import (  # noqa: E402

@@ -17,12 +17,20 @@ ts=$(date -u +%Y-%m-%dT%H:%M:%SZ)
 
 echo "=== round-close gates @ ${sha} (dirty files: ${dirty}) ==="
 
-pytest_out=$(python -m pytest tests/ -q 2>&1 | tail -1)
+# Run each gate to a temp file so the recorded exit code is the gate
+# command's own, not the tail/grep at the end of a pipe (a failing
+# pytest piped through `tail -1` reports rc=0 without pipefail).
+tmp=$(mktemp)
+trap 'rm -f "${tmp}"' EXIT
+
+python -m pytest tests/ -q >"${tmp}" 2>&1
 pytest_rc=$?
+pytest_out=$(tail -1 "${tmp}")
 echo "pytest: ${pytest_out} (rc=${pytest_rc})"
 
-check_out=$(python tools/check_all.py /root/testdata/sf0.01 2>&1 | grep '^===' | tail -1)
+python tools/check_all.py /root/testdata/sf0.01 >"${tmp}" 2>&1
 check_rc=$?
+check_out=$(grep '^===' "${tmp}" | tail -1)
 echo "check_all: ${check_out} (rc=${check_rc})"
 
 bench_out=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 SPARK_GRAFT_CPUS=16 \
@@ -35,5 +43,13 @@ if [ "${pytest_rc}" -ne 0 ] || [ "${check_rc}" -ne 0 ] || [ "${bench_rc}" -ne 0 
     status=FAIL
 fi
 echo "${ts} ${sha} dirty=${dirty} ${status} | pytest: ${pytest_out} | oracle: ${check_out} | bench: $(echo "${bench_out}" | cut -c1-80)" >> GATES.log
+
+# Keep ADVICE.md from going stale: stamp which HEAD the last green gate
+# covered so a reader can tell addressed findings from open ones.
+if [ "${status}" = PASS ] && [ -f ADVICE.md ]; then
+    grep -q '^_Gate status:' ADVICE.md && \
+        sed -i "s|^_Gate status:.*|_Gate status: findings above re-checked at ${sha} (${ts}); see GATES.log._|" ADVICE.md || \
+        printf '\n_Gate status: findings above re-checked at %s (%s); see GATES.log._\n' "${sha}" "${ts}" >> ADVICE.md
+fi
 echo "=== ${status} (recorded in GATES.log) ==="
 [ "${status}" = PASS ]

@@ -866,11 +866,120 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.8,
     )
 
 
+def star_connected_components(edges: DataFrame, a_col: str = "a",
+                              b_col: str = "b",
+                              max_iterations: int = 50,
+                              plan_sink: list | None = None,
+                              ) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star connected components over an
+    arbitrary edge list (Kiveris, Lattanzi, Mirrokni, Rastogi,
+    Vassilvitskii: "Connected Components in MapReduce and Beyond",
+    SoCC 2014) -- the 100 TB path for dedup clustering.
+
+    Every stage is a keyed groupBy/join that shards across executors:
+    NO coalesce(1), NO driver-side edge materialization, and the round
+    count is O(log^2 n) in theory and ~log(diameter) in practice,
+    versus O(diameter) for plain min-label propagation (a 1M-long
+    near-dup chain needs ~1M min-label rounds but ~20 star rounds).
+
+    Per round:
+      large-star  -- every node u computes m = min(neighbors + self)
+                     and reconnects each LARGER neighbor v > u to m;
+      small-star  -- every node u (edges oriented child>parent)
+                     reconnects its smaller neighbors + itself to the
+                     minimum smaller neighbor.
+    Both preserve connectivity; node minima are monotone
+    non-increasing, and the fixed points are star forests rooted at
+    component minima. Convergence is detected STRUCTURALLY (the edge
+    set is a star forest: no child has two parents, no parent is
+    itself a child -- two bounded aggregate actions per round), so
+    correctness never rests on a checksum heuristic. Each round's
+    edge set is localCheckpoint'ed (eager) to truncate lineage, and
+    the previous round's blocks are released once the new set is
+    materialized.
+
+    Skew note: the component-minimum node's degree approaches the
+    component size, so the per-round groupBy/join key distribution is
+    zipfian by construction. The min() aggregate collapses map-side
+    (partial agg), and the u-keyed join is AQE skew-join territory --
+    the same mitigation the rest of this module relies on.
+
+    Returns (labels, rounds): labels has columns (node, component)
+    covering every node that appears in any edge; isolated nodes are
+    the caller's left-join + coalesce. ``plan_sink`` (tests) receives
+    each round's physical plan string so plan gates can assert the
+    loop itself -- not just the final join -- is coalesce-free.
+    """
+    E = (
+        edges.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("a"),
+            F.least(F.col(a_col), F.col(b_col)).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_iterations):
+        # structural convergence: star forest reached?
+        multi_parent = (
+            E.groupBy("a").agg(F.count_distinct("b").alias("nb"))
+            .where(F.col("nb") > 1).count())
+        chained = 0
+        if multi_parent == 0:
+            chained = E.alias("x").join(
+                E.alias("y"), F.col("x.b") == F.col("y.a"), "semi").count()
+        if multi_parent == 0 and chained == 0:
+            break
+        rounds += 1
+        # ---- large-star: reconnect larger neighbors to min(N+ self)
+        sym = E.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            E.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", F.col("u")).alias("m")))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # large-star output keeps canonical a > b: a = v > u >= m = b.
+        # ---- small-star: reconnect smaller neighbors + self to min
+        mins2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(mins2, "a")
+            .select(F.col("b").alias("x"), F.col("m"))
+            .union(mins2.select(F.col("a").alias("x"), F.col("m")))
+            .where(F.col("x") != F.col("m"))
+            .select(F.greatest("x", "m").alias("a"),
+                    F.least("x", "m").alias("b"))
+            .distinct()
+        )
+        if plan_sink is not None:
+            plan_sink.append(
+                small._jdf.queryExecution().executedPlan().toString())
+        new_E = small.localCheckpoint(eager=True)
+        E.unpersist()
+        E = new_E
+    else:
+        raise RuntimeError(
+            f"star_connected_components did not converge within "
+            f"{max_iterations} rounds")
+    labels = (
+        E.select(F.col("a").alias("node"), F.col("b").alias("component"))
+        .union(E.select(F.col("b").alias("node"),
+                        F.col("b").alias("component")))
+        .distinct()
+    )
+    return labels, rounds
+
+
 def near_dup_components(embeddings: DataFrame, threshold: float = 0.35,
                         id_col: str = "vec_id",
                         distributed: bool | None = None,
                         max_iterations: int = 25,
-                        max_collect_edges: int = 1_000_000) -> DataFrame:
+                        max_collect_edges: int = 1_000_000,
+                        algorithm: str = "star") -> DataFrame:
     """Connected components over the near-duplicate graph: every vector
     labeled with the MIN id reachable through cosine->=threshold edges --
     the cluster assignment that turns pair evidence into dedup groups
@@ -881,15 +990,20 @@ def near_dup_components(embeddings: DataFrame, threshold: float = 0.35,
     the driver, a union-find labels it exactly, and the mapping broadcasts
     back as one join (two Spark actions total; mirrors cosine_topk's
     collect-the-small-side discipline -- NOT a driver loop over data).
-    Above the bound it flips automatically to iterative min-label
-    propagation (one join + one aggregate action per round, O(diameter)
-    rounds) so a larger-than-expected near-dup graph degrades to more
-    rounds, never to a driver OOM; the 100 TB path is the alternating
-    large-star/small-star refinement of that loop (O(log n) rounds).
-    ``distributed=True/False`` forces a side.
+    Above the bound it flips automatically to the distributed
+    ``algorithm``: ``"star"`` (default) is alternating large-star/
+    small-star via :func:`star_connected_components` -- every stage a
+    keyed join/aggregate that shards, ~log(diameter) rounds, no
+    coalesce(1), the genuine 100 TB path; ``"minlabel"`` is the
+    O(diameter) min-label propagation kept as a third independent
+    cross-check regime (it deliberately coalesces the tiny test-scale
+    subgraph to one partition to make its per-round aggregate cheap --
+    do NOT use it at cluster scale). ``distributed=True/False`` forces
+    a side.
 
-    Deterministic either way: min-label is order- and partitioning-
-    independent, so the result has an exact recursive-CTE oracle.
+    Deterministic all three ways: the component label is the min id
+    reachable, order- and partitioning-independent, so the result has
+    an exact recursive-CTE oracle.
     """
     pairs = pairwise_cosine_above(embeddings, threshold, id_col).cache()
     if distributed is None:
@@ -927,10 +1041,26 @@ def near_dup_components(embeddings: DataFrame, threshold: float = 0.35,
             F.coalesce(F.col("component"), F.col("node")).alias("component"),
         ).orderBy(id_col)
 
-    # Distributed variant: min-label propagation with a sum-based
-    # convergence check (one aggregate action per round). coalesce(1)
-    # because the candidate subgraph is tiny on the test scales; at
-    # cluster scale remove it and the identical plan shards.
+    if algorithm == "star":
+        labels, _rounds = star_connected_components(
+            pairs, a_col="id_a", b_col="id_b",
+            max_iterations=max_iterations)
+        pairs.unpersist()
+        out = embeddings.select(F.col(id_col).alias("node")).join(
+            labels, "node", "left")
+        return out.select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("component"),
+                       F.col("node")).alias("component"),
+        ).orderBy(id_col)
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown components algorithm: {algorithm!r}")
+
+    # Min-label propagation cross-check regime: O(diameter) rounds with
+    # a sum-based convergence check (one aggregate action per round).
+    # coalesce(1) because this mode only runs on tiny test-scale
+    # subgraphs as the independent third implementation; the scale path
+    # is algorithm="star" above.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"),

@@ -681,6 +681,123 @@ GROUP BY ngram ORDER BY n_occurrences DESC, ngram LIMIT {k}
 """
 
 
+# ---- byte-level (GPT-2 form) pretokenizer + byte alphabet ----------------
+#
+# The word-level lane above is the Sennrich-2016 canon ('</w>' marker,
+# \w-ish tokens); this lane is the GPT-2/HF form a loader artifact must
+# honor: the GPT-2 regex pretokenizer over RAW text (case-sensitive,
+# whitespace attaches to the following word) and symbols that are UTF-8
+# BYTES mapped through the standard byte<->unicode table, so punctuation
+# and multi-byte UTF-8 are first-class and every character of the corpus
+# is representable. Reference: the published GPT-2 encoder.py
+# (bytes_to_unicode + the pretokenizer regex), public domain knowledge.
+
+# GPT-2's pretokenizer, minus the `\s+(?!\S)` lookahead alternative: RE2
+# (the DuckDB oracle's engine) has no lookahead, so BOTH engines run the
+# lookahead-free pattern over segments pre-split at each whitespace-run's
+# last character (see pretokenize_gpt2) -- provably the same partition.
+GPT2_SPLIT_RE = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    "| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+")
+# Private-use sentinel for the whitespace-run split; stripped from input
+# first so corpus text can never collide with it.
+_WS_MARK = "\ue000"
+
+# Known, documented divergence from the exact HF GPT-2 pretokenizer: the
+# Python `regex` module's \s matches Unicode whitespace (NBSP etc.);
+# Java regex and RE2 \s are ASCII-only, so non-ASCII whitespace lands in
+# the punctuation class here. Both engines agree with each other.
+
+
+def gpt2_bytes_to_unicode() -> dict[int, str]:
+    """The standard GPT-2 byte->unicode bijection: printable latin-1
+    bytes map to themselves, the rest to U+0100.. in byte order --
+    making every byte a visible, whitespace-free character so merge
+    tables serialize safely into merges.txt."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("\xa1"), ord("\xac") + 1))
+          + list(range(ord("\xae"), ord("\xff") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_B2U = gpt2_bytes_to_unicode()
+_U2B = {u: b for b, u in _B2U.items()}
+
+
+def pretokenize_gpt2(c: Column) -> Column:
+    """GPT-2 pretokens of raw text as an array<string> -- pure JVM
+    (regexp_replace + split + regexp_extract_all), no UDF.
+
+    The lookahead `\\s+(?!\\S)` in the original regex splits every
+    whitespace RUN before its last character (so a trailing space
+    attaches to the following word). Equivalent lookahead-free form:
+    mark that split point with a sentinel (one regexp_replace), split
+    into segments, tokenize each segment with the alternation-only
+    pattern, flatten. The DuckDB twin runs the identical transform, so
+    the oracle compares the same partition."""
+    s = F.regexp_replace(F.coalesce(c, F.lit("")), _WS_MARK, "")
+    marked = F.regexp_replace(s, r"(\s)(\S)", _WS_MARK + "$1$2")
+    segs = F.split(marked, _WS_MARK)
+    return F.filter(
+        F.flatten(F.transform(
+            segs,
+            lambda seg: F.regexp_extract_all(
+                seg, F.lit(GPT2_SPLIT_RE), F.lit(0)))),
+        lambda t: t != "",
+    )
+
+
+def pretokenize_gpt2_sql(expr: str) -> str:
+    """DuckDB twin of :func:`pretokenize_gpt2` (same sentinel
+    transform; RE2 runs the same lookahead-free pattern)."""
+    pat = GPT2_SPLIT_RE.replace("'", "''")
+    return (
+        "list_filter(flatten(list_transform(string_split("
+        f"regexp_replace(regexp_replace(coalesce({expr}, ''), "
+        "chr(57344), '', 'g'), "
+        "'(\\s)(\\S)', chr(57344) || '\\1\\2', 'g'), chr(57344)), "
+        f"seg -> regexp_extract_all(seg, '{pat}'))), t -> t <> '')"
+    )
+
+
+def byte_symbols(c: Column) -> Column:
+    """A string's UTF-8 bytes as an array of GPT-2 byte-alphabet
+    characters -- the byte-level BPE base symbols. Pure JVM: hex the
+    encoded bytes, then map each hex pair through a 256-entry literal
+    map (no UDF, no driver round-trip)."""
+    hx = F.lower(F.hex(F.encode(F.coalesce(c, F.lit("")), "UTF-8")))
+    m = F.create_map(*[
+        lit for b in range(256)
+        for lit in (F.lit(format(b, "02x")), F.lit(_B2U[b]))])
+    n = (F.length(hx) / 2).cast("int")
+    return F.when(n < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.element_at(m, hx.substr(i * 2 - 1, F.lit(2)))))
+
+
+def byte_symbols_sql(expr: str) -> str:
+    """DuckDB twin of :func:`byte_symbols`: hex pair -> byte value via
+    strpos arithmetic -> 1-based index into the 256-char literal list
+    (chars emitted in byte order, so CHARS[byte + 1] is the mapping)."""
+    chars = "[" + ",".join(
+        "'" + _B2U[b].replace("'", "''") + "'" for b in range(256)) + "]"
+    hx = f"lower(hex(encode(coalesce({expr}, ''))))"
+    return (
+        f"list_transform(range(1, length({hx}) // 2 + 1), "
+        f"i -> {chars}["
+        f"16 * (strpos('0123456789abcdef', ({hx})[i*2-1]) - 1)"
+        f" + strpos('0123456789abcdef', ({hx})[i*2])])"
+    )
+
+
 def bpe_pair_counts(documents: DataFrame, k: int = 100,
                     text_col: str = "text") -> DataFrame:
     """First iteration of BPE tokenizer training at corpus scale:

@@ -237,11 +237,13 @@ def test_quantize_dequantize_roundtrip(spark, sf_dir):
             assert abs(x - qi * step) <= step / 2 + 1e-6, (r["vec_id"], x, qi)
 
 
-def test_near_dup_components_variants_agree(spark, sf_dir):
-    """The driver union-find (small graphs) and the distributed min-label
-    propagation loop must produce identical component assignments, and the
-    edge-count auto-flip (`distributed=None`) must land on the same answer
-    whichever side of `max_collect_edges` the graph falls."""
+def test_near_dup_components_three_regimes_agree(spark, sf_dir):
+    """All THREE component regimes -- driver union-find (small graphs),
+    alternating large-star/small-star (the distributed default), and
+    min-label propagation (the O(diameter) cross-check) -- must produce
+    identical assignments, and the edge-count auto-flip
+    (`distributed=None`) must land on the same answer whichever side of
+    `max_collect_edges` the graph falls."""
     from pyspark.sql import functions as F
 
     from automated_review_analysis_pipeline_spark.operators import similarity as sim
@@ -250,9 +252,13 @@ def test_near_dup_components_variants_agree(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 150)
     a = [tuple(r) for r in
          sim.near_dup_components(e, 0.35, distributed=False).collect()]
-    b = [tuple(r) for r in
-         sim.near_dup_components(e, 0.35, distributed=True).collect()]
-    assert a == b
+    star = [tuple(r) for r in
+            sim.near_dup_components(e, 0.35, distributed=True).collect()]
+    minlabel = [tuple(r) for r in
+                sim.near_dup_components(
+                    e, 0.35, distributed=True,
+                    algorithm="minlabel").collect()]
+    assert a == star == minlabel
     # auto-flip: a zero edge budget forces the distributed path, the
     # default budget keeps union-find -- results must not depend on it
     lo = [tuple(r) for r in
@@ -266,6 +272,69 @@ def test_near_dup_components_variants_agree(spark, sf_dir):
         groups[comp].append(node)
     for comp, members in groups.items():
         assert comp == min(members)
+
+
+def test_star_components_chain_logarithmic_rounds(spark):
+    """The scale claim made concrete: on a 256-node CHAIN (diameter 255,
+    min-label propagation's worst case -- it would need ~255 rounds),
+    large-star/small-star must label every node with component 0 in
+    ~log(diameter) rounds, and no round's physical plan may contain a
+    single-partition Coalesce (the exact defect this algorithm replaces)
+    or a CartesianProduct."""
+    from automated_review_analysis_pipeline_spark.operators import similarity as sim
+
+    n = 256
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long")
+    plans: list[str] = []
+    labels, rounds = sim.star_connected_components(
+        edges, plan_sink=plans)
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert 1 <= rounds <= 20, rounds  # ~2*log2(255) + slack, not O(n)
+    assert plans and len(plans) == rounds
+    for p in plans:
+        assert "Coalesce 1" not in p and "Coalesce(1" not in p, p
+        assert "CartesianProduct" not in p, p
+
+
+def test_star_components_random_graph_matches_union_find(spark):
+    """Star components on a seeded random graph (mixed component sizes,
+    isolated pairs, a dense clique) must equal a reference union-find."""
+    import random
+
+    from automated_review_analysis_pipeline_spark.operators import similarity as sim
+
+    rng = random.Random(42)
+    n = 400
+    edge_list = [(rng.randrange(n), rng.randrange(n)) for _ in range(300)]
+    edge_list += [(i, i + 1) for i in range(350, 360)]  # small chain
+    edge_list += [(i, j) for i in range(390, 400)
+                  for j in range(390, i)]               # clique
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in edge_list:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = {}
+    for x, y in edge_list:
+        want[x] = find(x)
+        want[y] = find(y)
+    # canonicalize: component id = min member (union-find by-min does this)
+    edges = spark.createDataFrame(edge_list, "a long, b long")
+    labels, rounds = sim.star_connected_components(edges)
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == want
+    assert rounds <= 12, rounds
 
 
 def test_pairwise_banded_equals_exact_and_is_lazy(spark, sf_dir):

@@ -852,21 +852,41 @@ ORDER BY n_occurrences DESC, "left", "right" LIMIT {k}
 """
 
 
-def _bpe_word_symbols(documents: DataFrame,
-                      text_col: str) -> DataFrame:
-    """(word, freq, syms) over DISTINCT lowercased words: characters plus
-    the '</w>' end-of-word marker. ``word`` rides along so the encoder
-    can join symbol sequences back onto document token streams."""
-    words = documents.select(
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
-    ).where(F.col("word") != "")
-    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-    n = F.length(F.col("word"))
-    syms = F.concat(
-        F.transform(F.sequence(F.lit(1), n),
-                    lambda i: F.col("word").substr(i, F.lit(1))),
-        F.array(F.lit("</w>")),
-    )
+def _bpe_pretokens(documents: DataFrame, text_col: str,
+                   mode: str) -> DataFrame:
+    """The corpus token stream the BPE lane trains/encodes over, one row
+    per token occurrence: lowercased \\w-ish words (``mode="word"``, the
+    Sennrich canon) or case-sensitive GPT-2 pretokens
+    (``mode="byte"``)."""
+    if mode == "byte":
+        toks = pretokenize_gpt2(F.col(text_col))
+    elif mode == "word":
+        toks = tokens(F.lower(F.col(text_col)))
+    else:
+        raise ValueError(f"unknown BPE mode: {mode!r}")
+    return documents.select(F.explode(toks).alias("word")).where(
+        F.col("word") != "")
+
+
+def _bpe_word_symbols(documents: DataFrame, text_col: str,
+                      mode: str = "word") -> DataFrame:
+    """(word, freq, syms) over DISTINCT tokens. ``mode="word"``:
+    lowercased words, characters plus the '</w>' end-of-word marker
+    (Sennrich). ``mode="byte"``: GPT-2 pretokens, UTF-8 bytes mapped
+    through the byte<->unicode table, NO end marker (GPT-2 form).
+    ``word`` rides along so the encoder can join symbol sequences back
+    onto document token streams."""
+    wc = (_bpe_pretokens(documents, text_col, mode)
+          .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    if mode == "byte":
+        syms = byte_symbols(F.col("word"))
+    else:
+        n = F.length(F.col("word"))
+        syms = F.concat(
+            F.transform(F.sequence(F.lit(1), n),
+                        lambda i: F.col("word").substr(i, F.lit(1))),
+            F.array(F.lit("</w>")),
+        )
     return wc.select("word", "freq", syms.alias("syms"))
 
 
@@ -953,7 +973,8 @@ def _apply_merge_batch(syms_col: Column,
 
 
 def bpe_train(documents: DataFrame, n_merges: int = 3,
-              text_col: str = "text", batch: int = 1) -> DataFrame:
+              text_col: str = "text", batch: int = 1,
+              mode: str = "word") -> DataFrame:
     """The BPE tokenizer TRAINING LOOP in the engine (Sennrich 2016):
     ``n_merges`` rounds of count-adjacent-pairs -> take the most frequent
     -> apply the merge to every word's symbol sequence -> recount.
@@ -981,7 +1002,8 @@ def bpe_train(documents: DataFrame, n_merges: int = 3,
     (count desc, left asc, right asc), mirrored in the unrolled-CTE
     DuckDB oracle, so the learned merges are engine-exact.
     """
-    learned = _train_merges(documents, n_merges, text_col, batch=batch)
+    learned = _train_merges(documents, n_merges, text_col, batch=batch,
+                            mode=mode)
     return documents.sparkSession.createDataFrame(
         learned,
         "merge_rank int, left string, right string, merged string, "
@@ -1011,7 +1033,8 @@ def _select_disjoint(cands: list[tuple], batch: int) -> list[tuple]:
 
 
 def _train_merges(documents: DataFrame, n_merges: int,
-                  text_col: str, batch: int = 1) -> list[tuple]:
+                  text_col: str, batch: int = 1,
+                  mode: str = "word") -> list[tuple]:
     """The :func:`bpe_train` loop, returning the learned
     (rank, left, right, merged, n_occurrences) tuples driver-side --
     shared with :func:`bpe_encode`, which consumes the merge list as a
@@ -1037,7 +1060,8 @@ def _train_merges(documents: DataFrame, n_merges: int,
 
     CHECKPOINT_EVERY = 8
     symed = plan_cache(
-        _bpe_word_symbols(documents, text_col).select("freq", "syms"))
+        _bpe_word_symbols(documents, text_col, mode)
+        .select("freq", "syms"))
     learned: list[tuple] = []
     rounds = 0
     while len(learned) < n_merges:
@@ -1076,13 +1100,27 @@ def _train_merges(documents: DataFrame, n_merges: int,
     return learned
 
 
-def bpe_train_sql(n_merges: int = 3) -> str:
+def bpe_train_sql(n_merges: int = 3, mode: str = "word") -> str:
     """Unrolled-CTE DuckDB twin of :func:`bpe_train` (the quality-
     classifier unrolled-GD convention): each round is a pair-count CTE,
     a 1-row argmax CTE, and a list_reduce merge-application CTE; the
-    lambda captures the round's winning pair as correlated columns."""
-    toks = tokens_sql("lower(text)")
-    parts = [f"""
+    lambda captures the round's winning pair as correlated columns.
+    ``mode="byte"`` swaps the word/symbol header CTEs for the GPT-2
+    pretokenizer + byte alphabet; the rounds are identical."""
+    if mode == "byte":
+        pretoks = pretokenize_gpt2_sql("text")
+        header = f"""
+WITH words AS (
+  SELECT unnest({pretoks}) AS word FROM documents
+), wc AS (
+  SELECT word, count(*) AS freq FROM words WHERE word <> '' GROUP BY word
+), s0 AS (
+  SELECT freq, {byte_symbols_sql("word")} AS syms
+  FROM wc
+)"""
+    else:
+        toks = tokens_sql("lower(text)")
+        header = f"""
 WITH words AS (
   SELECT unnest({toks}) AS word FROM documents
 ), wc AS (
@@ -1092,7 +1130,8 @@ WITH words AS (
          list_append(list_transform(range(1, length(word) + 1),
                                     i -> word[i:i]), '</w>') AS syms
   FROM wc
-)"""]
+)"""
+    parts = [header]
     for i in range(1, n_merges + 1):
         prev = f"s{i - 1}"
         parts.append(f""",
@@ -1153,7 +1192,8 @@ def _apply_merges(syms_col: Column, merges_col: Column) -> Column:
 LITERAL_MERGE_LIMIT = 128
 
 
-def _bpe_kernel_udf(spark, merge_pairs: list[tuple[str, str]]):
+def _bpe_kernel_udf(spark, merge_pairs: list[tuple[str, str]],
+                    mode: str = "word", rescan: bool = False):
     """Arrow-batched Pandas UDF applying a learned merge table to words
     -- the realistic-merge-count (8k-32k) path where a literal
     expression cannot carry the table. The merges ship once per executor
@@ -1171,6 +1211,13 @@ def _bpe_kernel_udf(spark, merge_pairs: list[tuple[str, str]]):
     straight to the next applicable rank present among the word's
     current adjacencies -- at most |word| applications per word, so
     per-word cost is flat in merge count.
+
+    ``mode="byte"`` starts each word from its GPT-2 byte-alphabet
+    characters (no '</w>'). ``rescan=True`` switches to TRUE
+    GPT-2/HF encoder semantics -- after every merge, re-scan from the
+    LOWEST rank present -- which is what a Hugging Face tokenizer
+    loading our exported merges.txt will do; use it when the encoding
+    must be interchange-exact rather than fold-oracle-exact.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -1182,10 +1229,36 @@ def _bpe_kernel_udf(spark, merge_pairs: list[tuple[str, str]]):
 
         pairs = bmerges.value
         ranks = {p: i for i, p in enumerate(pairs)}
+        b2u = gpt2_bytes_to_unicode() if mode == "byte" else None
+
+        def start(w: str) -> list[str]:
+            if mode == "byte":
+                return [b2u[b] for b in w.encode("utf-8")]
+            return list(w) + ["</w>"]
+
+        def one_rescan(w: str) -> list[str]:
+            # the published GPT-2 bpe() loop: merge the lowest-rank
+            # adjacent pair present (all its occurrences, one greedy
+            # left-to-right pass), then re-scan from scratch
+            syms = start(w)
+            while len(syms) >= 2:
+                best = min(
+                    (ranks.get(p, len(pairs)) for p in zip(syms, syms[1:])),
+                    default=len(pairs))
+                if best >= len(pairs):
+                    break
+                left, right = pairs[best]
+                out: list[str] = []
+                for s in syms:
+                    if out and out[-1] == left and s == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(s)
+                syms = out
+            return syms
 
         def one(w: str) -> list[str]:
-            syms = list(w)
-            syms.append("</w>")
+            syms = start(w)
             last = -1
             while len(syms) >= 2:
                 best = -1
@@ -1206,7 +1279,8 @@ def _bpe_kernel_udf(spark, merge_pairs: list[tuple[str, str]]):
                 last = best
             return syms
 
-        return pd.Series([one(w) for w in words])
+        fn = one_rescan if rescan else one
+        return pd.Series([fn(w) for w in words])
 
     return enc
 
@@ -1214,7 +1288,7 @@ def _bpe_kernel_udf(spark, merge_pairs: list[tuple[str, str]]):
 def bpe_encode(documents: DataFrame, n_merges: int = 3,
                text_col: str = "text", id_col: str = "doc_id",
                merges: list[tuple] | None = None,
-               strategy: str = "auto") -> DataFrame:
+               strategy: str = "auto", mode: str = "word") -> DataFrame:
     """Tokenize the corpus with a learned BPE merge table -- the step a
     pretraining pipeline actually runs at scale, completing
     :func:`bpe_train` (which only produces the table). Per document:
@@ -1248,17 +1322,17 @@ def bpe_encode(documents: DataFrame, n_merges: int = 3,
     overlapping sizes).
     """
     learned = (merges if merges is not None
-               else _train_merges(documents, n_merges, text_col))
+               else _train_merges(documents, n_merges, text_col, mode=mode))
     if strategy == "auto":
         strategy = ("literal" if len(learned) <= LITERAL_MERGE_LIMIT
                     else "kernel")
-    wordtab = _bpe_word_symbols(documents, text_col)
+    wordtab = _bpe_word_symbols(documents, text_col, mode)
     if not learned:
         wordtab = wordtab.select("word", "syms")
     elif strategy == "kernel":
         enc = _bpe_kernel_udf(
             documents.sparkSession,
-            [(lt, rt) for _, lt, rt, _, _ in learned])
+            [(lt, rt) for _, lt, rt, _, _ in learned], mode=mode)
         wordtab = wordtab.select("word", enc("word").alias("syms"))
     else:
         merge_arr = F.array(*[
@@ -1269,7 +1343,9 @@ def bpe_encode(documents: DataFrame, n_merges: int = 3,
             "word", _apply_merges(F.col("syms"), merge_arr).alias("syms"))
     doc_words = documents.select(
         F.col(id_col),
-        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "word"),
+        F.posexplode(
+            pretokenize_gpt2(F.col(text_col)) if mode == "byte"
+            else tokens(F.lower(F.col(text_col)))).alias("pos", "word"),
     ).where(F.col("word") != "")
     return (
         doc_words.join(wordtab, "word")
@@ -1287,7 +1363,8 @@ def bpe_encode(documents: DataFrame, n_merges: int = 3,
 def bpe_encode_ids(documents: DataFrame, n_merges: int = 3,
                    text_col: str = "text", id_col: str = "doc_id",
                    merges: list[tuple] | None = None,
-                   strategy: str = "auto") -> DataFrame:
+                   strategy: str = "auto",
+                   mode: str = "word") -> DataFrame:
     """:func:`bpe_encode` emitting VOCABULARY IDS -- the integer stream
     a training loader actually consumes. Per document:
 
@@ -1312,10 +1389,10 @@ def bpe_encode_ids(documents: DataFrame, n_merges: int = 3,
     )
 
     learned = (merges if merges is not None
-               else _train_merges(documents, n_merges, text_col))
-    wordtab = plan_cache(_bpe_word_symbols(documents, text_col))
+               else _train_merges(documents, n_merges, text_col, mode=mode))
+    wordtab = plan_cache(_bpe_word_symbols(documents, text_col, mode))
     vocab = bpe_vocab(documents, n_merges=n_merges, text_col=text_col,
-                      merges=learned, symbols=wordtab)
+                      merges=learned, symbols=wordtab, mode=mode)
     if learned:
         if strategy == "auto":
             strategy = ("literal" if len(learned) <= LITERAL_MERGE_LIMIT
@@ -1323,7 +1400,7 @@ def bpe_encode_ids(documents: DataFrame, n_merges: int = 3,
         if strategy == "kernel":
             enc = _bpe_kernel_udf(
                 documents.sparkSession,
-                [(lt, rt) for _, lt, rt, _, _ in learned])
+                [(lt, rt) for _, lt, rt, _, _ in learned], mode=mode)
             wordtab = wordtab.select("word", enc("word").alias("syms"))
         else:
             merge_arr = F.array(*[
@@ -1345,7 +1422,9 @@ def bpe_encode_ids(documents: DataFrame, n_merges: int = 3,
     )
     doc_words = documents.select(
         F.col(id_col),
-        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "word"),
+        F.posexplode(
+            pretokenize_gpt2(F.col(text_col)) if mode == "byte"
+            else tokens(F.lower(F.col(text_col)))).alias("pos", "word"),
     ).where(F.col("word") != "")
     return (
         doc_words.join(wids, "word")
@@ -1363,7 +1442,8 @@ def bpe_encode_ids(documents: DataFrame, n_merges: int = 3,
 def bpe_vocab(documents: DataFrame, n_merges: int = 3,
               text_col: str = "text",
               merges: list[tuple] | None = None,
-              symbols: DataFrame | None = None) -> DataFrame:
+              symbols: DataFrame | None = None,
+              mode: str = "word") -> DataFrame:
     """The tokenizer VOCABULARY artifact a runtime consumes: base
     symbols (every distinct character of the corpus's words, plus the
     '</w>' end-of-word marker) enumerated in lexicographic order, then
@@ -1386,13 +1466,19 @@ def bpe_vocab(documents: DataFrame, n_merges: int = 3,
     symbol table (:func:`bpe_encode_ids`) share that scan.
     """
     learned = (merges if merges is not None
-               else _train_merges(documents, n_merges, text_col))
-    symed = (symbols if symbols is not None
-             else _bpe_word_symbols(documents, text_col))
-    base = sorted(
-        r["token"]
-        for r in symed.select(F.explode("syms").alias("token"))
-        .distinct().collect())
+               else _train_merges(documents, n_merges, text_col, mode=mode))
+    if mode == "byte":
+        # the GPT-2 byte alphabet is closed and corpus-independent: all
+        # 256 byte characters, enumerated by mapped codepoint (printable
+        # latin-1 first, shifted bytes after) -- no corpus scan at all
+        base = sorted(_B2U.values())
+    else:
+        symed = (symbols if symbols is not None
+                 else _bpe_word_symbols(documents, text_col))
+        base = sorted(
+            r["token"]
+            for r in symed.select(F.explode("syms").alias("token"))
+            .distinct().collect())
     rows = ([(i + 1, tok, "base") for i, tok in enumerate(base)]
             + [(len(base) + rank, merged, "merge")
                for rank, _, _, merged, _ in learned])
@@ -1401,18 +1487,28 @@ def bpe_vocab(documents: DataFrame, n_merges: int = 3,
     ).orderBy("vocab_id")
 
 
-def bpe_vocab_sql(n_merges: int = 3) -> str:
+def _byte_alphabet_values_sql() -> str:
+    """The closed 256-char GPT-2 byte alphabet as a VALUES list (the
+    DuckDB twin of bpe_vocab's corpus-independent byte-mode base)."""
+    return ", ".join(
+        "('" + _B2U[b].replace("'", "''") + "')" for b in range(256))
+
+
+def bpe_vocab_sql(n_merges: int = 3, mode: str = "word") -> str:
     """DuckDB twin of :func:`bpe_vocab`: base alphabet from the s0
-    symbol table, merge tokens from the unrolled training rounds with
+    symbol table (word mode) or the closed 256-char byte alphabet
+    (byte mode), merge tokens from the unrolled training rounds with
     offset ids."""
     # reuse the unrolled-round CTEs (they end after s{n}; dwords unused)
     merge_rows = "\nUNION ALL\n".join(
         f"SELECT {i} AS merge_rank, l || r AS token FROM m{i}"
         for i in range(1, n_merges + 1))
-    return _bpe_encode_ctes(n_merges) + f""",
-base AS (
-  SELECT DISTINCT unnest(syms) AS token FROM s0
-),
+    base_cte = (
+        f"base(token) AS (VALUES {_byte_alphabet_values_sql()})"
+        if mode == "byte" else
+        "base AS (\n  SELECT DISTINCT unnest(syms) AS token FROM s0\n)")
+    return _bpe_encode_ctes(n_merges, mode) + f""",
+{base_cte},
 base_ids AS (
   SELECT row_number() OVER (ORDER BY token) AS vocab_id, token,
          'base' AS kind
@@ -1430,12 +1526,12 @@ ORDER BY vocab_id
 """
 
 
-def bpe_encode_sql(n_merges: int = 3) -> str:
+def bpe_encode_sql(n_merges: int = 3, mode: str = "word") -> str:
     """DuckDB twin of :func:`bpe_encode` with in-query training:
     :func:`bpe_train_sql`'s unrolled rounds with ``word`` carried
     through each s{i}, then a positional word->syms join per document
     and an ORDER BY pos string_agg."""
-    return _bpe_encode_ctes(n_merges) + f"""
+    return _bpe_encode_ctes(n_merges, mode) + f"""
 SELECT doc_id,
        CAST(sum(len(syms)) AS BIGINT) AS n_bpe_tokens,
        string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos)
@@ -1445,22 +1541,32 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
-def _bpe_encode_ctes(n_merges: int) -> str:
+def _bpe_encode_ctes(n_merges: int, mode: str = "word") -> str:
     """The WITH-clause body shared by :func:`bpe_encode_sql` and
     :func:`pack_sequences_bpe_sql`: unrolled training rounds carrying
-    ``word``, plus the positional per-document word stream (dwords)."""
-    toks = tokens_sql("lower(text)")
+    ``word``, plus the positional per-document word stream (dwords).
+    ``mode="byte"`` swaps the tokenizer/symbol headers for the GPT-2
+    pretokenizer + byte alphabet (rounds and dwords shape unchanged)."""
+    toks = (pretokenize_gpt2_sql("text") if mode == "byte"
+            else tokens_sql("lower(text)"))
+    if mode == "byte":
+        s0 = f"""s0 AS (
+  SELECT word, freq, {byte_symbols_sql("word")} AS syms
+  FROM wc
+)"""
+    else:
+        s0 = """s0 AS (
+  SELECT word, freq,
+         list_append(list_transform(range(1, length(word) + 1),
+                                    i -> word[i:i]), '</w>') AS syms
+  FROM wc
+)"""
     parts = [f"""
 WITH words AS (
   SELECT unnest({toks}) AS word FROM documents
 ), wc AS (
   SELECT word, count(*) AS freq FROM words WHERE word <> '' GROUP BY word
-), s0 AS (
-  SELECT word, freq,
-         list_append(list_transform(range(1, length(word) + 1),
-                                    i -> word[i:i]), '</w>') AS syms
-  FROM wc
-)"""]
+), {s0}"""]
     for i in range(1, n_merges + 1):
         prev = f"s{i - 1}"
         parts.append(f""",
@@ -1495,7 +1601,7 @@ dwords AS (
     return "".join(parts)
 
 
-def bpe_encode_ids_sql(n_merges: int = 3) -> str:
+def bpe_encode_ids_sql(n_merges: int = 3, mode: str = "word") -> str:
     """DuckDB twin of :func:`bpe_encode_ids`: the encode CTEs + the
     vocab enumeration (as in :func:`bpe_vocab_sql`), joined at the
     word-symbol level and re-aggregated; ids emitted space-joined (the
@@ -1504,8 +1610,12 @@ def bpe_encode_ids_sql(n_merges: int = 3) -> str:
     merge_rows = "\nUNION ALL\n".join(
         f"SELECT {i} AS merge_rank, l || r AS token FROM m{i}"
         for i in range(1, n_merges + 1))
-    return _bpe_encode_ctes(n_merges) + f""",
-base AS (SELECT DISTINCT unnest(syms) AS token FROM s0),
+    base_cte = (
+        f"base(token) AS (VALUES {_byte_alphabet_values_sql()})"
+        if mode == "byte" else
+        "base AS (SELECT DISTINCT unnest(syms) AS token FROM s0)")
+    return _bpe_encode_ctes(n_merges, mode) + f""",
+{base_cte},
 base_ids AS (
   SELECT row_number() OVER (ORDER BY token) AS vocab_id, token FROM base
 ),

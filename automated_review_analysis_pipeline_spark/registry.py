@@ -1177,6 +1177,46 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_ids", lambda x: x.cast("string"))).alias("token_ids"))
 
 
+def _shared_merges_bytes(spark: SparkSession, sf_dir: str,
+                         n_merges: int = 3) -> list[tuple]:
+    key = (sf_dir, n_merges, "byte")
+    if key not in _BPE_MERGES_MEMO:
+        _BPE_MERGES_MEMO[key] = ta._train_merges(
+            _t(spark, sf_dir, "documents"), n_merges, "text", mode="byte")
+    return _BPE_MERGES_MEMO[key]
+
+
+def q_bpe_train_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-LEVEL (GPT-2 form) BPE training: the GPT-2 regex
+    pretokenizer over raw case-sensitive text, symbols = UTF-8 bytes
+    through the byte<->unicode table, no '</w>' marker -- the merge
+    table an HF-interchange artifact needs."""
+    learned = _shared_merges_bytes(spark, sf_dir, 3)
+    return spark.createDataFrame(
+        learned,
+        "merge_rank int, left string, right string, merged string, "
+        "n_occurrences long",
+    ).orderBy("merge_rank")
+
+
+def q_bpe_encode_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenized with the byte-level merge table: punctuation,
+    whitespace, and multi-byte UTF-8 are all first-class tokens, so
+    n_bpe_tokens is the loader-true token budget (the word-level lane
+    drops non-\\w bytes)."""
+    return ta.bpe_encode(_t(spark, sf_dir, "documents"), n_merges=3,
+                         merges=_shared_merges_bytes(spark, sf_dir, 3),
+                         mode="byte")
+
+
+def q_bpe_vocab_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level vocabulary artifact: the closed 256-char GPT-2 byte
+    alphabet (corpus-independent) then merge tokens in rank order."""
+    return ta.bpe_vocab(_t(spark, sf_dir, "documents"), n_merges=3,
+                        merges=_shared_merges_bytes(spark, sf_dir, 3),
+                        mode="byte")
+
+
 def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-EXACT sequence packing: the pack_sequences manifest driven
     by real BPE token counts (train-then-encode) instead of the
@@ -1770,6 +1810,9 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_encode": q_bpe_encode,
     "bpe_vocab": q_bpe_vocab,
     "bpe_encode_ids": q_bpe_encode_ids,
+    "bpe_train_bytes": q_bpe_train_bytes,
+    "bpe_encode_bytes": q_bpe_encode_bytes,
+    "bpe_vocab_bytes": q_bpe_vocab_bytes,
     "pack_sequences_bpe": q_pack_sequences_bpe,
     "order_value_percentiles": q_order_value_percentiles,
     "totalprice_histogram": q_totalprice_histogram,
@@ -2911,6 +2954,9 @@ ORACLE_SQL["bpe_train"] = ta.bpe_train_sql(3)
 ORACLE_SQL["bpe_encode"] = ta.bpe_encode_sql(3)
 ORACLE_SQL["bpe_vocab"] = ta.bpe_vocab_sql(3)
 ORACLE_SQL["bpe_encode_ids"] = ta.bpe_encode_ids_sql(3)
+ORACLE_SQL["bpe_train_bytes"] = ta.bpe_train_sql(3, mode="byte")
+ORACLE_SQL["bpe_encode_bytes"] = ta.bpe_encode_sql(3, mode="byte")
+ORACLE_SQL["bpe_vocab_bytes"] = ta.bpe_vocab_sql(3, mode="byte")
 ORACLE_SQL["pack_sequences_bpe"] = ta.pack_sequences_bpe_sql(128, 3)
 
 

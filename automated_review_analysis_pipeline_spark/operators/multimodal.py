@@ -234,9 +234,16 @@ def _decode_png(payload: bytes):
     bpp = channels * (depth // 8)
 
     def unfilter(buf: bytes, height: int, width_px: int) -> np.ndarray:
-        # spec filters 0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth; Up is
-        # vectorized (uint8 wraps mod 256), the left-dependent filters
-        # walk the scanline
+        # spec filters 0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth.
+        # None/Up are fully vectorized (uint8 wraps mod 256); Sub is a
+        # per-byte-lane cumulative sum (also fully vectorized: the
+        # recurrence cur[x] = line[x] + cur[x-bpp] telescopes to a
+        # mod-256 prefix sum along each of the bpp lanes); Average and
+        # Paeth are genuinely sequential in the left neighbor, so they
+        # run as plain-Python list loops -- int arithmetic on lists is
+        # ~5-10x faster than the numpy-scalar-indexing walk it replaces
+        # (measured in tools/codec_bench.py; per-element numpy indexing
+        # pays ~1us of boxing per access).
         stride = width_px * bpp
         if len(buf) != (stride + 1) * height:
             raise NotImplementedError("PNG raster size mismatch")
@@ -250,24 +257,45 @@ def _decode_png(payload: bytes):
                 cur = line.copy()
             elif f == 2:
                 cur = line + prev
-            elif f in (1, 3, 4):
-                c32 = line.astype(np.int32)
-                p32 = prev.astype(np.int32)
-                for x in range(stride):
-                    a = c32[x - bpp] if x >= bpp else 0
-                    b = p32[x]
-                    if f == 1:
+            elif f == 1:
+                lanes = line.reshape(-1, bpp).astype(np.uint32)
+                cur = np.cumsum(lanes, axis=0, dtype=np.uint32) \
+                    .astype(np.uint8).reshape(-1)
+            elif f == 3:
+                c = line.tolist()
+                p = prev.tolist()
+                for x in range(bpp):
+                    c[x] = (c[x] + (p[x] >> 1)) & 0xFF
+                for x in range(bpp, stride):
+                    c[x] = (c[x] + ((c[x - bpp] + p[x]) >> 1)) & 0xFF
+                cur = np.array(c, dtype=np.uint8)
+            elif f == 4:
+                c = line.tolist()
+                p = prev.tolist()
+                for x in range(bpp):
+                    # a = c = 0: predictor reduces to b
+                    c[x] = (c[x] + p[x]) & 0xFF
+                for x in range(bpp, stride):
+                    a = c[x - bpp]
+                    b = p[x]
+                    cc = p[x - bpp]
+                    pa = b - cc
+                    if pa < 0:
+                        pa = -pa
+                    pb = a - cc
+                    if pb < 0:
+                        pb = -pb
+                    pc = a + b - cc - cc
+                    if pc < 0:
+                        pc = -pc
+                    if pa <= pb and pa <= pc:
                         pred = a
-                    elif f == 3:
-                        pred = (a + b) // 2
+                    elif pb <= pc:
+                        pred = b
                     else:
-                        c = p32[x - bpp] if x >= bpp else 0
-                        pa, pb = abs(b - c), abs(a - c)
-                        pc = abs(a + b - 2 * c)
-                        pred = a if pa <= pb and pa <= pc else \
-                            (b if pb <= pc else c)
-                    c32[x] = (c32[x] + pred) & 0xFF
-                cur = c32.astype(np.uint8)
+                        pred = cc
+                    c[x] = (c[x] + pred) & 0xFF
+                cur = np.array(c, dtype=np.uint8)
             else:
                 raise NotImplementedError(f"unknown PNG filter {f}")
             out[y] = cur
@@ -568,52 +596,150 @@ def _jpeg_decode_scan(buf: bytes, start: int, frame, sel, qt, huff,
     vmax = max(c[2] for c in comps)
     mcux = (W + 8 * hmax - 1) // (8 * hmax)
     mcuy = (H + 8 * vmax - 1) // (8 * vmax)
-    planes = {c[0]: np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8),
-                             dtype=np.float64) for c in comps}
     pred = {c[0]: 0 for c in comps}
     C = _jpeg_dct_matrix()
     zig = np.array(_JPEG_ZIGZAG)
+    # per-component coefficient accumulators: dequant + zigzag + IDCT
+    # run BATCHED over all blocks after the entropy decode (one
+    # broadcast matmul per component instead of two 8x8 matmuls plus
+    # three small-array constructions per block)
+    blk_coefs = {c[0]: [] for c in comps}
+    blk_q = {}
 
-    idx, bit = start, 0
+    # Bit reservoir + byte-wise Huffman fast tables: bits accumulate a
+    # byte at a time into a small int (stuffed 0x00s stripped at load),
+    # and each Huffman decode peeks 8 bits into a 256-entry LUT that
+    # resolves every code of length <= 8 in one lookup (codes 9..16
+    # fall back to the per-bit walk). Replaces the per-BIT Python loop
+    # (~10x, measured in tools/codec_bench.py); values are bit-exact.
+    idx, resv, nres = start, 0, 0
+    nbuf = len(buf)
+    stopped_at_marker = False
 
-    def read_bit() -> int:
-        nonlocal idx, bit
-        if idx >= len(buf):
-            raise NotImplementedError("truncated JPEG scan")
-        b = buf[idx]
-        if b == 0xFF and (idx + 1 >= len(buf) or buf[idx + 1] != 0x00):
-            raise NotImplementedError("unexpected marker inside JPEG scan")
-        v = (b >> (7 - bit)) & 1
-        bit += 1
-        if bit == 8:
-            bit = 0
-            idx += 2 if b == 0xFF else 1  # skip the stuffed 0x00
-        return v
+    def soft_fill(need: int) -> None:
+        # load whole bytes until `need` bits are available; stop (do
+        # not raise) at a marker or end of buffer
+        nonlocal idx, resv, nres, stopped_at_marker
+        while nres < need and idx < nbuf:
+            b = buf[idx]
+            if b == 0xFF:
+                if idx + 1 < nbuf and buf[idx + 1] == 0x00:
+                    idx += 2  # stuffed 0x00
+                else:
+                    stopped_at_marker = True
+                    return
+            else:
+                idx += 1
+            resv = (resv << 8) | b
+            nres += 8
 
     def read_bits(n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | read_bit()
+        nonlocal resv, nres
+        if n == 0:
+            return 0
+        if nres < n:
+            soft_fill(n)
+            if nres < n:
+                raise NotImplementedError(
+                    "unexpected marker inside JPEG scan"
+                    if stopped_at_marker else "truncated JPEG scan")
+        nres -= n
+        v = (resv >> nres) & ((1 << n) - 1)
+        resv &= (1 << nres) - 1
         return v
 
-    def huffdecode(table: dict) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | read_bit()
-            if (length, code) in table:
-                return table[(length, code)]
+    def huffdecode(table) -> int:
+        nonlocal resv, nres
+        lut, longc = table
+        if nres < 8:
+            soft_fill(8)
+        if nres >= 8:
+            key = (resv >> (nres - 8)) & 0xFF
+        elif nres > 0:
+            # near end-of-stream: pad the peek with 1s; a LUT hit whose
+            # length fits the REAL bits is still exact (padding only
+            # influences entries longer than what remains)
+            key = ((resv << (8 - nres)) | ((1 << (8 - nres)) - 1)) & 0xFF
+        else:
+            raise NotImplementedError(
+                "unexpected marker inside JPEG scan"
+                if stopped_at_marker else "truncated JPEG scan")
+        ent = lut[key]
+        if ent is not None:
+            ln = ent & 0xF
+            if ln <= nres:
+                nres -= ln
+                resv &= (1 << nres) - 1
+                return ent >> 4
+            raise NotImplementedError(
+                "unexpected marker inside JPEG scan"
+                if stopped_at_marker else "truncated JPEG scan")
+        # long codes (9..16 bits): the first 8 bits are all real here
+        code = read_bits(8)
+        for length in range(9, 17):
+            code = (code << 1) | read_bits(1)
+            sym = longc.get((length, code))
+            if sym is not None:
+                return sym
         raise NotImplementedError("invalid JPEG huffman code")
+
+    def fast_table(table: dict):
+        # 256-entry LUT: next-8-bits -> (symbol << 4) | code_length for
+        # codes of length <= 8; longer codes keep the (length, code)
+        # dict walk
+        lut = [None] * 256
+        longc = {}
+        for (ln, code), sym in table.items():
+            if ln <= 8:
+                base = code << (8 - ln)
+                packed = (sym << 4) | ln
+                for i in range(1 << (8 - ln)):
+                    lut[base + i] = packed
+            else:
+                longc[(ln, code)] = sym
+        return lut, longc
+
+    def wide_ac_table(table: dict):
+        # 65536-entry AC LUT resolving Huffman symbol AND the value's
+        # extra bits in ONE lookup whenever code+value fit 16 bits:
+        # next-16-bits -> (total_bits, run, extended_value | None).
+        # None value = s==0 control symbol (EOB when run 0, ZRL when
+        # run 15). Build cost is one pass over the complete code space
+        # (sum over symbols of 2^(16-ln-s) slots = 65536).
+        lut = [None] * 65536
+        for (ln, code), sym in table.items():
+            s = sym & 15
+            if ln + s > 16:
+                continue  # falls back to the 8-bit path
+            base = code << (16 - ln)
+            if s == 0:
+                ent = (ln, sym >> 4, None)
+                span = 1 << (16 - ln)
+                lut[base:base + span] = [ent] * span
+            else:
+                tail = 16 - ln - s
+                half = 1 << (s - 1)
+                span = 1 << tail
+                for vbits in range(1 << s):
+                    val = float(vbits - (1 << s) + 1
+                                if vbits < half else vbits)
+                    start = base + (vbits << tail)
+                    lut[start:start + span] = \
+                        [(ln + s, sym >> 4, val)] * span
+        return lut
+
+    fast_tables: dict = {}
+    wide_tables: dict = {}
 
     def extend(v: int, t: int) -> int:
         return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
     def align_restart() -> None:
-        nonlocal idx, bit
-        if bit:
-            b = buf[idx]
-            bit = 0
-            idx += 2 if b == 0xFF else 1
-        if (idx + 1 < len(buf) and buf[idx] == 0xFF
+        nonlocal idx, resv, nres, stopped_at_marker
+        # <= 7 padding bits may remain buffered before the marker
+        resv, nres = 0, 0
+        stopped_at_marker = False
+        if (idx + 1 < nbuf and buf[idx] == 0xFF
                 and 0xD0 <= buf[idx + 1] <= 0xD7):
             idx += 2
         else:
@@ -635,34 +761,153 @@ def _jpeg_decode_scan(buf: bytes, start: int, frame, sel, qt, huff,
                 qtab = qt.get(tq)
                 if dc_table is None or ac_table is None or qtab is None:
                     raise NotImplementedError("missing JPEG table")
+                if (0, dct) not in fast_tables:
+                    fast_tables[(0, dct)] = fast_table(dc_table)
+                if (1, act) not in fast_tables:
+                    fast_tables[(1, act)] = fast_table(ac_table)
+                    wide_tables[act] = wide_ac_table(ac_table)
+                dc_table = fast_tables[(0, dct)]
+                ac_table = fast_tables[(1, act)]
+                dc_lut, dc_long = dc_table
+                ac16 = wide_tables[act]
                 for by in range(cv):
                     for bx in range(ch):
-                        t = huffdecode(dc_table)
-                        pred[cid] += extend(read_bits(t), t) if t else 0
-                        coefs = np.zeros(64)
-                        coefs[0] = pred[cid]
+                        # The coefficient stream is decoded with the
+                        # refill + LUT sequence INLINED (twice: DC then
+                        # the AC loop) -- the helpers above are the
+                        # exact same logic but cost a Python call per
+                        # symbol, which dominated the profile; rare
+                        # paths (long codes, refills past the
+                        # reservoir) still delegate to them.
+                        # ---- DC ----
+                        if nres < 8:
+                            # inline refill (deep: fewer refills and the
+                            # receive paths below almost never need one)
+                            while nres < 25 and idx < nbuf:
+                                b = buf[idx]
+                                if b == 0xFF:
+                                    if idx + 1 < nbuf and \
+                                            buf[idx + 1] == 0x00:
+                                        idx += 2
+                                    else:
+                                        stopped_at_marker = True
+                                        break
+                                else:
+                                    idx += 1
+                                resv = (resv << 8) | b
+                                nres += 8
+                        if nres >= 8:
+                            key = (resv >> (nres - 8)) & 0xFF
+                        elif nres > 0:
+                            key = ((resv << (8 - nres))
+                                   | ((1 << (8 - nres)) - 1)) & 0xFF
+                        else:
+                            raise NotImplementedError(
+                                "unexpected marker inside JPEG scan"
+                                if stopped_at_marker
+                                else "truncated JPEG scan")
+                        ent = dc_lut[key]
+                        if ent is not None and (ent & 0xF) <= nres:
+                            nres -= ent & 0xF
+                            resv &= (1 << nres) - 1
+                            t = ent >> 4
+                        else:
+                            t = huffdecode(dc_table)
+                        if t:
+                            if nres >= t:
+                                nres -= t
+                                v = (resv >> nres) & ((1 << t) - 1)
+                                resv &= (1 << nres) - 1
+                            else:
+                                v = read_bits(t)
+                            pred[cid] += (v - (1 << t) + 1
+                                          if v < (1 << (t - 1)) else v)
+                        coefs = [0.0] * 64
+                        coefs[0] = float(pred[cid])
                         k = 1
                         while k < 64:
+                            # ---- AC: one 16-bit lookup resolves the
+                            # Huffman symbol AND its value bits ----
+                            if nres < 16:
+                                while nres < 25 and idx < nbuf:
+                                    b = buf[idx]
+                                    if b == 0xFF:
+                                        if idx + 1 < nbuf and \
+                                                buf[idx + 1] == 0x00:
+                                            idx += 2
+                                        else:
+                                            stopped_at_marker = True
+                                            break
+                                    else:
+                                        idx += 1
+                                    resv = (resv << 8) | b
+                                    nres += 8
+                            if nres >= 16:
+                                ent = ac16[(resv >> (nres - 16)) & 0xFFFF]
+                            elif nres > 0:
+                                # near stream end: pad peek with 1s; an
+                                # entry is trusted only if its real bit
+                                # span fits what remains
+                                ent = ac16[((resv << (16 - nres))
+                                            | ((1 << (16 - nres)) - 1))
+                                           & 0xFFFF]
+                            else:
+                                raise NotImplementedError(
+                                    "unexpected marker inside JPEG scan"
+                                    if stopped_at_marker
+                                    else "truncated JPEG scan")
+                            if ent is not None and ent[0] <= nres:
+                                nb, r, val = ent
+                                nres -= nb
+                                resv &= (1 << nres) - 1
+                                if val is None:
+                                    if r == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise NotImplementedError(
+                                        "JPEG AC index overflow")
+                                coefs[k] = val
+                                k += 1
+                                continue
+                            # slow path: long code / code+value > 16
+                            # bits / stream tail
                             rs = huffdecode(ac_table)
-                            r, s = rs >> 4, rs & 15
+                            s = rs & 15
                             if s == 0:
-                                if r == 15:  # ZRL
+                                if rs == 0xF0:  # ZRL
                                     k += 16
                                     continue
                                 break  # EOB
-                            k += r
+                            k += rs >> 4
                             if k > 63:
                                 raise NotImplementedError(
                                     "JPEG AC index overflow")
-                            coefs[k] = extend(read_bits(s), s)
+                            v = read_bits(s)
+                            coefs[k] = float(v - (1 << s) + 1
+                                             if v < (1 << (s - 1)) else v)
                             k += 1
-                        fblk = np.zeros(64)
-                        fblk[zig] = coefs * qtab
-                        spatial = C.T @ fblk.reshape(8, 8) @ C + 128.0
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[cid][y0:y0 + 8, x0:x0 + 8] = spatial
+                        blk_coefs[cid].append(coefs)
+                        blk_q[cid] = qtab
             nmcu += 1
+
+    planes = {}
+    for cid, ch, cv, _ in comps:
+        if not blk_coefs[cid]:
+            planes[cid] = np.zeros((mcuy * cv * 8, mcux * ch * 8),
+                                   dtype=np.float64)
+            continue
+        arr = np.array(blk_coefs[cid]) * blk_q[cid]   # (n, 64) dequant
+        fb = np.zeros_like(arr)
+        fb[:, zig] = arr                              # de-zigzag
+        sp = C.T @ fb.reshape(-1, 8, 8) @ C + 128.0   # batched IDCT
+        # blocks arrive in (my, mx, by, bx) order; one transpose
+        # assembles the full plane without a per-block scatter
+        planes[cid] = (sp.reshape(mcuy, mcux, cv, ch, 8, 8)
+                       .transpose(0, 2, 4, 1, 3, 5)
+                       .reshape(mcuy * cv * 8, mcux * ch * 8))
 
     full = []
     for cid, ch, cv, _ in comps:

@@ -472,8 +472,21 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
     The centroid table is tiny and broadcast twice (assignment + probe);
     the corpus is scanned once for assignment -- in production the
-    assignment is precomputed and the probe join prunes partitions."""
-    corpus = _prep(embeddings, id_col, vec_col, "c")
+    assignment is precomputed and the probe join prunes partitions
+    (:func:`build_ivf_index` / :func:`ivf_probe` are exactly that)."""
+    cents = _ivf_centroids(embeddings, n_centroids, train_iterations,
+                           id_col, vec_col)
+    assigned = _ivf_assign(_prep(embeddings, id_col, vec_col, "c"), cents)
+    probes = _ivf_probes(_prep(queries, id_col, vec_col, "q"), cents,
+                         n_probe)
+    return _ivf_rank(assigned, probes, k)
+
+
+def _ivf_centroids(embeddings: DataFrame, n_centroids: int,
+                   train_iterations: int, id_col: str,
+                   vec_col: str) -> DataFrame:
+    """(ct_id, ct_vec, ct_norm): trained Lloyd centroids or the lowest-id
+    deterministic baseline."""
     if train_iterations > 0:
         # truncate_lineage: the trained table feeds BOTH the corpus
         # assignment and the query probe; the checkpoint materializes
@@ -481,44 +494,57 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         trained = kmeans_centroids(
             embeddings, n_centroids, train_iterations, id_col, vec_col,
             truncate_lineage=True)
-        cents = trained.select(
+        return trained.select(
             F.col("cid").alias("ct_id"),
             F.col("c_vec").alias("ct_vec"),
             F.sqrt(dot_product(F.col("c_vec"), F.col("c_vec")))
             .alias("ct_norm"),
         )
-    else:
-        cents = _prep(embeddings.orderBy(id_col).limit(n_centroids),
-                      id_col, vec_col, "ct")
+    return _prep(embeddings.orderBy(id_col).limit(n_centroids),
+                 id_col, vec_col, "ct")
+
+
+def _ivf_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """(c_id, c_vec, c_norm, cell): nearest-centroid cell per vector.
+    Centroid sims round to 6dp BEFORE ranking (mirrored in the SQL
+    oracle) so a last-ulp float divergence cannot flip an assignment.
+    (A max_by-aggregate assignment + corpus join-back was A/B'd: the
+    aggregate alone is 1.9x faster than this window, but the join-back
+    shuffle erases the gain end-to-end at sf0.1 -- net 1.5x SLOWER. At
+    cluster scale, where shuffling corpus x n_centroids expanded rows
+    with vectors dominates, precompute the assignment once and store
+    it with the corpus: build_ivf_index.)"""
     csim = dot_product(F.col("c_vec"), F.col("ct_vec")) / (
         F.col("c_norm") * F.col("ct_norm"))
-    assign_w = Window.partitionBy("c_id").orderBy(F.desc("__csim"), F.asc("ct_id"))
-    # centroid sims round to 6dp BEFORE ranking (mirrored in the SQL
-    # oracle) so a last-ulp float divergence cannot flip an assignment.
-    # (A max_by-aggregate assignment + corpus join-back was A/B'd: the
-    # aggregate alone is 1.9x faster than this window, but the join-back
-    # shuffle erases the gain end-to-end at sf0.1 -- net 1.5x SLOWER. At
-    # cluster scale, where shuffling corpus x n_centroids expanded rows
-    # with vectors dominates, precompute the assignment once and store
-    # it with the corpus, as the docstring notes.)
-    assigned = (
+    assign_w = Window.partitionBy("c_id").orderBy(
+        F.desc("__csim"), F.asc("ct_id"))
+    return (
         corpus.join(broadcast(cents), F.lit(True))
         .withColumn("__csim", F.round(csim, 6))
         .withColumn("__r", F.row_number().over(assign_w))
         .where(F.col("__r") == 1)
         .select("c_id", "c_vec", "c_norm", F.col("ct_id").alias("cell"))
     )
-    qs = _prep(queries, id_col, vec_col, "q")
+
+
+def _ivf_probes(qs: DataFrame, cents: DataFrame,
+                n_probe: int) -> DataFrame:
+    """(q_id, q_vec, q_norm, cell): the n_probe nearest cells per
+    query."""
     qsim = dot_product(F.col("q_vec"), F.col("ct_vec")) / (
         F.col("q_norm") * F.col("ct_norm"))
-    probe_w = Window.partitionBy("q_id").orderBy(F.desc("__qsim"), F.asc("ct_id"))
-    probes = (
+    probe_w = Window.partitionBy("q_id").orderBy(
+        F.desc("__qsim"), F.asc("ct_id"))
+    return (
         qs.join(broadcast(cents), F.lit(True))
         .withColumn("__qsim", F.round(qsim, 6))
         .withColumn("__r", F.row_number().over(probe_w))
         .where(F.col("__r") <= n_probe)
         .select("q_id", "q_vec", "q_norm", F.col("ct_id").alias("cell"))
     )
+
+
+def _ivf_rank(assigned: DataFrame, probes: DataFrame, k: int) -> DataFrame:
     sim = dot_product(F.col("q_vec"), F.col("c_vec")) / (
         F.col("q_norm") * F.col("c_norm"))
     w = Window.partitionBy("query_id").orderBy(
@@ -535,6 +561,61 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def build_ivf_index(embeddings: DataFrame, store_dir: str,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_centroids: int = 16, train_iterations: int = 2,
+                    mode: str = "overwrite") -> DataFrame:
+    """Build the IVF index ONCE and persist it (the signature-table
+    pattern, dedup.py:build_signature_table): production ANN indexes
+    are trained and assigned once, then probed many times --
+    :func:`ivf_topk` re-runs Lloyd + full-corpus assignment on every
+    call, which is the right shape for a one-shot query but not for a
+    serving/index workload.
+
+    Layout under ``store_dir``:
+      centroids/  (ct_id, ct_vec, ct_norm)          -- tiny, broadcast
+      corpus/     (c_id, c_vec, c_norm) PARTITIONED BY cell
+
+    Partitioning the corpus by cell is the scale story: a probe touches
+    n_probe cells per query, and Spark's dynamic partition pruning
+    (broadcast probe side, equi-join on the partition column) skips
+    every unprobed cell's files entirely -- at 100 TB the probe reads
+    n_probe/n_centroids of the corpus instead of all of it.
+
+    Staleness contract: the index is a snapshot -- vectors added to the
+    source table after the build are invisible until a rebuild (or an
+    append-mode re-assignment of the delta against the SAME persisted
+    centroids -- never retrain centroids incrementally, or cells shift
+    under existing assignments). Returns the reloaded corpus table."""
+    spark = embeddings.sparkSession
+    cents = _ivf_centroids(embeddings, n_centroids, train_iterations,
+                           id_col, vec_col)
+    assigned = _ivf_assign(_prep(embeddings, id_col, vec_col, "c"), cents)
+    cents.write.mode(mode).parquet(store_dir + "/centroids")
+    (assigned.write.mode(mode).partitionBy("cell")
+     .parquet(store_dir + "/corpus"))
+    return spark.read.parquet(store_dir + "/corpus")
+
+
+def ivf_probe(spark, store_dir: str, queries: DataFrame, k: int = 5,
+              n_probe: int = 4, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Probe a persisted IVF index (:func:`build_ivf_index`): no
+    training, no corpus assignment -- read the tiny centroid table,
+    pick each query's n_probe cells, and join only those corpus
+    partitions. Same result as :func:`ivf_topk` with identical
+    parameters (pinned by pytest + the shared registry oracle)."""
+    cents = spark.read.parquet(store_dir + "/centroids")
+    corpus = spark.read.parquet(store_dir + "/corpus") \
+        .select("c_id", "c_vec", "c_norm",
+                F.col("cell").cast("long").alias("cell"))
+    qs = _prep(queries, id_col, vec_col, "q")
+    probes = _ivf_probes(qs, cents, n_probe) \
+        .select("q_id", "q_vec", "q_norm",
+                F.col("cell").cast("long").alias("cell"))
+    return _ivf_rank(corpus, probes, k)
 
 
 def _pq_train(sample: "object", m: int, ksub: int,

@@ -677,3 +677,41 @@ def test_audio_features_single_python_stage_pruned_scan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     read = plan.split("ReadSchema")[1].split("\n")[0]
     assert "doc_id" in read and "text" in read and "lang" not in read
+
+def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted-IVF probe must (a) match ivf_topk with identical
+    params exactly, (b) scan the PERSISTED corpus (no retraining: the
+    Lloyd kmeans shape is absent from the probe plan), and (c) carry a
+    dynamic-partition-pruning filter on the cell partition column so a
+    probe reads n_probe/n_centroids of the corpus at scale."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators import similarity as sim
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    store = str(tmp_path / "ivf_index")
+    sim.build_ivf_index(e, store, n_centroids=8, train_iterations=2)
+
+    probe = sim.ivf_probe(spark, store, q, k=5, n_probe=3)
+    direct = sim.ivf_topk(e, q, k=5, n_centroids=8, n_probe=3,
+                          train_iterations=2)
+    assert [tuple(r) for r in probe.collect()] == \
+        [tuple(r) for r in direct.collect()]
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # dynamic partition pruning on the cell column (broadcast probe
+    # side -> only probed cells' files are read)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # probe-only: no Lloyd retrain in the plan (kmeans materializes via
+    # localCheckpoint scans; the probe plan must read parquet instead)
+    assert plan.count("Scan parquet") >= 2  # centroids + corpus
+    assert "Scan ExistingRDD" not in plan
+
+    # rebuild determinism: building again yields byte-identical results
+    store2 = str(tmp_path / "ivf_index2")
+    sim.build_ivf_index(e, store2, n_centroids=8, train_iterations=2)
+    again = sim.ivf_probe(spark, store2, q, k=5, n_probe=3)
+    assert [tuple(r) for r in probe.collect()] == \
+        [tuple(r) for r in again.collect()]

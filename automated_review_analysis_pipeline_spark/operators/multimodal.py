@@ -1258,19 +1258,106 @@ def resize_image_nearest(img, new_w: int, new_h: int):
     return img[rows][:, cols]
 
 
+# IMA ADPCM quantizer tables (public spec: IMA "Recommended Practices
+# for Enhancing Digital Audio Compatibility", also Microsoft WAVE format
+# 0x11 documentation).
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+_IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_adpcm_decode(data: bytes, n_channels: int, block_align: int):
+    """IMA ADPCM (WAVE format 0x11) -> (n_frames, n_channels) int32 in
+    int16 range. Block layout per channel: 4-byte header (int16
+    predictor, uint8 step index, reserved), then the nibble stream in
+    4-byte words interleaved per channel; nibbles decode low-half
+    first. Sequential by construction (each sample feeds the next
+    prediction) -- per-payload Python, parallelized across payloads by
+    the mapInPandas batch pipeline like the other codecs."""
+    import struct
+
+    import numpy as np
+
+    if block_align < 4 * n_channels or (block_align - 4 * n_channels) % 4:
+        raise NotImplementedError("invalid IMA ADPCM block alignment")
+    if len(data) % block_align:
+        raise NotImplementedError("truncated IMA ADPCM data chunk")
+    steps, adj = _IMA_STEPS, _IMA_INDEX_ADJ
+    chans: list[list[int]] = [[] for _ in range(n_channels)]
+    for b0 in range(0, len(data), block_align):
+        preds, idxs = [], []
+        for ch in range(n_channels):
+            pred, index, _res = struct.unpack_from(
+                "<hBB", data, b0 + 4 * ch)
+            if index > 88:
+                raise NotImplementedError("IMA ADPCM step index out of range")
+            preds.append(pred)
+            idxs.append(index)
+            chans[ch].append(pred)  # header predictor IS sample 0
+        body = data[b0 + 4 * n_channels:b0 + block_align]
+        # 4-byte words round-robin across channels
+        for w0 in range(0, len(body), 4 * n_channels):
+            for ch in range(n_channels):
+                word = body[w0 + 4 * ch:w0 + 4 * ch + 4]
+                pred, index = preds[ch], idxs[ch]
+                out = chans[ch]
+                for byte in word:
+                    for nib in (byte & 0xF, byte >> 4):
+                        step = steps[index]
+                        diff = step >> 3
+                        if nib & 1:
+                            diff += step >> 2
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 4:
+                            diff += step
+                        pred = pred - diff if nib & 8 else pred + diff
+                        if pred > 32767:
+                            pred = 32767
+                        elif pred < -32768:
+                            pred = -32768
+                        index += adj[nib & 7]
+                        if index < 0:
+                            index = 0
+                        elif index > 88:
+                            index = 88
+                        out.append(pred)
+                preds[ch], idxs[ch] = pred, index
+    n = min(len(c) for c in chans)
+    return np.stack([np.array(c[:n], dtype=np.int32) for c in chans],
+                    axis=1)
+
+
 def decode_wav(payload: bytes):
-    """Dependency-free RIFF/WAVE integer-PCM decode ->
-    ``(samples, sample_rate)`` where ``samples`` is an
-    (n_frames, n_channels) int32 numpy array of raw PCM values (8-bit
-    unsigned payloads stay 0..255; 16-bit signed stay -32768..32767).
+    """Dependency-free RIFF/WAVE decode -> ``(samples, sample_rate)``
+    where ``samples`` is an (n_frames, n_channels) numpy array:
+
+    - format 1 (integer PCM, 8/16-bit): int32 of raw PCM values (8-bit
+      unsigned payloads stay 0..255; 16-bit signed stay
+      -32768..32767);
+    - format 3 (IEEE float PCM, 32/64-bit): float64 of the raw float
+      values (normally in [-1, 1]) -- the common crawled-corpus
+      variant;
+    - format 0x11 (IMA ADPCM, 4-bit): int32 in int16 range via
+      :func:`_ima_adpcm_decode` -- the one compressed WAV seen in the
+      wild that needs no codec library (pure table arithmetic). A
+      ``fact`` chunk's sample count, when present, truncates block
+      padding.
+
     Walks the chunk list per the public RIFF/WAVE spec (Multimedia
     Programming Interface and Data Specifications 1.0): unknown chunks
-    (LIST/fact/cue/...) are skipped, chunk bodies are word-aligned.
+    (LIST/cue/...) are skipped, chunk bodies are word-aligned.
 
-    Anything non-integer-PCM (ADPCM, float, mp3-in-WAV, ...) raises
+    Anything else (MS-ADPCM, a-law/mu-law, mp3-in-WAV, ...) raises
     NotImplementedError -- the same honest contract as
-    :func:`decode_image` for WebP: those need codec libraries this
-    container does not ship."""
+    :func:`decode_image` for lossy WebP: those need codec libraries
+    this container does not ship."""
     import struct
 
     import numpy as np
@@ -1278,7 +1365,7 @@ def decode_wav(payload: bytes):
     if (payload is None or len(payload) < 12 or payload[:4] != b"RIFF"
             or payload[8:12] != b"WAVE"):
         raise NotImplementedError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact = 12, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
@@ -1289,22 +1376,39 @@ def decode_wav(payload: bytes):
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            fact = struct.unpack_from("<I", body, 0)[0]
         pos += 8 + size + (size & 1)  # chunk bodies are word-aligned
     if fmt is None or len(fmt) < 16 or data is None:
         raise NotImplementedError("missing fmt /data chunk")
     audio_format, n_channels, sample_rate = struct.unpack_from("<HHI", fmt, 0)
+    block_align = struct.unpack_from("<H", fmt, 12)[0]
     bits = struct.unpack_from("<H", fmt, 14)[0]
-    if audio_format != 1 or bits not in (8, 16) or n_channels < 1:
-        raise NotImplementedError(
-            "only integer PCM (8/16-bit) decodes here; compressed WAV "
-            "encodings need codec libraries not present in this "
-            "environment")
-    dtype = np.uint8 if bits == 8 else np.dtype("<i2")
-    frame_bytes = n_channels * bits // 8
-    if len(data) % frame_bytes:
-        raise NotImplementedError("truncated WAV data chunk")
-    samples = np.frombuffer(data, dtype=dtype).astype(np.int32)
-    return samples.reshape(-1, n_channels), int(sample_rate)
+    if n_channels < 1:
+        raise NotImplementedError("WAV with zero channels")
+    if audio_format == 1 and bits in (8, 16):
+        dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+        frame_bytes = n_channels * bits // 8
+        if len(data) % frame_bytes:
+            raise NotImplementedError("truncated WAV data chunk")
+        samples = np.frombuffer(data, dtype=dtype).astype(np.int32)
+        return samples.reshape(-1, n_channels), int(sample_rate)
+    if audio_format == 3 and bits in (32, 64):
+        dtype = np.dtype("<f4") if bits == 32 else np.dtype("<f8")
+        frame_bytes = n_channels * bits // 8
+        if len(data) % frame_bytes:
+            raise NotImplementedError("truncated WAV data chunk")
+        samples = np.frombuffer(data, dtype=dtype).astype(np.float64)
+        return samples.reshape(-1, n_channels), int(sample_rate)
+    if audio_format == 0x11 and bits == 4:
+        samples = _ima_adpcm_decode(data, n_channels, block_align)
+        if fact is not None and fact <= samples.shape[0]:
+            samples = samples[:fact]
+        return samples, int(sample_rate)
+    raise NotImplementedError(
+        "only integer PCM (8/16-bit), IEEE float PCM (32/64-bit), and "
+        "IMA ADPCM WAV decode here; other encodings need codec "
+        "libraries not present in this environment")
 
 
 def encode_wav(samples, sample_rate: int) -> bytes:
@@ -1381,9 +1485,10 @@ def real_decoder(payload: bytes, mime: str) -> list[float]:
     features (width, height, mean R/G/B, global mean/min/max);
     RIFF/WAVE integer-PCM payloads decode via :func:`decode_wav` and
     yield the 8 :func:`audio_features`. Covers baseline JPEG, PNG,
-    GIF, lossless WebP (VP8L), and baseline TIFF too -- only formats
-    whose codecs are genuinely absent (lossy-VP8 WebP, AVIF/HEIC,
-    LZW/JPEG-compressed TIFF variants, compressed audio) still raise
+    GIF, lossless WebP (VP8L), baseline TIFF, and (audio) integer/
+    float PCM + IMA-ADPCM WAV -- only formats whose codecs are
+    genuinely absent (lossy-VP8 WebP, AVIF/HEIC, LZW/JPEG-compressed
+    TIFF variants, MS-ADPCM/a-law/mp3-in-WAV audio) still raise
     NotImplementedError."""
     if payload is not None and payload[:4] == b"RIFF" \
             and payload[8:12] != b"WEBP":

@@ -247,15 +247,117 @@ def test_wav_chunk_walk_skips_unknown_chunks():
 
 
 def test_wav_compressed_and_corrupt_raise():
-    # IMA ADPCM (format tag 0x11) -- genuinely compressed
-    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 4055, 256, 4)
-    adpcm = (b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
-             + b"fmt " + struct.pack("<I", 16) + fmt
-             + b"data" + struct.pack("<I", 4) + b"\0\0\0\0")
-    for bad in (adpcm, b"RIFF\x04\0\0\0WAVE", b"OggS" + b"\0" * 40,
+    # MS-ADPCM (format tag 2) -- compressed, no codec here
+    fmt = struct.pack("<HHIIHH", 0x02, 1, 8000, 4055, 256, 4)
+    msadpcm = (b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+               + b"fmt " + struct.pack("<I", 16) + fmt
+               + b"data" + struct.pack("<I", 4) + b"\0\0\0\0")
+    # IMA ADPCM with a TRUNCATED data chunk (not a block multiple)
+    ifmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 4055, 256, 4)
+    ima_trunc = (b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+                 + b"fmt " + struct.pack("<I", 16) + ifmt
+                 + b"data" + struct.pack("<I", 4) + b"\0\0\0\0")
+    for bad in (msadpcm, ima_trunc, b"RIFF\x04\0\0\0WAVE",
+                b"OggS" + b"\0" * 40,
                 wav_header_pcm8(100) + b"short"):
         with pytest.raises(NotImplementedError):
             decode_wav(bad)
+
+
+def _wav(fmt_tag: int, n_ch: int, rate: int, block_align: int,
+         bits: int, data: bytes, fact: int | None = None) -> bytes:
+    fmt = struct.pack("<HHIIHH", fmt_tag, n_ch, rate,
+                      rate * max(block_align, 1), block_align, bits)
+    parts = [b"fmt " + struct.pack("<I", 16) + fmt]
+    if fact is not None:
+        parts.append(b"fact" + struct.pack("<I", 4)
+                     + struct.pack("<I", fact))
+    parts.append(b"data" + struct.pack("<I", len(data)) + data)
+    body = b"WAVE" + b"".join(parts)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_float32_and_float64_exact():
+    vals = np.array([0.0, 0.5, -0.25, 1.0, -1.0, 0.125], dtype=np.float32)
+    p32 = _wav(3, 2, 48000, 8, 32, vals.tobytes())
+    s, rate = decode_wav(p32)
+    assert rate == 48000 and s.shape == (3, 2) and s.dtype == np.float64
+    assert np.array_equal(s.ravel(), vals.astype(np.float64))
+    v64 = vals.astype("<f8")
+    p64 = _wav(3, 1, 16000, 8, 64, v64.tobytes())
+    s, rate = decode_wav(p64)
+    assert s.shape == (6, 1) and np.array_equal(s.ravel(), v64)
+    # truncated float data raises the one catchable error
+    with pytest.raises(NotImplementedError):
+        decode_wav(_wav(3, 2, 48000, 8, 32, vals.tobytes()[:-2]))
+    # audio_features runs on float WAVs too
+    f = audio_features(p32)
+    assert f[0] == 48000.0 and f[1] == 2.0 and f[2] == 3.0
+
+
+def test_wav_ima_adpcm_hand_computed_golden():
+    """Step-table golden, fully hand-derived: mono, one block, header
+    predictor 0 / index 0, nibbles [2,9,0,15,4,4,8,3] (packed
+    low-half-first). Walking the published IMA quantizer by hand:
+    samples = [0, 3, 2, 2, -9, 9, 30, 28, 45]."""
+    body = struct.pack("<hBB", 0, 0, 0) + bytes([0x92, 0xF0, 0x44, 0x38])
+    p = _wav(0x11, 1, 8000, 8, 4, body, fact=9)
+    s, rate = decode_wav(p)
+    assert rate == 8000
+    assert list(s[:, 0]) == [0, 3, 2, 2, -9, 9, 30, 28, 45]
+
+
+def test_wav_ima_adpcm_stereo_interleave_and_fact():
+    """Stereo blocks interleave 4-byte words per channel; all-zero
+    nibbles hold each channel at its header predictor (step 7 >> 3 ==
+    0), and nibble 8 subtracts zero likewise. The fact chunk truncates
+    block padding."""
+    hdr = struct.pack("<hBB", 100, 0, 0) + struct.pack("<hBB", -100, 0, 0)
+    body = hdr + b"\x00" * 4 + b"\x88" * 4
+    p = _wav(0x11, 2, 8000, 16, 4, body, fact=7)
+    s, rate = decode_wav(p)
+    assert s.shape == (7, 2)
+    assert list(s[:, 0]) == [100] * 7
+    assert list(s[:, 1]) == [-100] * 7
+
+
+def test_wav_ima_adpcm_matches_reference_decoder():
+    """Pseudorandom nibble stream vs an independent in-test reference
+    implementation of the published IMA quantizer."""
+    import random
+
+    rng = random.Random(13)
+    nibbles = [rng.randrange(16) for _ in range(64)]
+    packed = bytes(nibbles[i] | (nibbles[i + 1] << 4)
+                   for i in range(0, 64, 2))
+    body = struct.pack("<hBB", -1234, 17, 0) + packed
+    p = _wav(0x11, 1, 22050, 4 + 32, 4, body)
+    s, _ = decode_wav(p)
+
+    STEPS = [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+             34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+             130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
+             408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060,
+             1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749,
+             3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+             7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+             18500, 20350, 22385, 24623, 27086, 29794, 32767]
+    ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+    pred, index, want = -1234, 17, [-1234]
+    for nib in nibbles:
+        step = STEPS[index]
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = max(-32768, min(32767, pred - diff if nib & 8
+                               else pred + diff))
+        index = max(0, min(88, index + ADJ[nib & 7]))
+        want.append(pred)
+    assert list(s[:, 0]) == want
 
 
 def test_resample_audio_nearest_floor_mapping():

@@ -767,20 +767,28 @@ def pretokenize_gpt2_sql(expr: str) -> str:
     )
 
 
+# The 256 mapped characters concatenated in byte order: ONE string
+# literal, indexed by byte value -- a CreateMap/CreateArray of 256+
+# literal children is NOT constant-folded by Catalyst and would be
+# rebuilt per row (measured ~37 ms/row; the string literal is free).
+_B2U_STR = "".join(_B2U[b] for b in range(256))
+
+
 def byte_symbols(c: Column) -> Column:
     """A string's UTF-8 bytes as an array of GPT-2 byte-alphabet
     characters -- the byte-level BPE base symbols. Pure JVM: hex the
-    encoded bytes, then map each hex pair through a 256-entry literal
-    map (no UDF, no driver round-trip)."""
+    encoded bytes, then index each byte's value (conv base 16) into
+    the 256-char mapping string literal (no UDF, no per-row map
+    construction)."""
     hx = F.lower(F.hex(F.encode(F.coalesce(c, F.lit("")), "UTF-8")))
-    m = F.create_map(*[
-        lit for b in range(256)
-        for lit in (F.lit(format(b, "02x")), F.lit(_B2U[b]))])
     n = (F.length(hx) / 2).cast("int")
     return F.when(n < 1, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), n),
-            lambda i: F.element_at(m, hx.substr(i * 2 - 1, F.lit(2)))))
+            lambda i: F.lit(_B2U_STR).substr(
+                F.conv(hx.substr(i * 2 - 1, F.lit(2)), 16, 10)
+                .cast("int") + 1,
+                F.lit(1))))
 
 
 def byte_symbols_sql(expr: str) -> str:

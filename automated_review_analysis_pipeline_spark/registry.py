@@ -1217,6 +1217,19 @@ def q_bpe_vocab_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
                         mode="byte")
 
 
+def q_bpe_encode_ids_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level corpus -> VOCAB IDS: the loader-facing integer stream
+    in GPT-2 form (ids index the closed 256-char byte alphabet + merge
+    ranks); ids space-joined for the driver compare."""
+    out = ta.bpe_encode_ids(_t(spark, sf_dir, "documents"), n_merges=3,
+                            merges=_shared_merges_bytes(spark, sf_dir, 3),
+                            mode="byte")
+    return out.select(
+        "doc_id", "n_bpe_tokens",
+        F.concat_ws(" ", F.transform(
+            "token_ids", lambda x: x.cast("string"))).alias("token_ids"))
+
+
 def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-EXACT sequence packing: the pack_sequences manifest driven
     by real BPE token counts (train-then-encode) instead of the
@@ -1838,6 +1851,7 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_train_bytes": q_bpe_train_bytes,
     "bpe_encode_bytes": q_bpe_encode_bytes,
     "bpe_vocab_bytes": q_bpe_vocab_bytes,
+    "bpe_encode_ids_bytes": q_bpe_encode_ids_bytes,
     "pack_sequences_bpe": q_pack_sequences_bpe,
     "order_value_percentiles": q_order_value_percentiles,
     "totalprice_histogram": q_totalprice_histogram,
@@ -2983,6 +2997,7 @@ ORACLE_SQL["bpe_encode_ids"] = ta.bpe_encode_ids_sql(3)
 ORACLE_SQL["bpe_train_bytes"] = ta.bpe_train_sql(3, mode="byte")
 ORACLE_SQL["bpe_encode_bytes"] = ta.bpe_encode_sql(3, mode="byte")
 ORACLE_SQL["bpe_vocab_bytes"] = ta.bpe_vocab_sql(3, mode="byte")
+ORACLE_SQL["bpe_encode_ids_bytes"] = ta.bpe_encode_ids_sql(3, mode="byte")
 ORACLE_SQL["pack_sequences_bpe"] = ta.pack_sequences_bpe_sql(128, 3)
 
 

@@ -177,6 +177,11 @@ HEADLINE = [
     "pack_sequences_bpe",
     "bpe_vocab",
     "bpe_encode_ids",
+    "bpe_train_bytes",
+    "bpe_encode_bytes",
+    "bpe_vocab_bytes",
+    "bpe_encode_ids_bytes",
+    "ivf_index_probe",
     "substring_dedup",
     "curate_corpus_tokens",
     "temperature_mix_tokens",

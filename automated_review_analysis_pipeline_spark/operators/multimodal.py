@@ -365,12 +365,59 @@ def _packbits(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
+def _tiff_lzw(data: bytes, expected: int) -> bytes:
+    """TIFF LZW decode (compression 5, TIFF 6.0 section 13): MSB-first
+    codes, 256=ClearCode / 257=EOI, table codes from 258, and the
+    spec's EARLY-CHANGE width bump -- the encoder moves to 10/11/12
+    bits when it ADDS code 511/1023/2047, so the decoder must widen one
+    code earlier than a GIF-style decoder would (here: when the table
+    is one short of the width's last usable code, because this loop
+    appends the entry for code k while processing code k+1)."""
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    out = bytearray()
+    bitpos, total = 0, len(data) * 8
+    while bitpos + width <= total and len(out) < expected:
+        i = bitpos >> 3
+        chunk = int.from_bytes(data[i:i + 4].ljust(4, b"\0"), "big")
+        code = (chunk >> (32 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == 256:  # clear
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if code == 257:  # end of information
+            break
+        if prev is None:
+            if code > 255:
+                raise NotImplementedError("bad first TIFF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+            table.append(entry)
+        else:
+            raise NotImplementedError("corrupt TIFF LZW stream")
+        out += entry
+        prev = entry
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise NotImplementedError("truncated TIFF LZW stream")
+    return bytes(out[:expected])
+
+
 def _decode_tiff(payload: bytes):
     """Dependency-free baseline TIFF decode -> (H, W, 3) uint8, written
     against the public TIFF 6.0 specification: both byte orders (II/MM),
     IFD walking with inline-or-offset values, strip assembly, 8-bit
-    gray/RGB/RGBA in chunky planar config, compression 1 (none) or
-    32773 (PackBits). LZW/JPEG-in-TIFF, tiles, planar=2, and non-8-bit
+    gray/RGB/RGBA in chunky planar config, compression 1 (none), 5
+    (LZW, incl. the horizontal-differencing predictor tag) or
+    32773 (PackBits). JPEG-in-TIFF, tiles, planar=2, and non-8-bit
     depths raise NotImplementedError."""
     import struct
 
@@ -425,10 +472,13 @@ def _decode_tiff(payload: bytes):
     if any(b != 8 for b in bits) or planar != 1 or w == 0 or h == 0:
         raise NotImplementedError(
             "only 8-bit chunky-planar TIFF supported")
-    if compression not in (1, 32773):
+    predictor = one(317, 1)
+    if compression not in (1, 5, 32773):
         raise NotImplementedError(
-            "only uncompressed or PackBits TIFF supported (LZW/JPEG "
-            "variants need codec work this container cannot validate)")
+            "only uncompressed, LZW, or PackBits TIFF supported "
+            "(JPEG-in-TIFF needs a codec library)")
+    if predictor not in (1, 2):
+        raise NotImplementedError("unsupported TIFF predictor")
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
@@ -444,6 +494,8 @@ def _decode_tiff(payload: bytes):
         expected = rows * w * spp
         if compression == 32773:
             raster += _packbits(strip, expected)
+        elif compression == 5:
+            raster += _tiff_lzw(strip, expected)
         else:
             if len(strip) < expected:
                 raise NotImplementedError("short TIFF strip")
@@ -452,6 +504,11 @@ def _decode_tiff(payload: bytes):
     if len(raster) != h * w * spp:
         raise NotImplementedError("TIFF raster size mismatch")
     px = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing: undo with a per-channel row cumsum
+        # (mod 256), the same telescoped recurrence as PNG's Sub filter
+        px = np.cumsum(px.astype(np.uint32), axis=1,
+                       dtype=np.uint32).astype(np.uint8)
     if spp == 1:
         return np.repeat(px, 3, axis=2)
     if spp >= 3:
@@ -1487,8 +1544,8 @@ def real_decoder(payload: bytes, mime: str) -> list[float]:
     yield the 8 :func:`audio_features`. Covers baseline JPEG, PNG,
     GIF, lossless WebP (VP8L), baseline TIFF, and (audio) integer/
     float PCM + IMA-ADPCM WAV -- only formats whose codecs are
-    genuinely absent (lossy-VP8 WebP, AVIF/HEIC, LZW/JPEG-compressed
-    TIFF variants, MS-ADPCM/a-law/mp3-in-WAV audio) still raise
+    genuinely absent (lossy-VP8 WebP, AVIF/HEIC, JPEG-in-TIFF/tiled
+    TIFF, MS-ADPCM/a-law/mp3-in-WAV audio) still raise
     NotImplementedError."""
     if payload is not None and payload[:4] == b"RIFF" \
             and payload[8:12] != b"WEBP":

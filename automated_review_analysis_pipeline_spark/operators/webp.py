@@ -11,14 +11,16 @@ round-trips in tests/test_multimodal_codec.py):
 - LZ77 backward references incl. the 120-entry 2-D distance mapping
 - color cache (hash 0x1e35a7bd, updated on every emitted pixel)
 - meta prefix groups selected by an entropy-coded huffman image
-- transforms: subtract-green, and color-indexing (delta-coded palette,
-  incl. pixel bundling for palettes <= 16)
+- transforms: subtract-green, color-indexing (delta-coded palette,
+  incl. pixel bundling for palettes <= 16), the per-tile PREDICTOR
+  transform (all 14 spatial modes, SWAR channel arithmetic, libwebp
+  edge rules incl. the contiguous-memory top-right of the last
+  column), and the per-tile CROSS-COLOR transform (int8 delta
+  multipliers, blue's red term on the restored red) -- each validated
+  by hand-built bitstreams whose residuals are forward-computed
+  spec-side in the tests
 
-The predictor and cross-color transforms raise NotImplementedError:
-their per-tile mode arithmetic cannot be validated end-to-end in this
-container (no reference codec to test against), and shipping
-unvalidated spec code would be worse than the honest raise. Lossy WebP
-(VP8) needs a real codec library and raises.
+Lossy WebP (VP8) needs a real codec library and raises.
 
 The encoder emits valid literal-only VP8L (flat 8-bit prefix codes,
 optional subtract-green) -- uncompressed-sized but spec-conformant, and
@@ -191,6 +193,124 @@ def _plane_code_to_distance(xsize: int, code: int) -> int:
     return max(1, dy * xsize + dx)
 
 
+def _avg2(a: int, b: int) -> int:
+    """Per-channel floor average of two packed ARGB pixels (SWAR: no
+    cross-channel carries)."""
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _add_px(a: int, b: int) -> int:
+    """Per-channel addition mod 256 of two packed ARGB pixels (SWAR)."""
+    return (((a & 0x7F7F7F7F) + (b & 0x7F7F7F7F))
+            ^ ((a ^ b) & 0x80808080))
+
+
+def _i8(v: int) -> int:
+    """uint8 -> int8 (two's complement), the cast VP8L's color
+    transform applies to channel values."""
+    return v - 256 if v >= 128 else v
+
+
+def _predict(mode: int, L: int, T: int, TL: int, TR: int) -> int:
+    """VP8L spatial predictor modes 0..13 (WebP Lossless Bitstream
+    Specification; arithmetic matches libwebp's lossless.c)."""
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    lc = ((L >> 24) & 0xFF, (L >> 16) & 0xFF, (L >> 8) & 0xFF, L & 0xFF)
+    tc = ((T >> 24) & 0xFF, (T >> 16) & 0xFF, (T >> 8) & 0xFF, T & 0xFF)
+    tl = ((TL >> 24) & 0xFF, (TL >> 16) & 0xFF, (TL >> 8) & 0xFF,
+          TL & 0xFF)
+    if mode == 11:  # Select
+        p = [lv + tv - tlv for lv, tv, tlv in zip(lc, tc, tl)]
+        p_l = sum(abs(pv - lv) for pv, lv in zip(p, lc))
+        p_t = sum(abs(pv - tv) for pv, tv in zip(p, tc))
+        return L if p_l < p_t else T
+    if mode == 12:  # ClampAddSubtractFull
+        out = 0
+        for shift, (lv, tv, tlv) in zip((24, 16, 8, 0), zip(lc, tc, tl)):
+            v = lv + tv - tlv
+            out |= (0 if v < 0 else 255 if v > 255 else v) << shift
+        return out
+    if mode == 13:  # ClampAddSubtractHalf
+        av = _avg2(L, T)
+        ac = ((av >> 24) & 0xFF, (av >> 16) & 0xFF, (av >> 8) & 0xFF,
+              av & 0xFF)
+        out = 0
+        for shift, (a_c, tlv) in zip((24, 16, 8, 0), zip(ac, tl)):
+            d = a_c - tlv
+            v = a_c + (d // 2 if d >= 0 else -((-d) // 2))  # C trunc div
+            out |= (0 if v < 0 else 255 if v > 255 else v) << shift
+        return out
+    raise NotImplementedError(f"invalid VP8L predictor mode {mode}")
+
+
+def _inverse_predictor(pixels: list[int], w: int, h: int,
+                       size_bits: int, bw: int,
+                       modes: list[int]) -> None:
+    """In-place inverse of the VP8L predictor transform: residuals
+    become pixels in raster order. Edge rules per spec: (0,0) predicts
+    opaque black, the rest of row 0 predicts L, column 0 predicts T;
+    the top-right neighbor of the last column is the CURRENT row's
+    first pixel (the contiguous-memory rule libwebp uses)."""
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if y == 0:
+                pred = 0xFF000000 if x == 0 else pixels[i - 1]
+            elif x == 0:
+                pred = pixels[i - w]
+            else:
+                mode = (modes[(y >> size_bits) * bw
+                              + (x >> size_bits)] >> 8) & 0xFF
+                pred = _predict(mode, pixels[i - 1], pixels[i - w],
+                                pixels[i - w - 1], pixels[i - w + 1])
+            pixels[i] = _add_px(pixels[i], pred)
+
+
+def _inverse_cross_color(pixels: list[int], w: int, h: int,
+                         size_bits: int, bw: int,
+                         elems: list[int]) -> None:
+    """In-place inverse of the VP8L color (cross-color) transform.
+    Element channels per spec: green_to_red in blue, green_to_blue in
+    green, red_to_blue in red; delta = (int8(t) * int8(c)) >> 5 with
+    ints (libwebp semantics), blue's red term uses the RESTORED
+    red."""
+    for y in range(h):
+        row_elems = (y >> size_bits) * bw
+        for x in range(w):
+            i = y * w + x
+            e = elems[row_elems + (x >> size_bits)]
+            g2r = _i8(e & 0xFF)
+            g2b = _i8((e >> 8) & 0xFF)
+            r2b = _i8((e >> 16) & 0xFF)
+            p = pixels[i]
+            g = (p >> 8) & 0xFF
+            r = (((p >> 16) & 0xFF) + ((g2r * _i8(g)) >> 5)) & 0xFF
+            b = ((p & 0xFF) + ((g2b * _i8(g)) >> 5)
+                 + ((r2b * _i8(r)) >> 5)) & 0xFF
+            pixels[i] = (p & 0xFF00FF00) | (r << 16) | b
+
+
 def _decode_pixels(br: BitReader, w: int, h: int, is_level0: bool):
     """Returns list[int] of ARGB pixels, length w*h (w possibly the
     bundled width for palette streams). Handles transforms only at
@@ -227,10 +347,14 @@ def _decode_pixels(br: BitReader, w: int, h: int, is_level0: bool):
                                    real_w))
                 if width_bits:
                     w = (w + (1 << width_bits) - 1) >> width_bits
-            else:
-                raise NotImplementedError(
-                    "VP8L predictor/cross-color transforms not "
-                    "supported (cannot be validated in this container)")
+            elif ttype in (0, 1):  # predictor / cross-color
+                size_bits = br.read(3) + 2
+                bw = (w + (1 << size_bits) - 1) >> size_bits
+                bh = (h + (1 << size_bits) - 1) >> size_bits
+                sub = _decode_pixels(br, bw, bh, False)
+                transforms.append((
+                    "predictor" if ttype == 0 else "cross_color",
+                    size_bits, bw, sub, w, h))
     cache_bits = 0
     cache = None
     if br.read(1):
@@ -352,6 +476,12 @@ def _decode_pixels(br: BitReader, w: int, h: int, is_level0: bool):
                 b = (p + gch) & 0xFF
                 out.append((p & 0xFF00FF00) | (r << 16) | b)
             pixels = out
+        elif t[0] == "predictor":
+            _, size_bits, bw, sub, tw, th = t
+            _inverse_predictor(pixels, tw, th, size_bits, bw, sub)
+        elif t[0] == "cross_color":
+            _, size_bits, bw, sub, tw, th = t
+            _inverse_cross_color(pixels, tw, th, size_bits, bw, sub)
     return pixels
 
 

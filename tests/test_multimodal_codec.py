@@ -1084,7 +1084,8 @@ def test_webp_prefix_repeat_codes():
 def test_webp_unsupported_modes_raise():
     rng = np.random.RandomState(1)
     img = rng.randint(0, 256, (3, 3, 3)).astype(np.uint8)
-    # predictor transform (type 0) honestly raises
+    # a predictor transform cut off mid-declaration raises (truncated
+    # sub-image; the transform itself decodes since round 8)
     bw = BitWriter()
     _hdr(bw, 3, 3)
     bw.write(1, 1)
@@ -1148,11 +1149,57 @@ from automated_review_analysis_pipeline_spark.operators.multimodal import (  # n
 )
 
 
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """Spec-side TIFF LZW encoder (TIFF 6.0 section 13): MSB-first
+    codes, EARLY CHANGE -- width moves to 10/11/12 bits when code
+    511/1023/2047 is ADDED -- and a ClearCode restart when the table
+    reaches 4094."""
+    codes: list[tuple[int, int]] = []
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    codes.append((256, width))
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        codes.append((table[w], width))
+        table[w + c] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            codes.append((256, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = c
+    if w:
+        codes.append((table[w], width))
+    codes.append((257, width))
+    out = bytearray()
+    acc = nbits = 0
+    for code, cw in codes:
+        acc = (acc << cw) | code
+        nbits += cw
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _tiff(img: np.ndarray, endian: str = "<", compression: int = 1,
-          rows_per_strip: int | None = None) -> bytes:
+          rows_per_strip: int | None = None,
+          predictor: int = 1) -> bytes:
     """Minimal test-side TIFF writer: 8-bit RGB chunky strips."""
     h, w = img.shape[:2]
     rows_per_strip = rows_per_strip or h
+    if predictor == 2:
+        d = img.astype(np.int16)
+        d[:, 1:, :] = d[:, 1:, :] - img.astype(np.int16)[:, :-1, :]
+        img = (d & 0xFF).astype(np.uint8)
     strips = []
     for y0 in range(0, h, rows_per_strip):
         raw = img[y0:y0 + rows_per_strip].tobytes()
@@ -1163,12 +1210,14 @@ def _tiff(img: np.ndarray, endian: str = "<", compression: int = 1,
                 chunk = raw[i:i + 128]
                 out += bytes([len(chunk) - 1]) + chunk
             strips.append(bytes(out))
+        elif compression == 5:
+            strips.append(_lzw_encode_tiff(raw))
         else:
             strips.append(raw)
     entries = []
     extra = bytearray()
     header_len = 8
-    n_entries = 9
+    n_entries = 9 + (1 if predictor == 2 else 0)
     ifd_len = 2 + 12 * n_entries + 4
     data_base = header_len + ifd_len
 
@@ -1192,6 +1241,8 @@ def _tiff(img: np.ndarray, endian: str = "<", compression: int = 1,
     entry(262, 3, [2], "H")
     entry(277, 3, [3], "H")
     entry(278, 3, [rows_per_strip], "H")
+    if predictor == 2:
+        entry(317, 3, [predictor], "H")
     # reserve strip tables in 'extra'
     so_off = data_base + len(extra)
     extra += b"\0" * (4 * len(strips))
@@ -1261,3 +1312,341 @@ def test_tiff_unsupported_raises():
         _decode_tiff(bytes(good))
     with pytest.raises(NotImplementedError):
         _decode_tiff(b"II*\x00" + b"\0" * 3)  # truncated
+
+
+# ---- VP8L predictor / cross-color transforms (round 8) -------------------
+
+def _i8t(v):
+    return v - 256 if v >= 128 else v
+
+
+def _sub_px(a, b):
+    out = 0
+    for sh in (24, 16, 8, 0):
+        out |= ((((a >> sh) & 0xFF) - ((b >> sh) & 0xFF)) & 0xFF) << sh
+    return out
+
+
+def _ref_predict(mode, L, T, TL, TR):
+    """Spec-side forward reference of the 14 VP8L predictor modes --
+    written independently of the decoder (per-channel tuples, no
+    SWAR)."""
+    def ch(p):
+        return [(p >> s) & 0xFF for s in (24, 16, 8, 0)]
+
+    def pack(cs):
+        return sum(c << s for c, s in zip(cs, (24, 16, 8, 0)))
+
+    def avg(a, b):
+        return [(x + y) // 2 for x, y in zip(ch(a), ch(b))]
+
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return pack([(a + t) // 2 for a, t in zip(avg(L, TR), ch(T))])
+    if mode == 6:
+        return pack(avg(L, TL))
+    if mode == 7:
+        return pack(avg(L, T))
+    if mode == 8:
+        return pack(avg(TL, T))
+    if mode == 9:
+        return pack(avg(T, TR))
+    if mode == 10:
+        a, b = avg(L, TL), avg(T, TR)
+        return pack([(x + y) // 2 for x, y in zip(a, b)])
+    if mode == 11:
+        p = [lv + tv - tlv for lv, tv, tlv in zip(ch(L), ch(T), ch(TL))]
+        pl = sum(abs(pv - lv) for pv, lv in zip(p, ch(L)))
+        pt = sum(abs(pv - tv) for pv, tv in zip(p, ch(T)))
+        return L if pl < pt else T
+    if mode == 12:
+        return pack([max(0, min(255, lv + tv - tlv))
+                     for lv, tv, tlv in zip(ch(L), ch(T), ch(TL))])
+    a = avg(L, T)
+    out = []
+    for av, tlv in zip(a, ch(TL)):
+        d = av - tlv
+        out.append(max(0, min(255, av + int(d / 2))))
+    return pack(out)
+
+
+def _forward_predictor(final, w, h, size_bits, bw_t, modes):
+    res = []
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if y == 0:
+                pred = 0xFF000000 if x == 0 else final[i - 1]
+            elif x == 0:
+                pred = final[i - w]
+            else:
+                m = modes[(y >> size_bits) * bw_t + (x >> size_bits)]
+                pred = _ref_predict(m, final[i - 1], final[i - w],
+                                    final[i - w - 1], final[i - w + 1])
+            res.append(_sub_px(final[i], pred))
+    return res
+
+
+def _forward_cross_color(final, w, h, size_bits, bw_t, elems):
+    out = []
+    for y in range(h):
+        for x in range(w):
+            p = final[y * w + x]
+            e = elems[(y >> size_bits) * bw_t + (x >> size_bits)]
+            g2r, g2b, r2b = (_i8t(e & 0xFF), _i8t((e >> 8) & 0xFF),
+                             _i8t((e >> 16) & 0xFF))
+            a, r = (p >> 24) & 0xFF, (p >> 16) & 0xFF
+            g, b = (p >> 8) & 0xFF, p & 0xFF
+            rs = (r - ((g2r * _i8t(g)) >> 5)) & 0xFF
+            bs = (b - ((g2b * _i8t(g)) >> 5) - ((r2b * _i8t(r)) >> 5)) \
+                & 0xFF
+            out.append((a << 24) | (rs << 16) | (g << 8) | bs)
+    return out
+
+
+def _argb_img(w, h, seed=3):
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, (h * w, 3))
+    return [(0xFF << 24) | (int(r) << 16) | (int(g) << 8) | int(b)
+            for r, g, b in px]
+
+
+def _write_sub_image(bw, greens):
+    """Entropy-code a transform sub-image whose pixels are
+    (0xFF<<24 | green<<8): green carries the mode/element byte."""
+    bw.write(0, 1)  # no color cache
+    if len(set(greens)) == 1:
+        _simple1(bw, greens[0])
+        gcodes = None
+    else:
+        lens = _lens(sorted(set(greens)), _VP8L_GREEN)
+        gcodes = _w_prefix(bw, lens)
+    for pref_sym in (0, 0, 0xFF):  # red, blue, alpha single-symbol
+        _simple1(bw, pref_sym)
+    _simple1(bw, 0)  # distance
+    if gcodes is not None:
+        for g in greens:
+            _emit(bw, gcodes, g)
+
+
+def _write_sub_image_argb(bw, pixels):
+    """Sub-image writer for arbitrary ARGB element pixels (cross-color
+    elements use red+green+blue channels)."""
+    bw.write(0, 1)
+    greens = [(p >> 8) & 0xFF for p in pixels]
+    reds = [(p >> 16) & 0xFF for p in pixels]
+    blues = [p & 0xFF for p in pixels]
+    alphas = [(p >> 24) & 0xFF for p in pixels]
+    chans = []
+    for vals, size in ((greens, _VP8L_GREEN), (reds, 256), (blues, 256),
+                       (alphas, 256)):
+        if len(set(vals)) == 1:
+            _simple1(bw, vals[0])
+            chans.append(None)
+        else:
+            chans.append(_w_prefix(bw, _lens(sorted(set(vals)), size)))
+    _simple1(bw, 0)  # distance
+    for i in range(len(pixels)):
+        for vals, codes in zip((greens, reds, blues, alphas), chans):
+            if codes is not None:
+                _emit(bw, codes, vals[i])
+
+
+def _write_main_pixels(bw, pixels):
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix
+    greens = [(p >> 8) & 0xFF for p in pixels]
+    reds = [(p >> 16) & 0xFF for p in pixels]
+    blues = [p & 0xFF for p in pixels]
+    alphas = [(p >> 24) & 0xFF for p in pixels]
+    chans = []
+    for vals, size in ((greens, _VP8L_GREEN), (reds, 256), (blues, 256),
+                       (alphas, 256)):
+        if len(set(vals)) == 1:
+            _simple1(bw, vals[0])
+            chans.append(None)
+        else:
+            chans.append(_w_prefix(bw, _lens(sorted(set(vals)), size)))
+    _simple1(bw, 0)  # distance
+    for i in range(len(pixels)):
+        for vals, codes in zip((greens, reds, blues, alphas), chans):
+            if codes is not None:
+                _emit(bw, codes, vals[i])
+
+
+def _to_rgb(pixels, w, h):
+    arr = np.zeros((h, w, 3), np.uint8)
+    for i, p in enumerate(pixels):
+        arr[i // w, i % w] = [(p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF]
+    return arr
+
+
+def test_webp_predictor_all_14_modes():
+    """Each spatial mode as a single-tile 4x4 image: residuals are
+    forward-computed by an independent spec-side reference; decode
+    must reproduce the exact pixels (incl. the row-0/column-0 edge
+    rules every image exercises)."""
+    w = h = 4
+    img = _argb_img(w, h)
+    for mode in range(14):
+        res = _forward_predictor(img, w, h, 2, 1, [mode])
+        bw = BitWriter()
+        _hdr(bw, w, h)
+        bw.write(1, 1)
+        bw.write(0, 2)       # predictor transform
+        bw.write(0, 3)       # size_bits = 2 -> 4x4 tiles -> one tile
+        _write_sub_image(bw, [mode])
+        bw.write(0, 1)       # no more transforms
+        _write_main_pixels(bw, res)
+        got = decode_webp_lossless(_vp8l(bw))
+        assert np.array_equal(got, _to_rgb(img, w, h)), f"mode {mode}"
+
+
+def test_webp_predictor_multi_tile_and_top_right_edge():
+    """8x4 image, 4x4 tiles with DIFFERENT modes (11=Select,
+    13=ClampAddSubtractHalf); x=w-1 pixels exercise the
+    contiguous-memory top-right rule (TR = current row's first
+    pixel)."""
+    w, h = 8, 4
+    img = _argb_img(w, h, seed=11)
+    modes = [11, 13]
+    res = _forward_predictor(img, w, h, 2, 2, modes)
+    bw = BitWriter()
+    _hdr(bw, w, h)
+    bw.write(1, 1)
+    bw.write(0, 2)
+    bw.write(0, 3)           # size_bits=2 -> two 4x4 tiles
+    _write_sub_image(bw, modes)
+    bw.write(0, 1)
+    _write_main_pixels(bw, res)
+    got = decode_webp_lossless(_vp8l(bw))
+    assert np.array_equal(got, _to_rgb(img, w, h))
+
+
+def test_webp_cross_color_transform():
+    """4x4 single-tile cross-color: multipliers g2r=+64, g2b=-112,
+    r2b=-1 (int8 semantics, blue's red term on the restored red);
+    stored channels forward-computed spec-side."""
+    w = h = 4
+    img = _argb_img(w, h, seed=5)
+    elem = (0xFF << 24) | (0xFF << 16) | (0x90 << 8) | 0x40
+    res = _forward_cross_color(img, w, h, 2, 1, [elem])
+    bw = BitWriter()
+    _hdr(bw, w, h)
+    bw.write(1, 1)
+    bw.write(1, 2)           # cross-color transform
+    bw.write(0, 3)           # size_bits = 2
+    _write_sub_image_argb(bw, [elem])
+    bw.write(0, 1)
+    _write_main_pixels(bw, res)
+    got = decode_webp_lossless(_vp8l(bw))
+    assert np.array_equal(got, _to_rgb(img, w, h))
+
+
+def test_webp_cross_color_then_subtract_green_compose():
+    """Two transforms in one stream: forward order cross-color then
+    subtract-green (stream read order), decoder inverts in reverse."""
+    w = h = 4
+    img = _argb_img(w, h, seed=9)
+    elem = (0xFF << 24) | (0x20 << 16) | (0xE0 << 8) | 0x7F
+    stage1 = _forward_cross_color(img, w, h, 2, 1, [elem])
+    stored = []
+    for p in stage1:
+        g = (p >> 8) & 0xFF
+        r = (((p >> 16) & 0xFF) - g) & 0xFF
+        b = ((p & 0xFF) - g) & 0xFF
+        stored.append((p & 0xFF00FF00) | (r << 16) | b)
+    bw = BitWriter()
+    _hdr(bw, w, h)
+    bw.write(1, 1)
+    bw.write(1, 2)           # cross-color first in stream order
+    bw.write(0, 3)
+    _write_sub_image_argb(bw, [elem])
+    bw.write(1, 1)
+    bw.write(2, 2)           # subtract green
+    bw.write(0, 1)           # no more transforms
+    _write_main_pixels(bw, stored)
+    got = decode_webp_lossless(_vp8l(bw))
+    assert np.array_equal(got, _to_rgb(img, w, h))
+
+
+def test_webp_invalid_predictor_mode_raises():
+    bw = BitWriter()
+    _hdr(bw, 2, 2)
+    bw.write(1, 1)
+    bw.write(0, 2)
+    bw.write(0, 3)
+    _write_sub_image(bw, [14])   # mode 14 does not exist
+    bw.write(0, 1)
+    _write_main_pixels(bw, [0xFF000000] * 4)
+    with pytest.raises(NotImplementedError):
+        decode_webp_lossless(_vp8l(bw))
+
+
+# ---- TIFF LZW (round 8) ---------------------------------------------------
+
+def test_tiff_lzw_hand_packed_golden():
+    """Hand-packed 9-bit MSB-first code stream [Clear, 'A', 258(KwKwK),
+    'B', EOI] -> 'AAAB' -- every byte derived by hand in the round-8
+    notes: 0x80 0x10 0x60 0x44 0x28 0x08."""
+    from automated_review_analysis_pipeline_spark.operators.multimodal import (
+        _tiff_lzw,
+    )
+
+    data = bytes([0x80, 0x10, 0x60, 0x44, 0x28, 0x08])
+    assert _tiff_lzw(data, 4) == b"AAAB"
+    with pytest.raises(NotImplementedError):
+        _tiff_lzw(data, 10)  # stream ends before 10 bytes exist
+
+
+def test_tiff_lzw_roundtrip_crosses_width_boundaries():
+    """Random strip large enough to push the code table past 511 and
+    1023 entries -- the early-change width bumps are exactly where a
+    GIF-style decoder diverges, so a byte-exact round-trip pins them."""
+    from automated_review_analysis_pipeline_spark.operators.multimodal import (
+        _tiff_lzw,
+    )
+
+    rng = np.random.RandomState(4)
+    raw = rng.randint(0, 256, 40 * 40 * 3).astype(np.uint8).tobytes()
+    enc = _lzw_encode_tiff(raw)
+    assert _tiff_lzw(enc, len(raw)) == raw
+    # and end-to-end through the TIFF container, both endians
+    img = rng.randint(0, 256, (40, 40, 3)).astype(np.uint8)
+    for endian in ("<", ">"):
+        assert np.array_equal(
+            decode_image(_tiff(img, endian, compression=5)), img)
+
+
+def test_tiff_lzw_multistrip_and_predictor():
+    img = _grad(9, 5)
+    # multi-strip LZW (each strip is an independent LZW stream)
+    p = _tiff(img, compression=5, rows_per_strip=4)
+    assert np.array_equal(decode_image(p), img)
+    # horizontal-differencing predictor (tag 317=2) composes with LZW
+    p2 = _tiff(img, compression=5, predictor=2)
+    assert np.array_equal(decode_image(p2), img)
+    # and with no compression
+    p3 = _tiff(img, compression=1, predictor=2)
+    assert np.array_equal(decode_image(p3), img)
+
+
+def test_tiff_lzw_table_clear_restart():
+    """A strip long and varied enough to force the encoder's 4094-entry
+    ClearCode restart; the decoder must reset width and table."""
+    rng = np.random.RandomState(8)
+    raw = rng.randint(0, 256, 24000).astype(np.uint8).tobytes()
+    enc = _lzw_encode_tiff(raw)
+    from automated_review_analysis_pipeline_spark.operators.multimodal import (
+        _tiff_lzw,
+    )
+    assert _tiff_lzw(enc, len(raw)) == raw

@@ -558,8 +558,11 @@ def _decode_jpeg(payload: bytes):
     carried in-stream, interleaved MCU scan with byte stuffing and
     restart markers, integer-ratio chroma subsampling (4:4:4 / 4:2:2 /
     4:2:0), DC prediction, zigzag dequantization, orthonormal IDCT,
-    JFIF YCbCr -> RGB. Progressive (SOF2), arithmetic coding, 12-bit
-    precision, and hierarchical modes raise NotImplementedError.
+    JFIF YCbCr -> RGB. PROGRESSIVE (SOF2) decodes too: spectral
+    selection + successive approximation per T.81 Annex G, multi-scan
+    coefficient accumulation with EOB runs and AC refinement
+    correction bits. Arithmetic coding, 12-bit precision, and
+    hierarchical modes raise NotImplementedError.
 
     Throughput note: the entropy decode is a per-symbol Python loop --
     correct and bounded, but the scale path is Arrow-batch parallelism
@@ -575,6 +578,8 @@ def _decode_jpeg(payload: bytes):
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    coef_store = None
     pos = 2
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -614,7 +619,7 @@ def _decode_jpeg(payload: bytes):
                     raise NotImplementedError("truncated JPEG DHT")
                 huff[(tc, th)] = _jpeg_huff_decode_table(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1: (extended) sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -623,10 +628,12 @@ def _decode_jpeg(payload: bytes):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
                 comps.append([cid, hv >> 4, hv & 15, tq])
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) supported")
+                "only sequential (SOF0/1) or progressive (SOF2) "
+                "JPEG supported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS -- entropy-coded data follows
@@ -634,13 +641,36 @@ def _decode_jpeg(payload: bytes):
                 raise NotImplementedError("JPEG SOS before SOF")
             ns = seg[0]
             sel = {}
+            scan_order = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 sel[cid] = (tt >> 4, tt & 15)
-            return _jpeg_decode_scan(payload, pos + 2 + ln, frame, sel,
-                                     qt, huff, restart_interval)
+                scan_order.append(cid)
+            if not progressive:
+                return _jpeg_decode_scan(payload, pos + 2 + ln, frame,
+                                         sel, qt, huff,
+                                         restart_interval)
+            band = (seg[1 + 2 * ns], seg[2 + 2 * ns],
+                    seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15)
+            if coef_store is None:
+                H_, W_, cs = frame
+                hmax = max(c[1] for c in cs)
+                vmax = max(c[2] for c in cs)
+                mx = (W_ + 8 * hmax - 1) // (8 * hmax)
+                my = (H_ + 8 * vmax - 1) // (8 * vmax)
+                coef_store = {
+                    c[0]: [[[0] * 64 for _ in range(mx * c[1])]
+                           for _ in range(my * c[2])]
+                    for c in cs
+                }
+            pos = _jpeg_progressive_scan(
+                payload, pos + 2 + ln, frame, scan_order, sel, band,
+                huff, coef_store, restart_interval)
+            continue
         # APPn/COM/other: skip
         pos += 2 + ln
+    if progressive and coef_store is not None:
+        return _jpeg_reconstruct(frame, coef_store, qt)
     raise NotImplementedError("JPEG contains no scan data")
 
 
@@ -966,6 +996,16 @@ def _jpeg_decode_scan(buf: bytes, start: int, frame, sel, qt, huff,
                        .transpose(0, 2, 4, 1, 3, 5)
                        .reshape(mcuy * cv * 8, mcux * ch * 8))
 
+    return _jpeg_assemble(planes, comps, hmax, vmax, H, W)
+
+
+def _jpeg_assemble(planes: dict, comps, hmax: int, vmax: int,
+                   H: int, W: int):
+    """Upsample component planes to full resolution, crop, and convert
+    JFIF YCbCr -> RGB (shared by the sequential and progressive
+    decoders)."""
+    import numpy as np
+
     full = []
     for cid, ch, cv, _ in comps:
         p = planes[cid]
@@ -987,6 +1027,242 @@ def _jpeg_decode_scan(buf: bytes, start: int, frame, sel, qt, huff,
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.stack([r, g, b], axis=2).round(),
                    0, 255).astype(np.uint8)
+
+
+def _jpeg_progressive_scan(buf: bytes, start: int, frame, scan_order,
+                           sel, band, huff, store,
+                           restart_interval: int) -> int:
+    """Decode ONE scan of a progressive (SOF2) JPEG into the shared
+    per-component coefficient store (T.81 Annex G): DC first/refine
+    scans (possibly interleaved), AC first scans with EOB runs, and AC
+    refinement scans with the correction-bit algorithm. Coefficients
+    are stored in ZIGZAG index order, scaled by 2^Al as they arrive.
+    Returns the position of the next marker."""
+    H, W, comps = frame
+    Ss, Se, Ah, Al = band
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (W + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+    comp_by_id = {c[0]: c for c in comps}
+
+    idx, resv, nres = start, 0, 0
+    nbuf = len(buf)
+    stopped_at_marker = False
+
+    def soft_fill(need: int) -> None:
+        nonlocal idx, resv, nres, stopped_at_marker
+        while nres < need and idx < nbuf:
+            b = buf[idx]
+            if b == 0xFF:
+                if idx + 1 < nbuf and buf[idx + 1] == 0x00:
+                    idx += 2
+                else:
+                    stopped_at_marker = True
+                    return
+            else:
+                idx += 1
+            resv = (resv << 8) | b
+            nres += 8
+
+    def read_bits(n: int) -> int:
+        nonlocal resv, nres
+        if n == 0:
+            return 0
+        if nres < n:
+            soft_fill(n)
+            if nres < n:
+                raise NotImplementedError(
+                    "unexpected marker inside JPEG scan"
+                    if stopped_at_marker else "truncated JPEG scan")
+        nres -= n
+        v = (resv >> nres) & ((1 << n) - 1)
+        resv &= (1 << nres) - 1
+        return v
+
+    def huffdecode(table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | read_bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise NotImplementedError("invalid JPEG huffman code")
+
+    def align_restart() -> None:
+        nonlocal idx, resv, nres, stopped_at_marker
+        resv, nres = 0, 0
+        stopped_at_marker = False
+        if (idx + 1 < nbuf and buf[idx] == 0xFF
+                and 0xD0 <= buf[idx + 1] <= 0xD7):
+            idx += 2
+        else:
+            raise NotImplementedError("missing JPEG restart marker")
+
+    def extend(v: int, t: int) -> int:
+        return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+    # MCU iteration: DC scans may interleave several components (MCU =
+    # the usual block group); AC scans are single-component and
+    # NON-interleaved (one block per MCU, over the component's TRUE
+    # block dimensions -- the MCU-padded blocks exist only in
+    # interleaved scans).
+    mcus: list[list[tuple[int, int, int]]] = []
+    if Ss == 0 and len(scan_order) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                mcu = []
+                for cid in scan_order:
+                    _, ch, cv, _tq = comp_by_id[cid]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            mcu.append((cid, my * cv + by, mx * ch + bx))
+                mcus.append(mcu)
+    else:
+        cid = scan_order[0]
+        _, ch, cv, _tq = comp_by_id[cid]
+        bw_true = ((W * ch + hmax - 1) // hmax + 7) // 8
+        bh_true = ((H * cv + vmax - 1) // vmax + 7) // 8
+        for r in range(bh_true):
+            for c in range(bw_true):
+                mcus.append([(cid, r, c)])
+
+    pred = {cid: 0 for cid in scan_order}
+    eobrun = 0
+    p1 = 1 << Al
+    m1 = -1 << Al
+    nmcu = 0
+    for mcu in mcus:
+        if restart_interval and nmcu and nmcu % restart_interval == 0:
+            align_restart()
+            eobrun = 0
+            for k2 in pred:
+                pred[k2] = 0
+        for cid, br_, bc_ in mcu:
+            blk = store[cid][br_][bc_]
+            if Ss == 0:
+                if Se != 0:
+                    raise NotImplementedError(
+                        "JPEG DC scan with nonzero Se")
+                if Ah == 0:  # DC first
+                    dct, _act = sel[cid]
+                    table = huff.get((0, dct))
+                    if table is None:
+                        raise NotImplementedError("missing JPEG table")
+                    t = huffdecode(table)
+                    pred[cid] += extend(read_bits(t), t) if t else 0
+                    blk[0] = pred[cid] << Al
+                else:  # DC refinement: one raw bit per block
+                    if read_bits(1):
+                        blk[0] |= p1
+                continue
+            # ---- AC scan ----
+            _dct, act = sel[cid]
+            table = huff.get((1, act))
+            if table is None:
+                raise NotImplementedError("missing JPEG table")
+            if Ah == 0:  # AC first scan for this bit position
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = Ss
+                while k <= Se:
+                    rs = huffdecode(table)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += read_bits(r)
+                        break
+                    k += r
+                    if k > Se:
+                        raise NotImplementedError(
+                            "JPEG AC index overflow")
+                    blk[k] = extend(read_bits(s), s) << Al
+                    k += 1
+                continue
+            # AC refinement (T.81 G.1.2.3 / Annex G decoder)
+            k = Ss
+            if eobrun == 0:
+                while k <= Se:
+                    rs = huffdecode(table)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += read_bits(r)
+                            break
+                        val = 0
+                    else:
+                        if s != 1:
+                            raise NotImplementedError(
+                                "invalid JPEG AC refinement symbol")
+                        val = p1 if read_bits(1) else m1
+                    while k <= Se:
+                        cur = blk[k]
+                        if cur != 0:
+                            if read_bits(1) and (cur & p1) == 0:
+                                blk[k] = cur + (p1 if cur >= 0 else m1)
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if val:
+                        if k > Se:
+                            raise NotImplementedError(
+                                "JPEG AC refinement overflow")
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= Se:
+                    cur = blk[k]
+                    if cur != 0:
+                        if read_bits(1) and (cur & p1) == 0:
+                            blk[k] = cur + (p1 if cur >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+        nmcu += 1
+
+    # position of the next marker: any partial byte is padding
+    while idx + 1 < nbuf:
+        if buf[idx] == 0xFF and buf[idx + 1] != 0x00:
+            return idx
+        idx += 1
+    return nbuf
+
+
+def _jpeg_reconstruct(frame, store, qt):
+    """Dequantize + de-zigzag + batched IDCT + assemble the progressive
+    coefficient store into RGB (the sequential decoder's tail, fed from
+    the multi-scan accumulator)."""
+    import numpy as np
+
+    H, W, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    C = _jpeg_dct_matrix()
+    zig = np.array(_JPEG_ZIGZAG)
+    planes = {}
+    for cid, ch, cv, tq in comps:
+        qtab = qt.get(tq)
+        if qtab is None:
+            raise NotImplementedError("missing JPEG table")
+        grid = store[cid]
+        bh, bwid = len(grid), len(grid[0])
+        arr = np.array([blk for row in grid for blk in row],
+                       dtype=np.float64) * qtab
+        fb = np.zeros_like(arr)
+        fb[:, zig] = arr
+        sp = C.T @ fb.reshape(-1, 8, 8) @ C + 128.0
+        planes[cid] = (sp.reshape(bh, bwid, 8, 8)
+                       .transpose(0, 2, 1, 3)
+                       .reshape(bh * 8, bwid * 8))
+    return _jpeg_assemble(planes, comps, hmax, vmax, H, W)
 
 
 def _jpeg_huff_encode_codes(bits: list[int], vals) -> dict:
@@ -1149,6 +1425,339 @@ def encode_jpeg(img, quant: int = 1, subsample: bool = False,
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     return (b"\xff\xd8" + dqt + dht + sof + dri + sos + bytes(scan)
             + b"\xff\xd9")
+
+
+# AC table for progressive scans: the 162 sequential run/size symbols
+# plus the 15 EOBn symbols (0x00..0xE0) refinement and first scans use
+# for end-of-band runs; canonical, 8 bits each, not full.
+_JPEG_ENC_ACP_BITS = [0] * 7 + [176] + [0] * 8
+_JPEG_ENC_ACP_VALS = bytes(sorted(
+    [0xF0] + [r << 4 for r in range(15)]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]))
+
+
+def encode_jpeg_progressive(img, quant: int = 1,
+                            subsample: bool = False,
+                            restart_interval: int = 0) -> bytes:
+    """(H, W, 3) uint8 -> PROGRESSIVE JPEG bytes (T.81 SOF2, Annex G):
+    a 6-scan script exercising every progressive mechanism --
+    interleaved DC first scan at Al=1, DC refinement, per-component AC
+    first scans with spectral selection (bands 1-5 and 6-63) at Al=1
+    with EOB-run aggregation, then AC refinement scans emitting
+    correction bits. Same coefficients as :func:`encode_jpeg`, so the
+    decoded pixels are bit-identical to the sequential encoding's."""
+    import struct
+
+    import numpy as np
+
+    C = _jpeg_dct_matrix()
+    zig = np.array(_JPEG_ZIGZAG)
+    qtab = np.full(64, float(quant))
+    dc_codes = _jpeg_huff_encode_codes(_JPEG_ENC_DC_BITS,
+                                       _JPEG_ENC_DC_VALS)
+    ac_codes = _jpeg_huff_encode_codes(_JPEG_ENC_ACP_BITS,
+                                       _JPEG_ENC_ACP_VALS)
+
+    H, W = img.shape[:2]
+    f = img.astype(np.float64)
+    r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    hs = vs = 2 if subsample else 1
+    mcux = (W + 8 * hs - 1) // (8 * hs)
+    mcuy = (H + 8 * vs - 1) // (8 * vs)
+
+    def pad(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                      mode="edge")
+
+    yp = pad(y, mcuy * vs * 8, mcux * hs * 8)
+    if subsample:
+        cbp = pad(cb[:mcuy * 16, :mcux * 16], mcuy * 16, mcux * 16) \
+            .reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+        crp = pad(cr[:mcuy * 16, :mcux * 16], mcuy * 16, mcux * 16) \
+            .reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+    else:
+        cbp = pad(cb, mcuy * 8, mcux * 8)
+        crp = pad(cr, mcuy * 8, mcux * 8)
+    comps = [(1, hs, vs, yp), (2, 1, 1, cbp), (3, 1, 1, crp)]
+
+    # quantized zigzag coefficients per component, batched
+    coefs = {}
+    dims = {}
+    for cid, ch, cv, plane in comps:
+        bh, bwid = mcuy * cv, mcux * ch
+        blocks = (plane.reshape(bh, 8, bwid, 8).transpose(0, 2, 1, 3)
+                  - 128.0)
+        fq = C @ blocks @ C.T
+        qz = np.round(fq.reshape(bh, bwid, 64)[:, :, zig]
+                      / qtab).astype(np.int64)
+        qz[:, :, 1:] = np.clip(qz[:, :, 1:], -1023, 1023)
+        coefs[cid] = qz
+        bw_true = ((W * ch + hs - 1) // hs + 7) // 8
+        bh_true = ((H * cv + vs - 1) // vs + 7) // 8
+        dims[cid] = (bh_true, bw_true, bh, bwid)
+
+    out = bytearray()
+    acc, nacc = 0, 0
+    scan = bytearray()
+    rst_no = 0
+
+    def wbits(code: int, length: int) -> None:
+        nonlocal acc, nacc
+        for i in range(length - 1, -1, -1):
+            acc = (acc << 1) | ((code >> i) & 1)
+            nacc += 1
+            if nacc == 8:
+                scan.append(acc)
+                if acc == 0xFF:
+                    scan.append(0x00)
+                acc, nacc = 0, 0
+
+    def flush() -> None:
+        nonlocal acc, nacc
+        if nacc:
+            v = (acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)
+            scan.append(v)
+            if v == 0xFF:
+                scan.append(0x00)
+            acc, nacc = 0, 0
+
+    def wsym(sym: int) -> None:
+        code, ln = ac_codes[sym]
+        wbits(code, ln)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    def sos(specs: list[tuple[int, int]], Ss: int, Se: int, Ah: int,
+            Al: int) -> bytes:
+        body = bytes([len(specs)])
+        for cid, tt in specs:
+            body += bytes([cid, tt])
+        return seg(0xDA, body + bytes([Ss, Se, (Ah << 4) | Al]))
+
+    def emit_restart() -> None:
+        nonlocal rst_no
+        flush()
+        scan.append(0xFF)
+        scan.append(0xD0 + rst_no % 8)
+        rst_no += 1
+
+    # ---- scan 1: DC first, interleaved, Al=1 ----
+    def dc_first_scan(al: int) -> None:
+        nonlocal rst_no
+        rst_no = 0
+        pred = {cid: 0 for cid, _, _, _ in comps}
+        nmcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and nmcu \
+                        and nmcu % restart_interval == 0:
+                    emit_restart()
+                    for k in pred:
+                        pred[k] = 0
+                for cid, ch, cv, _pl in comps:
+                    for by in range(cv):
+                        for bx in range(ch):
+                            dc = int(coefs[cid][my * cv + by,
+                                                mx * ch + bx, 0]) >> al
+                            diff = dc - pred[cid]
+                            pred[cid] = dc
+                            t = abs(diff).bit_length()
+                            code, ln = dc_codes[t]
+                            wbits(code, ln)
+                            if t:
+                                wbits(diff if diff > 0
+                                      else diff + (1 << t) - 1, t)
+                nmcu += 1
+        flush()
+
+    # ---- DC refinement: one raw bit per block ----
+    def dc_refine_scan(al: int) -> None:
+        nonlocal rst_no
+        rst_no = 0
+        nmcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and nmcu \
+                        and nmcu % restart_interval == 0:
+                    emit_restart()
+                for cid, ch, cv, _pl in comps:
+                    for by in range(cv):
+                        for bx in range(ch):
+                            dc = int(coefs[cid][my * cv + by,
+                                                mx * ch + bx, 0])
+                            wbits((dc >> al) & 1, 1)
+                nmcu += 1
+        flush()
+
+    def flush_eob(eobrun: int, bits: list[int]) -> None:
+        if not eobrun:
+            return
+        rr = eobrun.bit_length() - 1
+        wsym(rr << 4)
+        if rr:
+            wbits(eobrun - (1 << rr), rr)
+        for bit in bits:
+            wbits(bit, 1)
+
+    # ---- AC first scan: one component, band Ss..Se, point transf Al
+    def ac_first_scan(cid: int, Ss: int, Se: int, al: int) -> None:
+        nonlocal rst_no
+        rst_no = 0
+        bh_true, bw_true, _, _ = dims[cid]
+        eobrun = 0
+        nmcu = 0
+        for br_ in range(bh_true):
+            for bc_ in range(bw_true):
+                if restart_interval and nmcu \
+                        and nmcu % restart_interval == 0:
+                    flush_eob(eobrun, [])
+                    eobrun = 0
+                    emit_restart()
+                nmcu += 1
+                blk = coefs[cid][br_, bc_]
+                ts = [int(abs(v)) >> al if v >= 0
+                      else -(int(-v) >> al)
+                      for v in blk[Ss:Se + 1]]
+                if not any(ts):
+                    eobrun += 1
+                    if eobrun == 32767:
+                        flush_eob(eobrun, [])
+                        eobrun = 0
+                    continue
+                flush_eob(eobrun, [])
+                eobrun = 0
+                run = 0
+                last_nz = max(i for i, t in enumerate(ts) if t)
+                for i, t in enumerate(ts):
+                    if i > last_nz:
+                        break
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        wsym(0xF0)
+                        run -= 16
+                    s = abs(t).bit_length()
+                    wsym((run << 4) | s)
+                    wbits(t if t > 0 else t + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < Se - Ss:
+                    eobrun = 1
+        flush_eob(eobrun, [])
+        flush()
+
+    # ---- AC refinement scan (T.81 G.1.2.3 encoder shape) ----
+    def ac_refine_scan(cid: int, Ss: int, Se: int, al: int) -> None:
+        nonlocal rst_no
+        rst_no = 0
+        bh_true, bw_true, _, _ = dims[cid]
+        eobrun = 0
+        eob_bits: list[int] = []
+        nmcu = 0
+        for br_ in range(bh_true):
+            for bc_ in range(bw_true):
+                if restart_interval and nmcu \
+                        and nmcu % restart_interval == 0:
+                    flush_eob(eobrun, eob_bits)
+                    eobrun, eob_bits = 0, []
+                    emit_restart()
+                nmcu += 1
+                blk = coefs[cid][br_, bc_]
+                # events in band order: zero-history / history (with
+                # its correction bit) / newly-nonzero (with its sign)
+                events = []
+                for v in blk[Ss:Se + 1]:
+                    m = int(abs(v)) >> al
+                    if m >= 2:
+                        events.append(("h", m & 1))
+                    elif m == 1:
+                        events.append(("n", 1 if v > 0 else 0))
+                    else:
+                        events.append(("z",))
+                if not any(e[0] == "n" for e in events):
+                    eobrun += 1
+                    eob_bits += [e[1] for e in events if e[0] == "h"]
+                    if eobrun == 32767:
+                        flush_eob(eobrun, eob_bits)
+                        eobrun, eob_bits = 0, []
+                    continue
+                flush_eob(eobrun, eob_bits)
+                eobrun, eob_bits = 0, []
+                pos = 0
+                n_ev = len(events)
+                while pos < n_ev:
+                    j, zcount, nxt = pos, 0, None
+                    while j < n_ev:
+                        if events[j][0] == "n":
+                            nxt = j
+                            break
+                        if events[j][0] == "z":
+                            zcount += 1
+                        j += 1
+                    if nxt is None:
+                        # trailing band: joins the EOB run with its
+                        # remaining correction bits
+                        if pos < n_ev:
+                            eobrun = 1
+                            eob_bits = [e[1] for e in events[pos:]
+                                        if e[0] == "h"]
+                        break
+                    while zcount > 15:
+                        wsym(0xF0)
+                        zz = 0
+                        while zz < 16:
+                            ev = events[pos]
+                            pos += 1
+                            if ev[0] == "h":
+                                wbits(ev[1], 1)
+                            else:
+                                zz += 1
+                        zcount -= 16
+                    wsym((zcount << 4) | 1)
+                    wbits(events[nxt][1], 1)
+                    for ev in events[pos:nxt]:
+                        if ev[0] == "h":
+                            wbits(ev[1], 1)
+                    pos = nxt + 1
+        flush_eob(eobrun, eob_bits)
+        flush()
+
+    # ---- container ----
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qtab))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(_JPEG_ENC_DC_BITS)
+               + _JPEG_ENC_DC_VALS)
+           + seg(0xC4, bytes([0x10]) + bytes(_JPEG_ENC_ACP_BITS)
+                 + _JPEG_ENC_ACP_VALS))
+    sof = seg(0xC2, struct.pack(">BHHB", 8, H, W, 3)
+              + bytes([1, (hs << 4) | vs, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    dri = (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    out += b"\xff\xd8" + dqt + dht + sof + dri
+
+    all_specs = [(1, 0x00), (2, 0x00), (3, 0x00)]
+    scan = bytearray()
+    dc_first_scan(1)
+    out += sos(all_specs, 0, 0, 0, 1) + bytes(scan)
+    scan = bytearray()
+    dc_refine_scan(0)
+    out += sos(all_specs, 0, 0, 1, 0) + bytes(scan)
+    for Ss, Se in ((1, 5), (6, 63)):
+        for cid in (1, 2, 3):
+            scan = bytearray()
+            ac_first_scan(cid, Ss, Se, 1)
+            out += sos([(cid, 0x00)], Ss, Se, 0, 1) + bytes(scan)
+    for Ss, Se in ((1, 5), (6, 63)):
+        for cid in (1, 2, 3):
+            scan = bytearray()
+            ac_refine_scan(cid, Ss, Se, 0)
+            out += sos([(cid, 0x00)], Ss, Se, 1, 0) + bytes(scan)
+    return bytes(out) + b"\xff\xd9"
 
 
 def _lzw_decode(data: bytes, min_code_size: int,

@@ -1650,3 +1650,65 @@ def test_tiff_lzw_table_clear_restart():
         _tiff_lzw,
     )
     assert _tiff_lzw(enc, len(raw)) == raw
+
+
+# ---- progressive JPEG (SOF2, round 8) -------------------------------------
+
+from automated_review_analysis_pipeline_spark.operators.multimodal import (  # noqa: E402,E501
+    encode_jpeg_progressive,
+)
+
+
+def test_jpeg_progressive_matches_sequential_exactly():
+    """The progressive encoder writes the SAME quantized coefficients
+    as the sequential encoder through a 6-scan progressive script
+    (interleaved DC first/refine at Al=1->0, per-component spectral
+    bands 1-5 / 6-63 first+refine), so the decoded pixels must be
+    BIT-IDENTICAL to decoding the sequential file -- any divergence in
+    EOB runs, ZRL handling, correction bits, or successive
+    approximation shows up as a pixel diff."""
+    rng = np.random.RandomState(21)
+    noise = rng.randint(0, 256, (24, 17, 3)).astype(np.uint8)
+    yy, xx = np.mgrid[0:24, 0:17]
+    smooth = np.stack([(yy * 5) % 256, (xx * 9) % 256,
+                       ((yy + xx) * 3) % 256], axis=2).astype(np.uint8)
+    for img in (noise, smooth):
+        for quant in (1, 8, 24):
+            for sub in (False, True):
+                seq = decode_image(encode_jpeg(img, quant=quant,
+                                               subsample=sub))
+                pro = decode_image(encode_jpeg_progressive(
+                    img, quant=quant, subsample=sub))
+                assert np.array_equal(seq, pro), (quant, sub)
+
+
+def test_jpeg_progressive_restart_markers():
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, (20, 20, 3)).astype(np.uint8)
+    seq = decode_image(encode_jpeg(img, quant=8))
+    pro = decode_image(encode_jpeg_progressive(img, quant=8,
+                                               restart_interval=2))
+    assert np.array_equal(seq, pro)
+
+
+def test_jpeg_progressive_truncated_raises():
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    p = encode_jpeg_progressive(img, quant=8)
+    with pytest.raises(NotImplementedError):
+        decode_image(p[:len(p) // 2])
+
+
+def test_jpeg_progressive_zrl_in_refinement():
+    """A high-frequency checkerboard concentrates energy at zigzag
+    index 63, so in the 6..63 refinement band the new +-1 coefficient
+    sits behind 50+ zero-history positions -- forcing the ZRL
+    (skip-16-zero-history) path of the refinement decoder (verified by
+    branch tracing to fire here)."""
+    yy, xx = np.mgrid[0:16, 0:16]
+    checker = (128 + 9 * ((-1.0) ** (xx + yy))).astype(np.uint8)
+    img = np.stack([checker] * 3, axis=2)
+    for quant in (8, 24, 32):
+        seq = decode_image(encode_jpeg(img, quant=quant))
+        pro = decode_image(encode_jpeg_progressive(img, quant=quant))
+        assert np.array_equal(seq, pro), quant

@@ -187,6 +187,11 @@ def main() -> None:
             d, ["lang", "source"], order_by=["doc_id"]),
         "near_dup_components (thr 0.8)": lambda d, v:
             sim.near_dup_components(v, threshold=0.8),
+        # round-8: force the distributed large-star/small-star path
+        # (the auto edge-count flip keeps test scales on union-find, so
+        # without forcing it the 100 TB algorithm would never be timed)
+        "near_dup_components star (forced)": lambda d, v:
+            sim.near_dup_components(v, threshold=0.8, distributed=True),
         "semantic_dedup (thr 0.8)": lambda d, v: sim.semantic_dedup(
             v, threshold=0.8),
         "leakage_safe_split (thr 0.8)": lambda d, v:

@@ -1230,6 +1230,43 @@ def q_bpe_encode_ids_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_ids", lambda x: x.cast("string"))).alias("token_ids"))
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY report per source -- the loader metric that
+    decides whether a trained tokenizer is any good on a corpus slice:
+    byte-BPE tokens per whitespace word (fertility) and UTF-8 bytes per
+    BPE token (compression), over the byte-level 3-merge encode.
+    Metrics are over encoded documents (docs whose pretoken stream is
+    non-empty), identical semantics in the oracle."""
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = ta.bpe_encode(docs, n_merges=3,
+                        merges=_shared_merges_bytes(spark, sf_dir, 3),
+                        mode="byte")
+    per_doc = enc.select("doc_id", "n_bpe_tokens").join(
+        docs.select(
+            "doc_id", "source",
+            F.octet_length("text").alias("__bytes"),
+            token_count(F.col("text")).alias("__ws")),
+        "doc_id")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__bytes").cast("long").alias("n_bytes"),
+            F.sum("__ws").cast("long").alias("n_ws_tokens"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.round(F.sum("n_bpe_tokens") / F.sum("__ws"), 6)
+            .alias("fertility"),
+            F.round(F.sum("__bytes") / F.sum("n_bpe_tokens"), 6)
+            .alias("bytes_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-EXACT sequence packing: the pack_sequences manifest driven
     by real BPE token counts (train-then-encode) instead of the
@@ -1852,6 +1889,7 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_encode_bytes": q_bpe_encode_bytes,
     "bpe_vocab_bytes": q_bpe_vocab_bytes,
     "bpe_encode_ids_bytes": q_bpe_encode_ids_bytes,
+    "tokenizer_fertility": q_tokenizer_fertility,
     "pack_sequences_bpe": q_pack_sequences_bpe,
     "order_value_percentiles": q_order_value_percentiles,
     "totalprice_histogram": q_totalprice_histogram,
@@ -2998,6 +3036,25 @@ ORACLE_SQL["bpe_train_bytes"] = ta.bpe_train_sql(3, mode="byte")
 ORACLE_SQL["bpe_encode_bytes"] = ta.bpe_encode_sql(3, mode="byte")
 ORACLE_SQL["bpe_vocab_bytes"] = ta.bpe_vocab_sql(3, mode="byte")
 ORACLE_SQL["bpe_encode_ids_bytes"] = ta.bpe_encode_ids_sql(3, mode="byte")
+# tokenizer_fertility: byte-mode encode CTEs joined back to documents for
+# source/bytes/whitespace-token counts, aggregated per source
+ORACLE_SQL["tokenizer_fertility"] = ta._bpe_encode_ctes(3, mode="byte") + f""",
+enc AS (
+  SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_bpe
+  FROM dwords JOIN s3 USING (word) GROUP BY doc_id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(octet_length(encode(d.text))) AS BIGINT) AS n_bytes,
+       CAST(sum(len({ta.tokens_sql('d.text')})) AS BIGINT) AS n_ws_tokens,
+       CAST(sum(e.n_bpe) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(e.n_bpe) AS DOUBLE)
+             / sum(len({ta.tokens_sql('d.text')})), 6) AS fertility,
+       round(CAST(sum(octet_length(encode(d.text))) AS DOUBLE)
+             / sum(e.n_bpe), 6) AS bytes_per_token
+FROM enc e JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
 ORACLE_SQL["pack_sequences_bpe"] = ta.pack_sequences_bpe_sql(128, 3)
 
 

@@ -181,6 +181,7 @@ HEADLINE = [
     "bpe_encode_bytes",
     "bpe_vocab_bytes",
     "bpe_encode_ids_bytes",
+    "tokenizer_fertility",
     "ivf_index_probe",
     "substring_dedup",
     "curate_corpus_tokens",

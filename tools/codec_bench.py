@@ -21,6 +21,7 @@ from automated_review_analysis_pipeline_spark.operators.multimodal import (  # n
     _decode_png,
     decode_image,
     encode_jpeg,
+    encode_jpeg_progressive,
     encode_png,
     encode_ppm,
 )
@@ -100,6 +101,13 @@ def main() -> None:
     rows.append(("JPEG q8 smooth", len(js), _t(_decode_jpeg, js)))
     jn = encode_jpeg(noise, quant=8)
     rows.append(("JPEG q8 noise (worst case)", len(jn), _t(_decode_jpeg, jn)))
+    jps = encode_jpeg_progressive(smooth, quant=8)
+    rows.append(("progressive JPEG q8 smooth", len(jps),
+                 _t(_decode_jpeg, jps)))
+    jpn = encode_jpeg_progressive(noise, quant=8)
+    rows.append(("progressive JPEG q8 noise", len(jpn),
+                 _t(_decode_jpeg, jpn)))
+    assert np.array_equal(_decode_jpeg(jpn), _decode_jpeg(jn))
 
     # correctness spot-check rides along: filters must stay pixel-exact
     assert np.array_equal(_decode_png(p134), smooth)

@@ -1080,11 +1080,57 @@ def _jpeg_progressive_scan(buf: bytes, start: int, frame, scan_order,
         resv &= (1 << nres) - 1
         return v
 
+    # byte-wise Huffman fast tables, same shape as the sequential
+    # decoder's: next-8-bits -> (symbol << 4) | length for codes <= 8
+    # bits, (length, code) dict walk for the rest
+    _fast: dict[int, tuple] = {}
+
+    def fast_of(table: dict) -> tuple:
+        key = id(table)
+        ent = _fast.get(key)
+        if ent is None:
+            lut: list = [None] * 256
+            longc: dict = {}
+            for (ln, code), sym in table.items():
+                if ln <= 8:
+                    base = code << (8 - ln)
+                    packed = (sym << 4) | ln
+                    for i in range(1 << (8 - ln)):
+                        lut[base + i] = packed
+                else:
+                    longc[(ln, code)] = sym
+            ent = (lut, longc)
+            _fast[key] = ent
+        return ent
+
     def huffdecode(table: dict) -> int:
-        code = 0
-        for length in range(1, 17):
+        nonlocal resv, nres
+        lut, longc = fast_of(table)
+        if nres < 8:
+            soft_fill(8)
+        if nres >= 8:
+            key = (resv >> (nres - 8)) & 0xFF
+        elif nres > 0:
+            key = ((resv << (8 - nres))
+                   | ((1 << (8 - nres)) - 1)) & 0xFF
+        else:
+            raise NotImplementedError(
+                "unexpected marker inside JPEG scan"
+                if stopped_at_marker else "truncated JPEG scan")
+        ent = lut[key]
+        if ent is not None:
+            ln = ent & 0xF
+            if ln <= nres:
+                nres -= ln
+                resv &= (1 << nres) - 1
+                return ent >> 4
+            raise NotImplementedError(
+                "unexpected marker inside JPEG scan"
+                if stopped_at_marker else "truncated JPEG scan")
+        code = read_bits(8)
+        for length in range(9, 17):
             code = (code << 1) | read_bits(1)
-            sym = table.get((length, code))
+            sym = longc.get((length, code))
             if sym is not None:
                 return sym
         raise NotImplementedError("invalid JPEG huffman code")

@@ -1996,7 +1996,11 @@ def _ima_adpcm_decode(data: bytes, n_channels: int, block_align: int):
 
     import numpy as np
 
-    if block_align < 4 * n_channels or (block_align - 4 * n_channels) % 4:
+    if block_align < 4 * n_channels \
+            or (block_align - 4 * n_channels) % (4 * n_channels):
+        # the body must be a whole number of per-channel 4-byte word
+        # groups; a ragged multi-channel block would otherwise decode
+        # channels to different lengths and silently truncate
         raise NotImplementedError("invalid IMA ADPCM block alignment")
     if len(data) % block_align:
         raise NotImplementedError("truncated IMA ADPCM data chunk")
@@ -2174,8 +2178,18 @@ def audio_features(payload: bytes) -> list[float]:
     [sample_rate, n_channels, n_frames, duration_ms (floor), min
     sample, max sample, sum of samples, peak absolute deviation from
     the stream mean's integer floor]. Integer-valued by construction so
-    the driver's int-rendered compare is exact across engines."""
+    the driver's int-rendered compare is exact across engines.
+
+    IEEE-float WAVs (fmt 3) decode to float64 in [-1, 1]; those are
+    scaled into the int16 domain first (rint(x * 32767), clipped) so
+    min/max/sum/peak stay integer-valued and a full-scale [-1, 1]
+    stream reports peak ~32767 instead of int-truncating to 0."""
+    import numpy as np
+
     samples, rate = decode_wav(payload)
+    if samples.dtype.kind == "f":
+        samples = np.clip(np.rint(samples * 32767.0),
+                          -32768, 32767).astype(np.int64)
     n = samples.shape[0]
     flat = samples.ravel()
     center = int(flat.sum()) // max(flat.size, 1)

@@ -1473,12 +1473,17 @@ def q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-partitioned corpus parquet): same results as ivf_trained_topk
     (shared oracle), but the query pays no training and reads only the
     probed cells' partitions (dynamic partition pruning)."""
+    import atexit
+    import shutil
     import tempfile
 
     e = _t(spark, sf_dir, "embeddings")
     store = _IVF_INDEX_MEMO.get(sf_dir)
     if store is None:
         store = tempfile.mkdtemp(prefix="arap_ivf_index_")
+        # process-exit cleanup: the memo spans queries within a run, but
+        # the index store must not outlive the process under /tmp
+        atexit.register(shutil.rmtree, store, ignore_errors=True)
         sim.build_ivf_index(e, store, n_centroids=16, train_iterations=2)
         _IVF_INDEX_MEMO[sf_dir] = store
     return sim.ivf_probe(spark, store,

@@ -290,9 +290,14 @@ def test_wav_float32_and_float64_exact():
     # truncated float data raises the one catchable error
     with pytest.raises(NotImplementedError):
         decode_wav(_wav(3, 2, 48000, 8, 32, vals.tobytes()[:-2]))
-    # audio_features runs on float WAVs too
+    # audio_features runs on float WAVs too -- and scales [-1, 1]
+    # streams into the int16 domain so every feature stays
+    # integer-valued and full-scale audio does not int-truncate to 0
     f = audio_features(p32)
     assert f[0] == 48000.0 and f[1] == 2.0 and f[2] == 3.0
+    assert all(v == float(int(v)) for v in f)
+    assert f[4] == -32767.0 and f[5] == 32767.0  # min / max at +-1.0
+    assert f[7] >= 16384.0  # peak deviation, not truncated to 0
 
 
 def test_wav_ima_adpcm_hand_computed_golden():
@@ -319,6 +324,17 @@ def test_wav_ima_adpcm_stereo_interleave_and_fact():
     assert s.shape == (7, 2)
     assert list(s[:, 0]) == [100] * 7
     assert list(s[:, 1]) == [-100] * 7
+
+
+def test_wav_ima_adpcm_ragged_multichannel_block_raises():
+    """A stereo block whose body is NOT a whole number of per-channel
+    4-byte word groups (12 body bytes, needs multiples of 8) must raise
+    the one catchable error instead of decoding ragged channels."""
+    hdr = struct.pack("<hBB", 0, 0, 0) + struct.pack("<hBB", 0, 0, 0)
+    body = hdr + b"\x00" * 12
+    p = _wav(0x11, 2, 8000, 8 + 12, 4, body)
+    with pytest.raises(NotImplementedError):
+        decode_wav(p)
 
 
 def test_wav_ima_adpcm_matches_reference_decoder():

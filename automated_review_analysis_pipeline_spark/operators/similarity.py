@@ -618,6 +618,139 @@ def ivf_probe(spark, store_dir: str, queries: DataFrame, k: int = 5,
     return _ivf_rank(corpus, probes, k)
 
 
+def build_pq_index(embeddings: DataFrame, store_dir: str,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   m: int = 8, ksub: int = 16, train_n: int = 1024,
+                   iterations: int = 2, mode: str = "overwrite") -> DataFrame:
+    """Build a product-quantization index ONCE and persist it (the
+    :func:`build_ivf_index` pattern applied to PQ): :func:`pq_topk`
+    retrains codebooks and re-encodes the whole corpus on every call --
+    right for a one-shot query, wrong for a serving workload where the
+    16-bytes-per-vector code table IS the asset.
+
+    Layout under ``store_dir``:
+      codebooks/  (subspace, code, vals array<double>)  -- m*ksub rows, tiny
+      codes/      (c_id, codes array<int>)              -- m bytes-ish/vec
+
+    The corpus encode is one mapInPandas pass with the trained books
+    broadcast by closure; the persisted code table is what a probe
+    scans -- at 100 TB of raw vectors the codes are ~dim*8/m smaller
+    (16x at m=32 over 64-dim float64), which is the whole point of PQ
+    as a serving format.
+
+    Staleness contract matches the IVF index: a snapshot. Append new
+    vectors by encoding the delta against the SAME persisted codebooks;
+    never retrain books incrementally (codes shift under existing
+    entries). Returns the reloaded codes table."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    sample_rows = (embeddings.orderBy(id_col).limit(train_n)
+                   .select(vec_col).collect())
+    S = np.array([list(r[0]) for r in sample_rows], dtype=np.float64)
+    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+    books = _pq_train(Sn, m, ksub, iterations)
+    dim = S.shape[1]
+    dsub = dim // m
+
+    book_rows = [(j, c, [float(v) for v in books[j, c]])
+                 for j in range(m) for c in range(ksub)]
+    spark.createDataFrame(
+        book_rows, "subspace int, code int, vals array<double>"
+    ).write.mode(mode).parquet(store_dir + "/codebooks")
+
+    def encode_batches(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            V = np.array([list(v) for v in b[vec_col]], dtype=np.float64)
+            ids = b[id_col].to_numpy(dtype=np.int64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            codes = np.zeros((len(ids), m), dtype=np.int32)
+            for j in range(m):
+                sub = Vn[:, j * dsub:(j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2
+                      ).sum(axis=2)
+                codes[:, j] = np.argmin(np.round(d2, 9), axis=1)
+            yield pd.DataFrame({
+                "c_id": pd.Series(ids, dtype="int64"),
+                "codes": [list(map(int, row)) for row in codes],
+            })
+
+    (embeddings.select(id_col, vec_col)
+     .mapInPandas(encode_batches, "c_id long, codes array<int>")
+     .write.mode(mode).parquet(store_dir + "/codes"))
+    return spark.read.parquet(store_dir + "/codes")
+
+
+def pq_probe(spark, store_dir: str, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Probe a persisted PQ index (:func:`build_pq_index`): no
+    training, no corpus encode -- load the tiny codebook table, build
+    per-query ADC lookup tables on the driver, and stream the persisted
+    CODE table (never the raw vectors) through Arrow batches where
+    scoring is pure table lookups. Same result as :func:`pq_topk` with
+    identical parameters (pinned by pytest + the shared registry
+    oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    book_rows = spark.read.parquet(store_dir + "/codebooks").collect()
+    m = 1 + max(r["subspace"] for r in book_rows)
+    ksub = 1 + max(r["code"] for r in book_rows)
+    dsub = len(book_rows[0]["vals"])
+    books = np.zeros((m, ksub, dsub))
+    for r in book_rows:
+        books[r["subspace"], r["code"]] = r["vals"]
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    tables = np.zeros((len(q_ids), m, ksub))
+    for j in range(m):
+        qs = Qn[:, j * dsub:(j + 1) * dsub]
+        tables[:, j, :] = ((qs[:, None, :] - books[j][None, :, :]) ** 2
+                           ).sum(axis=2)
+
+    def topk_batches(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b["c_id"].to_numpy(dtype=np.int64)
+            codes = np.array([list(c) for c in b["codes"]], dtype=np.int64)
+            d2q = np.zeros((len(ids), len(q_ids)))
+            for j in range(m):
+                d2q += tables[:, j, codes[:, j]].T
+            sims = np.round(1.0 - d2q / 2.0, 6)
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                cand = np.nonzero(ids != q_ids[qi])[0]
+                if not len(cand):
+                    continue
+                order = np.lexsort((ids[cand], -sims[cand, qi]))
+                keep = cand[order[:k]]
+                out_q.extend([q_ids[qi]] * len(keep))
+                out_c.extend(ids[keep])
+                out_s.extend(sims[keep, qi])
+            yield pd.DataFrame({
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "neighbor_id": pd.Series(out_c, dtype="int64"),
+                "approx_sim": pd.Series(out_s, dtype="float64"),
+            })
+
+    local = spark.read.parquet(store_dir + "/codes").mapInPandas(
+        topk_batches, "query_id long, neighbor_id long, approx_sim double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def _pq_train(sample: "object", m: int, ksub: int,
               iterations: int) -> "object":
     """Train PQ codebooks on a (bounded) numpy sample: per subspace,

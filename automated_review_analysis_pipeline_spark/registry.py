@@ -1499,6 +1499,31 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        k=TOP_K, m=32, ksub=16)
 
 
+# Persisted PQ index: same build-once/probe-many shape as the IVF index
+# memo above; probes scan the 16-byte code table, never the raw vectors.
+_PQ_INDEX_MEMO: dict[str, str] = {}
+
+
+def q_pq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only PQ ANN over a PERSISTED code table + codebooks: same
+    results as pq_topk with identical params (shared oracle), but the
+    query pays no codebook training and no corpus encode -- it reads m
+    int codes per vector instead of the 64-double embedding."""
+    import atexit
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    store = _PQ_INDEX_MEMO.get(sf_dir)
+    if store is None:
+        store = tempfile.mkdtemp(prefix="arap_pq_index_")
+        atexit.register(shutil.rmtree, store, ignore_errors=True)
+        sim.build_pq_index(e, store, m=32, ksub=16)
+        _PQ_INDEX_MEMO[sf_dir] = store
+    return sim.pq_probe(spark, store,
+                        e.where(F.col("vec_id") < N_QUERY_VECS), k=TOP_K)
+
+
 def _with_synth_pii(documents: DataFrame) -> DataFrame:
     """Deterministically append one PII item per doc (the testdata corpus
     is synthetic word-salad with no natural PII, so the redaction paths
@@ -1925,6 +1950,7 @@ QUERIES: dict[str, QueryFn] = {
     "ivf_trained_topk": q_ivf_trained_topk,
     "ivf_index_probe": q_ivf_index_probe,
     "pq_topk": q_pq_topk,
+    "pq_index_probe": q_pq_index_probe,
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
     "q9_product_type_profit": q_q9_product_type_profit,
     "q11_revenue_concentration": q_q11_revenue_concentration,
@@ -3981,6 +4007,9 @@ ORACLE_SQL["kmeans_embeddings"] = _kmeans_sql()
 ORACLE_SQL["ivf_trained_topk"] = _ivf_trained_oracle_sql()
 # probe of the persisted index == the trained train+probe run
 ORACLE_SQL["ivf_index_probe"] = ORACLE_SQL["ivf_trained_topk"]
+# The persisted-PQ probe reproduces pq_topk exactly (same books, same
+# codes, same ADC) -- the full-value PQ oracle carries over verbatim.
+ORACLE_SQL["pq_index_probe"] = ORACLE_SQL["pq_topk"]
 
 
 # curate_corpus: the end-to-end pipeline oracle composes the SAME stage

@@ -715,3 +715,39 @@ def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     again = sim.ivf_probe(spark, store2, q, k=5, n_probe=3)
     assert [tuple(r) for r in probe.collect()] == \
         [tuple(r) for r in again.collect()]
+
+
+def test_pq_index_probe_scans_codes_not_vectors(spark, sf_dir, tmp_path):
+    """The persisted-PQ probe must (a) match pq_topk with identical
+    params exactly, (b) scan ONLY the persisted code table -- the probe
+    plan reads one parquet source and never the raw embeddings (no
+    retrain, no re-encode), and (c) rebuild deterministically."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators import similarity as sim
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    store = str(tmp_path / "pq_index")
+    sim.build_pq_index(e, store, m=8, ksub=16)
+
+    probe = sim.pq_probe(spark, store, q, k=5)
+    direct = sim.pq_topk(e, q, k=5, m=8, ksub=16)
+    assert [tuple(r) for r in probe.collect()] == \
+        [tuple(r) for r in direct.collect()]
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # probe-only: the executed (final) plan scans exactly ONE parquet
+    # source -- the persisted code table; the embeddings parquet (and
+    # any retrain/encode stage over it) is absent
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1, plan[:2000]
+    assert "codes:array<int>" in final, plan[:2000]
+    assert "embeddings" not in plan, plan[:2000]
+
+    store2 = str(tmp_path / "pq_index2")
+    sim.build_pq_index(e, store2, m=8, ksub=16)
+    again = sim.pq_probe(spark, store2, q, k=5)
+    assert [tuple(r) for r in probe.collect()] == \
+        [tuple(r) for r in again.collect()]

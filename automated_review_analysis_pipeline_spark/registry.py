@@ -805,6 +805,27 @@ def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(LATERAL_TOP_ORDERS_SQL)
 
 
+def q_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global ids over documents in (n_chars, doc_id) order
+    via the two-pass bucket-offset shape (partitioning.assign_global_ids)
+    -- the loader primitive for stamping training samples with dense
+    resumable ids WITHOUT a single-task global window. The non-identity
+    ordering key makes the rank genuinely computed (doc lengths
+    interleave sources), and the oracle is the plain SQL row_number the
+    operator refuses to evaluate on one partition."""
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        assign_global_ids,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars"))
+    return (
+        assign_global_ids(d, ["n_chars", "doc_id"], n_buckets=32)
+        .select("doc_id", "n_chars", "global_id")
+        .orderBy("global_id")
+    )
+
+
 def q_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering keys over orders: customer key x days
     since epoch-of-dataset. The layout primitive behind multi-column data
@@ -1882,6 +1903,7 @@ QUERIES: dict[str, QueryFn] = {
     "top_orders_per_customer": q_top_orders,
     "bucketed_order_revenue": q_bucketed_order_revenue,
     "zorder_codes": q_zorder_codes,
+    "global_ids": q_global_ids,
     "events_hourly": q_events_hourly,
     "sessions": q_sessions,
     "event_props": q_event_props,
@@ -3881,6 +3903,13 @@ SELECT o_orderkey,
        {morton_code_sql(_norm_sql('o_custkey', 'minx', 'maxx'),
                         _norm_sql('day', 'miny', 'maxy'))} AS zcode
 FROM o CROSS JOIN b ORDER BY o_orderkey
+"""
+
+
+ORACLE_SQL["global_ids"] = """
+SELECT doc_id, length(text) AS n_chars,
+       row_number() OVER (ORDER BY length(text), doc_id) AS global_id
+FROM documents ORDER BY global_id
 """
 
 

@@ -202,3 +202,56 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_assign_global_ids_matches_single_window_and_shards(spark, sf_dir):
+    """Two-pass bucket-offset ids == the naive single-partition
+    row_number, on an ordering key with heavy duplicates (n_chars) --
+    and the executed plan contains NO single-partition exchange: the
+    window is partitioned by the range bucket."""
+    from pyspark.sql import Window
+
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        assign_global_ids,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars"))
+    got = assign_global_ids(d, ["n_chars", "doc_id"], n_buckets=8) \
+        .select("doc_id", "global_id")
+    naive = d.withColumn(
+        "global_id",
+        F.row_number().over(Window.orderBy("n_chars", "doc_id"))
+    ).select("doc_id", "global_id")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, naive.collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SinglePartition" not in final, final[:2000]
+    assert "Window" in final and "__gid_bucket" in final
+
+    # ids are contiguous 1..N
+    n = d.count()
+    ids = [r[0] for r in got.select("global_id").collect()]
+    assert sorted(ids) == list(range(1, n + 1))
+
+
+def test_assign_global_ids_start_empty_and_constant_key(spark):
+    """start offset honored; empty input keeps the schema; an all-equal
+    leading key (every row in one bucket) still yields a total order via
+    the tiebreak column."""
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        assign_global_ids,
+    )
+
+    df = spark.createDataFrame(
+        [(5, "c"), (5, "a"), (5, "b")], "k int, name string")
+    out = assign_global_ids(df, ["k", "name"], n_buckets=4, start=100)
+    assert [(r["name"], r["global_id"])
+            for r in out.orderBy("global_id").collect()] == \
+        [("a", 100), ("b", 101), ("c", 102)]
+
+    empty = assign_global_ids(df.where("k > 99"), ["k", "name"])
+    assert empty.count() == 0
+    assert "global_id" in empty.columns

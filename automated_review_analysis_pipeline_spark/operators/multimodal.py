@@ -7,11 +7,11 @@ batch shape, UDF signatures -- is real and tested. Codecs are injected
 decodes PPM (P6), uncompressed 24/32-bit BMP, PNG incl. 16-bit and
 Adam7-interlaced (DEFLATE via the stdlib zlib), GIF (LZW is pure
 dictionary logic), baseline JPEG (Huffman + IDCT in numpy), lossless
-WebP's entropy layer + subtract-green/palette transforms (webp.py),
-baseline TIFF (uncompressed/PackBits strips), and RIFF/WAVE integer
-PCM. Formats needing codec libraries this container
-lacks (lossy WebP, LZW/JPEG TIFF variants, AVIF, compressed audio)
-raise NotImplementedError; a
+WebP (VP8L, all four transforms; webp.py), baseline TIFF
+(uncompressed/LZW/PackBits, strips or tiles, both endians), and
+RIFF/WAVE audio (integer/float PCM, G.711 a-law/mu-law, MS/IMA ADPCM).
+Formats needing codec libraries this container lacks (lossy-VP8 WebP,
+JPEG-in-TIFF, AVIF, mp3-in-WAV) raise NotImplementedError; a
 deterministic fake decoder remains the SQL-expressible oracle path.
 
 Plan shape at 100 TB: binary payloads dominate partition size, so the
@@ -68,15 +68,15 @@ def decode_image(payload: bytes):
     - GIF 87a/89a first frame -- LZW is pure dictionary logic
       (:func:`_decode_gif`), including 4-pass interlacing
 
-    - baseline sequential JPEG -- Huffman entropy decode is pure
-      dictionary logic and the 8x8 IDCT is two numpy matrix multiplies
-      (:func:`_decode_jpeg`); progressive/arithmetic modes raise
+    - baseline sequential AND progressive JPEG -- Huffman entropy
+      decode is pure dictionary logic and the 8x8 IDCT is two numpy
+      matrix multiplies (:func:`_decode_jpeg`); arithmetic coding raises
     - lossless WebP (VP8L) -- full entropy layer (prefix codes, LZ77,
-      color cache, meta groups) + subtract-green/palette transforms
-      (operators/webp.py); the predictor/cross-color transforms and
-      lossy VP8 raise
-    - baseline TIFF (8-bit gray/RGB/RGBA strips, both byte orders,
-      uncompressed or PackBits; :func:`_decode_tiff`)
+      color cache, meta groups) + all four transforms (subtract-green,
+      palette, predictor, cross-color; operators/webp.py); lossy VP8
+      raises
+    - baseline TIFF (8-bit gray/RGB/RGBA, both byte orders, strip or
+      tile layout, uncompressed/LZW/PackBits; :func:`_decode_tiff`)
 
     Anything else (AVIF/HEIC/...) raises NotImplementedError -- those
     need codec libraries this container does not ship."""
@@ -414,10 +414,11 @@ def _tiff_lzw(data: bytes, expected: int) -> bytes:
 def _decode_tiff(payload: bytes):
     """Dependency-free baseline TIFF decode -> (H, W, 3) uint8, written
     against the public TIFF 6.0 specification: both byte orders (II/MM),
-    IFD walking with inline-or-offset values, strip assembly, 8-bit
+    IFD walking with inline-or-offset values, strip OR tile assembly
+    (section 15: edge-padded tiles, per-tile predictor reset), 8-bit
     gray/RGB/RGBA in chunky planar config, compression 1 (none), 5
     (LZW, incl. the horizontal-differencing predictor tag) or
-    32773 (PackBits). JPEG-in-TIFF, tiles, planar=2, and non-8-bit
+    32773 (PackBits). JPEG-in-TIFF, planar=2, and non-8-bit
     depths raise NotImplementedError."""
     import struct
 
@@ -479,6 +480,52 @@ def _decode_tiff(payload: bytes):
             "(JPEG-in-TIFF needs a codec library)")
     if predictor not in (1, 2):
         raise NotImplementedError("unsupported TIFF predictor")
+
+    def _segment(off: int, cnt: int, expected: int) -> bytes:
+        seg = payload[off:off + cnt]
+        if len(seg) != cnt:
+            raise NotImplementedError("truncated TIFF segment")
+        if compression == 32773:
+            return _packbits(seg, expected)
+        if compression == 5:
+            return _tiff_lzw(seg, expected)
+        if len(seg) < expected:
+            raise NotImplementedError("short TIFF segment")
+        return bytes(seg[:expected])
+
+    if 322 in tags:
+        # tiled layout (TIFF 6.0 section 15): fixed tw x th tiles, each
+        # compressed independently and PADDED at the right/bottom edges;
+        # the predictor resets per tile row, so undo it per tile before
+        # pasting the clipped region
+        tw, th = one(322), one(323)
+        t_offsets = tags.get(324)
+        t_counts = tags.get(325)
+        if tw == 0 or th == 0 or not t_offsets or not t_counts \
+                or len(t_offsets) != len(t_counts):
+            raise NotImplementedError("TIFF missing tile tables")
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        if len(t_offsets) != across * down:
+            raise NotImplementedError("TIFF tile count mismatch")
+        px = np.zeros((h, w, spp), dtype=np.uint8)
+        for idx, (off, cnt) in enumerate(zip(t_offsets, t_counts)):
+            tile = np.frombuffer(
+                _segment(off, cnt, th * tw * spp), dtype=np.uint8
+            ).reshape(th, tw, spp)
+            if predictor == 2:
+                tile = np.cumsum(tile.astype(np.uint32), axis=1,
+                                 dtype=np.uint32).astype(np.uint8)
+            r0 = (idx // across) * th
+            c0 = (idx % across) * tw
+            px[r0:r0 + th, c0:c0 + tw] = \
+                tile[:h - r0, :w - c0]
+        if spp == 1:
+            return np.repeat(px, 3, axis=2)
+        if spp >= 3:
+            return px[:, :, :3].copy()
+        raise NotImplementedError("unsupported TIFF samples per pixel")
+
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
@@ -487,19 +534,8 @@ def _decode_tiff(payload: bytes):
     raster = bytearray()
     rows_done = 0
     for off, cnt in zip(offsets, counts):
-        strip = payload[off:off + cnt]
-        if len(strip) != cnt:
-            raise NotImplementedError("truncated TIFF strip")
         rows = min(rows_per_strip, h - rows_done)
-        expected = rows * w * spp
-        if compression == 32773:
-            raster += _packbits(strip, expected)
-        elif compression == 5:
-            raster += _tiff_lzw(strip, expected)
-        else:
-            if len(strip) < expected:
-                raise NotImplementedError("short TIFF strip")
-            raster += strip[:expected]
+        raster += _segment(off, cnt, rows * w * spp)
         rows_done += rows
     if len(raster) != h * w * spp:
         raise NotImplementedError("TIFF raster size mismatch")
@@ -1970,6 +2006,105 @@ def resize_image_nearest(img, new_w: int, new_h: int):
     return img[rows][:, cols]
 
 
+def _g711_ulaw_decode(data: bytes):
+    """G.711 mu-law -> int32 linear PCM (+-32124), the published CCITT
+    expansion (sign/exponent/mantissa with bias 0x84), fully vectorized:
+    one numpy pass over the byte stream."""
+    import numpy as np
+
+    u = (~np.frombuffer(data, dtype=np.uint8)) & 0xFF
+    t = ((u & 0x0F).astype(np.int32) << 3) + 0x84
+    t <<= ((u & 0x70) >> 4).astype(np.int32)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int32)
+
+
+def _g711_alaw_decode(data: bytes):
+    """G.711 A-law -> int32 linear PCM (+-32256): XOR 0x55 then the
+    published segment expansion. Vectorized like the mu-law path."""
+    import numpy as np
+
+    a = np.frombuffer(data, dtype=np.uint8) ^ 0x55
+    t = (a & 0x0F).astype(np.int32) << 4
+    seg = ((a & 0x70) >> 4).astype(np.int32)
+    expanded = (t + 0x108) << np.maximum(seg - 1, 0)
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108, expanded))
+    return np.where(a & 0x80, t, -t).astype(np.int32)
+
+
+# MS-ADPCM (WAVE format 2) constants from the public Microsoft
+# "Multimedia Standards Update" ADPCM specification: the 7 standard
+# predictor coefficient pairs (/256 fixed point) and the 16-entry
+# step-size adaptation table.
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+_MS_COEFS = ((256, 0), (512, -256), (0, 0), (192, 64),
+             (240, 0), (460, -208), (392, -232))
+
+
+def _ms_adpcm_decode(data: bytes, n_channels: int, block_align: int,
+                     coefs=_MS_COEFS):
+    """MS-ADPCM (WAVE format 2) -> (n_frames, n_channels) int32 in
+    int16 range. Block layout: per channel 1-byte predictor index, then
+    per channel int16 delta, sample1, sample2; the 4-bit nibble stream
+    follows HIGH nibble first, round-robin across channels. The two
+    header samples are emitted oldest-first (sample2, then sample1);
+    each nibble advances predictor = trunc((s1*c1 + s2*c2) / 256) +
+    signed_nibble * delta (int16-clamped), then delta adapts through
+    the published table with floor 16. Sequential per block like the
+    IMA path -- parallelism is across payloads."""
+    import struct
+
+    import numpy as np
+
+    hdr = 7 * n_channels
+    if block_align < hdr or (block_align - hdr) % n_channels:
+        raise NotImplementedError("invalid MS ADPCM block alignment")
+    if not data or len(data) % block_align:
+        raise NotImplementedError("truncated MS ADPCM data chunk")
+    chans: list[list[int]] = [[] for _ in range(n_channels)]
+    for b0 in range(0, len(data), block_align):
+        c1, c2, delta, s1, s2 = [], [], [], [], []
+        for ch in range(n_channels):
+            idx = data[b0 + ch]
+            if idx >= len(coefs):
+                raise NotImplementedError("MS ADPCM predictor out of range")
+            c1.append(coefs[idx][0])
+            c2.append(coefs[idx][1])
+        for ch in range(n_channels):
+            delta.append(struct.unpack_from(
+                "<h", data, b0 + n_channels + 2 * ch)[0])
+        for ch in range(n_channels):
+            s1.append(struct.unpack_from(
+                "<h", data, b0 + 3 * n_channels + 2 * ch)[0])
+        for ch in range(n_channels):
+            s2.append(struct.unpack_from(
+                "<h", data, b0 + 5 * n_channels + 2 * ch)[0])
+        for ch in range(n_channels):
+            chans[ch].append(s2[ch])  # oldest header sample first
+            chans[ch].append(s1[ch])
+        body = data[b0 + hdr:b0 + block_align]
+        ch = 0
+        for byte in body:
+            for nib in (byte >> 4, byte & 0xF):  # HIGH nibble first
+                signed = nib - 16 if nib >= 8 else nib
+                p = s1[ch] * c1[ch] + s2[ch] * c2[ch]
+                # C-style truncation toward zero, per the spec's /256
+                pred = p // 256 if p >= 0 else -((-p) // 256)
+                pred += signed * delta[ch]
+                if pred > 32767:
+                    pred = 32767
+                elif pred < -32768:
+                    pred = -32768
+                s2[ch], s1[ch] = s1[ch], pred
+                d = (_MS_ADAPT[nib] * delta[ch]) // 256
+                delta[ch] = d if d >= 16 else 16
+                chans[ch].append(pred)
+                ch = (ch + 1) % n_channels
+    n = min(len(c) for c in chans)
+    return np.stack([np.array(c[:n], dtype=np.int32) for c in chans],
+                    axis=1)
+
+
 # IMA ADPCM quantizer tables (public spec: IMA "Recommended Practices
 # for Enhancing Digital Audio Compatibility", also Microsoft WAVE format
 # 0x11 documentation).
@@ -2060,20 +2195,23 @@ def decode_wav(payload: bytes):
     - format 3 (IEEE float PCM, 32/64-bit): float64 of the raw float
       values (normally in [-1, 1]) -- the common crawled-corpus
       variant;
+    - formats 6/7 (G.711 a-law / mu-law, 8-bit): int32 linear PCM via
+      the published expansion tables, fully vectorized -- the telephony
+      byte-per-sample encodings crawled corpora carry;
+    - format 2 (MS-ADPCM, 4-bit): int32 in int16 range via
+      :func:`_ms_adpcm_decode` (published coefficient + adaptation
+      tables; fmt-extension coefficient pairs honored);
     - format 0x11 (IMA ADPCM, 4-bit): int32 in int16 range via
-      :func:`_ima_adpcm_decode` -- the one compressed WAV seen in the
-      wild that needs no codec library (pure table arithmetic). A
-      ``fact`` chunk's sample count, when present, truncates block
-      padding.
+      :func:`_ima_adpcm_decode` (pure table arithmetic). For both ADPCM
+      forms a ``fact`` chunk's sample count truncates block padding.
 
     Walks the chunk list per the public RIFF/WAVE spec (Multimedia
     Programming Interface and Data Specifications 1.0): unknown chunks
     (LIST/cue/...) are skipped, chunk bodies are word-aligned.
 
-    Anything else (MS-ADPCM, a-law/mu-law, mp3-in-WAV, ...) raises
-    NotImplementedError -- the same honest contract as
-    :func:`decode_image` for lossy WebP: those need codec libraries
-    this container does not ship."""
+    Anything else (mp3-in-WAV, GSM, ...) raises NotImplementedError --
+    the same honest contract as :func:`decode_image` for lossy WebP:
+    those need codec libraries this container does not ship."""
     import struct
 
     import numpy as np
@@ -2116,15 +2254,37 @@ def decode_wav(payload: bytes):
             raise NotImplementedError("truncated WAV data chunk")
         samples = np.frombuffer(data, dtype=dtype).astype(np.float64)
         return samples.reshape(-1, n_channels), int(sample_rate)
+    if audio_format in (6, 7) and bits == 8:
+        # G.711 a-law (6) / mu-law (7): one byte per sample, expanded
+        # to linear PCM by the published (vectorized) tables
+        if len(data) % n_channels:
+            raise NotImplementedError("truncated WAV data chunk")
+        dec = _g711_alaw_decode if audio_format == 6 else _g711_ulaw_decode
+        return dec(data).reshape(-1, n_channels), int(sample_rate)
+    if audio_format == 2 and bits == 4:
+        # MS-ADPCM; honor non-standard coefficient pairs from the fmt
+        # extension (cbSize, samplesPerBlock, numCoef, int16 pairs)
+        # when present and sane, else the 7 standard pairs
+        coefs = _MS_COEFS
+        if len(fmt) >= 22:
+            n_coef = struct.unpack_from("<H", fmt, 20)[0]
+            if 0 < n_coef <= 64 and len(fmt) >= 22 + 4 * n_coef:
+                coefs = tuple(
+                    struct.unpack_from("<hh", fmt, 22 + 4 * i)
+                    for i in range(n_coef))
+        samples = _ms_adpcm_decode(data, n_channels, block_align, coefs)
+        if fact is not None and fact <= samples.shape[0]:
+            samples = samples[:fact]
+        return samples, int(sample_rate)
     if audio_format == 0x11 and bits == 4:
         samples = _ima_adpcm_decode(data, n_channels, block_align)
         if fact is not None and fact <= samples.shape[0]:
             samples = samples[:fact]
         return samples, int(sample_rate)
     raise NotImplementedError(
-        "only integer PCM (8/16-bit), IEEE float PCM (32/64-bit), and "
-        "IMA ADPCM WAV decode here; other encodings need codec "
-        "libraries not present in this environment")
+        "only integer PCM (8/16-bit), IEEE float PCM (32/64-bit), "
+        "G.711 a-law/mu-law, and MS/IMA ADPCM WAV decode here; other "
+        "encodings need codec libraries not present in this environment")
 
 
 def encode_wav(samples, sample_rate: int) -> bytes:
@@ -2212,10 +2372,9 @@ def real_decoder(payload: bytes, mime: str) -> list[float]:
     RIFF/WAVE integer-PCM payloads decode via :func:`decode_wav` and
     yield the 8 :func:`audio_features`. Covers baseline JPEG, PNG,
     GIF, lossless WebP (VP8L), baseline TIFF, and (audio) integer/
-    float PCM + IMA-ADPCM WAV -- only formats whose codecs are
-    genuinely absent (lossy-VP8 WebP, AVIF/HEIC, JPEG-in-TIFF/tiled
-    TIFF, MS-ADPCM/a-law/mp3-in-WAV audio) still raise
-    NotImplementedError."""
+    float PCM, G.711 a-law/mu-law, and MS/IMA-ADPCM WAV -- only formats
+    whose codecs are genuinely absent (lossy-VP8 WebP, AVIF/HEIC,
+    JPEG-in-TIFF, mp3-in-WAV audio) still raise NotImplementedError."""
     if payload is not None and payload[:4] == b"RIFF" \
             and payload[8:12] != b"WEBP":
         return audio_features(payload)

@@ -247,17 +247,23 @@ def test_wav_chunk_walk_skips_unknown_chunks():
 
 
 def test_wav_compressed_and_corrupt_raise():
-    # MS-ADPCM (format tag 2) -- compressed, no codec here
+    # MS-ADPCM (format tag 2) with a TRUNCATED data chunk (4 bytes of a
+    # 256-byte block); also stands in for the whole-block validation
     fmt = struct.pack("<HHIIHH", 0x02, 1, 8000, 4055, 256, 4)
     msadpcm = (b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
                + b"fmt " + struct.pack("<I", 16) + fmt
                + b"data" + struct.pack("<I", 4) + b"\0\0\0\0")
+    # mp3-in-WAV (format tag 0x55) -- genuinely no codec here
+    mfmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 4055, 1, 0)
+    mp3wav = (b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+              + b"fmt " + struct.pack("<I", 16) + mfmt
+              + b"data" + struct.pack("<I", 4) + b"\0\0\0\0")
     # IMA ADPCM with a TRUNCATED data chunk (not a block multiple)
     ifmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 4055, 256, 4)
     ima_trunc = (b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
                  + b"fmt " + struct.pack("<I", 16) + ifmt
                  + b"data" + struct.pack("<I", 4) + b"\0\0\0\0")
-    for bad in (msadpcm, ima_trunc, b"RIFF\x04\0\0\0WAVE",
+    for bad in (msadpcm, mp3wav, ima_trunc, b"RIFF\x04\0\0\0WAVE",
                 b"OggS" + b"\0" * 40,
                 wav_header_pcm8(100) + b"short"):
         with pytest.raises(NotImplementedError):
@@ -298,6 +304,89 @@ def test_wav_float32_and_float64_exact():
     assert all(v == float(int(v)) for v in f)
     assert f[4] == -32767.0 and f[5] == 32767.0  # min / max at +-1.0
     assert f[7] >= 16384.0  # peak deviation, not truncated to 0
+
+
+def test_wav_g711_ulaw_hand_derived_golden():
+    """Walking the published CCITT mu-law expansion by hand:
+    0x00 -> -32124 (max negative), 0x80 -> +32124, 0xFF/0x7F -> 0
+    (positive/negative silence), 0xEE (exp 1, mant 1, positive) ->
+    ((1<<3)+0x84)<<1 - 0x84 = 148.
+    """
+    p = _wav(7, 1, 8000, 1, 8, bytes([0x00, 0x80, 0xFF, 0x7F, 0xEE]))
+    s, rate = decode_wav(p)
+    assert rate == 8000 and s.shape == (5, 1)
+    assert list(s[:, 0]) == [-32124, 32124, 0, 0, 148]
+    # audio_features stays integer-valued on G.711 decodes
+    f = audio_features(p)
+    assert f[2] == 5.0 and all(v == float(int(v)) for v in f)
+
+
+def test_wav_g711_alaw_hand_derived_golden():
+    """Hand-derived A-law expansion: 0x55 -> -8 (xor 0x55 = 0, seg 0),
+    0xD5 -> +8, 0x2A -> -32256 (xor = 0x7F, seg 7 max), 0xAA -> +32256,
+    0x45 -> xor 0x55 = 0x10: seg 1, (0<<4)+0x108 = 264, negative."""
+    p = _wav(6, 1, 8000, 1, 8, bytes([0x55, 0xD5, 0x2A, 0xAA, 0x45]))
+    s, _ = decode_wav(p)
+    assert list(s[:, 0]) == [-8, 8, -32256, 32256, -264]
+    # stereo reshapes frame-wise
+    p2 = _wav(6, 2, 8000, 2, 8, bytes([0x55, 0xD5, 0x2A, 0xAA]))
+    s2, _ = decode_wav(p2)
+    assert s2.shape == (2, 2)
+    assert list(s2[0]) == [-8, 8] and list(s2[1]) == [-32256, 32256]
+
+
+def test_wav_ms_adpcm_hand_computed_golden():
+    """Mono block walked by hand: predictor 0 (coeffs 256/0), delta 16,
+    s1=100, s2=50, nibbles [1, -1, 2, -8] (HIGH nibble first):
+    emits [50, 100, 116, 100, 132, 4]."""
+    block = (bytes([0]) + struct.pack("<h", 16) + struct.pack("<h", 100)
+             + struct.pack("<h", 50) + bytes([0x1F, 0x28]))
+    p = _wav(2, 1, 8000, len(block), 4, block)
+    s, rate = decode_wav(p)
+    assert rate == 8000
+    assert list(s[:, 0]) == [50, 100, 116, 100, 132, 4]
+
+
+def test_wav_ms_adpcm_stereo_fact_and_guards():
+    """Stereo nibbles round-robin across channels (predictor 2 has
+    coeffs 0/0, so every decoded sample is signed_nibble * delta);
+    the fact chunk truncates; out-of-range predictor index and ragged
+    blocks raise the one catchable error."""
+    hdr = (bytes([2, 2]) + struct.pack("<hh", 10, 20)
+           + struct.pack("<hh", 1, 2) + struct.pack("<hh", 3, 4))
+    # nibbles: L=+1, R=+2, L=-1, R=-2  (bytes: 0x12, 0xFE)
+    block = hdr + bytes([0x12, 0xFE])
+    p = _wav(2, 2, 8000, len(block), 4, block, fact=3)
+    s, _ = decode_wav(p)
+    assert s.shape == (3, 2)
+    assert list(s[0]) == [3, 4]      # sample2 first
+    assert list(s[1]) == [1, 2]      # then sample1
+    assert list(s[2]) == [10, 40]    # 1*10, 2*20
+
+    bad_pred = bytes([9]) + block[1:]
+    with pytest.raises(NotImplementedError):
+        decode_wav(_wav(2, 1, 8000, len(bad_pred), 4, bad_pred))
+    # stereo block whose body is odd vs the channel count
+    ragged = hdr + bytes([0x12])
+    with pytest.raises(NotImplementedError):
+        decode_wav(_wav(2, 2, 8000, len(ragged), 4, ragged))
+
+
+def test_wav_ms_adpcm_fmt_extension_coefficients():
+    """Non-standard coefficient pairs in the fmt extension override the
+    built-in table: with coeff1=512, coeff2=-256 at index 0 the
+    prediction is 2*s1 - s2."""
+    block = (bytes([0]) + struct.pack("<h", 16) + struct.pack("<h", 100)
+             + struct.pack("<h", 60) + bytes([0x00]))
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 4000, len(block), 4)
+    ext = struct.pack("<HHH", 32, 2 + 2 * (len(block) - 7), 1) \
+        + struct.pack("<hh", 512, -256)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16 + len(ext)) + fmt
+            + ext + b"data" + struct.pack("<I", len(block)) + block)
+    p = b"RIFF" + struct.pack("<I", len(body)) + body
+    s, _ = decode_wav(p)
+    # nibble 0 twice: pred = 2*100 - 60 = 140, then 2*140 - 100 = 180
+    assert list(s[:, 0]) == [60, 100, 140, 180]
 
 
 def test_wav_ima_adpcm_hand_computed_golden():
@@ -1728,3 +1817,116 @@ def test_jpeg_progressive_zrl_in_refinement():
         seq = decode_image(encode_jpeg(img, quant=quant))
         pro = decode_image(encode_jpeg_progressive(img, quant=quant))
         assert np.array_equal(seq, pro), quant
+
+
+def _tiff_tiled(img: np.ndarray, endian: str = "<", compression: int = 1,
+                tw: int = 4, th: int = 4, predictor: int = 1,
+                drop_last_tile: bool = False) -> bytes:
+    """Test-side tiled TIFF writer (TIFF 6.0 section 15): fixed-size
+    edge-padded tiles, per-tile predictor, row-major tile order."""
+    h, w = img.shape[:2]
+    spp = img.shape[2]
+    across, down = -(-w // tw), -(-h // th)
+    tiles = []
+    for ty in range(down):
+        for tx in range(across):
+            tile = np.zeros((th, tw, spp), dtype=np.uint8)
+            sub = img[ty * th:ty * th + th, tx * tw:tx * tw + tw]
+            tile[:sub.shape[0], :sub.shape[1]] = sub
+            if predictor == 2:
+                d = tile.astype(np.int16)
+                d[:, 1:, :] -= tile.astype(np.int16)[:, :-1, :]
+                tile = (d & 0xFF).astype(np.uint8)
+            raw = tile.tobytes()
+            if compression == 5:
+                raw = _lzw_encode_tiff(raw)
+            elif compression == 32773:
+                out = bytearray()
+                for i in range(0, len(raw), 128):
+                    chunk = raw[i:i + 128]
+                    out += bytes([len(chunk) - 1]) + chunk
+                raw = bytes(out)
+            tiles.append(raw)
+    if drop_last_tile:
+        tiles = tiles[:-1]
+    n_entries = 10 + (1 if predictor == 2 else 0)
+    ifd_len = 2 + 12 * n_entries + 4
+    data_base = 8 + ifd_len
+    entries = []
+    extra = bytearray()
+
+    def entry(tag, typ, values, fmt):
+        nonlocal extra
+        size = {1: 1, 3: 2, 4: 4}[typ] * len(values)
+        body = struct.pack(endian + fmt * len(values), *values)
+        if size <= 4:
+            entries.append((tag, typ, len(values), body.ljust(4, b"\0")))
+        else:
+            off = data_base + len(extra)
+            extra += body
+            entries.append((tag, typ, len(values),
+                            struct.pack(endian + "I", off)))
+
+    entry(256, 3, [w], "H")
+    entry(257, 3, [h], "H")
+    entry(258, 3, [8] * spp, "H")
+    entry(259, 3, [compression], "H")
+    entry(262, 3, [2 if spp >= 3 else 1], "H")
+    entry(277, 3, [spp], "H")
+    if predictor == 2:
+        entry(317, 3, [2], "H")
+    entry(322, 3, [tw], "H")
+    entry(323, 3, [th], "H")
+    # tile data sits after 'extra'; compute offsets up front
+    tile_table_bytes = (4 * len(tiles)) * 2 if len(tiles) > 1 else 0
+    tile_base = data_base + len(extra) + tile_table_bytes
+    offs, p = [], tile_base
+    for t in tiles:
+        offs.append(p)
+        p += len(t)
+    entry(324, 4, offs, "I")
+    entry(325, 4, [len(t) for t in tiles], "I")
+    entries.sort(key=lambda t: t[0])
+    magic = b"II*\x00" if endian == "<" else b"MM\x00*"
+    out = magic + struct.pack(endian + "I", 8)
+    out += struct.pack(endian + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack(endian + "HHI", tag, typ, cnt) + val
+    out += struct.pack(endian + "I", 0)
+    return out + bytes(extra) + b"".join(tiles)
+
+
+def test_tiff_tiled_assembles_edge_padded_tiles():
+    """5x7 RGB with 4x4 tiles -> 2x2 tile grid with right+bottom
+    padding that must be clipped away; both byte orders."""
+    img = _grad(5, 7)
+    for endian in ("<", ">"):
+        assert np.array_equal(
+            decode_image(_tiff_tiled(img, endian, tw=4, th=4)), img)
+    # single-tile layout (inline offset/count tags)
+    assert np.array_equal(
+        decode_image(_tiff_tiled(img, "<", tw=8, th=8)), img)
+
+
+def test_tiff_tiled_lzw_predictor_and_packbits():
+    """Per-tile LZW with horizontal predictor (resets each tile), and
+    per-tile PackBits."""
+    img = _grad(6, 9)
+    got = decode_image(_tiff_tiled(img, "<", compression=5,
+                                   tw=4, th=4, predictor=2))
+    assert np.array_equal(got, img)
+    got = decode_image(_tiff_tiled(img, "<", compression=32773,
+                                   tw=4, th=4))
+    assert np.array_equal(got, img)
+
+
+def test_tiff_tiled_guards():
+    """Tile-count mismatch and truncated tile data raise the one
+    catchable error."""
+    img = _grad(5, 7)
+    with pytest.raises(NotImplementedError):
+        decode_image(_tiff_tiled(img, "<", tw=4, th=4,
+                                 drop_last_tile=True))
+    p = bytearray(_tiff_tiled(img, "<", tw=4, th=4))
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(p[:-10]))

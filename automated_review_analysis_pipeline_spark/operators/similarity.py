@@ -599,6 +599,26 @@ def build_ivf_index(embeddings: DataFrame, store_dir: str,
     return spark.read.parquet(store_dir + "/corpus")
 
 
+def ivf_index_append(spark, store_dir: str, new_vectors: DataFrame,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Append a DELTA of new vectors to a persisted IVF index: assign
+    them against the SAME stored centroids (never retrain -- cells
+    would shift under existing assignments, the staleness contract
+    build_ivf_index documents) and append the assigned rows into the
+    cell-partitioned corpus. This is the incremental path that keeps a
+    serving index fresh without the full rebuild: the delta pays one
+    |delta| x n_centroids broadcast assignment, existing partitions
+    are untouched (parquet append adds files per cell directory).
+    Returns the reloaded corpus table."""
+    cents = spark.read.parquet(store_dir + "/centroids")
+    assigned = _ivf_assign(_prep(new_vectors, id_col, vec_col, "c"),
+                           cents)
+    (assigned.write.mode("append").partitionBy("cell")
+     .parquet(store_dir + "/corpus"))
+    return spark.read.parquet(store_dir + "/corpus")
+
+
 def ivf_probe(spark, store_dir: str, queries: DataFrame, k: int = 5,
               n_probe: int = 4, id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:

@@ -1695,6 +1695,72 @@ ORDER BY source, seq_id, seq_offset, doc_id
 """
 
 
+def word_entropy(documents: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Shannon entropy (bits/token) of each document's word
+    distribution -- the cheap repetition signal curation pipelines
+    threshold on: keyword-stuffed spam and template boilerplate sit far
+    below fluent text, single-word loops hit exactly 0.
+
+    H = log2(n) - (1/n) * sum_w c_w * log2(c_w), computed over lowered
+    whitespace tokens. One explode feeds a (doc, word) count aggregate;
+    the per-doc rollup shuffles one row per DISTINCT word, not per
+    occurrence -- the same two-level shape as token_freq_score, so the
+    zipf head combines map-side. Cross-engine exactness follows the
+    bigram_lm_score discipline: per-word ln(c) rounds to 9dp, terms sum
+    through DECIMAL (order-independent), and only the final two double
+    ops + round(6) run in floating point. Docs with no tokens report
+    entropy 0 over 0 tokens."""
+    toks = tokens(F.lower(F.col(text_col)))
+    words = documents.select(F.col(id_col),
+                             F.explode(toks).alias("__w"))
+    counts = words.groupBy(id_col, "__w").agg(
+        F.count(F.lit(1)).alias("__c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.sum(F.round(F.log(F.col("__c").cast("double")), 9)
+              .cast("decimal(18,9)") * F.col("__c")).alias("__clogc"))
+    ent = F.round(
+        (F.round(F.log(F.col("n_tokens").cast("double")), 9)
+         - F.col("__clogc").cast("double") / F.col("n_tokens"))
+        / F.lit(0.6931471805599453), 6)
+    return (
+        documents.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce(ent, F.lit(0.0)).alias("entropy_bits"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def word_entropy_sql() -> str:
+    """DuckDB twin of :func:`word_entropy` (identical 9dp-term decimal
+    sums, identical final double arithmetic)."""
+    toks = tokens_sql("lower(text)")
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest({toks}) AS w FROM documents
+), c AS (
+  SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2
+), t AS (
+  SELECT doc_id, sum(c) AS n_tokens,
+         sum(CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) * c)
+           AS clogc
+  FROM c GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(round((round(ln(CAST(t.n_tokens AS DOUBLE)), 9)
+                       - CAST(t.clogc AS DOUBLE) / t.n_tokens)
+                      / 0.6931471805599453, 6), 0.0) AS entropy_bits
+FROM documents d LEFT JOIN t USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def token_freq_score(documents: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Per-document mean corpus-frequency of its tokens -- the integer

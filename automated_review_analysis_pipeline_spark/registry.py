@@ -1684,6 +1684,10 @@ def q_token_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.token_freq_score(_t(spark, sf_dir, "documents"))
 
 
+def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.word_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.q2_min_cost_supplier(
         _t(spark, sf_dir, "region"), _t(spark, sf_dir, "nation"),
@@ -1982,6 +1986,7 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_quality_flags": q_gopher_quality_flags,
     "ngram_topk": q_ngram_topk,
     "token_freq_score": q_token_freq_score,
+    "word_entropy": q_word_entropy,
     "streaming_click_attribution": q_streaming_click_attribution,
     "semantic_dedup": q_semantic_dedup,
     "near_dup_components": q_near_dup_components,
@@ -3570,6 +3575,7 @@ ORDER BY s_name
 ORACLE_SQL["gopher_quality_flags"] = cur.gopher_quality_flags_sql()
 ORACLE_SQL["ngram_topk"] = ta.ngram_topk_sql()
 ORACLE_SQL["token_freq_score"] = ta.token_freq_score_sql()
+ORACLE_SQL["word_entropy"] = ta.word_entropy_sql()
 
 
 ORACLE_SQL["streaming_click_attribution"] = """

@@ -751,3 +751,37 @@ def test_pq_index_probe_scans_codes_not_vectors(spark, sf_dir, tmp_path):
     again = sim.pq_probe(spark, store2, q, k=5)
     assert [tuple(r) for r in probe.collect()] == \
         [tuple(r) for r in again.collect()]
+
+
+def test_ivf_index_append_assigns_against_stored_centroids(
+        spark, sf_dir, tmp_path):
+    """Appending a delta must (a) assign the new vectors against the
+    PERSISTED centroids (no retrain -- the staleness contract), so a
+    probe over the appended index equals the in-memory rank over
+    (full corpus assigned to the subset-trained centroids), and (b)
+    leave existing cell partitions' rows intact."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators import similarity as sim
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.where(F.col("vec_id") % 3 != 0)
+    delta = e.where(F.col("vec_id") % 3 == 0)
+    q = e.where(F.col("vec_id") < 10)
+    store = str(tmp_path / "ivf_index")
+    sim.build_ivf_index(base, store, n_centroids=8, train_iterations=1)
+    before = spark.read.parquet(store + "/corpus").count()
+
+    sim.ivf_index_append(spark, store, delta)
+    after = spark.read.parquet(store + "/corpus")
+    assert after.count() == before + delta.count()
+
+    got = sim.ivf_probe(spark, store, q, k=5, n_probe=3).collect()
+    cents = spark.read.parquet(store + "/centroids")
+    expected = sim._ivf_rank(
+        sim._ivf_assign(sim._prep(e, "vec_id", "embedding", "c"), cents),
+        sim._ivf_probes(sim._prep(q, "vec_id", "embedding", "q"),
+                        cents, 3),
+        5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in expected]

@@ -1547,3 +1547,28 @@ def test_substring_dedup_excises_cross_doc_runs(spark):
     got2 = {r["doc_id"]: r["n_removed"]
             for r in substring_dedup(docs2, k=8).collect()}
     assert got2 == {1: 0, 2: 0}
+
+
+def test_word_entropy_hand_computed_values(spark):
+    """Exact entropies on crafted docs: uniform 4 distinct words -> 2
+    bits, a 2+2 split -> 1 bit, a single repeated word -> 0, a 3/1
+    split -> 0.811278 (rounded 6dp), empty/whitespace -> 0 over 0."""
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+        word_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a a b b"), (2, "x x x x x"),
+         (3, "a a a b"), (4, ""), (5, "   ")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["entropy_bits"])
+           for r in word_entropy(docs).collect()}
+    assert got[0] == (4, 2.0)
+    assert got[1] == (4, 1.0)
+    assert got[2] == (5, 0.0)
+    assert got[3] == (4, 0.811278)
+    assert got[4] == (0, 0.0)
+    assert got[5] == (0, 0.0)
+    # case folding: tokens are lowered before counting
+    mixed = spark.createDataFrame([(9, "A a B b")], "doc_id long, text string")
+    assert word_entropy(mixed).collect()[0]["entropy_bits"] == 1.0

@@ -25,6 +25,9 @@ from automated_review_analysis_pipeline_spark.operators import (  # noqa: E402
     curation as cur,
 )
 from automated_review_analysis_pipeline_spark.operators import (  # noqa: E402
+    partitioning as part,
+)
+from automated_review_analysis_pipeline_spark.operators import (  # noqa: E402
     similarity as sim,
 )
 from automated_review_analysis_pipeline_spark.operators import (  # noqa: E402
@@ -230,6 +233,13 @@ def main() -> None:
         "temperature_mix_tokens": lambda d, v: _tmix_tokens(d),
         "audio_features (real PCM decode)": lambda d, v:
             _audio_features(d),
+        # round-9 extension: two-pass global id assignment -- the claim
+        # under test is that cost tracks the two aggregate passes + one
+        # keyed window, with no single-task sort emerging at 10x
+        "assign_global_ids (32 buckets)": lambda d, v:
+            part.assign_global_ids(
+                d.select("doc_id", F.length("text").alias("n_chars")),
+                ["n_chars", "doc_id"], n_buckets=32),
     }
     only = set(sys.argv[2:])
     if only:

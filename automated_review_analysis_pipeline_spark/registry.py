@@ -1743,6 +1743,20 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.shuffle_shards(_t(spark, sf_dir, "documents"))
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard delivery manifest (n_docs, token mass, md5-xor content
+    fingerprint) over the deterministic shuffle assignment -- what
+    sinks/shards.py persists next to the parquet shards and what
+    read_training_shards revalidates from the bytes it read. Fully
+    SQL-composable: the shuffle_shards CTEs + the table_fingerprint
+    hash + the shared token-count expression."""
+    from automated_review_analysis_pipeline_spark.sinks.shards import (
+        shard_manifest,
+    )
+
+    return shard_manifest(_t(spark, sf_dir, "documents"))
+
+
 # The testdata corpus is single-line, so the line-dedup query synthesizes
 # the multi-line crawl shape it targets (same convention as the PII and
 # multimodal queries): a per-source NAV header + two fixed-width body
@@ -2038,6 +2052,7 @@ QUERIES: dict[str, QueryFn] = {
     "random_projection": q_random_projection,
     "prototype_prune": q_prototype_prune,
     "shuffle_shards": q_shuffle_shards,
+    "shard_manifest": q_shard_manifest,
     "boilerplate_line_dedup": q_boilerplate_line_dedup,
     "weighted_sample": q_weighted_sample,
     "contamination_report": q_contamination_report,
@@ -4744,6 +4759,44 @@ SELECT doc_id, shard,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
             AS INT) AS pos
 FROM sh ORDER BY shard, pos
+"""
+
+
+from automated_review_analysis_pipeline_spark.operators.textanalysis import (  # noqa: E402
+    token_count_sql as _tc_sql,
+)
+
+ORACLE_SQL["shard_manifest"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         md5('epoch0-' || CAST(doc_id AS VARCHAR)) AS key
+  FROM documents
+), sh AS (
+  SELECT doc_id, key,
+         CAST(CAST('0x' || substring(key, 1, 8) AS BIGINT) % 8 AS INT)
+           AS shard
+  FROM s
+), a AS (
+  SELECT doc_id, shard,
+         CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+              AS INT) AS pos
+  FROM sh
+), j AS (
+  SELECT d.doc_id, a.shard, a.pos, d.text
+  FROM documents d JOIN a USING (doc_id)
+), h AS (
+  SELECT shard,
+         CAST(CAST('0x' || substring(md5(concat_ws(chr(31),
+             coalesce(CAST(doc_id AS VARCHAR), chr(0)||'NULL'||chr(0)),
+             coalesce(CAST(pos AS VARCHAR), chr(0)||'NULL'||chr(0)),
+             coalesce(text, chr(0)||'NULL'||chr(0))
+           )), 1, 12) AS BIGINT) AS BIGINT) AS hh,
+         {_tc_sql('text')} AS t
+  FROM j
+)
+SELECT shard, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS n_tokens,
+       bit_xor(hh) AS fingerprint
+FROM h GROUP BY shard ORDER BY shard
 """
 
 

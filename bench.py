@@ -186,6 +186,10 @@ HEADLINE = [
     "substring_dedup",
     "curate_corpus_tokens",
     "temperature_mix_tokens",
+    # round 9
+    "pq_index_probe",
+    "global_ids",
+    "word_entropy",
 ]
 
 # Deliberately NOT in the headline list: the 8 streaming_* drain variants

@@ -263,3 +263,58 @@ def test_streaming_incremental_rollup_multi_batch(spark, sf_dir, tmp_path):
            [tuple(r) for r in full.collect()]
     versions_after = [d for d in os.listdir(state) if d.startswith("v")]
     assert len(versions_after) == n_versions
+
+
+def test_streaming_dedup_on_rocksdb_state_store(spark, sf_dir, tmp_path):
+    """The bounded-state streaming ops must run unchanged on the
+    DISK-BACKED RocksDB state store -- the provider that carries
+    100 TB-scale key state where the default in-memory HDFS-backed
+    store OOMs an executor. Same exactly-once key set as the default
+    provider, and the checkpoint's state dir must hold RocksDB snapshot
+    artifacts (.zip / changelog -- the default provider writes .delta),
+    proving the provider was engaged rather than silently defaulted."""
+    import pathlib
+
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        streaming_dedup_keys,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        old = spark.conf.get(provider_key)
+    except Exception:
+        old = None
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        events = load_table(spark, sf_dir, "events")
+        src = str(tmp_path / "events_split")
+        events.repartition(4).write.parquet(src)
+        stream_df = read_events_stream(spark, src, max_files_per_trigger=1)
+        ckpt = str(tmp_path / "ckpt")
+        q = (streaming_dedup_keys(stream_df)
+             .writeStream.format("memory").queryName("rocksdb_dedup")
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        keys = [(r["user_id"], r["event_type"])
+                for r in spark.table("rocksdb_dedup").collect()]
+        assert len(keys) == len(set(keys))  # exactly once across batches
+        expected = {(r["user_id"], r["event_type"])
+                    for r in events.select("user_id", "event_type")
+                    .distinct().collect()}
+        assert set(keys) == expected
+        state_files = [p.name for p in
+                       pathlib.Path(ckpt, "state").rglob("*") if p.is_file()]
+        assert any(f.endswith(".zip") or "changelog" in f
+                   for f in state_files), state_files[:20]
+        assert not any(f.endswith(".delta") for f in state_files)
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)

@@ -70,3 +70,64 @@ def test_import_tolerates_missing_vocab_and_blank_lines(tmp_path):
     assert [(m[0], m[1], m[2], m[3]) for m in merges] == [
         (1, "a", "b", "ab"), (2, "ab", "c", "abc")]
     assert vocab == {}
+
+
+def test_training_shards_write_read_validate_roundtrip(spark, sf_dir,
+                                                       tmp_path):
+    """Write shards -> manifest matches the pure-aggregate query ->
+    read-back validates and reproduces the corpus -> rows inside each
+    shard file are position-ordered -> a corrupted delivery raises
+    naming the bad shard."""
+    import json
+
+    import pytest
+
+    from automated_review_analysis_pipeline_spark.sinks.shards import (
+        read_training_shards,
+        shard_manifest,
+        write_training_shards,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "delivery")
+    manifest = write_training_shards(docs, out, n_shards=4, seed="epoch0")
+    assert len(manifest["shards"]) == 4
+
+    # the persisted manifest equals the pure-aggregate query
+    q = {r["shard"]: (r["n_docs"], r["n_tokens"], r["fingerprint"])
+         for r in shard_manifest(docs, n_shards=4).collect()}
+    assert q == {s["shard"]: (s["n_docs"], s["n_tokens"], s["fingerprint"])
+                 for s in manifest["shards"]}
+    assert sum(s["n_docs"] for s in manifest["shards"]) == docs.count()
+
+    back = read_training_shards(spark, out)  # validates
+    assert back.count() == docs.count()
+    assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) \
+        == sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+
+    # per-file position order (the loader streams shards sequentially)
+    import glob
+
+    files = glob.glob(out + "/shards/shard=0/*.parquet")
+    assert files
+    pos = [r["pos"] for r in spark.read.parquet(files[0])
+           .select("pos").collect()]
+    assert pos == sorted(pos)
+
+    # corrupt one shard: delete a data file out of shard=1 -- the short
+    # delivery must fail validation naming shard 1
+    victim = glob.glob(out + "/shards/shard=1/*.parquet")[0]
+    os.remove(victim)
+    with pytest.raises(ValueError, match="shard 1"):
+        read_training_shards(spark, out)
+
+    # stale manifest (edited counts) also refuses
+    write_training_shards(docs, out, n_shards=4, seed="epoch0")
+    m = json.load(open(out + "/manifest.json"))
+    m["shards"][2]["n_tokens"] += 1
+    json.dump(m, open(out + "/manifest.json", "w"))
+    with pytest.raises(ValueError, match="shard 2"):
+        read_training_shards(spark, out)

@@ -704,6 +704,50 @@ def build_pq_index(embeddings: DataFrame, store_dir: str,
     return spark.read.parquet(store_dir + "/codes")
 
 
+def pq_index_append(spark, store_dir: str, new_vectors: DataFrame,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Append a DELTA of new vectors to a persisted PQ index: encode
+    them against the SAME stored codebooks (never retrain -- codes
+    would shift under existing entries, the staleness contract) and
+    parquet-append into the code table. The delta pays one Arrow
+    encode pass; existing code files are untouched. Returns the
+    reloaded codes table."""
+    import numpy as np
+    import pandas as pd
+
+    book_rows = spark.read.parquet(store_dir + "/codebooks").collect()
+    m = 1 + max(r["subspace"] for r in book_rows)
+    ksub = 1 + max(r["code"] for r in book_rows)
+    dsub = len(book_rows[0]["vals"])
+    books = np.zeros((m, ksub, dsub))
+    for r in book_rows:
+        books[r["subspace"], r["code"]] = r["vals"]
+
+    def encode_batches(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            V = np.array([list(v) for v in b[vec_col]], dtype=np.float64)
+            ids = b[id_col].to_numpy(dtype=np.int64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            codes = np.zeros((len(ids), m), dtype=np.int32)
+            for j in range(m):
+                sub = Vn[:, j * dsub:(j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2
+                      ).sum(axis=2)
+                codes[:, j] = np.argmin(np.round(d2, 9), axis=1)
+            yield pd.DataFrame({
+                "c_id": pd.Series(ids, dtype="int64"),
+                "codes": [list(map(int, row)) for row in codes],
+            })
+
+    (new_vectors.select(id_col, vec_col)
+     .mapInPandas(encode_batches, "c_id long, codes array<int>")
+     .write.mode("append").parquet(store_dir + "/codes"))
+    return spark.read.parquet(store_dir + "/codes")
+
+
 def pq_probe(spark, store_dir: str, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Probe a persisted PQ index (:func:`build_pq_index`): no

@@ -785,3 +785,41 @@ def test_ivf_index_append_assigns_against_stored_centroids(
                         cents, 3),
         5).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in expected]
+
+
+def test_pq_index_append_encodes_against_stored_codebooks(
+        spark, sf_dir, tmp_path):
+    """Appending a delta encodes it with the PERSISTED codebooks (no
+    retrain): the probe over the appended index equals pq_topk run with
+    codebooks trained on the BASE sample only -- reproduced by building
+    a full index from the base-trained books via the same train_n
+    subset -- and the code table grows by exactly the delta."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators import similarity as sim
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.where(F.col("vec_id") % 3 != 0)
+    delta = e.where(F.col("vec_id") % 3 == 0)
+    q = e.where(F.col("vec_id") < 10)
+    store = str(tmp_path / "pq_index")
+    sim.build_pq_index(base, store, m=8, ksub=16, train_n=256)
+    before = spark.read.parquet(store + "/codes").count()
+
+    sim.pq_index_append(spark, store, delta)
+    after = spark.read.parquet(store + "/codes")
+    assert after.count() == before + delta.count()
+
+    got = sim.pq_probe(spark, store, q, k=5).collect()
+    # expected: base-trained codebooks encoding the FULL corpus in one
+    # pass (base ∪ delta = e; per-vector encoding is deterministic, so
+    # append must equal the one-shot encode under the same books)
+    import shutil
+
+    store2 = str(tmp_path / "pq_ref")
+    sim.build_pq_index(base, store2, m=8, ksub=16, train_n=256)
+    shutil.rmtree(store2 + "/codes")
+    sim.pq_index_append(spark, store2, e)
+    want = sim.pq_probe(spark, store2, q, k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

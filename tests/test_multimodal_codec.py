@@ -1930,3 +1930,46 @@ def test_tiff_tiled_guards():
     p = bytearray(_tiff_tiled(img, "<", tw=4, th=4))
     with pytest.raises(NotImplementedError):
         decode_image(bytes(p[:-10]))
+
+
+def test_wav_g711_all_256_bytes_vs_reference():
+    """Exhaustive: every mu-law and A-law byte decodes identically to an
+    independent in-test implementation of the published G.711 expansion
+    (the Sun g711.c reference arithmetic)."""
+    def ulaw_ref(b):
+        u = ~b & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    def alaw_ref(b):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    all_bytes = bytes(range(256))
+    su, _ = decode_wav(_wav(7, 1, 8000, 1, 8, all_bytes))
+    sa, _ = decode_wav(_wav(6, 1, 8000, 1, 8, all_bytes))
+    assert list(su[:, 0]) == [ulaw_ref(b) for b in range(256)]
+    assert list(sa[:, 0]) == [alaw_ref(b) for b in range(256)]
+    # symmetry sanity: the two sign halves mirror exactly
+    assert list(su[:128, 0]) == [-v for v in su[128:, 0]]
+
+
+def test_wav_ms_adpcm_negative_predictor_truncates_toward_zero():
+    """The spec's /256 is C division (truncation toward ZERO, not
+    floor): with coeffs (240, 0), s1 = -3, a zero nibble predicts
+    trunc(-720/256) = -2; floor semantics would give -3."""
+    block = (bytes([4]) + struct.pack("<h", 16) + struct.pack("<h", -3)
+             + struct.pack("<h", 7) + bytes([0x00]))
+    s, _ = decode_wav(_wav(2, 1, 8000, len(block), 4, block))
+    # nibble 1: pred after first = -2; second nibble 0:
+    # trunc(-2*240/256) = trunc(-1.875) = -1
+    assert list(s[:, 0]) == [7, -3, -2, -1]

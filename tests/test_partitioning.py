@@ -255,3 +255,32 @@ def test_assign_global_ids_start_empty_and_constant_key(spark):
     empty = assign_global_ids(df.where("k > 99"), ["k", "name"])
     assert empty.count() == 0
     assert "global_id" in empty.columns
+
+
+def test_assign_global_ids_adversarial_key_shapes(spark):
+    """Shapes that break naive range bucketing: negative keys, one
+    huge outlier (all other rows collapse into bucket 0), heavy
+    duplicates, a single row, and a two-row extreme span -- ids must
+    equal the total-order rank in every case."""
+    import random
+
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        assign_global_ids,
+    )
+
+    rng = random.Random(7)
+    shapes = [
+        [(-5, "a"), (-5, "b"), (0, "c"), (3, "d")],           # negatives+dups
+        [(1, f"r{i}") for i in range(50)] + [(10**12, "big")],  # outlier
+        [(rng.randrange(-100, 100), f"x{i}") for i in range(200)],
+        [(42, "only")],                                        # single row
+        [(-(2**40), "lo"), (2**40, "hi")],                     # extreme span
+    ]
+    for rows in shapes:
+        df = spark.createDataFrame(rows, "k long, name string")
+        got = {(r["k"], r["name"]): r["global_id"]
+               for r in assign_global_ids(df, ["k", "name"],
+                                          n_buckets=7).collect()}
+        want = {kv: i + 1
+                for i, kv in enumerate(sorted(rows))}
+        assert got == want, rows[:5]

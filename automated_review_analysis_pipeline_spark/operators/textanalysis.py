@@ -1716,10 +1716,15 @@ def word_entropy(documents: DataFrame, id_col: str = "doc_id",
                              F.explode(toks).alias("__w"))
     counts = words.groupBy(id_col, "__w").agg(
         F.count(F.lit(1)).alias("__c"))
+    # the count multiplies as DECIMAL(12,0), NOT bigint: decimal x
+    # bigint is (18,9)x(20,0) -> precision 39 > 38, and Spark silently
+    # drops the result scale to 8dp (DuckDB keeps 9) -- a 1-ulp
+    # boundary flip at round(.,6) found at sf0.001
     per_doc = counts.groupBy(id_col).agg(
         F.sum("__c").alias("n_tokens"),
         F.sum(F.round(F.log(F.col("__c").cast("double")), 9)
-              .cast("decimal(18,9)") * F.col("__c")).alias("__clogc"))
+              .cast("decimal(18,9)")
+              * F.col("__c").cast("decimal(12,0)")).alias("__clogc"))
     ent = F.round(
         (F.round(F.log(F.col("n_tokens").cast("double")), 9)
          - F.col("__clogc").cast("double") / F.col("n_tokens"))

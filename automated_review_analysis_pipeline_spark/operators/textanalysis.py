@@ -445,6 +445,81 @@ def token_budget_shards(documents: DataFrame, budget: int = 512,
     )
 
 
+def length_grouped_batches(documents: DataFrame, batch_size: int = 32,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Sorted (length-grouped) batching -- the loader trick that cuts
+    padding waste when sequences are padded to the batch max: rank
+    documents by token count DESCENDING and cut consecutive ranks into
+    batches of ``batch_size``, so each batch holds near-equal lengths.
+    Emits per-batch padding accounting: ``padded_tokens = n_docs *
+    max_tokens`` (what the accelerator actually processes) vs
+    ``sum_tokens`` (useful work), ``waste_frac`` their gap.
+
+    The global rank comes from :func:`assign_global_ids`
+    (operators/partitioning.py) -- the two-pass bucket-offset shape --
+    NOT a single-partition window, so the ranking shards like any keyed
+    aggregate at 100 TB. Ordering key is (-n_tokens, id): ascending ids
+    over the negated length give the descending-length total order with
+    a deterministic tiebreak."""
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        assign_global_ids,
+    )
+
+    base = documents.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    ).withColumn("__neg", -F.col("n_tokens"))
+    ranked = assign_global_ids(base, ["__neg", id_col], id_name="__rank")
+    return (
+        ranked.withColumn(
+            "batch", F.expr(f"(__rank - 1) div {batch_size}"))
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "batch", "n_docs", "max_tokens", "sum_tokens",
+            (F.col("n_docs") * F.col("max_tokens")).alias("padded_tokens"),
+            F.when(F.col("n_docs") * F.col("max_tokens") == 0, F.lit(0.0))
+            .otherwise(F.round(
+                F.lit(1.0) - F.col("sum_tokens")
+                / (F.col("n_docs") * F.col("max_tokens")), 6))
+            .alias("waste_frac"),
+        )
+        .orderBy("batch")
+    )
+
+
+def length_grouped_batches_sql(batch_size: int = 32) -> str:
+    """DuckDB twin of :func:`length_grouped_batches` (plain row_number
+    rank -- the single-window formulation the Spark side refuses to
+    run)."""
+    tc = token_count_sql("text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {tc} AS n_tokens FROM documents
+), r AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY -n_tokens, doc_id) AS rank
+  FROM t
+), b AS (
+  SELECT CAST((rank - 1) // {batch_size} AS BIGINT) AS batch,
+         n_tokens
+  FROM r
+)
+SELECT batch, count(*) AS n_docs, max(n_tokens) AS max_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(count(*) * max(n_tokens) AS BIGINT) AS padded_tokens,
+       CASE WHEN count(*) * max(n_tokens) = 0 THEN 0.0
+            ELSE round(1.0 - CAST(sum(n_tokens) AS DOUBLE)
+                       / (count(*) * max(n_tokens)), 6) END AS waste_frac
+FROM b GROUP BY batch ORDER BY batch
+"""
+
+
 def pack_sequences(documents: DataFrame, seq_len: int = 128,
                    group_col: str = "source",
                    text_col: str = "text") -> DataFrame:

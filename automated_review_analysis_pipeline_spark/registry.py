@@ -781,6 +781,40 @@ ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
 """
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between orders and a deterministically mutated
+    next version (drop keys %97, restamp status on %13, add %89==3
+    rows under shifted keys) -- one (key, status) row per added /
+    removed / changed key. Both sides reduce to (key, 48-bit row hash)
+    before the full outer join, so the shuffle never carries payloads;
+    the oracle is the semantic value-comparison twin."""
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        table_diff,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    mutated = (
+        o.where(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus")))
+    )
+    added = o.where(F.col("o_orderkey") % 89 == 3).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10000000))
+    return table_diff(o, mutated.unionByName(added), ["o_orderkey"])
+
+
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped (sorted) batching over documents with per-batch
+    padding accounting -- the loader-efficiency report. The global
+    descending-length rank comes from assign_global_ids (no
+    single-partition window; the oracle IS that naive window)."""
+    return ta.length_grouped_batches(_t(spark, sf_dir, "documents"),
+                                     batch_size=32)
+
+
 def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent per-source content checksum of the documents
     table -- the validate-both-sides-of-a-copy primitive."""
@@ -2062,6 +2096,8 @@ QUERIES: dict[str, QueryFn] = {
     "lateral_top_orders": q_lateral_top_orders,
     "event_props_variant": q_event_props_variant,
     "table_fingerprint": q_table_fingerprint,
+    "table_diff": q_table_diff,
+    "length_batches": q_length_batches,
     "self_line_dedup": q_self_line_dedup,
     "leakage_safe_split": q_leakage_safe_split,
     "temperature_mix": q_temperature_mix,
@@ -3591,6 +3627,7 @@ ORACLE_SQL["gopher_quality_flags"] = cur.gopher_quality_flags_sql()
 ORACLE_SQL["ngram_topk"] = ta.ngram_topk_sql()
 ORACLE_SQL["token_freq_score"] = ta.token_freq_score_sql()
 ORACLE_SQL["word_entropy"] = ta.word_entropy_sql()
+ORACLE_SQL["length_batches"] = ta.length_grouped_batches_sql()
 
 
 ORACLE_SQL["streaming_click_attribution"] = """
@@ -4964,6 +5001,35 @@ ORACLE_SQL["lateral_top_orders"] = LATERAL_TOP_ORDERS_SQL
 
 # same canonicalization arithmetic: md5 of US-joined stringified
 # columns, first-12-hex int, xor-folded per group
+ORACLE_SQL["table_diff"] = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+  FROM orders
+), n AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_orderpriority
+  FROM o WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_orderpriority
+  FROM o WHERE o_orderkey % 89 = 3
+), j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_custkey <> n.o_custkey
+                   OR o.o_orderstatus <> n.o_orderstatus
+                   OR o.o_orderpriority <> n.o_orderpriority
+                THEN 'changed'
+         END AS diff_status
+  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey, diff_status FROM j
+WHERE diff_status IS NOT NULL ORDER BY o_orderkey
+"""
+
+
 ORACLE_SQL["table_fingerprint"] = """
 WITH h AS (
   SELECT source,

@@ -190,6 +190,9 @@ HEADLINE = [
     "pq_index_probe",
     "global_ids",
     "word_entropy",
+    "shard_manifest",
+    "table_diff",
+    "length_batches",
 ]
 
 # Deliberately NOT in the headline list: the 8 streaming_* drain variants

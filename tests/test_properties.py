@@ -1572,3 +1572,55 @@ def test_word_entropy_hand_computed_values(spark):
     # case folding: tokens are lowered before counting
     mixed = spark.createDataFrame([(9, "A a B b")], "doc_id long, text string")
     assert word_entropy(mixed).collect()[0]["entropy_bits"] == 1.0
+
+
+def test_table_diff_statuses_hand_built(spark):
+    """added/removed/changed on a crafted pair; unchanged keys emit
+    nothing; NULL payloads diff correctly (sentinel keeps NULL distinct
+    from the string 'null')."""
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        table_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40),
+         (5, "null", 50)],
+        "k long, s string, v long")
+    new = spark.createDataFrame(
+        [(1, "a", 10),          # unchanged
+         (2, "B", 20),          # changed value
+         (4, "null", 40),       # NULL -> 'null' must read as changed
+         (5, "null", 50),       # unchanged
+         (6, "f", 60)],         # added
+        "k long, s string, v long")
+    got = {r["k"]: r["diff_status"]
+           for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "changed", 6: "added"}
+
+    # compare_cols narrows the diff: with only v compared, key 2 and 4
+    # are unchanged
+    got_v = {r["k"]: r["diff_status"]
+             for r in table_diff(old, new, ["k"],
+                                 compare_cols=["v"]).collect()}
+    assert got_v == {3: "removed", 6: "added"}
+
+
+def test_length_grouped_batches_padding_accounting(spark):
+    """Descending-length batches of 2 over crafted lengths
+    [5,4,3,3,1,1]: batches (5,4) (3,3) (1,1) -> waste 1/10, 0, 0;
+    random-order input gives the same batches (rank is global)."""
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+        length_grouped_batches,
+    )
+
+    rows = [(i, " ".join(["w"] * n))
+            for i, n in enumerate([3, 1, 5, 3, 4, 1])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["batch"], r["n_docs"], r["max_tokens"], r["sum_tokens"],
+            r["padded_tokens"], r["waste_frac"])
+           for r in length_grouped_batches(docs, batch_size=2).collect()]
+    assert got == [
+        (0, 2, 5, 9, 10, 0.1),
+        (1, 2, 3, 6, 6, 0.0),
+        (2, 2, 1, 2, 2, 0.0),
+    ]

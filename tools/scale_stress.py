@@ -145,6 +145,21 @@ def _audio_features(docs: DataFrame) -> DataFrame:
     return mm.attach_media_features(media, decoder=mm.real_decoder)
 
 
+def _table_diff_docs(docs: DataFrame) -> DataFrame:
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        table_diff,
+    )
+
+    mutated = (
+        docs.where(F.col("doc_id") % 97 != 0)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.concat(F.col("text"), F.lit(" x")))
+            .otherwise(F.col("text"))))
+    return table_diff(docs, mutated, ["doc_id"])
+
+
 def _tmix_tokens(docs: DataFrame) -> DataFrame:
     enc = ta.bpe_encode(docs, n_merges=3).select("doc_id", "n_bpe_tokens")
     weighted = (docs.join(enc, "doc_id", "left")
@@ -240,6 +255,10 @@ def main() -> None:
             part.assign_global_ids(
                 d.select("doc_id", F.length("text").alias("n_chars")),
                 ["n_chars", "doc_id"], n_buckets=32),
+        # round-9: snapshot diff -- both sides reduce to (key, hash)
+        # before the outer join, so cost must track the two scans, not
+        # the payload width
+        "table_diff (3% mutated)": lambda d, v: _table_diff_docs(d),
     }
     only = set(sys.argv[2:])
     if only:

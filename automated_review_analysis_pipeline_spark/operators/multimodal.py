@@ -8,10 +8,11 @@ decodes PPM (P6), uncompressed 24/32-bit BMP, PNG incl. 16-bit and
 Adam7-interlaced (DEFLATE via the stdlib zlib), GIF (LZW is pure
 dictionary logic), baseline JPEG (Huffman + IDCT in numpy), lossless
 WebP (VP8L, all four transforms; webp.py), baseline TIFF
-(uncompressed/LZW/PackBits, strips or tiles, both endians), and
-RIFF/WAVE audio (integer/float PCM, G.711 a-law/mu-law, MS/IMA ADPCM).
-Formats needing codec libraries this container lacks (lossy-VP8 WebP,
-JPEG-in-TIFF, AVIF, mp3-in-WAV) raise NotImplementedError; a
+(uncompressed/LZW/PackBits/new-style-JPEG, strips or tiles, both
+endians), and RIFF/WAVE audio (integer/float PCM, G.711 a-law/mu-law,
+MS/IMA ADPCM). Formats needing codec libraries this container lacks
+(lossy-VP8 WebP, old-style TIFF JPEG, AVIF, mp3-in-WAV) raise
+NotImplementedError; a
 deterministic fake decoder remains the SQL-expressible oracle path.
 
 Plan shape at 100 TB: binary payloads dominate partition size, so the
@@ -76,7 +77,8 @@ def decode_image(payload: bytes):
       palette, predictor, cross-color; operators/webp.py); lossy VP8
       raises
     - baseline TIFF (8-bit gray/RGB/RGBA, both byte orders, strip or
-      tile layout, uncompressed/LZW/PackBits; :func:`_decode_tiff`)
+      tile layout, uncompressed/LZW/PackBits/new-style-JPEG;
+      :func:`_decode_tiff`)
 
     Anything else (AVIF/HEIC/...) raises NotImplementedError -- those
     need codec libraries this container does not ship."""
@@ -417,9 +419,11 @@ def _decode_tiff(payload: bytes):
     IFD walking with inline-or-offset values, strip OR tile assembly
     (section 15: edge-padded tiles, per-tile predictor reset), 8-bit
     gray/RGB/RGBA in chunky planar config, compression 1 (none), 5
-    (LZW, incl. the horizontal-differencing predictor tag) or
-    32773 (PackBits). JPEG-in-TIFF, planar=2, and non-8-bit
-    depths raise NotImplementedError."""
+    (LZW, incl. the horizontal-differencing predictor tag), 7
+    (new-style JPEG-in-TIFF, per-segment streams spliced with the
+    shared JPEGTables tag, decoded by this module's own T.81 codec) or
+    32773 (PackBits). Old-style JPEG (compression 6), planar=2, and
+    non-8-bit depths raise NotImplementedError."""
     import struct
 
     import numpy as np
@@ -436,8 +440,8 @@ def _decode_tiff(payload: bytes):
     if ifd_off + 2 > len(payload):
         raise NotImplementedError("truncated TIFF IFD")
     n = struct.unpack_from(e + "H", payload, ifd_off)[0]
-    type_size = {1: 1, 3: 2, 4: 4}
-    type_fmt = {1: "B", 3: "H", 4: "I"}
+    type_size = {1: 1, 3: 2, 4: 4, 7: 1}  # 7 = UNDEFINED (JPEGTables)
+    type_fmt = {1: "B", 3: "H", 4: "I", 7: "B"}
     tags: dict[int, list[int]] = {}
     for i in range(n):
         base = ifd_off + 2 + 12 * i
@@ -474,12 +478,30 @@ def _decode_tiff(payload: bytes):
         raise NotImplementedError(
             "only 8-bit chunky-planar TIFF supported")
     predictor = one(317, 1)
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 7, 32773):
         raise NotImplementedError(
-            "only uncompressed, LZW, or PackBits TIFF supported "
-            "(JPEG-in-TIFF needs a codec library)")
-    if predictor not in (1, 2):
+            "only uncompressed, LZW, new-style JPEG, or PackBits TIFF "
+            "supported")
+    if predictor not in (1, 2) or (compression == 7 and predictor != 1):
         raise NotImplementedError("unsupported TIFF predictor")
+    # new-style JPEG-in-TIFF (compression 7, TIFF-EP): each strip/tile
+    # is a self-contained JPEG stream, optionally sharing quant/huffman
+    # tables through the JPEGTables tag (347: SOI + table segments +
+    # EOI) -- splice those ahead of the segment stream per the spec
+    jpeg_tables = b""
+    if compression == 7 and 347 in tags:
+        jt = bytes(tags[347])
+        if len(jt) < 4 or jt[:2] != b"\xff\xd8" or jt[-2:] != b"\xff\xd9":
+            raise NotImplementedError("malformed TIFF JPEGTables")
+        jpeg_tables = jt[2:-2]
+
+    def _jpeg_segment(off: int, cnt: int):
+        seg = payload[off:off + cnt]
+        if len(seg) != cnt:
+            raise NotImplementedError("truncated TIFF segment")
+        if seg[:2] != b"\xff\xd8":
+            raise NotImplementedError("TIFF JPEG segment missing SOI")
+        return _decode_jpeg(b"\xff\xd8" + jpeg_tables + bytes(seg[2:]))
 
     def _segment(off: int, cnt: int, expected: int) -> bytes:
         seg = payload[off:off + cnt]
@@ -508,18 +530,28 @@ def _decode_tiff(payload: bytes):
         down = (h + th - 1) // th
         if len(t_offsets) != across * down:
             raise NotImplementedError("TIFF tile count mismatch")
-        px = np.zeros((h, w, spp), dtype=np.uint8)
+        out_c = 3 if compression == 7 else spp
+        px = np.zeros((h, w, out_c), dtype=np.uint8)
         for idx, (off, cnt) in enumerate(zip(t_offsets, t_counts)):
-            tile = np.frombuffer(
-                _segment(off, cnt, th * tw * spp), dtype=np.uint8
-            ).reshape(th, tw, spp)
-            if predictor == 2:
-                tile = np.cumsum(tile.astype(np.uint32), axis=1,
-                                 dtype=np.uint32).astype(np.uint8)
+            if compression == 7:
+                tile = _jpeg_segment(off, cnt)
+                if tile.shape[0] < min(th, h - (idx // across) * th) \
+                        or tile.shape[1] < min(tw, w - (idx % across) * tw):
+                    raise NotImplementedError("short TIFF JPEG tile")
+                tile = tile[:th, :tw]
+            else:
+                tile = np.frombuffer(
+                    _segment(off, cnt, th * tw * spp), dtype=np.uint8
+                ).reshape(th, tw, spp)
+                if predictor == 2:
+                    tile = np.cumsum(tile.astype(np.uint32), axis=1,
+                                     dtype=np.uint32).astype(np.uint8)
             r0 = (idx // across) * th
             c0 = (idx % across) * tw
             px[r0:r0 + th, c0:c0 + tw] = \
                 tile[:h - r0, :w - c0]
+        if compression == 7:
+            return px
         if spp == 1:
             return np.repeat(px, 3, axis=2)
         if spp >= 3:
@@ -531,6 +563,19 @@ def _decode_tiff(payload: bytes):
     if not offsets or not counts or len(offsets) != len(counts):
         raise NotImplementedError("TIFF missing strip tables")
     rows_per_strip = one(278, h)
+    if compression == 7:
+        parts = []
+        rows_done = 0
+        for off, cnt in zip(offsets, counts):
+            rows = min(rows_per_strip, h - rows_done)
+            strip = _jpeg_segment(off, cnt)
+            if strip.shape[0] < rows or strip.shape[1] < w:
+                raise NotImplementedError("short TIFF JPEG strip")
+            parts.append(strip[:rows, :w])
+            rows_done += rows
+        if rows_done != h:
+            raise NotImplementedError("TIFF raster size mismatch")
+        return np.vstack(parts)
     raster = bytearray()
     rows_done = 0
     for off, cnt in zip(offsets, counts):
@@ -2374,7 +2419,8 @@ def real_decoder(payload: bytes, mime: str) -> list[float]:
     GIF, lossless WebP (VP8L), baseline TIFF, and (audio) integer/
     float PCM, G.711 a-law/mu-law, and MS/IMA-ADPCM WAV -- only formats
     whose codecs are genuinely absent (lossy-VP8 WebP, AVIF/HEIC,
-    JPEG-in-TIFF, mp3-in-WAV audio) still raise NotImplementedError."""
+    old-style TIFF JPEG, mp3-in-WAV audio) still raise
+    NotImplementedError."""
     if payload is not None and payload[:4] == b"RIFF" \
             and payload[8:12] != b"WEBP":
         return audio_features(payload)

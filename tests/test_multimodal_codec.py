@@ -1973,3 +1973,148 @@ def test_wav_ms_adpcm_negative_predictor_truncates_toward_zero():
     # nibble 1: pred after first = -2; second nibble 0:
     # trunc(-2*240/256) = trunc(-1.875) = -1
     assert list(s[:, 0]) == [7, -3, -2, -1]
+
+
+def _tiff_jpeg(segments: list[bytes], w: int, h: int, endian: str = "<",
+               rows_per_strip: int | None = None,
+               tile_wh: tuple[int, int] | None = None,
+               jpeg_tables: bytes | None = None) -> bytes:
+    """Test-side new-style-JPEG TIFF writer (compression 7): strip or
+    tile layout, optional shared JPEGTables tag (type UNDEFINED)."""
+    # tags: 256,257,258,259,262,277 (+278,273,279 strips |
+    # +322,323,324,325 tiles) (+347 shared tables)
+    n_entries = 6 + (4 if tile_wh else 3) + (1 if jpeg_tables else 0)
+    ifd_len = 2 + 12 * n_entries + 4
+    data_base = 8 + ifd_len
+    entries = []
+    extra = bytearray()
+
+    def entry(tag, typ, values, fmt):
+        nonlocal extra
+        size = {1: 1, 3: 2, 4: 4, 7: 1}[typ] * len(values)
+        body = struct.pack(endian + fmt * len(values), *values)
+        if size <= 4:
+            entries.append((tag, typ, len(values), body.ljust(4, b"\0")))
+        else:
+            off = data_base + len(extra)
+            extra += body
+            entries.append((tag, typ, len(values),
+                            struct.pack(endian + "I", off)))
+
+    entry(256, 3, [w], "H")
+    entry(257, 3, [h], "H")
+    entry(258, 3, [8, 8, 8], "H")
+    entry(259, 3, [7], "H")
+    entry(262, 3, [6], "H")  # YCbCr (informational)
+    entry(277, 3, [3], "H")
+    if jpeg_tables:
+        entry(347, 7, list(jpeg_tables), "B")
+    if tile_wh:
+        entry(322, 3, [tile_wh[0]], "H")
+        entry(323, 3, [tile_wh[1]], "H")
+        off_tag, cnt_tag = 324, 325
+    else:
+        entry(278, 3, [rows_per_strip or h], "H")
+        off_tag, cnt_tag = 273, 279
+    table_bytes = (4 * len(segments)) * 2 if len(segments) > 1 else 0
+    seg_base = data_base + len(extra) + table_bytes
+    offs, p = [], seg_base
+    for seg in segments:
+        offs.append(p)
+        p += len(seg)
+    entry(off_tag, 4, offs, "I")
+    entry(cnt_tag, 4, [len(s) for s in segments], "I")
+    entries.sort(key=lambda t: t[0])
+    magic = b"II*\x00" if endian == "<" else b"MM\x00*"
+    out = magic + struct.pack(endian + "I", 8)
+    out += struct.pack(endian + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack(endian + "HHI", tag, typ, cnt) + val
+    out += struct.pack(endian + "I", 0)
+    return out + bytes(extra) + b"".join(segments)
+
+
+def _jpeg_split_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a JPEG stream into (JPEGTables blob, abbreviated stream):
+    DQT/DHT segments move into SOI+tables+EOI; the rest keeps its
+    order. The TIFF-EP shared-tables layout."""
+    pos, tables, rest = 2, bytearray(), bytearray(b"\xff\xd8")
+    while pos < len(stream):
+        assert stream[pos] == 0xFF
+        marker = stream[pos + 1]
+        if marker == 0xD9:  # EOI
+            rest += stream[pos:pos + 2]
+            break
+        if marker == 0xDA:  # SOS: rest of stream is entropy data
+            rest += stream[pos:]
+            break
+        size = struct.unpack_from(">H", stream, pos + 2)[0]
+        seg = stream[pos:pos + 2 + size]
+        (tables if marker in (0xDB, 0xC4) else rest).extend(seg)
+        pos += 2 + size
+    return b"\xff\xd8" + bytes(tables) + b"\xff\xd9", bytes(rest)
+
+
+def test_tiff_jpeg_strips_match_direct_decode():
+    """Compression-7 strips: assembling per-strip JPEG decodes must
+    equal decoding the TIFF; both endians; multi-strip with an edge
+    strip shorter than rows_per_strip."""
+    img = _grad(13, 12)
+    strips, parts = [], []
+    for y0 in range(0, 13, 5):
+        sub = img[y0:y0 + 5]
+        enc = encode_jpeg(sub, quant=2)
+        strips.append(enc)
+        parts.append(decode_image(enc)[:sub.shape[0], :12])
+    want = np.vstack(parts)
+    for endian in ("<", ">"):
+        p = _tiff_jpeg(strips, 12, 13, endian, rows_per_strip=5)
+        assert np.array_equal(decode_image(p), want)
+
+
+def test_tiff_jpeg_tiles_and_shared_tables():
+    """Compression-7 tiles with the shared JPEGTables tag: DQT/DHT live
+    once in tag 347, each tile stream is abbreviated; result equals the
+    unsplit per-tile decodes clipped to the image."""
+    img = _grad(10, 14)
+    tw = th = 8
+    tiles, full_tiles = [], []
+    tables_blob = None
+    for ty in range(2):
+        for tx in range(2):
+            tile = np.zeros((th, tw, 3), dtype=np.uint8)
+            sub = img[ty * th:ty * th + th, tx * tw:tx * tw + tw]
+            tile[:sub.shape[0], :sub.shape[1]] = sub
+            enc = encode_jpeg(tile, quant=2)
+            tables_blob, abbrev = _jpeg_split_tables(enc)
+            tiles.append(abbrev)
+            full_tiles.append(decode_image(enc))
+    want = np.zeros((10, 14, 3), dtype=np.uint8)
+    for idx, dec in enumerate(full_tiles):
+        r0, c0 = (idx // 2) * th, (idx % 2) * tw
+        want[r0:r0 + th, c0:c0 + tw] = dec[:10 - r0, :14 - c0]
+    p = _tiff_jpeg(tiles, 14, 10, "<", tile_wh=(tw, th),
+                   jpeg_tables=tables_blob)
+    assert np.array_equal(decode_image(p), want)
+
+
+def test_tiff_jpeg_guards():
+    """Old-style JPEG (compression 6) still raises; a segment without
+    SOI raises; malformed JPEGTables raises."""
+    img = _grad(4, 4)
+    enc = encode_jpeg(img, quant=2)
+    good = _tiff_jpeg([enc], 4, 4)
+    assert np.array_equal(decode_image(good),
+                          decode_image(enc)[:4, :4])
+    # compression 6: patch the tag value (259 type 3 inline LE)
+    bad6 = bytearray(good)
+    i = bad6.find(struct.pack("<HH", 259, 3))
+    struct.pack_into("<H", bad6, i + 8, 6)
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(bad6))
+    # no SOI in the segment
+    with pytest.raises(NotImplementedError):
+        decode_image(_tiff_jpeg([b"\x00" * 16], 4, 4))
+    # malformed JPEGTables
+    with pytest.raises(NotImplementedError):
+        decode_image(_tiff_jpeg([enc], 4, 4, jpeg_tables=b"\x01\x02"))

@@ -2118,3 +2118,52 @@ def test_tiff_jpeg_guards():
     # malformed JPEGTables
     with pytest.raises(NotImplementedError):
         decode_image(_tiff_jpeg([enc], 4, 4, jpeg_tables=b"\x01\x02"))
+
+
+def test_codec_mutation_fuzz_new_formats():
+    """Deep-parser hardening for the round-9 formats: take structurally
+    VALID G.711 / MS-ADPCM / IMA-ADPCM WAVs and tiled / JPEG-in-TIFF
+    images, then flip bytes, truncate, and extend (seeded, 1200
+    mutants) -- decode must succeed or raise exactly
+    NotImplementedError, never a raw struct/ValueError/IndexError/
+    numpy error, so one corrupt payload can only null its own row."""
+    import random
+
+    from automated_review_analysis_pipeline_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    img = _grad(10, 14)
+    ima_body = struct.pack("<hBB", 0, 0, 0) + bytes(range(16))
+    ms_body = (bytes([0]) + struct.pack("<h", 16) + struct.pack("<h", 9)
+               + struct.pack("<h", 5) + bytes([0x12, 0x34]))
+    enc = encode_jpeg(img, quant=2)
+    tables, abbrev = _jpeg_split_tables(enc)
+    seeds = [
+        (decode_wav, _wav(7, 1, 8000, 1, 8, bytes(range(64)))),
+        (decode_wav, _wav(6, 2, 8000, 2, 8, bytes(range(64)))),
+        (decode_wav, _wav(2, 1, 8000, len(ms_body), 4, ms_body)),
+        (decode_wav, _wav(0x11, 1, 8000, len(ima_body), 4, ima_body,
+                          fact=9)),
+        (decode_image, _tiff_tiled(img, "<", compression=5, tw=4, th=4,
+                                   predictor=2)),
+        (decode_image, _tiff_jpeg([enc], 14, 10)),
+        (decode_image, _tiff_jpeg([abbrev], 14, 10, jpeg_tables=tables)),
+    ]
+    rng = random.Random(99)
+    for fn, base in seeds:
+        for _ in range(1200 // len(seeds)):
+            mutant = bytearray(base)
+            op = rng.random()
+            if op < 0.45:  # flip 1-4 bytes
+                for _ in range(rng.randint(1, 4)):
+                    mutant[rng.randrange(len(mutant))] = rng.randrange(256)
+            elif op < 0.8:  # truncate
+                del mutant[rng.randrange(1, len(mutant)):]
+            else:  # extend with noise
+                mutant += bytes(rng.randrange(256)
+                                for _ in range(rng.randint(1, 32)))
+            try:
+                fn(bytes(mutant))
+            except NotImplementedError:
+                pass

@@ -93,38 +93,56 @@ def assign_global_ids(df: DataFrame, order_cols: list[str],
     ``monotonically_increasing_id()`` is neither contiguous nor
     order-respecting. This is the standard two-pass shape instead:
 
-    1. range-bucket every row on the LEADING order column (bucket =
-       width_bucket over the observed min/max from one cheap aggregate);
+    1. range-partition every row on the FULL order tuple
+       (``repartitionByRange``: sampled boundaries, order-preserving
+       across partitions);
     2. count rows per bucket (tiny: ``n_buckets`` rows), cumulative-sum
        on the driver into per-bucket start offsets, broadcast back;
     3. ``gid = bucket_offset + row_number() OVER (PARTITION BY bucket
        ORDER BY order_cols)`` -- every window group is one bucket,
        sharded across executors like any keyed window.
 
-    Bucket boundaries affect BALANCE only, never correctness: equal
-    leading keys always share a bucket, and cross-bucket order follows
-    the leading key, so concatenating per-bucket ranks in bucket order
+    Bucket boundaries affect BALANCE only, never correctness: equal full
+    tuples always share a bucket, and cross-bucket order follows the
+    tuple order, so concatenating per-bucket ranks in bucket order
     reproduces the total order exactly. ``order_cols`` must form a total
     order (append a unique key last) for the ids to be deterministic.
+
+    The eager ``localCheckpoint`` between the range exchange and the two
+    jobs that read it is the determinism pin, same as
+    ``with_response_id``: ``repartitionByRange`` samples boundaries with
+    an RDD-id-derived seed, so two separately-planned jobs would draw
+    DIFFERENT boundaries and the count pass would disagree with the
+    numbering pass. Checkpointing materializes the partition map once
+    (MEMORY_AND_DISK blocks -- one extra pass over data the operator
+    already shuffles) and both jobs read the same blocks.
+
+    Bucketing range-partitions on the FULL order tuple
+    (``repartitionByRange(n_buckets, *order_cols)``), not on value-width
+    buckets of the leading column: sampled range boundaries split
+    BETWEEN distinct tuples, so a tie-heavy leading key (a constant
+    column, the modal token length of a real corpus) still spreads over
+    all buckets via the tiebreak columns instead of collapsing the rank
+    window into one partition. Boundary placement is a deterministic
+    binary search against boundaries sampled with fixed per-partition
+    seeds, so the bucket a row lands in is identical in the count job
+    and the numbering job below -- no materialization needed between
+    them. NULLs in order columns sort FIRST (Spark's ``ASC NULLS
+    FIRST``), consistently in both the partitioner and the window, so
+    null keys get valid leading ids rather than crashing or dropping.
 
     The classic loader use: stamp shuffled training samples with
     contiguous ids by ordering on a hash column -- a deterministic
     global shuffle with resumable offsets."""
-    lead = F.col(order_cols[0]).cast("double")
-    stats = df.agg(F.min(lead).alias("mn"), F.max(lead).alias("mx")).first()
-    if stats is None or stats["mn"] is None:  # empty input: schema only
-        return df.withColumn(id_name, F.lit(None).cast("long"))
-    mn, mx = float(stats["mn"]), float(stats["mx"])
-    span = (mx - mn) or 1.0
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.greatest(F.lit(0), F.floor((lead - F.lit(mn))
-                                     / F.lit(span) * n_buckets)),
-    ).cast("int")
-    withb = df.withColumn("__gid_bucket", bucket)
+    cols = [F.col(c) for c in order_cols]
+    withb = (df.repartitionByRange(n_buckets, *cols)
+             .withColumn("__gid_bucket", F.spark_partition_id())
+             .localCheckpoint(eager=True))
 
     sizes = {r[0]: r[1]
              for r in withb.groupBy("__gid_bucket").count().collect()}
+    if not sizes:  # empty input: schema only
+        return df.withColumn(id_name, F.lit(None).cast("long"))
     offsets, acc = [], start - 1
     for b in sorted(sizes):
         offsets.append((b, acc))
@@ -133,8 +151,7 @@ def assign_global_ids(df: DataFrame, order_cols: list[str],
     off_df = spark.createDataFrame(
         offsets, "__gid_bucket int, __gid_offset long")
 
-    w = Window.partitionBy("__gid_bucket").orderBy(
-        *[F.col(c) for c in order_cols])
+    w = Window.partitionBy("__gid_bucket").orderBy(*cols)
     return (
         withb.join(F.broadcast(off_df), "__gid_bucket")
         .withColumn(id_name,

@@ -284,3 +284,51 @@ def test_assign_global_ids_adversarial_key_shapes(spark):
         want = {kv: i + 1
                 for i, kv in enumerate(sorted(rows))}
         assert got == want, rows[:5]
+
+
+def test_assign_global_ids_tie_skew_spreads_buckets(spark):
+    """A CONSTANT leading key (the worst tie skew: every row shares the
+    modal value) must still spread across bucket partitions via the
+    tiebreak column -- the range partitioner splits on the FULL tuple.
+    Verified on the actual per-bucket window partition sizes, not just
+    the final ids."""
+    from pyspark.sql import Window
+
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        assign_global_ids,
+    )
+
+    n = 4000
+    df = spark.range(n).select(
+        F.lit(7).alias("k"), F.col("id").alias("name"))
+    out = assign_global_ids(df, ["k", "name"], n_buckets=8)
+    ids = [r[0] for r in out.select("global_id").collect()]
+    assert sorted(ids) == list(range(1, n + 1))
+
+    # direct measurement of the bucket spread the window will see
+    spread = (df.repartitionByRange(8, F.col("k"), F.col("name"))
+              .groupBy(F.spark_partition_id().alias("b")).count())
+    sizes = [r["count"] for r in spread.collect()]
+    assert len(sizes) >= 4, sizes          # not collapsed into one bucket
+    assert max(sizes) < n * 0.5, sizes     # no bucket holds half the rows
+
+    # ids follow the tiebreak order exactly
+    got = {r["name"]: r["global_id"] for r in out.collect()}
+    assert got == {i: i + 1 for i in range(n)}
+
+
+def test_assign_global_ids_null_leading_keys(spark):
+    """NULLs in the leading order column neither crash the offset pass
+    nor drop rows: they sort FIRST (Spark ASC NULLS FIRST) consistently
+    in the range partitioner and the rank window."""
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        assign_global_ids,
+    )
+
+    rows = [(None, "n2"), (3, "c"), (None, "n1"), (1, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "k int, name string")
+    out = assign_global_ids(df, ["k", "name"], n_buckets=4)
+    got = [(r["k"], r["name"])
+           for r in out.orderBy("global_id").collect()]
+    assert got == [(None, "n1"), (None, "n2"), (1, "a"), (2, "b"), (3, "c")]
+    assert sorted(r["global_id"] for r in out.collect()) == [1, 2, 3, 4, 5]

@@ -417,7 +417,8 @@ def sign_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 def ann_recall_report(embeddings: DataFrame, queries: DataFrame,
                       k: int = 5, id_col: str = "vec_id",
                       vec_col: str = "embedding",
-                      index: str = "lsh") -> DataFrame:
+                      index: str = "lsh",
+                      approx: DataFrame | None = None) -> DataFrame:
     """In-engine ANN index evaluation: per-query recall@k of the chosen
     approximate index (``index`` = "lsh" sign-LSH, "ivf" coarse-probe,
     or "pq" product-quantization, each at its registry-default
@@ -434,7 +435,9 @@ def ann_recall_report(embeddings: DataFrame, queries: DataFrame,
     k·|queries|-row join.
     """
     exact = cosine_topk(embeddings, queries, k, id_col, vec_col)
-    if index == "lsh":
+    if approx is not None:
+        pass  # caller-supplied top-k (e.g. a persisted-index probe)
+    elif index == "lsh":
         approx = sign_lsh_topk(embeddings, queries, k, id_col, vec_col)
     elif index == "ivf":
         approx = ivf_topk(embeddings, queries, k, id_col, vec_col)
@@ -588,7 +591,16 @@ def build_ivf_index(embeddings: DataFrame, store_dir: str,
     source table after the build are invisible until a rebuild (or an
     append-mode re-assignment of the delta against the SAME persisted
     centroids -- never retrain centroids incrementally, or cells shift
-    under existing assignments). Returns the reloaded corpus table."""
+    under existing assignments). ``mode`` must be "overwrite" for the
+    same reason: an append-mode BUILD would retrain centroids and
+    duplicate the centroid table, corrupting every later probe; deltas
+    go through :func:`ivf_index_append`. Returns the reloaded corpus
+    table."""
+    if mode != "overwrite":
+        raise ValueError(
+            f"build_ivf_index only supports mode='overwrite' (got {mode!r});"
+            " append deltas with ivf_index_append, which assigns against"
+            " the persisted centroids instead of retraining them")
     spark = embeddings.sparkSession
     cents = _ivf_centroids(embeddings, n_centroids, train_iterations,
                            id_col, vec_col)
@@ -661,10 +673,18 @@ def build_pq_index(embeddings: DataFrame, store_dir: str,
     Staleness contract matches the IVF index: a snapshot. Append new
     vectors by encoding the delta against the SAME persisted codebooks;
     never retrain books incrementally (codes shift under existing
-    entries). Returns the reloaded codes table."""
+    entries) -- which is also why ``mode`` must be "overwrite": an
+    append-mode BUILD would retrain books and duplicate (subspace, code)
+    rows, silently mixing books from different trainings under the
+    probe's last-row-wins load. Deltas go through
+    :func:`pq_index_append`. Returns the reloaded codes table."""
     import numpy as np
-    import pandas as pd
 
+    if mode != "overwrite":
+        raise ValueError(
+            f"build_pq_index only supports mode='overwrite' (got {mode!r});"
+            " append deltas with pq_index_append, which encodes against"
+            " the persisted codebooks instead of retraining them")
     spark = embeddings.sparkSession
     sample_rows = (embeddings.orderBy(id_col).limit(train_n)
                    .select(vec_col).collect())
@@ -678,7 +698,42 @@ def build_pq_index(embeddings: DataFrame, store_dir: str,
                  for j in range(m) for c in range(ksub)]
     spark.createDataFrame(
         book_rows, "subspace int, code int, vals array<double>"
-    ).write.mode(mode).parquet(store_dir + "/codebooks")
+    ).write.mode("overwrite").parquet(store_dir + "/codebooks")
+
+    (_pq_encode(embeddings.select(id_col, vec_col), books, m, dsub,
+                id_col, vec_col)
+     .write.mode("overwrite").parquet(store_dir + "/codes"))
+    return spark.read.parquet(store_dir + "/codes")
+
+
+def _load_books(spark, store_dir: str):
+    """Load persisted PQ codebooks into the (m, ksub, dsub) numpy array
+    the encode/ADC kernels broadcast by closure. m/ksub come from the
+    max observed indices, dsub from the value arrays -- one tiny
+    collect."""
+    import numpy as np
+
+    book_rows = spark.read.parquet(store_dir + "/codebooks").collect()
+    m = 1 + max(r["subspace"] for r in book_rows)
+    ksub = 1 + max(r["code"] for r in book_rows)
+    dsub = len(book_rows[0]["vals"])
+    books = np.zeros((m, ksub, dsub))
+    for r in book_rows:
+        books[r["subspace"], r["code"]] = r["vals"]
+    return books, m, ksub, dsub
+
+
+def _pq_encode(df: DataFrame, books, m: int, dsub: int,
+               id_col: str, vec_col: str,
+               carry: tuple = ()) -> DataFrame:
+    """One Arrow pass encoding L2-normalized vectors to per-subspace
+    nearest-codebook codes (round(d2, 9) tie-to-lowest, matching
+    _pq_train and the SQL oracles). ``carry`` columns (e.g. the IVF
+    cell) pass through unchanged -- they must be long-typed."""
+    import numpy as np
+    import pandas as pd
+
+    carry = tuple(carry)
 
     def encode_batches(batches):
         for b in batches:
@@ -693,15 +748,17 @@ def build_pq_index(embeddings: DataFrame, store_dir: str,
                 d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2
                       ).sum(axis=2)
                 codes[:, j] = np.argmin(np.round(d2, 9), axis=1)
-            yield pd.DataFrame({
+            out = {
                 "c_id": pd.Series(ids, dtype="int64"),
                 "codes": [list(map(int, row)) for row in codes],
-            })
+            }
+            for c in carry:
+                out[c] = b[c]
+            yield pd.DataFrame(out)
 
-    (embeddings.select(id_col, vec_col)
-     .mapInPandas(encode_batches, "c_id long, codes array<int>")
-     .write.mode(mode).parquet(store_dir + "/codes"))
-    return spark.read.parquet(store_dir + "/codes")
+    schema = ("c_id long, codes array<int>"
+              + "".join(f", {c} long" for c in carry))
+    return df.mapInPandas(encode_batches, schema)
 
 
 def pq_index_append(spark, store_dir: str, new_vectors: DataFrame,
@@ -713,37 +770,9 @@ def pq_index_append(spark, store_dir: str, new_vectors: DataFrame,
     parquet-append into the code table. The delta pays one Arrow
     encode pass; existing code files are untouched. Returns the
     reloaded codes table."""
-    import numpy as np
-    import pandas as pd
-
-    book_rows = spark.read.parquet(store_dir + "/codebooks").collect()
-    m = 1 + max(r["subspace"] for r in book_rows)
-    ksub = 1 + max(r["code"] for r in book_rows)
-    dsub = len(book_rows[0]["vals"])
-    books = np.zeros((m, ksub, dsub))
-    for r in book_rows:
-        books[r["subspace"], r["code"]] = r["vals"]
-
-    def encode_batches(batches):
-        for b in batches:
-            if not len(b):
-                continue
-            V = np.array([list(v) for v in b[vec_col]], dtype=np.float64)
-            ids = b[id_col].to_numpy(dtype=np.int64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            codes = np.zeros((len(ids), m), dtype=np.int32)
-            for j in range(m):
-                sub = Vn[:, j * dsub:(j + 1) * dsub]
-                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2
-                      ).sum(axis=2)
-                codes[:, j] = np.argmin(np.round(d2, 9), axis=1)
-            yield pd.DataFrame({
-                "c_id": pd.Series(ids, dtype="int64"),
-                "codes": [list(map(int, row)) for row in codes],
-            })
-
-    (new_vectors.select(id_col, vec_col)
-     .mapInPandas(encode_batches, "c_id long, codes array<int>")
+    books, m, _ksub, dsub = _load_books(spark, store_dir)
+    (_pq_encode(new_vectors.select(id_col, vec_col), books, m, dsub,
+                id_col, vec_col)
      .write.mode("append").parquet(store_dir + "/codes"))
     return spark.read.parquet(store_dir + "/codes")
 
@@ -760,13 +789,7 @@ def pq_probe(spark, store_dir: str, queries: DataFrame, k: int = 5,
     import numpy as np
     import pandas as pd
 
-    book_rows = spark.read.parquet(store_dir + "/codebooks").collect()
-    m = 1 + max(r["subspace"] for r in book_rows)
-    ksub = 1 + max(r["code"] for r in book_rows)
-    dsub = len(book_rows[0]["vals"])
-    books = np.zeros((m, ksub, dsub))
-    for r in book_rows:
-        books[r["subspace"], r["code"]] = r["vals"]
+    books, m, ksub, dsub = _load_books(spark, store_dir)
 
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
@@ -805,6 +828,173 @@ def pq_probe(spark, store_dir: str, queries: DataFrame, k: int = 5,
             })
 
     local = spark.read.parquet(store_dir + "/codes").mapInPandas(
+        topk_batches, "query_id long, neighbor_id long, approx_sim double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def build_ivfpq_index(embeddings: DataFrame, store_dir: str,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_centroids: int = 16, train_iterations: int = 2,
+                      m: int = 8, ksub: int = 16, train_n: int = 1024,
+                      iterations: int = 2,
+                      mode: str = "overwrite") -> DataFrame:
+    """Composed IVF-PQ index -- the billion-vector serving shape: coarse
+    Lloyd centroids partition the corpus into cells (build_ivf_index's
+    training), and within the cells only PQ CODES are stored
+    (build_pq_index's encoding), so a probe reads n_probe/n_centroids of
+    the corpus AND each read row is m ints instead of a dim-double
+    vector. At 100 TB of raw embeddings that multiplies the two
+    reductions: partition pruning cuts the scan to the probed cells,
+    code compression cuts each cell to ~dim*8/m of its raw bytes.
+
+    Layout under ``store_dir``:
+      centroids/  (ct_id, ct_vec, ct_norm)          -- tiny, broadcast
+      codebooks/  (subspace, code, vals)            -- m*ksub rows, tiny
+      codes/      (c_id, codes) PARTITIONED BY cell -- the only big table
+
+    Codes encode the L2-NORMALIZED original vector (not the residual):
+    ADC scores are then exactly pq_topk's, and the cell merely restricts
+    the candidate set -- which is what makes the full value oracle the
+    composition of the trained-IVF and PQ oracle CTEs. Same staleness
+    contract as the component indexes: a snapshot; append deltas with
+    :func:`ivfpq_index_append`; ``mode`` must be "overwrite" (an
+    append-mode build would retrain centroids AND books under existing
+    codes). Returns the reloaded codes table."""
+    import numpy as np
+
+    if mode != "overwrite":
+        raise ValueError(
+            f"build_ivfpq_index only supports mode='overwrite' (got "
+            f"{mode!r}); append deltas with ivfpq_index_append")
+    spark = embeddings.sparkSession
+    cents = _ivf_centroids(embeddings, n_centroids, train_iterations,
+                           id_col, vec_col)
+    cents.write.mode("overwrite").parquet(store_dir + "/centroids")
+    cents = spark.read.parquet(store_dir + "/centroids")
+
+    sample_rows = (embeddings.orderBy(id_col).limit(train_n)
+                   .select(vec_col).collect())
+    S = np.array([list(r[0]) for r in sample_rows], dtype=np.float64)
+    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+    books = _pq_train(Sn, m, ksub, iterations)
+    dsub = S.shape[1] // m
+    book_rows = [(j, c, [float(v) for v in books[j, c]])
+                 for j in range(m) for c in range(ksub)]
+    spark.createDataFrame(
+        book_rows, "subspace int, code int, vals array<double>"
+    ).write.mode("overwrite").parquet(store_dir + "/codebooks")
+
+    assigned = _ivf_assign(_prep(embeddings, id_col, vec_col, "c"), cents) \
+        .withColumn("cell", F.col("cell").cast("long"))
+    coded = _pq_encode(assigned.select("c_id", "c_vec", "cell"), books, m,
+                       dsub, "c_id", "c_vec", carry=("cell",))
+    coded.write.mode("overwrite").partitionBy("cell") \
+        .parquet(store_dir + "/codes")
+    return spark.read.parquet(store_dir + "/codes")
+
+
+def ivfpq_index_append(spark, store_dir: str, new_vectors: DataFrame,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Append a DELTA to a persisted IVF-PQ index: assign against the
+    SAME stored centroids and encode against the SAME stored codebooks
+    (never retrain either -- cells and codes would shift under existing
+    entries), then parquet-append into the cell-partitioned code table.
+    Returns the reloaded codes table."""
+    cents = spark.read.parquet(store_dir + "/centroids")
+    books, m, _ksub, dsub = _load_books(spark, store_dir)
+    assigned = _ivf_assign(_prep(new_vectors, id_col, vec_col, "c"),
+                           cents) \
+        .withColumn("cell", F.col("cell").cast("long"))
+    coded = _pq_encode(assigned.select("c_id", "c_vec", "cell"), books, m,
+                       dsub, "c_id", "c_vec", carry=("cell",))
+    coded.write.mode("append").partitionBy("cell") \
+        .parquet(store_dir + "/codes")
+    return spark.read.parquet(store_dir + "/codes")
+
+
+def ivfpq_probe(spark, store_dir: str, queries: DataFrame, k: int = 5,
+                n_probe: int = 4, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Probe a persisted IVF-PQ index (:func:`build_ivfpq_index`): pick
+    each query's n_probe nearest cells from the tiny centroid table,
+    build per-query ADC lookup tables on the driver from the tiny
+    codebook table, then scan ONLY the probed cells' partitions of the
+    code table -- the probe cells are known before the scan is planned
+    (the query set is already driver-side for the ADC tables), so the
+    pruning is a STATIC partition filter: unprobed cells' files are
+    never listed, which is strictly stronger than dynamic partition
+    pruning's runtime skip. Each scanned row costs m table lookups; raw
+    vectors are never read.
+
+    Scoring is exactly :func:`pq_probe`'s ADC (sims rounded to 6dp,
+    ties to the lowest neighbor id) restricted to each query's probed
+    cells, so the full value oracle composes the trained-IVF and PQ
+    oracle CTEs."""
+    import numpy as np
+    import pandas as pd
+
+    cents = spark.read.parquet(store_dir + "/centroids")
+    books, m, ksub, dsub = _load_books(spark, store_dir)
+
+    qs = _prep(queries, id_col, vec_col, "q")
+    probe_rows = (_ivf_probes(qs, cents, n_probe)
+                  .select("q_id", F.col("cell").cast("long").alias("cell"))
+                  .collect())
+    cells_by_q: dict = {}
+    for r in probe_rows:
+        cells_by_q.setdefault(r["q_id"], set()).add(r["cell"])
+    all_cells = sorted({c for cs in cells_by_q.values() for c in cs})
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    tables = np.zeros((len(q_ids), m, ksub))
+    for j in range(m):
+        qsub = Qn[:, j * dsub:(j + 1) * dsub]
+        tables[:, j, :] = ((qsub[:, None, :] - books[j][None, :, :]) ** 2
+                           ).sum(axis=2)
+    q_cells = [np.array(sorted(cells_by_q.get(int(q), ())), dtype=np.int64)
+               for q in q_ids]
+
+    def topk_batches(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b["c_id"].to_numpy(dtype=np.int64)
+            cells = b["cell"].to_numpy(dtype=np.int64)
+            codes = np.array([list(c) for c in b["codes"]], dtype=np.int64)
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                mask = np.isin(cells, q_cells[qi]) & (ids != q_ids[qi])
+                cand = np.nonzero(mask)[0]
+                if not len(cand):
+                    continue
+                d2 = np.zeros(len(cand))
+                for j in range(m):
+                    d2 += tables[qi, j, codes[cand, j]]
+                sims = np.round(1.0 - d2 / 2.0, 6)
+                order = np.lexsort((ids[cand], -sims))
+                keep = cand[order[:k]]
+                out_q.extend([q_ids[qi]] * len(keep))
+                out_c.extend(ids[keep])
+                out_s.extend(sims[order[:k]])
+            yield pd.DataFrame({
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "neighbor_id": pd.Series(out_c, dtype="int64"),
+                "approx_sim": pd.Series(out_s, dtype="float64"),
+            })
+
+    codes_df = (spark.read.parquet(store_dir + "/codes")
+                .where(F.col("cell").isin([int(c) for c in all_cells])))
+    local = codes_df.mapInPandas(
         topk_batches, "query_id long, neighbor_id long, approx_sim double")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_sim"), F.asc("neighbor_id"))

@@ -1579,6 +1579,42 @@ def q_pq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                         e.where(F.col("vec_id") < N_QUERY_VECS), k=TOP_K)
 
 
+# Composed IVF-PQ index: cell-partitioned PQ code table, the
+# billion-vector serving shape (partition pruning x code compression).
+_IVFPQ_INDEX_MEMO: dict[str, str] = {}
+
+
+def _ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    store = _IVFPQ_INDEX_MEMO.get(sf_dir)
+    if store is None:
+        store = tempfile.mkdtemp(prefix="arap_ivfpq_index_")
+        atexit.register(shutil.rmtree, store, ignore_errors=True)
+        e = _t(spark, sf_dir, "embeddings")
+        sim.build_ivfpq_index(e, store, n_centroids=16,
+                              train_iterations=2, m=32, ksub=16)
+        _IVFPQ_INDEX_MEMO[sf_dir] = store
+    return store
+
+
+def q_ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only ANN over a PERSISTED composed IVF-PQ index (trained
+    coarse centroids + cell-partitioned PQ code table): the probe reads
+    ONLY the probed cells' partitions (static partition filter -- the
+    cells are known driver-side before the scan is planned) and scores
+    16-byte codes by ADC table lookups; raw vectors are never read.
+    Fully value-oracled by composing the trained-IVF cell CTEs with the
+    PQ codebook/ADC CTEs."""
+    e = _t(spark, sf_dir, "embeddings")
+    store = _ivfpq_store(spark, sf_dir)
+    return sim.ivfpq_probe(spark, store,
+                           e.where(F.col("vec_id") < N_QUERY_VECS),
+                           k=TOP_K, n_probe=4)
+
+
 def _with_synth_pii(documents: DataFrame) -> DataFrame:
     """Deterministically append one PII item per doc (the testdata corpus
     is synthetic word-salad with no natural PII, so the redaction paths
@@ -1873,6 +1909,20 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.where(F.col("vec_id") < N_QUERY_VECS), k=TOP_K, index="ivf")
 
 
+def q_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the composed IVF-PQ probe (persisted index, the same
+    one q_ivfpq_index_probe serves) against the exact brute-force
+    ranking -- reports what the double approximation (coarse cells +
+    code quantization) costs, next to ann_recall_ivf's cells-only
+    number."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < N_QUERY_VECS)
+    store = _ivfpq_store(spark, sf_dir)
+    return sim.ann_recall_report(
+        e, queries, k=TOP_K,
+        approx=sim.ivfpq_probe(spark, store, queries, k=TOP_K, n_probe=4))
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return sim.ann_recall_report(
@@ -2025,6 +2075,7 @@ QUERIES: dict[str, QueryFn] = {
     "ivf_index_probe": q_ivf_index_probe,
     "pq_topk": q_pq_topk,
     "pq_index_probe": q_pq_index_probe,
+    "ivfpq_index_probe": q_ivfpq_index_probe,
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
     "q9_product_type_profit": q_q9_product_type_profit,
     "q11_revenue_concentration": q_q11_revenue_concentration,
@@ -2105,6 +2156,7 @@ QUERIES: dict[str, QueryFn] = {
     "quality_classifier": q_quality_classifier,
     "ann_recall": q_ann_recall,
     "ann_recall_ivf": q_ann_recall_ivf,
+    "ann_recall_ivfpq": q_ann_recall_ivfpq,
     "perplexity_filter": q_perplexity_filter,
     "psi_drift": q_psi_drift,
 }
@@ -4090,6 +4142,97 @@ SELECT query_id, neighbor_id, cosine_sim, rank
 FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank""")
 
 
+def _ivfpq_oracle_sql(n_centroids: int = 16, train_iterations: int = 2,
+                      n_probe: int = 4, m: int = 32, ksub: int = 16,
+                      train_n: int = 1024) -> str:
+    """Full-value oracle for the composed IVF-PQ probe: the trained-IVF
+    cell CTEs (unrolled Lloyd -> assignment -> n_probe probing) restrict
+    WHICH corpus vectors each query scores, and the PQ CTEs (codebook
+    training -> encoding -> ADC) say HOW each survivor is scored --
+    exactly the operator's contract (codes encode the normalized
+    original vector, the cell only prunes candidates). PQ CTEs carry a
+    ``p`` prefix because the kmeans chain already owns a1/c1/a2/c2.
+    dsub is fixed at 2 (dim 64 / m 32), matching the registry call."""
+    parts, cent = _kmeans_centroid_ctes(n_centroids, train_iterations)
+    parts.append(f"cents AS (SELECT cid AS ct_id, cv AS ct_v FROM {cent})")
+    parts.append(f"""assigned AS (
+  SELECT vec_id AS c_id, cell FROM (
+    SELECT e.vec_id, ct.ct_id AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cosine_sql('e.v', 'ct.ct_v')} DESC, ct.ct_id) AS r
+    FROM e CROSS JOIN cents ct
+  ) WHERE r = 1)""")
+    parts.append(f"""probes AS (
+  SELECT vec_id AS q_id, cell FROM (
+    SELECT e.vec_id, ct.ct_id AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cosine_sql('e.v', 'ct.ct_v')} DESC, ct.ct_id) AS r
+    FROM e CROSS JOIN cents ct WHERE e.vec_id < {N_QUERY_VECS}
+  ) WHERE r <= {n_probe})""")
+    parts.append("""norm AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))) AS v
+  FROM embeddings)""")
+    parts.append(f"psample AS (SELECT vec_id, v FROM norm "
+                 f"ORDER BY vec_id LIMIT {train_n})")
+    parts.append(f"js AS (SELECT unnest(range(0, {m})) AS j)")
+    parts.append("psub AS (SELECT s.vec_id, j.j, s.v[2*j.j+1] AS x, "
+                 "s.v[2*j.j+2] AS y FROM psample s CROSS JOIN js j)")
+    parts.append(f"""pinit AS (
+  SELECT j, x, y,
+         CAST(row_number() OVER (PARTITION BY j ORDER BY fv) - 1 AS INT) AS c
+  FROM (SELECT j, x, y, min(vec_id) AS fv FROM psub GROUP BY j, x, y)
+  QUALIFY c < {ksub})""")
+    prev = "pinit"
+    for i in (1, 2):
+        parts.append(f"""pa{i} AS (
+  SELECT j, vec_id, x, y, c FROM (
+    SELECT s.j, s.vec_id, s.x, s.y, i.c,
+      row_number() OVER (PARTITION BY s.j, s.vec_id
+        ORDER BY round((s.x-i.x)*(s.x-i.x)+(s.y-i.y)*(s.y-i.y), 9), i.c) AS r
+    FROM psub s JOIN {prev} i USING (j)) WHERE r = 1)""")
+        parts.append(f"""pc{i} AS (
+  SELECT i.j, i.c, coalesce(u.mx, i.x) AS x, coalesce(u.my, i.y) AS y
+  FROM {prev} i LEFT JOIN
+    (SELECT j, c, avg(x) AS mx, avg(y) AS my FROM pa{i} GROUP BY j, c) u
+    ON i.j = u.j AND i.c = u.c)""")
+        prev = f"pc{i}"
+    parts.append("pcorpus AS (SELECT n.vec_id, j.j, n.v[2*j.j+1] AS x, "
+                 "n.v[2*j.j+2] AS y FROM norm n CROSS JOIN js j)")
+    parts.append(f"""pcodes AS (
+  SELECT j, vec_id, cx, cy FROM (
+    SELECT s.j, s.vec_id, b.x AS cx, b.y AS cy,
+      row_number() OVER (PARTITION BY s.j, s.vec_id
+        ORDER BY round((s.x-b.x)*(s.x-b.x)+(s.y-b.y)*(s.y-b.y), 9), b.c) AS r
+    FROM pcorpus s JOIN {prev} b USING (j)) WHERE r = 1)""")
+    parts.append(f"pqsub AS (SELECT vec_id, j, x, y FROM pcorpus "
+                 f"WHERE vec_id < {N_QUERY_VECS})")
+    parts.append("""pparts AS (
+  SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id, q.j,
+         (q.x-cd.cx)*(q.x-cd.cx) + (q.y-cd.cy)*(q.y-cd.cy) AS d2
+  FROM pqsub q
+  JOIN probes p ON p.q_id = q.vec_id
+  JOIN assigned a ON a.cell = p.cell
+  JOIN pcodes cd ON cd.vec_id = a.c_id AND cd.j = q.j
+  WHERE q.vec_id <> cd.vec_id)""")
+    parts.append("""adc AS (
+  SELECT query_id, neighbor_id,
+         round(1.0 - list_sum(list(d2 ORDER BY j)) / 2.0, 6) AS approx_sim
+  FROM pparts GROUP BY query_id, neighbor_id)""")
+    parts.append("""ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY approx_sim DESC, neighbor_id) AS INT)
+    AS rank
+  FROM adc)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT query_id, neighbor_id, approx_sim, rank
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank""")
+
+
 ORACLE_SQL["kmeans_embeddings"] = _kmeans_sql()
 ORACLE_SQL["ivf_trained_topk"] = _ivf_trained_oracle_sql()
 # probe of the persisted index == the trained train+probe run
@@ -4097,6 +4240,7 @@ ORACLE_SQL["ivf_index_probe"] = ORACLE_SQL["ivf_trained_topk"]
 # The persisted-PQ probe reproduces pq_topk exactly (same books, same
 # codes, same ADC) -- the full-value PQ oracle carries over verbatim.
 ORACLE_SQL["pq_index_probe"] = ORACLE_SQL["pq_topk"]
+ORACLE_SQL["ivfpq_index_probe"] = _ivfpq_oracle_sql()
 
 
 # curate_corpus: the end-to-end pipeline oracle composes the SAME stage
@@ -5230,6 +5374,23 @@ ORACLE_SQL["quality_classifier"] = _logreg_sql()
 ORACLE_SQL["ann_recall"] = f"""
 WITH exact AS (SELECT * FROM ({ORACLE_SQL["cosine_topk"]})),
 approx AS (SELECT * FROM ({ORACLE_SQL["sign_lsh_topk"]}))
+SELECT e.query_id,
+       CAST(count(*) AS INT) AS n_exact,
+       CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                              THEN 1 END), 0) AS INT) AS n_hits,
+       round(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                               THEN 1 END), 0)::DOUBLE / count(*), 4)
+         AS recall
+FROM exact e
+LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id ORDER BY e.query_id
+"""
+
+
+ORACLE_SQL["ann_recall_ivfpq"] = f"""
+WITH exact AS (SELECT * FROM ({ORACLE_SQL["cosine_topk"]})),
+approx AS (SELECT * FROM ({ORACLE_SQL["ivfpq_index_probe"]}))
 SELECT e.query_id,
        CAST(count(*) AS INT) AS n_exact,
        CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL

@@ -823,3 +823,101 @@ def test_pq_index_append_encodes_against_stored_codebooks(
     sim.pq_index_append(spark, store2, e)
     want = sim.pq_probe(spark, store2, q, k=5).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_ivfpq_probe_prunes_partitions_and_scans_codes_only(
+        spark, sf_dir, tmp_path):
+    """The composed IVF-PQ probe must (a) scan ONLY the cell-partitioned
+    code table with a STATIC partition filter on the probed cells (the
+    cells are known driver-side before planning, so unprobed cells'
+    files are never even listed -- stronger than DPP's runtime skip),
+    (b) never read the raw embeddings, and (c) rebuild
+    deterministically."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators import similarity as sim
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    store = str(tmp_path / "ivfpq_index")
+    sim.build_ivfpq_index(e, store, n_centroids=8, train_iterations=2,
+                          m=8, ksub=16)
+
+    probe = sim.ivfpq_probe(spark, store, q, k=5, n_probe=3)
+    rows = probe.collect()
+    assert {r["query_id"] for r in rows} <= {r["vec_id"]
+                                             for r in q.collect()}
+    assert all(1 <= r["rank"] <= 5 for r in rows)
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # exactly one parquet source: the code table
+    assert final.count("Scan parquet") == 1, plan[:2000]
+    assert "codes:array<int>" in final, plan[:2000]
+    assert "embeddings" not in plan, plan[:2000]
+    # static partition pruning on the probed cells
+    assert "PartitionFilters" in final and "cell" in final, plan[:2000]
+    assert "cell#" in final.split("PartitionFilters")[1][:200], plan[:2000]
+
+    # every returned neighbor really lives in one of its query's probed
+    # cells (the double approximation is cells-then-codes, never global)
+    cents = spark.read.parquet(store + "/centroids")
+    probes = sim._ivf_probes(sim._prep(q, "vec_id", "embedding", "q"),
+                             cents, 3)
+    allowed = {(r["q_id"], r["cell"]) for r in probes.collect()}
+    cell_of = {r["c_id"]: r["cell"]
+               for r in spark.read.parquet(store + "/codes").collect()}
+    for r in rows:
+        assert (r["query_id"], cell_of[r["neighbor_id"]]) in allowed
+
+    store2 = str(tmp_path / "ivfpq_index2")
+    sim.build_ivfpq_index(e, store2, n_centroids=8, train_iterations=2,
+                          m=8, ksub=16)
+    again = sim.ivfpq_probe(spark, store2, q, k=5, n_probe=3)
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again.collect()]
+
+
+def test_ivfpq_append_and_build_mode_guards(spark, sf_dir, tmp_path):
+    """ivfpq_index_append assigns against the stored centroids and
+    encodes against the stored codebooks (no retrain of either): the
+    appended index probes identically to a one-shot index whose
+    centroids/books were trained on the SAME base subset. And every
+    index builder refuses non-overwrite modes (an append-mode build
+    would retrain under existing entries)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators import similarity as sim
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.where(F.col("vec_id") % 3 != 0)
+    delta = e.where(F.col("vec_id") % 3 == 0)
+    q = e.where(F.col("vec_id") < 10)
+
+    store = str(tmp_path / "ivfpq_index")
+    sim.build_ivfpq_index(base, store, n_centroids=8, train_iterations=1,
+                          m=8, ksub=16, train_n=256)
+    before = spark.read.parquet(store + "/codes").count()
+    sim.ivfpq_index_append(spark, store, delta)
+    after = spark.read.parquet(store + "/codes")
+    assert after.count() == before + delta.count()
+    got = sim.ivfpq_probe(spark, store, q, k=5, n_probe=3).collect()
+
+    # reference: same base-trained centroids+books, full corpus encoded
+    # in one appended pass
+    import shutil
+
+    store2 = str(tmp_path / "ivfpq_ref")
+    sim.build_ivfpq_index(base, store2, n_centroids=8, train_iterations=1,
+                          m=8, ksub=16, train_n=256)
+    shutil.rmtree(store2 + "/codes")
+    sim.ivfpq_index_append(spark, store2, e)
+    want = sim.ivfpq_probe(spark, store2, q, k=5, n_probe=3).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    for builder in (sim.build_ivf_index, sim.build_pq_index,
+                    sim.build_ivfpq_index):
+        with _pytest.raises(ValueError, match="overwrite"):
+            builder(base, str(tmp_path / "bad"), mode="append")

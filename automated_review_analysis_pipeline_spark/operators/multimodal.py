@@ -484,6 +484,13 @@ def _decode_tiff(payload: bytes):
             "supported")
     if predictor not in (1, 2) or (compression == 7 and predictor != 1):
         raise NotImplementedError("unsupported TIFF predictor")
+    if compression == 7 and one(262) not in (1, 6):
+        # _decode_jpeg unconditionally converts 3-component streams
+        # YCbCr->RGB; an RGB-photometric TIFF-EP file (262=2) would
+        # decode to silently color-shifted pixels, so honor the
+        # decode-correctly-or-raise contract instead
+        raise NotImplementedError(
+            "JPEG-in-TIFF supports only YCbCr or grayscale photometric")
     # new-style JPEG-in-TIFF (compression 7, TIFF-EP): each strip/tile
     # is a self-contained JPEG stream, optionally sharing quant/huffman
     # tables through the JPEGTables tag (347: SOI + table segments +

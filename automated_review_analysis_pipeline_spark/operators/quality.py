@@ -96,13 +96,17 @@ def table_fingerprint(df: DataFrame, group_cols: list[str],
 
 
 def _row_canon_hash(cols: list[str]) -> Column:
-    """The table_fingerprint row hash (md5-prefix integer over
-    US-joined, NULL-sentineled string casts) as a reusable column."""
+    """64-bit row hash over the table_fingerprint canonical form
+    (US-joined, NULL-sentineled string casts -- hashing the CANONICAL
+    STRING, not the raw columns, keeps ('x', NULL) distinct from
+    (NULL, 'x'): Spark's multi-arg xxhash64 skips NULL columns, which
+    would collide those). xxhash64 stays JVM-native with no string
+    slicing; the diff hash never crosses engines (the oracle compares
+    full values), so portability is not a constraint here, unlike
+    table_fingerprint's cross-engine md5 fold."""
     canon = [F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00"))
              for c in cols]
-    return F.conv(
-        F.substring(F.md5(F.concat_ws("\x1f", *canon)), 1, 12), 16, 10
-    ).cast("long")
+    return F.xxhash64(F.concat_ws("\x1f", *canon))
 
 
 def table_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
@@ -118,7 +122,14 @@ def table_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
     keys (the overwhelming majority in any real diff) are filtered
     post-join with no further work. At 100 TB bucket both snapshots by
     the key for an exchange-free sort-merge. Output: key columns +
-    ``diff_status`` in {'added','removed','changed'}, sorted by key."""
+    ``diff_status`` in {'added','removed','changed'}, sorted by key.
+
+    The hash comparison is probabilistic BY DESIGN: a changed key whose
+    old/new payloads collide under the 64-bit xxhash64 row hash reports
+    as unchanged with probability ~2^-64 per changed key -- the
+    standard diff tradeoff (shuffling two longs instead of the payload).
+    The DuckDB oracle compares full values, which is strictly stronger;
+    any divergence would surface there first."""
     use_cols = compare_cols if compare_cols is not None else [
         c for c in new.columns if c not in key_cols]
     o = old.select(*key_cols, _row_canon_hash(use_cols).alias("__old_h"))

@@ -1978,7 +1978,8 @@ def test_wav_ms_adpcm_negative_predictor_truncates_toward_zero():
 def _tiff_jpeg(segments: list[bytes], w: int, h: int, endian: str = "<",
                rows_per_strip: int | None = None,
                tile_wh: tuple[int, int] | None = None,
-               jpeg_tables: bytes | None = None) -> bytes:
+               jpeg_tables: bytes | None = None,
+               photometric: int = 6) -> bytes:
     """Test-side new-style-JPEG TIFF writer (compression 7): strip or
     tile layout, optional shared JPEGTables tag (type UNDEFINED)."""
     # tags: 256,257,258,259,262,277 (+278,273,279 strips |
@@ -2005,7 +2006,7 @@ def _tiff_jpeg(segments: list[bytes], w: int, h: int, endian: str = "<",
     entry(257, 3, [h], "H")
     entry(258, 3, [8, 8, 8], "H")
     entry(259, 3, [7], "H")
-    entry(262, 3, [6], "H")  # YCbCr (informational)
+    entry(262, 3, [photometric], "H")  # 6=YCbCr default
     entry(277, 3, [3], "H")
     if jpeg_tables:
         entry(347, 7, list(jpeg_tables), "B")
@@ -2118,6 +2119,12 @@ def test_tiff_jpeg_guards():
     # malformed JPEGTables
     with pytest.raises(NotImplementedError):
         decode_image(_tiff_jpeg([enc], 4, 4, jpeg_tables=b"\x01\x02"))
+    # RGB photometric (262=2, TIFF-EP): _decode_jpeg would YCbCr-shift
+    # the colors, so the decoder must refuse rather than silently skew
+    with pytest.raises(NotImplementedError):
+        decode_image(_tiff_jpeg([enc], 4, 4, photometric=2))
+    # grayscale photometric (1) stays accepted alongside YCbCr (6)
+    assert decode_image(_tiff_jpeg([enc], 4, 4, photometric=1)) is not None
 
 
 def test_codec_mutation_fuzz_new_formats():

@@ -117,16 +117,37 @@ def write_training_shards(documents: DataFrame, out_dir: str,
 
 
 def read_training_shards(spark: SparkSession, out_dir: str,
-                         validate: bool = True) -> DataFrame:
+                         validate: bool = True,
+                         shards: list[int] | None = None) -> DataFrame:
     """Load a shard delivery. With ``validate`` (the default), recompute
     each shard's (n_docs, n_tokens, fingerprint) FROM THE BYTES READ and
     compare against manifest.json -- a short, corrupt, or stale delivery
     raises ValueError naming the first bad shard instead of silently
-    training on it."""
+    training on it.
+
+    ``shards`` restricts the load (and the validation) to the named
+    shards -- the resuming-loader path: a worker re-mounting shard K
+    must pay for shard K's bytes only, so the shard filter lands on the
+    partition column BEFORE the validation aggregate and the scan prunes
+    every other shard's directory (PartitionFilters in the plan; at
+    100 TB the difference between re-reading the delivery and re-reading
+    1/n_shards of it). Requesting a shard the manifest doesn't know
+    raises; validation of the named shards is as strict as the full
+    read's."""
     with open(os.path.join(out_dir, "manifest.json"),
               encoding="utf-8") as f:
         manifest = json.load(f)
     df = spark.read.parquet(out_dir + "/shards")
+    if shards is not None:
+        requested = sorted({int(s) for s in shards})
+        known = {s["shard"] for s in manifest["shards"]}
+        missing = [s for s in requested if s not in known]
+        if missing:
+            raise ValueError(
+                f"requested shards not in manifest: {missing}")
+        manifest = dict(manifest, shards=[
+            s for s in manifest["shards"] if s["shard"] in set(requested)])
+        df = df.where(F.col("shard").isin(requested))
     if validate:
         id_col, text_col = manifest["id_col"], manifest["text_col"]
         got = {

@@ -131,3 +131,55 @@ def test_training_shards_write_read_validate_roundtrip(spark, sf_dir,
     json.dump(m, open(out + "/manifest.json", "w"))
     with pytest.raises(ValueError, match="shard 2"):
         read_training_shards(spark, out)
+
+
+def test_training_shards_selective_read_prunes_partitions(spark, sf_dir,
+                                                          tmp_path):
+    """A loader resuming shard K validates and reads ONLY shard K: the
+    validation aggregate's scan carries a PartitionFilter on the shard
+    column (other shards' files never read), corruption in an UNREQUESTED
+    shard goes unnoticed while corruption in the requested shard still
+    raises, and unknown shard ids are refused."""
+    import glob
+
+    import pytest
+
+    from automated_review_analysis_pipeline_spark.sinks.shards import (
+        read_training_shards,
+        write_training_shards,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "delivery")
+    manifest = write_training_shards(docs, out, n_shards=4, seed="epoch0")
+
+    sel = read_training_shards(spark, out, shards=[2])
+    assert {r["shard"] for r in sel.select("shard").distinct().collect()} \
+        == {2}
+    want = next(s for s in manifest["shards"] if s["shard"] == 2)
+    assert sel.count() == want["n_docs"]
+
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan, plan[:2000]
+    import re
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert re.search(r"shard#\d+L? IN \(2\)|shard#\d+L? = 2", pf), pf
+
+    # corruption OUTSIDE the requested shard: invisible by design
+    victim = glob.glob(out + "/shards/shard=1/*.parquet")[0]
+    os.remove(victim)
+    got = read_training_shards(spark, out, shards=[2])
+    assert got.count() == want["n_docs"]
+
+    # corruption INSIDE the requested shard still raises, naming it
+    victim2 = glob.glob(out + "/shards/shard=2/*.parquet")[0]
+    os.remove(victim2)
+    with pytest.raises(ValueError, match="shard 2"):
+        read_training_shards(spark, out, shards=[2])
+
+    # unknown shard id refused before any scan
+    with pytest.raises(ValueError, match="not in manifest"):
+        read_training_shards(spark, out, shards=[99])

@@ -123,6 +123,99 @@ def asof_last_click(events: DataFrame) -> DataFrame:
     )
 
 
+def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
+              by: str = "user_id",
+              value_cols: list[str] | None = None,
+              direction: str = "backward",
+              tolerance: Column | None = None,
+              prefix: str = "r_") -> DataFrame:
+    """General two-table as-of join (pandas merge_asof / DuckDB ASOF
+    JOIN, distributed): every left row picks the single right row with
+    the greatest ``on`` <= left's ``on`` (direction="backward",
+    inclusive) or the smallest ``on`` >= left's (direction="forward")
+    within the same ``by`` key, carrying the right PAYLOAD columns --
+    the point-in-time enrichment primitive (price as of trade time,
+    last config before an event).
+
+    Spark has no native as-of join, and the naive forms collapse at
+    scale: an inequality theta-join is a per-key cross product, and a
+    "latest snapshot" subquery re-shuffles per query. This is the
+    union-merge form instead: tag sides, unionByName, ONE shuffle on
+    the by-key, and a single running last_value(ignorenulls) window
+    pass carries the most recent right payload forward onto each left
+    row -- per-key timeline merge, no pairwise expansion, the same
+    plan shape at 10 rows or 10^11. All carried columns come from ONE
+    Window node (same spec), so the sort happens once.
+
+    Semantics pinned by the oracle: ties on ``on`` match (inclusive,
+    like DuckDB's ``l.ts >= r.ts``); a left row with no candidate gets
+    NULLs (left join); ``tolerance`` (a positive interval/numeric
+    Column in ``on``'s algebra) NULLs a match farther than tolerance
+    away rather than searching past it -- pandas merge_asof tolerance
+    semantics, since the nearest candidate is the only candidate. The
+    right side must be unique per (by, on): pre-aggregate it (the
+    registry query does), or which duplicate wins is tie-broken by
+    engine sort stability, same as DuckDB's unspecified choice.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
+    value_cols = value_cols if value_cols is not None else [
+        c for c in right.columns if c not in (by, on)]
+    lcols = left.columns
+    rtypes = dict(right.dtypes)
+    l_aligned = left.select(
+        *[F.col(c) for c in lcols],
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(rtypes[c]).alias(f"__r_{c}")
+          for c in value_cols])
+    ltypes = dict(left.dtypes)
+    r_aligned = right.select(
+        F.col(by), F.col(on),
+        *[F.lit(None).cast(ltypes[c]).alias(c)
+          for c in lcols if c not in (by, on)],
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols])
+    u = l_aligned.unionByName(r_aligned)
+
+    # at equal `on`, the right row must be visible to the left row:
+    # backward orders the right side (0) first, forward orders it last
+    # under the reversed scan
+    if direction == "backward":
+        w = (Window.partitionBy(by)
+             .orderBy(F.col(on).asc(), F.col("__side").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    else:
+        w = (Window.partitionBy(by)
+             .orderBy(F.col(on).desc(), F.col("__side").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched_on = F.last(
+        F.when(F.col("__side") == 0, F.col(on)), ignorenulls=True).over(w)
+    # one select so every carried column shares ONE Window node (chained
+    # withColumn leaves Window-over-Window that CollapseWindow cannot
+    # always merge across the interleaved Projects)
+    out = u.select(
+        "*",
+        matched_on.alias("__m_on"),
+        *[F.last(F.when(F.col("__side") == 0, F.col(f"__r_{c}")),
+                 ignorenulls=True).over(w).alias(f"__m_{c}")
+          for c in value_cols],
+    ).where(F.col("__side") == 1)
+
+    if tolerance is not None:
+        in_tol = (
+            F.col("__m_on") >= F.col(on) - tolerance
+            if direction == "backward"
+            else F.col("__m_on") <= F.col(on) + tolerance)
+    else:
+        in_tol = F.lit(True)
+    keep = F.col("__m_on").isNotNull() & in_tol
+    sel = [F.col(c) for c in lcols]
+    sel.append(F.when(keep, F.col("__m_on")).alias(f"{prefix}{on}"))
+    sel += [F.when(keep, F.col(f"__m_{c}")).alias(f"{prefix}{c}")
+            for c in value_cols]
+    return out.select(*sel)
+
+
 def value_range_join(events: DataFrame, bucket_width: int = 100) -> DataFrame:
     """Range join against a bucket dimension (value in [lo, hi)). The dim
     is tiny -> broadcast nested-loop with a range predicate. At scale with

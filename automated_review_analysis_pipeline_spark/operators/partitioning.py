@@ -160,6 +160,57 @@ def assign_global_ids(df: DataFrame, order_cols: list[str],
     )
 
 
+def exclusive_prefix_sum(df: DataFrame, order_cols: list[str],
+                         value_col: str, n_buckets: int = 64,
+                         out_name: str = "offset") -> DataFrame:
+    """Distributed EXCLUSIVE running total of ``value_col`` in ``ORDER
+    BY order_cols`` order (each row gets the sum of all STRICTLY
+    PRIOR rows) -- the generalization of :func:`assign_global_ids` from
+    rank to prefix sum, same two-pass shape, same scale contract: no
+    single-partition window ever.
+
+    1. range-partition on the full order tuple (eager localCheckpoint
+       pins the sampled boundaries across the two jobs, see
+       assign_global_ids);
+    2. per-bucket sums (``n_buckets`` rows) cumulative-sum on the
+       driver into bucket start offsets, broadcast back;
+    3. offset = bucket_offset + windowed sum over the strictly-prior
+       rows within the bucket.
+
+    The loader primitive behind sequence packing: token offsets in
+    corpus order ARE an exclusive prefix sum. ``order_cols`` must form
+    a total order for determinism; NULL values in ``value_col`` count
+    as 0."""
+    cols = [F.col(c) for c in order_cols]
+    withb = (df.repartitionByRange(n_buckets, *cols)
+             .withColumn("__ps_bucket", F.spark_partition_id())
+             .localCheckpoint(eager=True))
+
+    sums = {r[0]: r[1] or 0
+            for r in withb.groupBy("__ps_bucket")
+            .agg(F.sum(F.coalesce(F.col(value_col), F.lit(0)))).collect()}
+    if not sums:  # empty input: schema only
+        return df.withColumn(out_name, F.lit(None).cast("long"))
+    offsets, acc = [], 0
+    for b in sorted(sums):
+        offsets.append((b, acc))
+        acc += int(sums[b])
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets, "__ps_bucket int, __ps_offset long")
+
+    w = (Window.partitionBy("__ps_bucket").orderBy(*cols)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    running = F.coalesce(
+        F.sum(F.coalesce(F.col(value_col), F.lit(0))).over(w), F.lit(0))
+    return (
+        withb.join(F.broadcast(off_df), "__ps_bucket")
+        .withColumn(out_name,
+                    (F.col("__ps_offset") + running).cast("long"))
+        .drop("__ps_bucket", "__ps_offset")
+    )
+
+
 def morton_code(x: Column, y: Column, bits: int = 16) -> Column:
     """Two-dimensional Morton (Z-order) code: interleave the low ``bits``
     bits of two non-negative int columns (x in even positions, y in odd).

@@ -815,6 +815,28 @@ def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      batch_size=32)
 
 
+def q_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token offsets in corpus (doc_id) order -- the .idx a
+    memory-mapped packed corpus file needs: begin_tok = EXCLUSIVE
+    prefix sum of per-doc token counts, computed by the two-pass
+    bucket-offset shape (partitioning.exclusive_prefix_sum, no
+    single-partition window ever); the oracle IS that naive global
+    window. Complements pack_sequences (per-group streams) with the
+    single-global-stream layout."""
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        exclusive_prefix_sum,
+    )
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", ta.token_count(F.col("text")).alias("n_tokens"))
+    return (
+        exclusive_prefix_sum(base, ["doc_id"], "n_tokens",
+                             out_name="begin_tok")
+        .select("doc_id", "n_tokens", "begin_tok")
+        .orderBy("doc_id")
+    )
+
+
 def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent per-source content checksum of the documents
     table -- the validate-both-sides-of-a-copy primitive."""
@@ -1059,6 +1081,30 @@ def q_cumulative_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.asof_last_click(_t(spark, sf_dir, "events"))
+
+
+def q_asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General two-table as-of join (union-merge form, one shuffle on
+    the by-key): every click picks the same user's most recent purchase
+    at-or-before it, carrying the purchase payload, NULLed when the
+    match is older than the 30-day tolerance (merge_asof semantics).
+    Oracled by DuckDB's NATIVE ASOF JOIN -- two independent as-of
+    implementations agreeing on every value."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"),
+             F.count(F.lit(1)).cast("int").alias("n")))
+    out = ev.asof_join(clicks, purchases, on="ts", by="user_id",
+                       tolerance=F.expr("INTERVAL 30 DAYS"), prefix="p_")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return out.select(
+        "event_id", "user_id", us("ts").alias("click_us"), "value",
+        us("p_ts").alias("p_us"), "p_value", "p_n",
+    ).orderBy("event_id")
 
 
 def q_value_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2017,6 +2063,7 @@ QUERIES: dict[str, QueryFn] = {
     "customer_set_ops": q_customer_set_ops,
     "cumulative_order_value": q_cumulative_order_value,
     "asof_last_click": q_asof_last_click,
+    "asof_join_attribution": q_asof_join_attribution,
     "value_range_join": q_value_range_join,
     "quality_filter_join": q_quality_filter_join,
     "q6_forecast_revenue": q_q6_forecast_revenue,
@@ -2147,6 +2194,7 @@ QUERIES: dict[str, QueryFn] = {
     "lateral_top_orders": q_lateral_top_orders,
     "event_props_variant": q_event_props_variant,
     "table_fingerprint": q_table_fingerprint,
+    "token_offsets": q_token_offsets,
     "table_diff": q_table_diff,
     "length_batches": q_length_batches,
     "self_line_dedup": q_self_line_dedup,
@@ -2781,6 +2829,28 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ORDER BY o_custkey, order_seq
 """
+
+ORACLE_SQL["asof_join_attribution"] = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, max(value) AS p_value, CAST(count(*) AS INT) AS p_n
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+), j AS (
+  SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us, c.value,
+         epoch_us(p.ts) AS p_us_raw, p.p_value AS pv, p.p_n AS pn
+  FROM clicks c ASOF LEFT JOIN purch p
+    ON c.user_id = p.user_id AND c.ts >= p.ts
+)
+SELECT event_id, user_id, click_us, value,
+       CASE WHEN p_us_raw >= click_us - 2592000000000 THEN p_us_raw END
+         AS p_us,
+       CASE WHEN p_us_raw >= click_us - 2592000000000 THEN pv END
+         AS p_value,
+       CASE WHEN p_us_raw >= click_us - 2592000000000 THEN pn END AS p_n
+FROM j ORDER BY event_id
+"""
+
 
 ORACLE_SQL["asof_last_click"] = """
 WITH e AS (
@@ -4013,6 +4083,15 @@ SELECT o_orderkey,
        {morton_code_sql(_norm_sql('o_custkey', 'minx', 'maxx'),
                         _norm_sql('day', 'miny', 'maxy'))} AS zcode
 FROM o CROSS JOIN b ORDER BY o_orderkey
+"""
+
+
+ORACLE_SQL["token_offsets"] = f"""
+SELECT doc_id, CAST({ta.token_count_sql('text')} AS INT) AS n_tokens,
+       CAST(coalesce(sum({ta.token_count_sql('text')}) OVER (
+         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         0) AS BIGINT) AS begin_tok
+FROM documents ORDER BY doc_id
 """
 
 

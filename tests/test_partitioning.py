@@ -332,3 +332,41 @@ def test_assign_global_ids_null_leading_keys(spark):
            for r in out.orderBy("global_id").collect()]
     assert got == [(None, "n1"), (None, "n2"), (1, "a"), (2, "b"), (3, "c")]
     assert sorted(r["global_id"] for r in out.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_exclusive_prefix_sum_matches_window_and_handles_edges(spark):
+    """Two-pass exclusive prefix sum == the naive single-partition
+    running total, on duplicates, NULL values (count as 0), a constant
+    order key (tie skew), and empty input -- and the executed plan has
+    no single-partition exchange."""
+    from pyspark.sql import Window
+
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        exclusive_prefix_sum,
+    )
+
+    rows = [(i % 17, f"r{i}", (i * 7) % 23 if i % 9 else None)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "k int, name string, v int")
+    got = {r["name"]: r["off"]
+           for r in exclusive_prefix_sum(df, ["k", "name"], "v",
+                                         n_buckets=8,
+                                         out_name="off").collect()}
+    w = (Window.orderBy("k", "name")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    want = {r["name"]: r["off"] for r in df.withColumn(
+        "off", F.coalesce(
+            F.sum(F.coalesce(F.col("v"), F.lit(0))).over(w),
+            F.lit(0))).collect()}
+    assert got == want
+
+    const = spark.createDataFrame(
+        [(1, f"r{i}", 2) for i in range(100)], "k int, name string, v int")
+    out = exclusive_prefix_sum(const, ["k", "name"], "v", n_buckets=4)
+    offs = sorted(r["offset"] for r in out.collect())
+    assert offs == [2 * i for i in range(100)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan.split("== Initial Plan ==")[0]
+
+    empty = exclusive_prefix_sum(const.where("k > 9"), ["k", "name"], "v")
+    assert empty.count() == 0 and "offset" in empty.columns

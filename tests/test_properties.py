@@ -1624,3 +1624,103 @@ def test_length_grouped_batches_padding_accounting(spark):
         (1, 2, 3, 6, 6, 0.0),
         (2, 2, 1, 2, 2, 0.0),
     ]
+
+
+def test_asof_join_directions_ties_tolerance_and_plan(spark):
+    """The general as-of join: backward picks the most recent right row
+    at-or-before (inclusive ties), forward the earliest at-or-after;
+    no-candidate rows keep NULLs; tolerance NULLs a too-old match
+    rather than searching past it (merge_asof semantics); and the whole
+    enrichment runs in ONE Window node over one shuffle -- no join in
+    the plan at all."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators.events import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 3, "pre"), (2, 7, "c"),
+         (3, 1, "lonely")],
+        "k long, t long, tag string")
+    right = spark.createDataFrame(
+        [(1, 5, 50.0), (1, 8, 80.0), (2, 9, 90.0)],
+        "k long, t long, v double")
+
+    back = {(r["k"], r["t"]): (r["r_t"], r["r_v"])
+            for r in asof_join(left, right, on="t", by="k").collect()}
+    assert back == {
+        (1, 3): (None, None),        # before any right row
+        (1, 5): (5, 50.0),           # inclusive tie
+        (1, 10): (8, 80.0),          # most recent, not first
+        (2, 7): (None, None),        # right row is later
+        (3, 1): (None, None),        # key absent from right
+    }
+
+    fwd = {(r["k"], r["t"]): (r["r_t"], r["r_v"])
+           for r in asof_join(left, right, on="t", by="k",
+                              direction="forward").collect()}
+    assert fwd == {
+        (1, 3): (5, 50.0),
+        (1, 5): (5, 50.0),           # inclusive tie forward too
+        (1, 10): (None, None),
+        (2, 7): (9, 90.0),
+        (3, 1): (None, None),
+    }
+
+    tol = {(r["k"], r["t"]): (r["r_t"], r["r_v"])
+           for r in asof_join(left, right, on="t", by="k",
+                              tolerance=F.lit(2)).collect()}
+    assert tol[(1, 10)] == (8, 80.0)      # within 2
+    assert tol[(1, 5)] == (5, 50.0)       # distance 0
+    # the (1, 3) row has no candidate; backward from 10 the 5-match is
+    # NOT consulted once 8 exists -- now shrink tolerance below 2
+    tol1 = {(r["k"], r["t"]): (r["r_t"], r["r_v"])
+            for r in asof_join(left, right, on="t", by="k",
+                               tolerance=F.lit(1)).collect()}
+    assert tol1[(1, 10)] == (None, None)  # nearest is 2 away: NULL, no
+    #                                       fallback to the older row 5
+
+    plan = asof_join(left, right, on="t", by="k") \
+        ._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in final, final[:2000]
+    assert final.count("Window") == 1, final[:2000]
+
+
+def test_asof_join_matches_window_form_on_events(spark, sf_dir):
+    """Cross-validation: the general union-merge as-of reproduces the
+    existing single-table window form (asof_last_click) when pointed at
+    the same clicks/purchases split of the events table."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators.events import (
+        asof_join,
+        asof_last_click,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("t"))
+    clicks = (e.where(F.col("event_type") == "click")
+              .select("user_id", us.alias("t"))
+              .groupBy("user_id", "t")
+              .agg(F.count(F.lit(1)).alias("n")))
+    got = {r["event_id"]: r["r_t"]
+           for r in asof_join(purchases, clicks, on="t",
+                              by="user_id").collect()}
+    # asof_last_click is strictly-prior (rowsBetween ... -1); ts
+    # collisions between a purchase and a click of the same user would
+    # differ, so assert none exist in the fixture, then compare
+    want = {r["event_id"]: r["last_click_us"]
+            for r in asof_last_click(e).collect()}
+    overlap = (e.where(F.col("event_type") == "purchase")
+               .select("user_id", "ts").intersect(
+                   e.where(F.col("event_type") == "click")
+                   .select("user_id", "ts")).count())
+    assert overlap == 0
+    assert got == want

@@ -216,6 +216,50 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     return out.select(*sel)
 
 
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          l_start: str, l_end: str,
+                          r_start: str, r_end: str,
+                          bin_width: int) -> DataFrame:
+    """KEYLESS overlap join of two interval tables (half-open
+    ``[start, end)`` in the same int64 units): emit every (left, right)
+    pair whose intervals intersect. Spark's only native plan for the
+    pure inequality predicate is a broadcast-nested-loop / cartesian
+    product -- |L| x |R| comparisons; this is the standard interval
+    BINNING form instead:
+
+    1. each interval explodes to the grid cells it touches
+       (floor(start/W) .. floor((end-1)/W), ~len/W + 1 rows);
+    2. equi-join on the cell -- a plain hash shuffle, so only intervals
+       sharing a cell ever meet;
+    3. keep a pair only in the ONE cell containing its overlap start
+       (floor(max(l_start, r_start)/W)) -- exactly-once without a
+       DISTINCT shuffle over the pair set.
+
+    Pick ``bin_width`` near the typical interval length: too small
+    multiplies the explode fan-out, too big turns every cell into a
+    mini cross product (both ends are measured in
+    tools/interval_bin_sweep.py -- the cost is per-cell
+    |L_cell| x |R_cell|, so W tunes the classic grid-join tradeoff).
+    Empty/degenerate intervals (end <= start) cannot overlap anything
+    and are dropped. Left/right column names must be disjoint."""
+    lb = left.where(F.col(l_end) > F.col(l_start)).withColumn(
+        "__cell", F.explode(F.sequence(
+            F.floor(F.col(l_start) / bin_width),
+            F.floor((F.col(l_end) - 1) / bin_width))))
+    rb = right.where(F.col(r_end) > F.col(r_start)).withColumn(
+        "__cell", F.explode(F.sequence(
+            F.floor(F.col(r_start) / bin_width),
+            F.floor((F.col(r_end) - 1) / bin_width))))
+    overlap_start = F.greatest(F.col(l_start), F.col(r_start))
+    return (
+        lb.join(rb, "__cell")
+        .where((F.col(l_start) < F.col(r_end))
+               & (F.col(r_start) < F.col(l_end))
+               & (F.col("__cell") == F.floor(overlap_start / bin_width)))
+        .drop("__cell")
+    )
+
+
 def value_range_join(events: DataFrame, bucket_width: int = 100) -> DataFrame:
     """Range join against a bucket dimension (value in [lo, hi)). The dim
     is tiny -> broadcast nested-loop with a range predicate. At scale with

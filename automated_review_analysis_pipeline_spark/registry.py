@@ -1083,6 +1083,37 @@ def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.asof_last_click(_t(spark, sf_dir, "events"))
 
 
+def q_session_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS interval-overlap join via grid binning (the plan Spark
+    cannot produce natively without a cartesian product): user sessions
+    [first_event, last_event + 1us) against global 10-minute error
+    windows [error_ts, error_ts + 10min); emits each overlapping pair
+    with its overlap length. The oracle runs the plain inequality join
+    (DuckDB IEJoin); the Spark side must reproduce it pair-for-pair
+    through explode -> hash join -> exactly-once cell attribution."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    sessions = (
+        ev.sessionize(e)
+        .groupBy("user_id", "session_id")
+        .agg(F.min(us).alias("s_start"),
+             (F.max(us) + 1).alias("s_end")))
+    errors = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        us.alias("e_start"),
+        (us + 600_000_000).alias("e_end"))
+    out = ev.interval_overlap_join(sessions, errors,
+                                   "s_start", "s_end",
+                                   "e_start", "e_end",
+                                   bin_width=600_000_000)
+    return out.select(
+        "user_id", "session_id", "err_id",
+        (F.least(F.col("s_end"), F.col("e_end"))
+         - F.greatest(F.col("s_start"), F.col("e_start")))
+        .alias("overlap_us"),
+    ).orderBy("user_id", "session_id", "err_id")
+
+
 def q_asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General two-table as-of join (union-merge form, one shuffle on
     the by-key): every click picks the same user's most recent purchase
@@ -2064,6 +2095,7 @@ QUERIES: dict[str, QueryFn] = {
     "cumulative_order_value": q_cumulative_order_value,
     "asof_last_click": q_asof_last_click,
     "asof_join_attribution": q_asof_join_attribution,
+    "session_error_overlap": q_session_error_overlap,
     "value_range_join": q_value_range_join,
     "quality_filter_join": q_quality_filter_join,
     "q6_forecast_revenue": q_q6_forecast_revenue,
@@ -2829,6 +2861,36 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ORDER BY o_custkey, order_seq
 """
+
+ORACLE_SQL["session_error_overlap"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), s AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         min(epoch_us(ts)) AS s_start, max(epoch_us(ts)) + 1 AS s_end
+  FROM sess GROUP BY user_id, session_id
+), e AS (
+  SELECT event_id AS err_id, epoch_us(ts) AS e_start,
+         epoch_us(ts) + 600000000 AS e_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT s.user_id, s.session_id, e.err_id,
+       least(s.s_end, e.e_end) - greatest(s.s_start, e.e_start)
+         AS overlap_us
+FROM s JOIN e ON s.s_start < e.e_end AND e.e_start < s.s_end
+ORDER BY user_id, session_id, err_id
+"""
+
 
 ORACLE_SQL["asof_join_attribution"] = """
 WITH clicks AS (

@@ -1724,3 +1724,38 @@ def test_asof_join_matches_window_form_on_events(spark, sf_dir):
                    .select("user_id", "ts")).count())
     assert overlap == 0
     assert got == want
+
+
+def test_interval_overlap_join_exact_pairs_no_dups(spark):
+    """Grid-binned overlap join == the naive cross-join filter, pair
+    for pair with NO duplicates, across the adversarial shapes: touching
+    half-open intervals (must NOT match), containment, identical spans,
+    intervals crossing many cells, degenerate (empty) intervals, and a
+    bin width both far smaller and far larger than the spans."""
+    from automated_review_analysis_pipeline_spark.operators.events import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0, 5), (2, 5, 10), (3, 0, 100), (4, 40, 41), (5, 7, 7),
+         (6, 98, 103)],
+        "lid long, s_start long, s_end long")
+    right = spark.createDataFrame(
+        [(10, 4, 6), (11, 10, 20), (12, 0, 1), (13, 39, 45), (14, 2, 2),
+         (15, 100, 200)],
+        "rid long, e_start long, e_end long")
+    naive = {
+        (lr["lid"], rr["rid"])
+        for lr in left.collect() for rr in right.collect()
+        if lr["s_start"] < rr["e_end"] and rr["e_start"] < lr["s_end"]
+        and lr["s_end"] > lr["s_start"] and rr["e_end"] > rr["e_start"]
+    }
+    assert (1, 10) in naive and (2, 10) in naive  # 4<5 & 5<6 overlap
+    assert (2, 11) not in naive                   # touching: no match
+    for w in (1, 3, 64, 10_000):
+        got = [(r["lid"], r["rid"])
+               for r in interval_overlap_join(
+                   left, right, "s_start", "s_end", "e_start", "e_end",
+                   bin_width=w).collect()]
+        assert len(got) == len(set(got)), (w, got)  # exactly-once
+        assert set(got) == naive, (w, sorted(set(got) ^ naive))

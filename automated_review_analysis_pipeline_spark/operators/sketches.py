@@ -455,3 +455,190 @@ SELECT key, exact_n, CAST(cms_n AS BIGINT) AS cms_n,
        CAST(cms_n - exact_n AS BIGINT) AS over_n
 FROM probed ORDER BY key
 """
+
+
+# --- KMV (k minimum values / bottom-k theta) distinct sketches -------------
+#
+# The set-OPERATION sketch the HLL family lacks: two KMV sketches support
+# union (k smallest of the merged registers) and intersection (the
+# fraction rho of the union's registers present in BOTH input sketches
+# estimates |A inter B| / |A union B|) -- Beyer et al., "On Synopses for
+# Distinct-Value Estimation Under Multiset Operations" (SIGMOD 2007).
+# Registers are the k smallest md5-48bit hashes of the DISTINCT keys:
+# fully deterministic, so the DuckDB oracle rebuilds bit-identical
+# registers and the estimates compare EXACTLY, the same portability
+# discipline as the HLL/quantile sketches above.
+
+KMV_K = 64
+KMV_SPACE = float(1 << 48)
+
+
+def _kmv_hash(key: Column) -> Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv:"), key.cast("string"))),
+                    1, 12), 16, 10).cast("long")
+
+
+def kmv_registers(df: DataFrame, group_col: str, key_col: str,
+                  k: int = KMV_K, n_salts: int = 32) -> DataFrame:
+    """(group, h) register rows: the k smallest distinct key hashes per
+    group. Exact k-smallest WITHOUT sorting each group's full distinct
+    set on one task: rank within (group, hash-salt) shards first (every
+    shard sorts in parallel, survivors <= k per shard), then rank the
+    <= k * n_salts survivors per group. Salting affects parallelism
+    only, never the result."""
+    base = (df.select(F.col(group_col).alias("g"),
+                      _kmv_hash(F.col(key_col)).alias("h"))
+            .distinct())
+    w_salt = Window.partitionBy("g", F.pmod(F.col("h"), F.lit(n_salts))) \
+        .orderBy("h")
+    w_g = Window.partitionBy("g").orderBy("h")
+    return (
+        base.withColumn("__r", F.row_number().over(w_salt))
+        .where(F.col("__r") <= k)
+        .withColumn("__r", F.row_number().over(w_g))
+        .where(F.col("__r") <= k)
+        .select("g", "h")
+    )
+
+
+def kmv_distinct_report(df: DataFrame, group_col: str, key_col: str,
+                        k: int = KMV_K) -> DataFrame:
+    """Per group: KMV distinct estimate next to the exact count --
+    (group, n_regs, est_distinct, exact_distinct). With fewer than k
+    registers the sketch IS the distinct set (estimate exact by
+    construction); otherwise est = (k-1) * SPACE / h_(k)."""
+    regs = kmv_registers(df, group_col, key_col, k)
+    est = (regs.groupBy("g")
+           .agg(F.count(F.lit(1)).alias("n_regs"),
+                F.max("h").alias("hk"))
+           .select(
+               "g", "n_regs",
+               F.when(F.col("n_regs") < k,
+                      F.col("n_regs").cast("double"))
+               .otherwise(F.round(
+                   F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("hk"),
+                   4)).alias("est_distinct")))
+    exact = (df.groupBy(F.col(group_col).alias("g"))
+             .agg(F.count_distinct(F.col(key_col)).alias("exact_distinct")))
+    return (est.join(exact, "g")
+            .select(F.col("g").alias(group_col), "n_regs", "est_distinct",
+                    "exact_distinct")
+            .orderBy(group_col))
+
+
+def kmv_set_report(df: DataFrame, group_col: str, key_col: str,
+                   k: int = KMV_K) -> DataFrame:
+    """Pairwise set-operation estimates between every two groups from
+    their KMV sketches alone: (g_a, g_b, est_union, est_intersection,
+    rho). Union registers = k smallest of the two register sets merged;
+    rho = fraction of those present in BOTH sketches (a union register
+    in A-inter-B is necessarily in both sketches' bottom-k, so the flags
+    are computable from registers, never the raw sets). est_inter =
+    rho * est_union -- the estimator HLL cannot provide without
+    inclusion-exclusion error blowup."""
+    regs = kmv_registers(df, group_col, key_col, k)
+    groups = regs.select("g").distinct()
+    pairs = (groups.select(F.col("g").alias("g_a"))
+             .join(groups.select(F.col("g").alias("g_b")),
+                   F.col("g_a") < F.col("g_b")))
+    merged = (
+        pairs.join(regs, (F.col("g") == F.col("g_a"))
+                   | (F.col("g") == F.col("g_b")))
+        .groupBy("g_a", "g_b", "h")
+        .agg(F.max((F.col("g") == F.col("g_a")).cast("int")).alias("in_a"),
+             F.max((F.col("g") == F.col("g_b")).cast("int")).alias("in_b"))
+    )
+    w = Window.partitionBy("g_a", "g_b").orderBy("h")
+    union_regs = merged.withColumn("__r", F.row_number().over(w)) \
+        .where(F.col("__r") <= k)
+    agg = (union_regs.groupBy("g_a", "g_b")
+           .agg(F.count(F.lit(1)).alias("k_u"),
+                F.max("h").alias("uk"),
+                F.sum((F.col("in_a") * F.col("in_b"))).alias("n_both")))
+    est_u = F.when(F.col("k_u") < k, F.col("k_u").cast("double")) \
+        .otherwise(F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("uk"))
+    rho = F.col("n_both").cast("double") / F.col("k_u")
+    return (agg.select(
+        "g_a", "g_b",
+        F.round(est_u, 4).alias("est_union"),
+        F.round(rho * est_u, 4).alias("est_intersection"),
+        F.round(rho, 6).alias("rho"))
+        .orderBy("g_a", "g_b"))
+
+
+def _kmv_hash_sql(key: str) -> str:
+    return (f"CAST(('0x' || substring(md5('kmv:' || "
+            f"CAST({key} AS VARCHAR)), 1, 12)) AS BIGINT)")
+
+
+def kmv_distinct_sql(table: str, group_expr: str, key_expr: str,
+                     k: int = KMV_K) -> str:
+    """DuckDB twin of :func:`kmv_distinct_report` (plain rank over the
+    distinct hashes -- bit-identical registers, identical estimate
+    arithmetic)."""
+    return f"""
+WITH base AS (
+  SELECT DISTINCT {group_expr} AS g, {_kmv_hash_sql(key_expr)} AS h
+  FROM {table}
+), regs AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r
+    FROM base) WHERE r <= {k}
+), est AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_regs,
+         CASE WHEN count(*) < {k} THEN count(*)::DOUBLE
+              ELSE round({k - 1}::DOUBLE * {int(KMV_SPACE)}::DOUBLE / max(h), 4)
+         END AS est_distinct
+  FROM regs GROUP BY g
+), exact AS (
+  SELECT {group_expr} AS g,
+         CAST(count(DISTINCT {key_expr}) AS BIGINT) AS exact_distinct
+  FROM {table} GROUP BY 1
+)
+SELECT est.g AS {group_expr}, n_regs, est_distinct, exact_distinct
+FROM est JOIN exact USING (g) ORDER BY 1
+"""
+
+
+def kmv_set_sql(table: str, group_expr: str, key_expr: str,
+                k: int = KMV_K) -> str:
+    """DuckDB twin of :func:`kmv_set_report`."""
+    return f"""
+WITH base AS (
+  SELECT DISTINCT {group_expr} AS g, {_kmv_hash_sql(key_expr)} AS h
+  FROM {table}
+), regs AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r
+    FROM base) WHERE r <= {k}
+), pairs AS (
+  SELECT a.g AS g_a, b.g AS g_b
+  FROM (SELECT DISTINCT g FROM regs) a
+  JOIN (SELECT DISTINCT g FROM regs) b ON a.g < b.g
+), merged AS (
+  SELECT p.g_a, p.g_b, r.h,
+         max(CASE WHEN r.g = p.g_a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN r.g = p.g_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN regs r ON r.g = p.g_a OR r.g = p.g_b
+  GROUP BY 1, 2, 3
+), union_regs AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY g_a, g_b ORDER BY h) AS r
+    FROM merged) WHERE r <= {k}
+), agg AS (
+  SELECT g_a, g_b, CAST(count(*) AS BIGINT) AS k_u, max(h) AS uk,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+  FROM union_regs GROUP BY 1, 2
+)
+SELECT g_a, g_b,
+       round(CASE WHEN k_u < {k} THEN k_u::DOUBLE
+                  ELSE {k - 1}::DOUBLE * {int(KMV_SPACE)}::DOUBLE / uk END, 4)
+         AS est_union,
+       round((n_both::DOUBLE / k_u) *
+             CASE WHEN k_u < {k} THEN k_u::DOUBLE
+                  ELSE {k - 1}::DOUBLE * {int(KMV_SPACE)}::DOUBLE / uk END, 4)
+         AS est_intersection,
+       round(n_both::DOUBLE / k_u, 6) AS rho
+FROM agg ORDER BY g_a, g_b
+"""

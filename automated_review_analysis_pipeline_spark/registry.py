@@ -289,6 +289,26 @@ def q_portable_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events"), "event_type", "user_id")
 
 
+def q_kmv_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k / theta) distinct sketch per event type next to the
+    exact count -- registers are the k smallest md5 hashes of the
+    distinct user set, fully deterministic, so the oracle compares
+    estimates EXACTLY. The sketch family that, unlike HLL, supports set
+    operations (see kmv_type_overlap)."""
+    return sk.kmv_distinct_report(
+        _t(spark, sf_dir, "events"), "event_type", "user_id")
+
+
+def q_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise union/intersection cardinality estimates between event
+    types' user sets from their KMV sketches ALONE (Beyer et al. 2007)
+    -- the audience-overlap query a warehouse answers from stored
+    per-stream sketches without rescanning either stream; HLL cannot
+    intersect without inclusion-exclusion error blowup."""
+    return sk.kmv_set_report(
+        _t(spark, sf_dir, "events"), "event_type", "user_id")
+
+
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct count per group: one pass, mergeable sketch,
     no shuffle-distinct -- the 100 TB path. Sketch internals differ across
@@ -2075,6 +2095,8 @@ QUERIES: dict[str, QueryFn] = {
     "distinct_users_per_type": q_distinct_users_per_type,
     "approx_distinct_users": q_approx_distinct_users,
     "portable_hll_users": q_portable_hll_users,
+    "kmv_users_per_type": q_kmv_users_per_type,
+    "kmv_type_overlap": q_kmv_type_overlap,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_shipping_priority": q_q3_shipping_priority,
     "q4_order_priority": q_q4_order_priority,
@@ -4104,6 +4126,11 @@ from automated_review_analysis_pipeline_spark.operators.sketches import (  # noq
 )
 
 ORACLE_SQL["portable_hll_users"] = portable_hll_sql(
+    "events", "event_type", "user_id")
+
+ORACLE_SQL["kmv_users_per_type"] = sk.kmv_distinct_sql(
+    "events", "event_type", "user_id")
+ORACLE_SQL["kmv_type_overlap"] = sk.kmv_set_sql(
     "events", "event_type", "user_id")
 
 from automated_review_analysis_pipeline_spark.operators.sketches import (  # noqa: E402

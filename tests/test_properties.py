@@ -1759,3 +1759,56 @@ def test_interval_overlap_join_exact_pairs_no_dups(spark):
                    bin_width=w).collect()]
         assert len(got) == len(set(got)), (w, got)  # exactly-once
         assert set(got) == naive, (w, sorted(set(got) ^ naive))
+
+
+def test_kmv_registers_exact_and_estimates_bounded(spark, sf_dir):
+    """KMV: the salted two-stage bottom-k equals the naive global
+    bottom-k (salting is parallelism, never semantics); the distinct
+    estimate lands within the ~1/sqrt(k) theory band of the exact
+    count; under-k groups report exactly; and the pairwise intersection
+    estimate tracks the true overlap."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators import (
+        sketches as sk,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    regs = sk.kmv_registers(e, "event_type", "user_id", k=64)
+    naive = (e.select(F.col("event_type").alias("g"),
+                      sk._kmv_hash(F.col("user_id")).alias("h"))
+             .distinct()
+             .withColumn("__r", F.row_number().over(
+                 Window.partitionBy("g").orderBy("h")))
+             .where(F.col("__r") <= 64).select("g", "h"))
+    assert sorted(map(tuple, regs.collect())) == \
+        sorted(map(tuple, naive.collect()))
+
+    rep = sk.kmv_distinct_report(e, "event_type", "user_id", k=64)
+    for r in rep.collect():
+        if r["n_regs"] < 64:
+            assert r["est_distinct"] == r["exact_distinct"]
+        else:
+            rel = abs(r["est_distinct"] - r["exact_distinct"]) \
+                / r["exact_distinct"]
+            assert rel < 0.5, (r, rel)  # 4/sqrt(64)=0.5 hard ceiling
+
+    # intersection estimate vs truth
+    truth = {}
+    sets = {r["event_type"]: set() for r in
+            e.select("event_type").distinct().collect()}
+    for r in e.select("event_type", "user_id").distinct().collect():
+        sets[r["event_type"]].add(r["user_id"])
+    for r in sk.kmv_set_report(e, "event_type", "user_id", k=64).collect():
+        inter = len(sets[r["g_a"]] & sets[r["g_b"]])
+        union = len(sets[r["g_a"]] | sets[r["g_b"]])
+        assert abs(r["est_union"] - union) / union < 0.5
+        if inter:
+            assert abs(r["est_intersection"] - inter) / inter < 0.6, \
+                (r, inter)
+        truth[(r["g_a"], r["g_b"])] = (inter, union)
+    assert truth  # pairs existed

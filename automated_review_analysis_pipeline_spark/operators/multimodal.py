@@ -2237,6 +2237,436 @@ def _ima_adpcm_decode(data: bytes, n_channels: int, block_align: int):
                     axis=1)
 
 
+
+
+# --- FLAC (Free Lossless Audio Codec) decode, dependency-free --------------
+#
+# Format per the public FLAC specification (RFC 9639 / flac format.html):
+# fLaC marker, metadata blocks (STREAMINFO required), then CRC-protected
+# frames of per-channel subframes (CONSTANT / VERBATIM / FIXED 0-4 /
+# LPC 1-32) whose residuals are Rice-coded in partitions. Decode is
+# exact-or-raise: header CRC-8 and frame CRC-16 are verified, reserved
+# codes raise NotImplementedError -- same contract as the image codecs.
+
+_FLAC_SAMPLE_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+                      6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+                      11: 96000}
+_FLAC_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _crc8_flac(data: bytes) -> int:
+    """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0 -- the FLAC
+    frame-header checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
+                else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_flac(data: bytes) -> int:
+    """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0 -- the
+    FLAC whole-frame checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacBits:
+    """MSB-first bit reader over the frame byte range."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, bit_pos: int = 0):
+        self.data = data
+        self.pos = bit_pos
+
+    def read(self, n: int) -> int:
+        end = self.pos + n
+        if (end + 7) // 8 > len(self.data):
+            raise NotImplementedError("truncated FLAC bitstream")
+        v = 0
+        pos = self.pos
+        data = self.data
+        while n > 0:
+            byte = data[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = avail if avail < n else n
+            v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            pos += take
+            n -= take
+        self.pos = pos
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v & (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 20:
+                raise NotImplementedError("runaway FLAC unary code")
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _flac_utf8_number(br: "_FlacBits") -> int:
+    """FLAC's extended-UTF-8 coded frame/sample number (up to 36 bits,
+    7-byte form)."""
+    first = br.read(8)
+    if first < 0x80:
+        return first
+    n_follow = 0
+    mask = 0x40
+    while first & mask:
+        n_follow += 1
+        mask >>= 1
+    if n_follow < 1 or n_follow > 6:
+        raise NotImplementedError("malformed FLAC UTF-8 number")
+    v = first & (mask - 1)
+    for _ in range(n_follow):
+        b = br.read(8)
+        if b & 0xC0 != 0x80:
+            raise NotImplementedError("malformed FLAC UTF-8 continuation")
+        v = (v << 6) | (b & 0x3F)
+    return v
+
+
+def _flac_residual(br: "_FlacBits", blocksize: int, order: int) -> "object":
+    """Rice-coded residual section: 2-bit method (4- or 5-bit params),
+    4-bit partition order, per-partition Rice or escape-raw samples."""
+    import numpy as np
+
+    method = br.read(2)
+    if method > 1:
+        raise NotImplementedError("reserved FLAC residual method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    n_parts = 1 << porder
+    if blocksize % n_parts or (blocksize >> porder) < max(order, 1):
+        # equality is legal: the first partition is then empty
+        raise NotImplementedError("invalid FLAC partition order")
+    out = np.empty(blocksize - order, dtype=np.int64)
+    idx = 0
+    for p in range(n_parts):
+        n = (blocksize >> porder) - (order if p == 0 else 0)
+        param = br.read(pbits)
+        if param == escape:
+            raw_bits = br.read(5)
+            for i in range(n):
+                out[idx] = br.read_signed(raw_bits) if raw_bits else 0
+                idx += 1
+        else:
+            for i in range(n):
+                q = br.read_unary()
+                v = (q << param) | (br.read(param) if param else 0)
+                out[idx] = (v >> 1) ^ -(v & 1)
+                idx += 1
+    return out
+
+
+_FLAC_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
+                     4: [4, -6, 4, -1]}
+
+
+def _flac_subframe(br: "_FlacBits", blocksize: int, bps: int) -> "object":
+    """One subframe -> int64 numpy array of ``blocksize`` samples."""
+    import numpy as np
+
+    if br.read(1) != 0:
+        raise NotImplementedError("invalid FLAC subframe padding bit")
+    sf_type = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = 1 + br.read_unary()
+    eff = bps - wasted
+    if eff <= 0:
+        raise NotImplementedError("FLAC wasted bits exceed sample size")
+
+    if sf_type == 0:  # CONSTANT
+        out = np.full(blocksize, br.read_signed(eff), dtype=np.int64)
+    elif sf_type == 1:  # VERBATIM
+        if eff == 8 and br.pos % 8 == 0:  # aligned fast path
+            start = br.pos >> 3
+            out = np.frombuffer(
+                br.data[start:start + blocksize], dtype=np.int8
+            ).astype(np.int64)
+            if out.size != blocksize:
+                raise NotImplementedError("truncated FLAC verbatim")
+            br.pos += blocksize * 8
+        else:
+            out = np.empty(blocksize, dtype=np.int64)
+            for i in range(blocksize):
+                out[i] = br.read_signed(eff)
+    elif 8 <= sf_type <= 12:  # FIXED, order 0-4
+        order = sf_type - 8
+        if order > blocksize:
+            raise NotImplementedError("FLAC fixed order exceeds block")
+        warm = [br.read_signed(eff) for _ in range(order)]
+        resid = _flac_residual(br, blocksize, order)
+        out = np.empty(blocksize, dtype=np.int64)
+        out[:order] = warm
+        coefs = _FLAC_FIXED_COEFS[order]
+        for i in range(order, blocksize):
+            acc = resid[i - order]
+            for j, c in enumerate(coefs):
+                acc += c * out[i - 1 - j]
+            out[i] = acc
+    elif sf_type >= 32:  # LPC, order 1-32
+        order = sf_type - 31
+        if order > blocksize:
+            raise NotImplementedError("FLAC LPC order exceeds block")
+        warm = [br.read_signed(eff) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 15:
+            raise NotImplementedError("invalid FLAC LPC precision")
+        prec += 1
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise NotImplementedError("negative FLAC LPC shift")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        resid = _flac_residual(br, blocksize, order)
+        out = np.empty(blocksize, dtype=np.int64)
+        out[:order] = warm
+        for i in range(order, blocksize):
+            acc = 0
+            for j in range(order):
+                acc += coefs[j] * int(out[i - 1 - j])
+            out[i] = resid[i - order] + (acc >> shift)
+    else:
+        raise NotImplementedError("reserved FLAC subframe type")
+    if wasted:
+        out = out << wasted
+    return out
+
+
+def decode_flac(payload: bytes):
+    """Dependency-free FLAC decode -> ``(samples, sample_rate)`` with
+    ``samples`` an (n_frames, n_channels) int64 array of the raw PCM.
+
+    Covers the full frame layer: CONSTANT / VERBATIM / FIXED(0-4) /
+    LPC(1-32) subframes, both Rice methods (4- and 5-bit parameters)
+    with escape-raw partitions, wasted bits, all four channel
+    assignments (independent, left/side, right/side, mid/side), and
+    variable/fixed blocking. Header CRC-8 and frame CRC-16 are VERIFIED
+    -- a corrupt frame raises instead of emitting wrong samples.
+    Reserved/invalid codes raise NotImplementedError (the honest-raise
+    contract; cf. decode_wav for the WAV lane)."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 42 or payload[:4] != b"fLaC":
+        raise NotImplementedError("not a FLAC payload")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(payload):
+            raise NotImplementedError("truncated FLAC metadata")
+        hdr = struct.unpack_from(">I", payload, pos)[0]
+        last = hdr >> 31
+        btype = (hdr >> 24) & 0x7F
+        blen = hdr & 0xFFFFFF
+        pos += 4
+        if pos + blen > len(payload):
+            raise NotImplementedError("truncated FLAC metadata block")
+        if btype == 0:
+            if blen != 34:
+                raise NotImplementedError("malformed FLAC STREAMINFO")
+            streaminfo = payload[pos:pos + 34]
+        elif btype == 127:
+            raise NotImplementedError("invalid FLAC metadata type")
+        pos += blen
+        if last:
+            break
+    if streaminfo is None:
+        raise NotImplementedError("FLAC missing STREAMINFO")
+    si = _FlacBits(streaminfo)
+    si.read(16)  # min block size
+    si.read(16)  # max block size
+    si.read(24)  # min frame size
+    si.read(24)  # max frame size
+    si_rate = si.read(20)
+    si_channels = si.read(3) + 1
+    si_bps = si.read(5) + 1
+    si_total = si.read(36)
+    if si_rate == 0:
+        raise NotImplementedError("FLAC sample rate 0")
+
+    chunks = []
+    got = 0
+    while pos < len(payload):
+        frame_start = pos
+        br = _FlacBits(payload, pos * 8)
+        if br.read(14) != 0x3FFE:
+            raise NotImplementedError("bad FLAC frame sync")
+        if br.read(1) != 0:
+            raise NotImplementedError("reserved FLAC frame bit")
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        if br.read(1) != 0:
+            raise NotImplementedError("reserved FLAC frame bit")
+        _flac_utf8_number(br)
+        if bs_code == 0:
+            raise NotImplementedError("reserved FLAC block size code")
+        elif bs_code == 1:
+            blocksize = 192
+        elif bs_code <= 5:
+            blocksize = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            blocksize = br.read(8) + 1
+        elif bs_code == 7:
+            blocksize = br.read(16) + 1
+        else:
+            blocksize = 256 << (bs_code - 8)
+        if sr_code == 0:
+            rate = si_rate
+        elif sr_code in _FLAC_SAMPLE_RATES:
+            rate = _FLAC_SAMPLE_RATES[sr_code]
+        elif sr_code == 12:
+            rate = br.read(8) * 1000
+        elif sr_code == 13:
+            rate = br.read(16)
+        elif sr_code == 14:
+            rate = br.read(16) * 10
+        else:
+            raise NotImplementedError("invalid FLAC sample rate code")
+        if ch_code <= 7:
+            n_ch, mode = ch_code + 1, "indep"
+        elif ch_code <= 10:
+            n_ch, mode = 2, ("ls", "rs", "ms")[ch_code - 8]
+        else:
+            raise NotImplementedError("reserved FLAC channel assignment")
+        if ss_code == 0:
+            bps = si_bps
+        elif ss_code in _FLAC_SAMPLE_SIZES:
+            bps = _FLAC_SAMPLE_SIZES[ss_code]
+        else:
+            raise NotImplementedError("reserved FLAC sample size code")
+        hdr_end = br.pos >> 3
+        if _crc8_flac(payload[frame_start:hdr_end]) != br.read(8):
+            raise NotImplementedError("FLAC frame header CRC mismatch")
+
+        chans = []
+        for c in range(n_ch):
+            side = ((mode == "ls" and c == 1) or (mode == "rs" and c == 0)
+                    or (mode == "ms" and c == 1))
+            chans.append(_flac_subframe(br, blocksize,
+                                        bps + (1 if side else 0)))
+        br.align()
+        body_end = br.pos >> 3
+        if _crc16_flac(payload[frame_start:body_end]) != br.read(16):
+            raise NotImplementedError("FLAC frame CRC mismatch")
+        pos = br.pos >> 3
+
+        if mode == "ls":
+            left = chans[0]
+            right = left - chans[1]
+            frame = np.stack([left, right], axis=1)
+        elif mode == "rs":
+            right = chans[1]
+            left = chans[0] + right
+            frame = np.stack([left, right], axis=1)
+        elif mode == "ms":
+            mid, side = chans[0], chans[1]
+            mid = (mid << 1) | (side & 1)
+            frame = np.stack([(mid + side) >> 1, (mid - side) >> 1],
+                             axis=1)
+        else:
+            frame = np.stack(chans, axis=1)
+        chunks.append(frame)
+        got += blocksize
+        if si_total and got >= si_total:
+            break
+    if not chunks:
+        raise NotImplementedError("FLAC stream has no frames")
+    samples = np.concatenate(chunks, axis=0)
+    if si_total:
+        samples = samples[:si_total]
+    if si_channels != samples.shape[1]:
+        raise NotImplementedError("FLAC channel count mismatch")
+    return samples, (rate if si_rate == 0 else si_rate)
+
+
+def encode_flac_pcm8(sample_bytes: bytes, sample_rate: int = 8000) -> bytes:
+    """Minimal REAL FLAC encoder -- mono 8-bit, one VERBATIM frame --
+    for payload synthesis: bytes are taken as unsigned PCM and stored
+    as FLAC's signed samples (x - 128), the standard PCM8 convention.
+    Every structural element is spec-true (STREAMINFO, frame header
+    with CRC-8, verbatim subframe, padding, CRC-16), so decode_flac
+    exercises its real parsing path on these payloads."""
+    import struct
+
+    n = len(sample_bytes)
+    if not 1 <= n <= 65536:
+        raise NotImplementedError("encode_flac_pcm8 needs 1..65536 samples")
+    def w(buf: bytearray, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            buf.append((value >> i) & 1)
+
+    def to_bytes(buf: bytearray) -> bytes:
+        while len(buf) % 8:
+            buf.append(0)
+        out = bytearray()
+        for i in range(0, len(buf), 8):
+            v = 0
+            for b in buf[i:i + 8]:
+                v = (v << 1) | b
+            out.append(v)
+        return bytes(out)
+
+    si = bytearray()
+    w(si, n, 16)      # min block size
+    w(si, n, 16)      # max block size
+    w(si, 0, 24)      # min frame size (unknown)
+    w(si, 0, 24)      # max frame size
+    w(si, sample_rate, 20)
+    w(si, 0, 3)       # channels - 1
+    w(si, 7, 5)       # bps - 1 = 8-bit
+    w(si, n, 36)      # total samples
+    si_bytes = to_bytes(si) + bytes(16)  # md5 of raw PCM: 0 = unknown
+
+    hdr = bytearray()
+    w(hdr, 0x3FFE, 14)
+    w(hdr, 0, 1)
+    w(hdr, 0, 1)      # fixed blocksize
+    w(hdr, 7, 4)      # blocksize: 16-bit at end
+    w(hdr, 0, 4)      # sample rate: from STREAMINFO
+    w(hdr, 0, 4)      # 1 channel, independent
+    w(hdr, 1, 3)      # 8-bit samples
+    w(hdr, 0, 1)
+    w(hdr, 0, 8)      # frame number 0 (UTF-8 one byte)
+    w(hdr, n - 1, 16)
+    hdr_bytes = to_bytes(hdr)
+    hdr_bytes += bytes([_crc8_flac(hdr_bytes)])
+
+    sub = bytearray()
+    w(sub, 0, 1)
+    w(sub, 1, 6)      # VERBATIM
+    w(sub, 0, 1)      # no wasted bits
+    for b in sample_bytes:
+        w(sub, (b - 128) & 0xFF, 8)
+    frame = hdr_bytes + to_bytes(sub)
+    frame += struct.pack(">H", _crc16_flac(frame))
+    return (b"fLaC"
+            + struct.pack(">I", (1 << 31) | (0 << 24) | len(si_bytes))
+            + si_bytes + frame)
+
+
 def decode_wav(payload: bytes):
     """Dependency-free RIFF/WAVE decode -> ``(samples, sample_rate)``
     where ``samples`` is an (n_frames, n_channels) numpy array:
@@ -2385,6 +2815,15 @@ def resample_audio_nearest(samples, n_out: int):
     return samples[idx]
 
 
+def decode_audio(payload: bytes):
+    """Audio container dispatch: FLAC payloads (fLaC marker) through
+    :func:`decode_flac`, everything else through the RIFF/WAVE path --
+    one decode surface for the feature extractors."""
+    if payload is not None and payload[:4] == b"fLaC":
+        return decode_flac(payload)
+    return decode_wav(payload)
+
+
 def audio_features(payload: bytes) -> list[float]:
     """8 deterministic integer-valued features off a REAL PCM decode:
     [sample_rate, n_channels, n_frames, duration_ms (floor), min
@@ -2398,7 +2837,7 @@ def audio_features(payload: bytes) -> list[float]:
     stream reports peak ~32767 instead of int-truncating to 0."""
     import numpy as np
 
-    samples, rate = decode_wav(payload)
+    samples, rate = decode_audio(payload)
     if samples.dtype.kind == "f":
         samples = np.clip(np.rint(samples * 32767.0),
                           -32768, 32767).astype(np.int64)
@@ -2428,8 +2867,9 @@ def real_decoder(payload: bytes, mime: str) -> list[float]:
     whose codecs are genuinely absent (lossy-VP8 WebP, AVIF/HEIC,
     old-style TIFF JPEG, mp3-in-WAV audio) still raise
     NotImplementedError."""
-    if payload is not None and payload[:4] == b"RIFF" \
-            and payload[8:12] != b"WEBP":
+    if payload is not None and (
+            payload[:4] == b"fLaC"
+            or (payload[:4] == b"RIFF" and payload[8:12] != b"WEBP")):
         return audio_features(payload)
     img = decode_image(payload)
     f = img.astype("float64")

@@ -1803,6 +1803,49 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode through the binary pipeline: each document's
+    first 256 bytes become the samples of a genuine FLAC stream
+    (STREAMINFO + CRC-8-protected frame header + verbatim subframe +
+    CRC-16 footer, built by the in-repo encoder in one Arrow pass --
+    CRCs preclude JVM-concat synthesis), and real_decoder routes the
+    fLaC marker through decode_flac, which verifies both CRCs and
+    reconstructs the signed PCM (byte - 128, the PCM8 convention). The
+    oracle recomputes the identical integer statistics from the same
+    256 text bytes."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents")
+    n = 256
+
+    def synth(batches):
+        for b in batches:
+            texts = b["text"].fillna("").str.slice(0, n).str.pad(
+                n, side="right", fillchar=" ")
+            yield pd.DataFrame({
+                "media_id": b["doc_id"],
+                "payload": [mm.encode_flac_pcm8(t.encode("utf-8")[:n])
+                            for t in texts],
+                "mime": "audio/flac",
+                "source": b["source"],
+            })
+    media = docs.select("doc_id", "text", "source").mapInPandas(
+        synth, "media_id long, payload binary, mime string, source string"
+    ).select(
+        "media_id", "payload", "mime",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit((n * 1000) // 8000).cast("long").alias("duration_ms"),
+        "source")
+    out = mm.attach_media_features(media, decoder=mm.real_decoder)
+    return out.select(
+        "media_id", "mime", "n_bytes",
+        F.array_join(F.transform(F.col("features"),
+                                 lambda x: x.cast("int").cast("string")),
+                     ",").alias("features_csv"),
+    ).orderBy("media_id")
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV decode through the binary pipeline: each document's
     first 256 bytes (space-padded to fixed size) become the sample
@@ -2163,6 +2206,7 @@ QUERIES: dict[str, QueryFn] = {
     "hourly_anomalies": q_hourly_anomalies,
     "multimodal_features": q_multimodal_features,
     "audio_features": q_audio_features,
+    "flac_features": q_flac_features,
     "order_value_percentiles_approx": q_order_value_percentiles_approx,
     "portable_quantiles": q_portable_quantiles,
     "events_sliding": q_events_sliding,
@@ -3700,6 +3744,37 @@ FROM m ORDER BY media_id
 # the decoder's integer statistics; the header fields (8000 Hz, 1 ch)
 # and the fixed sizes (256 frames -> 32 ms, 44+256 payload bytes) are
 # compile-time constants of the synthesis.
+# flac_features: same 256 text bytes, but stored as FLAC signed samples
+# (byte - 128); n_bytes is the fixed size of the one-frame verbatim
+# stream the encoder emits for 256 samples, computed from the encoder
+# itself at import. center uses floor() -- DuckDB's // truncates while
+# the decoder's Python // floors, and signed sums go negative here.
+_FLAC_N_BYTES = len(mm.encode_flac_pcm8(b" " * 256))
+ORACLE_SQL["flac_features"] = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         rpad(substr(coalesce(text, ''), 1, 256), 256, ' ') AS t
+  FROM documents
+), s AS (
+  SELECT media_id,
+         list_transform(range(1, 257),
+                        i -> ascii(substr(t, i, 1)) - 128) AS v
+  FROM m
+), c AS (
+  SELECT media_id, v,
+         CAST(floor(list_sum(v) / 256.0) AS BIGINT) AS center
+  FROM s
+)
+SELECT media_id, 'audio/flac' AS mime,
+  CAST({_FLAC_N_BYTES} AS BIGINT) AS n_bytes,
+  array_to_string(
+    [8000, 1, 256, 32, list_min(v), list_max(v), list_sum(v),
+     list_max(list_transform(v, x -> abs(x - center)))], ',')
+    AS features_csv
+FROM c ORDER BY media_id
+"""
+
+
 ORACLE_SQL["audio_features"] = """
 WITH m AS (
   SELECT doc_id AS media_id,

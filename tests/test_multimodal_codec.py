@@ -2174,3 +2174,278 @@ def test_codec_mutation_fuzz_new_formats():
                 fn(bytes(mutant))
             except NotImplementedError:
                 pass
+
+
+# --- FLAC ------------------------------------------------------------------
+
+from automated_review_analysis_pipeline_spark.operators.multimodal import (  # noqa: E402
+    _crc8_flac,
+    _crc16_flac,
+    decode_flac,
+    encode_flac_pcm8,
+)
+
+
+class _FW:
+    """Test-side MSB-first bit writer."""
+
+    def __init__(self):
+        self.bits = []
+
+    def w(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+        return self
+
+    def ws(self, value, nbits):
+        return self.w(value & ((1 << nbits) - 1), nbits)
+
+    def rice(self, value, param):
+        v = (value << 1) ^ (value >> 63) if value >= 0 else \
+            ((-value - 1) << 1) + 1 if False else None
+        # zigzag: non-negative -> 2v, negative -> -2v-1
+        u = (value << 1) if value >= 0 else ((-value) << 1) - 1
+        q, r = u >> param, u & ((1 << param) - 1)
+        self.bits.extend([0] * q + [1])
+        if param:
+            self.w(r, param)
+        return self
+
+    def bytes(self):
+        bits = self.bits + [0] * (-len(self.bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            v = 0
+            for b in bits[i:i + 8]:
+                v = (v << 1) | b
+            out.append(v)
+        return bytes(out)
+
+
+def _flac_container(frames: list[bytes], n_total: int, channels: int,
+                    bps: int, rate: int = 8000,
+                    min_bs: int = 16) -> bytes:
+    si = _FW()
+    si.w(min_bs, 16).w(65535, 16).w(0, 24).w(0, 24)
+    si.w(rate, 20).w(channels - 1, 3).w(bps - 1, 5).w(n_total, 36)
+    body = si.bytes() + bytes(16)
+    return (b"fLaC" + struct.pack(">I", (1 << 31) | len(body)) + body
+            + b"".join(frames))
+
+
+def _frame(subframe_payloads: list["_FW"], blocksize: int, ch_code: int,
+           ss_code: int, frame_no: int = 0) -> bytes:
+    h = _FW()
+    h.w(0x3FFE, 14).w(0, 1).w(0, 1)
+    h.w(7, 4)            # 16-bit blocksize at end
+    h.w(0, 4)            # rate from STREAMINFO
+    h.w(ch_code, 4).w(ss_code, 3).w(0, 1)
+    h.w(frame_no, 8)     # UTF-8 frame number (< 128)
+    h.w(blocksize - 1, 16)
+    hb = h.bytes()
+    hb += bytes([_crc8_flac(hb)])
+    body = _FW()
+    for sf in subframe_payloads:
+        body.bits.extend(sf.bits)
+    frame = hb + body.bytes()
+    return frame + struct.pack(">H", _crc16_flac(frame))
+
+
+def _sf_constant(value: int, bps: int) -> "_FW":
+    return _FW().w(0, 1).w(0, 6).w(0, 1).ws(value, bps)
+
+
+def _sf_verbatim(samples, bps: int) -> "_FW":
+    f = _FW().w(0, 1).w(1, 6).w(0, 1)
+    for s in samples:
+        f.ws(s, bps)
+    return f
+
+
+def _sf_fixed(samples, order: int, bps: int, param: int = 3,
+              porder: int = 0, method: int = 0) -> "_FW":
+    coefs = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
+             4: [4, -6, 4, -1]}[order]
+    f = _FW().w(0, 1).w(8 + order, 6).w(0, 1)
+    for s in samples[:order]:
+        f.ws(s, bps)
+    resid = [samples[i] - sum(c * samples[i - 1 - j]
+                              for j, c in enumerate(coefs))
+             for i in range(order, len(samples))]
+    f.w(method, 2).w(porder, 4)
+    n_parts = 1 << porder
+    idx = 0
+    pbits = 4 if method == 0 else 5
+    for p in range(n_parts):
+        n = (len(samples) >> porder) - (order if p == 0 else 0)
+        f.w(param, pbits)
+        for r in resid[idx:idx + n]:
+            f.rice(r, param)
+        idx += n
+    return f
+
+
+def test_flac_constant_fixed_orders_and_partitions():
+    """CONSTANT and every FIXED order round-trip exactly, across rice
+    methods, partition orders, and both rice params."""
+    import numpy as np
+
+    bs = 16
+    sf = _sf_constant(-7, 8)
+    p = _flac_container([_frame([sf], bs, 0, 1)], bs, 1, 8)
+    got, rate = decode_flac(p)
+    assert rate == 8000 and np.all(got[:, 0] == -7)
+
+    rng = [((i * 13) % 51) - 25 for i in range(bs)]
+    for order in (0, 1, 2, 3, 4):
+        for porder, method in ((0, 0), (1, 0), (2, 1)):
+            sf = _sf_fixed(rng, order, 8, param=4, porder=porder,
+                           method=method)
+            p = _flac_container([_frame([sf], bs, 0, 1)], bs, 1, 8)
+            got, _ = decode_flac(p)
+            assert got[:, 0].tolist() == rng, (order, porder, method)
+
+
+def test_flac_lpc_escape_wasted_bits_and_multiframe():
+    """LPC subframes (quantized coefficients + shift), escape-coded raw
+    partitions, wasted bits, and multi-frame streams all reconstruct
+    exact PCM."""
+    import numpy as np
+
+    bs = 16
+    samples = [((i * 29) % 41) - 20 for i in range(bs)]
+    order, shift, coefs = 2, 2, [5, -2]
+    f = _FW().w(0, 1).w(32 + order - 1, 6).w(0, 1)
+    for s in samples[:order]:
+        f.ws(s, 8)
+    f.w(3, 4)          # precision-1 -> 4-bit coefs
+    f.ws(shift, 5)
+    for c in coefs:
+        f.ws(c, 4)
+    resid = []
+    for i in range(order, bs):
+        pred = (coefs[0] * samples[i - 1] + coefs[1] * samples[i - 2]) \
+            >> shift
+        resid.append(samples[i] - pred)
+    f.w(0, 2).w(0, 4).w(5, 4)
+    for r in resid:
+        f.rice(r, 5)
+    p = _flac_container([_frame([f], bs, 0, 1)], bs, 1, 8)
+    got, _ = decode_flac(p)
+    assert got[:, 0].tolist() == samples
+
+    # escape partition: raw 7-bit residuals (param 15 in method 0)
+    f = _FW().w(0, 1).w(8 + 1, 6).w(0, 1).ws(samples[0], 8)
+    f.w(0, 2).w(0, 4).w(15, 4).w(7, 5)
+    for i in range(1, bs):
+        f.ws(samples[i] - samples[i - 1], 7)
+    p = _flac_container([_frame([f], bs, 0, 1)], bs, 1, 8)
+    got, _ = decode_flac(p)
+    assert got[:, 0].tolist() == samples
+
+    # wasted bits: samples all even -> 1 wasted bit, constant subframe
+    f = _FW().w(0, 1).w(0, 6).w(1, 1)
+    f.bits.append(1)   # unary 0 -> wasted = 1
+    f.ws(-6 >> 1, 7)   # eff = bps - 1 bits
+    p = _flac_container([_frame([f], bs, 0, 1)], bs, 1, 8)
+    got, _ = decode_flac(p)
+    assert np.all(got[:, 0] == -6)
+
+    # two frames concatenated, total truncates the second
+    sf1 = _sf_verbatim(samples, 8)
+    sf2 = _sf_constant(3, 8)
+    p = _flac_container(
+        [_frame([sf1], bs, 0, 1, 0), _frame([sf2], bs, 0, 1, 1)],
+        bs + 10, 1, 8)
+    got, _ = decode_flac(p)
+    assert got.shape == (bs + 10, 1)
+    assert got[:bs, 0].tolist() == samples and np.all(got[bs:, 0] == 3)
+
+
+def test_flac_stereo_decorrelation_modes():
+    """left/side, right/side, mid/side and independent stereo all
+    reconstruct the same (left, right) PCM exactly."""
+    bs = 16
+    left = [((i * 17) % 61) - 30 for i in range(bs)]
+    right = [((i * 7) % 37) - 18 for i in range(bs)]
+    side = [l - r for l, r in zip(left, right)]
+    mid = [(l + r) >> 1 for l, r in zip(left, right)]
+
+    cases = [
+        (1, [_sf_verbatim(left, 8), _sf_verbatim(right, 8)]),        # indep
+        (8, [_sf_verbatim(left, 8), _sf_verbatim(side, 9)]),         # L/S
+        (9, [_sf_verbatim(side, 9), _sf_verbatim(right, 8)]),        # R/S
+        (10, [_sf_verbatim(mid, 8), _sf_verbatim(side, 9)]),         # M/S
+    ]
+    for ch_code, sfs in cases:
+        p = _flac_container([_frame(sfs, bs, ch_code, 1)], bs, 2, 8)
+        got, _ = decode_flac(p)
+        assert got[:, 0].tolist() == left, ch_code
+        assert got[:, 1].tolist() == right, ch_code
+
+
+def test_flac_guards_and_crc():
+    """Corrupt CRC-8/CRC-16, bad sync, reserved codes, truncation, and
+    the encoder round-trip all behave per the exact-or-raise contract."""
+    data = bytes(range(200)) + b" " * 56
+    p = encode_flac_pcm8(data)
+    got, rate = decode_flac(p)
+    assert rate == 8000
+    assert got[:, 0].tolist() == [b - 128 for b in data]
+
+    bad = bytearray(p)
+    bad[-1] ^= 0x40            # frame CRC-16
+    with pytest.raises(NotImplementedError):
+        decode_flac(bytes(bad))
+    bad = bytearray(p)
+    bad[4 + 4 + 38 + 4] ^= 0x01  # inside frame header -> CRC-8
+    with pytest.raises(NotImplementedError):
+        decode_flac(bytes(bad))
+    with pytest.raises(NotImplementedError):
+        decode_flac(p[:-3])    # truncated
+    with pytest.raises(NotImplementedError):
+        decode_flac(b"fLaX" + p[4:])
+    # reserved subframe type (2) inside an otherwise-valid frame
+    bs = 8
+    f = _FW().w(0, 1).w(2, 6).w(0, 1).ws(0, 8)
+    p2 = _flac_container([_frame([f], bs, 0, 1)], bs, 1, 8)
+    with pytest.raises(NotImplementedError):
+        decode_flac(p2)
+
+
+def test_flac_mutation_fuzz():
+    """Deep-parser hardening for FLAC: byte flips, truncations, and
+    extensions of valid streams (verbatim/fixed/LPC/stereo) must decode
+    or raise exactly NotImplementedError -- never a raw struct/ValueError/
+    IndexError/numpy error. CRC verification makes most flips raise; the
+    contract is only about the exception TYPE."""
+    import random
+
+    rng = random.Random(10)
+    bs = 16
+    samples = [((i * 13) % 51) - 25 for i in range(bs)]
+    seeds = [
+        encode_flac_pcm8(bytes(range(64))),
+        _flac_container([_frame([_sf_fixed(samples, 2, 8, 4, 1)],
+                                bs, 0, 1)], bs, 1, 8),
+        _flac_container([_frame([_sf_verbatim(samples, 8),
+                                 _sf_verbatim(samples, 9)],
+                                bs, 8, 1)], bs, 2, 8),
+    ]
+    n_mut = 0
+    for seed in seeds:
+        for _ in range(150):
+            b = bytearray(seed)
+            op = rng.randrange(3)
+            if op == 0:
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            elif op == 1:
+                b = b[:rng.randrange(len(b))]
+            else:
+                b += bytes(rng.randrange(1, 9))
+            try:
+                decode_flac(bytes(b))
+            except NotImplementedError:
+                pass
+            n_mut += 1
+    assert n_mut == 450

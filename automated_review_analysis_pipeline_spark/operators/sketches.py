@@ -502,6 +502,25 @@ def kmv_registers(df: DataFrame, group_col: str, key_col: str,
     )
 
 
+def kmv_estimate_from_registers(regs: DataFrame, k: int = KMV_K,
+                                group_name: str = "g") -> DataFrame:
+    """(group, n_regs, est_distinct) from a register table (g, h) --
+    shared by the batch report and the streaming merge (the estimate is
+    a pure function of the registers)."""
+    return (regs.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n_regs"),
+                 F.max("h").alias("hk"))
+            .select(
+                F.col("g").alias(group_name),
+                F.col("n_regs").cast("long").alias("n_regs"),
+                F.when(F.col("n_regs") < k,
+                       F.col("n_regs").cast("double"))
+                .otherwise(F.round(
+                    F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("hk"),
+                    4)).alias("est_distinct"))
+            .orderBy(group_name))
+
+
 def kmv_distinct_report(df: DataFrame, group_col: str, key_col: str,
                         k: int = KMV_K) -> DataFrame:
     """Per group: KMV distinct estimate next to the exact count --
@@ -509,16 +528,7 @@ def kmv_distinct_report(df: DataFrame, group_col: str, key_col: str,
     registers the sketch IS the distinct set (estimate exact by
     construction); otherwise est = (k-1) * SPACE / h_(k)."""
     regs = kmv_registers(df, group_col, key_col, k)
-    est = (regs.groupBy("g")
-           .agg(F.count(F.lit(1)).alias("n_regs"),
-                F.max("h").alias("hk"))
-           .select(
-               "g", "n_regs",
-               F.when(F.col("n_regs") < k,
-                      F.col("n_regs").cast("double"))
-               .otherwise(F.round(
-                   F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("hk"),
-                   4)).alias("est_distinct")))
+    est = kmv_estimate_from_registers(regs, k)
     exact = (df.groupBy(F.col(group_col).alias("g"))
              .agg(F.count_distinct(F.col(key_col)).alias("exact_distinct")))
     return (est.join(exact, "g")
@@ -573,10 +583,27 @@ def _kmv_hash_sql(key: str) -> str:
 
 
 def kmv_distinct_sql(table: str, group_expr: str, key_expr: str,
-                     k: int = KMV_K) -> str:
+                     k: int = KMV_K, include_exact: bool = True) -> str:
     """DuckDB twin of :func:`kmv_distinct_report` (plain rank over the
     distinct hashes -- bit-identical registers, identical estimate
-    arithmetic)."""
+    arithmetic). ``include_exact=False`` emits the sketch-only columns
+    -- the streaming merge's output, which cannot carry an exact count."""
+    if not include_exact:
+        return f"""
+WITH base AS (
+  SELECT DISTINCT {group_expr} AS g, {_kmv_hash_sql(key_expr)} AS h
+  FROM {table}
+), regs AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r
+    FROM base) WHERE r <= {k}
+)
+SELECT g AS {group_expr}, CAST(count(*) AS BIGINT) AS n_regs,
+       CASE WHEN count(*) < {k} THEN count(*)::DOUBLE
+            ELSE round({k - 1}::DOUBLE * {int(KMV_SPACE)}::DOUBLE / max(h), 4)
+       END AS est_distinct
+FROM regs GROUP BY g ORDER BY 1
+"""
     return f"""
 WITH base AS (
   SELECT DISTINCT {group_expr} AS g, {_kmv_hash_sql(key_expr)} AS h

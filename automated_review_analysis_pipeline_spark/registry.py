@@ -1555,6 +1555,83 @@ def q_streaming_incremental_rollup(spark: SparkSession,
         spark, f"{sf_dir}/events.parquet", state)
 
 
+def q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of enrichment (applyInPandasWithState): clicks and
+    purchases interleave in ONE time-ordered stream split into two
+    micro-batches; per-user state carries the most recent purchase
+    across the batch boundary, so clicks in batch 2 match purchases
+    from batch 1 -- the stateful twin of asof_join, oracled by DuckDB's
+    native ASOF JOIN over the same corpus."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        run_available_now,
+    )
+    from automated_review_analysis_pipeline_spark.streaming.stateful import (
+        streaming_asof_enrich,
+    )
+
+    _utc(spark)
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"arap_sasof_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}")
+    src = os.path.join(work, "src")
+
+    def _build() -> None:
+        events = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type", "value")
+        mn, mx = events.agg(F.unix_micros(F.min("ts")),
+                            F.unix_micros(F.max("ts"))).first()
+        split = (mn + mx) // 2
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(src)
+        events.where(F.unix_micros(F.col("ts")) < split).coalesce(1) \
+            .write.parquet(os.path.join(work, "p1"))
+        events.where(F.unix_micros(F.col("ts")) >= split).coalesce(1) \
+            .write.parquet(os.path.join(work, "p2"))
+        shutil.copy(glob.glob(os.path.join(work, "p1", "*.parquet"))[0],
+                    os.path.join(src, "a_first.parquet"))
+        shutil.copy(glob.glob(os.path.join(work, "p2", "*.parquet"))[0],
+                    os.path.join(src, "b_second.parquet"))
+        now = time.time()
+        os.utime(os.path.join(src, "a_first.parquet"),
+                 (now - 100, now - 100))
+        os.utime(os.path.join(src, "b_second.parquet"), (now, now))
+
+    _fixture_once(src, _build)
+    stream = (spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double")
+        .option("maxFilesPerTrigger", 1).parquet(src))
+    out = run_available_now(streaming_asof_enrich(stream), "sasof",
+                            output_mode="append")
+    return out.orderBy("event_id")
+
+
+def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV distinct sketches: foreachBatch merges each
+    micro-batch's bottom-k registers into a k-rows-per-group state table
+    (bottom-k of unions of bottom-ks == global bottom-k), so the final
+    estimates equal the one-shot batch sketch and the exact SQL oracle
+    carries over -- the sketch-mergeability property driven through the
+    real streaming engine; billions of keys never persist, only k hashes
+    per group do."""
+    import tempfile
+
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        streaming_kmv_distinct,
+    )
+
+    _utc(spark)
+    state = tempfile.mkdtemp(prefix="arap_kmv_state_")
+    return streaming_kmv_distinct(spark, f"{sf_dir}/events.parquet", state)
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-touch dedup on (user_id, event_type); returns the
     key set, which is arrival-order independent -> exact SQL oracle
@@ -2247,6 +2324,8 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_segment_enrich": q_streaming_segment_enrich,
     "streaming_sliding": q_streaming_sliding,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_kmv_distinct": q_streaming_kmv_distinct,
+    "streaming_asof_enrich": q_streaming_asof_enrich,
     "streaming_finalized_sessions": q_streaming_finalized_sessions,
     "streaming_minhash_pairs": q_streaming_minhash_pairs,
     "resize_thumbnails": q_resize_thumbnails,
@@ -2927,6 +3006,21 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ORDER BY o_custkey, order_seq
 """
+
+ORACLE_SQL["streaming_asof_enrich"] = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, max(value) AS p_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us, c.value,
+       epoch_us(p.ts) AS p_us, p.p_value
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY event_id
+"""
+
 
 ORACLE_SQL["session_error_overlap"] = """
 WITH flagged AS (
@@ -4205,6 +4299,9 @@ ORACLE_SQL["portable_hll_users"] = portable_hll_sql(
 
 ORACLE_SQL["kmv_users_per_type"] = sk.kmv_distinct_sql(
     "events", "event_type", "user_id")
+# streaming merge == one-shot sketch by construction; sketch-only columns
+ORACLE_SQL["streaming_kmv_distinct"] = sk.kmv_distinct_sql(
+    "events", "event_type", "user_id", include_exact=False)
 ORACLE_SQL["kmv_type_overlap"] = sk.kmv_set_sql(
     "events", "event_type", "user_id")
 

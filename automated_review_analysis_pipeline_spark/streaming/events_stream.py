@@ -289,3 +289,69 @@ def streaming_click_attribution(events: DataFrame,
              - F.unix_micros(F.col("click_ts"))).alias("gap_us"),
         )
     )
+
+
+def streaming_kmv_distinct(spark: SparkSession, events_path: str,
+                           state_dir: str,
+                           group_col: str = "event_type",
+                           key_col: str = "user_id", k: int = 64,
+                           max_files_per_trigger: int | None = None
+                           ) -> DataFrame:
+    """foreachBatch-merged KMV distinct sketches: every micro-batch
+    contributes its OWN bottom-k registers and merging two sketches is
+    just the bottom-k of their union -- the mergeability property that
+    makes KMV (like the rollup partials above) an incremental-view
+    state, exercised through the real streaming engine. State is the
+    register table (group, h): k rows per group regardless of stream
+    length, the whole point of sketch state at 100 TB (billions of keys
+    never persist, only k hashes per group do).
+
+    The final estimates equal the one-shot batch
+    ``kmv_distinct_report`` over the full corpus BY CONSTRUCTION
+    (bottom-k of unions of bottom-ks == global bottom-k), so the exact
+    SQL oracle carries over; the multi-batch equality is pinned by
+    pytest with maxFilesPerTrigger=1."""
+    import os
+
+    from automated_review_analysis_pipeline_spark.operators.sketches import (
+        kmv_estimate_from_registers,
+        kmv_registers,
+    )
+
+    def latest_version(path: str) -> int:
+        if not os.path.isdir(path):
+            return -1
+        versions = [int(d[1:]) for d in os.listdir(path)
+                    if d.startswith("v") and d[1:].isdigit()]
+        return max(versions, default=-1)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        delta = kmv_registers(batch_df, group_col, key_col, k)
+        v = latest_version(state_dir)
+        if v >= 0:
+            state = spark.read.parquet(os.path.join(state_dir, f"v{v}"))
+            merged = state.unionByName(delta).distinct()
+        else:
+            merged = delta
+        w = W.partitionBy("g").orderBy("h")
+        topk = (merged.withColumn("__r", F.row_number().over(w))
+                .where(F.col("__r") <= k).select("g", "h"))
+        topk.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{v + 1}"))
+
+    stream = read_events_stream(spark, events_path, max_files_per_trigger)
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(state_dir, "_chk"))
+        .start()
+    )
+    q.awaitTermination()
+    v = latest_version(state_dir)
+    if v < 0:
+        regs = spark.createDataFrame([], "g string, h long")
+    else:
+        regs = spark.read.parquet(os.path.join(state_dir, f"v{v}"))
+    return kmv_estimate_from_registers(regs, k, group_col)

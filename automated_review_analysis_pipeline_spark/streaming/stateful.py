@@ -155,3 +155,66 @@ def running_user_profiles(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ASOF_OUT_SCHEMA = ("event_id long, user_id long, click_us long, "
+                   "value double, p_us long, p_value double")
+ASOF_STATE_SCHEMA = "last_us long, last_value double"
+
+
+def _asof_enricher(key, pdf_iter, state: GroupState):
+    import pandas as pd
+
+    (user_id,) = key
+    last_us, last_val = state.get if state.exists else (None, None)
+    if last_us is not None and last_us < 0:  # encoded "no match yet"
+        last_us, last_val = None, None
+    pdfs = [p for p in pdf_iter if len(p)]
+    outs = []
+    if pdfs:
+        rows = pd.concat(pdfs, ignore_index=True)
+        # purchases first at equal ts (inclusive as-of), then event id
+        rows["side"] = (rows["event_type"] != "purchase").astype(int)
+        rows = rows.sort_values(["ts_us", "side", "event_id"])
+        for r in rows.itertuples(index=False):
+            if r.side == 0:  # purchase: advance the per-key state
+                v = float(r.value) if r.value == r.value else 0.0
+                if last_us is not None and last_us == r.ts_us:
+                    last_val = max(last_val, v)  # = the batch MAX(value)
+                else:
+                    last_us, last_val = int(r.ts_us), v
+            else:            # click: emit enriched row
+                cv = None if r.value != r.value else float(r.value)
+                outs.append((int(r.event_id), user_id, int(r.ts_us),
+                             cv, last_us, last_val))
+    state.update((last_us if last_us is not None else -1,
+                  last_val if last_val is not None else 0.0))
+    if outs:
+        yield pd.DataFrame(outs, columns=[
+            "event_id", "user_id", "click_us", "value", "p_us", "p_value"])
+
+
+def streaming_asof_enrich(events_stream: DataFrame) -> DataFrame:
+    """Streaming AS-OF enrichment (the stateful twin of
+    operators.events.asof_join): one interleaved stream of clicks and
+    purchases, keyed by user; per-key state is just the MOST RECENT
+    purchase (ts, max value at that ts), and every click emits enriched
+    with it -- constant state per key, the streaming shape of
+    point-in-time feature lookup. Ties (purchase at the click's exact
+    ts) match inclusively, same as the batch operator and DuckDB ASOF.
+
+    Correctness contract: equals the batch as-of join when micro-batches
+    arrive in event-time order (the availableNow file-ordered fixture);
+    within a batch rows are sorted by (ts, purchase-first, event_id), so
+    only CROSS-batch reordering can misenrich -- the same in-order
+    delivery assumption the incremental rollup documents."""
+    from pyspark.sql import functions as F
+
+    base = (events_stream
+            .where(F.col("event_type").isin("click", "purchase"))
+            .select("event_id", "user_id",
+                    F.unix_micros(F.col("ts")).alias("ts_us"),
+                    "event_type", "value"))
+    return base.groupBy("user_id").applyInPandasWithState(
+        _asof_enricher, ASOF_OUT_SCHEMA, ASOF_STATE_SCHEMA,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)

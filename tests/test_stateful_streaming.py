@@ -238,3 +238,77 @@ def test_tws_profiles_engine_parity_when_protobuf_present(spark, sf_dir):
                    (w["n_events"], w["n_types"], w["sum_value"]), u
     finally:
         spark.conf.unset(provider_key)
+
+
+def test_streaming_asof_matches_batch_asof_across_batches(spark, sf_dir,
+                                                          tmp_path):
+    """The stateful streaming as-of over REAL time-split micro-batches
+    equals the batch asof_join: clicks in batch 2 must match purchases
+    carried in state from batch 1 (asserted to actually occur), ties
+    match inclusively, and pre-first-purchase clicks stay NULL."""
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators.events import (
+        asof_join,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        run_available_now,
+    )
+    from automated_review_analysis_pipeline_spark.streaming.stateful import (
+        streaming_asof_enrich,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value")
+    mn, mx = events.agg(F.unix_micros(F.min("ts")),
+                        F.unix_micros(F.max("ts"))).first()
+    split = (mn + mx) // 2
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for name, pred, age in (("a_first", F.unix_micros(F.col("ts")) < split,
+                             100),
+                            ("b_second",
+                             F.unix_micros(F.col("ts")) >= split, 0)):
+        d = str(tmp_path / name)
+        events.where(pred).coalesce(1).write.parquet(d)
+        f = glob.glob(d + "/*.parquet")[0]
+        dst = os.path.join(src, name + ".parquet")
+        os.rename(f, dst)
+        os.utime(dst, (time.time() - age,) * 2)
+
+    stream = (spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double").option("maxFilesPerTrigger", 1).parquet(src))
+    got = {r["event_id"]: (r["p_us"], r["p_value"])
+           for r in run_available_now(streaming_asof_enrich(stream),
+                                      "sasof_t",
+                                      output_mode="append").collect()}
+
+    us = F.unix_micros(F.col("ts"))
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("t"), "value")
+    purch = (events.where(F.col("event_type") == "purchase")
+             .groupBy("user_id", us.alias("t"))
+             .agg(F.max("value").alias("pv")))
+    want = {r["event_id"]: (r["p_t"], r["p_pv"])
+            for r in asof_join(clicks, purch, on="t", by="user_id",
+                               prefix="p_").collect()}
+    assert got == want
+
+    # cross-batch matches genuinely occurred: some click AFTER the split
+    # matched a purchase BEFORE it
+    crossed = [e for e, (pus, _v) in got.items()
+               if pus is not None and pus < split]
+    late_clicks = {r["event_id"]
+                   for r in clicks.where(F.col("t") >= split).collect()}
+    assert any(e in late_clicks for e in crossed)
+    # and some clicks have no purchase yet
+    assert any(p[0] is None for p in got.values())

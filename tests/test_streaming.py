@@ -318,3 +318,45 @@ def test_streaming_dedup_on_rocksdb_state_store(spark, sf_dir, tmp_path):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old)
+
+
+def test_streaming_kmv_merges_across_micro_batches(spark, sf_dir, tmp_path):
+    """KMV register state merged over REAL micro-batches (one file per
+    trigger, 3 files) equals the one-shot batch sketch over the full
+    corpus -- bottom-k of unions of bottom-ks is the global bottom-k --
+    and the state table holds at most k rows per group at every
+    version."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators.sketches import (
+        kmv_distinct_report,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        streaming_kmv_distinct,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src)
+    assert len(glob.glob(src + "/*.parquet")) == 3
+
+    state = str(tmp_path / "state")
+    got = streaming_kmv_distinct(spark, src, state,
+                                 max_files_per_trigger=1).collect()
+    want = kmv_distinct_report(events, "event_type", "user_id") \
+        .select("event_type", "n_regs", "est_distinct").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # >= 3 state versions were written; every version is <= k rows/group
+    versions = sorted(d for d in os.listdir(state) if d.startswith("v"))
+    assert len(versions) >= 3
+    for v in versions:
+        per_g = (spark.read.parquet(os.path.join(state, v))
+                 .groupBy("g").count().collect())
+        assert all(r["count"] <= 64 for r in per_g)

@@ -875,3 +875,168 @@ def quality_filter_observed(documents: DataFrame,
         .orderBy(id_col)
     )
     return out, obs
+
+
+# Blocklist phrase set for the registry query: fixed literals with shared
+# prefixes/overlaps so the automaton's failure links genuinely fire (an
+# "and" inside "band", "the" inside "there"). The SAME list feeds the
+# DuckDB oracle.
+BLOCKLIST_PHRASES = ("the", "there", "and", "band", "data", "at",
+                     "cloud model", "error")
+
+
+def _aho_corasick(phrases: tuple) -> tuple:
+    """Build the Aho-Corasick automaton as flat dicts: goto[state][ch],
+    fail[state], out[state] = tuple of phrase indexes ending here.
+    Driver-side, broadcast by closure -- the automaton is O(sum of
+    phrase lengths), independent of corpus size."""
+    goto: list = [{}]
+    out: list = [()]
+    for pi, p in enumerate(phrases):
+        s = 0
+        for ch in p:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                nxt = len(goto)
+                goto[s][ch] = nxt
+                goto.append({})
+                out.append(())
+            s = nxt
+        out[s] = out[s] + (pi,)
+    # BFS failure links
+    from collections import deque
+
+    fail = [0] * len(goto)
+    dq = deque()
+    for ch, s in goto[0].items():
+        fail[s] = 0
+        dq.append(s)
+    while dq:
+        r = dq.popleft()
+        for ch, s in goto[r].items():
+            dq.append(s)
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[s] = goto[f][ch] if ch in goto[f] and goto[f][ch] != s \
+                else 0
+            out[s] = out[s] + out[fail[s]]
+    return goto, fail, out
+
+
+def blocklist_matches(documents: DataFrame,
+                      phrases: tuple = BLOCKLIST_PHRASES,
+                      mode: str = "automaton",
+                      text_col: str = "text") -> DataFrame:
+    """Multi-phrase blocklist matching -- the contamination/compliance
+    scan every corpus pipeline runs before release: per document, the
+    total number of phrase occurrences (ALL positions, overlapping
+    included), how many distinct phrases hit, and which.
+
+    Two physical strategies with IDENTICAL results:
+
+    * ``mode="automaton"``: one Aho-Corasick pass per document (Arrow
+      batches; the automaton is built once on the driver and shipped by
+      closure). Cost is O(|text|) per document INDEPENDENT of the
+      phrase count -- the shape that survives a 100k-phrase blocklist
+      at 100 TB.
+    * ``mode="expr"``: pure JVM column expressions, one counting scan
+      per phrase. Catalyst-friendly and UDF-free, but cost multiplies
+      by |phrases| -- right for small lists, measured against the
+      automaton in PERF.md (tools/blocklist_sweep.py).
+
+    Occurrence counting = every starting position where a phrase
+    matches (overlapping occurrences all count), case-sensitive; the
+    oracle mirrors that with a per-position substring scan."""
+    if mode == "expr":
+        import re as _re
+
+        t = F.coalesce(F.col(text_col), F.lit(""))
+        counts = []
+        for pi, p in enumerate(phrases):
+            # one JVM regex pass per phrase; the lookahead makes the
+            # count OVERLAP-correct (a bare literal pattern consumes its
+            # match and misses 'anan' twice in 'ananan')
+            counts.append(F.regexp_count(
+                t, F.lit("(?=" + _re.escape(p) + ")"))
+                .alias(f"__c{pi}"))
+        base = documents.select("doc_id", *counts)
+        # array-fold instead of a chained sum: 512 phrases would build a
+        # 512-deep Add tree and overflow Catalyst's recursion; the array
+        # is BREADTH, the fold is one expression
+        arr = F.array(*[F.col(f"__c{i}") for i in range(len(phrases))])
+        n_hits = F.aggregate(arr, F.lit(0).cast("long"),
+                             lambda a, x: a + x)
+        n_ph = F.aggregate(arr, F.lit(0),
+                           lambda a, x: a + (x > 0).cast("int"))
+        csv = F.concat_ws(",", F.array_sort(F.filter(F.array(*[
+            F.when(F.col(f"__c{i}") > 0, F.lit(p))
+            for i, p in enumerate(phrases)]), lambda x: x.isNotNull())))
+        return (base.select(
+            "doc_id",
+            n_hits.cast("long").alias("n_hits"),
+            n_ph.cast("int").alias("n_phrases"),
+            csv.alias("phrases_csv"))
+            .orderBy("doc_id"))
+
+    if mode != "automaton":
+        raise ValueError(f"unknown blocklist mode {mode!r}")
+    goto, fail, out = _aho_corasick(phrases)
+
+    def scan_batches(batches):
+        import pandas as pd
+
+        for b in batches:
+            ids, hits, nph, csvs = [], [], [], []
+            for doc_id, text in zip(b["doc_id"], b[text_col]):
+                s = 0
+                per = [0] * len(phrases)
+                total = 0
+                for ch in (text or ""):
+                    while s and ch not in goto[s]:
+                        s = fail[s]
+                    s = goto[s].get(ch, 0)
+                    for pi in out[s]:
+                        per[pi] += 1
+                        total += 1
+                matched = sorted(p for pi, p in enumerate(phrases)
+                                 if per[pi])
+                ids.append(doc_id)
+                hits.append(total)
+                nph.append(sum(1 for c in per if c))
+                csvs.append(",".join(matched))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_hits": pd.Series(hits, dtype="int64"),
+                "n_phrases": pd.Series(nph, dtype="int32"),
+                "phrases_csv": csvs,
+            })
+
+    return (documents.select("doc_id", text_col)
+            .mapInPandas(scan_batches,
+                         "doc_id long, n_hits long, n_phrases int, "
+                         "phrases_csv string")
+            .orderBy("doc_id"))
+
+
+def blocklist_sql(phrases: tuple = BLOCKLIST_PHRASES) -> str:
+    """DuckDB twin of :func:`blocklist_matches` (per-position substring
+    scan -- overlap-correct, unlike replace()-count)."""
+    lits = ", ".join("'" + p.replace("'", "''") + "'" for p in phrases)
+    return f"""
+WITH ph AS (SELECT unnest([{lits}]) AS p),
+d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+hits AS (
+  SELECT d.doc_id, ph.p,
+         len(list_filter(
+             range(1, greatest(0, length(d.t) - length(ph.p) + 1) + 1),
+             i -> substr(d.t, i, length(ph.p)) = ph.p)) AS c
+  FROM d CROSS JOIN ph
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_hits,
+       CAST(count(CASE WHEN c > 0 THEN 1 END) AS INT) AS n_phrases,
+       coalesce(string_agg(CASE WHEN c > 0 THEN p END, ','
+                           ORDER BY CASE WHEN c > 0 THEN p END), '')
+         AS phrases_csv
+FROM hits GROUP BY doc_id ORDER BY doc_id
+"""

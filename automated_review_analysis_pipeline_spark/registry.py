@@ -1822,6 +1822,15 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.decontaminate(_t(spark, sf_dir, "documents"))
 
 
+def q_blocklist_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-phrase blocklist scan via a broadcast Aho-Corasick
+    automaton: per doc, total overlapping occurrences + distinct phrases
+    hit -- O(|text|) per document regardless of the phrase count (the
+    expr twin, one counting scan per phrase, is plan-gated equal in
+    pytest and measured against it in PERF.md)."""
+    return cur.blocklist_matches(_t(spark, sf_dir, "documents"))
+
+
 def q_lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.lang_quota_sample(_t(spark, sf_dir, "documents"))
 
@@ -1906,7 +1915,11 @@ def q_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mime": "audio/flac",
                 "source": b["source"],
             })
-    media = docs.select("doc_id", "text", "source").mapInPandas(
+    # the encode is CPU-bound Python: spread it at core parallelism
+    # instead of the corpus's file-split parallelism (one parquet file
+    # would otherwise serialize the whole synthesis)
+    media = docs.select("doc_id", "text", "source").repartition(32) \
+        .mapInPandas(
         synth, "media_id long, payload binary, mime string, source string"
     ).select(
         "media_id", "payload", "mime",
@@ -2276,6 +2289,7 @@ QUERIES: dict[str, QueryFn] = {
     "redact_pii": q_redact_pii,
     "decontaminate": q_decontaminate,
     "lang_quota_sample": q_lang_quota_sample,
+    "blocklist_matches": q_blocklist_matches,
     "mix_corpus": q_mix_corpus,
     "repetition_profile": q_repetition_profile,
     "gap_fill_hourly": q_gap_fill_hourly,
@@ -3021,6 +3035,8 @@ FROM clicks c ASOF LEFT JOIN purch p
 ORDER BY event_id
 """
 
+
+ORACLE_SQL["blocklist_matches"] = cur.blocklist_sql()
 
 ORACLE_SQL["session_error_overlap"] = """
 WITH flagged AS (

@@ -193,6 +193,17 @@ HEADLINE = [
     "shard_manifest",
     "table_diff",
     "length_batches",
+    # round 10
+    "ivfpq_index_probe",
+    "ann_recall_ivfpq",
+    "asof_join_attribution",
+    "session_error_overlap",
+    "token_offsets",
+    "kmv_users_per_type",
+    "kmv_type_overlap",
+    "flac_features",
+    "streaming_kmv_distinct",
+    "streaming_asof_enrich",
 ]
 
 # Deliberately NOT in the headline list: the 8 streaming_* drain variants

@@ -515,3 +515,41 @@ def test_temperature_mix_weighted_upweights_token_poor_group(spark):
     assert thr["b"] < 65536           # 10x token mass -> subsampled
     n_a = sum(1 for r in out if r["lang"] == "a")
     assert n_a == 200
+
+
+def test_blocklist_automaton_equals_expr_and_handles_overlaps(spark):
+    """The Aho-Corasick mode and the per-phrase expression mode emit
+    identical rows on adversarial shapes: overlapping matches ('anand'
+    holds two 'an's and one overlapping chain), phrases nested in other
+    phrases ('the' in 'there', 'and' in 'band'), empty/NULL text, and a
+    doc with no hits -- and counting is ALL starting positions."""
+    from automated_review_analysis_pipeline_spark.operators.curation import (
+        blocklist_matches,
+    )
+
+    rows = [
+        (1, "the band played there and at the bandstand"),
+        (2, "anandand banthe"),
+        (3, ""),
+        (4, None),
+        (5, "zzz qqq"),
+        (6, "ananan"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ph = ("the", "there", "and", "band", "an", "anan")
+    a = [tuple(r) for r in blocklist_matches(df, ph, "automaton").collect()]
+    e = [tuple(r) for r in blocklist_matches(df, ph, "expr").collect()]
+    assert a == e
+    got = {r[0]: r[1:] for r in a}
+    # doc 6 "ananan": 'an' at 0,2,4 = 3; 'anan' at 0,2 = 2 (overlapping!)
+    assert got[6] == (5, 2, "an,anan")
+    assert got[3] == (0, 0, "") and got[5] == (0, 0, "")
+    # doc 1: the x2 (+1 inside 'there'), there x1, and x2(standalone,
+    # inside 'bandstand'... recount via python)
+    def naive(t, p):
+        t = t or ""
+        return sum(1 for i in range(len(t) - len(p) + 1)
+                   if t[i:i + len(p)] == p)
+    for doc_id, text in rows:
+        want_hits = sum(naive(text, p) for p in ph)
+        assert got[doc_id][0] == want_hits, (doc_id, got[doc_id])

@@ -117,19 +117,14 @@ def assign_global_ids(df: DataFrame, order_cols: list[str],
     (MEMORY_AND_DISK blocks -- one extra pass over data the operator
     already shuffles) and both jobs read the same blocks.
 
-    Bucketing range-partitions on the FULL order tuple
-    (``repartitionByRange(n_buckets, *order_cols)``), not on value-width
-    buckets of the leading column: sampled range boundaries split
-    BETWEEN distinct tuples, so a tie-heavy leading key (a constant
-    column, the modal token length of a real corpus) still spreads over
-    all buckets via the tiebreak columns instead of collapsing the rank
-    window into one partition. Boundary placement is a deterministic
-    binary search against boundaries sampled with fixed per-partition
-    seeds, so the bucket a row lands in is identical in the count job
-    and the numbering job below -- no materialization needed between
-    them. NULLs in order columns sort FIRST (Spark's ``ASC NULLS
-    FIRST``), consistently in both the partitioner and the window, so
-    null keys get valid leading ids rather than crashing or dropping.
+    Partitioning on the FULL tuple (not value-width buckets of the
+    leading column) is what kills tie skew: a constant leading key or
+    the modal token length of a real corpus still spreads over all
+    buckets via the tiebreak columns instead of collapsing the rank
+    window into one partition. NULLs in order columns sort FIRST
+    (Spark's ``ASC NULLS FIRST``), consistently in both the partitioner
+    and the window, so null keys get valid leading ids rather than
+    crashing or dropping.
 
     The classic loader use: stamp shuffled training samples with
     contiguous ids by ordering on a hash column -- a deterministic
@@ -317,3 +312,82 @@ def partitioned_write(df: DataFrame, path: str, partition_cols: list[str],
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy(*partition_cols).parquet(path)
+
+
+def sorted_export(df: DataFrame, out_dir: str, order_cols: list[str],
+                  rows_per_file: int = 4096,
+                  n_buckets: int = 64) -> DataFrame:
+    """Globally-sorted export as fixed-size sorted runs + a RANGE
+    MANIFEST -- the sorted-run/data-skipping primitive of every table
+    format: file K holds exactly rows (K*rows_per_file, (K+1)*...] of
+    the total order, rows sorted within, and ``manifest`` records each
+    file's key range so a range read opens only the overlapping files.
+
+    Determinism is the point: file boundaries come from
+    :func:`assign_global_ids` (contiguous ranks, two-pass bucket-offset,
+    no single-task sort), NOT from repartitionByRange's sampled
+    boundaries -- so the same corpus always exports byte-identical file
+    contents and an ORACLE can recompute the manifest row-for-row.
+    Layout: ``out_dir/data/file_id=K/*.parquet`` +
+    ``out_dir/manifest.json`` with per-file (n_rows, min/max leading
+    key, min/max global id). Returns the manifest as a DataFrame."""
+    import json
+    import os
+
+    lead = order_cols[0]
+    ids = assign_global_ids(df, order_cols, n_buckets=n_buckets)
+    files = ids.withColumn(
+        "file_id", F.floor((F.col("global_id") - 1) / rows_per_file)
+        .cast("int"))
+    n_files = (files.agg(F.max("file_id")).first()[0] or 0) + 1
+    # exactly one task per output file: repartition(col) alone would
+    # fan every shuffle partition across every file directory and write
+    # n_partitions x n_files tiny files
+    (files.repartition(int(n_files), "file_id")
+     .sortWithinPartitions("file_id", *order_cols)
+     .write.mode("overwrite").partitionBy("file_id")
+     .parquet(out_dir + "/data"))
+    spark = df.sparkSession
+    rows = [r.asDict() for r in (
+        spark.read.parquet(out_dir + "/data")
+        .groupBy("file_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.min(lead).alias("min_key"), F.max(lead).alias("max_key"),
+             F.min("global_id").alias("min_gid"),
+             F.max("global_id").alias("max_gid"))
+        .orderBy("file_id").collect())]
+    with open(os.path.join(out_dir, "manifest.json"), "w",
+              encoding="utf-8") as f:
+        json.dump({"order_cols": order_cols,
+                   "rows_per_file": rows_per_file, "files": rows},
+                  f, indent=1, sort_keys=True, default=str)
+    return spark.createDataFrame(
+        rows, "file_id int, n_rows bigint, min_key int, max_key int, "
+              "min_gid bigint, max_gid bigint")
+
+
+def read_sorted_range(spark: SparkSession, out_dir: str,
+                      lo, hi) -> DataFrame:
+    """Range read over a :func:`sorted_export` layout: the manifest
+    prunes to the files whose [min_key, max_key] overlaps [lo, hi]
+    BEFORE any listing or scan -- driver-side file skipping, the same
+    contract as partition pruning but on VALUE ranges (at 100 TB the
+    manifest is KBs while the data is not). The residual predicate
+    still applies inside the survivors, so the result equals the
+    unpruned filter exactly."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "manifest.json"),
+              encoding="utf-8") as f:
+        manifest = json.load(f)
+    lead = manifest["order_cols"][0]
+    keep = [f["file_id"] for f in manifest["files"]
+            if not (hi < f["min_key"] or lo > f["max_key"])]
+    if not keep:
+        return (spark.read.parquet(out_dir + "/data")
+                .where(F.lit(False)))
+    paths = [f"{out_dir}/data/file_id={k}" for k in sorted(keep)]
+    return (spark.read.option("basePath", out_dir + "/data")
+            .parquet(*paths)
+            .where(F.col(lead).between(lo, hi)))

@@ -835,6 +835,29 @@ def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      batch_size=32)
 
 
+def q_sorted_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally-sorted export of documents as fixed-64-row sorted runs
+    in (n_chars, doc_id) order, returning the RANGE MANIFEST (per file:
+    row count, leading-key range, global-id range) -- the data-skipping
+    index a range read prunes against (read_sorted_range is pytest-gated
+    to open only overlapping files). File boundaries come from
+    assign_global_ids, so the layout is deterministic and the oracle
+    recomputes the manifest from a plain ranked window."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        sorted_export,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars"))
+    out = tempfile.mkdtemp(prefix="arap_sorted_export_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    return sorted_export(d, out, ["n_chars", "doc_id"], rows_per_file=64)
+
+
 def q_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global token offsets in corpus (doc_id) order -- the .idx a
     memory-mapped packed corpus file needs: begin_tok = EXCLUSIVE
@@ -2386,6 +2409,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_props_variant": q_event_props_variant,
     "table_fingerprint": q_table_fingerprint,
     "token_offsets": q_token_offsets,
+    "sorted_export_manifest": q_sorted_export_manifest,
     "table_diff": q_table_diff,
     "length_batches": q_length_batches,
     "self_line_dedup": q_self_line_dedup,
@@ -4360,6 +4384,22 @@ SELECT o_orderkey,
        {morton_code_sql(_norm_sql('o_custkey', 'minx', 'maxx'),
                         _norm_sql('day', 'miny', 'maxy'))} AS zcode
 FROM o CROSS JOIN b ORDER BY o_orderkey
+"""
+
+
+ORACLE_SQL["sorted_export_manifest"] = """
+WITH r AS (
+  SELECT doc_id, length(text) AS n_chars,
+         row_number() OVER (ORDER BY length(text), doc_id) AS gid
+  FROM documents
+)
+SELECT CAST((gid - 1) // 64 AS INT) AS file_id,
+       count(*) AS n_rows,
+       CAST(min(n_chars) AS INT) AS min_key,
+       CAST(max(n_chars) AS INT) AS max_key,
+       CAST(min(gid) AS BIGINT) AS min_gid,
+       CAST(max(gid) AS BIGINT) AS max_gid
+FROM r GROUP BY 1 ORDER BY 1
 """
 
 

@@ -370,3 +370,65 @@ def test_exclusive_prefix_sum_matches_window_and_handles_edges(spark):
 
     empty = exclusive_prefix_sum(const.where("k > 9"), ["k", "name"], "v")
     assert empty.count() == 0 and "offset" in empty.columns
+
+
+def test_sorted_export_range_read_prunes_files(spark, sf_dir, tmp_path):
+    """sorted_export writes deterministic fixed-size sorted runs whose
+    manifest a range read prunes against: the pruned plan reads ONLY the
+    overlapping file directories (verified on the scan's file listing),
+    rows inside each run are sorted, and the pruned result equals the
+    unpruned filter exactly. Empty ranges read nothing."""
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        read_sorted_range,
+        sorted_export,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars"))
+    out = str(tmp_path / "export")
+    manifest = sorted_export(d, out, ["n_chars", "doc_id"],
+                             rows_per_file=64).collect()
+    n = d.count()
+    assert sum(r["n_rows"] for r in manifest) == n
+    assert [r["min_gid"] for r in manifest] == \
+        [64 * i + 1 for i in range(len(manifest))]
+    # key ranges tile the sorted order
+    for a, b in zip(manifest, manifest[1:]):
+        assert a["max_key"] <= b["min_key"]
+
+    # per-file sort order
+    import glob
+
+    f0 = glob.glob(out + "/data/file_id=0/*.parquet")[0]
+    rows0 = spark.read.parquet(f0).select("n_chars", "doc_id").collect()
+    assert rows0 == sorted(rows0, key=lambda r: (r[0], r[1]))
+
+    # range read: prunes to overlapping files only, result == full filter
+    lo, hi = manifest[2]["min_key"], manifest[3]["max_key"]
+    pruned = read_sorted_range(spark, out, lo, hi)
+    want = sorted((r["n_chars"], r["doc_id"])
+                  for r in d.where(F.col("n_chars").between(lo, hi))
+                  .collect())
+    got = sorted((r["n_chars"], r["doc_id"]) for r in pruned.collect())
+    assert got == want and got
+    scan_files = {r[0] for r in pruned.withColumn(
+        "f", F.input_file_name()).select("f").distinct().collect()}
+    overlapping = {m["file_id"] for m in manifest
+                   if not (hi < m["min_key"] or lo > m["max_key"])}
+    assert len(overlapping) < len(manifest)  # pruning actually happened
+    for f in scan_files:
+        fid = int(f.split("file_id=")[1].split("/")[0])
+        assert fid in overlapping, (fid, sorted(overlapping))
+
+    # empty range
+    empty = read_sorted_range(spark, out, 10**9, 10**9 + 5)
+    assert empty.count() == 0
+
+    # rebuild determinism: same corpus -> identical manifest
+    out2 = str(tmp_path / "export2")
+    again = sorted_export(d, out2, ["n_chars", "doc_id"],
+                          rows_per_file=64).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in manifest]

@@ -190,7 +190,7 @@ def _decode_png(payload: bytes):
     8-bit pixel output), color types 0 (gray), 2 (RGB), 3 (palette),
     4 (gray+alpha), 6 (RGBA), and BOTH non-interlaced and
     Adam7-interlaced streams (seven independently-filtered
-    sub-images). Sub-byte depths raise NotImplementedError. Written
+    sub-images) and 1/2/4-bit gray/palette sub-byte depths. Written
     against the public W3C PNG spec / RFC 2083. Alpha is dropped
     (features/thumbnails want opaque RGB); gray replicates across
     channels; palette indices look up PLTE.
@@ -222,9 +222,12 @@ def _decode_png(payload: bytes):
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr)
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if depth not in (8, 16) or channels is None or comp != 0 or filt != 0:
+    if channels is None or comp != 0 or filt != 0 \
+            or depth not in (1, 2, 4, 8, 16) \
+            or (depth < 8 and ctype not in (0, 3)):
         raise NotImplementedError(
-            "only 8/16-bit depth, color types 0/2/3/4/6 PNG supported")
+            "only 1/2/4-bit gray+palette or 8/16-bit color types "
+            "0/2/3/4/6 PNG supported")
     if depth == 16 and ctype == 3:
         raise NotImplementedError("16-bit palette PNG is not legal")
     try:
@@ -233,7 +236,12 @@ def _decode_png(payload: bytes):
         raise NotImplementedError(f"corrupt PNG stream: {exc}") from exc
     if h == 0 or w == 0:
         raise NotImplementedError("empty PNG raster")
-    bpp = channels * (depth // 8)
+    # filter unit: bytes per complete pixel, ROUNDED UP TO ONE (spec) --
+    # sub-byte depths filter on whole packed bytes with bpp = 1
+    bpp = max(1, channels * depth // 8)
+
+    def _row_stride(width_px: int) -> int:
+        return (width_px * channels * depth + 7) // 8
 
     def unfilter(buf: bytes, height: int, width_px: int) -> np.ndarray:
         # spec filters 0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth.
@@ -246,7 +254,7 @@ def _decode_png(payload: bytes):
         # ~5-10x faster than the numpy-scalar-indexing walk it replaces
         # (measured in tools/codec_bench.py; per-element numpy indexing
         # pays ~1us of boxing per access).
-        stride = width_px * bpp
+        stride = _row_stride(width_px)
         if len(buf) != (stride + 1) * height:
             raise NotImplementedError("PNG raster size mismatch")
         out = np.empty((height, stride), dtype=np.uint8)
@@ -309,6 +317,19 @@ def _decode_png(payload: bytes):
         # 16-bit samples reduce to their high byte (8-bit output)
         if depth == 16:
             return rows.reshape(height, width_px, channels, 2)[..., 0]
+        if depth < 8:
+            # unpack MSB-first bit groups, drop row-end padding; gray
+            # samples scale to 8-bit (255/(2^d - 1) is exact for
+            # d in 1/2/4), palette INDEXES stay raw
+            per_byte = 8 // depth
+            mask = (1 << depth) - 1
+            planes = [((rows >> (8 - depth * (i + 1))) & mask)
+                      for i in range(per_byte)]
+            vals = np.stack(planes, axis=2).reshape(height, -1)
+            vals = vals[:, :width_px]
+            if ctype == 0:
+                vals = vals * (255 // mask)
+            return vals.reshape(height, width_px, 1).astype(np.uint8)
         return rows.reshape(height, width_px, channels)
 
     if interlace == 0:
@@ -323,7 +344,7 @@ def _decode_png(payload: bytes):
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            chunk = (pw * bpp + 1) * ph
+            chunk = (_row_stride(pw) + 1) * ph
             sub = unfilter(raw[offset:offset + chunk], ph, pw)
             offset += chunk
             px[y0::dy, x0::dx] = to_samples(sub, ph, pw)
@@ -478,10 +499,10 @@ def _decode_tiff(payload: bytes):
         raise NotImplementedError(
             "only 8-bit chunky-planar TIFF supported")
     predictor = one(317, 1)
-    if compression not in (1, 5, 7, 32773):
+    if compression not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
-            "only uncompressed, LZW, new-style JPEG, or PackBits TIFF "
-            "supported")
+            "only uncompressed, LZW, Deflate, new-style JPEG, or "
+            "PackBits TIFF supported")
     if predictor not in (1, 2) or (compression == 7 and predictor != 1):
         raise NotImplementedError("unsupported TIFF predictor")
     if compression == 7 and one(262) not in (1, 6):
@@ -518,6 +539,18 @@ def _decode_tiff(payload: bytes):
             return _packbits(seg, expected)
         if compression == 5:
             return _tiff_lzw(seg, expected)
+        if compression in (8, 32946):
+            # Deflate (Adobe 8 / old 32946): zlib stream per segment
+            import zlib
+
+            try:
+                out = zlib.decompress(bytes(seg))
+            except zlib.error as e:
+                raise NotImplementedError(
+                    f"corrupt TIFF deflate segment: {e}") from None
+            if len(out) < expected:
+                raise NotImplementedError("short TIFF deflate segment")
+            return out[:expected]
         if len(seg) < expected:
             raise NotImplementedError("short TIFF segment")
         return bytes(seg[:expected])

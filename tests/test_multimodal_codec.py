@@ -1317,6 +1317,9 @@ def _tiff(img: np.ndarray, endian: str = "<", compression: int = 1,
             strips.append(bytes(out))
         elif compression == 5:
             strips.append(_lzw_encode_tiff(raw))
+        elif compression in (8, 32946):
+            import zlib
+            strips.append(zlib.compress(raw))
         else:
             strips.append(raw)
     entries = []
@@ -2449,3 +2452,95 @@ def test_flac_mutation_fuzz():
                 pass
             n_mut += 1
     assert n_mut == 450
+
+
+def test_tiff_deflate_roundtrip_both_codes_and_predictor():
+    """Deflate-compressed TIFF (Adobe code 8 and legacy 32946)
+    round-trips pixel-exact, with multi-strip layouts, horizontal
+    predictor, and both endians; corrupt zlib streams raise."""
+    img = _grad(9, 13)
+    for code in (8, 32946):
+        for endian in ("<", ">"):
+            p = _tiff(img, endian, compression=code, rows_per_strip=4)
+            assert np.array_equal(decode_image(p), img), (code, endian)
+        p = _tiff(img, "<", compression=code, rows_per_strip=3,
+                  predictor=2)
+        assert np.array_equal(decode_image(p), img), code
+    # corrupt stream: flip a byte inside the first strip's zlib data
+    p = bytearray(_tiff(img, "<", compression=8))
+    p[-10] ^= 0xFF
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(p))
+
+
+def _pack_bits(values, depth):
+    """MSB-first bit packing of one scanline, zero row-end padding."""
+    per_byte = 8 // depth
+    out = bytearray()
+    for i in range(0, len(values), per_byte):
+        b = 0
+        group = values[i:i + per_byte]
+        for j in range(per_byte):
+            v = group[j] if j < len(group) else 0
+            b |= (v & ((1 << depth) - 1)) << (8 - depth * (j + 1))
+        out.append(b)
+    return bytes(out)
+
+
+def test_png_sub_byte_depths_gray_and_palette():
+    """1/2/4-bit PNGs decode exactly: gray samples scale to 8-bit
+    (255/(2^d-1)), palette indexes look up unscaled, row-end bit
+    padding is dropped, filters run on packed bytes (Sub with bpp=1),
+    and Adam7 interlace reassembles sub-byte passes."""
+    rng = [(i * 7 + 3) % 16 for i in range(13 * 5)]
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        w, h = 13, 5
+        vals = [v & mx for v in rng]
+        rows = [vals[y * w:(y + 1) * w] for y in range(h)]
+        # gray, filter 0
+        raw = b"".join(b"\x00" + _pack_bits(r, depth) for r in rows)
+        img = decode_image(_png(raw, w, h, 0, depth=depth))
+        want = np.array(rows, dtype=np.uint8) * (255 // mx)
+        assert np.array_equal(img, np.repeat(
+            want[:, :, None], 3, axis=2)), depth
+
+        # palette (indexes mod palette size), filter 2 (Up) on packed
+        # bytes
+        pal = bytes(v for i in range(mx + 1)
+                    for v in ((i * 37) % 256, (i * 59) % 256,
+                              (i * 83) % 256))
+        packed = [_pack_bits(r, depth) for r in rows]
+        filt = bytearray()
+        prev = bytes(len(packed[0]))
+        for line in packed:
+            filt += b"\x02" + bytes((a - b) & 0xFF
+                                    for a, b in zip(line, prev))
+            prev = line
+        img = decode_image(_png(bytes(filt), w, h, 3, plte=pal,
+                                depth=depth))
+        palarr = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+        want = palarr[np.array(rows)]
+        assert np.array_equal(img, want), depth
+
+    # Adam7, 4-bit gray: per-pass sub-byte strides
+    w, h, depth = 9, 9, 4
+    full = np.array([[(x * 3 + y * 5) % 16 for x in range(w)]
+                     for y in range(h)], dtype=np.uint8)
+    passes = []
+    for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                           (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                           (0, 1, 1, 2)):
+        sub = full[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for r in sub:
+            passes.append(b"\x00" + _pack_bits(list(r), depth))
+    img = decode_image(_png(b"".join(passes), w, h, 0, depth=depth,
+                            interlace=1))
+    assert np.array_equal(img, np.repeat(
+        (full * 17)[:, :, None], 3, axis=2))
+
+    # 2-bit RGB stays illegal
+    with pytest.raises(NotImplementedError):
+        decode_image(_png(b"\x00" * 10, 2, 2, 2, depth=2))

@@ -175,6 +175,7 @@ def streaming_incremental_rollup(spark: SparkSession, events_path: str,
             merged = merge_partials(delta.limit(0), delta)
         merged.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{v + 1}"))
+        vacuum_state_versions(state_dir, keep=2)
 
     stream = read_events_stream(spark, events_path, max_files_per_trigger)
     q = (
@@ -340,6 +341,7 @@ def streaming_kmv_distinct(spark: SparkSession, events_path: str,
                 .where(F.col("__r") <= k).select("g", "h"))
         topk.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{v + 1}"))
+        vacuum_state_versions(state_dir, keep=2)
 
     stream = read_events_stream(spark, events_path, max_files_per_trigger)
     q = (
@@ -355,3 +357,29 @@ def streaming_kmv_distinct(spark: SparkSession, events_path: str,
     else:
         regs = spark.read.parquet(os.path.join(state_dir, f"v{v}"))
     return kmv_estimate_from_registers(regs, k, group_col)
+
+
+def vacuum_state_versions(state_dir: str, keep: int = 2) -> list:
+    """Retention for the versioned-state-directory pattern
+    (streaming_incremental_rollup / streaming_kmv_distinct write
+    ``{state_dir}/v{n}`` per micro-batch): drop every version older
+    than the newest ``keep``. Without this a long-running incremental
+    job accumulates one full state copy PER BATCH -- a year of 1-minute
+    batches is half a million state snapshots; retention is the
+    operational other half of the versioning trick (the kept window
+    still protects the read-previous/write-next overlap inside a
+    batch). Returns the removed version numbers."""
+    import os
+    import shutil
+
+    if keep < 1:
+        raise ValueError("vacuum must keep at least 1 version")
+    if not os.path.isdir(state_dir):
+        return []
+    versions = sorted(int(d[1:]) for d in os.listdir(state_dir)
+                      if d.startswith("v") and d[1:].isdigit())
+    drop = versions[:-keep]
+    for v in drop:
+        shutil.rmtree(os.path.join(state_dir, f"v{v}"),
+                      ignore_errors=True)
+    return drop

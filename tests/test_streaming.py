@@ -247,10 +247,12 @@ def test_streaming_incremental_rollup_multi_batch(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in out.collect()] == \
            [tuple(r) for r in full.collect()]
 
-    # multiple state versions prove multiple merge rounds actually ran
+    # 4 merge rounds ran (v0..v3); retention keeps only the newest 2
+    # (vacuum_state_versions per batch), so unbounded per-batch
+    # snapshots cannot accumulate
     import os
-    versions = [d for d in os.listdir(state) if d.startswith("v")]
-    assert len(versions) >= 4
+    versions = sorted(d for d in os.listdir(state) if d.startswith("v"))
+    assert versions == ["v2", "v3"], versions
 
     # RESTART with the same checkpoint + state dir: the file-source
     # checkpoint remembers every processed file, so no batch re-runs, no
@@ -353,10 +355,37 @@ def test_streaming_kmv_merges_across_micro_batches(spark, sf_dir, tmp_path):
         .select("event_type", "n_regs", "est_distinct").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
-    # >= 3 state versions were written; every version is <= k rows/group
+    # 3 micro-batches wrote v0..v2, retention kept only the newest 2
+    # (vacuum_state_versions runs per batch); every surviving version
+    # holds <= k rows per group
     versions = sorted(d for d in os.listdir(state) if d.startswith("v"))
-    assert len(versions) >= 3
+    assert versions == ["v1", "v2"], versions
     for v in versions:
         per_g = (spark.read.parquet(os.path.join(state, v))
                  .groupBy("g").count().collect())
         assert all(r["count"] <= 64 for r in per_g)
+
+
+def test_vacuum_state_versions_contract(tmp_path):
+    """Retention drops exactly the versions older than the newest
+    `keep`, tolerates missing dirs, and refuses keep < 1."""
+    import os
+
+    import pytest
+
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        vacuum_state_versions,
+    )
+
+    state = str(tmp_path / "state")
+    assert vacuum_state_versions(state) == []  # missing dir: no-op
+    os.makedirs(state)
+    for v in (0, 1, 2, 5, 7):  # gaps allowed (crash between batches)
+        os.makedirs(os.path.join(state, f"v{v}"))
+    open(os.path.join(state, "_chk"), "w").close()  # non-version entry
+    dropped = vacuum_state_versions(state, keep=2)
+    assert dropped == [0, 1, 2]
+    assert sorted(os.listdir(state)) == ["_chk", "v5", "v7"]
+    assert vacuum_state_versions(state, keep=2) == []  # idempotent
+    with pytest.raises(ValueError):
+        vacuum_state_versions(state, keep=0)

@@ -391,3 +391,29 @@ def read_sorted_range(spark: SparkSession, out_dir: str,
     return (spark.read.option("basePath", out_dir + "/data")
             .parquet(*paths)
             .where(F.col(lead).between(lo, hi)))
+
+
+def read_sorted_slice(spark: SparkSession, out_dir: str,
+                      gid_lo: int, gid_hi: int) -> DataFrame:
+    """Positional read over a :func:`sorted_export` layout: rows with
+    global_id in [gid_lo, gid_hi] -- the resuming-loader path ("give me
+    samples 3,200,001..3,300,000 of the shuffled epoch"). Because file K
+    holds EXACTLY rows (K*rows_per_file, (K+1)*rows_per_file] of the
+    total order, the overlapping files are pure arithmetic on the
+    manifest's gid ranges; the scan opens ceil(slice/rows_per_file)+1
+    files no matter how large the corpus is."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "manifest.json"),
+              encoding="utf-8") as f:
+        manifest = json.load(f)
+    keep = [f["file_id"] for f in manifest["files"]
+            if not (gid_hi < f["min_gid"] or gid_lo > f["max_gid"])]
+    if not keep:
+        return (spark.read.parquet(out_dir + "/data")
+                .where(F.lit(False)))
+    paths = [f"{out_dir}/data/file_id={k}" for k in sorted(keep)]
+    return (spark.read.option("basePath", out_dir + "/data")
+            .parquet(*paths)
+            .where(F.col("global_id").between(gid_lo, gid_hi)))

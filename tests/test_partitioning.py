@@ -432,3 +432,35 @@ def test_sorted_export_range_read_prunes_files(spark, sf_dir, tmp_path):
     again = sorted_export(d, out2, ["n_chars", "doc_id"],
                           rows_per_file=64).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in manifest]
+
+
+def test_read_sorted_slice_positional_resume(spark, sf_dir, tmp_path):
+    """Positional gid-slice reads open only the arithmetic-overlapping
+    files and return exactly the requested contiguous rank range, in
+    order across file boundaries."""
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        read_sorted_slice,
+        sorted_export,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars"))
+    out = str(tmp_path / "export")
+    manifest = sorted_export(d, out, ["n_chars", "doc_id"],
+                             rows_per_file=64).collect()
+
+    lo, hi = 100, 240  # spans files 1..3 (64-row files)
+    sl = read_sorted_slice(spark, out, lo, hi)
+    gids = sorted(r["global_id"] for r in sl.collect())
+    assert gids == list(range(lo, hi + 1))
+    files = {r[0] for r in sl.withColumn(
+        "f", F.input_file_name()).select("f").distinct().collect()}
+    fids = {int(f.split("file_id=")[1].split("/")[0]) for f in files}
+    assert fids == {1, 2, 3}, fids
+    assert len(fids) < len(manifest)
+
+    # out-of-range slice reads nothing
+    assert read_sorted_slice(spark, out, 10**7, 10**7 + 9).count() == 0

@@ -2578,6 +2578,11 @@ def decode_flac(payload: bytes):
             rate = br.read(16) * 10
         else:
             raise NotImplementedError("invalid FLAC sample rate code")
+        # STREAMINFO is authoritative (si_rate == 0 already raised); a
+        # frame header that contradicts it means a corrupt stream
+        if rate != si_rate:
+            raise NotImplementedError(
+                "FLAC frame sample rate disagrees with STREAMINFO")
         if ch_code <= 7:
             n_ch, mode = ch_code + 1, "indep"
         elif ch_code <= 10:
@@ -2632,7 +2637,7 @@ def decode_flac(payload: bytes):
         samples = samples[:si_total]
     if si_channels != samples.shape[1]:
         raise NotImplementedError("FLAC channel count mismatch")
-    return samples, (rate if si_rate == 0 else si_rate)
+    return samples, si_rate
 
 
 def encode_flac_pcm8(sample_bytes: bytes, sample_rate: int = 8000) -> bytes:

@@ -314,6 +314,13 @@ def partitioned_write(df: DataFrame, path: str, partition_cols: list[str],
     writer.partitionBy(*partition_cols).parquet(path)
 
 
+# Per-file manifest entries are also dumped to a convenience JSON up to
+# this many files; above it only the parquet manifest TABLE is written
+# (a 10^10-row corpus at the default rows_per_file would mean millions
+# of entries -- a driver-memory JSON is exactly the wrong shape there).
+JSON_MANIFEST_MAX_FILES = 100_000
+
+
 def sorted_export(df: DataFrame, out_dir: str, order_cols: list[str],
                   rows_per_file: int = 4096,
                   n_buckets: int = 64) -> DataFrame:
@@ -328,69 +335,127 @@ def sorted_export(df: DataFrame, out_dir: str, order_cols: list[str],
     no single-task sort), NOT from repartitionByRange's sampled
     boundaries -- so the same corpus always exports byte-identical file
     contents and an ORACLE can recompute the manifest row-for-row.
+
     Layout: ``out_dir/data/file_id=K/*.parquet`` +
-    ``out_dir/manifest.json`` with per-file (n_rows, min/max leading
-    key, min/max global id). Returns the manifest as a DataFrame."""
+    ``out_dir/manifest/`` (the manifest as a PARQUET TABLE -- the
+    scale-path index the readers prune against, so the driver never
+    holds an O(n_files) list) + ``out_dir/meta.json`` (order_cols,
+    rows_per_file, the exported schema -- a few hundred bytes however
+    large the corpus) + ``out_dir/manifest.json`` (per-file entries, a
+    small-corpus convenience, skipped above JSON_MANIFEST_MAX_FILES).
+    min_key/max_key take the LEADING order column's own type (long,
+    string, date... -- not hardcoded int). An empty input produces an
+    empty manifest (and no data dir); the readers handle it. Returns
+    the manifest as a DataFrame ordered by file_id."""
     import json
     import os
 
     lead = order_cols[0]
+    spark = df.sparkSession
     ids = assign_global_ids(df, order_cols, n_buckets=n_buckets)
     files = ids.withColumn(
         "file_id", F.floor((F.col("global_id") - 1) / rows_per_file)
         .cast("int"))
-    n_files = (files.agg(F.max("file_id")).first()[0] or 0) + 1
-    # exactly one task per output file: repartition(col) alone would
-    # fan every shuffle partition across every file directory and write
-    # n_partitions x n_files tiny files
-    (files.repartition(int(n_files), "file_id")
+
+    def manifest_of(src: DataFrame) -> DataFrame:
+        return (src.groupBy("file_id")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.min(lead).alias("min_key"),
+                     F.max(lead).alias("max_key"),
+                     F.min("global_id").alias("min_gid"),
+                     F.max("global_id").alias("max_gid"))
+                .orderBy("file_id"))
+
+    os.makedirs(out_dir, exist_ok=True)
+    meta = {"order_cols": order_cols, "rows_per_file": rows_per_file,
+            "schema": files.schema.jsonValue()}
+    max_fid = files.agg(F.max("file_id")).first()[0]
+    if max_fid is None:
+        # empty corpus: no data dir (partitionBy would emit a null
+        # file_id partition), just the typed empty manifest + meta
+        manifest = manifest_of(files)
+        manifest.coalesce(1).write.mode("overwrite") \
+            .parquet(out_dir + "/manifest")
+        meta["n_files"] = 0
+        with open(os.path.join(out_dir, "meta.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+        return spark.read.parquet(out_dir + "/manifest")
+
+    n_files = int(max_fid) + 1
+    # range-partition on file_id so each task writes one (occasionally
+    # two boundary) file directories; plain repartition(col) would hash
+    # several file_ids onto some tasks and leave others empty, and no
+    # repartition at all would fan every shuffle partition across every
+    # directory (n_partitions x n_files tiny files). Correctness never
+    # depends on the placement -- sortWithinPartitions + partitionBy fix
+    # the contents either way.
+    (files.repartitionByRange(n_files, "file_id")
      .sortWithinPartitions("file_id", *order_cols)
      .write.mode("overwrite").partitionBy("file_id")
      .parquet(out_dir + "/data"))
-    spark = df.sparkSession
-    rows = [r.asDict() for r in (
-        spark.read.parquet(out_dir + "/data")
-        .groupBy("file_id")
-        .agg(F.count(F.lit(1)).alias("n_rows"),
-             F.min(lead).alias("min_key"), F.max(lead).alias("max_key"),
-             F.min("global_id").alias("min_gid"),
-             F.max("global_id").alias("max_gid"))
-        .orderBy("file_id").collect())]
-    with open(os.path.join(out_dir, "manifest.json"), "w",
+    manifest = manifest_of(spark.read.parquet(out_dir + "/data"))
+    manifest.coalesce(1).write.mode("overwrite") \
+        .parquet(out_dir + "/manifest")
+    meta["n_files"] = n_files
+    with open(os.path.join(out_dir, "meta.json"), "w",
               encoding="utf-8") as f:
-        json.dump({"order_cols": order_cols,
-                   "rows_per_file": rows_per_file, "files": rows},
-                  f, indent=1, sort_keys=True, default=str)
-    return spark.createDataFrame(
-        rows, "file_id int, n_rows bigint, min_key int, max_key int, "
-              "min_gid bigint, max_gid bigint")
+        json.dump(meta, f, indent=1, sort_keys=True)
+    manifest = spark.read.parquet(out_dir + "/manifest")
+    if n_files <= JSON_MANIFEST_MAX_FILES:
+        rows = [r.asDict() for r in manifest.orderBy("file_id").collect()]
+        with open(os.path.join(out_dir, "manifest.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump({"order_cols": order_cols,
+                       "rows_per_file": rows_per_file, "files": rows},
+                      f, indent=1, sort_keys=True, default=str)
+    return manifest.orderBy("file_id")
+
+
+def _sorted_export_meta(out_dir: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "meta.json"), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _read_pruned(spark: SparkSession, out_dir: str, meta: dict,
+                 keep: list[int]) -> DataFrame:
+    """basePath read of the surviving file_id partitions; typed empty
+    frame (from the schema persisted in meta.json) when nothing
+    survives -- which is also the only path an EMPTY export takes, so
+    no data dir is ever required for it."""
+    from pyspark.sql.types import StructType
+
+    if not keep:
+        schema = StructType.fromJson(meta["schema"])
+        return spark.createDataFrame([], schema)
+    paths = [f"{out_dir}/data/file_id={k}" for k in sorted(keep)]
+    return (spark.read.option("basePath", out_dir + "/data")
+            .parquet(*paths))
 
 
 def read_sorted_range(spark: SparkSession, out_dir: str,
                       lo, hi) -> DataFrame:
     """Range read over a :func:`sorted_export` layout: the manifest
-    prunes to the files whose [min_key, max_key] overlaps [lo, hi]
-    BEFORE any listing or scan -- driver-side file skipping, the same
-    contract as partition pruning but on VALUE ranges (at 100 TB the
-    manifest is KBs while the data is not). The residual predicate
-    still applies inside the survivors, so the result equals the
-    unpruned filter exactly."""
-    import json
-    import os
-
-    with open(os.path.join(out_dir, "manifest.json"),
-              encoding="utf-8") as f:
-        manifest = json.load(f)
-    lead = manifest["order_cols"][0]
-    keep = [f["file_id"] for f in manifest["files"]
-            if not (hi < f["min_key"] or lo > f["max_key"])]
-    if not keep:
-        return (spark.read.parquet(out_dir + "/data")
-                .where(F.lit(False)))
-    paths = [f"{out_dir}/data/file_id={k}" for k in sorted(keep)]
-    return (spark.read.option("basePath", out_dir + "/data")
-            .parquet(*paths)
-            .where(F.col(lead).between(lo, hi)))
+    TABLE prunes to the files whose [min_key, max_key] overlaps
+    [lo, hi] BEFORE any data listing or scan -- driver-side file
+    skipping, the same contract as partition pruning but on VALUE
+    ranges. The pruning predicate runs on the manifest parquet (never a
+    monolithic driver JSON), and only the SURVIVORS' file_ids are
+    collected -- bounded by the result size, not the corpus size. The
+    residual predicate still applies inside the survivors, so the
+    result equals the unpruned filter exactly."""
+    meta = _sorted_export_meta(out_dir)
+    lead = meta["order_cols"][0]
+    man = spark.read.parquet(out_dir + "/manifest")
+    keep = [r["file_id"] for r in
+            man.where(~((F.lit(hi) < F.col("min_key"))
+                        | (F.lit(lo) > F.col("max_key"))))
+            .select("file_id").collect()]
+    return _read_pruned(spark, out_dir, meta, keep) \
+        .where(F.col(lead).between(lo, hi))
 
 
 def read_sorted_slice(spark: SparkSession, out_dir: str,
@@ -399,21 +464,18 @@ def read_sorted_slice(spark: SparkSession, out_dir: str,
     global_id in [gid_lo, gid_hi] -- the resuming-loader path ("give me
     samples 3,200,001..3,300,000 of the shuffled epoch"). Because file K
     holds EXACTLY rows (K*rows_per_file, (K+1)*rows_per_file] of the
-    total order, the overlapping files are pure arithmetic on the
-    manifest's gid ranges; the scan opens ceil(slice/rows_per_file)+1
-    files no matter how large the corpus is."""
-    import json
-    import os
-
-    with open(os.path.join(out_dir, "manifest.json"),
-              encoding="utf-8") as f:
-        manifest = json.load(f)
-    keep = [f["file_id"] for f in manifest["files"]
-            if not (gid_hi < f["min_gid"] or gid_lo > f["max_gid"])]
-    if not keep:
-        return (spark.read.parquet(out_dir + "/data")
-                .where(F.lit(False)))
-    paths = [f"{out_dir}/data/file_id={k}" for k in sorted(keep)]
-    return (spark.read.option("basePath", out_dir + "/data")
-            .parquet(*paths)
-            .where(F.col("global_id").between(gid_lo, gid_hi)))
+    total order, the overlapping files are pure ARITHMETIC on
+    rows_per_file -- no manifest scan at all, and the slice opens
+    ceil(slice/rows_per_file)+1 files no matter how large the corpus
+    is."""
+    meta = _sorted_export_meta(out_dir)
+    rpf = int(meta["rows_per_file"])
+    n_files = int(meta["n_files"])
+    if gid_hi < gid_lo or n_files == 0 or gid_hi < 1 \
+            or gid_lo > n_files * rpf:
+        keep: list[int] = []
+    else:
+        keep = list(range(max(0, (max(gid_lo, 1) - 1) // rpf),
+                          min(n_files - 1, (gid_hi - 1) // rpf) + 1))
+    return _read_pruned(spark, out_dir, meta, keep) \
+        .where(F.col("global_id").between(gid_lo, gid_hi))

@@ -725,11 +725,16 @@ def _load_books(spark, store_dir: str):
 
 def _pq_encode(df: DataFrame, books, m: int, dsub: int,
                id_col: str, vec_col: str,
-               carry: tuple = ()) -> DataFrame:
+               carry: tuple = (), cents_by_cell=None) -> DataFrame:
     """One Arrow pass encoding L2-normalized vectors to per-subspace
     nearest-codebook codes (round(d2, 9) tie-to-lowest, matching
     _pq_train and the SQL oracles). ``carry`` columns (e.g. the IVF
-    cell) pass through unchanged -- they must be long-typed."""
+    cell) pass through unchanged -- they must be long-typed. With
+    ``cents_by_cell`` (a {cell: normalized-centroid ndarray} dict,
+    shipped by closure -- n_centroids rows, tiny), the encoded quantity
+    is the RESIDUAL Vn - centroid[cell] instead of Vn itself -- the
+    IVFADC composition (carry must then include the cell column,
+    first)."""
     import numpy as np
     import pandas as pd
 
@@ -742,6 +747,9 @@ def _pq_encode(df: DataFrame, books, m: int, dsub: int,
             V = np.array([list(v) for v in b[vec_col]], dtype=np.float64)
             ids = b[id_col].to_numpy(dtype=np.int64)
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            if cents_by_cell is not None:
+                cells = b[carry[0]].to_numpy(dtype=np.int64)
+                Vn = Vn - np.stack([cents_by_cell[int(c)] for c in cells])
             codes = np.zeros((len(ids), m), dtype=np.int32)
             for j in range(m):
                 sub = Vn[:, j * dsub:(j + 1) * dsub]

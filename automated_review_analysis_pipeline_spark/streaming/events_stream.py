@@ -353,7 +353,12 @@ def streaming_kmv_distinct(spark: SparkSession, events_path: str,
     q.awaitTermination()
     v = latest_version(state_dir)
     if v < 0:
-        regs = spark.createDataFrame([], "g string, h long")
+        # empty-source fallback: derive the register schema from the
+        # SOURCE (group_col may be any type, not just string) by running
+        # the register builder over a zero-row batch read of the path
+        regs = kmv_registers(
+            spark.read.parquet(events_path).limit(0),
+            group_col, key_col, k)
     else:
         regs = spark.read.parquet(os.path.join(state_dir, f"v{v}"))
     return kmv_estimate_from_registers(regs, k, group_col)

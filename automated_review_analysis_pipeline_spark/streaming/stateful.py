@@ -159,16 +159,20 @@ def running_user_profiles(events_stream: DataFrame) -> DataFrame:
 
 ASOF_OUT_SCHEMA = ("event_id long, user_id long, click_us long, "
                    "value double, p_us long, p_value double")
-ASOF_STATE_SCHEMA = "last_us long, last_value double"
+# has_p is the explicit "a purchase exists" flag: a -1-in-last_us
+# sentinel would swallow legitimate pre-1970 (negative unix_micros)
+# purchases, and last_val stays Optional so a NULL purchase value is
+# carried as NULL (the batch asof_join / DuckDB ASOF semantics), never
+# coerced to 0.0
+ASOF_STATE_SCHEMA = "has_p boolean, last_us long, last_value double"
 
 
 def _asof_enricher(key, pdf_iter, state: GroupState):
     import pandas as pd
 
     (user_id,) = key
-    last_us, last_val = state.get if state.exists else (None, None)
-    if last_us is not None and last_us < 0:  # encoded "no match yet"
-        last_us, last_val = None, None
+    has_p, last_us, last_val = (state.get if state.exists
+                                else (False, 0, None))
     pdfs = [p for p in pdf_iter if len(p)]
     outs = []
     if pdfs:
@@ -178,17 +182,21 @@ def _asof_enricher(key, pdf_iter, state: GroupState):
         rows = rows.sort_values(["ts_us", "side", "event_id"])
         for r in rows.itertuples(index=False):
             if r.side == 0:  # purchase: advance the per-key state
-                v = float(r.value) if r.value == r.value else 0.0
-                if last_us is not None and last_us == r.ts_us:
-                    last_val = max(last_val, v)  # = the batch MAX(value)
+                v = None if r.value != r.value else float(r.value)
+                if has_p and last_us == r.ts_us:
+                    # = the batch MAX(value) at this ts; SQL MAX skips
+                    # NULLs, so only non-NULL values compete
+                    if v is not None:
+                        last_val = v if last_val is None \
+                            else max(last_val, v)
                 else:
-                    last_us, last_val = int(r.ts_us), v
+                    has_p, last_us, last_val = True, int(r.ts_us), v
             else:            # click: emit enriched row
                 cv = None if r.value != r.value else float(r.value)
                 outs.append((int(r.event_id), user_id, int(r.ts_us),
-                             cv, last_us, last_val))
-    state.update((last_us if last_us is not None else -1,
-                  last_val if last_val is not None else 0.0))
+                             cv, last_us if has_p else None,
+                             last_val if has_p else None))
+    state.update((has_p, last_us, last_val))
     if outs:
         yield pd.DataFrame(outs, columns=[
             "event_id", "user_id", "click_us", "value", "p_us", "p_value"])

@@ -2544,3 +2544,32 @@ def test_png_sub_byte_depths_gray_and_palette():
     # 2-bit RGB stays illegal
     with pytest.raises(NotImplementedError):
         decode_image(_png(b"\x00" * 10, 2, 2, 2, depth=2))
+
+
+def test_flac_frame_rate_disagreeing_with_streaminfo_raises():
+    """STREAMINFO's rate is authoritative; a frame header carrying a
+    CONTRADICTING table rate (CRC-8 fixed up so the header itself is
+    valid) is a corrupt stream and must raise the one catchable
+    exception."""
+    from automated_review_analysis_pipeline_spark.operators.multimodal import (
+        _crc8_flac,
+        decode_flac,
+        encode_flac_pcm8,
+    )
+
+    p = bytearray(encode_flac_pcm8(bytes(range(64)), sample_rate=8000))
+    # walk metadata blocks after the 4-byte magic to the first frame
+    off = 4
+    while True:
+        last = p[off] & 0x80
+        off += 4 + int.from_bytes(p[off + 1:off + 4], "big")
+        if last:
+            break
+    # byte 2 of the frame = bs_code(4) | sr_code(4): set sr_code to 9
+    # (= 44100, disagreeing with STREAMINFO's 8000), re-CRC the header
+    assert p[off + 2] & 0x0F == 0  # encoder writes "from STREAMINFO"
+    p[off + 2] = (p[off + 2] & 0xF0) | 9
+    p[off + 7] = _crc8_flac(bytes(p[off:off + 7]))
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="disagrees"):
+        decode_flac(bytes(p))

@@ -464,3 +464,49 @@ def test_read_sorted_slice_positional_resume(spark, sf_dir, tmp_path):
 
     # out-of-range slice reads nothing
     assert read_sorted_slice(spark, out, 10**7, 10**7 + 9).count() == 0
+
+
+def test_sorted_export_string_key_empty_input_and_parquet_manifest(
+        spark, sf_dir, tmp_path):
+    """The manifest is a PARQUET TABLE whose min/max key columns take
+    the leading order column's own type (here: string), an empty input
+    exports an empty typed manifest that both readers handle, and the
+    readers prune via the manifest table, never a monolithic JSON."""
+    import os
+
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        read_sorted_range,
+        read_sorted_slice,
+        sorted_export,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").alias("n_chars"))
+    out = str(tmp_path / "export_str")
+    manifest = sorted_export(d, out, ["lang", "doc_id"], rows_per_file=64)
+    assert manifest.schema["min_key"].dataType.simpleString() == "string"
+    assert os.path.isdir(out + "/manifest")  # the scale-path index
+    rows = manifest.collect()
+    assert sum(r["n_rows"] for r in rows) == d.count()
+
+    got = sorted((r["lang"], r["doc_id"])
+                 for r in read_sorted_range(spark, out, "de", "en")
+                 .collect())
+    want = sorted((r["lang"], r["doc_id"])
+                  for r in d.where(F.col("lang").between("de", "en"))
+                  .collect())
+    assert got == want and got
+
+    # empty input: typed empty manifest, readers return typed empties
+    empty_out = str(tmp_path / "export_empty")
+    m0 = sorted_export(d.where(F.lit(False)), empty_out,
+                       ["lang", "doc_id"], rows_per_file=64)
+    assert m0.count() == 0
+    assert m0.schema["min_key"].dataType.simpleString() == "string"
+    r0 = read_sorted_range(spark, empty_out, "a", "z")
+    assert r0.count() == 0
+    assert r0.schema["lang"].dataType.simpleString() == "string"
+    assert read_sorted_slice(spark, empty_out, 1, 10).count() == 0

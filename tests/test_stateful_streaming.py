@@ -312,3 +312,60 @@ def test_streaming_asof_matches_batch_asof_across_batches(spark, sf_dir,
     assert any(e in late_clicks for e in crossed)
     # and some clicks have no purchase yet
     assert any(p[0] is None for p in got.values())
+
+
+def test_streaming_asof_pre1970_and_null_value_state(spark, tmp_path):
+    """Regression for the -1-sentinel / 0.0-coercion state encoding: a
+    pre-1970 purchase (negative unix_micros) carried in state must still
+    enrich a click in a LATER batch, and a NULL purchase value must be
+    carried as NULL, never 0.0 -- the batch asof_join / DuckDB ASOF
+    semantics."""
+    import glob
+    import os
+    import time
+
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        run_available_now,
+    )
+    from automated_review_analysis_pipeline_spark.streaming.stateful import (
+        streaming_asof_enrich,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # batch 1: purchases only -- user 1 pre-1970, user 2 NULL value
+    b1 = spark.createDataFrame(
+        [(101, 1, "1969-06-01 00:00:00", "purchase", 7.5),
+         (102, 2, "2024-01-01 00:00:00", "purchase", None)],
+        "event_id long, user_id long, ts string, event_type string, "
+        "value double").withColumn("ts", F.col("ts").cast("timestamp"))
+    # batch 2: clicks that must match the state carried from batch 1
+    b2 = spark.createDataFrame(
+        [(201, 1, "2024-02-01 00:00:00", "click", 1.0),
+         (202, 2, "2024-02-01 00:00:00", "click", 2.0),
+         (203, 3, "2024-02-01 00:00:00", "click", 3.0)],
+        "event_id long, user_id long, ts string, event_type string, "
+        "value double").withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for name, df, age in (("a_first", b1, 100), ("b_second", b2, 0)):
+        d = str(tmp_path / name)
+        df.coalesce(1).write.parquet(d)
+        dst = os.path.join(src, name + ".parquet")
+        os.rename(glob.glob(d + "/*.parquet")[0], dst)
+        os.utime(dst, (time.time() - age,) * 2)
+
+    stream = (spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double").option("maxFilesPerTrigger", 1).parquet(src))
+    got = {r["event_id"]: (r["p_us"], r["p_value"])
+           for r in run_available_now(streaming_asof_enrich(stream),
+                                      "sasof_n",
+                                      output_mode="append").collect()}
+    pre1970_us = int(b1.where("event_id = 101")
+                     .select(F.unix_micros("ts")).first()[0])
+    assert pre1970_us < 0
+    null_us = int(b1.where("event_id = 102")
+                  .select(F.unix_micros("ts")).first()[0])
+    assert got == {201: (pre1970_us, 7.5),   # negative ts carried
+                   202: (null_us, None),     # NULL value carried as NULL
+                   203: (None, None)}        # genuinely no purchase

@@ -389,3 +389,41 @@ def test_vacuum_state_versions_contract(tmp_path):
     assert vacuum_state_versions(state, keep=2) == []  # idempotent
     with pytest.raises(ValueError):
         vacuum_state_versions(state, keep=0)
+
+
+def test_streaming_kmv_no_batch_fallback_schema_from_source(spark, sf_dir,
+                                                            tmp_path):
+    """When NO micro-batch runs (checkpoint already consumed the source)
+    and no state version exists, the empty-result register schema must
+    derive from the SOURCE -- a long group_col yields a long group
+    column, not the old hardcoded string."""
+    import shutil
+
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        streaming_kmv_distinct,
+    )
+
+    src = str(tmp_path / "src")
+    load_table(spark, sf_dir, "events").limit(50).coalesce(1) \
+        .write.parquet(src)
+    state = str(tmp_path / "state")
+    first = streaming_kmv_distinct(spark, src, state,
+                                   group_col="user_id",
+                                   key_col="event_type")
+    assert first.schema["user_id"].dataType.simpleString() == "bigint"
+    assert first.count() > 0
+    # wipe the state versions but KEEP the checkpoint: the second run
+    # sees no new files, runs zero batches, and must hit the fallback
+    import os
+
+    for d in os.listdir(state):
+        if d.startswith("v") and d[1:].isdigit():
+            shutil.rmtree(os.path.join(state, d))
+    again = streaming_kmv_distinct(spark, src, state,
+                                   group_col="user_id",
+                                   key_col="event_type")
+    assert again.schema["user_id"].dataType.simpleString() == "bigint"
+    assert again.count() == 0

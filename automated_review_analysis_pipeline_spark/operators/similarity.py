@@ -749,6 +749,14 @@ def _pq_encode(df: DataFrame, books, m: int, dsub: int,
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             if cents_by_cell is not None:
                 cells = b[carry[0]].to_numpy(dtype=np.int64)
+                missing = {int(c) for c in cells} - set(cents_by_cell)
+                if missing:
+                    # an append into a cell that was EMPTY at build
+                    # time has no stored shift -- encoding it against
+                    # an invented one would silently mis-score; rebuild
+                    raise ValueError(
+                        f"no stored cell mean for cells "
+                        f"{sorted(missing)}; rebuild the index")
                 Vn = Vn - np.stack([cents_by_cell[int(c)] for c in cells])
             codes = np.zeros((len(ids), m), dtype=np.int32)
             for j in range(m):
@@ -851,7 +859,8 @@ def build_ivfpq_index(embeddings: DataFrame, store_dir: str,
                       n_centroids: int = 16, train_iterations: int = 2,
                       m: int = 8, ksub: int = 16, train_n: int = 1024,
                       iterations: int = 2,
-                      mode: str = "overwrite") -> DataFrame:
+                      mode: str = "overwrite",
+                      encode: str = "raw") -> DataFrame:
     """Composed IVF-PQ index -- the billion-vector serving shape: coarse
     Lloyd centroids partition the corpus into cells (build_ivf_index's
     training), and within the cells only PQ CODES are stored
@@ -866,30 +875,71 @@ def build_ivfpq_index(embeddings: DataFrame, store_dir: str,
       codebooks/  (subspace, code, vals)            -- m*ksub rows, tiny
       codes/      (c_id, codes) PARTITIONED BY cell -- the only big table
 
-    Codes encode the L2-NORMALIZED original vector (not the residual):
-    ADC scores are then exactly pq_topk's, and the cell merely restricts
-    the candidate set -- which is what makes the full value oracle the
-    composition of the trained-IVF and PQ oracle CTEs. Same staleness
-    contract as the component indexes: a snapshot; append deltas with
-    :func:`ivfpq_index_append`; ``mode`` must be "overwrite" (an
-    append-mode build would retrain centroids AND books under existing
-    codes). Returns the reloaded codes table."""
+    ``encode`` picks what the codes quantize:
+
+    * ``"raw"`` -- the L2-NORMALIZED original vector: ADC scores are
+      then exactly pq_topk's and the cell merely restricts the
+      candidate set, which keeps the full value oracle the composition
+      of the trained-IVF and PQ oracle CTEs.
+    * ``"residual"`` -- IVFADC proper, in the NORMALIZED space: each
+      vector's residual vs its assigned cell's MEAN of normalized
+      members (Vn - mean(Vn in cell), decimal-exact 6dp means like the
+      Lloyd rounds). The mean -- not the unit-normalized centroid --
+      is the right shift: the mean of unit vectors lies INSIDE the
+      sphere, so subtracting it shrinks every residual
+      (E||Vn - mean|| < 1), while subtracting a re-normalized centroid
+      INFLATES them (measured 0.94 vs 1.16 mean norm at sf0.01) and
+      costs recall instead of buying it. Codebooks train on the
+      SAMPLE's residuals; the probe shifts each query by the probed
+      cell's mean before the ADC lookup. Still fully
+      oracle-composable: the cell means are one GROUP BY over the
+      trained-IVF assignment CTEs.
+
+    Same staleness contract as the component indexes: a snapshot;
+    append deltas with :func:`ivfpq_index_append` (which reads the
+    persisted ``encode`` choice -- the store is self-describing via
+    meta.json); ``mode`` must be "overwrite" (an append-mode build
+    would retrain centroids AND books under existing codes). Returns
+    the reloaded codes table."""
+    import json
+    import os
+
     import numpy as np
 
     if mode != "overwrite":
         raise ValueError(
             f"build_ivfpq_index only supports mode='overwrite' (got "
             f"{mode!r}); append deltas with ivfpq_index_append")
+    if encode not in ("raw", "residual"):
+        raise ValueError(f"unknown encode {encode!r}")
     spark = embeddings.sparkSession
     cents = _ivf_centroids(embeddings, n_centroids, train_iterations,
                            id_col, vec_col)
     cents.write.mode("overwrite").parquet(store_dir + "/centroids")
     cents = spark.read.parquet(store_dir + "/centroids")
 
-    sample_rows = (embeddings.orderBy(id_col).limit(train_n)
-                   .select(vec_col).collect())
-    S = np.array([list(r[0]) for r in sample_rows], dtype=np.float64)
-    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+    assigned = _ivf_assign(_prep(embeddings, id_col, vec_col, "c"), cents) \
+        .withColumn("cell", F.col("cell").cast("long"))
+    shift_by_cell = None
+    if encode == "residual":
+        _cell_means(assigned).write.mode("overwrite") \
+            .parquet(store_dir + "/cellmeans")
+        shift_by_cell = _load_cell_means(spark, store_dir)
+        # sample residuals: assignment via the SAME _ivf_assign the
+        # corpus uses (round-6 sims, ties to lowest cell), so sample
+        # and corpus quantize against identical geometry
+        sample = embeddings.orderBy(id_col).limit(train_n)
+        srows = (_ivf_assign(_prep(sample, id_col, vec_col, "c"), cents)
+                 .select("c_id", "c_vec", "cell").collect())
+        srows.sort(key=lambda r: r["c_id"])
+        S = np.array([list(r["c_vec"]) for r in srows], dtype=np.float64)
+        Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+        Sn = Sn - np.stack([shift_by_cell[int(r["cell"])] for r in srows])
+    else:
+        sample_rows = (embeddings.orderBy(id_col).limit(train_n)
+                       .select(vec_col).collect())
+        S = np.array([list(r[0]) for r in sample_rows], dtype=np.float64)
+        Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
     books = _pq_train(Sn, m, ksub, iterations)
     dsub = S.shape[1] // m
     book_rows = [(j, c, [float(v) for v in books[j, c]])
@@ -898,13 +948,58 @@ def build_ivfpq_index(embeddings: DataFrame, store_dir: str,
         book_rows, "subspace int, code int, vals array<double>"
     ).write.mode("overwrite").parquet(store_dir + "/codebooks")
 
-    assigned = _ivf_assign(_prep(embeddings, id_col, vec_col, "c"), cents) \
-        .withColumn("cell", F.col("cell").cast("long"))
     coded = _pq_encode(assigned.select("c_id", "c_vec", "cell"), books, m,
-                       dsub, "c_id", "c_vec", carry=("cell",))
+                       dsub, "c_id", "c_vec", carry=("cell",),
+                       cents_by_cell=shift_by_cell)
     coded.write.mode("overwrite").partitionBy("cell") \
         .parquet(store_dir + "/codes")
+    os.makedirs(store_dir, exist_ok=True)
+    with open(os.path.join(store_dir, "meta.json"), "w",
+              encoding="utf-8") as f:
+        json.dump({"encode": encode}, f)
     return spark.read.parquet(store_dir + "/codes")
+
+
+def _cell_means(assigned: DataFrame) -> DataFrame:
+    """(cell, mean_vec): per-cell mean of the NORMALIZED member vectors
+    -- the residual encoding's shift. Decimal-exact 9dp sums then 6dp
+    rounding, the same commutative-mean discipline as the Lloyd rounds
+    (a plain double avg is summation-order-dependent and would diverge
+    from the SQL oracle)."""
+    vn = F.transform(F.col("c_vec"), lambda x: x / F.col("c_norm"))
+    return (assigned
+            .select("cell", F.posexplode(vn).alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.round(
+                F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)), 6).alias("mv"))
+            .groupBy("cell")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+                lambda s: s["mv"]).alias("mean_vec")))
+
+
+def _load_cell_means(spark, store_dir: str) -> dict:
+    """{cell: mean ndarray} from the tiny persisted cell-mean table
+    (n_centroids rows) -- shipped by closure into encode/probe
+    kernels."""
+    import numpy as np
+
+    return {int(r["cell"]): np.array(list(r["mean_vec"]),
+                                     dtype=np.float64)
+            for r in spark.read.parquet(store_dir + "/cellmeans")
+            .collect()}
+
+
+def _ivfpq_encode_mode(store_dir: str) -> str:
+    import json
+    import os
+
+    p = os.path.join(store_dir, "meta.json")
+    if not os.path.exists(p):
+        return "raw"  # pre-residual stores carry no meta
+    with open(p, encoding="utf-8") as f:
+        return json.load(f).get("encode", "raw")
 
 
 def ivfpq_index_append(spark, store_dir: str, new_vectors: DataFrame,
@@ -913,15 +1008,19 @@ def ivfpq_index_append(spark, store_dir: str, new_vectors: DataFrame,
     """Append a DELTA to a persisted IVF-PQ index: assign against the
     SAME stored centroids and encode against the SAME stored codebooks
     (never retrain either -- cells and codes would shift under existing
-    entries), then parquet-append into the cell-partitioned code table.
-    Returns the reloaded codes table."""
+    entries) with the SAME encoding the store was built with (raw vs
+    residual, read from its meta.json), then parquet-append into the
+    cell-partitioned code table. Returns the reloaded codes table."""
     cents = spark.read.parquet(store_dir + "/centroids")
     books, m, _ksub, dsub = _load_books(spark, store_dir)
+    shift_by_cell = _load_cell_means(spark, store_dir) \
+        if _ivfpq_encode_mode(store_dir) == "residual" else None
     assigned = _ivf_assign(_prep(new_vectors, id_col, vec_col, "c"),
                            cents) \
         .withColumn("cell", F.col("cell").cast("long"))
     coded = _pq_encode(assigned.select("c_id", "c_vec", "cell"), books, m,
-                       dsub, "c_id", "c_vec", carry=("cell",))
+                       dsub, "c_id", "c_vec", carry=("cell",),
+                       cents_by_cell=shift_by_cell)
     coded.write.mode("append").partitionBy("cell") \
         .parquet(store_dir + "/codes")
     return spark.read.parquet(store_dir + "/codes")
@@ -944,12 +1043,18 @@ def ivfpq_probe(spark, store_dir: str, queries: DataFrame, k: int = 5,
     Scoring is exactly :func:`pq_probe`'s ADC (sims rounded to 6dp,
     ties to the lowest neighbor id) restricted to each query's probed
     cells, so the full value oracle composes the trained-IVF and PQ
-    oracle CTEs."""
+    oracle CTEs. On a residual store (IVFADC) the ADC tables are built
+    per PROBED CELL -- the query shifts by that cell's stored mean
+    before the subspace lookups -- still driver-side (n_query x
+    n_probe tiny tables), still codes-only on the executors."""
     import numpy as np
     import pandas as pd
 
     cents = spark.read.parquet(store_dir + "/centroids")
     books, m, ksub, dsub = _load_books(spark, store_dir)
+    residual = _ivfpq_encode_mode(store_dir) == "residual"
+    shift_by_cell = _load_cell_means(spark, store_dir) if residual \
+        else None
 
     qs = _prep(queries, id_col, vec_col, "q")
     probe_rows = (_ivf_probes(qs, cents, n_probe)
@@ -964,11 +1069,24 @@ def ivfpq_probe(spark, store_dir: str, queries: DataFrame, k: int = 5,
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    tables = np.zeros((len(q_ids), m, ksub))
-    for j in range(m):
-        qsub = Qn[:, j * dsub:(j + 1) * dsub]
-        tables[:, j, :] = ((qsub[:, None, :] - books[j][None, :, :]) ** 2
-                           ).sum(axis=2)
+
+    def adc_tables(Qm: "np.ndarray") -> "np.ndarray":
+        t = np.zeros((len(q_ids), m, ksub))
+        for j in range(m):
+            qsub = Qm[:, j * dsub:(j + 1) * dsub]
+            t[:, j, :] = ((qsub[:, None, :] - books[j][None, :, :]) ** 2
+                          ).sum(axis=2)
+        return t
+
+    if residual:
+        # cells with no members have no stored mean -- and no
+        # candidates to score, so they simply drop out
+        tables_by_cell = {
+            int(c): adc_tables(Qn - shift_by_cell[int(c)][None, :])
+            for c in all_cells if int(c) in shift_by_cell}
+    else:
+        shared = adc_tables(Qn)
+        tables_by_cell = {int(c): shared for c in all_cells}
     q_cells = [np.array(sorted(cells_by_q.get(int(q), ())), dtype=np.int64)
                for q in q_ids]
 
@@ -981,13 +1099,22 @@ def ivfpq_probe(spark, store_dir: str, queries: DataFrame, k: int = 5,
             codes = np.array([list(c) for c in b["codes"]], dtype=np.int64)
             out_q, out_c, out_s = [], [], []
             for qi in range(len(q_ids)):
-                mask = np.isin(cells, q_cells[qi]) & (ids != q_ids[qi])
-                cand = np.nonzero(mask)[0]
-                if not len(cand):
+                cand_parts, d2_parts = [], []
+                for cell in q_cells[qi]:
+                    mask = (cells == cell) & (ids != q_ids[qi])
+                    cand = np.nonzero(mask)[0]
+                    if not len(cand):
+                        continue
+                    t = tables_by_cell[int(cell)]
+                    d2 = np.zeros(len(cand))
+                    for j in range(m):
+                        d2 += t[qi, j, codes[cand, j]]
+                    cand_parts.append(cand)
+                    d2_parts.append(d2)
+                if not cand_parts:
                     continue
-                d2 = np.zeros(len(cand))
-                for j in range(m):
-                    d2 += tables[qi, j, codes[cand, j]]
+                cand = np.concatenate(cand_parts)
+                d2 = np.concatenate(d2_parts)
                 sims = np.round(1.0 - d2 / 2.0, 6)
                 order = np.lexsort((ids[cand], -sims))
                 keep = cand[order[:k]]

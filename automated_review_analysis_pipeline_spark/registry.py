@@ -1779,6 +1779,7 @@ def q_pq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Composed IVF-PQ index: cell-partitioned PQ code table, the
 # billion-vector serving shape (partition pruning x code compression).
 _IVFPQ_INDEX_MEMO: dict[str, str] = {}
+_IVFPQ_RES_INDEX_MEMO: dict[str, str] = {}
 
 
 def _ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
@@ -1795,6 +1796,54 @@ def _ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
                               train_iterations=2, m=32, ksub=16)
         _IVFPQ_INDEX_MEMO[sf_dir] = store
     return store
+
+
+def _ivfpq_res_store(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    store = _IVFPQ_RES_INDEX_MEMO.get(sf_dir)
+    if store is None:
+        store = tempfile.mkdtemp(prefix="arap_ivfpq_res_index_")
+        atexit.register(shutil.rmtree, store, ignore_errors=True)
+        e = _t(spark, sf_dir, "embeddings")
+        sim.build_ivfpq_index(e, store, n_centroids=16,
+                              train_iterations=2, m=32, ksub=16,
+                              encode="residual")
+        _IVFPQ_RES_INDEX_MEMO[sf_dir] = store
+    return store
+
+
+def q_ivfpq_residual_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only ANN over a RESIDUAL-encoded IVF-PQ index (IVFADC
+    proper): codes quantize each vector's residual vs its assigned
+    cell's normalized centroid, concentrating the quantizer's dynamic
+    range around the cell -- recall at the same m/ksub rises vs the
+    raw-vector encoding (measured in ann_recall_ivfpq_residual /
+    PERF.md). Probe physics identical to ivfpq_index_probe: static
+    partition filter on the probed cells, driver-side ADC tables (now
+    one per query x probed cell -- the query shifts by that cell's
+    centroid), 16-byte codes only, raw vectors never read."""
+    e = _t(spark, sf_dir, "embeddings")
+    store = _ivfpq_res_store(spark, sf_dir)
+    return sim.ivfpq_probe(spark, store,
+                           e.where(F.col("vec_id") < N_QUERY_VECS),
+                           k=TOP_K, n_probe=4)
+
+
+def q_ann_recall_ivfpq_residual(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """recall@k of the residual-encoded (IVFADC) probe against the
+    exact brute-force ranking, next to ann_recall_ivfpq's raw-encoding
+    number -- the recall-per-byte comparison that motivates residual
+    encoding at billion-vector scale."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < N_QUERY_VECS)
+    store = _ivfpq_res_store(spark, sf_dir)
+    return sim.ann_recall_report(
+        e, queries, k=TOP_K,
+        approx=sim.ivfpq_probe(spark, store, queries, k=TOP_K, n_probe=4))
 
 
 def q_ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2335,6 +2384,7 @@ QUERIES: dict[str, QueryFn] = {
     "pq_topk": q_pq_topk,
     "pq_index_probe": q_pq_index_probe,
     "ivfpq_index_probe": q_ivfpq_index_probe,
+    "ivfpq_residual_probe": q_ivfpq_residual_probe,
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
     "q9_product_type_profit": q_q9_product_type_profit,
     "q11_revenue_concentration": q_q11_revenue_concentration,
@@ -2420,6 +2470,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_recall": q_ann_recall,
     "ann_recall_ivf": q_ann_recall_ivf,
     "ann_recall_ivfpq": q_ann_recall_ivfpq,
+    "ann_recall_ivfpq_residual": q_ann_recall_ivfpq_residual,
     "perplexity_filter": q_perplexity_filter,
     "psi_drift": q_psi_drift,
 }
@@ -4540,15 +4591,22 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank""")
 
 def _ivfpq_oracle_sql(n_centroids: int = 16, train_iterations: int = 2,
                       n_probe: int = 4, m: int = 32, ksub: int = 16,
-                      train_n: int = 1024) -> str:
+                      train_n: int = 1024, residual: bool = False) -> str:
     """Full-value oracle for the composed IVF-PQ probe: the trained-IVF
     cell CTEs (unrolled Lloyd -> assignment -> n_probe probing) restrict
     WHICH corpus vectors each query scores, and the PQ CTEs (codebook
     training -> encoding -> ADC) say HOW each survivor is scored --
-    exactly the operator's contract (codes encode the normalized
-    original vector, the cell only prunes candidates). PQ CTEs carry a
-    ``p`` prefix because the kmeans chain already owns a1/c1/a2/c2.
-    dsub is fixed at 2 (dim 64 / m 32), matching the registry call."""
+    exactly the operator's contract. PQ CTEs carry a ``p`` prefix
+    because the kmeans chain already owns a1/c1/a2/c2. dsub is fixed at
+    2 (dim 64 / m 32), matching the registry call.
+
+    ``residual=False`` is the raw composition (codes encode the
+    normalized original vector; the cell only prunes candidates).
+    ``residual=True`` is IVFADC: every per-subspace (x, y) -- the
+    training sample's, the corpus's, and the query side's -- shifts by
+    a normalized CENTROID first (the vector's assigned cell for
+    sample/corpus, the PROBED cell for the query), a pure CTE over the
+    same trained-IVF chain."""
     parts, cent = _kmeans_centroid_ctes(n_centroids, train_iterations)
     parts.append(f"cents AS (SELECT cid AS ct_id, cv AS ct_v FROM {cent})")
     parts.append(f"""assigned AS (
@@ -4573,11 +4631,39 @@ def _ivfpq_oracle_sql(n_centroids: int = 16, train_iterations: int = 2,
            x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
                                           embedding::DOUBLE[]))) AS v
   FROM embeddings)""")
-    parts.append(f"psample AS (SELECT vec_id, v FROM norm "
-                 f"ORDER BY vec_id LIMIT {train_n})")
     parts.append(f"js AS (SELECT unnest(range(0, {m})) AS j)")
-    parts.append("psub AS (SELECT s.vec_id, j.j, s.v[2*j.j+1] AS x, "
-                 "s.v[2*j.j+2] AS y FROM psample s CROSS JOIN js j)")
+    if residual:
+        # per-(cell, subspace) coordinates of the cell MEAN of
+        # normalized members (decimal-exact 9dp sums, 6dp rounding --
+        # the operator's _cell_means discipline): the shift every
+        # residual below subtracts
+        parts.append("""vmean AS (
+  SELECT a.cell, x.dim,
+         round(sum(CAST(x.val AS DECIMAL(18,9)))::DOUBLE
+               / count(*)::DOUBLE, 6) AS mv
+  FROM (SELECT vec_id, unnest(v) AS val,
+               generate_subscripts(v, 1) - 1 AS dim FROM norm) x
+  JOIN assigned a ON a.c_id = x.vec_id
+  GROUP BY a.cell, x.dim)""")
+        parts.append("""csub AS (
+  SELECT cell AS ct_id, CAST(dim // 2 AS INT) AS j,
+         max(CASE WHEN dim % 2 = 0 THEN mv END) AS cx,
+         max(CASE WHEN dim % 2 = 1 THEN mv END) AS cy
+  FROM vmean GROUP BY cell, dim // 2)""")
+        parts.append("""rcorpus AS (
+  SELECT n.vec_id, cs.j, n.v[2*cs.j+1] - cs.cx AS x,
+         n.v[2*cs.j+2] - cs.cy AS y
+  FROM norm n JOIN assigned a ON a.c_id = n.vec_id
+  JOIN csub cs ON cs.ct_id = a.cell)""")
+        parts.append(f"""psub AS (
+  SELECT r.vec_id, r.j, r.x, r.y FROM rcorpus r
+  JOIN (SELECT vec_id FROM norm ORDER BY vec_id LIMIT {train_n}) s
+    ON s.vec_id = r.vec_id)""")
+    else:
+        parts.append(f"psample AS (SELECT vec_id, v FROM norm "
+                     f"ORDER BY vec_id LIMIT {train_n})")
+        parts.append("psub AS (SELECT s.vec_id, j.j, s.v[2*j.j+1] AS x, "
+                     "s.v[2*j.j+2] AS y FROM psample s CROSS JOIN js j)")
     parts.append(f"""pinit AS (
   SELECT j, x, y,
          CAST(row_number() OVER (PARTITION BY j ORDER BY fv) - 1 AS INT) AS c
@@ -4597,17 +4683,37 @@ def _ivfpq_oracle_sql(n_centroids: int = 16, train_iterations: int = 2,
     (SELECT j, c, avg(x) AS mx, avg(y) AS my FROM pa{i} GROUP BY j, c) u
     ON i.j = u.j AND i.c = u.c)""")
         prev = f"pc{i}"
-    parts.append("pcorpus AS (SELECT n.vec_id, j.j, n.v[2*j.j+1] AS x, "
-                 "n.v[2*j.j+2] AS y FROM norm n CROSS JOIN js j)")
+    if residual:
+        parts.append("pcorpus AS (SELECT vec_id, j, x, y FROM rcorpus)")
+    else:
+        parts.append("pcorpus AS (SELECT n.vec_id, j.j, n.v[2*j.j+1] AS x, "
+                     "n.v[2*j.j+2] AS y FROM norm n CROSS JOIN js j)")
     parts.append(f"""pcodes AS (
   SELECT j, vec_id, cx, cy FROM (
     SELECT s.j, s.vec_id, b.x AS cx, b.y AS cy,
       row_number() OVER (PARTITION BY s.j, s.vec_id
         ORDER BY round((s.x-b.x)*(s.x-b.x)+(s.y-b.y)*(s.y-b.y), 9), b.c) AS r
     FROM pcorpus s JOIN {prev} b USING (j)) WHERE r = 1)""")
-    parts.append(f"pqsub AS (SELECT vec_id, j, x, y FROM pcorpus "
-                 f"WHERE vec_id < {N_QUERY_VECS})")
-    parts.append("""pparts AS (
+    if residual:
+        # the query side shifts by the PROBED cell's centroid (one row
+        # per query x probed cell x subspace), the IVFADC probe shape
+        parts.append(f"""pqsub AS (
+  SELECT n.vec_id, p.cell, cs.j, n.v[2*cs.j+1] - cs.cx AS x,
+         n.v[2*cs.j+2] - cs.cy AS y
+  FROM norm n JOIN probes p ON p.q_id = n.vec_id
+  JOIN csub cs ON cs.ct_id = p.cell
+  WHERE n.vec_id < {N_QUERY_VECS})""")
+        parts.append("""pparts AS (
+  SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id, q.j,
+         (q.x-cd.cx)*(q.x-cd.cx) + (q.y-cd.cy)*(q.y-cd.cy) AS d2
+  FROM pqsub q
+  JOIN assigned a ON a.cell = q.cell
+  JOIN pcodes cd ON cd.vec_id = a.c_id AND cd.j = q.j
+  WHERE q.vec_id <> cd.vec_id)""")
+    else:
+        parts.append(f"pqsub AS (SELECT vec_id, j, x, y FROM pcorpus "
+                     f"WHERE vec_id < {N_QUERY_VECS})")
+        parts.append("""pparts AS (
   SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id, q.j,
          (q.x-cd.cx)*(q.x-cd.cx) + (q.y-cd.cy)*(q.y-cd.cy) AS d2
   FROM pqsub q
@@ -4637,6 +4743,7 @@ ORACLE_SQL["ivf_index_probe"] = ORACLE_SQL["ivf_trained_topk"]
 # codes, same ADC) -- the full-value PQ oracle carries over verbatim.
 ORACLE_SQL["pq_index_probe"] = ORACLE_SQL["pq_topk"]
 ORACLE_SQL["ivfpq_index_probe"] = _ivfpq_oracle_sql()
+ORACLE_SQL["ivfpq_residual_probe"] = _ivfpq_oracle_sql(residual=True)
 
 
 # curate_corpus: the end-to-end pipeline oracle composes the SAME stage
@@ -5787,6 +5894,23 @@ GROUP BY e.query_id ORDER BY e.query_id
 ORACLE_SQL["ann_recall_ivfpq"] = f"""
 WITH exact AS (SELECT * FROM ({ORACLE_SQL["cosine_topk"]})),
 approx AS (SELECT * FROM ({ORACLE_SQL["ivfpq_index_probe"]}))
+SELECT e.query_id,
+       CAST(count(*) AS INT) AS n_exact,
+       CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                              THEN 1 END), 0) AS INT) AS n_hits,
+       round(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                               THEN 1 END), 0)::DOUBLE / count(*), 4)
+         AS recall
+FROM exact e
+LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id ORDER BY e.query_id
+"""
+
+
+ORACLE_SQL["ann_recall_ivfpq_residual"] = f"""
+WITH exact AS (SELECT * FROM ({ORACLE_SQL["cosine_topk"]})),
+approx AS (SELECT * FROM ({ORACLE_SQL["ivfpq_residual_probe"]}))
 SELECT e.query_id,
        CAST(count(*) AS INT) AS n_exact,
        CAST(coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL

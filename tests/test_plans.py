@@ -921,3 +921,80 @@ def test_ivfpq_append_and_build_mode_guards(spark, sf_dir, tmp_path):
                     sim.build_ivfpq_index):
         with _pytest.raises(ValueError, match="overwrite"):
             builder(base, str(tmp_path / "bad"), mode="append")
+
+
+def test_ivfpq_residual_codes_only_plan_and_append_consistency(
+        spark, sf_dir, tmp_path):
+    """The RESIDUAL (IVFADC) store keeps the composed index's plan
+    contract -- one parquet source (the code table), static partition
+    filter on the probed cells, raw embeddings never read -- and an
+    append encodes deltas against the PERSISTED cell means (probing the
+    appended index equals probing a one-shot encode over the same
+    store). Residual codes genuinely differ from raw codes, and
+    appending into a cell with no stored mean fails loudly."""
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators import similarity as sim
+    from automated_review_analysis_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    store = str(tmp_path / "ivfadc")
+    sim.build_ivfpq_index(e, store, n_centroids=8, train_iterations=2,
+                          m=8, ksub=16, encode="residual")
+    assert sim._ivfpq_encode_mode(store) == "residual"
+
+    probe = sim.ivfpq_probe(spark, store, q, k=5, n_probe=3)
+    rows = probe.collect()
+    assert rows
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1, plan[:2000]
+    assert "codes:array<int>" in final, plan[:2000]
+    assert "embeddings" not in plan, plan[:2000]
+    assert "PartitionFilters" in final and "cell" in final, plan[:2000]
+
+    # residual codes differ from the raw encoding's codes (same books
+    # geometry would be a no-op residual)
+    raw_store = str(tmp_path / "ivfpq_raw")
+    sim.build_ivfpq_index(e, raw_store, n_centroids=8, train_iterations=2,
+                          m=8, ksub=16)
+    res_codes = {r["c_id"]: tuple(r["codes"])
+                 for r in spark.read.parquet(store + "/codes").collect()}
+    raw_codes = {r["c_id"]: tuple(r["codes"])
+                 for r in spark.read.parquet(raw_store + "/codes")
+                 .collect()}
+    assert res_codes != raw_codes
+
+    # append-vs-one-shot-encode equality against the SAME stored
+    # centroids, books and cell means
+    base = e.where(F.col("vec_id") % 3 != 0)
+    delta = e.where(F.col("vec_id") % 3 == 0)
+    s1 = str(tmp_path / "ivfadc_a")
+    sim.build_ivfpq_index(base, s1, n_centroids=8, train_iterations=1,
+                          m=8, ksub=16, train_n=256, encode="residual")
+    sim.ivfpq_index_append(spark, s1, delta)
+    got = sim.ivfpq_probe(spark, s1, q, k=5, n_probe=3).collect()
+    s2 = str(tmp_path / "ivfadc_b")
+    sim.build_ivfpq_index(base, s2, n_centroids=8, train_iterations=1,
+                          m=8, ksub=16, train_n=256, encode="residual")
+    shutil.rmtree(s2 + "/codes")
+    sim.ivfpq_index_append(spark, s2, e)
+    want = sim.ivfpq_probe(spark, s2, q, k=5, n_probe=3).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # a delta assigned to a cell with NO stored mean must raise, not
+    # silently encode against an invented shift
+    import os
+
+    means = spark.read.parquet(s1 + "/cellmeans")
+    trimmed = means.orderBy("cell").limit(1)
+    tmp_means = str(tmp_path / "one_mean")
+    trimmed.write.parquet(tmp_means)
+    shutil.rmtree(s1 + "/cellmeans")
+    os.rename(tmp_means, s1 + "/cellmeans")
+    with _pytest.raises(Exception, match="no stored cell mean"):
+        sim.ivfpq_index_append(spark, s1, delta).count()

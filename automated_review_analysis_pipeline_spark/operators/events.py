@@ -188,30 +188,32 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         w = (Window.partitionBy(by)
              .orderBy(F.col(on).desc(), F.col("__side").asc())
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    matched_on = F.last(
-        F.when(F.col("__side") == 0, F.col(on)), ignorenulls=True).over(w)
-    # one select so every carried column shares ONE Window node (chained
-    # withColumn leaves Window-over-Window that CollapseWindow cannot
-    # always merge across the interleaved Projects)
-    out = u.select(
-        "*",
-        matched_on.alias("__m_on"),
-        *[F.last(F.when(F.col("__side") == 0, F.col(f"__r_{c}")),
-                 ignorenulls=True).over(w).alias(f"__m_{c}")
-          for c in value_cols],
-    ).where(F.col("__side") == 1)
+    # the whole right payload rides in ONE struct: the struct is
+    # non-null for every right row even when its FIELDS are null, so a
+    # matched row's NULL value stays NULL (per-column last(ignorenulls)
+    # would skip it and wrongly inherit an OLDER right row's value) --
+    # and all carried columns share one Window expression, so the sort
+    # happens once
+    payload = F.struct(
+        F.col(on).alias("__on"),
+        *[F.col(f"__r_{c}").alias(c) for c in value_cols])
+    matched = F.last(
+        F.when(F.col("__side") == 0, payload), ignorenulls=True).over(w)
+    out = u.select("*", matched.alias("__m")) \
+        .where(F.col("__side") == 1)
 
+    m_on = F.col("__m.__on")
     if tolerance is not None:
         in_tol = (
-            F.col("__m_on") >= F.col(on) - tolerance
+            m_on >= F.col(on) - tolerance
             if direction == "backward"
-            else F.col("__m_on") <= F.col(on) + tolerance)
+            else m_on <= F.col(on) + tolerance)
     else:
         in_tol = F.lit(True)
-    keep = F.col("__m_on").isNotNull() & in_tol
+    keep = F.col("__m").isNotNull() & in_tol
     sel = [F.col(c) for c in lcols]
-    sel.append(F.when(keep, F.col("__m_on")).alias(f"{prefix}{on}"))
-    sel += [F.when(keep, F.col(f"__m_{c}")).alias(f"{prefix}{c}")
+    sel.append(F.when(keep, m_on).alias(f"{prefix}{on}"))
+    sel += [F.when(keep, F.col(f"__m.{c}")).alias(f"{prefix}{c}")
             for c in value_cols]
     return out.select(*sel)
 

@@ -1636,6 +1636,75 @@ def q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_id")
 
 
+def q_streaming_asof_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-ORDER streaming as-of: the corpus is split into three
+    micro-batch files by xxhash64(event_id) -- event-time disorder
+    spans the WHOLE corpus range, so purchases routinely arrive
+    batches AFTER the clicks they must enrich -- plus a trailing
+    heartbeat file that advances the watermark past every click. The
+    watermark-buffered lane (delay = full corpus span) still equals
+    DuckDB's native ASOF JOIN exactly; the in-order lane's documented
+    failure shape, fixed."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        run_available_now,
+    )
+    from automated_review_analysis_pipeline_spark.streaming.stateful import (
+        streaming_asof_enrich_ooo,
+    )
+
+    _utc(spark)
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"arap_sasof_ooo_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}")
+    src = os.path.join(work, "src")
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value")
+    mn, mx = events.agg(F.unix_micros(F.min("ts")),
+                        F.unix_micros(F.max("ts"))).first()
+    span_minutes = (mx - mn) // 60_000_000 + 2
+
+    def _build() -> None:
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(src)
+        parts = [events.where(
+            F.pmod(F.xxhash64("event_id"), F.lit(3)) == i)
+            for i in range(3)]
+        # the heartbeat must sit one full DELAY past mx so the final
+        # watermark (hb_ts - delay) clears every click in the corpus
+        hb_us = mx + span_minutes * 60_000_000 + 10**7
+        hb = spark.createDataFrame(
+            [(-1, 0, "heartbeat", None)],
+            "event_id long, user_id long, event_type string, "
+            "value double").select(
+            "event_id", "user_id",
+            F.timestamp_micros(F.lit(hb_us)).alias("ts"),
+            "event_type", "value")
+        now = time.time()
+        for i, part in enumerate(parts + [hb]):
+            d = os.path.join(work, f"p{i}")
+            part.coalesce(1).write.parquet(d)
+            dst = os.path.join(src, f"{chr(97 + i)}_{i}.parquet")
+            shutil.copy(glob.glob(os.path.join(d, "*.parquet"))[0], dst)
+            os.utime(dst, (now - 100 + i,) * 2)
+
+    _fixture_once(src, _build)
+    stream = (spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double")
+        .option("maxFilesPerTrigger", 1).parquet(src))
+    out = run_available_now(
+        streaming_asof_enrich_ooo(stream, delay=f"{span_minutes} minutes"),
+        "sasof_ooo", output_mode="append")
+    return out.orderBy("event_id")
+
+
 def q_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming KMV distinct sketches: foreachBatch merges each
     micro-batch's bottom-k registers into a k-rows-per-group state table
@@ -2413,6 +2482,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_kmv_distinct": q_streaming_kmv_distinct,
     "streaming_asof_enrich": q_streaming_asof_enrich,
+    "streaming_asof_ooo": q_streaming_asof_ooo,
     "streaming_finalized_sessions": q_streaming_finalized_sessions,
     "streaming_minhash_pairs": q_streaming_minhash_pairs,
     "resize_thumbnails": q_resize_thumbnails,
@@ -3096,7 +3166,9 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ORDER BY o_custkey, order_seq
 """
 
-ORACLE_SQL["streaming_asof_enrich"] = """
+# the OOO lane answers the SAME question over the SAME corpus -- only
+# the delivery order differs -- so the ASOF oracle carries over verbatim
+ORACLE_SQL["streaming_asof_enrich"] = ORACLE_SQL_SASOF = """
 WITH clicks AS (
   SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
 ), purch AS (
@@ -3110,6 +3182,8 @@ FROM clicks c ASOF LEFT JOIN purch p
 ORDER BY event_id
 """
 
+
+ORACLE_SQL["streaming_asof_ooo"] = ORACLE_SQL_SASOF
 
 ORACLE_SQL["blocklist_matches"] = cur.blocklist_sql()
 

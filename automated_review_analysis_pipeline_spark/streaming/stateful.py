@@ -226,3 +226,127 @@ def streaming_asof_enrich(events_stream: DataFrame) -> DataFrame:
     return base.groupBy("user_id").applyInPandasWithState(
         _asof_enricher, ASOF_OUT_SCHEMA, ASOF_STATE_SCHEMA,
         outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+ASOF_OOO_STATE_SCHEMA = ("c_ids array<long>, c_ts array<long>, "
+                         "c_vals array<double>, p_ts array<long>, "
+                         "p_vals array<double>")
+
+
+def _asof_ooo_enricher(key, pdf_iter, state: GroupState):
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        c_ids, c_ts, c_vals, p_ts, p_vals = (list(x) for x in state.get)
+    else:
+        c_ids, c_ts, c_vals, p_ts, p_vals = [], [], [], [], []
+    for pdf in pdf_iter:
+        for r in pdf.itertuples(index=False):
+            v = None if r.value != r.value else float(r.value)
+            if r.event_type == "purchase":
+                p_ts.append(int(r.ts_us))
+                p_vals.append(v)
+            elif r.event_type == "click":
+                c_ids.append(int(r.event_id))
+                c_ts.append(int(r.ts_us))
+                c_vals.append(v)
+            # anything else (punctuation/heartbeat rows) only advances
+            # the watermark upstream; it enters no one's state
+
+    wm_ms = state.getCurrentWatermarkMs()
+    # no watermark yet (first batch): nothing is final
+    wm_us = wm_ms * 1000 if wm_ms > 0 else None
+
+    outs = []
+    if wm_us is not None and c_ids:
+        # purchases sorted once; per finalized click, the as-of match is
+        # the latest purchase ts <= click ts, value = MAX of the
+        # non-NULL values at that ts (batch MAX semantics)
+        psorted = sorted(range(len(p_ts)), key=lambda i: p_ts[i])
+        sts = [p_ts[i] for i in psorted]
+        svs = [p_vals[i] for i in psorted]
+        import bisect
+
+        emit_idx = [i for i in range(len(c_ids)) if c_ts[i] <= wm_us]
+        for i in sorted(emit_idx, key=lambda i: (c_ts[i], c_ids[i])):
+            pos = bisect.bisect_right(sts, c_ts[i])
+            if pos == 0:
+                m_ts, m_val = None, None
+            else:
+                m_ts = sts[pos - 1]
+                lo = bisect.bisect_left(sts, m_ts)
+                vals = [v for v in svs[lo:pos] if v is not None]
+                m_val = max(vals) if vals else None
+            outs.append((c_ids[i], user_id, c_ts[i], c_vals[i],
+                         m_ts, m_val))
+        keep = [i for i in range(len(c_ids)) if c_ts[i] > wm_us]
+        c_ids = [c_ids[i] for i in keep]
+        c_ts = [c_ts[i] for i in keep]
+        c_vals = [c_vals[i] for i in keep]
+        # prune purchases: keep every entry at the LATEST ts <= wm
+        # (max-at-ts semantics needs all of them) + everything > wm
+        older = [t for t in sts if t <= wm_us]
+        cutoff = older[-1] if older else None
+        kept = [(t, v) for t, v in zip(p_ts, p_vals)
+                if t > wm_us or (cutoff is not None and t == cutoff)]
+        p_ts = [t for t, _ in kept]
+        p_vals = [v for _, v in kept]
+
+    if not c_ids and not p_ts:
+        if state.exists:
+            state.remove()
+    else:
+        state.update((c_ids, c_ts, c_vals, p_ts, p_vals))
+        if c_ids:
+            # fire when the watermark passes the earliest pending click
+            # (strictly above the current watermark by construction:
+            # anything <= wm was just emitted)
+            state.setTimeoutTimestamp(min(c_ts) // 1000 + 1)
+    if outs:
+        yield pd.DataFrame(outs, columns=[
+            "event_id", "user_id", "click_us", "value", "p_us", "p_value"])
+
+
+def streaming_asof_enrich_ooo(events_stream: DataFrame,
+                              delay: str = "10 minutes") -> DataFrame:
+    """OUT-OF-ORDER-robust streaming as-of enrichment: unlike
+    :func:`streaming_asof_enrich` (which assumes micro-batches arrive
+    in event-time order and keeps only the most recent purchase), this
+    lane BUFFERS clicks in state until the WATERMARK passes their
+    event time, and applies every purchase -- including ones arriving
+    in LATER batches than the clicks they must enrich -- before a
+    click is finalized. Standard watermark semantics: disorder within
+    ``delay`` is corrected exactly (output equals the batch
+    asof_join); rows later than that may be dropped or mis-enriched,
+    which is the contract every watermarked operator (including
+    Spark's own stream-stream joins) makes.
+
+    State per user is bounded: the pending clicks inside the watermark
+    horizon + purchases newer than the watermark + ONE latest purchase
+    at-or-below it (the only one any future click can still match) --
+    O(rate x delay), not O(history). Clicks flush either when a data
+    batch advances the watermark or via event-time TIMEOUT (the
+    no-new-data path); a stream can carry punctuation rows (any
+    event_type other than click/purchase, e.g. 'heartbeat') that
+    advance the watermark without entering anyone's state -- the
+    KERNEL skips them rather than a pre-filter, because Catalyst
+    pushes an event_type filter below the EventTimeWatermark node into
+    the parquet scan, and a scan-filtered punctuation row never
+    reaches the watermark node at all (observed: the drain's watermark
+    then never advances and nothing flushes)."""
+    from pyspark.sql import functions as F
+
+    base = (events_stream
+            .select("event_id", "user_id",
+                    F.col("ts").cast("timestamp").alias("ts"),
+                    "event_type", "value")
+            .withWatermark("ts", delay)
+            # keep the watermarked ts column itself: event-time timeout
+            # requires the watermark attribute to reach the stateful op
+            .select("event_id", "user_id", "ts",
+                    F.unix_micros(F.col("ts")).alias("ts_us"),
+                    "event_type", "value"))
+    return base.groupBy("user_id").applyInPandasWithState(
+        _asof_ooo_enricher, ASOF_OUT_SCHEMA, ASOF_OOO_STATE_SCHEMA,
+        outputMode="append", timeoutConf=GroupStateTimeout.EventTimeTimeout)

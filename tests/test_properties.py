@@ -1812,3 +1812,33 @@ def test_kmv_registers_exact_and_estimates_bounded(spark, sf_dir):
                 (r, inter)
         truth[(r["g_a"], r["g_b"])] = (inter, union)
     assert truth  # pairs existed
+
+
+def test_asof_join_null_right_value_stays_null(spark):
+    """A matched right row whose VALUE is NULL must enrich as (its ts,
+    NULL) -- the DuckDB ASOF semantics. The union-merge's per-column
+    last(ignorenulls) would skip the NULL and wrongly inherit an OLDER
+    right row's value; the payload-struct carry pins the fix."""
+    from automated_review_analysis_pipeline_spark.operators.events import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 300), (3, 2, 50)],
+        "event_id long, user_id long, t long")
+    right = spark.createDataFrame(
+        [(1, 90, 7.0), (1, 250, None), (2, 10, None)],
+        "user_id long, t long, pv double")
+    got = {r["event_id"]: (r["p_t"], r["p_pv"])
+           for r in asof_join(left, right, on="t", by="user_id",
+                              prefix="p_").collect()}
+    assert got == {1: (90, 7.0),
+                   2: (250, None),   # NOT 7.0 carried from t=90
+                   3: (10, None)}    # first match NULL, not no-match
+
+    # forward direction, same discipline
+    gotf = {r["event_id"]: (r["p_t"], r["p_pv"])
+            for r in asof_join(left, right, on="t", by="user_id",
+                               direction="forward", prefix="p_")
+            .collect()}
+    assert gotf == {1: (250, None), 2: (None, None), 3: (None, None)}

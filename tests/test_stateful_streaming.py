@@ -369,3 +369,147 @@ def test_streaming_asof_pre1970_and_null_value_state(spark, tmp_path):
     assert got == {201: (pre1970_us, 7.5),   # negative ts carried
                    202: (null_us, None),     # NULL value carried as NULL
                    203: (None, None)}        # genuinely no purchase
+
+
+def _drain_files(spark, tmp_path, batches, name="src"):
+    """Write each batch DataFrame as one parquet file with increasing
+    mtimes so availableNow + maxFilesPerTrigger=1 replays them in
+    order."""
+    import glob
+    import os
+    import time
+
+    src = str(tmp_path / name)
+    os.makedirs(src)
+    for i, df in enumerate(batches):
+        d = str(tmp_path / f"{name}_part{i}")
+        df.coalesce(1).write.parquet(d)
+        dst = os.path.join(src, f"{chr(97 + i)}_{i}.parquet")
+        os.rename(glob.glob(d + "/*.parquet")[0], dst)
+        os.utime(dst, (time.time() - 100 + i,) * 2)
+    return src
+
+
+def test_streaming_asof_ooo_corrects_cross_batch_disorder(spark, tmp_path):
+    """The watermark-buffered as-of lane must equal the batch asof_join
+    on a fixture whose files deliver purchases AFTER the clicks they
+    must enrich (the documented failure shape of the in-order lane),
+    and the in-order lane must genuinely diverge on it -- proving the
+    buffering does real work."""
+    from automated_review_analysis_pipeline_spark.operators.events import (
+        asof_join,
+    )
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        run_available_now,
+    )
+    from automated_review_analysis_pipeline_spark.streaming.stateful import (
+        streaming_asof_enrich,
+        streaming_asof_enrich_ooo,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ddl = ("event_id long, user_id long, ts string, event_type string, "
+           "value double")
+
+    def df(rows):
+        return spark.createDataFrame(rows, ddl).withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+
+    # batch 1: clicks FIRST (their matching purchases come later)
+    b1 = df([(1, 1, "2024-01-01 10:05:00", "click", 1.0),
+             (2, 1, "2024-01-01 10:07:00", "click", None),
+             (3, 2, "2024-01-01 10:06:00", "click", 2.0)])
+    # batch 2: the out-of-order purchases (event-time BEFORE the clicks)
+    b2 = df([(10, 1, "2024-01-01 10:04:00", "purchase", 7.0),
+             (11, 1, "2024-01-01 10:06:00", "purchase", None),
+             (12, 2, "2024-01-01 10:00:00", "purchase", 3.5),
+             (13, 2, "2024-01-01 10:00:00", "purchase", 9.0)])
+    # batch 3: punctuation advancing the watermark past every click
+    b3 = df([(99, 0, "2024-01-01 11:00:00", "heartbeat", None)])
+    src = _drain_files(spark, tmp_path, [b1, b2, b3])
+
+    schema = ("event_id long, user_id long, ts timestamp, "
+              "event_type string, value double")
+
+    def got(fn, suffix, **kw):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        return {r["event_id"]: (r["p_us"], r["p_value"])
+                for r in run_available_now(fn(stream, **kw), suffix,
+                                           output_mode="append")
+                .collect()}
+
+    ooo = got(streaming_asof_enrich_ooo, "sasof_ooo", delay="10 minutes")
+
+    events = b1.unionByName(b2)
+    us = F.unix_micros(F.col("ts"))
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("t"), "value")
+    purch = (events.where(F.col("event_type") == "purchase")
+             .groupBy("user_id", us.alias("t"))
+             .agg(F.max("value").alias("pv")))
+    want = {r["event_id"]: (r["p_t"], r["p_pv"])
+            for r in asof_join(clicks, purch, on="t", by="user_id",
+                               prefix="p_").collect()}
+    assert ooo == want
+    # the disorder was real: every click's purchase arrived later
+    assert all(p[0] is not None for p in ooo.values())
+
+    # the in-order lane mis-enriches this fixture (documented contract)
+    inorder = got(streaming_asof_enrich, "sasof_io")
+    assert inorder != want
+
+
+def test_streaming_asof_ooo_matches_inorder_fixture(spark, sf_dir,
+                                                    tmp_path):
+    """On the time-ordered fixture (plus a trailing heartbeat so the
+    watermark passes the last click) the OOO lane equals the batch
+    as-of too -- buffering costs no correctness when delivery is
+    in-order."""
+    from automated_review_analysis_pipeline_spark.operators.events import (
+        asof_join,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+    from automated_review_analysis_pipeline_spark.streaming.events_stream import (
+        run_available_now,
+    )
+    from automated_review_analysis_pipeline_spark.streaming.stateful import (
+        streaming_asof_enrich_ooo,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value")
+    mn, mx = events.agg(F.unix_micros(F.min("ts")),
+                        F.unix_micros(F.max("ts"))).first()
+    split = (mn + mx) // 2
+    hb = spark.createDataFrame(
+        [(-1, 0, "heartbeat", None)],
+        "event_id long, user_id long, event_type string, value double"
+    ).withColumn("ts", F.timestamp_micros(F.lit(mx + 10**9)))
+    src = _drain_files(
+        spark, tmp_path,
+        [events.where(F.unix_micros(F.col("ts")) < split),
+         events.where(F.unix_micros(F.col("ts")) >= split),
+         hb.select("event_id", "user_id", "ts", "event_type", "value")])
+
+    stream = (spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double").option("maxFilesPerTrigger", 1).parquet(src))
+    got = {r["event_id"]: (r["p_us"], r["p_value"])
+           for r in run_available_now(
+               streaming_asof_enrich_ooo(stream, delay="0 seconds"),
+               "sasof_ooo_io", output_mode="append").collect()}
+
+    us = F.unix_micros(F.col("ts"))
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("t"), "value")
+    purch = (events.where(F.col("event_type") == "purchase")
+             .groupBy("user_id", us.alias("t"))
+             .agg(F.max("value").alias("pv")))
+    want = {r["event_id"]: (r["p_t"], r["p_pv"])
+            for r in asof_join(clicks, purch, on="t", by="user_id",
+                               prefix="p_").collect()}
+    assert got == want

@@ -218,10 +218,34 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     return out.select(*sel)
 
 
+def auto_bin_width(left: DataFrame, right: DataFrame,
+                   l_start: str, l_end: str,
+                   r_start: str, r_end: str,
+                   sample_rows: int = 100_000) -> int:
+    """Derive an interval-join grid width from the data: the LARGER of
+    the two sides' median interval lengths (approx quantile, 1% error,
+    on a bounded sample per side). Per-side medians, then max -- a
+    pooled median is poisoned when one side is degenerate-heavy (e.g.
+    single-event sessions of length 1 us next to 10-minute error
+    windows: the pooled median says W=1 us, which explodes every error
+    window into millions of grid cells); the max keeps W at the
+    natural scale of the LONGER population, whose explode W would
+    otherwise multiply. The PERF.md sweep shows the cost curve is flat
+    within ~2x of that scale and punishes only the far ends. Affects
+    performance only, never the result set."""
+    def med(df: DataFrame, s: str, e: str) -> int:
+        lens = (df.select((F.col(e) - F.col(s)).alias("len"))
+                .where(F.col("len") > 0).limit(sample_rows))
+        q = lens.approxQuantile("len", [0.5], 0.01)
+        return int(q[0]) if q else 1
+
+    return max(1, med(left, l_start, l_end), med(right, r_start, r_end))
+
+
 def interval_overlap_join(left: DataFrame, right: DataFrame,
                           l_start: str, l_end: str,
                           r_start: str, r_end: str,
-                          bin_width: int) -> DataFrame:
+                          bin_width: int | None = None) -> DataFrame:
     """KEYLESS overlap join of two interval tables (half-open
     ``[start, end)`` in the same int64 units): emit every (left, right)
     pair whose intervals intersect. Spark's only native plan for the
@@ -242,8 +266,14 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     mini cross product (both ends are measured in
     tools/interval_bin_sweep.py -- the cost is per-cell
     |L_cell| x |R_cell|, so W tunes the classic grid-join tradeoff).
-    Empty/degenerate intervals (end <= start) cannot overlap anything
-    and are dropped. Left/right column names must be disjoint."""
+    With ``bin_width=None`` the width derives from the data via
+    :func:`auto_bin_width` (median interval length -- the sweep shows
+    that sits on the flat part of the cost curve). Empty/degenerate
+    intervals (end <= start) cannot overlap anything and are dropped.
+    Left/right column names must be disjoint."""
+    if bin_width is None:
+        bin_width = auto_bin_width(left, right, l_start, l_end,
+                                   r_start, r_end)
     lb = left.where(F.col(l_end) > F.col(l_start)).withColumn(
         "__cell", F.explode(F.sequence(
             F.floor(F.col(l_start) / bin_width),

@@ -1752,13 +1752,28 @@ def test_interval_overlap_join_exact_pairs_no_dups(spark):
     }
     assert (1, 10) in naive and (2, 10) in naive  # 4<5 & 5<6 overlap
     assert (2, 11) not in naive                   # touching: no match
-    for w in (1, 3, 64, 10_000):
+    for w in (1, 3, 64, 10_000, None):
         got = [(r["lid"], r["rid"])
                for r in interval_overlap_join(
                    left, right, "s_start", "s_end", "e_start", "e_end",
                    bin_width=w).collect()]
         assert len(got) == len(set(got)), (w, got)  # exactly-once
         assert set(got) == naive, (w, sorted(set(got) ^ naive))
+
+    # the auto width is the LARGER side's median scale -- a degenerate
+    # 1-unit-heavy side must not drag W down to the explode cliff
+    from automated_review_analysis_pipeline_spark.operators.events import (
+        auto_bin_width,
+    )
+
+    tiny = spark.createDataFrame(
+        [(i, i * 10, i * 10 + 1) for i in range(20)],
+        "lid long, s_start long, s_end long")
+    wide = spark.createDataFrame(
+        [(i, i * 10, i * 10 + 1000) for i in range(5)],
+        "rid long, e_start long, e_end long")
+    assert auto_bin_width(tiny, wide, "s_start", "s_end",
+                          "e_start", "e_end") == 1000
 
 
 def test_kmv_registers_exact_and_estimates_bounded(spark, sf_dir):

@@ -66,6 +66,20 @@ def main() -> None:
             base = pairs
         assert pairs == base, f"result changed at W={w}"
         print(f"| {w // MIN} min | {rows} | {wall:.2f} | {len(pairs)} |")
+
+    # the auto pick (median interval length) must land on the flat part
+    w_auto = ev.auto_bin_width(sessions, errors, "s_start", "s_end",
+                               "e_start", "e_end")
+    t0 = time.time()
+    pairs = sorted(map(tuple, ev.interval_overlap_join(
+        sessions, errors, "s_start", "s_end", "e_start", "e_end",
+        bin_width=None).select("user_id", "session_id",
+                               "err_id").collect()))
+    wall = time.time() - t0
+    assert pairs == base, "auto width changed the result"
+    rows = fanout(sessions, "s_start", "s_end", w_auto) +         fanout(errors, "e_start", "e_end", w_auto)
+    print(f"| auto ({w_auto / MIN:.1f} min) | {rows} | {wall:.2f} "
+          f"| {len(pairs)} |")
     spark.stop()
 
 

@@ -924,6 +924,47 @@ def _aho_corasick(phrases: tuple) -> tuple:
     return goto, fail, out
 
 
+def _build_fast_automaton(phrases: tuple):
+    """Env-discovered pyahocorasick automaton over ``phrases``, or None
+    when the package is absent (the pure-Python automaton then runs).
+    Discovery-only, same discipline as the VADER lexicon: the package
+    is never vendored; identical results are pinned by pytest against
+    a fake module implementing the same add_word/make_automaton/iter
+    API."""
+    try:
+        import ahocorasick  # type: ignore
+
+        fast = ahocorasick.Automaton()
+        for pi, p in enumerate(phrases):
+            fast.add_word(p, pi)
+        fast.make_automaton()
+        return fast
+    except Exception:
+        return None
+
+
+def _scan_text(text, phrases: tuple, goto, fail, out, fast=None):
+    """(per-phrase occurrence counts, total) for one document --
+    overlapping occurrences all count. Runs the C automaton when one
+    was discovered, else the pure-Python goto/fail tables."""
+    per = [0] * len(phrases)
+    total = 0
+    if fast is not None:
+        for _end, pi in fast.iter(text or ""):
+            per[pi] += 1
+            total += 1
+        return per, total
+    s = 0
+    for ch in (text or ""):
+        while s and ch not in goto[s]:
+            s = fail[s]
+        s = goto[s].get(ch, 0)
+        for pi in out[s]:
+            per[pi] += 1
+            total += 1
+    return per, total
+
+
 def blocklist_matches(documents: DataFrame,
                       phrases: tuple = BLOCKLIST_PHRASES,
                       mode: str = "automaton",
@@ -986,19 +1027,18 @@ def blocklist_matches(documents: DataFrame,
     def scan_batches(batches):
         import pandas as pd
 
+        # env-discovered C automaton (pyahocorasick), never vendored --
+        # same results as the pure-Python automaton (pinned by pytest
+        # against a fake module implementing the same API), ~100x the
+        # per-character constant; built per task from the tiny phrase
+        # tuple, falling back silently when the package is absent
+        fast = _build_fast_automaton(phrases)
+
         for b in batches:
             ids, hits, nph, csvs = [], [], [], []
             for doc_id, text in zip(b["doc_id"], b[text_col]):
-                s = 0
-                per = [0] * len(phrases)
-                total = 0
-                for ch in (text or ""):
-                    while s and ch not in goto[s]:
-                        s = fail[s]
-                    s = goto[s].get(ch, 0)
-                    for pi in out[s]:
-                        per[pi] += 1
-                        total += 1
+                per, total = _scan_text(text, phrases, goto, fail, out,
+                                        fast)
                 matched = sorted(p for pi, p in enumerate(phrases)
                                  if per[pi])
                 ids.append(doc_id)

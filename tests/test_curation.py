@@ -553,3 +553,62 @@ def test_blocklist_automaton_equals_expr_and_handles_overlaps(spark):
     for doc_id, text in rows:
         want_hits = sum(naive(text, p) for p in ph)
         assert got[doc_id][0] == want_hits, (doc_id, got[doc_id])
+
+
+def test_blocklist_fast_automaton_path_pins_pure_python(monkeypatch):
+    """The env-discovered pyahocorasick integration must count exactly
+    like the pure-Python automaton. The package is absent in this
+    container, so a FAKE module implementing the same
+    add_word/make_automaton/iter contract exercises the integration
+    code (counting off the iter stream, overlap handling, None/empty
+    texts); when the real package exists, the same assertions pin it."""
+    import sys
+    import types
+
+    from automated_review_analysis_pipeline_spark.operators.curation import (
+        _aho_corasick,
+        _build_fast_automaton,
+        _scan_text,
+    )
+
+    class FakeAutomaton:
+        def __init__(self):
+            self._words = []
+
+        def add_word(self, word, value):
+            self._words.append((word, value))
+
+        def make_automaton(self):
+            pass
+
+        def iter(self, haystack):
+            for w, v in self._words:
+                start = 0
+                while True:
+                    i = haystack.find(w, start)
+                    if i < 0:
+                        break
+                    yield (i + len(w) - 1, v)
+                    start = i + 1
+
+    phrases = ("an", "anan", "ban", "ünïcode", "click here")
+    texts = ["ananan", "banana banana", "", None, "ünïcode ünïcode an",
+             "no hits at all", "click here to click here", "an" * 500]
+
+    # absent package -> no fast path
+    monkeypatch.delitem(sys.modules, "ahocorasick", raising=False)
+    assert _build_fast_automaton(phrases) is None or True  # env-dependent
+
+    fake_mod = types.SimpleNamespace(Automaton=FakeAutomaton)
+    monkeypatch.setitem(sys.modules, "ahocorasick", fake_mod)
+    fast = _build_fast_automaton(phrases)
+    assert isinstance(fast, FakeAutomaton)
+
+    goto, fail, out = _aho_corasick(phrases)
+    for t in texts:
+        pure = _scan_text(t, phrases, goto, fail, out, None)
+        viafast = _scan_text(t, phrases, goto, fail, out, fast)
+        assert pure == viafast, (t, pure, viafast)
+    # overlap sanity: 'ananan' holds 'an' x3 and 'anan' x2
+    per, total = _scan_text("ananan", phrases, goto, fail, out, fast)
+    assert per[0] == 3 and per[1] == 2 and total == 5

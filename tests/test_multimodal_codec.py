@@ -2573,3 +2573,20 @@ def test_flac_frame_rate_disagreeing_with_streaminfo_raises():
     import pytest as _pytest
     with _pytest.raises(NotImplementedError, match="disagrees"):
         decode_flac(bytes(p))
+
+
+def test_tiff_old_style_jpeg_compression6_pinned_raise():
+    """Old-style JPEG-in-TIFF (compression 6, deprecated by TIFF 6.0's
+    own errata) is explicitly unsupported: a structurally-valid TIFF
+    whose compression tag says 6 must raise the one catchable
+    exception BEFORE any strip decode is attempted -- pinned so the
+    honest-raise contract can't silently regress into a garbage
+    decode."""
+    img = _grad(2, 2)
+    buf = bytearray(_tiff(img))
+    i = buf.find(struct.pack("<HHI", 259, 3, 1))
+    assert i > 0
+    buf[i + 8:i + 10] = struct.pack("<H", 6)
+    with pytest.raises(NotImplementedError,
+                       match="uncompressed, LZW, Deflate"):
+        _decode_tiff(bytes(buf))

@@ -1080,3 +1080,41 @@ SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_hits,
          AS phrases_csv
 FROM hits GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def stratified_sample(documents: DataFrame, strata_col: str,
+                      fraction: float, key_col: str = "doc_id",
+                      salt: str = "strat:") -> DataFrame:
+    """EXACT deterministic stratified sampling: round(fraction * n)
+    rows from EVERY stratum -- unlike ``df.sampleBy`` (per-row
+    Bernoulli: the realized per-stratum count is a random variable and
+    a re-run resamples), this ranks each stratum by a PORTABLE keyed
+    hash (md5, the KMV family's discipline) and keeps exactly the
+    target count, so (a) proportions are exact per stratum, (b) the
+    sample is a pure function of the data -- reproducible across runs,
+    engines, and cluster sizes, and (c) adding a document only ever
+    displaces one sample in its own stratum (bounded churn, the
+    training-data curation property).
+
+    Half-up rounding of fraction*n (DECIMAL semantics, mirrored in the
+    oracle); a non-empty stratum keeps at least one row so small
+    strata are represented. One shuffle on the stratum key; the window
+    sort spills per stratum -- the standard shape, same as any
+    per-group top-k."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt),
+                       F.col(key_col).cast("string"))), 1, 12),
+        16, 10).cast("long")
+    w = Window.partitionBy(strata_col).orderBy("__h", key_col)
+    wn = Window.partitionBy(strata_col)
+    target = F.greatest(
+        F.lit(1),
+        F.floor(F.lit(fraction) * F.col("__n") + F.lit(0.5))
+        .cast("long"))
+    return (documents
+            .withColumn("__h", h)
+            .withColumn("__n", F.count(F.lit(1)).over(wn))
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= target)
+            .drop("__h", "__n", "__r")
+            .orderBy(strata_col, key_col))

@@ -905,3 +905,76 @@ def substring_dedup(documents: DataFrame, text_col: str = "text",
         )
         .orderBy("doc_id")
     )
+
+
+def set_similarity_join(documents: DataFrame, threshold: float = 0.5,
+                        text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """EXACT Jaccard set-similarity self-join with PPJoin-style PREFIX
+    FILTERING -- the exact counterpart of the MinHash-LSH pipeline
+    (same distinct word-k-shingle sets): every pair of documents whose
+    shingle-set Jaccard >= t, NO false negatives (LSH banding trades
+    recall for speed; this trades nothing), no all-pairs comparison.
+
+    The classic prefix-filter rewrite (Chaudhuri et al. SSJoin,
+    Xiao et al. PPJoin): order every document's tokens by one GLOBAL
+    rare-first order (document frequency, ties by token); if
+    J(x, y) >= t, then x and y must share a token within their first
+    ``|d| - ceil(t*|d|) + 1`` tokens under that shared order -- so an
+    equi-join on PREFIX tokens finds every qualifying pair. Candidates
+    then verify exactly (array_intersect on the full token arrays).
+    Three properties make this the 100-TB shape:
+
+    * the prefix explode is ~(1-t)*|d|+1 rows per doc, not |d|;
+    * prefix tokens are by construction the RAREST -- the zipf head
+      that would blow up a plain token self-join is excluded unless a
+      document is almost all boilerplate;
+    * the size filter t*|x| <= |y| <= |x|/t kills cross-size pairs
+      before verification.
+
+    Emits (a_id, b_id, n_common, jaccard) for a_id < b_id with
+    jaccard = round(inter/union, 6) >= t, threshold applied to the
+    ROUNDED value (mirrored in the oracle)."""
+    toks = (documents
+            .select(F.col(id_col).alias("id"), F.col(text_col))
+            .withColumn("__toks", shingle_tokens(F.col(text_col)))
+            .select("id", F.explode(
+                word_shingles_from_tokens(F.col("__toks"), k))
+                .alias("tok")))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("id").orderBy("df", "tok")
+    ranked = (toks.join(freq, "tok")
+              .select("id", "tok", "df")
+              .withColumn("pos", F.row_number().over(w_doc)))
+    sizes = ranked.groupBy("id").agg(F.max("pos").alias("sz"))
+    pref = (ranked.join(sizes, "id")
+            .where(F.col("pos") <=
+                   F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz"))
+                   + 1)
+            .select("id", "tok", "sz"))
+    cand = (pref.alias("x").join(pref.alias("y"), "tok")
+            .where(F.col("x.id") < F.col("y.id"))
+            .where((F.col("y.sz") >= threshold * F.col("x.sz"))
+                   & (F.col("x.sz") >= threshold * F.col("y.sz")))
+            .select(F.col("x.id").alias("a_id"),
+                    F.col("y.id").alias("b_id"))
+            .distinct())
+    arrs = toks.groupBy("id").agg(
+        F.sort_array(F.collect_list("tok")).alias("toks"),
+        F.count(F.lit(1)).alias("sz"))
+    verified = (cand
+                .join(arrs.select(F.col("id").alias("a_id"),
+                                  F.col("toks").alias("a_toks"),
+                                  F.col("sz").alias("a_sz")), "a_id")
+                .join(arrs.select(F.col("id").alias("b_id"),
+                                  F.col("toks").alias("b_toks"),
+                                  F.col("sz").alias("b_sz")), "b_id")
+                .withColumn("n_common", F.size(
+                    F.array_intersect("a_toks", "b_toks")).cast("int"))
+                .withColumn("jaccard", F.round(
+                    F.col("n_common")
+                    / (F.col("a_sz") + F.col("b_sz") - F.col("n_common")),
+                    6)))
+    return (verified.where(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", "n_common", "jaccard")
+            .orderBy("a_id", "b_id"))

@@ -170,6 +170,28 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard set-similarity self-join (PPJoin-style prefix
+    filter over the same distinct word-3-shingle sets the MinHash
+    pipeline banding approximates): every document pair with shingle
+    Jaccard >= 0.5, zero false negatives, no all-pairs scan -- prefix
+    tokens are the globally rarest, so the candidate join never meets
+    the zipf head."""
+    return dedup.set_similarity_join(
+        _t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deterministic stratified sample: round(0.2 * n) documents
+    from EVERY language stratum, ranked by a portable keyed md5 hash --
+    exact per-stratum proportions and cross-engine reproducibility,
+    unlike sampleBy's Bernoulli draws (random realized counts, engine-
+    specific RNG)."""
+    return cur.stratified_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"),
+        "lang", 0.2)
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash->LSH->verify pipeline; threshold 0 keeps every LSH
     candidate with its exact Jaccard, so the oracle checks candidate
@@ -2358,6 +2380,8 @@ QUERIES: dict[str, QueryFn] = {
     "dup_stats": q_dup_stats,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_pairs": q_minhash_pairs,
+    "set_similarity_pairs": q_set_similarity_pairs,
+    "stratified_sample": q_stratified_sample,
     "incremental_minhash_pairs": q_incremental_minhash_pairs,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
@@ -4393,6 +4417,40 @@ ORDER BY user_id, session_start_us
 
 # incremental minhash emits each pair exactly once (when its later member
 # arrives), so the accumulated set == the batch recompute
+ORACLE_SQL["set_similarity_pairs"] = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_shingles_sql('text')}) AS tok FROM documents
+), sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS n_common
+  FROM t x JOIN t y ON x.tok = y.tok AND x.doc_id < y.doc_id
+  GROUP BY 1, 2)
+SELECT i.a_id, i.b_id, CAST(n_common AS INT) AS n_common,
+       round(n_common::DOUBLE / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.a_id
+JOIN sz sb ON sb.doc_id = i.b_id
+WHERE round(n_common::DOUBLE / (sa.sz + sb.sz - n_common), 6) >= 0.5
+ORDER BY a_id, b_id
+"""
+
+ORACLE_SQL["stratified_sample"] = """
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)),
+               1, 12)) AS UBIGINT)::BIGINT AS hh
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM h
+)
+SELECT doc_id, lang, n_chars FROM r
+WHERE rn <= greatest(1, floor(0.2 * n + 0.5))
+ORDER BY lang, doc_id
+"""
+
 ORACLE_SQL["streaming_minhash_pairs"] = ORACLE_SQL["minhash_pairs"]
 
 # store-internal pairs + incremental new-vs-all pairs == full recompute

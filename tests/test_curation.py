@@ -612,3 +612,45 @@ def test_blocklist_fast_automaton_path_pins_pure_python(monkeypatch):
     # overlap sanity: 'ananan' holds 'an' x3 and 'anan' x2
     per, total = _scan_text("ananan", phrases, goto, fail, out, fast)
     assert per[0] == 3 and per[1] == 2 and total == 5
+
+
+def test_stratified_sample_exact_proportions_and_determinism(spark,
+                                                             sf_dir):
+    """Every stratum contributes exactly round(fraction * n) rows (min
+    1), the sample is a pure function of the data (re-run identical),
+    and adding one new document changes at most one kept row in its own
+    stratum (bounded churn)."""
+    from automated_review_analysis_pipeline_spark.operators.curation import (
+        stratified_sample,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    frac = 0.2
+    got = stratified_sample(d, "lang", frac).collect()
+    want_n = {r["lang"]: max(1, int(r["n"] * frac + 0.5))
+              for r in d.groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    from collections import Counter
+
+    per = Counter(r["lang"] for r in got)
+    assert dict(per) == want_n
+    again = stratified_sample(d, "lang", frac).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+    # bounded churn: one appended doc displaces at most one row of its
+    # own stratum (or only adds itself when the target grows)
+    lang0 = got[0]["lang"]
+    extra = spark.createDataFrame([(10**9, lang0, 42)],
+                                  "doc_id long, lang string, n_chars long")
+    before = {(r["doc_id"], r["lang"]) for r in got}
+    after = {(r["doc_id"], r["lang"])
+             for r in stratified_sample(d.unionByName(extra), "lang",
+                                        frac).collect()}
+    other_strata_before = {x for x in before if x[1] != lang0}
+    other_strata_after = {x for x in after if x[1] != lang0}
+    assert other_strata_before == other_strata_after
+    assert len(before.symmetric_difference(after)) <= 2

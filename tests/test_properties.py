@@ -1857,3 +1857,51 @@ def test_asof_join_null_right_value_stays_null(spark):
                                direction="forward", prefix="p_")
             .collect()}
     assert gotf == {1: (250, None), 2: (None, None), 3: (None, None)}
+
+
+def test_set_similarity_join_exact_vs_naive(spark):
+    """PPJoin-style prefix filtering must lose NOTHING: the join equals
+    the naive all-pairs Jaccard over the same shingle sets at every
+    threshold, including boundary pairs, short docs (len<k collapse to
+    one whole-text shingle), and identical docs."""
+    from automated_review_analysis_pipeline_spark.operators.dedup import (
+        set_similarity_join,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # high overlap
+        "the quick brown fox leaps over the lazy dog",
+        "a completely different document about spark joins",
+        "a completely different document about spark joins",  # identical
+        "short doc",                                      # len < k
+        "short doc",                                      # identical short
+        "tiny",
+        "the quick brown fox jumps over the lazy dog extra tail words",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    def shingles(t):
+        ws = t.lower().strip().split()
+        if len(ws) >= 3:
+            return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+        return {" ".join(ws)}
+
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    for thr in (0.3, 0.5, 0.9):
+        naive = {}
+        for a in sets:
+            for b in sets:
+                if a < b:
+                    inter = len(sets[a] & sets[b])
+                    union = len(sets[a] | sets[b])
+                    j = round(inter / union, 6) if union else 0.0
+                    if j >= thr:
+                        naive[(a, b)] = (inter, j)
+        got = {(r["a_id"], r["b_id"]): (r["n_common"], r["jaccard"])
+               for r in set_similarity_join(docs, threshold=thr)
+               .collect()}
+        assert got == naive, (thr, sorted(set(got) ^ set(naive)))
+    # sanity: the fixture exercises real cases
+    assert (3, 4) in naive and (5, 6) in naive   # identical pairs at 0.9

@@ -214,3 +214,81 @@ def psi_drift(documents: DataFrame, value_col: str = "n_chars",
         )
         .orderBy("bin")
     )
+
+
+def column_stats(df: DataFrame) -> DataFrame:
+    """ANALYZE-style per-column statistics in ONE pass: for every
+    column, (n_rows, n_nulls, n_distinct exact, min/max) -- the stats
+    table every optimizer, data-quality monitor, and "what is in this
+    100 TB table" first-look needs. All columns aggregate in a single
+    wide SELECT (one scan, one partial+final aggregate -- never one
+    job per column), then the one result row melts to long form with
+    ``stack``.
+
+    min/max land in TYPED slots so no engine-specific string
+    formatting can diverge: numerics (and timestamps, as unix micros)
+    fill ``min_num/max_num``; strings fill ``min_str/max_str``;
+    booleans count as numeric 0/1; other types (arrays, structs,
+    binary) report counts only. n_distinct is EXACT (count_distinct;
+    the approx lane for 100 TB is the portable-HLL operator family)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        NumericType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    kinds: dict[str, str] = {}
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType,
+                      (TimestampType, TimestampNTZType, DateType)):
+            num = F.unix_micros(c.cast("timestamp")).cast("double")
+            kinds[f.name] = "num"
+        elif isinstance(f.dataType, BooleanType):
+            num = c.cast("int").cast("double")
+            kinds[f.name] = "num"
+        elif isinstance(f.dataType, NumericType):
+            num = c.cast("double")
+            kinds[f.name] = "num"
+        elif isinstance(f.dataType, StringType):
+            num = None
+            kinds[f.name] = "str"
+        else:
+            num = None
+            kinds[f.name] = "other"
+        aggs.append(F.count(F.when(c.isNull(), 1))
+                    .alias(f"__nulls_{f.name}"))
+        aggs.append(F.count_distinct(c).alias(f"__nd_{f.name}"))
+        if kinds[f.name] == "num":
+            aggs.append(F.min(num).alias(f"__min_{f.name}"))
+            aggs.append(F.max(num).alias(f"__max_{f.name}"))
+        elif kinds[f.name] == "str":
+            aggs.append(F.min(c).alias(f"__min_{f.name}"))
+            aggs.append(F.max(c).alias(f"__max_{f.name}"))
+    one = df.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for f in df.schema.fields:
+        k = kinds[f.name]
+        structs.append(F.struct(
+            F.lit(f.name).alias("column"),
+            F.col("__n").cast("long").alias("n_rows"),
+            F.col(f"__nulls_{f.name}").cast("long").alias("n_nulls"),
+            F.col(f"__nd_{f.name}").cast("long").alias("n_distinct"),
+            (F.round(F.col(f"__min_{f.name}"), 6) if k == "num"
+             else null_d).alias("min_num"),
+            (F.round(F.col(f"__max_{f.name}"), 6) if k == "num"
+             else null_d).alias("max_num"),
+            (F.col(f"__min_{f.name}") if k == "str"
+             else null_s).alias("min_str"),
+            (F.col(f"__max_{f.name}") if k == "str"
+             else null_s).alias("max_str"),
+        ))
+    return (one.select(F.explode(F.array(*structs)).alias("s"))
+            .select("s.*").orderBy("column"))

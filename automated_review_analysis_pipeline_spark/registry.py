@@ -406,6 +406,19 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column stats over orders in ONE scan: counts,
+    nulls, exact distinct, typed min/max (numerics + timestamps as
+    unix-micro doubles, strings as strings) -- the first-look / stats
+    surface of any engine, melted to long form via stack."""
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        column_stats,
+    )
+
+    _utc(spark)
+    return column_stats(_t(spark, sf_dir, "orders"))
+
+
 def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality contract on orders: two passing rules,
     two with real violation mass, one uniqueness check per kind."""
@@ -2496,6 +2509,7 @@ QUERIES: dict[str, QueryFn] = {
     "media_near_dup": q_media_near_dup,
     "near_dup_triangles": q_near_dup_triangles,
     "expectations_orders": q_expectations_orders,
+    "column_stats": q_column_stats,
     "curate_corpus": q_curate_corpus,
     "curate_corpus_tokens": q_curate_corpus_tokens,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -4976,6 +4990,47 @@ SELECT lang, doc_id, n_bpe_tokens, tokens_before,
 FROM tok_cum ORDER BY lang, doc_id
 """
 
+
+ORACLE_SQL["column_stats"] = """
+WITH src AS (SELECT * FROM orders)
+SELECT * FROM (
+  SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+         count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+         count(DISTINCT o_orderkey) AS n_distinct,
+         round(min(o_orderkey)::DOUBLE, 6) AS min_num,
+         round(max(o_orderkey)::DOUBLE, 6) AS max_num,
+         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+  FROM src
+  UNION ALL
+  SELECT 'o_custkey', count(*),
+         count(CASE WHEN o_custkey IS NULL THEN 1 END),
+         count(DISTINCT o_custkey),
+         round(min(o_custkey)::DOUBLE, 6), round(max(o_custkey)::DOUBLE, 6),
+         NULL, NULL FROM src
+  UNION ALL
+  SELECT 'o_orderstatus', count(*),
+         count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+         count(DISTINCT o_orderstatus), NULL, NULL,
+         min(o_orderstatus), max(o_orderstatus) FROM src
+  UNION ALL
+  SELECT 'o_totalprice', count(*),
+         count(CASE WHEN o_totalprice IS NULL THEN 1 END),
+         count(DISTINCT o_totalprice),
+         round(min(o_totalprice)::DOUBLE, 6),
+         round(max(o_totalprice)::DOUBLE, 6), NULL, NULL FROM src
+  UNION ALL
+  SELECT 'o_orderdate', count(*),
+         count(CASE WHEN o_orderdate IS NULL THEN 1 END),
+         count(DISTINCT o_orderdate),
+         round(epoch_us(min(o_orderdate))::DOUBLE, 6),
+         round(epoch_us(max(o_orderdate))::DOUBLE, 6), NULL, NULL FROM src
+  UNION ALL
+  SELECT 'o_orderpriority', count(*),
+         count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+         count(DISTINCT o_orderpriority), NULL, NULL,
+         min(o_orderpriority), max(o_orderpriority) FROM src
+) ORDER BY "column"
+"""
 
 ORACLE_SQL["expectations_orders"] = """
 WITH n AS (SELECT count(*)::DOUBLE AS n_rows FROM orders),

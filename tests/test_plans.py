@@ -998,3 +998,23 @@ def test_ivfpq_residual_codes_only_plan_and_append_consistency(
     os.rename(tmp_means, s1 + "/cellmeans")
     with _pytest.raises(Exception, match="no stored cell mean"):
         sim.ivfpq_index_append(spark, s1, delta).count()
+
+
+def test_set_similarity_join_plan_no_cartesian(spark, sf_dir):
+    """The prefix-filtered set-similarity join must plan as HASH joins
+    on the prefix token / id keys -- never a cartesian or broadcast
+    nested loop -- and the prefix explode must feed both sides of the
+    candidate join."""
+    from automated_review_analysis_pipeline_spark.operators.dedup import (
+        set_similarity_join,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    out = set_similarity_join(load_table(spark, sf_dir, "documents"),
+                              threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert out.count() > 0

@@ -978,3 +978,158 @@ def set_similarity_join(documents: DataFrame, threshold: float = 0.5,
     return (verified.where(F.col("jaccard") >= threshold)
             .select("a_id", "b_id", "n_common", "jaccard")
             .orderBy("a_id", "b_id"))
+
+
+def build_simjoin_index(documents: DataFrame, store_dir: str,
+                        threshold: float = 0.5, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        mode: str = "overwrite") -> DataFrame:
+    """Persist an EXACT set-similarity index so deltas never rescan the
+    corpus: the frozen rare-first token ORDER (document frequencies at
+    build time), every document's shingle array + prefix rows under
+    that order, and the qualifying pairs. Layout under ``store_dir``:
+
+      dfreq/   (tok, df)           -- the FROZEN global order
+      docs/    (id, toks, sz)      -- shingle arrays for verification
+      prefix/  (id, tok, sz)       -- prefix rows under the frozen order
+      pairs/   (a_id, b_id, n_common, jaccard)
+
+    Freezing the order is what makes appends exact: the prefix filter
+    only needs BOTH documents ranked by the SAME total order -- which
+    order is immaterial to completeness (any shared order works; rare-
+    first merely minimizes candidates). So delta prefixes rank against
+    the STORED dfreq (unseen tokens get df 0 = rarest) and the
+    accumulated pair set equals the one-shot recompute exactly -- same
+    discipline as the persisted MinHash signature store, but with NO
+    false negatives at any point. ``mode`` must be "overwrite" (an
+    append-mode build would refreeze the order under existing
+    prefixes). Returns the pair table."""
+    if mode != "overwrite":
+        raise ValueError(
+            f"build_simjoin_index only supports mode='overwrite' (got "
+            f"{mode!r}); append deltas with simjoin_append")
+    spark = documents.sparkSession
+    toks = (documents
+            .select(F.col(id_col).alias("id"), F.col(text_col))
+            .withColumn("__toks", shingle_tokens(F.col(text_col)))
+            .select("id", F.explode(
+                word_shingles_from_tokens(F.col("__toks"), k))
+                .alias("tok")))
+    toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df")) \
+        .write.mode("overwrite").parquet(store_dir + "/dfreq")
+    arrs = toks.groupBy("id").agg(
+        F.sort_array(F.collect_list("tok")).alias("toks"),
+        F.count(F.lit(1)).alias("sz"))
+    arrs.write.mode("overwrite").parquet(store_dir + "/docs")
+    _simjoin_prefix(toks, spark.read.parquet(store_dir + "/dfreq"),
+                    threshold) \
+        .write.mode("overwrite").parquet(store_dir + "/prefix")
+    prefix = spark.read.parquet(store_dir + "/prefix")
+    pairs = _simjoin_verify(
+        _simjoin_candidates(prefix, prefix, threshold),
+        spark.read.parquet(store_dir + "/docs"), threshold)
+    pairs.write.mode("overwrite").parquet(store_dir + "/pairs")
+    import json
+    import os
+
+    with open(os.path.join(store_dir, "meta.json"), "w",
+              encoding="utf-8") as f:
+        json.dump({"threshold": threshold, "k": k}, f)
+    return spark.read.parquet(store_dir + "/pairs")
+
+
+def _simjoin_prefix(toks: DataFrame, dfreq: DataFrame,
+                    threshold: float) -> DataFrame:
+    """(id, tok, sz) prefix rows under the given (frozen) df order;
+    tokens absent from dfreq rank as df 0 (rarest)."""
+    w_doc = Window.partitionBy("id").orderBy("df", "tok")
+    ranked = (toks.join(dfreq, "tok", "left")
+              .select("id", "tok",
+                      F.coalesce(F.col("df"), F.lit(0)).alias("df"))
+              .withColumn("pos", F.row_number().over(w_doc)))
+    sizes = ranked.groupBy("id").agg(F.max("pos").alias("sz"))
+    return (ranked.join(sizes, "id")
+            .where(F.col("pos") <=
+                   F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz"))
+                   + 1)
+            .select("id", "tok", "sz"))
+
+
+def _simjoin_candidates(px: DataFrame, py: DataFrame,
+                        threshold: float) -> DataFrame:
+    """Distinct (a_id, b_id) candidate pairs from two prefix tables
+    (a < b, size-filtered)."""
+    return (px.alias("x").join(py.alias("y"), "tok")
+            .where(F.col("x.id") < F.col("y.id"))
+            .where((F.col("y.sz") >= threshold * F.col("x.sz"))
+                   & (F.col("x.sz") >= threshold * F.col("y.sz")))
+            .select(F.col("x.id").alias("a_id"),
+                    F.col("y.id").alias("b_id"))
+            .distinct())
+
+
+def _simjoin_verify(cand: DataFrame, arrs: DataFrame,
+                    threshold: float) -> DataFrame:
+    verified = (cand
+                .join(arrs.select(F.col("id").alias("a_id"),
+                                  F.col("toks").alias("a_toks"),
+                                  F.col("sz").alias("a_sz")), "a_id")
+                .join(arrs.select(F.col("id").alias("b_id"),
+                                  F.col("toks").alias("b_toks"),
+                                  F.col("sz").alias("b_sz")), "b_id")
+                .withColumn("n_common", F.size(
+                    F.array_intersect("a_toks", "b_toks")).cast("int"))
+                .withColumn("jaccard", F.round(
+                    F.col("n_common")
+                    / (F.col("a_sz") + F.col("b_sz") - F.col("n_common")),
+                    6)))
+    return (verified.where(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", "n_common", "jaccard"))
+
+
+def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Append a DELTA to a persisted exact-simjoin index: only
+    (new x all) candidate prefixes are joined -- the |all| x |new|
+    discipline of the incremental MinHash store, with zero false
+    negatives because both sides rank by the SAME frozen order. New
+    docs' shingle arrays, prefixes, and qualifying pairs (new-old and
+    new-new) parquet-append into the store; the accumulated pair table
+    equals the one-shot recompute exactly. Returns the reloaded pair
+    table."""
+    import json
+    import os
+
+    with open(os.path.join(store_dir, "meta.json"),
+              encoding="utf-8") as f:
+        meta = json.load(f)
+    threshold, k = float(meta["threshold"]), int(meta["k"])
+    dfreq = spark.read.parquet(store_dir + "/dfreq")
+    toks = (new_docs
+            .select(F.col(id_col).alias("id"), F.col(text_col))
+            .withColumn("__toks", shingle_tokens(F.col(text_col)))
+            .select("id", F.explode(
+                word_shingles_from_tokens(F.col("__toks"), k))
+                .alias("tok")))
+    new_arrs = toks.groupBy("id").agg(
+        F.sort_array(F.collect_list("tok")).alias("toks"),
+        F.count(F.lit(1)).alias("sz"))
+    new_prefix = _simjoin_prefix(toks, dfreq, threshold)
+    new_prefix = new_prefix.localCheckpoint(eager=True)
+    new_arrs = new_arrs.localCheckpoint(eager=True)
+    all_prefix = spark.read.parquet(store_dir + "/prefix") \
+        .unionByName(new_prefix)
+    all_arrs = spark.read.parquet(store_dir + "/docs") \
+        .unionByName(new_arrs)
+    # candidates touching a NEW doc only: new x (old + new); a<b
+    # canonicalization inside _simjoin_candidates dedupes new-new pairs
+    cand = _simjoin_candidates(new_prefix, all_prefix, threshold) \
+        .unionByName(
+            _simjoin_candidates(all_prefix, new_prefix, threshold)) \
+        .distinct()
+    new_pairs = _simjoin_verify(cand, all_arrs, threshold)
+    new_pairs.write.mode("append").parquet(store_dir + "/pairs")
+    new_prefix.write.mode("append").parquet(store_dir + "/prefix")
+    new_arrs.write.mode("append").parquet(store_dir + "/docs")
+    return spark.read.parquet(store_dir + "/pairs")

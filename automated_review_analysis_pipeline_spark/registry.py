@@ -200,6 +200,39 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.0)
 
 
+def q_set_similarity_incremental(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Persisted exact-simjoin lifecycle: freeze the rare-first token
+    order on the first 80% of the corpus, then append the remaining
+    20% delta -- only (new x all) prefix candidates are joined, yet the
+    accumulated pair table equals the one-shot recompute EXACTLY (the
+    prefix filter needs a shared order, not the current one), so this
+    shares set_similarity_pairs' oracle with zero false negatives --
+    the incremental-MinHash discipline without its banding recall
+    loss."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"arap_incr_simjoin_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}")
+    store_dir = os.path.join(work, "simjoin_store")
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    delta = docs.where(F.col("doc_id") % 5 == 0)
+
+    def _build() -> None:
+        shutil.rmtree(store_dir, ignore_errors=True)
+        dedup.build_simjoin_index(old, store_dir, threshold=0.5)
+        dedup.simjoin_append(spark, store_dir, delta)
+
+    _fixture_once(store_dir, _build)
+    return (spark.read.parquet(store_dir + "/pairs")
+            .orderBy("a_id", "b_id"))
+
+
 def q_incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-signature-table lifecycle: build the store from the
     first 80% of the corpus, then run the INCREMENTAL pass over the
@@ -2394,6 +2427,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_pairs": q_minhash_pairs,
     "set_similarity_pairs": q_set_similarity_pairs,
+    "set_similarity_incremental": q_set_similarity_incremental,
     "stratified_sample": q_stratified_sample,
     "incremental_minhash_pairs": q_incremental_minhash_pairs,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -4464,6 +4498,10 @@ SELECT doc_id, lang, n_chars FROM r
 WHERE rn <= greatest(1, floor(0.2 * n + 0.5))
 ORDER BY lang, doc_id
 """
+
+# the incremental exact-simjoin accumulates THE SAME pair set as the
+# one-shot prefix join (frozen order changes candidates, never results)
+ORACLE_SQL["set_similarity_incremental"] = ORACLE_SQL["set_similarity_pairs"]
 
 ORACLE_SQL["streaming_minhash_pairs"] = ORACLE_SQL["minhash_pairs"]
 

@@ -1905,3 +1905,38 @@ def test_set_similarity_join_exact_vs_naive(spark):
         assert got == naive, (thr, sorted(set(got) ^ set(naive)))
     # sanity: the fixture exercises real cases
     assert (3, 4) in naive and (5, 6) in naive   # identical pairs at 0.9
+
+
+def test_simjoin_store_append_equals_oneshot(spark, sf_dir, tmp_path):
+    """The persisted exact-simjoin store: building on 80% and appending
+    the 20% delta yields EXACTLY the one-shot pair set over the full
+    corpus (frozen token order changes candidates, never results), the
+    delta pass never regenerates old-old candidates, and a second
+    disjoint append still matches."""
+    from automated_review_analysis_pipeline_spark.operators.dedup import (
+        build_simjoin_index,
+        set_similarity_join,
+        simjoin_append,
+    )
+    from automated_review_analysis_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 5 > 1)
+    d1 = docs.where(F.col("doc_id") % 5 == 1)
+    d0 = docs.where(F.col("doc_id") % 5 == 0)
+    store = str(tmp_path / "simjoin")
+    build_simjoin_index(base, store, threshold=0.5)
+    simjoin_append(spark, store, d1)
+    got2 = simjoin_append(spark, store, d0)
+    want = set_similarity_join(docs, threshold=0.5)
+    assert sorted(map(tuple, got2.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overwrite"):
+        build_simjoin_index(base, store, mode="append")

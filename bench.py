@@ -204,6 +204,16 @@ HEADLINE = [
     "flac_features",
     "streaming_kmv_distinct",
     "streaming_asof_enrich",
+    # round 11 (+ two round-10 queries that had never been benched)
+    "sorted_export_manifest",
+    "blocklist_matches",
+    "ivfpq_residual_probe",
+    "ann_recall_ivfpq_residual",
+    "streaming_asof_ooo",
+    "set_similarity_pairs",
+    "set_similarity_incremental",
+    "stratified_sample",
+    "column_stats",
 ]
 
 # Deliberately NOT in the headline list: the 8 streaming_* drain variants

@@ -1133,3 +1133,76 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
     new_prefix.write.mode("append").parquet(store_dir + "/prefix")
     new_arrs.write.mode("append").parquet(store_dir + "/docs")
     return spark.read.parquet(store_dir + "/pairs")
+
+
+def set_similarity_join_rs(left: DataFrame, right: DataFrame,
+                           threshold: float = 0.5,
+                           text_col: str = "text",
+                           l_id: str = "doc_id",
+                           r_id: str = "doc_id",
+                           k: int = 3) -> DataFrame:
+    """Two-table (R-S) exact set-similarity join -- the cross-corpus
+    shape of :func:`set_similarity_join`: every (left, right) pair
+    whose shingle-set Jaccard >= t, exactly. The canonical use is
+    exact eval-set contamination: held-out docs (left) against the
+    training corpus (right) at a hard Jaccard bar, where MinHash
+    banding's false negatives are unacceptable.
+
+    Same prefix-filter math; the ONE global rare-first order comes
+    from the UNION of both sides' token document frequencies (any
+    shared total order preserves completeness -- the union-df order
+    just keeps candidates minimal for both). Candidates are
+    prefix(left) equi-joined to prefix(right) -- never left x right --
+    plus the size filter; exact verification on the full arrays.
+    Emits (l_id, r_id, n_common, jaccard), threshold on the ROUNDED
+    value."""
+    def toks_of(df: DataFrame, idc: str, side: str) -> DataFrame:
+        return (df.select(F.col(idc).alias("id"), F.col(text_col))
+                .withColumn("__toks", shingle_tokens(F.col(text_col)))
+                .select(F.lit(side).alias("side"), "id", F.explode(
+                    word_shingles_from_tokens(F.col("__toks"), k))
+                    .alias("tok")))
+
+    lt = toks_of(left, l_id, "l")
+    rt = toks_of(right, r_id, "r")
+    both = lt.unionByName(rt)
+    dfreq = both.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("side", "id").orderBy("df", "tok")
+    ranked = (both.join(dfreq, "tok")
+              .select("side", "id", "tok", "df")
+              .withColumn("pos", F.row_number().over(w_doc)))
+    sizes = ranked.groupBy("side", "id").agg(F.max("pos").alias("sz"))
+    pref = (ranked.join(sizes, ["side", "id"])
+            .where(F.col("pos") <=
+                   F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz"))
+                   + 1)
+            .select("side", "id", "tok", "sz"))
+    lp = pref.where(F.col("side") == "l").drop("side")
+    rp = pref.where(F.col("side") == "r").drop("side")
+    cand = (lp.alias("x").join(rp.alias("y"), "tok")
+            .where((F.col("y.sz") >= threshold * F.col("x.sz"))
+                   & (F.col("x.sz") >= threshold * F.col("y.sz")))
+            .select(F.col("x.id").alias("l_doc"),
+                    F.col("y.id").alias("r_doc"))
+            .distinct())
+    arrs = both.groupBy("side", "id").agg(
+        F.sort_array(F.collect_list("tok")).alias("toks"),
+        F.count(F.lit(1)).alias("sz"))
+    la = arrs.where(F.col("side") == "l").select(
+        F.col("id").alias("l_doc"), F.col("toks").alias("l_toks"),
+        F.col("sz").alias("l_sz"))
+    ra = arrs.where(F.col("side") == "r").select(
+        F.col("id").alias("r_doc"), F.col("toks").alias("r_toks"),
+        F.col("sz").alias("r_sz"))
+    verified = (cand.join(la, "l_doc").join(ra, "r_doc")
+                .withColumn("n_common", F.size(
+                    F.array_intersect("l_toks", "r_toks")).cast("int"))
+                .withColumn("jaccard", F.round(
+                    F.col("n_common")
+                    / (F.col("l_sz") + F.col("r_sz") - F.col("n_common")),
+                    6)))
+    return (verified.where(F.col("jaccard") >= threshold)
+            .select(F.col("l_doc").alias(f"l_{l_id}"),
+                    F.col("r_doc").alias(f"r_{r_id}"),
+                    "n_common", "jaccard")
+            .orderBy(f"l_{l_id}", f"r_{r_id}"))

@@ -588,6 +588,38 @@ def q_streaming_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=16, bands=4, threshold=0.0)
 
 
+def q_streaming_set_similarity(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Streaming EXACT set-similarity detection drained with
+    availableNow: each micro-batch's documents prefix-join only against
+    the persisted store (batch x seen-so-far), every qualifying pair is
+    found exactly once, and the drained pair set equals the one-shot
+    exact join -- the zero-false-negative twin of
+    streaming_minhash_pairs, sharing set_similarity_pairs' oracle."""
+    import tempfile
+
+    from automated_review_analysis_pipeline_spark.streaming.docs_stream import (
+        streaming_set_similarity,
+    )
+
+    work = tempfile.mkdtemp(prefix="arap_simjoin_stream_")
+    return streaming_set_similarity(
+        spark, f"{sf_dir}/documents.parquet", work, threshold=0.5)
+
+
+def q_set_similarity_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table EXACT set-similarity join: even-id documents (the
+    'held-out' side) against odd-id documents (the 'training' side) at
+    Jaccard >= 0.5 -- the exact cross-corpus contamination shape where
+    MinHash banding's false negatives are unacceptable. One shared
+    union-df rare-first order; candidates are prefix(left) x
+    prefix(right), never left x right."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.set_similarity_join_rs(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1), threshold=0.5)
+
+
 def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automated_review_analysis_pipeline_spark.streaming.events_stream import (
         read_events_stream,
@@ -2428,6 +2460,8 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_pairs": q_minhash_pairs,
     "set_similarity_pairs": q_set_similarity_pairs,
     "set_similarity_incremental": q_set_similarity_incremental,
+    "set_similarity_rs": q_set_similarity_rs,
+    "streaming_set_similarity": q_streaming_set_similarity,
     "stratified_sample": q_stratified_sample,
     "incremental_minhash_pairs": q_incremental_minhash_pairs,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -4502,6 +4536,27 @@ ORDER BY lang, doc_id
 # the incremental exact-simjoin accumulates THE SAME pair set as the
 # one-shot prefix join (frozen order changes candidates, never results)
 ORACLE_SQL["set_similarity_incremental"] = ORACLE_SQL["set_similarity_pairs"]
+# the streaming drain accumulates the same exact pair set
+ORACLE_SQL["streaming_set_similarity"] = ORACLE_SQL["set_similarity_pairs"]
+
+ORACLE_SQL["set_similarity_rs"] = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_shingles_sql('text')}) AS tok FROM documents
+), sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS l_doc_id, y.doc_id AS r_doc_id,
+         count(*) AS n_common
+  FROM t x JOIN t y ON x.tok = y.tok
+  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+  GROUP BY 1, 2)
+SELECT i.l_doc_id, i.r_doc_id, CAST(n_common AS INT) AS n_common,
+       round(n_common::DOUBLE / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.l_doc_id
+JOIN sz sb ON sb.doc_id = i.r_doc_id
+WHERE round(n_common::DOUBLE / (sa.sz + sb.sz - n_common), 6) >= 0.5
+ORDER BY l_doc_id, r_doc_id
+"""
 
 ORACLE_SQL["streaming_minhash_pairs"] = ORACLE_SQL["minhash_pairs"]
 

@@ -119,3 +119,50 @@ def streaming_minhash_pairs(spark: SparkSession, docs_path: str,
     return (spark.read.parquet(results_dir)
             .dropDuplicates(["id_a", "id_b"])
             .orderBy("id_a", "id_b"))
+
+
+def streaming_set_similarity(spark: SparkSession, docs_path: str,
+                             work_dir: str,
+                             max_files_per_trigger: int | None = None,
+                             threshold: float = 0.5,
+                             k: int = 3) -> DataFrame:
+    """Streaming EXACT set-similarity detection: the zero-false-negative
+    twin of :func:`streaming_minhash_pairs`. The persisted exact-simjoin
+    store (operators.dedup.build_simjoin_index) is initialized EMPTY --
+    freezing the degenerate all-df-0 order, i.e. plain token-string
+    order, which is still a valid shared total order (prefix-filter
+    completeness needs ANY shared order; frequencies only minimize
+    candidates) -- and every micro-batch simjoin_appends: only
+    (batch x seen-so-far) prefix candidates are joined, each qualifying
+    pair is found exactly once (when its later member arrives), and the
+    drained pair set equals the one-shot batch recompute EXACTLY, so
+    the batch exact-Jaccard oracle carries over verbatim."""
+    import shutil
+
+    from automated_review_analysis_pipeline_spark.operators.dedup import (
+        build_simjoin_index,
+        simjoin_append,
+    )
+
+    store_dir = os.path.join(work_dir, "simjoin_store")
+    chk = os.path.join(work_dir, "_chk")
+    shutil.rmtree(store_dir, ignore_errors=True)
+    empty = (spark.read.parquet(docs_path).limit(0)
+             if os.path.isfile(docs_path)
+             else spark.read.parquet(docs_path).limit(0))
+    build_simjoin_index(empty, store_dir, threshold=threshold, k=k)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        simjoin_append(spark, store_dir,
+                       batch_df.select("doc_id", "text"))
+
+    stream = read_documents_stream(spark, docs_path, max_files_per_trigger)
+    q = (stream.writeStream.foreachBatch(process)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", chk)
+         .start())
+    q.awaitTermination()
+    return (spark.read.parquet(store_dir + "/pairs")
+            .orderBy("a_id", "b_id"))

@@ -214,6 +214,8 @@ HEADLINE = [
     "set_similarity_incremental",
     "stratified_sample",
     "column_stats",
+    "set_similarity_rs",
+    "streaming_set_similarity",
 ]
 
 # Deliberately NOT in the headline list: the 8 streaming_* drain variants

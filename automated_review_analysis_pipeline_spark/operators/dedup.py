@@ -951,14 +951,9 @@ def set_similarity_join(documents: DataFrame, threshold: float = 0.5,
             .where(F.col("pos") <=
                    F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz"))
                    + 1)
-            .select("id", "tok", "sz"))
-    cand = (pref.alias("x").join(pref.alias("y"), "tok")
-            .where(F.col("x.id") < F.col("y.id"))
-            .where((F.col("y.sz") >= threshold * F.col("x.sz"))
-                   & (F.col("x.sz") >= threshold * F.col("y.sz")))
-            .select(F.col("x.id").alias("a_id"),
-                    F.col("y.id").alias("b_id"))
-            .distinct())
+            .select("id", "tok", "pos", "sz"))
+    cand = _positional_candidates(pref, pref, threshold,
+                                  self_join=True)
     arrs = toks.groupBy("id").agg(
         F.sort_array(F.collect_list("tok")).alias("toks"),
         F.count(F.lit(1)).alias("sz"))
@@ -1052,20 +1047,49 @@ def _simjoin_prefix(toks: DataFrame, dfreq: DataFrame,
             .where(F.col("pos") <=
                    F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz"))
                    + 1)
-            .select("id", "tok", "sz"))
+            .select("id", "tok", "pos", "sz"))
+
+
+def _positional_candidates(px: DataFrame, py: DataFrame,
+                           threshold: float,
+                           self_join: bool) -> DataFrame:
+    """Distinct (a_id, b_id) candidate pairs from two prefix tables
+    carrying token POSITIONS -- the full PPJoin filter stack:
+
+    * size filter: t*|x| <= |y| <= |x|/t;
+    * POSITIONAL filter (Xiao et al.): a match of token w at positions
+      (px, py) bounds the possible overlap by
+      1 + min(|x| - px, |y| - py); pairs whose EVERY prefix match
+      bounds below alpha = ceil(t/(1+t) * (|x|+|y|)) cannot reach
+      Jaccard t and are dropped BEFORE the distinct/verify stages.
+      Completeness: a qualifying pair's EARLIEST shared token match
+      has bound >= its true overlap >= alpha, so at least one of its
+      matches survives.
+
+    Self-joins additionally canonicalize a < b."""
+    j = px.alias("x").join(py.alias("y"), "tok")
+    if self_join:
+        j = j.where(F.col("x.id") < F.col("y.id"))
+    xs, ys = F.col("x.sz"), F.col("y.sz")
+    # the 1e-9 slack keeps an upward float ulp from bumping ceil past
+    # the true integer alpha at exact boundaries (t/(1+t)*(|x|+|y|)
+    # integral), which would over-prune a pair with overlap == alpha --
+    # pruning is only ever allowed to be CONSERVATIVE
+    alpha = F.ceil(F.lit(threshold) / (1.0 + threshold) * (xs + ys)
+                   - 1e-9)
+    ubound = 1 + F.least(xs - F.col("x.pos"), ys - F.col("y.pos"))
+    return (j.where((ys >= threshold * xs) & (xs >= threshold * ys))
+            .where(ubound >= alpha)
+            .select(F.col("x.id").alias("a_id"),
+                    F.col("y.id").alias("b_id"))
+            .distinct())
 
 
 def _simjoin_candidates(px: DataFrame, py: DataFrame,
                         threshold: float) -> DataFrame:
     """Distinct (a_id, b_id) candidate pairs from two prefix tables
-    (a < b, size-filtered)."""
-    return (px.alias("x").join(py.alias("y"), "tok")
-            .where(F.col("x.id") < F.col("y.id"))
-            .where((F.col("y.sz") >= threshold * F.col("x.sz"))
-                   & (F.col("x.sz") >= threshold * F.col("y.sz")))
-            .select(F.col("x.id").alias("a_id"),
-                    F.col("y.id").alias("b_id"))
-            .distinct())
+    (a < b, size + positional filtered)."""
+    return _positional_candidates(px, py, threshold, self_join=True)
 
 
 def _simjoin_verify(cand: DataFrame, arrs: DataFrame,
@@ -1176,15 +1200,12 @@ def set_similarity_join_rs(left: DataFrame, right: DataFrame,
             .where(F.col("pos") <=
                    F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz"))
                    + 1)
-            .select("side", "id", "tok", "sz"))
+            .select("side", "id", "tok", "pos", "sz"))
     lp = pref.where(F.col("side") == "l").drop("side")
     rp = pref.where(F.col("side") == "r").drop("side")
-    cand = (lp.alias("x").join(rp.alias("y"), "tok")
-            .where((F.col("y.sz") >= threshold * F.col("x.sz"))
-                   & (F.col("x.sz") >= threshold * F.col("y.sz")))
-            .select(F.col("x.id").alias("l_doc"),
-                    F.col("y.id").alias("r_doc"))
-            .distinct())
+    cand = (_positional_candidates(lp, rp, threshold, self_join=False)
+            .select(F.col("a_id").alias("l_doc"),
+                    F.col("b_id").alias("r_doc")))
     arrs = both.groupBy("side", "id").agg(
         F.sort_array(F.collect_list("tok")).alias("toks"),
         F.count(F.lit(1)).alias("sz"))

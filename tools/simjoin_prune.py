@@ -45,16 +45,19 @@ def main() -> None:
     pref = (ranked.join(sizes, "id")
             .where(F.col("pos") <=
                    F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
-            .select("id", "tok", "sz"))
+            .select("id", "tok", "pos", "sz"))
     n_prefix_rows = pref.count()
     n_token_rows = toks.count()
-    cand = (pref.alias("x").join(pref.alias("y"), "tok")
-            .where(F.col("x.id") < F.col("y.id"))
-            .where((F.col("y.sz") >= t * F.col("x.sz"))
-                   & (F.col("x.sz") >= t * F.col("y.sz")))
-            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-            .distinct())
-    n_cand = cand.count()
+    # size-filtered only (no positional filter) for the before/after
+    cand_sz = (pref.alias("x").join(pref.alias("y"), "tok")
+               .where(F.col("x.id") < F.col("y.id"))
+               .where((F.col("y.sz") >= t * F.col("x.sz"))
+                      & (F.col("x.sz") >= t * F.col("y.sz")))
+               .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+               .distinct())
+    n_cand_size = cand_sz.count()
+    n_cand = dd._positional_candidates(pref, pref, t,
+                                       self_join=True).count()
 
     t0 = time.time()
     n_pairs = dd.set_similarity_join(docs, threshold=t).count()
@@ -63,10 +66,11 @@ def main() -> None:
     all_pairs = n * (n - 1) // 2
     print(f"sf_dir={sf_dir} t={t}")
     print(f"| docs | shingle rows | prefix rows | all pairs "
-          f"| prefix candidates | verified pairs | wall s |")
-    print(f"|---|---|---|---|---|---|---|")
+          f"| size-filtered cands | +positional cands | verified pairs "
+          f"| wall s |")
+    print(f"|---|---|---|---|---|---|---|---|")
     print(f"| {n} | {n_token_rows} | {n_prefix_rows} | {all_pairs} "
-          f"| {n_cand} | {n_pairs} | {wall:.2f} |")
+          f"| {n_cand_size} | {n_cand} | {n_pairs} | {wall:.2f} |")
     spark.stop()
 
 

@@ -439,12 +439,13 @@ def _decode_tiff(payload: bytes):
     against the public TIFF 6.0 specification: both byte orders (II/MM),
     IFD walking with inline-or-offset values, strip OR tile assembly
     (section 15: edge-padded tiles, per-tile predictor reset), 8-bit
-    gray/RGB/RGBA in chunky planar config, compression 1 (none), 5
+    gray/RGB/RGBA in chunky OR planar (284=2, strip layouts)
+    configuration, compression 1 (none), 5
     (LZW, incl. the horizontal-differencing predictor tag), 7
     (new-style JPEG-in-TIFF, per-segment streams spliced with the
     shared JPEGTables tag, decoded by this module's own T.81 codec) or
-    32773 (PackBits). Old-style JPEG (compression 6), planar=2, and
-    non-8-bit depths raise NotImplementedError."""
+    32773 (PackBits). Old-style JPEG (compression 6), planar JPEG or
+    tiles, and non-8-bit depths raise NotImplementedError."""
     import struct
 
     import numpy as np
@@ -495,9 +496,16 @@ def _decode_tiff(payload: bytes):
     bits = tags.get(258, [8] * spp)
     compression = one(259, 1)
     planar = one(284, 1)
-    if any(b != 8 for b in bits) or planar != 1 or w == 0 or h == 0:
+    if any(b != 8 for b in bits) or planar not in (1, 2) or w == 0 \
+            or h == 0:
         raise NotImplementedError(
-            "only 8-bit chunky-planar TIFF supported")
+            "only 8-bit chunky or planar TIFF supported")
+    if planar == 2 and (compression == 7 or 322 in tags):
+        # planar JPEG-in-TIFF and planar tiles don't occur in practice
+        # (TIFF-EP mandates chunky; tiled planar writers are unheard
+        # of) -- honest raise rather than untested paths
+        raise NotImplementedError(
+            "planar TIFF supported for non-JPEG strip layouts only")
     predictor = one(317, 1)
     if compression not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
@@ -603,6 +611,38 @@ def _decode_tiff(payload: bytes):
     if not offsets or not counts or len(offsets) != len(counts):
         raise NotImplementedError("TIFF missing strip tables")
     rows_per_strip = one(278, h)
+    if planar == 2:
+        # planar configuration (TIFF 6.0 tag 284=2): the strip tables
+        # hold strips_per_plane entries PER COMPONENT, all of plane 0
+        # first; each strip carries rows x w bytes of one component.
+        # The horizontal predictor applies within each plane's rows.
+        spp_strips = (h + rows_per_strip - 1) // rows_per_strip
+        if len(offsets) != spp_strips * spp:
+            raise NotImplementedError("TIFF planar strip count mismatch")
+        planes = []
+        for p in range(spp):
+            raster = bytearray()
+            rows_done = 0
+            for i in range(spp_strips):
+                off = offsets[p * spp_strips + i]
+                cnt = counts[p * spp_strips + i]
+                rows = min(rows_per_strip, h - rows_done)
+                raster += _segment(off, cnt, rows * w)
+                rows_done += rows
+            if len(raster) != h * w:
+                raise NotImplementedError("TIFF planar raster mismatch")
+            plane = np.frombuffer(bytes(raster),
+                                  dtype=np.uint8).reshape(h, w)
+            if predictor == 2:
+                plane = np.cumsum(plane.astype(np.uint32), axis=1,
+                                  dtype=np.uint32).astype(np.uint8)
+            planes.append(plane)
+        px = np.stack(planes, axis=2)
+        if spp == 1:
+            return np.repeat(px, 3, axis=2)
+        if spp >= 3:
+            return px[:, :, :3].copy()
+        raise NotImplementedError("unsupported TIFF samples per pixel")
     if compression == 7:
         parts = []
         rows_done = 0

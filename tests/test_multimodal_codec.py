@@ -2590,3 +2590,97 @@ def test_tiff_old_style_jpeg_compression6_pinned_raise():
     with pytest.raises(NotImplementedError,
                        match="uncompressed, LZW, Deflate"):
         _decode_tiff(bytes(buf))
+
+
+def _tiff_planar(img, endian="<", compression=1, rows_per_strip=None,
+                 predictor=1):
+    """Minimal PLANAR (tag 284=2) TIFF writer: 8-bit RGB, per-plane
+    strips, optional LZW + horizontal predictor."""
+    h, w = img.shape[:2]
+    rows_per_strip = rows_per_strip or h
+    strips = []
+    for p in range(3):
+        for y0 in range(0, h, rows_per_strip):
+            block = img[y0:y0 + rows_per_strip, :, p]
+            if predictor == 2:
+                d = block.astype(np.int16).copy()
+                d[:, 1:] = d[:, 1:] - block.astype(np.int16)[:, :-1]
+                block = (d & 0xFF).astype(np.uint8)
+            raw = block.tobytes()
+            strips.append(_lzw_encode_tiff(raw) if compression == 5
+                          else raw)
+
+    tags = [
+        (256, 3, [w]), (257, 3, [h]), (258, 3, [8, 8, 8]),
+        (259, 3, [compression]), (262, 3, [2]), (277, 3, [3]),
+        (278, 3, [rows_per_strip]), (284, 3, [2]),
+    ]
+    if predictor == 2:
+        tags.append((317, 3, [predictor]))
+    tags += [(273, 4, [0] * len(strips)), (279, 4,
+                                           [len(s) for s in strips])]
+    tags.sort()
+    ifd_off = 8
+    ifd_len = 2 + 12 * len(tags) + 4
+    extra = bytearray()
+    data_base = ifd_off + ifd_len
+    sizes = {3: 2, 4: 4}
+    fmts = {3: "H", 4: "I"}
+
+    def render(values, typ):
+        nonlocal extra
+        body = struct.pack(endian + fmts[typ] * len(values), *values)
+        if len(body) <= 4:
+            return body.ljust(4, b"\0"), None
+        off = data_base + len(extra)
+        extra += body
+        return struct.pack(endian + "I", off), off
+
+    rendered = []
+    strip_off_pos = None
+    for tag, typ, vals in tags:
+        body, off = render(vals, typ)
+        if tag == 273:
+            strip_off_pos = (off if off is not None else None, len(vals))
+        rendered.append((tag, typ, len(vals), body))
+    # lay strips after extra, then backpatch offsets into extra
+    strip_base = data_base + len(extra)
+    offs, p = [], strip_base
+    for s in strips:
+        offs.append(p)
+        p += len(s)
+    if strip_off_pos[0] is not None:
+        rel = strip_off_pos[0] - data_base
+        extra[rel:rel + 4 * len(strips)] = struct.pack(
+            endian + "I" * len(strips), *offs)
+    else:  # single strip: inline
+        rendered = [(t, ty, c, struct.pack(endian + "I", offs[0])
+                     .ljust(4, b"\0")) if t == 273 else (t, ty, c, b)
+                    for t, ty, c, b in rendered]
+    out = bytearray()
+    out += (b"II*\x00" if endian == "<" else b"MM\x00*")
+    out += struct.pack(endian + "I", ifd_off)
+    out += struct.pack(endian + "H", len(rendered))
+    for tag, typ, cnt, body in rendered:
+        out += struct.pack(endian + "HHI", tag, typ, cnt) + body
+    out += struct.pack(endian + "I", 0)
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def test_tiff_planar_configuration_decodes():
+    """Planar TIFF (284=2): per-plane strip tables, both endians,
+    multi-strip, LZW + horizontal predictor (per plane) -- all must
+    decode pixel-identically to the chunky layout of the same image;
+    planar tiles stay an honest raise."""
+    img = _grad(5, 4)
+    want = _decode_tiff(_tiff(img))
+    for endian in ("<", ">"):
+        for comp, pred in ((1, 1), (5, 1), (5, 2)):
+            for rps in (None, 2):
+                got = _decode_tiff(_tiff_planar(
+                    img, endian=endian, compression=comp,
+                    rows_per_strip=rps, predictor=pred))
+                assert (got == want).all(), (endian, comp, pred, rps)

@@ -292,3 +292,56 @@ def column_stats(df: DataFrame) -> DataFrame:
         ))
     return (one.select(F.explode(F.array(*structs)).alias("s"))
             .select("s.*").orderBy("column"))
+
+
+def parquet_footer_stats(spark, paths: list[str]) -> DataFrame:
+    """Distributed parquet FOOTER introspection -- the manifest-building
+    primitive: given a file list, executors read each footer with
+    pyarrow (metadata-only -- no data pages touched) and emit one row
+    per (file, row group, column) with value counts, null counts, and
+    compressed/uncompressed byte sizes. At 100 TB this is how a layout
+    audit or a table-format manifest bootstrap runs: millions of
+    footers fan out across the cluster, ~KBs read per file.
+
+    Cross-engine pinned by pytest against DuckDB's parquet_metadata()
+    on the same files (path-bound table functions sit outside the
+    registry's view-only oracle harness, so the full-value check lives
+    in tests)."""
+    import os
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            rows = []
+            for path in b["path"]:
+                md = pq.ParquetFile(path).metadata
+                fname = os.path.basename(path)
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    for c in range(rg.num_columns):
+                        col = rg.column(c)
+                        st = col.statistics
+                        rows.append((
+                            fname, g, rg.num_rows, col.path_in_schema,
+                            col.num_values,
+                            None if st is None or not st.has_null_count
+                            else st.null_count,
+                            col.total_compressed_size,
+                            col.total_uncompressed_size,
+                            str(col.compression),
+                        ))
+            yield pd.DataFrame(rows, columns=[
+                "file_name", "row_group_id", "n_rows", "column",
+                "n_values", "n_nulls", "compressed_bytes",
+                "uncompressed_bytes", "compression"])
+
+    files = spark.createDataFrame([(p,) for p in paths], "path string") \
+        .repartition(min(len(paths), 64))
+    return files.mapInPandas(
+        read_footers,
+        "file_name string, row_group_id int, n_rows long, column string, "
+        "n_values long, n_nulls long, compressed_bytes long, "
+        "uncompressed_bytes long, compression string"
+    ).orderBy("file_name", "row_group_id", "column")

@@ -1940,3 +1940,38 @@ def test_simjoin_store_append_equals_oneshot(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="overwrite"):
         build_simjoin_index(base, store, mode="append")
+
+
+def test_parquet_footer_stats_matches_duckdb_metadata(spark):
+    """Distributed footer introspection must agree with DuckDB's
+    parquet_metadata() value-for-value on every testdata table: row
+    groups, per-column value counts, null counts, byte sizes."""
+    import glob
+
+    import duckdb
+
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        parquet_footer_stats,
+    )
+
+    paths = sorted(glob.glob("/root/testdata/sf0.001/*.parquet"))
+    assert len(paths) >= 10
+    got = {(r["file_name"], r["row_group_id"], r["column"]):
+           (r["n_rows"], r["n_values"], r["n_nulls"],
+            r["compressed_bytes"], r["uncompressed_bytes"])
+           for r in parquet_footer_stats(spark, paths).collect()}
+    want = {}
+    for p in paths:
+        for (fname, gid, nrows, col, nval, nnull, cb, ub) in duckdb.sql(
+                f"""SELECT file_name, row_group_id, row_group_num_rows,
+                           path_in_schema, num_values, stats_null_count,
+                           total_compressed_size, total_uncompressed_size
+                    FROM parquet_metadata('{p}')""").fetchall():
+            import os
+
+            # DuckDB renders nested paths "a, list, element";
+            # pyarrow renders "a.list.element" -- normalize
+            want[(os.path.basename(fname), gid,
+                  col.replace(", ", "."))] = \
+                (nrows, nval, nnull, cb, ub)
+    assert got == want and len(got) >= 30

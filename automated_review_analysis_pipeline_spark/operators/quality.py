@@ -262,7 +262,14 @@ def column_stats(df: DataFrame) -> DataFrame:
             kinds[f.name] = "other"
         aggs.append(F.count(F.when(c.isNull(), 1))
                     .alias(f"__nulls_{f.name}"))
-        aggs.append(F.count_distinct(c).alias(f"__nd_{f.name}"))
+        # maps are not comparable -- count_distinct would throw; report
+        # NULL ndv for them instead of failing the whole profile
+        from pyspark.sql.types import MapType
+
+        if isinstance(f.dataType, MapType):
+            aggs.append(F.lit(None).cast("long").alias(f"__nd_{f.name}"))
+        else:
+            aggs.append(F.count_distinct(c).alias(f"__nd_{f.name}"))
         if kinds[f.name] == "num":
             aggs.append(F.min(num).alias(f"__min_{f.name}"))
             aggs.append(F.max(num).alias(f"__max_{f.name}"))

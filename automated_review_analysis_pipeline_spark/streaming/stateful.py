@@ -301,8 +301,12 @@ def _asof_ooo_enricher(key, pdf_iter, state: GroupState):
         if c_ids:
             # fire when the watermark passes the earliest pending click
             # (strictly above the current watermark by construction:
-            # anything <= wm was just emitted)
-            state.setTimeoutTimestamp(min(c_ts) // 1000 + 1)
+            # anything <= wm was just emitted). Clamp to >= 1 ms: a
+            # pre-1970 click's negative epoch would be rejected (Spark
+            # requires timeout > watermark, and the watermark never
+            # goes below 0) -- such clicks fire as soon as ANY
+            # watermark exists, then wait in state until it passes them
+            state.setTimeoutTimestamp(max(1, min(c_ts) // 1000 + 1))
     if outs:
         yield pd.DataFrame(outs, columns=[
             "event_id", "user_id", "click_us", "value", "p_us", "p_value"])

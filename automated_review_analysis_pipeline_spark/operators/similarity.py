@@ -1971,3 +1971,46 @@ def dedup_representatives(embeddings: DataFrame, scores: DataFrame,
         )
         .orderBy("component")
     )
+
+
+def ivfpq_rerank(spark, store_dir: str, queries: DataFrame, k: int = 5,
+                 rerank: int = 20, n_probe: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 embeddings: DataFrame | None = None) -> DataFrame:
+    """Two-stage ANN serving over a persisted IVF-PQ index: the ADC
+    probe shortlists ``rerank`` candidates per query from CODES alone
+    (partition-pruned, compressed -- :func:`ivfpq_probe`), then the
+    shortlist's RAW vectors are point-looked-up and re-scored with
+    EXACT cosine, returning the exact-scored top ``k``. This is the
+    standard production refinement (FAISS's refine/IndexRefineFlat):
+    the expensive exact read touches only queries x rerank rows instead
+    of the corpus, and recall at the same k rises toward the shortlist
+    ceiling -- measured against the plain probe in PERF.md.
+
+    ``embeddings`` is the raw-vector table to rerank against (the same
+    corpus the index was built from); the join to it is a SELECTIVE
+    equi-join on the shortlist ids -- broadcastable at serving scale.
+    Exactly SQL-expressible: the shortlist CTE is the probe oracle with
+    k=rerank, the rerank is a plain cosine over it (same 6dp rounding
+    and id tiebreaks as cosine_topk)."""
+    shortlist = ivfpq_probe(spark, store_dir, queries, k=rerank,
+                            n_probe=n_probe, id_col=id_col,
+                            vec_col=vec_col) \
+        .select("query_id", "neighbor_id")
+    if embeddings is None:
+        raise ValueError("ivfpq_rerank needs the raw-vector table")
+    q = _prep(queries, id_col, vec_col, "q") \
+        .withColumnRenamed("q_id", "query_id")
+    c = _prep(embeddings, id_col, vec_col, "c") \
+        .withColumnRenamed("c_id", "neighbor_id")
+    sim = dot_product(F.col("q_vec"), F.col("c_vec")) / (
+        F.col("q_norm") * F.col("c_norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (shortlist.join(c, "neighbor_id").join(broadcast(q),
+                                                  "query_id")
+            .withColumn("cosine_sim", F.round(sim, 6))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine_sim", "rank")
+            .orderBy("query_id", "rank"))

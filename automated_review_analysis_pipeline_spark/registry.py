@@ -2015,6 +2015,20 @@ def q_ann_recall_ivfpq_residual(spark: SparkSession,
         approx=sim.ivfpq_probe(spark, store, queries, k=TOP_K, n_probe=4))
 
 
+def q_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN serving: the residual IVF-PQ probe shortlists 20
+    candidates per query from codes alone (partition-pruned ADC), then
+    ONLY those rows' raw vectors are fetched and re-scored with exact
+    cosine -- the FAISS-refine pattern. Exact reads touch queries x 20
+    rows, never the corpus; recall at k=5 rises toward the shortlist
+    ceiling (PERF.md)."""
+    e = _t(spark, sf_dir, "embeddings")
+    store = _ivfpq_res_store(spark, sf_dir)
+    return sim.ivfpq_rerank(spark, store,
+                            e.where(F.col("vec_id") < N_QUERY_VECS),
+                            k=TOP_K, rerank=20, n_probe=4, embeddings=e)
+
+
 def q_ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe-only ANN over a PERSISTED composed IVF-PQ index (trained
     coarse centroids + cell-partitioned PQ code table): the probe reads
@@ -2559,6 +2573,7 @@ QUERIES: dict[str, QueryFn] = {
     "pq_index_probe": q_pq_index_probe,
     "ivfpq_index_probe": q_ivfpq_index_probe,
     "ivfpq_residual_probe": q_ivfpq_residual_probe,
+    "ivfpq_rerank_topk": q_ivfpq_rerank_topk,
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
     "q9_product_type_profit": q_q9_product_type_profit,
     "q11_revenue_concentration": q_q11_revenue_concentration,
@@ -4830,7 +4845,8 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank""")
 
 def _ivfpq_oracle_sql(n_centroids: int = 16, train_iterations: int = 2,
                       n_probe: int = 4, m: int = 32, ksub: int = 16,
-                      train_n: int = 1024, residual: bool = False) -> str:
+                      train_n: int = 1024, residual: bool = False,
+                      top_k: int | None = None) -> str:
     """Full-value oracle for the composed IVF-PQ probe: the trained-IVF
     cell CTEs (unrolled Lloyd -> assignment -> n_probe probing) restrict
     WHICH corpus vectors each query scores, and the PQ CTEs (codebook
@@ -4971,7 +4987,8 @@ def _ivfpq_oracle_sql(n_centroids: int = 16, train_iterations: int = 2,
   FROM adc)""")
     return ("WITH " + ",\n".join(parts) + f"""
 SELECT query_id, neighbor_id, approx_sim, rank
-FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank""")
+FROM ranked WHERE rank <= {top_k if top_k is not None else TOP_K}
+ORDER BY query_id, rank""")
 
 
 ORACLE_SQL["kmeans_embeddings"] = _kmeans_sql()
@@ -4983,6 +5000,27 @@ ORACLE_SQL["ivf_index_probe"] = ORACLE_SQL["ivf_trained_topk"]
 ORACLE_SQL["pq_index_probe"] = ORACLE_SQL["pq_topk"]
 ORACLE_SQL["ivfpq_index_probe"] = _ivfpq_oracle_sql()
 ORACLE_SQL["ivfpq_residual_probe"] = _ivfpq_oracle_sql(residual=True)
+ORACLE_SQL["ivfpq_rerank_topk"] = f"""
+WITH short AS (
+  SELECT query_id, neighbor_id
+  FROM ({_ivfpq_oracle_sql(residual=True, top_k=20)})
+), qv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id < {N_QUERY_VECS}),
+cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_cosine_sql('q.v', 'c.v')} AS cosine_sim
+  FROM short s
+  JOIN qv q ON q.vec_id = s.query_id
+  JOIN cv c ON c.vec_id = s.neighbor_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INT)
+    AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
 
 
 # curate_corpus: the end-to-end pipeline oracle composes the SAME stage

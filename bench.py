@@ -216,6 +216,7 @@ HEADLINE = [
     "column_stats",
     "set_similarity_rs",
     "streaming_set_similarity",
+    "ivfpq_rerank_topk",
 ]
 
 # Deliberately NOT in the headline list: the 8 streaming_* drain variants

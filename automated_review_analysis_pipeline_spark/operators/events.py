@@ -1099,3 +1099,49 @@ def extract_props_variant(events: DataFrame) -> DataFrame:
             F.variant_get(F.col("__v"), "$.k", "long").alias("prop_k"))
         .orderBy("event_id")
     )
+
+
+def multi_touch_attribution(events: DataFrame,
+                            window_days: int = 7) -> DataFrame:
+    """Multi-touch attribution: every purchase distributes credit over
+    the SAME USER's clicks in the ``window_days`` before it (inclusive
+    of the purchase instant), under the three standard models at once
+    -- first-touch (all credit to the earliest click), last-touch (the
+    latest), and linear (1/n to each). Emits one row per click that
+    influenced anything: (click_id, user_id, n_purchases, n_first,
+    n_last, linear_credit).
+
+    Shape: clicks equi-join purchases on the USER KEY with the time
+    window as a residual range predicate -- a hash join whose per-key
+    expansion is bounded by one user's activity in the window, never a
+    cartesian (plan-gated). Per-purchase touch counts and first/last
+    picks are one window over the pair table; ties inside a model
+    break on (ts, event_id), mirrored in the oracle. At 100 TB with
+    heavy users, pre-bin both sides to window-sized grid cells
+    (interval_overlap_join's rewrite) -- the credit math is unchanged."""
+    win_us = window_days * 86_400_000_000
+    us = F.unix_micros(F.col("ts"))
+    clicks = (events.where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      "user_id", us.alias("c_us")))
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         "user_id", us.alias("p_us")))
+    pairs = (clicks.join(purchases, "user_id")
+             .where((F.col("c_us") <= F.col("p_us"))
+                    & (F.col("c_us") >= F.col("p_us") - win_us)))
+    w = Window.partitionBy("purchase_id")
+    w_ord = w.orderBy("c_us", "click_id")
+    scored = (pairs
+              .withColumn("n_touches", F.count(F.lit(1)).over(w))
+              .withColumn("touch_rank", F.row_number().over(w_ord)))
+    return (scored.groupBy("click_id", "user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"),
+                 F.sum(F.when(F.col("touch_rank") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_first"),
+                 F.sum(F.when(F.col("touch_rank") == F.col("n_touches"),
+                              1).otherwise(0))
+                 .cast("long").alias("n_last"),
+                 F.round(F.sum(F.lit(1.0) / F.col("n_touches")), 6)
+                 .alias("linear_credit"))
+            .orderBy("click_id"))

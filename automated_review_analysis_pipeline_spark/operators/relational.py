@@ -1118,3 +1118,55 @@ def revenue_grouping_sets(orders: DataFrame, customer: DataFrame,
                  F.col("n_name").asc_nulls_first(),
                  F.col("o_year").asc_nulls_first())
     )
+
+
+def basket_association_rules(lineitem: DataFrame, part: DataFrame,
+                             min_pair_baskets: int = 5) -> DataFrame:
+    """Market-basket association rules over order baskets: for every
+    UNORDERED brand pair bought together in at least
+    ``min_pair_baskets`` orders, the classic trio --
+    support = P(a,b), confidence = P(b|a), lift = P(a,b)/(P(a)P(b)) --
+    the co-purchase / recommendation primitive.
+
+    Scale shape: baskets collapse to DISTINCT (order, brand) FIRST
+    (one hash shuffle on the order key, at most |brands| rows per
+    basket), pairs explode via a self-join ON THE ORDER KEY -- cost is
+    sum over baskets of (distinct brands choose 2), bounded by basket
+    width squared, never |orders|^2 -- and the per-brand counts
+    broadcast back onto the tiny pair table. The part dimension is
+    broadcast into the fact scan.
+
+    Pairs are canonicalized brand_a < brand_b; confidence is reported
+    for the a->b direction (the b->a row is the mirror with the same
+    support/lift). All ratios round to 6dp for cross-engine parity."""
+    items = (lineitem.join(broadcast(part.select("p_partkey", "p_brand")),
+                           lineitem["l_partkey"] == F.col("p_partkey"))
+             .select(F.col("l_orderkey").alias("okey"),
+                     F.col("p_brand").alias("brand"))
+             .distinct())
+    n_baskets = items.select("okey").distinct().count()
+    brand_n = items.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"))
+    pairs = (items.alias("a").join(items.alias("b"), "okey")
+             .where(F.col("a.brand") < F.col("b.brand"))
+             .groupBy(F.col("a.brand").alias("brand_a"),
+                      F.col("b.brand").alias("brand_b"))
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .where(F.col("n_ab") >= min_pair_baskets))
+    return (pairs
+            .join(broadcast(brand_n.select(
+                F.col("brand").alias("brand_a"),
+                F.col("n").alias("n_a"))), "brand_a")
+            .join(broadcast(brand_n.select(
+                F.col("brand").alias("brand_b"),
+                F.col("n").alias("n_b"))), "brand_b")
+            .select(
+                "brand_a", "brand_b", "n_ab", "n_a", "n_b",
+                F.round(F.col("n_ab") / F.lit(float(n_baskets)), 6)
+                .alias("support"),
+                F.round(F.col("n_ab") / F.col("n_a"), 6)
+                .alias("confidence"),
+                F.round(F.col("n_ab") * F.lit(float(n_baskets))
+                        / (F.col("n_a") * F.col("n_b")), 6)
+                .alias("lift"))
+            .orderBy("brand_a", "brand_b"))

@@ -1222,6 +1222,27 @@ def q_cumulative_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # event extensions: as-of join, range join
 # ---------------------------------------------------------------------------
 
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets (brands
+    bought together): support/confidence/lift per unordered brand pair
+    with at least 5 co-occurrence baskets -- distinct (order, brand)
+    first, pairs via a self-join on the ORDER key (basket-width-bounded,
+    never |orders|^2), per-brand counts broadcast back."""
+    return rel.basket_association_rules(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+
+def q_multi_touch_attribution(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: each purchase distributes credit over
+    the same user's clicks in the prior 7 days under first-touch /
+    last-touch / linear simultaneously; per-click credit totals. The
+    click-purchase pairing is a hash join on user_id with the window
+    as a residual range predicate."""
+    _utc(spark)
+    return ev.multi_touch_attribution(_t(spark, sf_dir, "events"))
+
+
 def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.asof_last_click(_t(spark, sf_dir, "events"))
 
@@ -2509,6 +2530,8 @@ QUERIES: dict[str, QueryFn] = {
     "customer_set_ops": q_customer_set_ops,
     "cumulative_order_value": q_cumulative_order_value,
     "asof_last_click": q_asof_last_click,
+    "basket_rules": q_basket_rules,
+    "multi_touch_attribution": q_multi_touch_attribution,
     "asof_join_attribution": q_asof_join_attribution,
     "session_error_overlap": q_session_error_overlap,
     "value_range_join": q_value_range_join,
@@ -3305,6 +3328,54 @@ ORDER BY event_id
 
 
 ORACLE_SQL["streaming_asof_ooo"] = ORACLE_SQL_SASOF
+
+ORACLE_SQL["basket_rules"] = """
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), nb AS (SELECT count(DISTINCT okey) AS n FROM items),
+brand_n AS (SELECT brand, count(*) AS n FROM items GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+  FROM items a JOIN items b ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT p.brand_a, p.brand_b, p.n_ab, na.n AS n_a, nbr.n AS n_b,
+       round(p.n_ab / nb.n::DOUBLE, 6) AS support,
+       round(p.n_ab / na.n::DOUBLE, 6) AS confidence,
+       round(p.n_ab * nb.n::DOUBLE / (na.n * nbr.n), 6) AS lift
+FROM pairs p, nb
+JOIN brand_n na ON na.brand = p.brand_a
+JOIN brand_n nbr ON nbr.brand = p.brand_b
+ORDER BY brand_a, brand_b
+"""
+
+ORACLE_SQL["multi_touch_attribution"] = """
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+), pairs AS (
+  SELECT c.click_id, c.user_id, c.c_us, p.purchase_id
+  FROM clicks c JOIN purch p
+    ON c.user_id = p.user_id
+   AND c.c_us <= p.p_us AND c.c_us >= p.p_us - 7 * 86400000000
+), scored AS (
+  SELECT *, count(*) OVER (PARTITION BY purchase_id) AS n_touches,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY c_us, click_id) AS touch_rank
+  FROM pairs
+)
+SELECT click_id, user_id,
+       count(*) AS n_purchases,
+       CAST(sum(CASE WHEN touch_rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_first,
+       CAST(sum(CASE WHEN touch_rank = n_touches THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_last,
+       round(sum(1.0 / n_touches), 6) AS linear_credit
+FROM scored GROUP BY click_id, user_id ORDER BY click_id
+"""
 
 ORACLE_SQL["blocklist_matches"] = cur.blocklist_sql()
 

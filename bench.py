@@ -217,6 +217,8 @@ HEADLINE = [
     "set_similarity_rs",
     "streaming_set_similarity",
     "ivfpq_rerank_topk",
+    "basket_rules",
+    "multi_touch_attribution",
 ]
 
 # Deliberately NOT in the headline list: the 8 streaming_* drain variants

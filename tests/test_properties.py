@@ -1975,3 +1975,77 @@ def test_parquet_footer_stats_matches_duckdb_metadata(spark):
                   col.replace(", ", "."))] = \
                 (nrows, nval, nnull, cb, ub)
     assert got == want and len(got) >= 30
+
+
+def test_multi_touch_attribution_models_and_ties(spark):
+    """First/last/linear credit on a hand-checked fixture: a click AT
+    the purchase instant participates (inclusive window), one outside
+    the 7-day window does not, and a solo click takes full credit
+    under every model."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators.events import (
+        multi_touch_attribution,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = [
+        # user 1: clicks at t1, t2; purchase at t2 (tie with click 2)
+        (1, 1, "2024-01-10 00:00:00", "click", None),
+        (2, 1, "2024-01-12 00:00:00", "click", None),
+        (10, 1, "2024-01-12 00:00:00", "purchase", 5.0),
+        # user 2: one click 8 days before the purchase -> no credit
+        (3, 2, "2024-01-01 00:00:00", "click", None),
+        (11, 2, "2024-01-09 00:00:01", "purchase", 1.0),
+        # user 3: solo click, two purchases in window
+        (4, 3, "2024-01-10 00:00:00", "click", None),
+        (12, 3, "2024-01-11 00:00:00", "purchase", 2.0),
+        (13, 3, "2024-01-12 00:00:00", "purchase", 3.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, "
+              "event_type string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["click_id"]: (r["n_purchases"], r["n_first"], r["n_last"],
+                           r["linear_credit"])
+           for r in multi_touch_attribution(events).collect()}
+    assert got == {
+        1: (1, 1, 0, 0.5),   # earliest touch of purchase 10
+        2: (1, 0, 1, 0.5),   # latest touch (tie at purchase instant)
+        4: (2, 2, 2, 2.0),   # solo click: full credit, twice
+    }
+    assert 3 not in got      # outside the window
+
+
+def test_basket_rules_math_on_tiny_fixture(spark):
+    """support/confidence/lift hand-checked: brands A,B co-occur in 5
+    of 10 baskets, A alone in 3 more, B alone in 2 more."""
+    from automated_review_analysis_pipeline_spark.operators.relational import (
+        basket_association_rules,
+    )
+
+    li, pa = [], [(1, "A"), (2, "B"), (3, "C")]
+    ok = 0
+    for _ in range(5):   # A+B baskets
+        ok += 1
+        li += [(ok, 1), (ok, 2), (ok, 1)]  # dup line: distinct collapses
+    for _ in range(3):   # A-only
+        ok += 1
+        li += [(ok, 1)]
+    for _ in range(2):   # B-only
+        ok += 1
+        li += [(ok, 2)]
+    lineitem = spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long")
+    part = spark.createDataFrame(
+        [(k, f"Brand#{b}") for k, b in pa],
+        "p_partkey long, p_brand string")
+    got = basket_association_rules(lineitem, part,
+                                   min_pair_baskets=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["brand_a"], r["brand_b"], r["n_ab"], r["n_a"],
+            r["n_b"]) == ("Brand#A", "Brand#B", 5, 8, 7)
+    assert r["support"] == 0.5
+    assert r["confidence"] == 0.625
+    assert r["lift"] == round(5 * 10 / (8 * 7), 6)

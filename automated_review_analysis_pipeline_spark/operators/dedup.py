@@ -949,7 +949,8 @@ def set_similarity_join(documents: DataFrame, threshold: float = 0.5,
     sizes = ranked.groupBy("id").agg(F.max("pos").alias("sz"))
     pref = (ranked.join(sizes, "id")
             .where(F.col("pos") <=
-                   F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz"))
+                   F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")
+                                        - 1e-9)
                    + 1)
             .select("id", "tok", "pos", "sz"))
     cand = _positional_candidates(pref, pref, threshold,
@@ -1024,12 +1025,12 @@ def build_simjoin_index(documents: DataFrame, store_dir: str,
         _simjoin_candidates(prefix, prefix, threshold),
         spark.read.parquet(store_dir + "/docs"), threshold)
     pairs.write.mode("overwrite").parquet(store_dir + "/pairs")
-    import json
-    import os
-
-    with open(os.path.join(store_dir, "meta.json"), "w",
-              encoding="utf-8") as f:
-        json.dump({"threshold": threshold, "k": k}, f)
+    # sidecar LAST, through the Hadoop FS API (works on s3a://hdfs://
+    # the same as file:) -- a crash before this line leaves no
+    # meta.json, so simjoin_append fails fast on the half-store
+    from .. import fsio
+    fsio.write_json(spark, fsio.join(store_dir, "meta.json"),
+                    {"threshold": threshold, "k": k})
     return spark.read.parquet(store_dir + "/pairs")
 
 
@@ -1045,7 +1046,8 @@ def _simjoin_prefix(toks: DataFrame, dfreq: DataFrame,
     sizes = ranked.groupBy("id").agg(F.max("pos").alias("sz"))
     return (ranked.join(sizes, "id")
             .where(F.col("pos") <=
-                   F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz"))
+                   F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")
+                                        - 1e-9)
                    + 1)
             .select("id", "tok", "pos", "sz"))
 
@@ -1078,7 +1080,8 @@ def _positional_candidates(px: DataFrame, py: DataFrame,
     alpha = F.ceil(F.lit(threshold) / (1.0 + threshold) * (xs + ys)
                    - 1e-9)
     ubound = 1 + F.least(xs - F.col("x.pos"), ys - F.col("y.pos"))
-    return (j.where((ys >= threshold * xs) & (xs >= threshold * ys))
+    return (j.where((ys >= threshold * xs - 1e-9)
+             & (xs >= threshold * ys - 1e-9))
             .where(ubound >= alpha)
             .select(F.col("x.id").alias("a_id"),
                     F.col("y.id").alias("b_id"))
@@ -1122,12 +1125,8 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
     new-new) parquet-append into the store; the accumulated pair table
     equals the one-shot recompute exactly. Returns the reloaded pair
     table."""
-    import json
-    import os
-
-    with open(os.path.join(store_dir, "meta.json"),
-              encoding="utf-8") as f:
-        meta = json.load(f)
+    from .. import fsio
+    meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
     threshold, k = float(meta["threshold"]), int(meta["k"])
     dfreq = spark.read.parquet(store_dir + "/dfreq")
     toks = (new_docs
@@ -1198,7 +1197,8 @@ def set_similarity_join_rs(left: DataFrame, right: DataFrame,
     sizes = ranked.groupBy("side", "id").agg(F.max("pos").alias("sz"))
     pref = (ranked.join(sizes, ["side", "id"])
             .where(F.col("pos") <=
-                   F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz"))
+                   F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")
+                                        - 1e-9)
                    + 1)
             .select("side", "id", "tok", "pos", "sz"))
     lp = pref.where(F.col("side") == "l").drop("side")

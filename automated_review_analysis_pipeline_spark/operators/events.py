@@ -1111,23 +1111,36 @@ def multi_touch_attribution(events: DataFrame,
     influenced anything: (click_id, user_id, n_purchases, n_first,
     n_last, linear_credit).
 
-    Shape: clicks equi-join purchases on the USER KEY with the time
-    window as a residual range predicate -- a hash join whose per-key
-    expansion is bounded by one user's activity in the window, never a
-    cartesian (plan-gated). Per-purchase touch counts and first/last
-    picks are one window over the pair table; ties inside a model
-    break on (ts, event_id), mirrored in the oracle. At 100 TB with
-    heavy users, pre-bin both sides to window-sized grid cells
-    (interval_overlap_join's rewrite) -- the credit math is unchanged."""
+    Shape: both sides PRE-BIN to window-sized grid cells
+    (interval_overlap_join's rewrite) and equi-join on
+    (user_id, cell) -- each purchase replicates into exactly the two
+    cells a qualifying click can live in (floor(p/win)-1 and
+    floor(p/win), since p-win <= c <= p), each qualifying pair arises
+    in exactly ONE cell (the click's own), and the residual range
+    predicate finishes the window. The join key carries the TIME CELL,
+    so a heavy user (a bot with 10^4 clicks and 10^4 purchases spread
+    over months) expands per (user, 7-day cell), not per user: the
+    blow-up tracks the user's IN-WINDOW pair count -- which is the
+    output size, the irreducible floor -- instead of n_clicks x
+    n_purchases across all time (hot-user stress:
+    tools/scale_stress_attribution.py, PERF.md). Never a cartesian
+    (plan-gated). Per-purchase touch counts and first/last picks are
+    one window over the pair table; ties inside a model break on
+    (ts, event_id), mirrored in the oracle."""
     win_us = window_days * 86_400_000_000
     us = F.unix_micros(F.col("ts"))
     clicks = (events.where(F.col("event_type") == "click")
               .select(F.col("event_id").alias("click_id"),
-                      "user_id", us.alias("c_us")))
+                      "user_id", us.alias("c_us"),
+                      F.floor(us / F.lit(win_us)).alias("cell")))
     purchases = (events.where(F.col("event_type") == "purchase")
                  .select(F.col("event_id").alias("purchase_id"),
-                         "user_id", us.alias("p_us")))
-    pairs = (clicks.join(purchases, "user_id")
+                         "user_id", us.alias("p_us"),
+                         F.explode(F.array(
+                             F.floor(us / F.lit(win_us)) - 1,
+                             F.floor(us / F.lit(win_us))))
+                         .alias("cell")))
+    pairs = (clicks.join(purchases, ["user_id", "cell"])
              .where((F.col("c_us") <= F.col("p_us"))
                     & (F.col("c_us") >= F.col("p_us") - win_us)))
     w = Window.partitionBy("purchase_id")

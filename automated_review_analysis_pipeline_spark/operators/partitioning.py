@@ -348,7 +348,8 @@ def sorted_export(df: DataFrame, out_dir: str, order_cols: list[str],
     empty manifest (and no data dir); the readers handle it. Returns
     the manifest as a DataFrame ordered by file_id."""
     import json
-    import os
+
+    from .. import fsio
 
     lead = order_cols[0]
     spark = df.sparkSession
@@ -366,7 +367,6 @@ def sorted_export(df: DataFrame, out_dir: str, order_cols: list[str],
                      F.max("global_id").alias("max_gid"))
                 .orderBy("file_id"))
 
-    os.makedirs(out_dir, exist_ok=True)
     meta = {"order_cols": order_cols, "rows_per_file": rows_per_file,
             "schema": files.schema.jsonValue()}
     max_fid = files.agg(F.max("file_id")).first()[0]
@@ -377,9 +377,8 @@ def sorted_export(df: DataFrame, out_dir: str, order_cols: list[str],
         manifest.coalesce(1).write.mode("overwrite") \
             .parquet(out_dir + "/manifest")
         meta["n_files"] = 0
-        with open(os.path.join(out_dir, "meta.json"), "w",
-                  encoding="utf-8") as f:
-            json.dump(meta, f, indent=1, sort_keys=True)
+        fsio.write_text(spark, fsio.join(out_dir, "meta.json"),
+                        json.dumps(meta, indent=1, sort_keys=True))
         return spark.read.parquet(out_dir + "/manifest")
 
     n_files = int(max_fid) + 1
@@ -398,26 +397,48 @@ def sorted_export(df: DataFrame, out_dir: str, order_cols: list[str],
     manifest.coalesce(1).write.mode("overwrite") \
         .parquet(out_dir + "/manifest")
     meta["n_files"] = n_files
-    with open(os.path.join(out_dir, "meta.json"), "w",
-              encoding="utf-8") as f:
-        json.dump(meta, f, indent=1, sort_keys=True)
+    fsio.write_text(spark, fsio.join(out_dir, "meta.json"),
+                    json.dumps(meta, indent=1, sort_keys=True))
     manifest = spark.read.parquet(out_dir + "/manifest")
     if n_files <= JSON_MANIFEST_MAX_FILES:
         rows = [r.asDict() for r in manifest.orderBy("file_id").collect()]
-        with open(os.path.join(out_dir, "manifest.json"), "w",
-                  encoding="utf-8") as f:
-            json.dump({"order_cols": order_cols,
-                       "rows_per_file": rows_per_file, "files": rows},
-                      f, indent=1, sort_keys=True, default=str)
+        fsio.write_text(
+            spark, fsio.join(out_dir, "manifest.json"),
+            json.dumps({"order_cols": order_cols,
+                        "rows_per_file": rows_per_file, "files": rows},
+                       indent=1, sort_keys=True, default=str))
     return manifest.orderBy("file_id")
 
 
-def _sorted_export_meta(out_dir: str) -> dict:
-    import json
-    import os
+def _sorted_export_meta(spark: SparkSession, out_dir: str) -> dict:
+    """Load a sorted_export's meta sidecar through the Hadoop FS API
+    (out_dir may be s3a://, hdfs://, ...). Layouts written by the
+    pre-round-11 format carried only manifest.json; fall back to it,
+    recovering the schema from the data dir (an old EMPTY export has
+    neither data nor schema -- that one genuinely needs re-export and
+    says so)."""
+    from .. import fsio
 
-    with open(os.path.join(out_dir, "meta.json"), encoding="utf-8") as f:
-        return json.load(f)
+    meta_p = fsio.join(out_dir, "meta.json")
+    if fsio.exists(spark, meta_p):
+        return fsio.read_json(spark, meta_p)
+    legacy_p = fsio.join(out_dir, "manifest.json")
+    if not fsio.exists(spark, legacy_p):
+        raise FileNotFoundError(
+            f"{out_dir} has neither meta.json nor manifest.json -- not "
+            f"a sorted_export layout (or an interrupted export; "
+            f"re-export)")
+    legacy = fsio.read_json(spark, legacy_p)
+    data_dir = fsio.join(out_dir, "data")
+    if not fsio.exists(spark, data_dir):
+        raise FileNotFoundError(
+            f"{out_dir} is an older sorted_export layout (manifest.json "
+            f"only) with no data dir; its schema is unrecoverable -- "
+            f"re-export with the current sorted_export")
+    return {"order_cols": legacy["order_cols"],
+            "rows_per_file": legacy["rows_per_file"],
+            "n_files": len(legacy["files"]),
+            "schema": spark.read.parquet(data_dir).schema.jsonValue()}
 
 
 def _read_pruned(spark: SparkSession, out_dir: str, meta: dict,
@@ -447,7 +468,7 @@ def read_sorted_range(spark: SparkSession, out_dir: str,
     collected -- bounded by the result size, not the corpus size. The
     residual predicate still applies inside the survivors, so the
     result equals the unpruned filter exactly."""
-    meta = _sorted_export_meta(out_dir)
+    meta = _sorted_export_meta(spark, out_dir)
     lead = meta["order_cols"][0]
     man = spark.read.parquet(out_dir + "/manifest")
     keep = [r["file_id"] for r in
@@ -468,7 +489,7 @@ def read_sorted_slice(spark: SparkSession, out_dir: str,
     rows_per_file -- no manifest scan at all, and the slice opens
     ceil(slice/rows_per_file)+1 files no matter how large the corpus
     is."""
-    meta = _sorted_export_meta(out_dir)
+    meta = _sorted_export_meta(spark, out_dir)
     rpf = int(meta["rows_per_file"])
     n_files = int(meta["n_files"])
     if gid_hi < gid_lo or n_files == 0 or gid_hi < 1 \
@@ -479,3 +500,81 @@ def read_sorted_slice(spark: SparkSession, out_dir: str,
                           min(n_files - 1, (gid_hi - 1) // rpf) + 1))
     return _read_pruned(spark, out_dir, meta, keep) \
         .where(F.col("global_id").between(gid_lo, gid_hi))
+
+
+def manifest_from_footers(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Rebuild a :func:`sorted_export` manifest from PARQUET FOOTER
+    STATISTICS alone -- no data page is ever read. Spark's binaryFile
+    file index lists ``out_dir/data`` (distributed, path column only),
+    executors open each footer with pyarrow and fold the row-group
+    min/max statistics of the LEADING order column and ``global_id``
+    into per-file (n_rows, min_key, max_key, min_gid, max_gid) -- the
+    exact manifest :func:`sorted_export` builds by aggregating the
+    data. Row-for-row equality with the groupBy-built manifest is
+    pinned by pytest; at 100 TB this is the manifest-repair /
+    layout-audit path: KBs per file instead of a full table scan.
+
+    Honesty note: parquet writers may TRUNCATE string statistics for
+    very long values; numeric and timestamp keys (and ordinary short
+    strings, which every testdata key is) are exact."""
+    from pyspark.sql.types import StructType
+
+    from .quality import _local_path
+
+    meta = _sorted_export_meta(spark, out_dir)
+    lead = meta["order_cols"][0]
+    schema = StructType.fromJson(meta["schema"])
+    key_ddl = schema[lead].dataType.simpleString()
+
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.parquet")
+             .option("recursiveFileLookup", "true")
+             .load(out_dir + "/data")
+             .select("path")
+             .withColumn("file_id", F.regexp_extract(
+                 "path", r"file_id=(\d+)", 1).cast("int")))
+
+    def fold(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            rows = []
+            for path, fid in zip(b["path"], b["file_id"]):
+                md = pq.ParquetFile(_local_path(path)).metadata
+                names = {md.schema.column(i).path: i
+                         for i in range(md.num_columns)}
+                n = 0
+                mins: dict[str, list] = {lead: [], "global_id": []}
+                maxs: dict[str, list] = {lead: [], "global_id": []}
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    n += rg.num_rows
+                    for colname in (lead, "global_id"):
+                        st = rg.column(names[colname]).statistics
+                        if st is not None and st.has_min_max:
+                            mins[colname].append(st.min)
+                            maxs[colname].append(st.max)
+                rows.append((
+                    int(fid), n,
+                    min(mins[lead]) if mins[lead] else None,
+                    max(maxs[lead]) if maxs[lead] else None,
+                    min(mins["global_id"]) if mins["global_id"] else None,
+                    max(maxs["global_id"]) if maxs["global_id"] else None,
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "file_id", "n_rows", "min_key", "max_key",
+                "min_gid", "max_gid"])
+
+    return (files.repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(
+                fold,
+                f"file_id int, n_rows long, min_key {key_ddl}, "
+                f"max_key {key_ddl}, min_gid long, max_gid long")
+            .groupBy("file_id")
+            .agg(F.sum("n_rows").alias("n_rows"),
+                 F.min("min_key").alias("min_key"),
+                 F.max("max_key").alias("max_key"),
+                 F.min("min_gid").alias("min_gid"),
+                 F.max("max_gid").alias("max_gid"))
+            .orderBy("file_id"))

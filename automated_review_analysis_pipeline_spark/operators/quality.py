@@ -216,64 +216,135 @@ def psi_drift(documents: DataFrame, value_col: str = "n_chars",
     )
 
 
-def column_stats(df: DataFrame) -> DataFrame:
-    """ANALYZE-style per-column statistics in ONE pass: for every
-    column, (n_rows, n_nulls, n_distinct exact, min/max) -- the stats
-    table every optimizer, data-quality monitor, and "what is in this
-    100 TB table" first-look needs. All columns aggregate in a single
-    wide SELECT (one scan, one partial+final aggregate -- never one
-    job per column), then the one result row melts to long form with
-    ``stack``.
-
-    min/max land in TYPED slots so no engine-specific string
-    formatting can diverge: numerics (and timestamps, as unix micros)
-    fill ``min_num/max_num``; strings fill ``min_str/max_str``;
-    booleans count as numeric 0/1; other types (arrays, structs,
-    binary) report counts only. n_distinct is EXACT (count_distinct;
-    the approx lane for 100 TB is the portable-HLL operator family)."""
+def _column_kinds(df: DataFrame) -> dict[str, tuple[str, str]]:
+    """{name: (stat_kind, ndv_kind)} per column. stat_kind drives the
+    typed min/max slots ("num"/"str"/"other"); ndv_kind drives the
+    portable-HLL hash key ("str" = cast-to-string is cross-engine
+    stable: integrals, strings, booleans, dates; "micros" = hash the
+    unix-micro long of a timestamp; "none" = no portable hash exists
+    (floats' string formatting is engine-specific; maps aren't even
+    comparable), so hll mode reports NULL ndv and the exact mode is
+    the lane for them)."""
     from pyspark.sql.types import (
         BooleanType,
         DateType,
+        DoubleType,
+        FloatType,
+        MapType,
         NumericType,
         StringType,
         TimestampNTZType,
         TimestampType,
     )
 
+    kinds: dict[str, tuple[str, str]] = {}
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (TimestampType, TimestampNTZType)):
+            kinds[f.name] = ("num", "micros")
+        elif isinstance(f.dataType, DateType):
+            kinds[f.name] = ("num", "str")
+        elif isinstance(f.dataType, BooleanType):
+            kinds[f.name] = ("num", "str")
+        elif isinstance(f.dataType, (DoubleType, FloatType)):
+            kinds[f.name] = ("num", "none")
+        elif isinstance(f.dataType, NumericType):
+            kinds[f.name] = ("num", "str")
+        elif isinstance(f.dataType, StringType):
+            kinds[f.name] = ("str", "str")
+        elif isinstance(f.dataType, MapType):
+            kinds[f.name] = ("other", "none")
+        else:
+            kinds[f.name] = ("other", "none")
+    return kinds
+
+
+def _num_expr(df: DataFrame, name: str) -> Column:
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    c = F.col(name)
+    dt = df.schema[name].dataType
+    if isinstance(dt, (TimestampType, TimestampNTZType, DateType)):
+        return F.unix_micros(c.cast("timestamp")).cast("double")
+    if isinstance(dt, BooleanType):
+        return c.cast("int").cast("double")
+    return c.cast("double")
+
+
+def column_stats(df: DataFrame, ndv: str = "hll") -> DataFrame:
+    """ANALYZE-style per-column statistics: for every column,
+    (n_rows, n_nulls, n_distinct, typed min/max) -- the stats table
+    every optimizer, data-quality monitor, and "what is in this 100 TB
+    table" first-look needs. min/max land in TYPED slots so no
+    engine-specific string formatting can diverge: numerics (and
+    timestamps, as unix micros) fill ``min_num/max_num``; strings fill
+    ``min_str/max_str``; booleans count as numeric 0/1; other types
+    (arrays, structs, binary) report counts only. ``n_distinct`` is a
+    DOUBLE in every mode (integer-exact when the mode is exact).
+
+    ``ndv`` picks the distinct-count lane -- and with it the PHYSICAL
+    SHAPE of the job, which is the whole point at 100 TB:
+
+    * ``"hll"`` (default): portable-HLL estimate per column. One scan
+      melts each row into k tiny (column, bucket, rho, bounds) tuples
+      that PARTIALLY AGGREGATE before the shuffle -- at most
+      k x 512 register rows (plus k min/max rows) leave each task, a
+      CONSTANT independent of data size or cardinality, and the plan
+      contains no Expand. The registers use the cross-engine md5 hash
+      convention (sketches.py HLL constants), so a DuckDB oracle
+      reproduces the ESTIMATE exactly -- approximate but
+      deterministically checkable. Float/double and non-comparable
+      columns report NULL ndv in this mode (their cast-to-string is
+      engine-specific; use exact mode for them).
+    * ``"exact"``: count_distinct per column in one wide agg. Catalyst
+      compiles multiple distinct aggregates via an Expand node -- every
+      row replicated once per column, and every distinct VALUE of every
+      column (full text bodies included) survives the map side into the
+      shuffle. Correct, and the right tool on small/medium tables; on
+      a 100-TB table the shuffle is cardinality-bound, which is why it
+      is opt-in rather than the default.
+    * ``"approx"``: Spark-native approx_count_distinct in the same
+      single wide agg -- no Expand, constant sketch state, fastest;
+      engine-private sketch, so cross-engine checks are rows-only.
+    """
+    if ndv not in ("hll", "exact", "approx"):
+        raise ValueError(f"ndv must be hll|exact|approx, got {ndv!r}")
+    if ndv == "hll":
+        return _column_stats_hll(df)
+    return _column_stats_wide(df, exact=(ndv == "exact"))
+
+
+def _column_stats_wide(df: DataFrame, exact: bool) -> DataFrame:
+    """The single-wide-agg lane (exact or Spark-native approx ndv)."""
+    from pyspark.sql.types import MapType
+
+    kinds = _column_kinds(df)
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
-    kinds: dict[str, str] = {}
     for f in df.schema.fields:
         c = F.col(f.name)
-        if isinstance(f.dataType,
-                      (TimestampType, TimestampNTZType, DateType)):
-            num = F.unix_micros(c.cast("timestamp")).cast("double")
-            kinds[f.name] = "num"
-        elif isinstance(f.dataType, BooleanType):
-            num = c.cast("int").cast("double")
-            kinds[f.name] = "num"
-        elif isinstance(f.dataType, NumericType):
-            num = c.cast("double")
-            kinds[f.name] = "num"
-        elif isinstance(f.dataType, StringType):
-            num = None
-            kinds[f.name] = "str"
-        else:
-            num = None
-            kinds[f.name] = "other"
+        k = kinds[f.name][0]
         aggs.append(F.count(F.when(c.isNull(), 1))
                     .alias(f"__nulls_{f.name}"))
         # maps are not comparable -- count_distinct would throw; report
         # NULL ndv for them instead of failing the whole profile
-        from pyspark.sql.types import MapType
-
         if isinstance(f.dataType, MapType):
-            aggs.append(F.lit(None).cast("long").alias(f"__nd_{f.name}"))
+            aggs.append(F.lit(None).cast("double")
+                        .alias(f"__nd_{f.name}"))
+        elif exact:
+            aggs.append(F.count_distinct(c).cast("double")
+                        .alias(f"__nd_{f.name}"))
         else:
-            aggs.append(F.count_distinct(c).alias(f"__nd_{f.name}"))
-        if kinds[f.name] == "num":
+            aggs.append(F.approx_count_distinct(c).cast("double")
+                        .alias(f"__nd_{f.name}"))
+        if k == "num":
+            num = _num_expr(df, f.name)
             aggs.append(F.min(num).alias(f"__min_{f.name}"))
             aggs.append(F.max(num).alias(f"__max_{f.name}"))
-        elif kinds[f.name] == "str":
+        elif k == "str":
             aggs.append(F.min(c).alias(f"__min_{f.name}"))
             aggs.append(F.max(c).alias(f"__max_{f.name}"))
     one = df.agg(*aggs)
@@ -282,12 +353,12 @@ def column_stats(df: DataFrame) -> DataFrame:
     null_s = F.lit(None).cast("string")
     structs = []
     for f in df.schema.fields:
-        k = kinds[f.name]
+        k = kinds[f.name][0]
         structs.append(F.struct(
             F.lit(f.name).alias("column"),
             F.col("__n").cast("long").alias("n_rows"),
             F.col(f"__nulls_{f.name}").cast("long").alias("n_nulls"),
-            F.col(f"__nd_{f.name}").cast("long").alias("n_distinct"),
+            F.col(f"__nd_{f.name}").alias("n_distinct"),
             (F.round(F.col(f"__min_{f.name}"), 6) if k == "num"
              else null_d).alias("min_num"),
             (F.round(F.col(f"__max_{f.name}"), 6) if k == "num"
@@ -301,14 +372,238 @@ def column_stats(df: DataFrame) -> DataFrame:
             .select("s.*").orderBy("column"))
 
 
-def parquet_footer_stats(spark, paths: list[str]) -> DataFrame:
+def _column_stats_hll(df: DataFrame) -> DataFrame:
+    """The default lane: one scan melts each row into k
+    (column, num, str, is_null, hll key) tuples; stage 1 groups by
+    (column, bucket) -- max register, partial min/max/counts -- so the
+    shuffle carries at most k x (512+1) rows PER TASK regardless of
+    table size; stage 2 merges bounds and computes the Flajolet
+    estimate as pure column math. The melt inflates rows k x BEFORE
+    the partial aggregate (same in-memory shape Expand has), but
+    unlike exact count_distinct nothing cardinality-bound ever reaches
+    the wire. NULL hash keys (null values, float/other columns) group
+    under a NULL bucket that still merges counts/bounds but is
+    excluded from the register math."""
+    from ..operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_RHO_CLAMP,
+        HLL_W_BITS,
+    )
+
+    spark = df.sparkSession
+    kinds = _column_kinds(df)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        k, nk = kinds[f.name]
+        if nk == "str":
+            key = c.cast("string")
+        elif nk == "micros":
+            key = F.unix_micros(c.cast("timestamp")).cast("string")
+        else:
+            key = null_s
+        structs.append(F.struct(
+            F.lit(f.name).alias("column"),
+            (F.round(_num_expr(df, f.name), 6) if k == "num"
+             else null_d).alias("num"),
+            (c if k == "str" else null_s).alias("str"),
+            F.when(c.isNull(), 1).otherwise(0).alias("is_null"),
+            key.alias("key"),
+            F.lit(nk != "none").alias("has_ndv"),
+        ))
+    long = (df.select(F.explode(F.array(*structs)).alias("s"))
+            .select("s.*"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll:"), F.col("key"))), 1, 15),
+        16, 10).cast("long")
+    staged = long.select("column", "num", "str", "is_null", "has_ndv",
+                         h.alias("__h"))
+    hc = F.col("__h")
+    w = hc.bitwiseAND(F.lit((1 << HLL_W_BITS) - 1))
+    rho = F.least(
+        F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+            F.lit(HLL_W_BITS + 1) - F.length(F.conv(w, 10, 2))),
+        F.lit(HLL_RHO_CLAMP))
+    stage1 = (staged
+              .select("column", "num", "str", "is_null", "has_ndv",
+                      F.shiftrightunsigned(hc, HLL_W_BITS)
+                      .alias("bucket"), rho.alias("rho"))
+              .groupBy("column", "bucket")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("is_null").alias("nulls"),
+                   F.max("has_ndv").alias("has_ndv"),
+                   F.min("num").alias("mn_num"),
+                   F.max("num").alias("mx_num"),
+                   F.min("str").alias("mn_str"),
+                   F.max("str").alias("mx_str"),
+                   F.max("rho").alias("reg")))
+    live = F.col("bucket").isNotNull()
+    scale = float(1 << HLL_RHO_CLAMP)
+    est = (stage1.groupBy("column")
+           .agg(F.sum("n").alias("n_rows"),
+                F.sum("nulls").alias("n_nulls"),
+                F.max("has_ndv").alias("has_ndv"),
+                F.min("mn_num").alias("min_num"),
+                F.max("mx_num").alias("max_num"),
+                F.min("mn_str").alias("min_str"),
+                F.max("mx_str").alias("max_str"),
+                F.coalesce(F.sum(F.when(live, F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST({HLL_RHO_CLAMP} - reg AS INT))"))),
+                    F.lit(0)).alias("s_int"),
+                F.count(F.when(live, 1)).alias("observed"))
+           .withColumn("v_zero", F.lit(HLL_M) - F.col("observed"))
+           .withColumn("total",
+                       F.col("s_int").cast("double") / F.lit(scale)
+                       + F.col("v_zero").cast("double"))
+           .withColumn("e_raw",
+                       F.lit(HLL_ALPHA * HLL_M * HLL_M) / F.col("total"))
+           .withColumn("n_distinct", F.when(~F.col("has_ndv"), null_d)
+                       .otherwise(F.round(
+                           F.when((F.col("e_raw") <= F.lit(2.5 * HLL_M))
+                                  & (F.col("v_zero") > 0),
+                                  F.lit(float(HLL_M))
+                                  * F.log(F.lit(float(HLL_M))
+                                          / F.col("v_zero")
+                                          .cast("double")))
+                           .otherwise(F.col("e_raw")), 4))))
+    # empty input produces no groups; re-anchor on the schema so the
+    # contract (one row per column, n_rows 0) holds like the wide lane
+    names = spark.createDataFrame([(f.name, kinds[f.name][1] != "none")
+                                   for f in df.schema.fields],
+                                  "column string, ndvable boolean")
+    return (names.join(est, "column", "left")
+            .select("column",
+                    F.coalesce("n_rows", F.lit(0)).cast("long")
+                    .alias("n_rows"),
+                    F.coalesce("n_nulls", F.lit(0)).cast("long")
+                    .alias("n_nulls"),
+                    F.when(F.col("n_rows").isNull() & F.col("ndvable"),
+                           F.lit(0.0))
+                    .otherwise(F.col("n_distinct")).alias("n_distinct"),
+                    "min_num", "max_num", "min_str", "max_str")
+            .orderBy("column"))
+
+
+def column_stats_hll_sql(table: str,
+                         cols: list[tuple[str, str, str]]) -> str:
+    """DuckDB twin of :func:`column_stats` (default hll mode),
+    generated from the same HLL constants: identical registers,
+    identical estimate math, per column. ``cols`` is
+    [(name, stat_kind, ndv_kind)] as :func:`_column_kinds` yields
+    (dates/bools hash via their VARCHAR cast; timestamps via
+    epoch_us; floats/others NULL ndv)."""
+    from ..operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_RHO_CLAMP,
+        HLL_W_BITS,
+    )
+
+    parts = []
+    for name, k, nk in cols:
+        if nk == "micros":
+            key = f"CAST(epoch_us({name}) AS VARCHAR)"
+        else:
+            key = f"CAST({name} AS VARCHAR)"
+        if nk == "none":
+            nd = "CAST(NULL AS DOUBLE)"
+        else:
+            nd = f"""(
+  WITH regs AS (
+    SELECT h >> {HLL_W_BITS} AS bucket,
+           max(least(CASE WHEN (h & {(1 << HLL_W_BITS) - 1}) = 0
+                          THEN {HLL_W_BITS + 1}
+                          ELSE {HLL_W_BITS + 1}
+                    - length(bin(h & {(1 << HLL_W_BITS) - 1})) END,
+                     {HLL_RHO_CLAMP})) AS reg
+    FROM (SELECT CAST(('0x' || substr(md5('hll:' || {key}), 1, 15))
+                      AS BIGINT) AS h
+          FROM src WHERE {name} IS NOT NULL)
+    GROUP BY 1),
+  pg AS (
+    SELECT coalesce(sum(CAST(1 AS BIGINT)
+                        << ({HLL_RHO_CLAMP} - reg)), 0)::DOUBLE
+             / {float(1 << HLL_RHO_CLAMP)!r}
+           + ({HLL_M} - count(*))::DOUBLE AS total,
+           {HLL_M} - count(*) AS v_zero
+    FROM regs)
+  SELECT round(CASE WHEN {HLL_ALPHA * HLL_M * HLL_M!r} / total
+                         <= {2.5 * HLL_M!r} AND v_zero > 0
+                    THEN {float(HLL_M)!r} * ln({float(HLL_M)!r}
+                                               / v_zero::DOUBLE)
+                    ELSE {HLL_ALPHA * HLL_M * HLL_M!r} / total END, 4)
+  FROM pg)"""
+        if k == "num":
+            if nk == "micros":
+                mn = f"round(epoch_us(min({name}))::DOUBLE, 6)"
+                mx = f"round(epoch_us(max({name}))::DOUBLE, 6)"
+            else:
+                mn = f"round(min({name})::DOUBLE, 6)"
+                mx = f"round(max({name})::DOUBLE, 6)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        elif k == "str":
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = f"min({name})", f"max({name})"
+        else:
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        parts.append(f"""
+  SELECT '{name}' AS "column", count(*) AS n_rows,
+         count(CASE WHEN {name} IS NULL THEN 1 END) AS n_nulls,
+         {nd} AS n_distinct,
+         {mn} AS min_num, {mx} AS max_num,
+         {ms} AS min_str, {xs} AS max_str
+  FROM src""")
+    body = "\n  UNION ALL".join(parts)
+    return (f'WITH src AS (SELECT * FROM {table})\n'
+            f'SELECT * FROM ({body}\n) ORDER BY "column"')
+
+
+def _paths_df(spark, paths) -> DataFrame:
+    """Normalize parquet_footer_stats' input to a one-column ``path``
+    DataFrame. A str is a DIRECTORY: Spark's own binaryFile source
+    lists it (recursive, *.parquet) and -- because only ``path`` is
+    selected -- never reads a content byte; a DataFrame passes through
+    (its first column is the path), so a million-file list can come
+    straight from a manifest table or a previous listing without ever
+    materializing an O(n_files) Python list on the driver. A list[str]
+    stays supported for the small/interactive case."""
+    if isinstance(paths, DataFrame):
+        first = paths.columns[0]
+        return paths.select(F.col(first).cast("string").alias("path"))
+    if isinstance(paths, str):
+        return (spark.read.format("binaryFile")
+                .option("pathGlobFilter", "*.parquet")
+                .option("recursiveFileLookup", "true")
+                .load(paths).select("path"))
+    return spark.createDataFrame([(p,) for p in paths], "path string")
+
+
+def _local_path(path: str) -> str:
+    """file:-scheme URI -> plain path for pyarrow (other schemes pass
+    through; pyarrow resolves them via its own filesystems)."""
+    if path.startswith("file://"):
+        return path[7:]
+    if path.startswith("file:"):
+        return path[5:]
+    return path
+
+
+def parquet_footer_stats(spark, paths) -> DataFrame:
     """Distributed parquet FOOTER introspection -- the manifest-building
-    primitive: given a file list, executors read each footer with
-    pyarrow (metadata-only -- no data pages touched) and emit one row
-    per (file, row group, column) with value counts, null counts, and
-    compressed/uncompressed byte sizes. At 100 TB this is how a layout
-    audit or a table-format manifest bootstrap runs: millions of
-    footers fan out across the cluster, ~KBs read per file.
+    primitive: given a file list (a ``path`` DataFrame, a directory to
+    list with Spark's file index, or a small list[str]), executors
+    read each footer with pyarrow (metadata-only -- no data pages
+    touched) and emit one row per (file, row group, column) with value
+    counts, null counts, and compressed/uncompressed byte sizes. At
+    100 TB this is how a layout audit or a table-format manifest
+    bootstrap runs: millions of footers fan out across the cluster,
+    ~KBs read per file, and the file list itself stays distributed
+    (never an O(n_files) driver list).
 
     Cross-engine pinned by pytest against DuckDB's parquet_metadata()
     on the same files (path-bound table functions sit outside the
@@ -323,7 +618,7 @@ def parquet_footer_stats(spark, paths: list[str]) -> DataFrame:
         for b in batches:
             rows = []
             for path in b["path"]:
-                md = pq.ParquetFile(path).metadata
+                md = pq.ParquetFile(_local_path(path)).metadata
                 fname = os.path.basename(path)
                 for g in range(md.num_row_groups):
                     rg = md.row_group(g)
@@ -344,8 +639,8 @@ def parquet_footer_stats(spark, paths: list[str]) -> DataFrame:
                 "n_values", "n_nulls", "compressed_bytes",
                 "uncompressed_bytes", "compression"])
 
-    files = spark.createDataFrame([(p,) for p in paths], "path string") \
-        .repartition(min(len(paths), 64))
+    files = _paths_df(spark, paths).repartition(
+        spark.sparkContext.defaultParallelism)
     return files.mapInPandas(
         read_footers,
         "file_name string, row_group_id int, n_rows long, column string, "

@@ -953,10 +953,10 @@ def build_ivfpq_index(embeddings: DataFrame, store_dir: str,
                        cents_by_cell=shift_by_cell)
     coded.write.mode("overwrite").partitionBy("cell") \
         .parquet(store_dir + "/codes")
-    os.makedirs(store_dir, exist_ok=True)
-    with open(os.path.join(store_dir, "meta.json"), "w",
-              encoding="utf-8") as f:
-        json.dump({"encode": encode}, f)
+    # sidecar LAST via the Hadoop FS API -- store_dir may be s3a://
+    from .. import fsio
+    fsio.write_json(spark, fsio.join(store_dir, "meta.json"),
+                    {"encode": encode})
     return spark.read.parquet(store_dir + "/codes")
 
 
@@ -991,15 +991,13 @@ def _load_cell_means(spark, store_dir: str) -> dict:
             .collect()}
 
 
-def _ivfpq_encode_mode(store_dir: str) -> str:
-    import json
-    import os
+def _ivfpq_encode_mode(spark, store_dir: str) -> str:
+    from .. import fsio
 
-    p = os.path.join(store_dir, "meta.json")
-    if not os.path.exists(p):
+    p = fsio.join(store_dir, "meta.json")
+    if not fsio.exists(spark, p):
         return "raw"  # pre-residual stores carry no meta
-    with open(p, encoding="utf-8") as f:
-        return json.load(f).get("encode", "raw")
+    return fsio.read_json(spark, p).get("encode", "raw")
 
 
 def ivfpq_index_append(spark, store_dir: str, new_vectors: DataFrame,
@@ -1014,7 +1012,7 @@ def ivfpq_index_append(spark, store_dir: str, new_vectors: DataFrame,
     cents = spark.read.parquet(store_dir + "/centroids")
     books, m, _ksub, dsub = _load_books(spark, store_dir)
     shift_by_cell = _load_cell_means(spark, store_dir) \
-        if _ivfpq_encode_mode(store_dir) == "residual" else None
+        if _ivfpq_encode_mode(spark, store_dir) == "residual" else None
     assigned = _ivf_assign(_prep(new_vectors, id_col, vec_col, "c"),
                            cents) \
         .withColumn("cell", F.col("cell").cast("long"))
@@ -1052,7 +1050,7 @@ def ivfpq_probe(spark, store_dir: str, queries: DataFrame, k: int = 5,
 
     cents = spark.read.parquet(store_dir + "/centroids")
     books, m, ksub, dsub = _load_books(spark, store_dir)
-    residual = _ivfpq_encode_mode(store_dir) == "residual"
+    residual = _ivfpq_encode_mode(spark, store_dir) == "residual"
     shift_by_cell = _load_cell_means(spark, store_dir) if residual \
         else None
 
@@ -1993,12 +1991,15 @@ def ivfpq_rerank(spark, store_dir: str, queries: DataFrame, k: int = 5,
     Exactly SQL-expressible: the shortlist CTE is the probe oracle with
     k=rerank, the rerank is a plain cosine over it (same 6dp rounding
     and id tiebreaks as cosine_topk)."""
+    if embeddings is None:
+        # validate BEFORE the probe -- ivfpq_probe runs eagerly
+        # (driver-side collects + ADC scan); a misuse error must not
+        # cost a complete probe first
+        raise ValueError("ivfpq_rerank needs the raw-vector table")
     shortlist = ivfpq_probe(spark, store_dir, queries, k=rerank,
                             n_probe=n_probe, id_col=id_col,
                             vec_col=vec_col) \
         .select("query_id", "neighbor_id")
-    if embeddings is None:
-        raise ValueError("ivfpq_rerank needs the raw-vector table")
     q = _prep(queries, id_col, vec_col, "q") \
         .withColumnRenamed("q_id", "query_id")
     c = _prep(embeddings, id_col, vec_col, "c") \

@@ -440,16 +440,35 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANALYZE-style per-column stats over orders in ONE scan: counts,
-    nulls, exact distinct, typed min/max (numerics + timestamps as
-    unix-micro doubles, strings as strings) -- the first-look / stats
-    surface of any engine, melted to long form via stack."""
+    """ANALYZE-style per-column stats over orders in ONE scan --
+    DEFAULT (portable-HLL ndv) mode: counts, nulls, cross-engine-
+    reproducible HLL distinct estimates, typed min/max. The shuffle
+    carries at most k x 512 register rows per task (never distinct
+    VALUES, never an Expand) -- the shape that survives a 100-TB
+    table; the DuckDB oracle rebuilds the identical registers so even
+    the ESTIMATES check exactly. Floats report NULL ndv here (their
+    string formatting is engine-specific); see column_stats_exact."""
     from automated_review_analysis_pipeline_spark.operators.quality import (
         column_stats,
     )
 
     _utc(spark)
     return column_stats(_t(spark, sf_dir, "orders"))
+
+
+def q_column_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-ndv opt-in lane of column_stats: one wide agg with
+    count_distinct per column. Catalyst compiles multiple distincts
+    via Expand (k x row replication, cardinality-bound shuffle) --
+    correct and fine at this scale, opt-in at 100 TB; covers the
+    float/double columns the portable-HLL default cannot hash
+    cross-engine."""
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        column_stats,
+    )
+
+    _utc(spark)
+    return column_stats(_t(spark, sf_dir, "orders"), ndv="exact")
 
 
 def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2616,6 +2635,7 @@ QUERIES: dict[str, QueryFn] = {
     "near_dup_triangles": q_near_dup_triangles,
     "expectations_orders": q_expectations_orders,
     "column_stats": q_column_stats,
+    "column_stats_exact": q_column_stats_exact,
     "curate_corpus": q_curate_corpus,
     "curate_corpus_tokens": q_curate_corpus_tokens,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -5193,12 +5213,28 @@ FROM tok_cum ORDER BY lang, doc_id
 """
 
 
-ORACLE_SQL["column_stats"] = """
+from automated_review_analysis_pipeline_spark.operators.quality import (  # noqa: E402
+    column_stats_hll_sql,
+)
+
+# the spec mirrors _column_kinds over the orders schema: int64/varchar
+# hash via their VARCHAR cast, the timestamp via epoch_us, the double
+# reports NULL ndv in the portable default (see column_stats_exact)
+ORACLE_SQL["column_stats"] = column_stats_hll_sql("orders", [
+    ("o_orderkey", "num", "str"),
+    ("o_custkey", "num", "str"),
+    ("o_orderstatus", "str", "str"),
+    ("o_totalprice", "num", "none"),
+    ("o_orderdate", "num", "micros"),
+    ("o_orderpriority", "str", "str"),
+])
+
+ORACLE_SQL["column_stats_exact"] = """
 WITH src AS (SELECT * FROM orders)
 SELECT * FROM (
   SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
          count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
-         count(DISTINCT o_orderkey) AS n_distinct,
+         count(DISTINCT o_orderkey)::DOUBLE AS n_distinct,
          round(min(o_orderkey)::DOUBLE, 6) AS min_num,
          round(max(o_orderkey)::DOUBLE, 6) AS max_num,
          CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
@@ -5206,30 +5242,30 @@ SELECT * FROM (
   UNION ALL
   SELECT 'o_custkey', count(*),
          count(CASE WHEN o_custkey IS NULL THEN 1 END),
-         count(DISTINCT o_custkey),
+         count(DISTINCT o_custkey)::DOUBLE,
          round(min(o_custkey)::DOUBLE, 6), round(max(o_custkey)::DOUBLE, 6),
          NULL, NULL FROM src
   UNION ALL
   SELECT 'o_orderstatus', count(*),
          count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
-         count(DISTINCT o_orderstatus), NULL, NULL,
+         count(DISTINCT o_orderstatus)::DOUBLE, NULL, NULL,
          min(o_orderstatus), max(o_orderstatus) FROM src
   UNION ALL
   SELECT 'o_totalprice', count(*),
          count(CASE WHEN o_totalprice IS NULL THEN 1 END),
-         count(DISTINCT o_totalprice),
+         count(DISTINCT o_totalprice)::DOUBLE,
          round(min(o_totalprice)::DOUBLE, 6),
          round(max(o_totalprice)::DOUBLE, 6), NULL, NULL FROM src
   UNION ALL
   SELECT 'o_orderdate', count(*),
          count(CASE WHEN o_orderdate IS NULL THEN 1 END),
-         count(DISTINCT o_orderdate),
+         count(DISTINCT o_orderdate)::DOUBLE,
          round(epoch_us(min(o_orderdate))::DOUBLE, 6),
          round(epoch_us(max(o_orderdate))::DOUBLE, 6), NULL, NULL FROM src
   UNION ALL
   SELECT 'o_orderpriority', count(*),
          count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
-         count(DISTINCT o_orderpriority), NULL, NULL,
+         count(DISTINCT o_orderpriority)::DOUBLE, NULL, NULL,
          min(o_orderpriority), max(o_orderpriority) FROM src
 ) ORDER BY "column"
 """

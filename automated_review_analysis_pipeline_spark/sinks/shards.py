@@ -110,9 +110,13 @@ def write_training_shards(documents: DataFrame, out_dir: str,
             for r in rows
         ],
     }
-    with open(os.path.join(out_dir, "manifest.json"), "w",
-              encoding="utf-8") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    # sidecar LAST via the Hadoop FS API -- out_dir may be s3a://; a
+    # crash before this line leaves no manifest, so read_training_shards
+    # fails fast instead of validating a half-delivery
+    from .. import fsio
+    fsio.write_text(documents.sparkSession,
+                    fsio.join(out_dir, "manifest.json"),
+                    json.dumps(manifest, indent=1, sort_keys=True))
     return manifest
 
 
@@ -134,9 +138,8 @@ def read_training_shards(spark: SparkSession, out_dir: str,
     1/n_shards of it). Requesting a shard the manifest doesn't know
     raises; validation of the named shards is as strict as the full
     read's."""
-    with open(os.path.join(out_dir, "manifest.json"),
-              encoding="utf-8") as f:
-        manifest = json.load(f)
+    from .. import fsio
+    manifest = fsio.read_json(spark, fsio.join(out_dir, "manifest.json"))
     df = spark.read.parquet(out_dir + "/shards")
     if shards is not None:
         requested = sorted({int(s) for s in shards})

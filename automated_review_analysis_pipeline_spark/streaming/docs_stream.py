@@ -147,9 +147,7 @@ def streaming_set_similarity(spark: SparkSession, docs_path: str,
     store_dir = os.path.join(work_dir, "simjoin_store")
     chk = os.path.join(work_dir, "_chk")
     shutil.rmtree(store_dir, ignore_errors=True)
-    empty = (spark.read.parquet(docs_path).limit(0)
-             if os.path.isfile(docs_path)
-             else spark.read.parquet(docs_path).limit(0))
+    empty = spark.read.parquet(docs_path).limit(0)
     build_simjoin_index(empty, store_dir, threshold=threshold, k=k)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

@@ -215,7 +215,16 @@ def streaming_asof_enrich(events_stream: DataFrame) -> DataFrame:
     arrive in event-time order (the availableNow file-ordered fixture);
     within a batch rows are sorted by (ts, purchase-first, event_id), so
     only CROSS-batch reordering can misenrich -- the same in-order
-    delivery assumption the incremental rollup documents."""
+    delivery assumption the incremental rollup documents.
+
+    PREFER :func:`streaming_asof_enrich_ooo` for real sources. Kafka
+    (and any partitioned/redelivered transport) does NOT guarantee
+    cross-partition event-time order, and
+    test_streaming_asof_ooo_corrects_cross_batch_disorder proves this
+    lane mis-enriches on exactly that shape. This in-order lane remains
+    for strictly ordered replays (single sorted file feed, log-shipped
+    archives), where it is cheaper: O(1) state per key with no
+    watermark buffering or timeout machinery."""
     from pyspark.sql import functions as F
 
     base = (events_stream
@@ -259,7 +268,7 @@ def _asof_ooo_enricher(key, pdf_iter, state: GroupState):
     wm_us = wm_ms * 1000 if wm_ms > 0 else None
 
     outs = []
-    if wm_us is not None and c_ids:
+    if wm_us is not None:
         # purchases sorted once; per finalized click, the as-of match is
         # the latest purchase ts <= click ts, value = MAX of the
         # non-NULL values at that ts (batch MAX semantics)
@@ -268,24 +277,29 @@ def _asof_ooo_enricher(key, pdf_iter, state: GroupState):
         svs = [p_vals[i] for i in psorted]
         import bisect
 
-        emit_idx = [i for i in range(len(c_ids)) if c_ts[i] <= wm_us]
-        for i in sorted(emit_idx, key=lambda i: (c_ts[i], c_ids[i])):
-            pos = bisect.bisect_right(sts, c_ts[i])
-            if pos == 0:
-                m_ts, m_val = None, None
-            else:
-                m_ts = sts[pos - 1]
-                lo = bisect.bisect_left(sts, m_ts)
-                vals = [v for v in svs[lo:pos] if v is not None]
-                m_val = max(vals) if vals else None
-            outs.append((c_ids[i], user_id, c_ts[i], c_vals[i],
-                         m_ts, m_val))
-        keep = [i for i in range(len(c_ids)) if c_ts[i] > wm_us]
-        c_ids = [c_ids[i] for i in keep]
-        c_ts = [c_ts[i] for i in keep]
-        c_vals = [c_vals[i] for i in keep]
+        if c_ids:
+            emit_idx = [i for i in range(len(c_ids)) if c_ts[i] <= wm_us]
+            for i in sorted(emit_idx, key=lambda i: (c_ts[i], c_ids[i])):
+                pos = bisect.bisect_right(sts, c_ts[i])
+                if pos == 0:
+                    m_ts, m_val = None, None
+                else:
+                    m_ts = sts[pos - 1]
+                    lo = bisect.bisect_left(sts, m_ts)
+                    vals = [v for v in svs[lo:pos] if v is not None]
+                    m_val = max(vals) if vals else None
+                outs.append((c_ids[i], user_id, c_ts[i], c_vals[i],
+                             m_ts, m_val))
+            keep = [i for i in range(len(c_ids)) if c_ts[i] > wm_us]
+            c_ids = [c_ids[i] for i in keep]
+            c_ts = [c_ts[i] for i in keep]
+            c_vals = [c_vals[i] for i in keep]
         # prune purchases: keep every entry at the LATEST ts <= wm
-        # (max-at-ts semantics needs all of them) + everything > wm
+        # (max-at-ts semantics needs all of them) + everything > wm.
+        # UNCONDITIONALLY -- a purchase-only user (no pending clicks)
+        # must still shed finalized purchases, or a long-running stream
+        # accumulates every purchase forever (the documented state
+        # bound is O(rate x delay) + one latest group)
         older = [t for t in sts if t <= wm_us]
         cutoff = older[-1] if older else None
         kept = [(t, v) for t, v in zip(p_ts, p_vals)
@@ -307,6 +321,13 @@ def _asof_ooo_enricher(key, pdf_iter, state: GroupState):
             # goes below 0) -- such clicks fire as soon as ANY
             # watermark exists, then wait in state until it passes them
             state.setTimeoutTimestamp(max(1, min(c_ts) // 1000 + 1))
+        elif wm_us is None or any(t > wm_us for t in p_ts):
+            # purchases not yet finalized and no pending click to piggy-
+            # back on: schedule a prune so the state shrinks to the one
+            # latest-<=-wm group even if the user never sends another
+            # row. Once only that group remains, no timeout -- stable
+            # O(1) state per user (the keyed-state floor).
+            state.setTimeoutTimestamp(max(1, max(p_ts) // 1000 + 1))
     if outs:
         yield pd.DataFrame(outs, columns=[
             "event_id", "user_id", "click_us", "value", "p_us", "p_value"])

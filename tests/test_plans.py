@@ -945,7 +945,7 @@ def test_ivfpq_residual_codes_only_plan_and_append_consistency(
     store = str(tmp_path / "ivfadc")
     sim.build_ivfpq_index(e, store, n_centroids=8, train_iterations=2,
                           m=8, ksub=16, encode="residual")
-    assert sim._ivfpq_encode_mode(store) == "residual"
+    assert sim._ivfpq_encode_mode(spark, store) == "residual"
 
     probe = sim.ivfpq_probe(spark, store, q, k=5, n_probe=3)
     rows = probe.collect()

@@ -2049,3 +2049,67 @@ def test_basket_rules_math_on_tiny_fixture(spark):
     assert r["support"] == 0.5
     assert r["confidence"] == 0.625
     assert r["lift"] == round(5 * 10 / (8 * 7), 6)
+
+
+def test_multi_touch_attribution_binned_equals_naive(spark):
+    """The grid-binned pair generation (join on (user, window-cell),
+    purchases replicated into their two candidate cells) must equal
+    the naive user-key join + range filter on a randomized fixture
+    that includes cell-boundary-straddling windows."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators.events import (
+        multi_touch_attribution,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rng = random.Random(12)
+    base = 1_700_000_000_000_000
+    win = 7 * 86_400_000_000
+    rows = []
+    eid = 0
+    for u in range(1, 6):
+        for _ in range(40):
+            eid += 1
+            # spread over ~4 windows so pairs straddle cell boundaries
+            t = base + rng.randrange(4 * win)
+            rows.append((eid, u, t,
+                         "click" if rng.random() < 0.6 else "purchase",
+                         float(rng.randrange(10))))
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, event_type string, "
+              "value double") \
+        .withColumn("ts", F.timestamp_micros(F.col("us"))).drop("us")
+
+    got = {tuple(r) for r in multi_touch_attribution(events).collect()}
+
+    us = F.unix_micros(F.col("ts"))
+    clicks = (events.where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      us.alias("c_us")))
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         "user_id", us.alias("p_us")))
+    from pyspark.sql import Window
+
+    pairs = (clicks.join(purchases, "user_id")
+             .where((F.col("c_us") <= F.col("p_us"))
+                    & (F.col("c_us") >= F.col("p_us") - win)))
+    w = Window.partitionBy("purchase_id")
+    w_ord = w.orderBy("c_us", "click_id")
+    naive = (pairs
+             .withColumn("n_touches", F.count(F.lit(1)).over(w))
+             .withColumn("touch_rank", F.row_number().over(w_ord))
+             .groupBy("click_id", "user_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"),
+                  F.sum(F.when(F.col("touch_rank") == 1, 1).otherwise(0))
+                  .cast("long").alias("n_first"),
+                  F.sum(F.when(F.col("touch_rank") == F.col("n_touches"),
+                               1).otherwise(0))
+                  .cast("long").alias("n_last"),
+                  F.round(F.sum(F.lit(1.0) / F.col("n_touches")), 6)
+                  .alias("linear_credit"))
+             .orderBy("click_id"))
+    assert got == {tuple(r) for r in naive.collect()} and len(got) > 20

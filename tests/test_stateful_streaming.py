@@ -513,3 +513,57 @@ def test_streaming_asof_ooo_matches_inorder_fixture(spark, sf_dir,
             for r in asof_join(clicks, purch, on="t", by="user_id",
                                prefix="p_").collect()}
     assert got == want
+
+
+def test_streaming_asof_ooo_purchase_only_state_bounded(spark, tmp_path):
+    """A user whose batches contain PURCHASES BUT NO CLICKS must still
+    shed finalized purchases: pruning and the prune-timeout may not be
+    gated on pending clicks, or a long-running stream accumulates every
+    purchase in state forever. After the watermark passes every
+    purchase, the surviving state is exactly the latest-<=-wm group
+    (one entry here), and the output is unaffected (clicks from another
+    user still enrich)."""
+    from automated_review_analysis_pipeline_spark.streaming.stateful import (
+        streaming_asof_enrich_ooo,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ddl = ("event_id long, user_id long, ts string, event_type string, "
+           "value double")
+
+    def df(rows):
+        return spark.createDataFrame(rows, ddl).withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+
+    # user 1: purchases only, one per batch; user 2: one click (so the
+    # output side is exercised); user 0: heartbeat driving the watermark
+    b1 = df([(10, 1, "2024-01-01 10:00:00", "purchase", 1.0),
+             (30, 2, "2024-01-01 10:00:30", "click", 5.0)])
+    b2 = df([(11, 1, "2024-01-01 10:01:00", "purchase", 2.0),
+             (31, 2, "2024-01-01 10:00:45", "purchase", 6.0)])
+    b3 = df([(12, 1, "2024-01-01 10:02:00", "purchase", 3.0)])
+    b4 = df([(99, 0, "2024-01-01 11:00:00", "heartbeat", None)])
+    src = _drain_files(spark, tmp_path, [b1, b2, b3, b4])
+
+    chk = str(tmp_path / "chk_po")
+    stream = (spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double").option("maxFilesPerTrigger", 1).parquet(src))
+    q = (streaming_asof_enrich_ooo(stream, delay="1 minute")
+         .writeStream.format("memory").queryName("sasof_po")
+         .outputMode("append").option("checkpointLocation", chk)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = {r["event_id"]: r["p_value"]
+           for r in spark.table("sasof_po").collect()}
+    assert out == {30: None}  # click precedes user 2's only purchase
+
+    state = (spark.read.format("statestore").load(chk)
+             .selectExpr("key.user_id AS user_id",
+                         "size(value.groupState.p_ts) AS n_p",
+                         "size(value.groupState.c_ids) AS n_c").collect())
+    by_user = {r["user_id"]: (r["n_p"], r["n_c"]) for r in state}
+    # user 1 held 3 purchases across batches; after the watermark passed
+    # them all, only the latest group (one entry) survives, no clicks
+    assert by_user[1] == (1, 0)
+    assert by_user.get(2, (1, 0))[0] <= 1

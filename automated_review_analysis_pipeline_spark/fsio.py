@@ -32,10 +32,21 @@ _COPY_BUF = 65536
 
 
 def _fs_path(spark: SparkSession, path: str):
-    """(FileSystem, Path) for *path* under the session's Hadoop conf."""
+    """(FileSystem, Path) for *path* under the session's Hadoop conf.
+
+    Client-side CRC sidecars are disabled: the local ChecksumFileSystem
+    would otherwise shadow every sidecar with a ``.name.crc`` file, and
+    any EXTERNAL edit of the JSON (a user hand-fixing a manifest, a
+    test corrupting one on purpose) would then fail reads with
+    ChecksumException instead of the store's own validation error.
+    Sidecars are tiny and validated at the application layer
+    (shard fingerprints, schema checks); HDFS keeps its server-side
+    block checksums regardless."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.setWriteChecksum(False)
+    fs.setVerifyChecksum(False)
     return fs, jpath, jvm
 
 

@@ -1058,34 +1058,63 @@ def _positional_candidates(px: DataFrame, py: DataFrame,
     """Distinct (a_id, b_id) candidate pairs from two prefix tables
     carrying token POSITIONS -- the full PPJoin filter stack:
 
-    * size filter: t*|x| <= |y| <= |x|/t;
+    * size filter: t*|x| <= |y| <= |x|/t, applied per match BEFORE the
+      pair aggregation (per-pair-sound: sizes are pair constants);
     * POSITIONAL filter (Xiao et al.): a match of token w at positions
       (px, py) bounds the possible overlap by
-      1 + min(|x| - px, |y| - py); pairs whose EVERY prefix match
-      bounds below alpha = ceil(t/(1+t) * (|x|+|y|)) cannot reach
-      Jaccard t and are dropped BEFORE the distinct/verify stages.
-      Completeness: a qualifying pair's EARLIEST shared token match
-      has bound >= its true overlap >= alpha, so at least one of its
-      matches survives.
+      1 + min(|x| - px, |y| - py); a qualifying pair's EARLIEST shared
+      token match has bound >= its true overlap >= alpha =
+      ceil(t/(1+t) * (|x|+|y|)), so requiring max-over-matches of the
+      bound >= alpha is complete;
+    * SUFFIX-STYLE group bound (the PPJoin+ refinement, computed
+      relationally instead of by suffix binary search): aggregate ALL
+      of a pair's prefix matches -- any shared token ordered before
+      the LAST prefix match t* sits inside both prefixes (it would
+      contradict the shared global order otherwise), so total overlap
+      <= n_shared_prefix + min(|x| - pos_x(t*), |y| - pos_y(t*)).
+      Tighter than any single-match bound whenever a pair shares
+      several prefix tokens but little else. Measured on the 50k
+      dup-heavy stress (PERF.md): 12.35M -> 11.86M candidates (-4%)
+      and verify wall 19.7 -> 16.8 s (-15%) for free -- the same
+      groupBy the old distinct paid. The residual candidate mass
+      shares exactly ONE rare token, where no prefix-local bound can
+      improve on the single-match bound; cutting it further requires
+      probing the suffix arrays themselves (PPJoin+'s binary search),
+      which would drag the full arrays into the candidate stage --
+      the cost verify already pays once, so it is not taken here.
 
+    Both bounds aggregate over the FULL match set in one groupBy (the
+    old per-match pre-filter would drop matches and silently weaken
+    the group bound below the true overlap -- a false-negative trap).
     Self-joins additionally canonicalize a < b."""
     j = px.alias("x").join(py.alias("y"), "tok")
     if self_join:
         j = j.where(F.col("x.id") < F.col("y.id"))
     xs, ys = F.col("x.sz"), F.col("y.sz")
+    grouped = (j.where((ys >= threshold * xs - 1e-9)
+                       & (xs >= threshold * ys - 1e-9))
+               .groupBy(F.col("x.id").alias("a_id"),
+                        F.col("y.id").alias("b_id"),
+                        xs.alias("xs"), ys.alias("ys"))
+               .agg(F.count(F.lit(1)).alias("n_sp"),
+                    F.max(F.col("x.pos")).alias("px_last"),
+                    F.max(F.col("y.pos")).alias("py_last"),
+                    F.max(1 + F.least(xs - F.col("x.pos"),
+                                      ys - F.col("y.pos")))
+                    .alias("match_bound")))
     # the 1e-9 slack keeps an upward float ulp from bumping ceil past
     # the true integer alpha at exact boundaries (t/(1+t)*(|x|+|y|)
     # integral), which would over-prune a pair with overlap == alpha --
     # pruning is only ever allowed to be CONSERVATIVE
-    alpha = F.ceil(F.lit(threshold) / (1.0 + threshold) * (xs + ys)
-                   - 1e-9)
-    ubound = 1 + F.least(xs - F.col("x.pos"), ys - F.col("y.pos"))
-    return (j.where((ys >= threshold * xs - 1e-9)
-             & (xs >= threshold * ys - 1e-9))
-            .where(ubound >= alpha)
-            .select(F.col("x.id").alias("a_id"),
-                    F.col("y.id").alias("b_id"))
-            .distinct())
+    alpha = F.ceil(F.lit(threshold) / (1.0 + threshold)
+                   * (F.col("xs") + F.col("ys")) - 1e-9)
+    group_bound = (F.col("n_sp")
+                   + F.least(F.col("xs") - F.col("px_last"),
+                             F.col("ys") - F.col("py_last")))
+    return (grouped
+            .where((F.col("match_bound") >= alpha)
+                   & (group_bound >= alpha))
+            .select("a_id", "b_id"))
 
 
 def _simjoin_candidates(px: DataFrame, py: DataFrame,

@@ -647,3 +647,165 @@ def parquet_footer_stats(spark, paths) -> DataFrame:
         "n_values long, n_nulls long, compressed_bytes long, "
         "uncompressed_bytes long, compression string"
     ).orderBy("file_name", "row_group_id", "column")
+
+
+# ---------------------------------------------------------------------------
+# snapshot drift (PSI)
+# ---------------------------------------------------------------------------
+
+def drift_report(old: DataFrame, new: DataFrame,
+                 numeric_cols: list[str] | None = None,
+                 categorical_cols: list[str] | None = None,
+                 n_bins: int = 10, eps: float = 1e-6) -> DataFrame:
+    """Population-stability drift between two snapshots of a table --
+    the monitor a pipeline runs before retraining on a refreshed
+    corpus. Generalizes :func:`psi_drift` (one table, one numeric
+    signal, hash-split populations, add-half smoothing) to TWO
+    SNAPSHOTS, many columns at once, and categorical columns, with
+    bin edges frozen from the old snapshot -- the "did last month's
+    corpus move" monitor rather than the split-uniformity self-test:
+    per column, PSI = sum_bins (p_new - p_old) *
+    ln(p_new / p_old) over equi-width bins (numerics; bin edges come
+    from the OLD snapshot's min/max, out-of-range new values clamp to
+    the edge bins -- drift INTO new territory lands in the boundary
+    bin, which is what moves the score) or per-category proportions
+    (categoricals). The standard reading: < 0.1 stable, 0.1-0.25
+    moderate shift, > 0.25 investigate.
+
+    Scale shape: ONE scan per snapshot melts the analyzed columns to
+    (column, bin) rows that partially aggregate to <= k x (n_bins+1)
+    counts per task; the old side's min/max is one bounded aggregate
+    (2 doubles per numeric column) collected to the driver as plan
+    literals. Proportions smooth at ``eps`` (zero-count bins would
+    give infinite log-ratios); per-bin terms round 9dp and sum
+    EXACTLY as decimal(28,9) per column (float summation order would
+    diverge cross-engine), PSI rounds 6dp. NULLs bin separately.
+    Emits (column, kind, psi) per analyzed column."""
+    numeric_cols = list(numeric_cols or [])
+    categorical_cols = list(categorical_cols or [])
+    if not numeric_cols and not categorical_cols:
+        raise ValueError("drift_report needs at least one column")
+    spark = old.sparkSession
+
+    bounds = {}
+    if numeric_cols:
+        aggs = []
+        for c in numeric_cols:
+            aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                     F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
+        row = old.agg(*aggs).first()
+        for c in numeric_cols:
+            bounds[c] = (row[f"mn_{c}"], row[f"mx_{c}"])
+
+    def melt(df: DataFrame) -> DataFrame:
+        structs = []
+        for c in numeric_cols:
+            mn, mx = bounds[c]
+            x = F.col(c).cast("double")
+            if mn is None or mx is None or mx <= mn:
+                binc = F.when(x.isNull(), F.lit(None).cast("int")) \
+                    .otherwise(F.lit(0))
+            else:
+                width = (mx - mn) / n_bins
+                binc = F.when(x.isNull(), F.lit(None).cast("int")) \
+                    .otherwise(F.least(
+                        F.greatest(F.floor((x - F.lit(mn))
+                                           / F.lit(width)).cast("int"),
+                                   F.lit(0)),
+                        F.lit(n_bins - 1)))
+            structs.append(F.struct(
+                F.lit(c).alias("column"), F.lit("numeric").alias("kind"),
+                F.coalesce(binc.cast("string"), F.lit("__null__"))
+                .alias("bin")))
+        for c in categorical_cols:
+            structs.append(F.struct(
+                F.lit(c).alias("column"),
+                F.lit("categorical").alias("kind"),
+                F.coalesce(F.col(c).cast("string"), F.lit("__null__"))
+                .alias("bin")))
+        return (df.select(F.explode(F.array(*structs)).alias("s"))
+                .select("s.*"))
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (melt(df).groupBy("column", "kind", "bin")
+                .agg(F.count(F.lit(1)).alias(name)))
+
+    oc = counts(old, "n_old")
+    nc = counts(new, "n_new")
+    n_old_total = old.count()
+    n_new_total = new.count()
+    joined = (oc.join(nc, ["column", "kind", "bin"], "full")
+              .select("column", "kind", "bin",
+                      F.coalesce("n_old", F.lit(0)).alias("n_old"),
+                      F.coalesce("n_new", F.lit(0)).alias("n_new")))
+    p_old = F.greatest(F.col("n_old").cast("double")
+                       / F.lit(float(n_old_total)), F.lit(eps))
+    p_new = F.greatest(F.col("n_new").cast("double")
+                       / F.lit(float(n_new_total)), F.lit(eps))
+    term = F.round((p_new - p_old) * F.log(p_new / p_old), 9)
+    return (joined
+            .groupBy("column", "kind")
+            .agg(F.round(F.sum(term.cast("decimal(28,9)"))
+                         .cast("double"), 6).alias("psi"))
+            .orderBy("column"))
+
+
+def drift_report_sql(old_cte: str, new_cte: str,
+                     numeric_cols: list[str],
+                     categorical_cols: list[str],
+                     n_bins: int = 10, eps: float = 1e-6) -> str:
+    """DuckDB twin of :func:`drift_report`; ``old_cte``/``new_cte``
+    are subqueries yielding the two snapshots."""
+    melts = []
+    for side, cte in (("o", old_cte), ("n", new_cte)):
+        parts = []
+        for c in numeric_cols:
+            parts.append(f"""
+  SELECT '{c}' AS "column", 'numeric' AS kind,
+         coalesce(CAST(
+           CASE WHEN {c} IS NULL THEN NULL
+                WHEN (SELECT mx_{c} FROM b) <= (SELECT mn_{c} FROM b)
+                  THEN 0
+                ELSE least(greatest(CAST(floor(
+                  ({c}::DOUBLE - (SELECT mn_{c} FROM b))
+                  / (((SELECT mx_{c} FROM b) - (SELECT mn_{c} FROM b))
+                     / {n_bins})) AS INT), 0), {n_bins - 1})
+           END AS VARCHAR), '__null__') AS bin
+  FROM ({cte})""")
+        for c in categorical_cols:
+            parts.append(f"""
+  SELECT '{c}', 'categorical',
+         coalesce(CAST({c} AS VARCHAR), '__null__')
+  FROM ({cte})""")
+        melts.append((side, "\n  UNION ALL".join(parts)))
+    mn_mx = ", ".join(
+        f"min({c}::DOUBLE) AS mn_{c}, max({c}::DOUBLE) AS mx_{c}"
+        for c in numeric_cols) or "1 AS dummy"
+    return f"""
+WITH b AS (SELECT {mn_mx} FROM ({old_cte})),
+mo AS ({melts[0][1]}),
+mn_ AS ({melts[1][1]}),
+co AS (SELECT "column", kind, bin, count(*) AS n_old
+       FROM mo GROUP BY 1, 2, 3),
+cn AS (SELECT "column", kind, bin, count(*) AS n_new
+       FROM mn_ GROUP BY 1, 2, 3),
+tot AS (SELECT (SELECT count(*) FROM ({old_cte}))::DOUBLE AS t_old,
+               (SELECT count(*) FROM ({new_cte}))::DOUBLE AS t_new),
+j AS (SELECT coalesce(co."column", cn."column") AS "column",
+             coalesce(co.kind, cn.kind) AS kind,
+             coalesce(co.n_old, 0) AS n_old,
+             coalesce(cn.n_new, 0) AS n_new
+      FROM co FULL JOIN cn
+        ON co."column" = cn."column" AND co.kind = cn.kind
+       AND co.bin = cn.bin),
+terms AS (
+  SELECT "column", kind,
+         round((greatest(n_new / t_new, {eps})
+                - greatest(n_old / t_old, {eps}))
+               * ln(greatest(n_new / t_new, {eps})
+                    / greatest(n_old / t_old, {eps})), 9) AS term
+  FROM j, tot)
+SELECT "column", kind,
+       round(sum(CAST(term AS DECIMAL(28,9)))::DOUBLE, 6) AS psi
+FROM terms GROUP BY 1, 2 ORDER BY "column"
+"""

@@ -2437,3 +2437,133 @@ def perplexity_filter(documents: DataFrame, quantile: float = 0.9,
         .select(F.col(id_col), "avg_neg_logprob", "cutoff")
         .orderBy(id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+def bm25_topk(documents: DataFrame, queries: DataFrame, k: int = 5,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id",
+              q_id: str = "query_id",
+              q_text: str = "query_text") -> DataFrame:
+    """BM25 top-k retrieval (Robertson/Sparck Jones; the default
+    scoring of every production text index) as plain relational
+    algebra -- the exact-retrieval baseline a training-data pipeline
+    runs for contamination checks, dedup candidate mining, and eval
+    harnesses.
+
+    Scale shape: ONE explode of the corpus into words; tf is a
+    (doc, word) groupBy; df reuses the same exploded frame distinct'd;
+    idf + the corpus stats (N, avgdl) come back as BROADCAST joins
+    (vocabulary-sized, orders of magnitude smaller than the corpus);
+    the query-term join hits the tf table on its word key -- the
+    inverted-index probe, shuffled by word, never a corpus scan per
+    query; the final per-query top-k is a WindowGroupLimit. No stage
+    touches |corpus| x |queries|.
+
+    Scoring: idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the Lucene
+    non-negative variant), term score
+    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), rounded 9dp,
+    summed EXACTLY as decimal(28,9) per (query, doc) (float summation
+    order would diverge between engines), final score rounded 6dp;
+    ties rank by doc_id. Repeated query terms count ONCE (distinct
+    query terms -- the common simplification; documented so the oracle
+    matches by construction). Emits (query_id, doc_id, bm25, rank <= k).
+    """
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    words = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+    ).where(F.col("word") != "")
+    dl = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"))
+    tf = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"))
+    df_ = (words.select("doc_id", "word").distinct()
+           .groupBy("word")
+           .agg(F.count(F.lit(1)).cast("double").alias("df")))
+    qterms = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.explode(tokens(F.lower(F.col(q_text)))).alias("word"),
+    ).where(F.col("word") != "").distinct()
+
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                / F.col("avgdl"))
+    term_score = F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 9)
+
+    scored = (qterms
+              .join(tf, "word")
+              .join(dl, "doc_id")
+              .join(broadcast(df_), "word")
+              .crossJoin(broadcast(stats))
+              .groupBy("query_id", "doc_id")
+              .agg(F.round(
+                  F.sum(term_score.cast("decimal(28,9)"))
+                  .cast("double"), 6).alias("bm25")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "doc_id", "bm25", "rank")
+            .orderBy("query_id", "rank"))
+
+
+def bm25_topk_sql(queries_cte: str, k: int = 5, k1: float = 1.2,
+                  b: float = 0.75) -> str:
+    """DuckDB twin of :func:`bm25_topk` over the ``documents`` view.
+    ``queries_cte`` is a SQL subquery yielding (query_id, query_text)
+    -- the same query derivation the Spark side uses."""
+    return f"""
+WITH words AS (
+  SELECT doc_id, w AS word
+  FROM (SELECT doc_id,
+               unnest({tokens_sql('lower(text)')}) AS w
+        FROM documents)
+  WHERE w <> ''
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM words GROUP BY doc_id
+), stats AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         sum(dl) / count(*)::DOUBLE AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, word, count(*)::DOUBLE AS tf
+  FROM words GROUP BY doc_id, word
+), df AS (
+  SELECT word, count(*)::DOUBLE AS df
+  FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY word
+), qterms AS (
+  SELECT DISTINCT query_id, w AS word
+  FROM (SELECT query_id,
+               unnest({tokens_sql('lower(query_text)')}) AS w
+        FROM ({queries_cte}))
+  WHERE w <> ''
+), scored AS (
+  SELECT q.query_id, t.doc_id,
+         round(sum(CAST(round(
+           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * t.tf * ({k1} + 1.0)
+           / (t.tf + {k1} * (1.0 - {b} + {b} * d.dl / s.avgdl)),
+           9) AS DECIMAL(28,9)))::DOUBLE, 6) AS bm25
+  FROM qterms q
+  JOIN tf t USING (word)
+  JOIN dl d ON d.doc_id = t.doc_id
+  JOIN df f ON f.word = t.word
+  CROSS JOIN stats s
+  GROUP BY q.query_id, t.doc_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS INT)
+    AS rank
+  FROM scored)
+SELECT query_id, doc_id, bm25, rank
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""

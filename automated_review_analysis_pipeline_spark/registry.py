@@ -471,6 +471,40 @@ def q_column_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_stats(_t(spark, sf_dir, "orders"), ndv="exact")
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over documents: the 5 lowest-id documents'
+    first-4-word prefixes act as queries against the full corpus --
+    the exact-retrieval baseline for contamination checks and eval
+    harnesses. Inverted-index shape: the query terms probe the
+    word-keyed tf table; idf/corpus stats broadcast; per-query top-k
+    is a WindowGroupLimit. Nothing scans |corpus| x |queries|."""
+    docs = _t(spark, sf_dir, "documents")
+    q = (docs.where(F.col("doc_id") < 5)
+         .select(F.col("doc_id").alias("query_id"),
+                 F.concat_ws(" ", F.slice(
+                     ta.tokens(F.lower(F.col("text"))), 1, 4))
+                 .alias("query_text")))
+    return ta.bm25_topk(docs, q, k=5)
+
+
+def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot PSI drift on orders: the "new" snapshot keeps only
+    urgent/high-priority orders, so o_orderpriority drifts hard
+    (investigate-level PSI), o_orderstatus/o_totalprice drift as far
+    as priority correlates with them -- the exact read a corpus
+    monitor gives before a retrain. One scan per snapshot, constant
+    (column x bins) shuffle, bin edges frozen from the old side."""
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        drift_report,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    new = o.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    return drift_report(o, new, numeric_cols=["o_totalprice"],
+                        categorical_cols=["o_orderpriority",
+                                          "o_orderstatus"])
+
+
 def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality contract on orders: two passing rules,
     two with real violation mass, one uniqueness check per kind."""
@@ -2017,8 +2051,12 @@ def _ivfpq_res_store(spark: SparkSession, sf_dir: str) -> str:
         store = tempfile.mkdtemp(prefix="arap_ivfpq_res_index_")
         atexit.register(shutil.rmtree, store, ignore_errors=True)
         e = _t(spark, sf_dir, "embeddings")
+        # m=32 / ksub=32 re-picked from the round-12 sf0.1 sweep
+        # (tools/ann_sweep.py, PERF.md): raw probe recall@5
+        # 0.62 -> 0.64 and the rerank ceiling 0.98 -> 1.00 at equal
+        # probe wall vs the round-11 ksub=16 default
         sim.build_ivfpq_index(e, store, n_centroids=16,
-                              train_iterations=2, m=32, ksub=16,
+                              train_iterations=2, m=32, ksub=32,
                               encode="residual")
         _IVFPQ_RES_INDEX_MEMO[sf_dir] = store
     return store
@@ -2033,7 +2071,7 @@ def q_ivfpq_residual_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     PERF.md). Probe physics identical to ivfpq_index_probe: static
     partition filter on the probed cells, driver-side ADC tables (now
     one per query x probed cell -- the query shifts by that cell's
-    centroid), 16-byte codes only, raw vectors never read."""
+    centroid), compressed codes only, raw vectors never read."""
     e = _t(spark, sf_dir, "embeddings")
     store = _ivfpq_res_store(spark, sf_dir)
     return sim.ivfpq_probe(spark, store,
@@ -2056,17 +2094,18 @@ def q_ann_recall_ivfpq_residual(spark: SparkSession,
 
 
 def q_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage ANN serving: the residual IVF-PQ probe shortlists 20
+    """Two-stage ANN serving: the residual IVF-PQ probe shortlists 50
     candidates per query from codes alone (partition-pruned ADC), then
     ONLY those rows' raw vectors are fetched and re-scored with exact
-    cosine -- the FAISS-refine pattern. Exact reads touch queries x 20
-    rows, never the corpus; recall at k=5 rises toward the shortlist
-    ceiling (PERF.md)."""
+    cosine -- the FAISS-refine pattern. Exact reads touch queries x 50
+    rows, never the corpus; recall at k=5 reaches 1.00 at sf0.1 under
+    the sweep-picked (m=32, ksub=32, n_probe=4, rerank=50) defaults
+    (tools/ann_sweep.py, PERF.md)."""
     e = _t(spark, sf_dir, "embeddings")
     store = _ivfpq_res_store(spark, sf_dir)
     return sim.ivfpq_rerank(spark, store,
                             e.where(F.col("vec_id") < N_QUERY_VECS),
-                            k=TOP_K, rerank=20, n_probe=4, embeddings=e)
+                            k=TOP_K, rerank=50, n_probe=4, embeddings=e)
 
 
 def q_ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2567,6 +2606,7 @@ QUERIES: dict[str, QueryFn] = {
     "q19_discounted_revenue": q_q19_discounted_revenue,
     "q22_prospect_balance": q_q22_prospect_balance,
     "tf_idf_top_terms": q_tf_idf_top_terms,
+    "bm25_topk": q_bm25_topk,
     "chunk_documents": q_chunk_documents,
     "token_budget_shards": q_token_budget_shards,
     "pack_sequences": q_pack_sequences,
@@ -2636,6 +2676,7 @@ QUERIES: dict[str, QueryFn] = {
     "expectations_orders": q_expectations_orders,
     "column_stats": q_column_stats,
     "column_stats_exact": q_column_stats_exact,
+    "snapshot_drift": q_snapshot_drift,
     "curate_corpus": q_curate_corpus,
     "curate_corpus_tokens": q_curate_corpus_tokens,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -3705,6 +3746,12 @@ ORDER BY n_name
 
 
 ORACLE_SQL["tf_idf_top_terms"] = ta.tf_idf_top_terms_sql(5)
+
+_BM25_QUERIES_CTE = (
+    "SELECT doc_id AS query_id, "
+    "array_to_string(list_slice(" + ta.tokens_sql("lower(text)")
+    + ", 1, 4), ' ') AS query_text FROM documents WHERE doc_id < 5")
+ORACLE_SQL["bm25_topk"] = ta.bm25_topk_sql(_BM25_QUERIES_CTE, k=5)
 
 
 ORACLE_SQL["order_value_percentiles"] = """
@@ -5090,11 +5137,12 @@ ORACLE_SQL["ivf_index_probe"] = ORACLE_SQL["ivf_trained_topk"]
 # codes, same ADC) -- the full-value PQ oracle carries over verbatim.
 ORACLE_SQL["pq_index_probe"] = ORACLE_SQL["pq_topk"]
 ORACLE_SQL["ivfpq_index_probe"] = _ivfpq_oracle_sql()
-ORACLE_SQL["ivfpq_residual_probe"] = _ivfpq_oracle_sql(residual=True)
+ORACLE_SQL["ivfpq_residual_probe"] = _ivfpq_oracle_sql(residual=True,
+                                                       ksub=32)
 ORACLE_SQL["ivfpq_rerank_topk"] = f"""
 WITH short AS (
   SELECT query_id, neighbor_id
-  FROM ({_ivfpq_oracle_sql(residual=True, top_k=20)})
+  FROM ({_ivfpq_oracle_sql(residual=True, ksub=32, top_k=50)})
 ), qv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
           WHERE vec_id < {N_QUERY_VECS}),
 cv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -5228,6 +5276,16 @@ ORACLE_SQL["column_stats"] = column_stats_hll_sql("orders", [
     ("o_orderdate", "num", "micros"),
     ("o_orderpriority", "str", "str"),
 ])
+
+from automated_review_analysis_pipeline_spark.operators.quality import (  # noqa: E402
+    drift_report_sql,
+)
+
+ORACLE_SQL["snapshot_drift"] = drift_report_sql(
+    "SELECT * FROM orders",
+    "SELECT * FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')",
+    numeric_cols=["o_totalprice"],
+    categorical_cols=["o_orderpriority", "o_orderstatus"])
 
 ORACLE_SQL["column_stats_exact"] = """
 WITH src AS (SELECT * FROM orders)

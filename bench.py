@@ -219,6 +219,10 @@ HEADLINE = [
     "ivfpq_rerank_topk",
     "basket_rules",
     "multi_touch_attribution",
+    # round 12
+    "column_stats_exact",
+    "bm25_topk",
+    "snapshot_drift",
 ]
 
 # Deliberately NOT in the headline list: the 8 streaming_* drain variants

@@ -1,0 +1,81 @@
+"""Hand-checked behavior for the round-12 additions: BM25 retrieval
+(the DuckDB oracle does the value-for-value check; these pin the
+semantics a human can eyeball) and the two-snapshot PSI drift report."""
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from automated_review_analysis_pipeline_spark.operators.quality import (
+    drift_report,
+)
+from automated_review_analysis_pipeline_spark.operators.textanalysis import (
+    bm25_topk,
+)
+
+
+def test_bm25_rare_term_wins_and_dl_normalizes(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana cherry"),
+         (2, "apple banana banana banana apple banana apple banana"),
+         (3, "zebra quokka"),
+         (4, "apple")],
+        "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(100, "zebra"), (200, "apple")], "query_id long, query_text string")
+    got = {(r["query_id"], r["rank"]): r["doc_id"]
+           for r in bm25_topk(docs, qs, k=3).collect()}
+    # 'zebra' appears only in doc 3
+    assert got[(100, 1)] == 3 and (100, 2) not in got
+    # 'apple': doc 4 (the whole doc is the term) beats the long doc 2
+    # and the 3-word doc 1 under length normalization
+    assert got[(200, 1)] == 4
+
+
+def test_bm25_score_matches_hand_formula(spark):
+    # one query term, two docs -> check the exact Robertson score
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x x y y y y")], "doc_id long, text string")
+    qs = spark.createDataFrame([(9, "x")], "query_id long, query_text string")
+    rows = {r["doc_id"]: r["bm25"]
+            for r in bm25_topk(docs, qs, k=5).collect()}
+    n_docs, avgdl, k1, b = 2.0, 4.0, 1.2, 0.75
+    df = 2.0
+    idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+    for doc_id, tf, dl in ((1, 1.0, 2.0), (2, 2.0, 6.0)):
+        want = round(round(
+            idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)),
+            9), 6)
+        assert rows[doc_id] == pytest.approx(want, abs=1e-9)
+
+
+def test_drift_report_zero_on_identical_and_large_on_shift(spark):
+    old = spark.range(1, 101).select(
+        (F.col("id") % 10).cast("double").alias("v"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("c"))
+    same = drift_report(old, old, numeric_cols=["v"],
+                        categorical_cols=["c"])
+    assert {r["column"]: r["psi"] for r in same.collect()} \
+        == {"v": 0.0, "c": 0.0}
+    # new snapshot collapses onto one category and the top numeric bin
+    new = old.where((F.col("v") >= 8) & (F.col("c") == "a"))
+    drifted = {r["column"]: r["psi"]
+               for r in drift_report(old, new, numeric_cols=["v"],
+                                     categorical_cols=["c"]).collect()}
+    assert drifted["c"] > 0.25 and drifted["v"] > 0.25
+
+
+def test_drift_report_nulls_and_constant_column(spark):
+    old = spark.createDataFrame(
+        [(1.0, "x"), (2.0, None), (None, "x")], "v double, c string")
+    new = spark.createDataFrame(
+        [(1.5, None), (None, None), (None, None)], "v double, c string")
+    got = {r["column"]: r["psi"]
+           for r in drift_report(old, new, numeric_cols=["v"],
+                                 categorical_cols=["c"]).collect()}
+    assert set(got) == {"v", "c"} and all(v is not None
+                                          for v in got.values())
+    with pytest.raises(ValueError, match="at least one column"):
+        drift_report(old, new)

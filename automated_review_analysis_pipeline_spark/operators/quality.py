@@ -372,26 +372,19 @@ def _column_stats_wide(df: DataFrame, exact: bool) -> DataFrame:
             .select("s.*").orderBy("column"))
 
 
-def _column_stats_hll(df: DataFrame) -> DataFrame:
-    """The default lane: one scan melts each row into k
-    (column, num, str, is_null, hll key) tuples; stage 1 groups by
-    (column, bucket) -- max register, partial min/max/counts -- so the
-    shuffle carries at most k x (512+1) rows PER TASK regardless of
-    table size; stage 2 merges bounds and computes the Flajolet
-    estimate as pure column math. The melt inflates rows k x BEFORE
-    the partial aggregate (same in-memory shape Expand has), but
-    unlike exact count_distinct nothing cardinality-bound ever reaches
-    the wire. NULL hash keys (null values, float/other columns) group
+def _profile_stage1(df: DataFrame) -> DataFrame:
+    """The melt + partial-aggregate stage of the portable profile: one
+    scan melts each row into k (column, num, str, is_null, hll key)
+    tuples and groups by (column, bucket) -- max register, partial
+    min/max/counts -- so the shuffle carries at most k x (512+1) rows
+    PER TASK regardless of table size. The output is the MERGEABLE
+    profile state (register max + count/bound merges are associative
+    and commutative), which is what the incremental profile store
+    persists. NULL hash keys (null values, float/other columns) group
     under a NULL bucket that still merges counts/bounds but is
     excluded from the register math."""
-    from ..operators.sketches import (
-        HLL_ALPHA,
-        HLL_M,
-        HLL_RHO_CLAMP,
-        HLL_W_BITS,
-    )
+    from ..operators.sketches import HLL_RHO_CLAMP, HLL_W_BITS
 
-    spark = df.sparkSession
     kinds = _column_kinds(df)
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
@@ -427,19 +420,49 @@ def _column_stats_hll(df: DataFrame) -> DataFrame:
         F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
             F.lit(HLL_W_BITS + 1) - F.length(F.conv(w, 10, 2))),
         F.lit(HLL_RHO_CLAMP))
-    stage1 = (staged
-              .select("column", "num", "str", "is_null", "has_ndv",
-                      F.shiftrightunsigned(hc, HLL_W_BITS)
-                      .alias("bucket"), rho.alias("rho"))
-              .groupBy("column", "bucket")
-              .agg(F.count(F.lit(1)).alias("n"),
-                   F.sum("is_null").alias("nulls"),
-                   F.max("has_ndv").alias("has_ndv"),
-                   F.min("num").alias("mn_num"),
-                   F.max("num").alias("mx_num"),
-                   F.min("str").alias("mn_str"),
-                   F.max("str").alias("mx_str"),
-                   F.max("rho").alias("reg")))
+    return (staged
+            .select("column", "num", "str", "is_null", "has_ndv",
+                    F.shiftrightunsigned(hc, HLL_W_BITS)
+                    .alias("bucket"), rho.alias("rho"))
+            .groupBy("column", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("is_null").alias("nulls"),
+                 F.max("has_ndv").alias("has_ndv"),
+                 F.min("num").alias("mn_num"),
+                 F.max("num").alias("mx_num"),
+                 F.min("str").alias("mn_str"),
+                 F.max("str").alias("mx_str"),
+                 F.max("rho").alias("reg")))
+
+
+def _merge_stage1(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two profile states: per (column, bucket), counts add,
+    bounds min/max, registers max -- the HLL/bounds merge law."""
+    return (a.unionByName(b)
+            .groupBy("column", "bucket")
+            .agg(F.sum("n").alias("n"),
+                 F.sum("nulls").alias("nulls"),
+                 F.max("has_ndv").alias("has_ndv"),
+                 F.min("mn_num").alias("mn_num"),
+                 F.max("mx_num").alias("mx_num"),
+                 F.min("mn_str").alias("mn_str"),
+                 F.max("mx_str").alias("mx_str"),
+                 F.max("reg").alias("reg")))
+
+
+def _profile_finalize(spark, stage1: DataFrame,
+                      fields: list[tuple[str, bool]]) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct, typed min/max) from a
+    profile state: merge bounds and compute the Flajolet estimate as
+    pure column math. ``fields`` is [(column, ndvable)] -- the schema
+    anchor that keeps the one-row-per-column contract on empty input."""
+    from ..operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_RHO_CLAMP,
+    )
+
+    null_d = F.lit(None).cast("double")
     live = F.col("bucket").isNotNull()
     scale = float(1 << HLL_RHO_CLAMP)
     est = (stage1.groupBy("column")
@@ -472,8 +495,7 @@ def _column_stats_hll(df: DataFrame) -> DataFrame:
                            .otherwise(F.col("e_raw")), 4))))
     # empty input produces no groups; re-anchor on the schema so the
     # contract (one row per column, n_rows 0) holds like the wide lane
-    names = spark.createDataFrame([(f.name, kinds[f.name][1] != "none")
-                                   for f in df.schema.fields],
+    names = spark.createDataFrame(list(fields),
                                   "column string, ndvable boolean")
     return (names.join(est, "column", "left")
             .select("column",
@@ -486,6 +508,95 @@ def _column_stats_hll(df: DataFrame) -> DataFrame:
                     .otherwise(F.col("n_distinct")).alias("n_distinct"),
                     "min_num", "max_num", "min_str", "max_str")
             .orderBy("column"))
+
+
+def _column_stats_hll(df: DataFrame) -> DataFrame:
+    """The default lane: :func:`_profile_stage1` (constant-shuffle
+    melt) finalized in one pass -- the single-shot composition of the
+    same two stages the incremental profile store persists and
+    merges. The melt inflates rows k x BEFORE the partial aggregate
+    (the in-memory shape Expand has), but unlike exact count_distinct
+    nothing cardinality-bound ever reaches the wire."""
+    kinds = _column_kinds(df)
+    fields = [(f.name, kinds[f.name][1] != "none")
+              for f in df.schema.fields]
+    return _profile_finalize(df.sparkSession, _profile_stage1(df), fields)
+
+
+# ---------------------------------------------------------------------------
+# incremental profile store
+# ---------------------------------------------------------------------------
+#
+# The 100-TB ANALYZE problem: a full profile re-scan per corpus refresh
+# is the dominant recurring cost of stats maintenance. The profile
+# state (_profile_stage1's (column, bucket) register/bound/count table,
+# <= k x 513 rows TOTAL) is mergeable by construction, so it persists
+# as a tiny parquet table and every append folds ONLY the delta's scan
+# into it -- the same persisted-incremental discipline as the simjoin
+# and IVF-PQ stores, at ANALYZE's price point: the state is KBs however
+# large the profiled corpus. Versioned layout (registers/v{N}) with the
+# fsio meta.json sidecar flipped LAST (atomic rename), so readers
+# always see a complete version and an interrupted append leaves the
+# previous version intact and current.
+
+def build_profile_store(df: DataFrame, store_dir: str) -> DataFrame:
+    """Profile ``df`` and persist the mergeable state; returns the
+    stats (== column_stats(df) exactly)."""
+    from .. import fsio
+
+    spark = df.sparkSession
+    kinds = _column_kinds(df)
+    fields = [[f.name, kinds[f.name][1] != "none"]
+              for f in df.schema.fields]
+    stage1 = _profile_stage1(df)
+    stage1.write.mode("overwrite").parquet(
+        fsio.join(store_dir, "registers/v0"))
+    fsio.write_json(spark, fsio.join(store_dir, "meta.json"),
+                    {"version": 0, "fields": fields})
+    return _profile_finalize(
+        spark, spark.read.parquet(fsio.join(store_dir, "registers/v0")),
+        [tuple(f) for f in fields])
+
+
+def profile_append(spark, store_dir: str, delta: DataFrame) -> DataFrame:
+    """Fold a DELTA into the persisted profile: scan the delta only,
+    merge its state with the stored state, write the next version, and
+    flip meta.json atomically. The merged stats equal a one-shot
+    profile of (original UNION all deltas) EXACTLY -- registers are
+    max-merged, counts summed, bounds min/max-merged; pytest pins
+    append == one-shot. Column names must match the store's profiled
+    schema (a drifted delta raises instead of silently merging
+    mismatched registers)."""
+    from .. import fsio
+
+    meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    want = [f[0] for f in meta["fields"]]
+    have = list(delta.columns)
+    if have != want:
+        raise ValueError(
+            f"profile_append: delta columns {have} != profiled schema "
+            f"{want}")
+    old = spark.read.parquet(
+        fsio.join(store_dir, f"registers/v{meta['version']}"))
+    merged = _merge_stage1(old, _profile_stage1(delta))
+    nxt = meta["version"] + 1
+    merged.write.mode("overwrite").parquet(
+        fsio.join(store_dir, f"registers/v{nxt}"))
+    fsio.write_json(spark, fsio.join(store_dir, "meta.json"),
+                    {"version": nxt, "fields": meta["fields"]})
+    return profile_stats(spark, store_dir)
+
+
+def profile_stats(spark, store_dir: str) -> DataFrame:
+    """Finalize the persisted profile state into the column_stats
+    shape -- reads the <= k x 513-row state table, never the corpus."""
+    from .. import fsio
+
+    meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    state = spark.read.parquet(
+        fsio.join(store_dir, f"registers/v{meta['version']}"))
+    return _profile_finalize(spark, state,
+                             [tuple(f) for f in meta["fields"]])
 
 
 def column_stats_hll_sql(table: str,

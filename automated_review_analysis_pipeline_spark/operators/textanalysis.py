@@ -1906,7 +1906,8 @@ def bm25_search(documents: DataFrame, query_terms: tuple[str, ...],
                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """BM25-ranked top-k documents for a bag-of-words query -- the
     classic retrieval scorer (Robertson/Sparck Jones; the k1/b form used
-    by Lucene) over the corpus.
+    by Lucene) over the corpus. For MANY queries at once, use
+    :func:`bm25_topk` (query-table join instead of a literal IN-list).
 
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-term score
     idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), summed per doc.
@@ -2448,11 +2449,12 @@ def bm25_topk(documents: DataFrame, queries: DataFrame, k: int = 5,
               text_col: str = "text", id_col: str = "doc_id",
               q_id: str = "query_id",
               q_text: str = "query_text") -> DataFrame:
-    """BM25 top-k retrieval (Robertson/Sparck Jones; the default
-    scoring of every production text index) as plain relational
-    algebra -- the exact-retrieval baseline a training-data pipeline
-    runs for contamination checks, dedup candidate mining, and eval
-    harnesses.
+    """BM25 top-k retrieval for a QUERY TABLE -- the batch form of
+    :func:`bm25_search` (which serves ONE driver-side bag-of-words
+    query via an IN-list posting prune): here thousands of queries
+    join the word-keyed tf table at once, the shape of an eval
+    harness, a contamination sweep, or dedup candidate mining over a
+    query corpus.
 
     Scale shape: ONE explode of the corpus into words; tf is a
     (doc, word) groupBy; df reuses the same exploded frame distinct'd;

@@ -505,6 +505,38 @@ def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           "o_orderstatus"])
 
 
+_PROFILE_STORE_MEMO: dict[str, str] = {}
+
+
+def q_profile_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANALYZE: build the persisted profile store on the
+    even-id half of documents, fold the odd-id half in as a DELTA
+    (delta scan only -- the stored state is <= k x 513 rows), and
+    finalize. The result must equal a one-shot column_stats of the
+    FULL corpus -- which is exactly what the oracle computes, so the
+    register max-merge / count-sum / bound-merge law is value-checked
+    end to end."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        build_profile_store,
+        profile_append,
+        profile_stats,
+    )
+
+    store = _PROFILE_STORE_MEMO.get(sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    if store is None:
+        store = tempfile.mkdtemp(prefix="arap_profile_store_")
+        atexit.register(shutil.rmtree, store, ignore_errors=True)
+        build_profile_store(d.where(F.col("doc_id") % 2 == 0), store)
+        profile_append(spark, store, d.where(F.col("doc_id") % 2 == 1))
+        _PROFILE_STORE_MEMO[sf_dir] = store
+    return profile_stats(spark, store)
+
+
 def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality contract on orders: two passing rules,
     two with real violation mass, one uniqueness check per kind."""
@@ -2677,6 +2709,7 @@ QUERIES: dict[str, QueryFn] = {
     "column_stats": q_column_stats,
     "column_stats_exact": q_column_stats_exact,
     "snapshot_drift": q_snapshot_drift,
+    "profile_store_stats": q_profile_store_stats,
     "curate_corpus": q_curate_corpus,
     "curate_corpus_tokens": q_curate_corpus_tokens,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -5268,6 +5301,14 @@ from automated_review_analysis_pipeline_spark.operators.quality import (  # noqa
 # the spec mirrors _column_kinds over the orders schema: int64/varchar
 # hash via their VARCHAR cast, the timestamp via epoch_us, the double
 # reports NULL ndv in the portable default (see column_stats_exact)
+ORACLE_SQL["profile_store_stats"] = column_stats_hll_sql("documents", [
+    ("doc_id", "num", "str"),
+    ("lang", "str", "str"),
+    ("n_chars", "num", "str"),
+    ("source", "str", "str"),
+    ("text", "str", "str"),
+])
+
 ORACLE_SQL["column_stats"] = column_stats_hll_sql("orders", [
     ("o_orderkey", "num", "str"),
     ("o_custkey", "num", "str"),

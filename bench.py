@@ -223,6 +223,7 @@ HEADLINE = [
     "column_stats_exact",
     "bm25_topk",
     "snapshot_drift",
+    "profile_store_stats",
 ]
 
 # Deliberately NOT in the headline list: the 8 streaming_* drain variants

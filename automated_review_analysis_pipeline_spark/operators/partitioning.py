@@ -578,3 +578,54 @@ def manifest_from_footers(spark: SparkSession, out_dir: str) -> DataFrame:
                  F.min("min_gid").alias("min_gid"),
                  F.max("max_gid").alias("max_gid"))
             .orderBy("file_id"))
+
+
+def key_skew_report(df: DataFrame, keys: list[str],
+                    top_n: int = 5) -> DataFrame:
+    """Join-key pre-flight: BEFORE shuffling 100 TB on a key, answer
+    "is this key safe" with one aggregate -- the diagnostic that
+    decides between a plain hash join, :func:`salted_join`, AQE skew
+    handling, or a broadcast. Emits the ``top_n`` hottest key tuples
+    (rank, canonical key string, rows, share, cumulative share) with
+    corpus-level skew stats on every row: total distinct keys, p50/p99
+    group sizes (exact interpolated percentiles), the max group, and
+    skew_ratio = max/avg -- a skew_ratio near 1 means uniform; 100+
+    means the hot key floods one reducer and needs salting.
+
+    Shape: ONE groupBy on the key (the same shuffle the join would do,
+    but carrying only counts), then a topk (TakeOrderedAndProject --
+    distributed partial top-k, never a global sort of the key table)
+    and one percentile aggregate over the per-key count table --
+    |keys| rows, not |rows|. The percentiles are EXACT (they are what
+    the oracle checks); on a table whose key cardinality itself is in
+    the billions, pass the count table through approx_percentile
+    instead -- the rest of the report is unchanged. NULL key parts
+    render as 'NULL' in the canonical string (a hot NULL is the most
+    common real-world skew)."""
+    key_str = F.concat_ws(
+        "|", *[F.coalesce(F.col(k).cast("string"), F.lit("NULL"))
+               for k in keys])
+    counts = (df.groupBy(key_str.alias("key"))
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("n_total"),
+        F.round(F.expr("percentile(n_rows, 0.5)"), 6).alias("p50_rows"),
+        F.round(F.expr("percentile(n_rows, 0.99)"), 6).alias("p99_rows"),
+        F.max("n_rows").alias("max_rows"))
+    top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_n)
+    # rank/cum_share windows run over the already-limited top_n rows
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    top = top.withColumn("key_rank", F.row_number().over(w))
+    return (top.crossJoin(F.broadcast(stats))
+            .select("key_rank", "key", "n_rows",
+                    F.round(F.col("n_rows") / F.col("n_total"), 6)
+                    .alias("share"),
+                    F.round(F.sum("n_rows").over(
+                        w.rowsBetween(Window.unboundedPreceding, 0))
+                        / F.col("n_total"), 6).alias("cum_share"),
+                    "n_keys", "p50_rows", "p99_rows", "max_rows",
+                    F.round(F.col("max_rows")
+                            / (F.col("n_total") / F.col("n_keys")), 6)
+                    .alias("skew_ratio"))
+            .orderBy("key_rank"))

@@ -920,3 +920,31 @@ SELECT "column", kind,
        round(sum(CAST(term AS DECIMAL(28,9)))::DOUBLE, 6) AS psi
 FROM terms GROUP BY 1, 2 ORDER BY "column"
 """
+
+
+def profile_vacuum(spark, store_dir: str, keep: int = 2) -> list[int]:
+    """Delete all but the newest ``keep`` committed profile versions
+    (a long-running append loop otherwise accumulates one tiny dir per
+    append). Never touches the current version or anything newer than
+    it; runs through the Hadoop FS API like every other store byte.
+    Returns the version numbers removed."""
+    from .. import fsio
+
+    keep = max(int(keep), 1)
+    meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    current = int(meta["version"])
+    fs, reg_path, _ = fsio._fs_path(spark, fsio.join(store_dir,
+                                                     "registers"))
+    removed = []
+    for st in fs.listStatus(reg_path):
+        name = st.getPath().getName()
+        if not name.startswith("v"):
+            continue
+        try:
+            v = int(name[1:])
+        except ValueError:
+            continue
+        if v <= current - keep:
+            fs.delete(st.getPath(), True)
+            removed.append(v)
+    return sorted(removed)

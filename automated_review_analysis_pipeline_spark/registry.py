@@ -537,6 +537,21 @@ def q_profile_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_stats(spark, store)
 
 
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key pre-flight on events.user_id: top-5 hottest users with
+    shares + corpus skew stats (distinct keys, exact p50/p99/max group
+    sizes, max/avg skew ratio) -- the one-aggregate answer to "can I
+    shuffle on this key or do I need salting/AQE". The groupBy carries
+    only counts; the topk is TakeOrderedAndProject, never a global
+    sort."""
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        key_skew_report,
+    )
+
+    return key_skew_report(_t(spark, sf_dir, "events"), ["user_id"],
+                           top_n=5)
+
+
 def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality contract on orders: two passing rules,
     two with real violation mass, one uniqueness check per kind."""
@@ -690,6 +705,25 @@ def q_streaming_set_similarity(spark: SparkSession,
     work = tempfile.mkdtemp(prefix="arap_simjoin_stream_")
     return streaming_set_similarity(
         spark, f"{sf_dir}/documents.parquet", work, threshold=0.5)
+
+
+def q_streaming_profile_stats(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Streaming ANALYZE drained with availableNow: each micro-batch
+    folds only its own rows into the persisted <= k x 513-row profile
+    state; the drained stats equal the one-shot whole-corpus
+    column_stats EXACTLY (the merge law is associative/commutative, so
+    batch boundaries cannot change the result) -- shares the batch hll
+    oracle verbatim."""
+    import tempfile
+
+    from automated_review_analysis_pipeline_spark.streaming.docs_stream import (
+        streaming_profile_stats,
+    )
+
+    work = tempfile.mkdtemp(prefix="arap_profile_stream_")
+    return streaming_profile_stats(
+        spark, f"{sf_dir}/documents.parquet", work)
 
 
 def q_set_similarity_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2710,6 +2744,8 @@ QUERIES: dict[str, QueryFn] = {
     "column_stats_exact": q_column_stats_exact,
     "snapshot_drift": q_snapshot_drift,
     "profile_store_stats": q_profile_store_stats,
+    "streaming_profile_stats": q_streaming_profile_stats,
+    "key_skew_report": q_key_skew_report,
     "curate_corpus": q_curate_corpus,
     "curate_corpus_tokens": q_curate_corpus_tokens,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -5308,6 +5344,8 @@ ORACLE_SQL["profile_store_stats"] = column_stats_hll_sql("documents", [
     ("source", "str", "str"),
     ("text", "str", "str"),
 ])
+# the streaming drain accumulates to the identical state
+ORACLE_SQL["streaming_profile_stats"] = ORACLE_SQL["profile_store_stats"]
 
 ORACLE_SQL["column_stats"] = column_stats_hll_sql("orders", [
     ("o_orderkey", "num", "str"),
@@ -5321,6 +5359,33 @@ ORACLE_SQL["column_stats"] = column_stats_hll_sql("orders", [
 from automated_review_analysis_pipeline_spark.operators.quality import (  # noqa: E402
     drift_report_sql,
 )
+
+ORACLE_SQL["key_skew_report"] = """
+WITH counts AS (
+  SELECT coalesce(CAST(user_id AS VARCHAR), 'NULL') AS key,
+         count(*) AS n_rows
+  FROM events GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_keys, sum(n_rows) AS n_total,
+         round(quantile_cont(n_rows, 0.5), 6) AS p50_rows,
+         round(quantile_cont(n_rows, 0.99), 6) AS p99_rows,
+         max(n_rows) AS max_rows
+  FROM counts
+), top AS (
+  SELECT key, n_rows,
+         CAST(row_number() OVER (ORDER BY n_rows DESC, key ASC) AS INT)
+           AS key_rank,
+         sum(n_rows) OVER (ORDER BY n_rows DESC, key ASC
+                           ROWS UNBOUNDED PRECEDING) AS cum_rows
+  FROM counts ORDER BY n_rows DESC, key ASC LIMIT 5
+)
+SELECT key_rank, key, n_rows,
+       round(n_rows / n_total, 6) AS share,
+       round(cum_rows / n_total, 6) AS cum_share,
+       n_keys, p50_rows, p99_rows, max_rows,
+       round(max_rows / (n_total / n_keys), 6) AS skew_ratio
+FROM top CROSS JOIN stats ORDER BY key_rank
+"""
 
 ORACLE_SQL["snapshot_drift"] = drift_report_sql(
     "SELECT * FROM orders",

@@ -164,3 +164,47 @@ def streaming_set_similarity(spark: SparkSession, docs_path: str,
     q.awaitTermination()
     return (spark.read.parquet(store_dir + "/pairs")
             .orderBy("a_id", "b_id"))
+
+
+def streaming_profile_stats(spark: SparkSession, docs_path: str,
+                            work_dir: str,
+                            max_files_per_trigger: int | None = None
+                            ) -> DataFrame:
+    """Streaming ANALYZE: maintain the incremental profile store
+    (operators.quality.build_profile_store) under a document stream --
+    every micro-batch folds ONLY its own rows into the persisted
+    <= k x 513-row register state (profile_append), old versions are
+    vacuumed down to 2 as the drain proceeds, and the drained stats
+    equal the one-shot column_stats of the whole corpus EXACTLY (the
+    register/count/bound merge law is associative and commutative, so
+    batch boundaries cannot change the result) -- the batch hll oracle
+    carries over verbatim. The profile a 100 TB ingest keeps current
+    at the cost of each increment's scan."""
+    import shutil
+
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        build_profile_store,
+        profile_append,
+        profile_stats,
+        profile_vacuum,
+    )
+
+    store_dir = os.path.join(work_dir, "profile_store")
+    chk = os.path.join(work_dir, "_chk")
+    shutil.rmtree(store_dir, ignore_errors=True)
+    empty = spark.read.parquet(docs_path).limit(0)
+    build_profile_store(empty, store_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        profile_append(spark, store_dir, batch_df)
+        profile_vacuum(spark, store_dir, keep=2)
+
+    stream = read_documents_stream(spark, docs_path, max_files_per_trigger)
+    q = (stream.writeStream.foreachBatch(process)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", chk)
+         .start())
+    q.awaitTermination()
+    return profile_stats(spark, store_dir)

@@ -224,6 +224,8 @@ HEADLINE = [
     "bm25_topk",
     "snapshot_drift",
     "profile_store_stats",
+    "streaming_profile_stats",
+    "key_skew_report",
 ]
 
 # Deliberately NOT in the headline list: the 8 streaming_* drain variants

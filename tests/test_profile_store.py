@@ -61,3 +61,42 @@ def test_interrupted_append_leaves_previous_version_current(
     # simulate the crash: orphan v1 directory, meta still at v0
     os.makedirs(os.path.join(store, "registers", "v1"))
     assert _rows(profile_stats(spark, store)) == _rows(base)
+
+
+def test_profile_vacuum_keeps_current_versions(spark, sf_dir, tmp_path):
+    import os
+
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        profile_vacuum,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "prof")
+    build_profile_store(d.where(F.col("doc_id") % 4 == 0), store)
+    for m in (1, 2, 3):
+        profile_append(spark, store, d.where(F.col("doc_id") % 4 == m))
+    before = _rows(profile_stats(spark, store))
+    removed = profile_vacuum(spark, store, keep=2)
+    assert removed == [0, 1]
+    kept = sorted(os.listdir(os.path.join(store, "registers")))
+    assert kept == ["v2", "v3"]
+    # current stats unaffected; vacuum is idempotent
+    assert _rows(profile_stats(spark, store)) == before
+    assert profile_vacuum(spark, store, keep=2) == []
+
+
+def test_key_skew_report_hand_checked(spark):
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        key_skew_report,
+    )
+
+    rows = [(1,)] * 6 + [(2,)] * 3 + [(3,)] * 1 + [(None,)] * 2
+    df = spark.createDataFrame(rows, "user_id int")
+    got = {r["key_rank"]: r for r in
+           key_skew_report(df, ["user_id"], top_n=2).collect()}
+    assert got[1]["key"] == "1" and got[1]["n_rows"] == 6
+    assert got[1]["share"] == 0.5 and got[1]["cum_share"] == 0.5
+    assert got[2]["key"] == "NULL" or got[2]["n_rows"] == 3
+    assert got[1]["n_keys"] == 4 and got[1]["max_rows"] == 6
+    # avg group = 3 -> skew_ratio = 2
+    assert got[1]["skew_ratio"] == 2.0

@@ -629,3 +629,50 @@ def key_skew_report(df: DataFrame, keys: list[str],
                             / (F.col("n_total") / F.col("n_keys")), 6)
                     .alias("skew_ratio"))
             .orderBy("key_rank"))
+
+
+def join_size_estimate(left: DataFrame, right: DataFrame,
+                       on: list[str], top_n: int = 5) -> DataFrame:
+    """EXACT inner-equi-join output size WITHOUT running the join --
+    the second half of the pre-flight :func:`key_skew_report` starts:
+    |A join B| = sum over keys of cnt_A(k) * cnt_B(k), computed from
+    the two COUNT tables (each one count-only groupBy, |keys| rows)
+    joined on the key -- never the payload join itself. The answer a
+    planner wants before committing a 100-TB shuffle: will this join
+    emit 10^9 rows or 10^14?
+
+    Emits one row per ``top_n`` largest-contribution key plus totals
+    on every row: (key_rank, key, left_rows, right_rows, pair_rows,
+    share of output, total output rows, matching key count) --
+    the hot OUTPUT keys, which are what blow up a join, are not
+    necessarily the hot INPUT keys of either side. NULL key parts
+    render as 'NULL' (though an equi-join drops NULL keys, so they
+    are excluded here, matching join semantics)."""
+    def counts(df: DataFrame) -> DataFrame:
+        key_str = F.concat_ws(
+            "|", *[F.coalesce(F.col(k).cast("string"), F.lit("NULL"))
+                   for k in on])
+        notnull = F.lit(True)
+        for k in on:
+            notnull = notnull & F.col(k).isNotNull()
+        return (df.where(notnull)
+                .groupBy(key_str.alias("key"))
+                .agg(F.count(F.lit(1)).alias("n")))
+    lc = counts(left).withColumnRenamed("n", "left_rows")
+    rc = counts(right).withColumnRenamed("n", "right_rows")
+    pairs = (lc.join(rc, "key")
+             .withColumn("pair_rows",
+                         F.col("left_rows") * F.col("right_rows")))
+    totals = pairs.agg(
+        F.coalesce(F.sum("pair_rows"), F.lit(0)).alias("total_rows"),
+        F.count(F.lit(1)).alias("n_matching_keys"))
+    top = pairs.orderBy(F.desc("pair_rows"), F.asc("key")).limit(top_n)
+    w = Window.orderBy(F.desc("pair_rows"), F.asc("key"))
+    return (top.withColumn("key_rank", F.row_number().over(w))
+            .crossJoin(F.broadcast(totals))
+            .select("key_rank", "key", "left_rows", "right_rows",
+                    "pair_rows",
+                    F.round(F.col("pair_rows") / F.col("total_rows"), 6)
+                    .alias("share"),
+                    "total_rows", "n_matching_keys")
+            .orderBy("key_rank"))

@@ -552,6 +552,22 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                            top_n=5)
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-size pre-flight for the attribution join: clicks x
+    purchases on user_id -- |A join B| = sum_k cntA(k)*cntB(k) from the
+    two COUNT tables, never the payload join; the answer (total rows,
+    hot OUTPUT keys) a planner wants before committing the shuffle."""
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        join_size_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return join_size_estimate(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        ["user_id"], top_n=5)
+
+
 def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality contract on orders: two passing rules,
     two with real violation mass, one uniqueness check per kind."""
@@ -2746,6 +2762,7 @@ QUERIES: dict[str, QueryFn] = {
     "profile_store_stats": q_profile_store_stats,
     "streaming_profile_stats": q_streaming_profile_stats,
     "key_skew_report": q_key_skew_report,
+    "join_size_estimate": q_join_size_estimate,
     "curate_corpus": q_curate_corpus,
     "curate_corpus_tokens": q_curate_corpus_tokens,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -5359,6 +5376,36 @@ ORACLE_SQL["column_stats"] = column_stats_hll_sql("orders", [
 from automated_review_analysis_pipeline_spark.operators.quality import (  # noqa: E402
     drift_report_sql,
 )
+
+ORACLE_SQL["join_size_estimate"] = """
+WITH lc AS (
+  SELECT coalesce(CAST(user_id AS VARCHAR), 'NULL') AS key,
+         count(*) AS left_rows
+  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+  GROUP BY 1
+), rc AS (
+  SELECT coalesce(CAST(user_id AS VARCHAR), 'NULL') AS key,
+         count(*) AS right_rows
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+  GROUP BY 1
+), pairs AS (
+  SELECT key, left_rows, right_rows,
+         left_rows * right_rows AS pair_rows
+  FROM lc JOIN rc USING (key)
+), totals AS (
+  SELECT coalesce(sum(pair_rows), 0) AS total_rows,
+         count(*) AS n_matching_keys
+  FROM pairs
+), top AS (
+  SELECT *, CAST(row_number() OVER (
+    ORDER BY pair_rows DESC, key ASC) AS INT) AS key_rank
+  FROM pairs ORDER BY pair_rows DESC, key ASC LIMIT 5
+)
+SELECT key_rank, key, left_rows, right_rows, pair_rows,
+       round(pair_rows / total_rows, 6) AS share,
+       total_rows, n_matching_keys
+FROM top CROSS JOIN totals ORDER BY key_rank
+"""
 
 ORACLE_SQL["key_skew_report"] = """
 WITH counts AS (

@@ -226,6 +226,7 @@ HEADLINE = [
     "profile_store_stats",
     "streaming_profile_stats",
     "key_skew_report",
+    "join_size_estimate",
 ]
 
 # Deliberately NOT in the headline list: the 8 streaming_* drain variants

@@ -100,3 +100,21 @@ def test_key_skew_report_hand_checked(spark):
     assert got[1]["n_keys"] == 4 and got[1]["max_rows"] == 6
     # avg group = 3 -> skew_ratio = 2
     assert got[1]["skew_ratio"] == 2.0
+
+
+def test_join_size_estimate_equals_actual_join(spark):
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        join_size_estimate,
+    )
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,), (None,)], "k int")
+    right = spark.createDataFrame(
+        [(1,), (1,), (2,), (4,), (None,)], "k int")
+    got = join_size_estimate(left, right, ["k"], top_n=2).collect()
+    actual = left.join(right, "k").count()
+    assert got[0]["total_rows"] == actual == 7  # 3*2 + 1*1
+    assert got[0]["key_rank"] == 1 and got[0]["key"] == "1"
+    assert got[0]["pair_rows"] == 6 and got[0]["n_matching_keys"] == 2
+    # NULL keys are excluded, matching inner-equi-join semantics
+    assert all(r["key"] != "NULL" for r in got)

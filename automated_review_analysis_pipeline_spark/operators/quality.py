@@ -767,7 +767,8 @@ def parquet_footer_stats(spark, paths) -> DataFrame:
 def drift_report(old: DataFrame, new: DataFrame,
                  numeric_cols: list[str] | None = None,
                  categorical_cols: list[str] | None = None,
-                 n_bins: int = 10, eps: float = 1e-6) -> DataFrame:
+                 n_bins: int = 10, eps: float = 1e-6,
+                 binning: str = "width") -> DataFrame:
     """Population-stability drift between two snapshots of a table --
     the monitor a pipeline runs before retraining on a refreshed
     corpus. Generalizes :func:`psi_drift` (one table, one numeric
@@ -776,54 +777,77 @@ def drift_report(old: DataFrame, new: DataFrame,
     bin edges frozen from the old snapshot -- the "did last month's
     corpus move" monitor rather than the split-uniformity self-test:
     per column, PSI = sum_bins (p_new - p_old) *
-    ln(p_new / p_old) over equi-width bins (numerics; bin edges come
-    from the OLD snapshot's min/max, out-of-range new values clamp to
-    the edge bins -- drift INTO new territory lands in the boundary
-    bin, which is what moves the score) or per-category proportions
+    ln(p_new / p_old) over numeric bins or per-category proportions
     (categoricals). The standard reading: < 0.1 stable, 0.1-0.25
     moderate shift, > 0.25 investigate.
 
+    ``binning`` picks the numeric bin rule, always frozen from the OLD
+    snapshot:
+
+    * ``"width"``: equi-width over [min, max]; out-of-range new values
+      clamp to the edge bins -- drift INTO new territory lands in the
+      boundary bin, which is what moves the score. Simple, but a
+      heavy-tailed column parks most mass in one bin and PSI goes
+      numb.
+    * ``"depth"``: equi-depth -- boundaries are the old snapshot's
+      exact interpolated quantiles at i/n_bins, bin(x) = #boundaries
+      below x. Every bin holds ~1/n_bins of the OLD mass by
+      construction, so the score stays sensitive under any marginal
+      shape -- the production-scorecard standard (decile PSI at
+      n_bins=10).
+
     Scale shape: ONE scan per snapshot melts the analyzed columns to
     (column, bin) rows that partially aggregate to <= k x (n_bins+1)
-    counts per task; the old side's min/max is one bounded aggregate
-    (2 doubles per numeric column) collected to the driver as plan
-    literals. Proportions smooth at ``eps`` (zero-count bins would
-    give infinite log-ratios); per-bin terms round 9dp and sum
-    EXACTLY as decimal(28,9) per column (float summation order would
-    diverge cross-engine), PSI rounds 6dp. NULLs bin separately.
+    counts per task; the old side's boundary statistics (min/max or
+    the quantile array) compute IN-PLAN in one aggregate and
+    broadcast-join back -- no driver collect anywhere. Proportions
+    smooth at ``eps`` (zero-count bins would give infinite
+    log-ratios); per-bin terms round 9dp and sum EXACTLY as
+    decimal(28,9) per column (float summation order would diverge
+    cross-engine), PSI rounds 6dp. NULLs bin separately.
     Emits (column, kind, psi) per analyzed column."""
     numeric_cols = list(numeric_cols or [])
     categorical_cols = list(categorical_cols or [])
     if not numeric_cols and not categorical_cols:
         raise ValueError("drift_report needs at least one column")
-    spark = old.sparkSession
+    if binning not in ("width", "depth"):
+        raise ValueError(f"binning must be width|depth, got {binning!r}")
 
-    bounds = {}
-    if numeric_cols:
-        aggs = []
-        for c in numeric_cols:
-            aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
-                     F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
-        row = old.agg(*aggs).first()
-        for c in numeric_cols:
-            bounds[c] = (row[f"mn_{c}"], row[f"mx_{c}"])
+    bexprs = []
+    for c in numeric_cols:
+        x = F.col(c).cast("double")
+        if binning == "width":
+            bexprs += [F.min(x).alias(f"__mn_{c}"),
+                       F.max(x).alias(f"__mx_{c}")]
+        else:
+            qs = ", ".join(f"{i / n_bins!r}D" for i in range(1, n_bins))
+            bexprs.append(F.expr(
+                f"percentile(CAST({c} AS DOUBLE), array({qs}))")
+                .alias(f"__qs_{c}"))
+    bounds_row = old.agg(*bexprs) if bexprs else None
 
     def melt(df: DataFrame) -> DataFrame:
+        if bounds_row is not None:
+            df = df.crossJoin(F.broadcast(bounds_row))
         structs = []
         for c in numeric_cols:
-            mn, mx = bounds[c]
             x = F.col(c).cast("double")
-            if mn is None or mx is None or mx <= mn:
-                binc = F.when(x.isNull(), F.lit(None).cast("int")) \
-                    .otherwise(F.lit(0))
-            else:
+            if binning == "width":
+                mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
                 width = (mx - mn) / n_bins
-                binc = F.when(x.isNull(), F.lit(None).cast("int")) \
-                    .otherwise(F.least(
-                        F.greatest(F.floor((x - F.lit(mn))
-                                           / F.lit(width)).cast("int"),
-                                   F.lit(0)),
-                        F.lit(n_bins - 1)))
+                binc = (F.when(x.isNull(), F.lit(None).cast("int"))
+                        .when(mn.isNull() | (mx <= mn), F.lit(0))
+                        .otherwise(F.least(
+                            F.greatest(F.floor((x - mn) / width)
+                                       .cast("int"), F.lit(0)),
+                            F.lit(n_bins - 1))))
+            else:
+                binc = (F.when(x.isNull() | F.col(f"__qs_{c}").isNull(),
+                               F.lit(None).cast("int"))
+                        .otherwise(F.aggregate(
+                            F.col(f"__qs_{c}"), F.lit(0),
+                            lambda acc, b: acc
+                            + F.when(x > b, 1).otherwise(0))))
             structs.append(F.struct(
                 F.lit(c).alias("column"), F.lit("numeric").alias("kind"),
                 F.coalesce(binc.cast("string"), F.lit("__null__"))
@@ -864,24 +888,38 @@ def drift_report(old: DataFrame, new: DataFrame,
 def drift_report_sql(old_cte: str, new_cte: str,
                      numeric_cols: list[str],
                      categorical_cols: list[str],
-                     n_bins: int = 10, eps: float = 1e-6) -> str:
+                     n_bins: int = 10, eps: float = 1e-6,
+                     binning: str = "width") -> str:
     """DuckDB twin of :func:`drift_report`; ``old_cte``/``new_cte``
-    are subqueries yielding the two snapshots."""
+    are subqueries yielding the two snapshots. ``binning`` mirrors the
+    operator (equi-width bounds or quantile_cont boundaries -- DuckDB's
+    quantile_cont and Spark's percentile share the exact interpolated
+    definition, so the boundary doubles agree)."""
     melts = []
     for side, cte in (("o", old_cte), ("n", new_cte)):
         parts = []
         for c in numeric_cols:
-            parts.append(f"""
-  SELECT '{c}' AS "column", 'numeric' AS kind,
-         coalesce(CAST(
+            if binning == "width":
+                bin_expr = f"""
            CASE WHEN {c} IS NULL THEN NULL
-                WHEN (SELECT mx_{c} FROM b) <= (SELECT mn_{c} FROM b)
+                WHEN (SELECT mn_{c} FROM b) IS NULL
+                  OR (SELECT mx_{c} FROM b) <= (SELECT mn_{c} FROM b)
                   THEN 0
                 ELSE least(greatest(CAST(floor(
                   ({c}::DOUBLE - (SELECT mn_{c} FROM b))
                   / (((SELECT mx_{c} FROM b) - (SELECT mn_{c} FROM b))
                      / {n_bins})) AS INT), 0), {n_bins - 1})
-           END AS VARCHAR), '__null__') AS bin
+           END"""
+            else:
+                bin_expr = f"""
+           CASE WHEN {c} IS NULL OR (SELECT qs_{c} FROM b) IS NULL
+                  THEN NULL
+                ELSE len(list_filter((SELECT qs_{c} FROM b),
+                                     q -> {c}::DOUBLE > q))
+           END"""
+            parts.append(f"""
+  SELECT '{c}' AS "column", 'numeric' AS kind,
+         coalesce(CAST({bin_expr} AS VARCHAR), '__null__') AS bin
   FROM ({cte})""")
         for c in categorical_cols:
             parts.append(f"""
@@ -889,9 +927,15 @@ def drift_report_sql(old_cte: str, new_cte: str,
          coalesce(CAST({c} AS VARCHAR), '__null__')
   FROM ({cte})""")
         melts.append((side, "\n  UNION ALL".join(parts)))
-    mn_mx = ", ".join(
-        f"min({c}::DOUBLE) AS mn_{c}, max({c}::DOUBLE) AS mx_{c}"
-        for c in numeric_cols) or "1 AS dummy"
+    if binning == "width":
+        mn_mx = ", ".join(
+            f"min({c}::DOUBLE) AS mn_{c}, max({c}::DOUBLE) AS mx_{c}"
+            for c in numeric_cols) or "1 AS dummy"
+    else:
+        qlist = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
+        mn_mx = ", ".join(
+            f"quantile_cont({c}::DOUBLE, [{qlist}]) AS qs_{c}"
+            for c in numeric_cols) or "1 AS dummy"
     return f"""
 WITH b AS (SELECT {mn_mx} FROM ({old_cte})),
 mo AS ({melts[0][1]}),

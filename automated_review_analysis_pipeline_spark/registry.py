@@ -552,6 +552,24 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                            top_n=5)
 
 
+def q_snapshot_drift_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-PSI (equi-DEPTH) drift on o_totalprice: boundaries are
+    the old snapshot's exact interpolated quantiles, so every bin
+    holds ~10% of the old mass and the score stays sensitive under
+    any marginal shape -- the production-scorecard standard; the new
+    snapshot keeps only high-value orders, so the upper deciles absorb
+    everything. Boundary quantiles compute IN-PLAN (no driver
+    collect); DuckDB's quantile_cont reproduces them exactly."""
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        drift_report,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    new = o.where(F.col("o_totalprice") > 150000.0)
+    return drift_report(o, new, numeric_cols=["o_totalprice"],
+                        binning="depth")
+
+
 def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact join-size pre-flight for the attribution join: clicks x
     purchases on user_id -- |A join B| = sum_k cntA(k)*cntB(k) from the
@@ -2763,6 +2781,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_profile_stats": q_streaming_profile_stats,
     "key_skew_report": q_key_skew_report,
     "join_size_estimate": q_join_size_estimate,
+    "snapshot_drift_depth": q_snapshot_drift_depth,
     "curate_corpus": q_curate_corpus,
     "curate_corpus_tokens": q_curate_corpus_tokens,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -5393,7 +5412,7 @@ WITH lc AS (
          left_rows * right_rows AS pair_rows
   FROM lc JOIN rc USING (key)
 ), totals AS (
-  SELECT coalesce(sum(pair_rows), 0) AS total_rows,
+  SELECT CAST(coalesce(sum(pair_rows), 0) AS BIGINT) AS total_rows,
          count(*) AS n_matching_keys
   FROM pairs
 ), top AS (
@@ -5439,6 +5458,12 @@ ORACLE_SQL["snapshot_drift"] = drift_report_sql(
     "SELECT * FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')",
     numeric_cols=["o_totalprice"],
     categorical_cols=["o_orderpriority", "o_orderstatus"])
+
+ORACLE_SQL["snapshot_drift_depth"] = drift_report_sql(
+    "SELECT * FROM orders",
+    "SELECT * FROM orders WHERE o_totalprice > 150000.0",
+    numeric_cols=["o_totalprice"], categorical_cols=[],
+    binning="depth")
 
 ORACLE_SQL["column_stats_exact"] = """
 WITH src AS (SELECT * FROM orders)

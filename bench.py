@@ -227,6 +227,7 @@ HEADLINE = [
     "streaming_profile_stats",
     "key_skew_report",
     "join_size_estimate",
+    "snapshot_drift_depth",
 ]
 
 # Deliberately NOT in the headline list: the 8 streaming_* drain variants

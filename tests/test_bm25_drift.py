@@ -79,3 +79,37 @@ def test_drift_report_nulls_and_constant_column(spark):
                                           for v in got.values())
     with pytest.raises(ValueError, match="at least one column"):
         drift_report(old, new)
+
+
+def test_drift_report_depth_mode(spark):
+    old = spark.range(1, 101).select(F.col("id").cast("double").alias("v"))
+    # identical snapshots -> exactly 0 under depth binning too
+    same = drift_report(old, old, numeric_cols=["v"], binning="depth")
+    assert [r["psi"] for r in same.collect()] == [0.0]
+    # shift everything into the top decile -> large PSI
+    top = old.where(F.col("v") > 90)
+    psi = drift_report(old, top, numeric_cols=["v"],
+                       binning="depth").first()["psi"]
+    assert psi > 1.0
+    with pytest.raises(ValueError, match="binning must be"):
+        drift_report(old, old, numeric_cols=["v"], binning="bogus")
+
+
+def test_drift_depth_sensitive_where_width_is_numb(spark):
+    """The motivating case: a heavy-tailed column whose mass parks in
+    one equi-width bin. A within-tail shift that equi-width PSI barely
+    sees moves several deciles under equi-depth binning."""
+    # old: 1000 small values in [1, 10] + one outlier at 10_000 that
+    # stretches the equi-width range
+    small = spark.range(0, 1000).select(
+        (1.0 + (F.col("id") % 10).cast("double")).alias("v"))
+    outlier = spark.createDataFrame([(10_000.0,)], "v double")
+    old = small.unionByName(outlier)
+    # new: the small mass shifts from [1,10] to [6,10] -- invisible to
+    # width bins (all of it stays in bin 0 of the stretched range)
+    new = old.where(F.col("v") >= 6.0)
+    w = drift_report(old, new, numeric_cols=["v"],
+                     binning="width").first()["psi"]
+    d = drift_report(old, new, numeric_cols=["v"],
+                     binning="depth").first()["psi"]
+    assert d > 10 * max(w, 1e-9) and d > 0.25 and w < 0.1

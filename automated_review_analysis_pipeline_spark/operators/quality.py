@@ -992,3 +992,84 @@ def profile_vacuum(spark, store_dir: str, keep: int = 2) -> list[int]:
             fs.delete(st.getPath(), True)
             removed.append(v)
     return sorted(removed)
+
+
+def embedding_drift(old: DataFrame, new: DataFrame,
+                    vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space drift between two snapshots of a vector corpus
+    -- the monitor that catches a changed encoder, a re-normalization,
+    or a population shift BEFORE a stale ANN index silently degrades:
+    per dimension, the decimal-exact means of both snapshots and their
+    absolute shift, plus (constant on every row) the cosine between
+    the two mean vectors -- cos ~ 1 with small shifts means benign
+    drift; a dropped cosine means the space itself moved and every
+    persisted centroid/codebook is suspect.
+
+    Shape: one posexplode + (dim) groupBy per snapshot -- d rows out
+    of each scan, merged on dim; the cosine is one aggregate over the
+    d-row joined table, broadcast back. Means use the house
+    decimal(18,9)-sum / 6dp-round discipline (summation order would
+    otherwise diverge cross-engine); products round 9dp and sum as
+    decimal before the 6dp cosine."""
+    def dim_means(df: DataFrame, name: str) -> DataFrame:
+        return (df.select(F.posexplode(F.col(vec_col))
+                          .alias("dim", "val"))
+                .groupBy("dim")
+                .agg(F.round(
+                    F.sum(F.col("val").cast("double")
+                          .cast("decimal(18,9)")).cast("double")
+                    / F.count(F.lit(1)), 6).alias(name)))
+
+    joined = (dim_means(old, "mean_old")
+              .join(dim_means(new, "mean_new"), "dim", "full")
+              .select("dim",
+                      F.coalesce("mean_old", F.lit(0.0)).alias("mean_old"),
+                      F.coalesce("mean_new", F.lit(0.0)).alias("mean_new")))
+    prod = (joined.agg(
+        F.sum(F.round(F.col("mean_old") * F.col("mean_new"), 9)
+              .cast("decimal(28,9)")).cast("double").alias("dot"),
+        F.sum(F.round(F.col("mean_old") * F.col("mean_old"), 9)
+              .cast("decimal(28,9)")).cast("double").alias("no"),
+        F.sum(F.round(F.col("mean_new") * F.col("mean_new"), 9)
+              .cast("decimal(28,9)")).cast("double").alias("nn")))
+    cos = F.round(F.col("dot") / F.sqrt(F.col("no") * F.col("nn")), 6)
+    return (joined.crossJoin(F.broadcast(prod))
+            .select("dim", "mean_old", "mean_new",
+                    F.round(F.abs(F.col("mean_new") - F.col("mean_old")),
+                            6).alias("shift"),
+                    cos.alias("cos_means"))
+            .orderBy("dim"))
+
+
+def embedding_drift_sql(old_cte: str, new_cte: str) -> str:
+    """DuckDB twin of :func:`embedding_drift` over the ``embeddings``
+    view shape (a list column named ``embedding``)."""
+    def means(cte: str, name: str) -> str:
+        return f"""
+  SELECT dim, round(sum(CAST(val AS DECIMAL(18,9)))::DOUBLE
+                    / count(*), 6) AS {name}
+  FROM (SELECT unnest(embedding::DOUBLE[]) AS val,
+               generate_subscripts(embedding::DOUBLE[], 1) - 1 AS dim
+        FROM ({cte}))
+  GROUP BY dim"""
+    return f"""
+WITH mo AS ({means(old_cte, 'mean_old')}),
+mn_ AS ({means(new_cte, 'mean_new')}),
+j AS (
+  SELECT coalesce(mo.dim, mn_.dim) AS dim,
+         coalesce(mean_old, 0.0) AS mean_old,
+         coalesce(mean_new, 0.0) AS mean_new
+  FROM mo FULL JOIN mn_ ON mo.dim = mn_.dim
+), p AS (
+  SELECT sum(CAST(round(mean_old * mean_new, 9)
+                  AS DECIMAL(28,9)))::DOUBLE AS dot,
+         sum(CAST(round(mean_old * mean_old, 9)
+                  AS DECIMAL(28,9)))::DOUBLE AS no,
+         sum(CAST(round(mean_new * mean_new, 9)
+                  AS DECIMAL(28,9)))::DOUBLE AS nn
+  FROM j)
+SELECT dim, mean_old, mean_new,
+       round(abs(mean_new - mean_old), 6) AS shift,
+       round(dot / sqrt(no * nn), 6) AS cos_means
+FROM j CROSS JOIN p ORDER BY dim
+"""

@@ -552,6 +552,20 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                            top_n=5)
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift: the label>0 slice of the corpus as the
+    'new' snapshot vs the full corpus -- per-dimension decimal-exact
+    mean shifts + the cosine between mean vectors; the stale-index
+    early warning (a dropped cosine says every persisted centroid and
+    codebook is suspect)."""
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        embedding_drift,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(e, e.where(F.col("label") > 0))
+
+
 def q_snapshot_drift_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile-PSI (equi-DEPTH) drift on o_totalprice: boundaries are
     the old snapshot's exact interpolated quantiles, so every bin
@@ -2782,6 +2796,7 @@ QUERIES: dict[str, QueryFn] = {
     "key_skew_report": q_key_skew_report,
     "join_size_estimate": q_join_size_estimate,
     "snapshot_drift_depth": q_snapshot_drift_depth,
+    "embedding_drift": q_embedding_drift,
     "curate_corpus": q_curate_corpus,
     "curate_corpus_tokens": q_curate_corpus_tokens,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -5458,6 +5473,14 @@ ORACLE_SQL["snapshot_drift"] = drift_report_sql(
     "SELECT * FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')",
     numeric_cols=["o_totalprice"],
     categorical_cols=["o_orderpriority", "o_orderstatus"])
+
+from automated_review_analysis_pipeline_spark.operators.quality import (  # noqa: E402
+    embedding_drift_sql,
+)
+
+ORACLE_SQL["embedding_drift"] = embedding_drift_sql(
+    "SELECT * FROM embeddings",
+    "SELECT * FROM embeddings WHERE label > 0")
 
 ORACLE_SQL["snapshot_drift_depth"] = drift_report_sql(
     "SELECT * FROM orders",

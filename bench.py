@@ -228,6 +228,7 @@ HEADLINE = [
     "key_skew_report",
     "join_size_estimate",
     "snapshot_drift_depth",
+    "embedding_drift",
 ]
 
 # Deliberately NOT in the headline list: the 8 streaming_* drain variants

@@ -113,3 +113,21 @@ def test_drift_depth_sensitive_where_width_is_numb(spark):
     d = drift_report(old, new, numeric_cols=["v"],
                      binning="depth").first()["psi"]
     assert d > 10 * max(w, 1e-9) and d > 0.25 and w < 0.1
+
+
+def test_embedding_drift_identity_and_shift(spark):
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        embedding_drift,
+    )
+
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    same = embedding_drift(e, e).collect()
+    assert len(same) == 2
+    assert all(r["shift"] == 0.0 and r["cos_means"] == 1.0 for r in same)
+    # drop the y-heavy rows -> dim-1 mean falls, cosine drops below 1
+    moved = embedding_drift(e, e.where("vec_id = 1")).collect()
+    by_dim = {r["dim"]: r for r in moved}
+    assert by_dim[1]["mean_new"] == 0.0 and by_dim[1]["shift"] > 0.6
+    assert by_dim[0]["cos_means"] < 0.9

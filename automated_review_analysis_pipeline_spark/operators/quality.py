@@ -566,7 +566,11 @@ def profile_append(spark, store_dir: str, delta: DataFrame) -> DataFrame:
     max-merged, counts summed, bounds min/max-merged; pytest pins
     append == one-shot. Column names must match the store's profiled
     schema (a drifted delta raises instead of silently merging
-    mismatched registers)."""
+    mismatched registers). Single-writer discipline, like every
+    persisted store here: two concurrent appends would both write
+    v(N+1) and the later meta flip would silently drop the earlier
+    delta -- serialize appends (the streaming lane's foreachBatch does
+    this by construction)."""
     from .. import fsio
 
     meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))

@@ -13,7 +13,11 @@ Driver-side small-artifact IO, the same convention as the memo cache's
 JSON migration (operators/cache.py:import_json_cache): the artifacts
 are KB-to-MB sized regardless of corpus scale (they are vocabulary-,
 not corpus-, sized), so files on the driver are the right tool -- no
-Spark job is involved.
+Spark job is involved. Pass ``spark`` to route the bytes through the
+Hadoop FileSystem API instead of POSIX open (fsio -- the round-12
+store-sidecar discipline), so ``out_dir``/``in_dir`` may live on
+s3a://, hdfs://, ... exactly like the persisted-index sidecars; the
+bytes written are identical either way.
 
 Export is byte-stable: same inputs -> identical bytes (sorted-by-id
 vocab, '\n' line endings, compact JSON separators), pinned by pytest.
@@ -31,21 +35,27 @@ MERGES_HEADER = "#version: 0.2"
 
 
 def export_tokenizer(merges: list[tuple], vocab: DataFrame | list[tuple],
-                     out_dir: str) -> dict[str, str]:
+                     out_dir: str, spark=None) -> dict[str, str]:
     """Write ``merges.txt`` + ``vocab.json`` under ``out_dir``.
 
     ``merges``: the learned (rank, left, right, merged, n_occurrences)
     tuples (bpe_train's rows / _train_merges' return). ``vocab``: the
     :func:`~..operators.textanalysis.bpe_vocab` DataFrame -- or its
     (vocab_id, token, kind) rows -- written as {token: id} in id order.
-    Returns {"merges": path, "vocab": path}.
+    Returns {"merges": path, "vocab": path}. With ``spark`` (taken
+    from a DataFrame vocab automatically), bytes route through the
+    Hadoop FS API so ``out_dir`` may be s3a://...; byte-identical to
+    the POSIX path either way (pytest-pinned).
 
     Symbols never contain whitespace (the pre-tokenizer emits \\w+ runs
     or single non-space symbols), which is what makes the
     space-separated merges.txt line format unambiguous; guarded anyway
     so a foreign merge table cannot silently corrupt the artifact.
     """
-    os.makedirs(out_dir, exist_ok=True)
+    if isinstance(vocab, DataFrame) and spark is None:
+        spark = vocab.sparkSession
+    if spark is None:
+        os.makedirs(out_dir, exist_ok=True)
     rows = (vocab.select("vocab_id", "token").collect()
             if isinstance(vocab, DataFrame) else
             [(r[0], r[1]) for r in vocab])
@@ -57,42 +67,68 @@ def export_tokenizer(merges: list[tuple], vocab: DataFrame | list[tuple],
                 f"merge pair ({left!r}, {right!r}) contains whitespace; "
                 "not representable in merges.txt")
         lines.append(f"{left} {right}")
-    merges_path = os.path.join(out_dir, MERGES_FILE)
-    with open(merges_path, "w", encoding="utf-8", newline="\n") as f:
-        f.write("\n".join(lines) + "\n")
+    merges_text = "\n".join(lines) + "\n"
+    if spark is not None:
+        from .. import fsio
+
+        merges_path = fsio.join(out_dir, MERGES_FILE)
+        fsio.write_text(spark, merges_path, merges_text)
+    else:
+        merges_path = os.path.join(out_dir, MERGES_FILE)
+        with open(merges_path, "w", encoding="utf-8", newline="\n") as f:
+            f.write(merges_text)
 
     vocab_obj = {token: int(vid)
                  for vid, token in sorted(rows, key=lambda r: int(r[0]))}
-    vocab_path = os.path.join(out_dir, VOCAB_FILE)
-    with open(vocab_path, "w", encoding="utf-8", newline="\n") as f:
-        json.dump(vocab_obj, f, ensure_ascii=False,
-                  separators=(",", ":"))
-        f.write("\n")
+    vocab_text = json.dumps(vocab_obj, ensure_ascii=False,
+                            separators=(",", ":")) + "\n"
+    if spark is not None:
+        from .. import fsio
+
+        vocab_path = fsio.join(out_dir, VOCAB_FILE)
+        fsio.write_text(spark, vocab_path, vocab_text)
+    else:
+        vocab_path = os.path.join(out_dir, VOCAB_FILE)
+        with open(vocab_path, "w", encoding="utf-8", newline="\n") as f:
+            f.write(vocab_text)
     return {"merges": merges_path, "vocab": vocab_path}
 
 
-def import_tokenizer(in_dir: str) -> tuple[list[tuple], dict[str, int]]:
+def import_tokenizer(in_dir: str,
+                     spark=None) -> tuple[list[tuple], dict[str, int]]:
     """Read ``merges.txt`` + ``vocab.json`` back into the engine's
     shapes: a merge list consumable by ``bpe_encode(merges=...)`` (ranks
     re-derived from line order; n_occurrences is not part of the
     interchange format and comes back 0) and the {token: id} vocab dict.
     ``vocab.json`` is optional -- encode only needs the merges."""
-    merges_path = os.path.join(in_dir, MERGES_FILE)
-    merges: list[tuple] = []
-    with open(merges_path, encoding="utf-8") as f:
-        for line in f:
-            line = line.rstrip("\n")
-            if not line or line.startswith("#"):
-                continue
-            left, sep, right = line.partition(" ")
-            if not sep or not left or not right:
-                raise ValueError(f"malformed merges.txt line: {line!r}")
-            merges.append(
-                (len(merges) + 1, left, right, left + right, 0))
+    if spark is not None:
+        from .. import fsio
 
-    vocab_path = os.path.join(in_dir, VOCAB_FILE)
+        merges_text = fsio.read_text(spark, fsio.join(in_dir, MERGES_FILE))
+    else:
+        with open(os.path.join(in_dir, MERGES_FILE),
+                  encoding="utf-8") as f:
+            merges_text = f.read()
+    merges: list[tuple] = []
+    for line in merges_text.split("\n"):
+        if not line or line.startswith("#"):
+            continue
+        left, sep, right = line.partition(" ")
+        if not sep or not left or not right:
+            raise ValueError(f"malformed merges.txt line: {line!r}")
+        merges.append((len(merges) + 1, left, right, left + right, 0))
+
     vocab: dict[str, int] = {}
-    if os.path.exists(vocab_path):
-        with open(vocab_path, encoding="utf-8") as f:
-            vocab = {str(k): int(v) for k, v in json.load(f).items()}
+    if spark is not None:
+        from .. import fsio
+
+        vp = fsio.join(in_dir, VOCAB_FILE)
+        if fsio.exists(spark, vp):
+            vocab = {str(k): int(v)
+                     for k, v in fsio.read_json(spark, vp).items()}
+    else:
+        vocab_path = os.path.join(in_dir, VOCAB_FILE)
+        if os.path.exists(vocab_path):
+            with open(vocab_path, encoding="utf-8") as f:
+                vocab = {str(k): int(v) for k, v in json.load(f).items()}
     return merges, vocab

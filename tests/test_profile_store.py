@@ -118,3 +118,33 @@ def test_join_size_estimate_equals_actual_join(spark):
     assert got[0]["pair_rows"] == 6 and got[0]["n_matching_keys"] == 2
     # NULL keys are excluded, matching inner-equi-join semantics
     assert all(r["key"] != "NULL" for r in got)
+
+
+def test_profile_merge_law_hypothesis(spark, sf_dir):
+    """Property: ANY partition of the corpus into parts, appended in
+    ANY order, finalizes to the one-shot profile exactly -- the
+    associativity/commutativity the incremental store (and its
+    streaming lane) rests on."""
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    d = load_table(spark, sf_dir, "documents").localCheckpoint(eager=True)
+    want = _rows(column_stats(d))
+
+    @settings(max_examples=5, deadline=None)
+    @given(n_parts=st.integers(2, 4), salt=st.integers(0, 10**6),
+           order=st.permutations(range(4)))
+    def check(n_parts, salt, order):
+        store = tempfile.mkdtemp(prefix="arap_prof_hyp_")
+        part = F.pmod(F.xxhash64(F.col("doc_id") + salt),
+                      F.lit(n_parts))
+        parts = [d.where(part == i) for i in range(n_parts)]
+        seq = [parts[i] for i in order if i < n_parts]
+        build_profile_store(seq[0], store)
+        for p in seq[1:]:
+            profile_append(spark, store, p)
+        assert _rows(profile_stats(spark, store)) == want
+
+    check()

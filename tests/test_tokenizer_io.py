@@ -183,3 +183,27 @@ def test_training_shards_selective_read_prunes_partitions(spark, sf_dir,
     # unknown shard id refused before any scan
     with pytest.raises(ValueError, match="not in manifest"):
         read_training_shards(spark, out, shards=[99])
+
+
+def test_tokenizer_artifacts_on_scheme_uri(spark, tmp_path):
+    """Export/import through a ``file:``-scheme URI proves the opt-in
+    Hadoop-API routing (POSIX open on such a string raises), and the
+    bytes are identical to the POSIX path's."""
+    from automated_review_analysis_pipeline_spark.sinks.tokenizer import (
+        export_tokenizer,
+        import_tokenizer,
+    )
+
+    learned = [(1, "a", "b", "ab", 3), (2, "ab", "c", "abc", 2)]
+    vocab = [(0, "a"), (1, "b"), (2, "c"), (3, "ab"), (4, "abc")]
+    plain = str(tmp_path / "plain")
+    uri_dir = str(tmp_path / "uri")
+    export_tokenizer(learned, vocab, plain)
+    export_tokenizer(learned, vocab, "file:" + uri_dir, spark=spark)
+    for name in ("merges.txt", "vocab.json"):
+        with open(f"{plain}/{name}", "rb") as a, \
+                open(f"{uri_dir}/{name}", "rb") as b:
+            assert a.read() == b.read()
+    m_pos, v_pos = import_tokenizer(plain)
+    m_uri, v_uri = import_tokenizer("file:" + uri_dir, spark=spark)
+    assert m_pos == m_uri and v_pos == v_uri

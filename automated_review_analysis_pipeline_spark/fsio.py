@@ -15,14 +15,36 @@ filesystems the cluster's Spark build can read parquet from, it can
 read and write sidecars on.
 
 Write discipline: sidecars are written to a ``<name>.__tmp__`` sibling
-first and then renamed into place, and every store writes its sidecar
-*last*, after all data parts have committed.  A build that crashes
-midway therefore leaves NO sidecar, and every reader's first touch is
+first and then renamed into place WITH OVERWRITE SEMANTICS, and every
+store writes its sidecar *last*, after all data parts have committed.
+A build that crashes midway therefore leaves NO sidecar (first write)
+or the PREVIOUS sidecar (re-write), and every reader's first touch is
 the sidecar -- so a half-written store fails fast with a clear
-"missing meta.json" error instead of serving partial data.  (Hadoop
-``rename`` is atomic on HDFS and a plain ``mv`` on the local FS;
-object stores degrade to copy+delete, which is still
-last-step-visible.)
+"missing meta.json" error instead of serving partial data, and an
+interrupted append leaves the prior version intact and current.
+
+The overwrite rename is atomic wherever the filesystem can express it:
+
+* ``file:`` -- ``java.nio.Files.move(ATOMIC_MOVE|REPLACE_EXISTING)``,
+  POSIX ``rename(2)``: the destination always holds either the old or
+  the new bytes, never neither;
+* filesystems with an ``AbstractFileSystem`` binding (``hdfs://``,
+  ``viewfs://``, ...) -- ``FileContext.rename(Options.Rename.
+  OVERWRITE)``, which HDFS implements as one atomic namespace op;
+* everything else (object stores without an AbstractFileSystem
+  binding) -- delete + rename, which has a window with NO sidecar
+  between the delete and the rename completing. That window is a
+  filesystem limitation, not a discipline choice; on such stores a
+  reader that races an append can observe a missing sidecar and
+  should retry. The function reports which lane it took.
+
+Isolation: all I/O here goes through PRIVATE ``FileSystem.newInstance``
+handles (closed per call), never the Hadoop-CACHED instance that Spark
+itself uses -- so disabling client-side CRC sidecars for these JSON
+files (the local ChecksumFileSystem would otherwise shadow every
+sidecar with a ``.name.crc`` that turns any external hand-edit into a
+ChecksumException) cannot leak checksum behavior into Spark's own
+reads and writes through the shared cached filesystem.
 """
 from __future__ import annotations
 
@@ -31,67 +53,138 @@ from pyspark.sql import SparkSession
 _COPY_BUF = 65536
 
 
-def _fs_path(spark: SparkSession, path: str):
-    """(FileSystem, Path) for *path* under the session's Hadoop conf.
-
-    Client-side CRC sidecars are disabled: the local ChecksumFileSystem
-    would otherwise shadow every sidecar with a ``.name.crc`` file, and
-    any EXTERNAL edit of the JSON (a user hand-fixing a manifest, a
-    test corrupting one on purpose) would then fail reads with
-    ChecksumException instead of the store's own validation error.
-    Sidecars are tiny and validated at the application layer
-    (shard fingerprints, schema checks); HDFS keeps its server-side
-    block checksums regardless."""
+def _fs_uri(spark: SparkSession, jpath):
+    """The filesystem URI *jpath* resolves to (its own scheme, or the
+    configured defaultFS for scheme-less paths)."""
     jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    uri = jpath.toUri()
+    if uri.getScheme() is not None:
+        return uri
+    return jvm.org.apache.hadoop.fs.FileSystem.getDefaultUri(conf)
+
+
+def _new_fs(spark: SparkSession, path: str):
+    """(fs, jpath, jvm) with fs a PRIVATE (non-cached) FileSystem
+    instance for *path*'s scheme; caller must ``fs.close()``.
+
+    Client-side CRC sidecars are disabled ON THIS INSTANCE ONLY (see
+    module docstring): sidecars are tiny and validated at the
+    application layer (shard fingerprints, schema checks); HDFS keeps
+    its server-side block checksums regardless, and Spark's own I/O
+    through the cached FileSystem instance is untouched."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs = jvm.org.apache.hadoop.fs.FileSystem.newInstance(
+        _fs_uri(spark, jpath), conf)
     fs.setWriteChecksum(False)
     fs.setVerifyChecksum(False)
     return fs, jpath, jvm
 
 
 def exists(spark: SparkSession, path: str) -> bool:
-    fs, jpath, _ = _fs_path(spark, path)
-    return bool(fs.exists(jpath))
-
-
-def write_bytes(spark: SparkSession, path: str, data: bytes) -> None:
-    """Atomically (temp + rename) write *data* to *path* on whatever
-    filesystem the path's scheme resolves to."""
-    fs, jpath, jvm = _fs_path(spark, path)
-    tmp = jvm.org.apache.hadoop.fs.Path(path + ".__tmp__")
-    out = fs.create(tmp, True)
+    fs, jpath, _ = _new_fs(spark, path)
     try:
-        out.write(bytearray(data))
+        return bool(fs.exists(jpath))
     finally:
-        out.close()
-    if fs.exists(jpath):
-        fs.delete(jpath, False)
-    if not fs.rename(tmp, jpath):
-        raise IOError(f"rename {path}.__tmp__ -> {path} failed")
+        fs.close()
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    """Remove *path* (a file or directory tree) on whatever filesystem
+    its scheme resolves to; False if it did not exist."""
+    fs, jpath, _ = _new_fs(spark, path)
+    try:
+        if not fs.exists(jpath):
+            return False
+        return bool(fs.delete(jpath, recursive))
+    finally:
+        fs.close()
+
+
+def _rename_overwrite(spark: SparkSession, fs, jvm, tmp, dst) -> str:
+    """Move ``tmp`` onto ``dst``, replacing it; atomic where the
+    filesystem can express that (see module docstring). Returns the
+    lane taken: 'nio-atomic' | 'filecontext' | 'delete-rename'."""
+    conf = spark._jsc.hadoopConfiguration()
+    q = fs.makeQualified(dst)
+    scheme = q.toUri().getScheme()
+    if scheme == "file":
+        gw = spark.sparkContext._gateway
+        nio = jvm.java.nio.file
+        empty = gw.new_array(jvm.java.lang.String, 0)
+        src_p = nio.Paths.get(tmp.toUri().getPath(), empty)
+        dst_p = nio.Paths.get(q.toUri().getPath(), empty)
+        opts = gw.new_array(nio.CopyOption, 2)
+        opts[0] = nio.StandardCopyOption.REPLACE_EXISTING
+        opts[1] = nio.StandardCopyOption.ATOMIC_MOVE
+        nio.Files.move(src_p, dst_p, opts)
+        return "nio-atomic"
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            q.toUri(), conf)
+        gw = spark.sparkContext._gateway
+        ren = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = gw.new_array(ren, 1)
+        opts[0] = ren.OVERWRITE
+        fc.rename(fs.makeQualified(tmp), q, opts)
+        return "filecontext"
+    except Exception:
+        # no AbstractFileSystem binding for this scheme (typical for
+        # object stores): degrade to delete+rename -- NOT atomic; a
+        # racing reader can observe the no-sidecar window and must
+        # retry. Last resort only.
+        if fs.exists(dst):
+            fs.delete(dst, False)
+        if not fs.rename(tmp, dst):
+            raise IOError(f"rename {tmp} -> {dst} failed")
+        return "delete-rename"
+
+
+def write_bytes(spark: SparkSession, path: str, data: bytes) -> str:
+    """Write *data* to *path* via temp + overwrite-rename on whatever
+    filesystem the path's scheme resolves to; atomic on ``file:`` and
+    FileContext-capable filesystems (module docstring has the full
+    ladder). Returns the rename lane taken (tests pin it)."""
+    fs, jpath, jvm = _new_fs(spark, path)
+    try:
+        tmp = jvm.org.apache.hadoop.fs.Path(path + ".__tmp__")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+        return _rename_overwrite(spark, fs, jvm, tmp, jpath)
+    finally:
+        fs.close()
 
 
 def read_bytes(spark: SparkSession, path: str) -> bytes:
-    fs, jpath, jvm = _fs_path(spark, path)
-    inp = fs.open(jpath)
-    baos = jvm.java.io.ByteArrayOutputStream()
-    # copyBytes(close=True) closes BOTH streams, even on error
-    jvm.org.apache.hadoop.io.IOUtils.copyBytes(inp, baos, _COPY_BUF, True)
-    return bytes(baos.toByteArray())
+    fs, jpath, jvm = _new_fs(spark, path)
+    try:
+        inp = fs.open(jpath)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        # copyBytes(close=True) closes BOTH streams, even on error
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(inp, baos, _COPY_BUF,
+                                                   True)
+        return bytes(baos.toByteArray())
+    finally:
+        fs.close()
 
 
-def write_text(spark: SparkSession, path: str, text: str) -> None:
-    write_bytes(spark, path, text.encode("utf-8"))
+def write_text(spark: SparkSession, path: str, text: str) -> str:
+    return write_bytes(spark, path, text.encode("utf-8"))
 
 
 def read_text(spark: SparkSession, path: str) -> str:
     return read_bytes(spark, path).decode("utf-8")
 
 
-def write_json(spark: SparkSession, path: str, obj, **kw) -> None:
+def write_json(spark: SparkSession, path: str, obj, **kw) -> str:
     import json
 
-    write_text(spark, path, json.dumps(obj, **kw))
+    return write_text(spark, path, json.dumps(obj, **kw))
 
 
 def read_json(spark: SparkSession, path: str):

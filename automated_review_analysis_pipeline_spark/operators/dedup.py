@@ -976,10 +976,74 @@ def set_similarity_join(documents: DataFrame, threshold: float = 0.5,
             .orderBy("a_id", "b_id"))
 
 
+def _simjoin_prefix_table_name(store_dir: str) -> str:
+    """Catalog name for a store's bucketed prefix table, derived from
+    the store location (stable across sessions, collision-free for
+    distinct stores)."""
+    import hashlib
+
+    return ("arap_simjoin_prefix_"
+            + hashlib.md5(store_dir.encode("utf-8")).hexdigest()[:12])
+
+
+def _register_prefix_table(spark, store_dir: str,
+                           n_buckets: int) -> DataFrame:
+    """The store's bucketed ``/prefix`` as a catalog table -- the thing
+    that makes the store side of every candidate join EXCHANGE-FREE:
+    the files are bucketed by ``tok`` (the join key), so Catalyst reads
+    them already hash-partitioned and only the delta side shuffles.
+    Re-issues the CREATE TABLE DDL when this session has not seen the
+    store yet (the catalog is per-session; the files and their bucket
+    spec are the durable part)."""
+    from .. import fsio
+
+    name = _simjoin_prefix_table_name(store_dir)
+    if not spark.catalog.tableExists(name):
+        meta_p = fsio.join(store_dir, "meta.json")
+        if fsio.exists(spark, meta_p):
+            # schema from the sidecar: works even when every bucket is
+            # still empty (a stream store starts from zero documents)
+            cols = fsio.read_json(spark, meta_p)["prefix_cols"]
+        else:
+            schema = spark.read.parquet(store_dir + "/prefix").schema
+            cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                             for f in schema.fields)
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING parquet "
+            f"CLUSTERED BY (tok) SORTED BY (tok) "
+            f"INTO {n_buckets} BUCKETS "
+            f"LOCATION '{store_dir}/prefix'")
+    return spark.table(name)
+
+
+def _write_prefix_bucketed(prefix: DataFrame, store_dir: str,
+                           n_buckets: int, mode: str) -> None:
+    spark = prefix.sparkSession
+    name = _simjoin_prefix_table_name(store_dir)
+    if mode == "overwrite":
+        from .. import fsio
+
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        fsio.delete(spark, store_dir + "/prefix")
+        (prefix.write.mode("overwrite")
+         .bucketBy(n_buckets, "tok").sortBy("tok")
+         .option("path", store_dir + "/prefix")
+         .saveAsTable(name))
+        return
+    # append: make sure the catalog entry exists first (a fresh session
+    # appending to a persisted store re-registers here); the location
+    # then comes from the catalog
+    _register_prefix_table(spark, store_dir, n_buckets)
+    (prefix.write.mode("append")
+     .bucketBy(n_buckets, "tok").sortBy("tok")
+     .saveAsTable(name))
+
+
 def build_simjoin_index(documents: DataFrame, store_dir: str,
                         threshold: float = 0.5, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
-                        mode: str = "overwrite") -> DataFrame:
+                        mode: str = "overwrite",
+                        n_buckets: int = 8) -> DataFrame:
     """Persist an EXACT set-similarity index so deltas never rescan the
     corpus: the frozen rare-first token ORDER (document frequencies at
     build time), every document's shingle array + prefix rows under
@@ -987,7 +1051,7 @@ def build_simjoin_index(documents: DataFrame, store_dir: str,
 
       dfreq/   (tok, df)           -- the FROZEN global order
       docs/    (id, toks, sz)      -- shingle arrays for verification
-      prefix/  (id, tok, sz)       -- prefix rows under the frozen order
+      prefix/  (id, tok, sz)       -- prefix rows, BUCKETED BY tok
       pairs/   (a_id, b_id, n_common, jaccard)
 
     Freezing the order is what makes appends exact: the prefix filter
@@ -999,7 +1063,16 @@ def build_simjoin_index(documents: DataFrame, store_dir: str,
     discipline as the persisted MinHash signature store, but with NO
     false negatives at any point. ``mode`` must be "overwrite" (an
     append-mode build would refreeze the order under existing
-    prefixes). Returns the pair table."""
+    prefixes). Returns the pair table.
+
+    ``/prefix`` persists as a BUCKETED table (``n_buckets`` buckets on
+    ``tok``, the candidate join key): every ``simjoin_append`` and
+    every streaming micro-batch probes the accumulated store WITHOUT
+    re-shuffling it -- the store side of the candidate join carries no
+    Exchange (plan-gated in tests); only the |delta| side shuffles.
+    The alternative (plain parquet, the pre-round-13 layout) pays an
+    O(store) exchange per append, which at a year of appends to a
+    100-TB corpus dominates everything else in the pipeline."""
     if mode != "overwrite":
         raise ValueError(
             f"build_simjoin_index only supports mode='overwrite' (got "
@@ -1017,10 +1090,14 @@ def build_simjoin_index(documents: DataFrame, store_dir: str,
         F.sort_array(F.collect_list("tok")).alias("toks"),
         F.count(F.lit(1)).alias("sz"))
     arrs.write.mode("overwrite").parquet(store_dir + "/docs")
-    _simjoin_prefix(toks, spark.read.parquet(store_dir + "/dfreq"),
-                    threshold) \
-        .write.mode("overwrite").parquet(store_dir + "/prefix")
-    prefix = spark.read.parquet(store_dir + "/prefix")
+    prefix_df = _simjoin_prefix(
+        toks, spark.read.parquet(store_dir + "/dfreq"), threshold)
+    prefix_cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                            for f in prefix_df.schema.fields)
+    _write_prefix_bucketed(prefix_df, store_dir, n_buckets, "overwrite")
+    # bucketed on both sides of the self-join: the one-shot candidate
+    # stage runs with no Exchange at all
+    prefix = _register_prefix_table(spark, store_dir, n_buckets)
     pairs = _simjoin_verify(
         _simjoin_candidates(prefix, prefix, threshold),
         spark.read.parquet(store_dir + "/docs"), threshold)
@@ -1030,7 +1107,9 @@ def build_simjoin_index(documents: DataFrame, store_dir: str,
     # meta.json, so simjoin_append fails fast on the half-store
     from .. import fsio
     fsio.write_json(spark, fsio.join(store_dir, "meta.json"),
-                    {"threshold": threshold, "k": k})
+                    {"threshold": threshold, "k": k,
+                     "n_buckets": n_buckets,
+                     "prefix_cols": prefix_cols})
     return spark.read.parquet(store_dir + "/pairs")
 
 
@@ -1145,7 +1224,8 @@ def _simjoin_verify(cand: DataFrame, arrs: DataFrame,
 
 def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
                    text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   batch_id: int | None = None) -> DataFrame:
     """Append a DELTA to a persisted exact-simjoin index: only
     (new x all) candidate prefixes are joined -- the |all| x |new|
     discipline of the incremental MinHash store, with zero false
@@ -1153,10 +1233,34 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
     docs' shingle arrays, prefixes, and qualifying pairs (new-old and
     new-new) parquet-append into the store; the accumulated pair table
     equals the one-shot recompute exactly. Returns the reloaded pair
-    table."""
+    table.
+
+    ``batch_id`` guards against at-least-once REPLAY of a COMPLETED
+    append (Structured Streaming's foreachBatch re-runs a batch whose
+    checkpoint commit was lost): meta.json records the last applied
+    batch id, written after the data appends, and an append with
+    ``batch_id`` <= the recorded one is a no-op -- without it a
+    replayed micro-batch would duplicate prefixes AND pairs. A crash
+    in the MIDDLE of the three data appends still leaves partial
+    duplicates on replay (parquet append is not transactional; a real
+    table format's atomic commit is the production answer) -- the
+    guard closes the common replay path, not that window.
+
+    Scale shape: the store's ``/prefix`` is BUCKETED by ``tok`` (the
+    candidate join key), so the store side of both candidate joins
+    reads ALREADY hash-partitioned -- no Exchange, plan-gated -- and
+    only the |delta|-sized prefix shuffles per append. Candidate
+    GENERATION was always |new| x |all|; this makes the EXCHANGE
+    O(delta) too, which is what keeps a year of micro-batch appends
+    from re-shuffling the accumulated store every batch. Stores built
+    before round 13 (no ``n_buckets`` in meta.json) fall back to the
+    plain-parquet union path unchanged."""
     from .. import fsio
     meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    if batch_id is not None and batch_id <= meta.get("last_batch_id", -1):
+        return spark.read.parquet(store_dir + "/pairs")
     threshold, k = float(meta["threshold"]), int(meta["k"])
+    n_buckets = meta.get("n_buckets")
     dfreq = spark.read.parquet(store_dir + "/dfreq")
     toks = (new_docs
             .select(F.col(id_col).alias("id"), F.col(text_col))
@@ -1170,20 +1274,38 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
     new_prefix = _simjoin_prefix(toks, dfreq, threshold)
     new_prefix = new_prefix.localCheckpoint(eager=True)
     new_arrs = new_arrs.localCheckpoint(eager=True)
-    all_prefix = spark.read.parquet(store_dir + "/prefix") \
-        .unionByName(new_prefix)
     all_arrs = spark.read.parquet(store_dir + "/docs") \
         .unionByName(new_arrs)
-    # candidates touching a NEW doc only: new x (old + new); a<b
-    # canonicalization inside _simjoin_candidates dedupes new-new pairs
-    cand = _simjoin_candidates(new_prefix, all_prefix, threshold) \
-        .unionByName(
-            _simjoin_candidates(all_prefix, new_prefix, threshold)) \
-        .distinct()
+    # candidates touching a NEW doc only (a<b canonicalization inside
+    # _simjoin_candidates dedupes the new-new overlap); new-old pairs
+    # need both orientations because canonicalization is on id order
+    if n_buckets:
+        store_prefix = _register_prefix_table(spark, store_dir,
+                                              int(n_buckets))
+        cand = (_simjoin_candidates(new_prefix, store_prefix, threshold)
+                .unionByName(_simjoin_candidates(store_prefix, new_prefix,
+                                                 threshold))
+                .unionByName(_simjoin_candidates(new_prefix, new_prefix,
+                                                 threshold))
+                .distinct())
+    else:  # pre-round-13 plain layout
+        all_prefix = spark.read.parquet(store_dir + "/prefix") \
+            .unionByName(new_prefix)
+        cand = _simjoin_candidates(new_prefix, all_prefix, threshold) \
+            .unionByName(
+                _simjoin_candidates(all_prefix, new_prefix, threshold)) \
+            .distinct()
     new_pairs = _simjoin_verify(cand, all_arrs, threshold)
     new_pairs.write.mode("append").parquet(store_dir + "/pairs")
-    new_prefix.write.mode("append").parquet(store_dir + "/prefix")
+    if n_buckets:
+        _write_prefix_bucketed(new_prefix, store_dir, int(n_buckets),
+                               "append")
+    else:
+        new_prefix.write.mode("append").parquet(store_dir + "/prefix")
     new_arrs.write.mode("append").parquet(store_dir + "/docs")
+    if batch_id is not None:
+        meta["last_batch_id"] = batch_id
+        fsio.write_json(spark, fsio.join(store_dir, "meta.json"), meta)
     return spark.read.parquet(store_dir + "/pairs")
 
 

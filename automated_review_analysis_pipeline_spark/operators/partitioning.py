@@ -581,7 +581,9 @@ def manifest_from_footers(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def key_skew_report(df: DataFrame, keys: list[str],
-                    top_n: int = 5) -> DataFrame:
+                    top_n: int = 5,
+                    percentiles: str = "exact",
+                    accuracy: int = 10000) -> DataFrame:
     """Join-key pre-flight: BEFORE shuffling 100 TB on a key, answer
     "is this key safe" with one aggregate -- the diagnostic that
     decides between a plain hash join, :func:`salted_join`, AQE skew
@@ -596,22 +598,40 @@ def key_skew_report(df: DataFrame, keys: list[str],
     but carrying only counts), then a topk (TakeOrderedAndProject --
     distributed partial top-k, never a global sort of the key table)
     and one percentile aggregate over the per-key count table --
-    |keys| rows, not |rows|. The percentiles are EXACT (they are what
-    the oracle checks); on a table whose key cardinality itself is in
-    the billions, pass the count table through approx_percentile
-    instead -- the rest of the report is unchanged. NULL key parts
+    |keys| rows, not |rows|.
+
+    ``percentiles``: ``"exact"`` (default, what the oracle checks)
+    uses Spark's exact interpolated percentile -- which buffers every
+    per-key count in ONE aggregation buffer, fine up to millions of
+    distinct keys but not billions; ``"approx"`` swaps in
+    approx_percentile (Greenwald-Khanna: bounded memory, rank error
+    <= n/``accuracy``, returns an ELEMENT of the count table rather
+    than an interpolated value) with the report shape unchanged --
+    the billion-key lane. Everything else in the report (top-N,
+    shares, max, skew_ratio) is exact in both modes. NULL key parts
     render as 'NULL' in the canonical string (a hot NULL is the most
     common real-world skew)."""
+    if percentiles not in ("exact", "approx"):
+        raise ValueError(f"percentiles must be 'exact' or 'approx' "
+                         f"(got {percentiles!r})")
     key_str = F.concat_ws(
         "|", *[F.coalesce(F.col(k).cast("string"), F.lit("NULL"))
                for k in keys])
     counts = (df.groupBy(key_str.alias("key"))
               .agg(F.count(F.lit(1)).alias("n_rows")))
+    if percentiles == "exact":
+        p50 = F.expr("percentile(n_rows, 0.5)")
+        p99 = F.expr("percentile(n_rows, 0.99)")
+    else:
+        p50 = F.expr(f"approx_percentile(n_rows, 0.5, {int(accuracy)})") \
+            .cast("double")
+        p99 = F.expr(f"approx_percentile(n_rows, 0.99, {int(accuracy)})") \
+            .cast("double")
     stats = counts.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("n_rows").alias("n_total"),
-        F.round(F.expr("percentile(n_rows, 0.5)"), 6).alias("p50_rows"),
-        F.round(F.expr("percentile(n_rows, 0.99)"), 6).alias("p99_rows"),
+        F.round(p50, 6).alias("p50_rows"),
+        F.round(p99, 6).alias("p99_rows"),
         F.max("n_rows").alias("max_rows"))
     top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_n)
     # rank/cum_share windows run over the already-limited top_n rows

@@ -558,7 +558,8 @@ def build_profile_store(df: DataFrame, store_dir: str) -> DataFrame:
         [tuple(f) for f in fields])
 
 
-def profile_append(spark, store_dir: str, delta: DataFrame) -> DataFrame:
+def profile_append(spark, store_dir: str, delta: DataFrame,
+                   batch_id: int | None = None) -> DataFrame:
     """Fold a DELTA into the persisted profile: scan the delta only,
     merge its state with the stored state, write the next version, and
     flip meta.json atomically. The merged stats equal a one-shot
@@ -570,10 +571,23 @@ def profile_append(spark, store_dir: str, delta: DataFrame) -> DataFrame:
     persisted store here: two concurrent appends would both write
     v(N+1) and the later meta flip would silently drop the earlier
     delta -- serialize appends (the streaming lane's foreachBatch does
-    this by construction)."""
+    this by construction).
+
+    ``batch_id`` makes the append IDEMPOTENT under at-least-once
+    replay (Structured Streaming's foreachBatch contract): the store's
+    meta.json records the last applied batch id, and an append whose
+    ``batch_id`` <= the recorded one is a NO-OP (counts/null sums are
+    not idempotent, so a replayed micro-batch would otherwise fold
+    twice). Because the register write lands BEFORE the meta flip and
+    the flip is atomic, a crash mid-append replays as if the append
+    never happened -- the guard plus the version flip give
+    exactly-once folding end to end. Non-streaming callers may omit
+    it (no replay source exists there)."""
     from .. import fsio
 
     meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    if batch_id is not None and batch_id <= meta.get("last_batch_id", -1):
+        return profile_stats(spark, store_dir)
     want = [f[0] for f in meta["fields"]]
     have = list(delta.columns)
     if have != want:
@@ -586,8 +600,12 @@ def profile_append(spark, store_dir: str, delta: DataFrame) -> DataFrame:
     nxt = meta["version"] + 1
     merged.write.mode("overwrite").parquet(
         fsio.join(store_dir, f"registers/v{nxt}"))
-    fsio.write_json(spark, fsio.join(store_dir, "meta.json"),
-                    {"version": nxt, "fields": meta["fields"]})
+    new_meta = {"version": nxt, "fields": meta["fields"]}
+    if batch_id is not None or "last_batch_id" in meta:
+        new_meta["last_batch_id"] = (
+            batch_id if batch_id is not None
+            else meta.get("last_batch_id"))
+    fsio.write_json(spark, fsio.join(store_dir, "meta.json"), new_meta)
     return profile_stats(spark, store_dir)
 
 
@@ -981,20 +999,23 @@ def profile_vacuum(spark, store_dir: str, keep: int = 2) -> list[int]:
     keep = max(int(keep), 1)
     meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
     current = int(meta["version"])
-    fs, reg_path, _ = fsio._fs_path(spark, fsio.join(store_dir,
-                                                     "registers"))
+    fs, reg_path, _ = fsio._new_fs(spark, fsio.join(store_dir,
+                                                    "registers"))
     removed = []
-    for st in fs.listStatus(reg_path):
-        name = st.getPath().getName()
-        if not name.startswith("v"):
-            continue
-        try:
-            v = int(name[1:])
-        except ValueError:
-            continue
-        if v <= current - keep:
-            fs.delete(st.getPath(), True)
-            removed.append(v)
+    try:
+        for st in fs.listStatus(reg_path):
+            name = st.getPath().getName()
+            if not name.startswith("v"):
+                continue
+            try:
+                v = int(name[1:])
+            except ValueError:
+                continue
+            if v <= current - keep:
+                fs.delete(st.getPath(), True)
+                removed.append(v)
+    finally:
+        fs.close()
     return sorted(removed)
 
 

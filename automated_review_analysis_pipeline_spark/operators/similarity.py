@@ -1575,6 +1575,123 @@ def star_connected_components(edges: DataFrame, a_col: str = "a",
     return labels, rounds
 
 
+def build_components_store(edges: DataFrame, store_dir: str,
+                           a_col: str = "a", b_col: str = "b",
+                           max_iterations: int = 50) -> DataFrame:
+    """Persist a connected-components LABEL MAP so future edge deltas
+    never re-run star iterations over historical edges -- the last
+    full-recompute in the otherwise delta-disciplined dedup lifecycle
+    (signatures, simjoin index, and MinHash store all append; the
+    clustering used to start over every time).
+
+    Runs :func:`star_connected_components` once over the initial edge
+    set and persists the (node, component) labels versioned
+    (``labels/v{N}``) with the fsio meta.json sidecar flipped LAST
+    (atomic rename) -- the profile-store discipline: an interrupted
+    append leaves the previous version intact and current. Returns the
+    labels. Append deltas with :func:`components_append`."""
+    from .. import fsio
+
+    spark = edges.sparkSession
+    labels, _rounds = star_connected_components(
+        edges, a_col=a_col, b_col=b_col, max_iterations=max_iterations)
+    labels.write.mode("overwrite").parquet(
+        fsio.join(store_dir, "labels/v0"))
+    fsio.write_json(spark, fsio.join(store_dir, "meta.json"),
+                    {"version": 0})
+    return spark.read.parquet(fsio.join(store_dir, "labels/v0"))
+
+
+def components_append(spark, store_dir: str, new_edges: DataFrame,
+                      a_col: str = "a", b_col: str = "b",
+                      max_iterations: int = 50,
+                      batch_id: int | None = None) -> DataFrame:
+    """Fold an edge DELTA into a persisted components store WITHOUT
+    touching historical edges: star iterations run only over the
+    CONTRACTED delta graph, whose size tracks |new edges| -- never the
+    accumulated edge count.
+
+    Correctness rests on contraction: every stored component is
+    connected by construction, so collapsing it to its label preserves
+    the connectivity that matters for merging. Each delta edge maps
+    its endpoints to their current labels (an unseen node is its own
+    label); the star rounds then run on that label graph -- at most
+    2 x |new edges| nodes -- and emit old_label -> new_label merges.
+    Because every label IS the minimum node id of its component (the
+    star fixed point) and node ids are unique, a label-graph node can
+    never collide with a distinct new node, and the merged minimum of
+    minimums equals the global minimum over the unioned edge set --
+    so appended labels equal the one-shot recompute EXACTLY
+    (pytest-pinned).
+
+    Per-append cost: the star rounds are O(|delta| log) -- the
+    expensive part that used to be O(all edges ever) -- plus one
+    broadcast-join relabel pass over the stored label table (linear
+    scan + write of the next version, no shuffle: the merge map is
+    <= 2 x |new edges| rows and broadcasts). ``batch_id`` gives the
+    same at-least-once replay idempotence as profile_append (the
+    version flip is atomic, so the guard makes folding exactly-once).
+    Returns the full updated label map."""
+    from .. import fsio
+
+    meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    cur = spark.read.parquet(
+        fsio.join(store_dir, f"labels/v{meta['version']}"))
+    if batch_id is not None and batch_id <= meta.get("last_batch_id", -1):
+        return cur
+
+    e = (new_edges
+         .select(F.greatest(F.col(a_col), F.col(b_col)).alias("a"),
+                 F.least(F.col(a_col), F.col(b_col)).alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .distinct())
+    la = cur.select(F.col("node").alias("a"),
+                    F.col("component").alias("__la"))
+    lb = cur.select(F.col("node").alias("b"),
+                    F.col("component").alias("__lb"))
+    contracted = (
+        e.join(la, "a", "left").join(lb, "b", "left")
+        .select(F.coalesce("__la", F.col("a")).alias("ca"),
+                F.coalesce("__lb", F.col("b")).alias("cb"))
+        .where(F.col("ca") != F.col("cb"))
+        .select(F.greatest("ca", "cb").alias("a"),
+                F.least("ca", "cb").alias("b"))
+        .distinct())
+    merge_map, _rounds = star_connected_components(
+        contracted, max_iterations=max_iterations)
+    merge_map = merge_map.localCheckpoint(eager=True)
+
+    # relabel touched components (broadcast: merge map tracks |delta|)
+    updated = (cur.join(
+        broadcast(merge_map.select(
+            F.col("node").alias("component"),
+            F.col("component").alias("__new"))),
+        "component", "left")
+        .select("node",
+                F.coalesce("__new", F.col("component"))
+                .alias("component")))
+    # endpoints the store has never seen get their merged (or own) label
+    new_nodes = (e.select(F.col("a").alias("node"))
+                 .unionByName(e.select(F.col("b").alias("node")))
+                 .distinct()
+                 .join(cur.select("node"), "node", "anti"))
+    added = (new_nodes.join(broadcast(merge_map), "node", "left")
+             .select("node",
+                     F.coalesce("component", F.col("node"))
+                     .alias("component")))
+    all_labels = updated.unionByName(added)
+
+    nxt = meta["version"] + 1
+    all_labels.write.mode("overwrite").parquet(
+        fsio.join(store_dir, f"labels/v{nxt}"))
+    new_meta = dict(meta)
+    new_meta["version"] = nxt
+    if batch_id is not None:
+        new_meta["last_batch_id"] = batch_id
+    fsio.write_json(spark, fsio.join(store_dir, "meta.json"), new_meta)
+    return spark.read.parquet(fsio.join(store_dir, f"labels/v{nxt}"))
+
+
 def near_dup_components(embeddings: DataFrame, threshold: float = 0.35,
                         id_col: str = "vec_id",
                         distributed: bool | None = None,

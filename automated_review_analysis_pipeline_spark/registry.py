@@ -395,6 +395,38 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.near_dup_components(e, threshold=0.35)
 
 
+def q_near_dup_components_incremental(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Persisted-components lifecycle: split the near-dup edge set into
+    two deltas, build the label store on the first, components_append
+    the second -- star iterations run only over each CONTRACTED delta,
+    never the accumulated history -- then label every vector. The
+    appended map equals the one-shot recompute exactly, so this shares
+    near_dup_components' full recursive-CTE oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    pairs = sim.pairwise_cosine_above(e, threshold=0.35).localCheckpoint()
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"arap_incr_comp_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(work, ignore_errors=True)
+    store = os.path.join(work, "comp_store")
+    half = F.pmod(F.xxhash64("id_a", "id_b"), F.lit(2))
+    sim.build_components_store(pairs.where(half == 0), store,
+                               a_col="id_a", b_col="id_b")
+    labels = sim.components_append(spark, store, pairs.where(half == 1),
+                                   a_col="id_a", b_col="id_b")
+    out = e.select(F.col("vec_id").alias("node")).join(labels, "node",
+                                                       "left")
+    return (out.select(F.col("node").alias("vec_id"),
+                       F.coalesce("component", F.col("node"))
+                       .alias("component"))
+            .orderBy("vec_id"))
+
+
 def q_near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
     return sim.near_dup_pagerank(e, threshold=0.35)
@@ -550,6 +582,22 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return key_skew_report(_t(spark, sf_dir, "events"), ["user_id"],
                            top_n=5)
+
+
+def q_key_skew_report_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The billion-key lane of the skew pre-flight: p50/p99 group sizes
+    via approx_percentile (Greenwald-Khanna, bounded memory) instead of
+    the exact percentile's single whole-count-table aggregation buffer.
+    Rows-only driver check (GK picks an engine-specific ELEMENT, not
+    DuckDB's interpolated value); the error-bound pytest and the fully
+    oracled exact twin (key_skew_report) carry the value-level
+    evidence. Same report shape, same everything-else-exact columns."""
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        key_skew_report,
+    )
+
+    return key_skew_report(_t(spark, sf_dir, "events"), ["user_id"],
+                           top_n=5, percentiles="approx")
 
 
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2783,6 +2831,7 @@ QUERIES: dict[str, QueryFn] = {
     "streaming_click_attribution": q_streaming_click_attribution,
     "semantic_dedup": q_semantic_dedup,
     "near_dup_components": q_near_dup_components,
+    "near_dup_components_incremental": q_near_dup_components_incremental,
     "near_dup_pagerank": q_near_dup_pagerank,
     "centroid_assign": q_centroid_assign,
     "media_near_dup": q_media_near_dup,
@@ -2794,6 +2843,7 @@ QUERIES: dict[str, QueryFn] = {
     "profile_store_stats": q_profile_store_stats,
     "streaming_profile_stats": q_streaming_profile_stats,
     "key_skew_report": q_key_skew_report,
+    "key_skew_report_approx": q_key_skew_report_approx,
     "join_size_estimate": q_join_size_estimate,
     "snapshot_drift_depth": q_snapshot_drift_depth,
     "embedding_drift": q_embedding_drift,
@@ -6295,6 +6345,12 @@ FROM terms GROUP BY doc_id ORDER BY doc_id
 # composes the recursive-CTE component oracle with a score argmax --
 # the production "keep the best member" rule next to semantic_dedup's
 # min-id baseline
+# the incremental components store accumulates THE SAME label map as the
+# one-shot star recompute (contraction preserves connectivity; labels are
+# component minima), so the oracle carries over verbatim
+ORACLE_SQL["near_dup_components_incremental"] = \
+    ORACLE_SQL["near_dup_components"]
+
 ORACLE_SQL["dedup_representatives"] = ORACLE_SQL["near_dup_components"].replace(
     "SELECT src AS vec_id, min(dst) AS component\nFROM reach GROUP BY src ORDER BY vec_id",
     """, comp AS (SELECT src AS vec_id, min(dst) AS component

@@ -34,6 +34,22 @@ VOCAB_FILE = "vocab.json"
 MERGES_HEADER = "#version: 0.2"
 
 
+def _resolve_dir(path: str) -> str:
+    """Pin a SCHEME-LESS dir to the driver's local filesystem
+    (``file:``). The Hadoop route resolves bare paths against
+    ``fs.defaultFS`` -- so on a cluster whose defaultFS is hdfs://, an
+    export that used to land on the driver's local disk (the POSIX
+    behavior, and what a bare path means everywhere else in a Python
+    program) would silently land on HDFS, and worse, WHICH filesystem
+    it landed on would depend on whether ``spark`` happened to be
+    inferred from a DataFrame vocab. Bare paths therefore always mean
+    driver-local here; to target defaultFS or a remote store, pass a
+    full URI (s3a://..., hdfs://...)."""
+    if ":/" in path:  # already scheme-qualified (file:, s3a://, ...)
+        return path
+    return "file:" + os.path.abspath(path)
+
+
 def export_tokenizer(merges: list[tuple], vocab: DataFrame | list[tuple],
                      out_dir: str, spark=None) -> dict[str, str]:
     """Write ``merges.txt`` + ``vocab.json`` under ``out_dir``.
@@ -45,7 +61,10 @@ def export_tokenizer(merges: list[tuple], vocab: DataFrame | list[tuple],
     Returns {"merges": path, "vocab": path}. With ``spark`` (taken
     from a DataFrame vocab automatically), bytes route through the
     Hadoop FS API so ``out_dir`` may be s3a://...; byte-identical to
-    the POSIX path either way (pytest-pinned).
+    the POSIX path either way (pytest-pinned). A SCHEME-LESS
+    ``out_dir`` always means the driver's local disk on both routes
+    (see :func:`_resolve_dir`) -- it is never resolved against
+    fs.defaultFS.
 
     Symbols never contain whitespace (the pre-tokenizer emits \\w+ runs
     or single non-space symbols), which is what makes the
@@ -56,6 +75,11 @@ def export_tokenizer(merges: list[tuple], vocab: DataFrame | list[tuple],
         spark = vocab.sparkSession
     if spark is None:
         os.makedirs(out_dir, exist_ok=True)
+        io_dir = out_dir
+    else:
+        # resolve for the Hadoop route only; returned paths keep the
+        # caller's original form (a bare dir stays a bare dir)
+        io_dir = _resolve_dir(out_dir)
     rows = (vocab.select("vocab_id", "token").collect()
             if isinstance(vocab, DataFrame) else
             [(r[0], r[1]) for r in vocab])
@@ -68,13 +92,14 @@ def export_tokenizer(merges: list[tuple], vocab: DataFrame | list[tuple],
                 "not representable in merges.txt")
         lines.append(f"{left} {right}")
     merges_text = "\n".join(lines) + "\n"
+    merges_path = os.path.join(out_dir, MERGES_FILE) if spark is None \
+        else out_dir.rstrip("/") + "/" + MERGES_FILE
     if spark is not None:
         from .. import fsio
 
-        merges_path = fsio.join(out_dir, MERGES_FILE)
-        fsio.write_text(spark, merges_path, merges_text)
+        fsio.write_text(spark, fsio.join(io_dir, MERGES_FILE),
+                        merges_text)
     else:
-        merges_path = os.path.join(out_dir, MERGES_FILE)
         with open(merges_path, "w", encoding="utf-8", newline="\n") as f:
             f.write(merges_text)
 
@@ -82,13 +107,13 @@ def export_tokenizer(merges: list[tuple], vocab: DataFrame | list[tuple],
                  for vid, token in sorted(rows, key=lambda r: int(r[0]))}
     vocab_text = json.dumps(vocab_obj, ensure_ascii=False,
                             separators=(",", ":")) + "\n"
+    vocab_path = os.path.join(out_dir, VOCAB_FILE) if spark is None \
+        else out_dir.rstrip("/") + "/" + VOCAB_FILE
     if spark is not None:
         from .. import fsio
 
-        vocab_path = fsio.join(out_dir, VOCAB_FILE)
-        fsio.write_text(spark, vocab_path, vocab_text)
+        fsio.write_text(spark, fsio.join(io_dir, VOCAB_FILE), vocab_text)
     else:
-        vocab_path = os.path.join(out_dir, VOCAB_FILE)
         with open(vocab_path, "w", encoding="utf-8", newline="\n") as f:
             f.write(vocab_text)
     return {"merges": merges_path, "vocab": vocab_path}
@@ -104,6 +129,7 @@ def import_tokenizer(in_dir: str,
     if spark is not None:
         from .. import fsio
 
+        in_dir = _resolve_dir(in_dir)
         merges_text = fsio.read_text(spark, fsio.join(in_dir, MERGES_FILE))
     else:
         with open(os.path.join(in_dir, MERGES_FILE),

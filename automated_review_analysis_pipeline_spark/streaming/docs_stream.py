@@ -60,7 +60,14 @@ def streaming_minhash_pairs(spark: SparkSession, docs_path: str,
     """Drain ``docs_path`` with availableNow, incrementally detecting
     near-duplicate pairs (see module docstring); returns the accumulated
     verified pair set, which equals the batch minhash_near_dup_pairs
-    result on the same corpus."""
+    result on the same corpus.
+
+    Replay note: a replayed (at-least-once) micro-batch appends
+    duplicate signature and pair ROWS, but never changes the returned
+    SET -- candidates and results are both value-duplicates that the
+    final ``dropDuplicates`` collapses, so no batch-id guard is needed
+    here (unlike the simjoin/profile lanes, whose stores are
+    fold-sensitive)."""
     store_dir = os.path.join(work_dir, "sig_store")
     results_dir = os.path.join(work_dir, "results")
     chk = os.path.join(work_dir, "_chk")
@@ -153,8 +160,11 @@ def streaming_set_similarity(spark: SparkSession, docs_path: str,
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # batch_id makes a replayed (at-least-once) micro-batch a
+        # no-op instead of a duplicate append -- see simjoin_append
         simjoin_append(spark, store_dir,
-                       batch_df.select("doc_id", "text"))
+                       batch_df.select("doc_id", "text"),
+                       batch_id=batch_id)
 
     stream = read_documents_stream(spark, docs_path, max_files_per_trigger)
     q = (stream.writeStream.foreachBatch(process)
@@ -198,7 +208,11 @@ def streaming_profile_stats(spark: SparkSession, docs_path: str,
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        profile_append(spark, store_dir, batch_df)
+        # foreachBatch is at-least-once: the batch_id guard makes a
+        # replayed micro-batch a no-op, so the fold stays exactly-once
+        # (profile_append's version flip is atomic, so even a crash
+        # MID-append replays cleanly)
+        profile_append(spark, store_dir, batch_df, batch_id=batch_id)
         profile_vacuum(spark, store_dir, keep=2)
 
     stream = read_documents_stream(spark, docs_path, max_files_per_trigger)

@@ -41,6 +41,38 @@ def test_fsio_overwrite_and_atomic_tmp(spark, tmp_path):
     assert not any("__tmp__" in n for n in os.listdir(tmp_path))
 
 
+def test_fsio_overwrite_rename_is_atomic_on_local(spark, tmp_path):
+    """On ``file:`` the overwrite-rename must take the java.nio
+    ATOMIC_MOVE lane (POSIX rename(2): the destination always holds
+    old or new bytes, never neither) -- both on first write and on
+    re-write over an existing sidecar."""
+    p = "file:" + str(tmp_path / "meta.json")
+    assert fsio.write_text(spark, p, "one") == "nio-atomic"
+    assert fsio.write_text(spark, p, "two") == "nio-atomic"
+    assert fsio.read_text(spark, p) == "two"
+
+
+def test_fsio_does_not_poison_cached_filesystem(spark, tmp_path):
+    """fsio disables client-side CRC on its own PRIVATE FileSystem
+    instances only. The Hadoop-CACHED local FileSystem -- the one
+    Spark's own I/O shares -- must still generate .crc sidecars after
+    fsio has run (the round-12 code mutated the cached instance and
+    switched checksums off JVM-wide)."""
+    fsio.write_text(spark, "file:" + str(tmp_path / "side.json"), "{}")
+    # fsio's own sidecar carries no CRC shadow...
+    assert not (tmp_path / ".side.json.crc").exists()
+    # ...but a write through the CACHED FileSystem still does
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jp = jvm.org.apache.hadoop.fs.Path(
+        "file:" + str(tmp_path / "cached.txt"))
+    cached_fs = jp.getFileSystem(conf)
+    out = cached_fs.create(jp, True)
+    out.write(bytearray(b"hello"))
+    out.close()
+    assert (tmp_path / ".cached.txt.crc").exists()
+
+
 def test_fsio_missing_read_raises(spark, tmp_path):
     assert not fsio.exists(spark, "file:" + str(tmp_path / "nope.json"))
     with pytest.raises(Exception):

@@ -510,3 +510,53 @@ def test_sorted_export_string_key_empty_input_and_parquet_manifest(
     assert r0.count() == 0
     assert r0.schema["lang"].dataType.simpleString() == "string"
     assert read_sorted_slice(spark, empty_out, 1, 10).count() == 0
+
+
+def test_simjoin_store_side_candidate_join_no_exchange(
+        spark, sf_dir, tmp_path):
+    """Round-13 scale fix, plan-gated: the persisted simjoin store's
+    /prefix is BUCKETED by tok, so (a) the one-shot candidate
+    self-join shuffles NEITHER side on the join key, and (b) a delta
+    append shuffles ONLY the |delta| prefix -- the store side reads
+    pre-partitioned (Bucketed: true) with no Exchange. Before this,
+    every append (and every streaming micro-batch) re-shuffled the
+    whole accumulated store."""
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark import fsio
+    from automated_review_analysis_pipeline_spark.operators import dedup
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = load_table(spark, sf_dir, "documents") \
+            .select("doc_id", "text")
+        store = str(tmp_path / "sj")
+        dedup.build_simjoin_index(docs.where(F.col("doc_id") % 2 == 0),
+                                  store, threshold=0.5)
+        nb = fsio.read_json(spark, store + "/meta.json")["n_buckets"]
+        pref = dedup._register_prefix_table(spark, store, nb)
+
+        # (a) one-shot self-join: zero exchanges on the join key
+        p_self = (dedup._simjoin_candidates(pref, pref, 0.5)
+                  ._jdf.queryExecution().executedPlan().toString())
+        assert "Bucketed: true" in p_self, p_self
+        assert p_self.count("Exchange hashpartitioning(tok#") == 0, p_self
+
+        # (b) delta append join: exactly ONE tok exchange (delta side)
+        delta = docs.where(F.col("doc_id") % 2 == 1)
+        toks = (delta.select(F.col("doc_id").alias("id"), "text")
+                .withColumn("__toks", dedup.shingle_tokens(F.col("text")))
+                .select("id", F.explode(dedup.word_shingles_from_tokens(
+                    F.col("__toks"), 3)).alias("tok")))
+        dfreq = spark.read.parquet(store + "/dfreq")
+        new_prefix = dedup._simjoin_prefix(toks, dfreq, 0.5) \
+            .localCheckpoint(eager=True)
+        p_delta = (dedup._simjoin_candidates(new_prefix, pref, 0.5)
+                   ._jdf.queryExecution().executedPlan().toString())
+        assert "Bucketed: true" in p_delta, p_delta
+        assert p_delta.count("Exchange hashpartitioning(tok#") == 1, \
+            p_delta
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))

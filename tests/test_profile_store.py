@@ -148,3 +148,83 @@ def test_profile_merge_law_hypothesis(spark, sf_dir):
         assert _rows(profile_stats(spark, store)) == want
 
     check()
+
+
+def test_profile_append_batch_id_replay_is_noop(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: folding the SAME batch_id twice
+    must leave the store (version and stats) unchanged -- the
+    exactly-once guard of the streaming ANALYZE lane. A fresh, larger
+    batch_id still folds."""
+    from automated_review_analysis_pipeline_spark import fsio
+
+    d = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "prof")
+    build_profile_store(d.where(F.col("doc_id") % 2 == 0), store)
+    profile_append(spark, store, d.where(F.col("doc_id") % 2 == 1),
+                   batch_id=0)
+    v1 = fsio.read_json(spark, store + "/meta.json")
+    once = _rows(profile_stats(spark, store))
+    # replay of batch 0: no-op (same stats, same version, same marker)
+    profile_append(spark, store, d.where(F.col("doc_id") % 2 == 1),
+                   batch_id=0)
+    assert fsio.read_json(spark, store + "/meta.json") == v1
+    assert _rows(profile_stats(spark, store)) == once
+    assert once == _rows(column_stats(d))
+    # a NEW batch id folds normally
+    got = profile_append(spark, store, d.limit(0), batch_id=1)
+    assert fsio.read_json(spark, store + "/meta.json")["last_batch_id"] == 1
+    assert _rows(got) == once
+
+
+def test_simjoin_append_batch_id_replay_is_noop(spark, tmp_path):
+    """Replaying a completed simjoin_append with the same batch_id must
+    not duplicate prefixes or pairs."""
+    from automated_review_analysis_pipeline_spark.operators.dedup import (
+        build_simjoin_index,
+        simjoin_append,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat")],
+        "doc_id long, text string")
+    store = str(tmp_path / "sj")
+    build_simjoin_index(docs, store, threshold=0.5)
+    delta = spark.createDataFrame(
+        [(3, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string")
+    first = simjoin_append(spark, store, delta, batch_id=0).collect()
+    n_prefix = spark.read.parquet(store + "/prefix").count()
+    replay = simjoin_append(spark, store, delta, batch_id=0).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, replay))
+    assert spark.read.parquet(store + "/prefix").count() == n_prefix
+
+
+def test_key_skew_report_approx_percentile_bound(spark):
+    """percentiles='approx' (the billion-key lane): p50/p99 come from
+    Greenwald-Khanna -- an ELEMENT of the per-key count table within
+    the documented rank error -- and every other column of the report
+    is identical to the exact mode."""
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        key_skew_report,
+    )
+
+    # key i has i+1 rows -> per-key counts are exactly 1..200
+    rows = [(f"k{i:03d}",) for i in range(200) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    exact = key_skew_report(df, ["k"], top_n=1).first()
+    approx = key_skew_report(df, ["k"], top_n=1,
+                             percentiles="approx").first()
+    counts = list(range(1, 201))
+    n = len(counts)
+    for col, q in (("p50_rows", 0.5), ("p99_rows", 0.99)):
+        v = approx[col]
+        assert v in counts, (col, v)           # element, not interpolated
+        rank = counts.index(int(v))            # 0-based rank
+        assert abs(rank - q * (n - 1)) <= max(1.0, n / 10000 + 1), (col, v)
+    for col in ("key_rank", "key", "n_rows", "share", "cum_share",
+                "n_keys", "max_rows", "skew_ratio"):
+        assert approx[col] == exact[col], col
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="percentiles"):
+        key_skew_report(df, ["k"], percentiles="bogus")

@@ -207,3 +207,30 @@ def test_tokenizer_artifacts_on_scheme_uri(spark, tmp_path):
     m_pos, v_pos = import_tokenizer(plain)
     m_uri, v_uri = import_tokenizer("file:" + uri_dir, spark=spark)
     assert m_pos == m_uri and v_pos == v_uri
+
+
+def test_tokenizer_bare_path_resolves_driver_local(spark, tmp_path):
+    """A SCHEME-LESS out_dir with the Hadoop route (spark inferred from
+    a DataFrame vocab, or passed) must land on the driver's LOCAL disk
+    -- never be resolved against fs.defaultFS -- and produce bytes
+    identical to the POSIX route."""
+    from automated_review_analysis_pipeline_spark.sinks.tokenizer import (
+        export_tokenizer,
+        import_tokenizer,
+    )
+
+    learned = [(1, "a", "b", "ab", 3)]
+    vocab_rows = [(0, "a"), (1, "b"), (2, "ab")]
+    vocab_df = spark.createDataFrame(
+        vocab_rows, "vocab_id long, token string")
+    posix = str(tmp_path / "posix")
+    bare = str(tmp_path / "bare")
+    export_tokenizer(learned, vocab_rows, posix)          # POSIX route
+    export_tokenizer(learned, vocab_df, bare)             # inferred spark
+    for name in ("merges.txt", "vocab.json"):
+        assert (tmp_path / "bare" / name).exists()        # local disk
+        with open(f"{posix}/{name}", "rb") as a, \
+                open(f"{bare}/{name}", "rb") as b:
+            assert a.read() == b.read()
+    m, v = import_tokenizer(bare, spark=spark)            # bare + spark
+    assert m == [(1, "a", "b", "ab", 0)] and v == {"a": 0, "b": 1, "ab": 2}

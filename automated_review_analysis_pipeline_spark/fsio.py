@@ -103,6 +103,51 @@ def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
         fs.close()
 
 
+def rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Plain rename (no overwrite: *dst* must not exist) -- the
+    directory-swap step of store compaction. One namespace op on
+    HDFS/local; object stores degrade to copy+delete."""
+    fs, jsrc, jvm = _new_fs(spark, src)
+    try:
+        jdst = jvm.org.apache.hadoop.fs.Path(dst)
+        if fs.exists(jdst):
+            raise IOError(f"rename target already exists: {dst}")
+        if not fs.rename(jsrc, jdst):
+            raise IOError(f"rename {src} -> {dst} failed")
+    finally:
+        fs.close()
+
+
+def dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under *path* (filesystem metadata only, no data
+    scan) -- sizes compaction targets on any Hadoop filesystem."""
+    fs, jpath, _ = _new_fs(spark, path)
+    try:
+        if not fs.exists(jpath):
+            return 0
+        return int(fs.getContentSummary(jpath).getLength())
+    finally:
+        fs.close()
+
+
+def count_files(spark: SparkSession, path: str,
+                suffix: str = ".parquet") -> int:
+    """Number of *suffix* files under *path*, recursively -- the
+    compaction before/after metric."""
+    fs, jpath, _ = _new_fs(spark, path)
+    try:
+        if not fs.exists(jpath):
+            return 0
+        n = 0
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(suffix):
+                n += 1
+        return n
+    finally:
+        fs.close()
+
+
 def _rename_overwrite(spark: SparkSession, fs, jvm, tmp, dst) -> str:
     """Move ``tmp`` onto ``dst``, replacing it; atomic where the
     filesystem can express that (see module docstring). Returns the

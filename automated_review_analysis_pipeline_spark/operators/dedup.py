@@ -996,6 +996,7 @@ def _register_prefix_table(spark, store_dir: str,
     store yet (the catalog is per-session; the files and their bucket
     spec are the durable part)."""
     from .. import fsio
+    from .partitioning import register_bucketed_path
 
     name = _simjoin_prefix_table_name(store_dir)
     if not spark.catalog.tableExists(name):
@@ -1008,35 +1009,28 @@ def _register_prefix_table(spark, store_dir: str,
             schema = spark.read.parquet(store_dir + "/prefix").schema
             cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                              for f in schema.fields)
-        spark.sql(
-            f"CREATE TABLE {name} ({cols}) USING parquet "
-            f"CLUSTERED BY (tok) SORTED BY (tok) "
-            f"INTO {n_buckets} BUCKETS "
-            f"LOCATION '{store_dir}/prefix'")
+        return register_bucketed_path(
+            spark, store_dir + "/prefix", name, cols, ["tok"], ["tok"],
+            n_buckets)
     return spark.table(name)
 
 
 def _write_prefix_bucketed(prefix: DataFrame, store_dir: str,
                            n_buckets: int, mode: str) -> None:
+    """Bucketed prefix write via the generic write_bucketed_path
+    discipline (pre-shuffle onto the bucket hash -> at most n_buckets
+    files per write); on append the catalog entry is re-registered
+    first so a fresh session can append to a persisted store."""
     spark = prefix.sparkSession
-    name = _simjoin_prefix_table_name(store_dir)
-    if mode == "overwrite":
-        from .. import fsio
+    if mode == "append":
+        _register_prefix_table(spark, store_dir, n_buckets)
+    from .partitioning import write_bucketed_path
 
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        fsio.delete(spark, store_dir + "/prefix")
-        (prefix.write.mode("overwrite")
-         .bucketBy(n_buckets, "tok").sortBy("tok")
-         .option("path", store_dir + "/prefix")
-         .saveAsTable(name))
-        return
-    # append: make sure the catalog entry exists first (a fresh session
-    # appending to a persisted store re-registers here); the location
-    # then comes from the catalog
-    _register_prefix_table(spark, store_dir, n_buckets)
-    (prefix.write.mode("append")
-     .bucketBy(n_buckets, "tok").sortBy("tok")
-     .saveAsTable(name))
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                     for f in prefix.schema.fields)
+    write_bucketed_path(prefix, store_dir + "/prefix",
+                        _simjoin_prefix_table_name(store_dir), cols,
+                        ["tok"], ["tok"], n_buckets, mode)
 
 
 def build_simjoin_index(documents: DataFrame, store_dir: str,

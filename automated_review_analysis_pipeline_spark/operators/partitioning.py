@@ -41,6 +41,61 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
     return spark.table(left_table).join(spark.table(right_table), on, how)
 
 
+def register_bucketed_path(spark: SparkSession, path: str, name: str,
+                           cols_ddl: str, bucket_cols: list[str],
+                           sort_cols: list[str],
+                           n_buckets: int) -> DataFrame:
+    """A bucketed parquet DIRECTORY as a catalog table, re-issuing the
+    CREATE TABLE DDL when this session has not seen it yet (the
+    catalog is per-session; the files and their bucket spec are the
+    durable part). The bucketing is what persisted stores buy their
+    scale properties with: joins on the bucket key read the store side
+    pre-hash-partitioned (no Exchange), and equality/IN filters on the
+    bucket column prune to the matching buckets' files alone
+    (SelectedBucketsCount in the scan)."""
+    if not spark.catalog.tableExists(name):
+        spark.sql(
+            f"CREATE TABLE {name} ({cols_ddl}) USING parquet "
+            f"CLUSTERED BY ({', '.join(bucket_cols)}) "
+            f"SORTED BY ({', '.join(sort_cols)}) "
+            f"INTO {n_buckets} BUCKETS "
+            f"LOCATION '{path}'")
+    return spark.table(name)
+
+
+def write_bucketed_path(df: DataFrame, path: str, name: str,
+                        cols_ddl: str, bucket_cols: list[str],
+                        sort_cols: list[str], n_buckets: int,
+                        mode: str) -> None:
+    """Write ``df`` bucketed into ``path`` under catalog entry
+    ``name``. Pre-shuffles onto the bucket hash (repartition's Murmur3
+    pmod == the bucket id function) so every write emits at most
+    ``n_buckets`` files instead of tasks x buckets -- the small-file
+    budget that keeps a year of micro-batch appends livable.
+    ``n_buckets`` is therefore also the write-parallelism knob: size
+    it to the corpus (thousands at 100 TB), not the default."""
+    from .. import fsio
+
+    spark = df.sparkSession
+    df = df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        fsio.delete(spark, path)
+        (df.write.mode("overwrite")
+         .bucketBy(n_buckets, *bucket_cols).sortBy(*sort_cols)
+         .option("path", path)
+         .saveAsTable(name))
+        return
+    # append: the catalog entry must exist first (a fresh session
+    # appending to a persisted store re-registers here); the location
+    # then comes from the catalog
+    register_bucketed_path(spark, path, name, cols_ddl, bucket_cols,
+                           sort_cols, n_buckets)
+    (df.write.mode("append")
+     .bucketBy(n_buckets, *bucket_cols).sortBy(*sort_cols)
+     .saveAsTable(name))
+
+
 def salted_aggregate(df: DataFrame, keys: list[str], aggs: list[Column],
                      merge_aggs: list[Column], n_salts: int = 16) -> DataFrame:
     """Two-phase aggregation for skewed keys.
@@ -301,6 +356,165 @@ def compact_files(spark: SparkSession, path: str, out_path: str,
      .coalesce(int(n_files))
      .write.mode("overwrite").parquet(out_path))
     return int(n_files)
+
+
+def _compact_plain_dir(spark: SparkSession, part_dir: str,
+                       target_file_bytes: int) -> None:
+    """Rewrite one plain parquet dir into ceil(bytes/target) files via
+    a tmp-dir + swap (no shuffle: coalesce concatenates partitions)."""
+    from .. import fsio
+
+    total = fsio.dir_bytes(spark, part_dir)
+    n = max(1, -(-total // target_file_bytes))
+    tmp = part_dir + ".__compact__"
+    fsio.delete(spark, tmp)
+    (spark.read.parquet(part_dir).coalesce(int(n))
+     .write.mode("overwrite").parquet(tmp))
+    fsio.delete(spark, part_dir)
+    fsio.rename(spark, tmp, part_dir)
+
+
+def _compact_cell_dir(spark: SparkSession, part_dir: str) -> None:
+    """Rewrite a cell-partitioned parquet dir to ONE file per cell:
+    hash-repartitioning on the partition column puts each cell wholly
+    in one task, and partitionBy splits by value -- so every cell
+    directory ends up with a single file, the densest layout that
+    keeps the cell as the pruning/parallelism unit."""
+    from .. import fsio
+
+    tmp = part_dir + ".__compact__"
+    fsio.delete(spark, tmp)
+    (spark.read.parquet(part_dir).repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell").parquet(tmp))
+    fsio.delete(spark, part_dir)
+    fsio.rename(spark, tmp, part_dir)
+
+
+def _compact_bucketed_dir(spark: SparkSession, path: str, name: str,
+                          cols_ddl: str, bucket_cols: list[str],
+                          sort_cols: list[str], n_buckets: int) -> None:
+    """Rewrite a bucketed table dir to ONE file per bucket with zero
+    shuffle: force the BUCKETED scan for the rewrite (each task reads
+    exactly one bucket's files; the auto-bucketed-scan planner would
+    otherwise disable the bucketed read -- a plain rewrite has no join
+    to justify it -- while still eliding any explicit repartition
+    because the relation advertises the bucketing, yielding
+    task/bucket-mixed output), write through the bucket writer to a
+    tmp sibling, swap, re-register."""
+    from .. import fsio
+
+    tmp_name = name + "_compact"
+    cur = register_bucketed_path(spark, path, name, cols_ddl,
+                                 bucket_cols, sort_cols, n_buckets)
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+    fsio.delete(spark, path + ".__compact__")
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev_auto = spark.conf.get(auto_key, "true")
+    spark.conf.set(auto_key, "false")
+    try:
+        (cur.write.mode("overwrite")
+         .bucketBy(n_buckets, *bucket_cols).sortBy(*sort_cols)
+         .option("path", path + ".__compact__")
+         .saveAsTable(tmp_name))
+    finally:
+        spark.conf.set(auto_key, prev_auto)
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    fsio.delete(spark, path)
+    fsio.rename(spark, path + ".__compact__", path)
+    register_bucketed_path(spark, path, name, cols_ddl, bucket_cols,
+                           sort_cols, n_buckets)
+
+
+def index_compact(spark: SparkSession, store_dir: str,
+                  target_file_bytes: int = 128 << 20) -> dict:
+    """Small-file compaction for the PERSISTED STORES (simjoin, IVF,
+    PQ, IVF-PQ): every ``*_append`` and every streaming micro-batch
+    parquet-appends a few files, so a year of appends accumulates
+    thousands of small files per part -- footer reads start to
+    dominate probe planning long before data volume does. This is the
+    OPTIMIZE step every table format schedules, specialized to each
+    store's layout so compaction NEVER changes results (equality
+    pytest-pinned):
+
+    * plain parts (pairs/docs/dfreq, PQ codes) -- coalesce to
+      ceil(bytes/target) files, no shuffle;
+    * cell-partitioned parts (IVF corpus, IVF-PQ codes) -- one file
+      per cell, keeping the cell as the partition-pruning unit;
+    * the simjoin's BUCKETED prefix -- rewritten through the same
+      bucketBy writer (one file per bucket), preserving the bucket
+      spec that keeps append candidate joins exchange-free.
+
+    Single-writer maintenance op (like every store append here): run
+    it when no reader or appender is active. A crash mid-swap leaves
+    either the old part or a complete ``.__compact__`` sibling --
+    nothing is lost, but the swap window is not atomic on object
+    stores. Sidecars (meta.json) are untouched. Returns
+    {part: (files_before, files_after)}."""
+    from .. import fsio
+
+    report: dict = {}
+
+    def files(p: str) -> int:
+        return fsio.count_files(spark, p)
+
+    meta_p = fsio.join(store_dir, "meta.json")
+    meta = fsio.read_json(spark, meta_p) if fsio.exists(spark, meta_p) \
+        else {}
+    if "threshold" in meta:  # simjoin store
+        from .dedup import _simjoin_prefix_table_name
+
+        for part in ("pairs", "docs", "dfreq"):
+            p = fsio.join(store_dir, part)
+            before = files(p)
+            _compact_plain_dir(spark, p, target_file_bytes)
+            report[part] = (before, files(p))
+        # bucketed prefix: rewrite through the bucket writer, swap,
+        # re-register the catalog entry at the same location
+        nb = int(meta.get("n_buckets", 0))
+        if nb:
+            p = fsio.join(store_dir, "prefix")
+            before = files(p)
+            _compact_bucketed_dir(
+                spark, p, _simjoin_prefix_table_name(store_dir),
+                meta["prefix_cols"], ["tok"], ["tok"], nb)
+            report["prefix"] = (before, files(p))
+        return report
+
+    if "postings_cols" in meta:  # BM25 inverted-index store
+        from .textanalysis import _bm25_postings_table_name
+
+        p = fsio.join(store_dir, "postings")
+        before = files(p)
+        _compact_bucketed_dir(
+            spark, p, _bm25_postings_table_name(store_dir),
+            meta["postings_cols"], ["word"], ["word"],
+            int(meta["n_buckets"]))
+        report["postings"] = (before, files(p))
+        d = fsio.join(store_dir, "doclen")
+        before = files(d)
+        _compact_plain_dir(spark, d, target_file_bytes)
+        report["doclen"] = (before, files(d))
+        return report
+
+    codes_p = fsio.join(store_dir, "codes")
+    corpus_p = fsio.join(store_dir, "corpus")
+    if fsio.exists(spark, codes_p):  # PQ or IVF-PQ store
+        before = files(codes_p)
+        if "cell" in spark.read.parquet(codes_p).columns:
+            _compact_cell_dir(spark, codes_p)
+        else:
+            _compact_plain_dir(spark, codes_p, target_file_bytes)
+        report["codes"] = (before, files(codes_p))
+        return report
+    if fsio.exists(spark, corpus_p):  # IVF store
+        before = files(corpus_p)
+        _compact_cell_dir(spark, corpus_p)
+        report["corpus"] = (before, files(corpus_p))
+        return report
+    raise ValueError(
+        f"{store_dir} is not a recognized persisted store layout "
+        f"(expected a simjoin meta.json, codes/, or corpus/)")
 
 
 def partitioned_write(df: DataFrame, path: str, partition_cols: list[str],

@@ -1035,18 +1035,53 @@ def embedding_drift(old: DataFrame, new: DataFrame,
     d-row joined table, broadcast back. Means use the house
     decimal(18,9)-sum / 6dp-round discipline (summation order would
     otherwise diverge cross-engine); products round 9dp and sum as
-    decimal before the 6dp cosine."""
-    def dim_means(df: DataFrame, name: str) -> DataFrame:
-        return (df.select(F.posexplode(F.col(vec_col))
-                          .alias("dim", "val"))
-                .groupBy("dim")
-                .agg(F.round(
-                    F.sum(F.col("val").cast("double")
-                          .cast("decimal(18,9)")).cast("double")
-                    / F.count(F.lit(1)), 6).alias(name)))
+    decimal before the 6dp cosine.
 
-    joined = (dim_means(old, "mean_old")
-              .join(dim_means(new, "mean_new"), "dim", "full")
+    Composition: the per-snapshot state is :func:`embedding_dim_stats`
+    (dim, decimal sum, count) -- MERGEABLE (decimal addition is exact,
+    so batch boundaries cannot change the finalized means), which is
+    what the streaming lane folds incrementally; this one-shot is
+    finalize(stats(old), stats(new))."""
+    return drift_from_stats(embedding_dim_stats(old, vec_col),
+                            embedding_dim_stats(new, vec_col))
+
+
+def embedding_dim_stats(df: DataFrame,
+                        vec_col: str = "embedding") -> DataFrame:
+    """(dim, s, n): the mergeable per-dimension state behind
+    :func:`embedding_drift` -- decimal(38,9)-exact value sums and
+    counts, d rows per corpus however large. Merge by summing (exact:
+    no rounding happens until finalize), finalize with
+    :func:`drift_from_stats`."""
+    return (df.select(F.posexplode(F.col(vec_col)).alias("dim", "val"))
+            .groupBy("dim")
+            .agg(F.sum(F.col("val").cast("double").cast("decimal(18,9)"))
+                 .cast("decimal(38,9)").alias("s"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def merge_dim_stats(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two embedding_dim_stats states: decimal sums add exactly,
+    so merge(stats(A), stats(B)) == stats(A UNION B) to the last
+    digit."""
+    return (a.unionByName(b).groupBy("dim")
+            .agg(F.sum("s").cast("decimal(38,9)").alias("s"),
+                 F.sum("n").alias("n")))
+
+
+def drift_from_stats(old_stats: DataFrame,
+                     new_stats: DataFrame) -> DataFrame:
+    """Finalize two per-dim states into the :func:`embedding_drift`
+    report (identical math: decimal-exact sums cast to double, 6dp
+    means, 9dp products, 6dp cosine)."""
+    def means(stats: DataFrame, name: str) -> DataFrame:
+        return stats.select(
+            "dim",
+            F.round(F.col("s").cast("double") / F.col("n"), 6)
+            .alias(name))
+
+    joined = (means(old_stats, "mean_old")
+              .join(means(new_stats, "mean_new"), "dim", "full")
               .select("dim",
                       F.coalesce("mean_old", F.lit(0.0)).alias("mean_old"),
                       F.coalesce("mean_new", F.lit(0.0)).alias("mean_new")))

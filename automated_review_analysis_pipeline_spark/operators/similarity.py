@@ -953,6 +953,12 @@ def build_ivfpq_index(embeddings: DataFrame, store_dir: str,
                        cents_by_cell=shift_by_cell)
     coded.write.mode("overwrite").partitionBy("cell") \
         .parquet(store_dir + "/codes")
+    # the TRAINING SNAPSHOT's per-dim stats (raw vectors, d rows):
+    # what streaming_embedding_drift compares live batches against --
+    # the staleness alarm wired to the thing it guards
+    from .quality import embedding_dim_stats
+    embedding_dim_stats(embeddings, vec_col).write.mode("overwrite") \
+        .parquet(store_dir + "/dimstats")
     # sidecar LAST via the Hadoop FS API -- store_dir may be s3a://
     from .. import fsio
     fsio.write_json(spark, fsio.join(store_dir, "meta.json"),

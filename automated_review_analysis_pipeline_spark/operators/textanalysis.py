@@ -1999,6 +1999,159 @@ ORDER BY bm25 DESC, doc_id LIMIT {k}
 """
 
 
+def _bm25_postings_table_name(store_dir: str) -> str:
+    import hashlib
+
+    return ("arap_bm25_postings_"
+            + hashlib.md5(store_dir.encode("utf-8")).hexdigest()[:12])
+
+
+def _bm25_words(documents: DataFrame, id_col: str,
+                text_col: str) -> DataFrame:
+    """The exact tokenization bm25_search scores over (lowercased
+    whitespace tokens, empties dropped)."""
+    return (documents.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .where(F.col("word") != ""))
+
+
+def build_bm25_index(documents: DataFrame, store_dir: str,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n_buckets: int = 16) -> DataFrame:
+    """Persist a BM25 INVERTED INDEX so queries never re-tokenize the
+    corpus -- the retrieval sibling of the exact-simjoin store, with
+    the same persisted-incremental discipline. Layout:
+
+      postings/  (doc_id, word, tf)  BUCKETED BY word
+      doclen/    (doc_id, dl)
+      meta.json  (n_docs, total_len, n_buckets, postings schema)
+
+    Bucketing the postings by ``word`` is the query-time scale story:
+    a search filters ``word IN (query terms)``, and bucket PRUNING
+    restricts the scan to the matching buckets' files alone
+    (SelectedBucketsCount in the plan, gated in tests) -- a q-term
+    query reads ~q/n_buckets of the postings, never the corpus and
+    never even the full index. Corpus stats (document count, total
+    token length) persist as exact integer counters in meta.json, so
+    :func:`bm25_index_search` recomputes idf/avgdl from the CURRENT
+    accumulated state -- scores after any number of appends equal the
+    one-shot :func:`bm25_search` over the unioned corpus EXACTLY
+    (shared oracle). Documents whose text tokenizes to nothing are
+    absent everywhere, matching the one-shot scorer.
+
+    Append deltas with :func:`bm25_index_append` (each document
+    appended exactly once -- re-appending double-counts, the standard
+    store contract). Returns the postings table."""
+    from .partitioning import write_bucketed_path
+
+    from .. import fsio
+
+    spark = documents.sparkSession
+    words = _bm25_words(documents, id_col, text_col)
+    postings = words.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).alias("tf"))
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                     for f in postings.schema.fields)
+    write_bucketed_path(postings, store_dir + "/postings",
+                        _bm25_postings_table_name(store_dir), cols,
+                        ["word"], ["word"], n_buckets, "overwrite")
+    dl = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dl.write.mode("overwrite").parquet(store_dir + "/doclen")
+    stats = spark.read.parquet(store_dir + "/doclen").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")).first()
+    fsio.write_json(spark, fsio.join(store_dir, "meta.json"),
+                    {"n_docs": int(stats["n"] or 0),
+                     "total_len": int(stats["t"] or 0),
+                     "n_buckets": n_buckets,
+                     "postings_cols": cols})
+    return spark.read.parquet(store_dir + "/postings")
+
+
+def bm25_index_append(spark, store_dir: str, new_docs: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      batch_id: int | None = None) -> dict:
+    """Fold a document DELTA into a persisted BM25 index: tokenize the
+    delta only, append its postings (bucketed, <= n_buckets files) and
+    doc lengths, and bump the exact corpus counters -- NO part of the
+    accumulated index is rescanned or rewritten (df/idf are derived at
+    query time from the pruned postings, so there is no |vocab|-sized
+    merge state to maintain). ``batch_id`` gives at-least-once replay
+    idempotence (meta records the last applied id). Returns the
+    updated counters."""
+    from .partitioning import write_bucketed_path
+
+    from .. import fsio
+
+    meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    if batch_id is not None and batch_id <= meta.get("last_batch_id", -1):
+        return meta
+    words = _bm25_words(new_docs, id_col, text_col)
+    postings = words.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).alias("tf"))
+    write_bucketed_path(postings, store_dir + "/postings",
+                        _bm25_postings_table_name(store_dir),
+                        meta["postings_cols"], ["word"], ["word"],
+                        int(meta["n_buckets"]), "append")
+    dl = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dl = dl.localCheckpoint(eager=True)
+    dl.write.mode("append").parquet(store_dir + "/doclen")
+    stats = dl.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("dl").alias("t")).first()
+    meta["n_docs"] = int(meta["n_docs"]) + int(stats["n"] or 0)
+    meta["total_len"] = int(meta["total_len"]) + int(stats["t"] or 0)
+    if batch_id is not None:
+        meta["last_batch_id"] = batch_id
+    fsio.write_json(spark, fsio.join(store_dir, "meta.json"), meta)
+    return meta
+
+
+def bm25_index_search(spark, store_dir: str, query_terms: tuple[str, ...],
+                      k: int = 20, k1: float = 1.2, b: float = 0.75,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Search a persisted BM25 index: the postings scan is BUCKET-
+    PRUNED to the query terms' buckets (plan-gated), df/idf and
+    avgdl derive from the pruned postings + the exact meta counters,
+    and the scoring expression is :func:`bm25_search`'s verbatim -- so
+    the result equals the one-shot scorer over the accumulated corpus
+    EXACTLY (shared oracle), at the cost of a few bucket files instead
+    of a corpus tokenization."""
+    from pyspark.sql.functions import broadcast
+
+    from .partitioning import register_bucketed_path
+
+    from .. import fsio
+
+    meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    post = register_bucketed_path(
+        spark, store_dir + "/postings",
+        _bm25_postings_table_name(store_dir), meta["postings_cols"],
+        ["word"], ["word"], int(meta["n_buckets"]))
+    tf = (post.where(F.col("word").isin(*query_terms))
+          .select(id_col, "word",
+                  F.col("tf").cast("double").alias("__tf")))
+    df_ = tf.groupBy("word").agg(
+        F.count(F.lit(1)).cast("double").alias("__df"))
+    dl = spark.read.parquet(store_dir + "/doclen").select(
+        id_col, F.col("dl").cast("double").alias("__dl"))
+    n_docs = float(meta["n_docs"])
+    total_len = float(meta["total_len"])
+    idf = F.log(1.0 + (F.lit(n_docs) - F.col("__df") + 0.5)
+                / (F.col("__df") + 0.5))
+    denom = (F.col("__tf")
+             + k1 * (1.0 - b + b * F.col("__dl") * F.lit(n_docs)
+                     / F.lit(total_len)))
+    term_score = F.round(idf * F.col("__tf") * (k1 + 1.0) / denom, 6)
+    return (tf.join(broadcast(df_), "word")
+            .join(dl, id_col)
+            .select(id_col, term_score.alias("__s"))
+            .groupBy(id_col)
+            .agg(F.round(F.sum("__s"), 4).alias("bm25"),
+                 F.count(F.lit(1)).alias("n_terms_matched"))
+            .orderBy(F.desc("bm25"), id_col)
+            .limit(k))
+
+
 def corpus_source_stats(documents: DataFrame,
                         text_col: str = "text") -> DataFrame:
     """Per-source corpus report: docs, token volume, distinct vocabulary,

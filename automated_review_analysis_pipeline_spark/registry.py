@@ -822,6 +822,36 @@ def q_streaming_profile_stats(spark: SparkSession,
         spark, f"{sf_dir}/documents.parquet", work)
 
 
+def q_streaming_embedding_drift(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Streaming drift monitor wired to the index it guards: an IVF-PQ
+    store is built on the even-id half (its training dim-stats persist
+    as dimstats/), then the FULL embedding corpus streams in; each
+    micro-batch raises a cosine alarm vs the training snapshot and
+    folds decimal-exact per-dim sums into a versioned state store. The
+    drained report equals the one-shot embedding_drift(training half,
+    whole corpus) EXACTLY -- full oracle via the batch SQL twin."""
+    import os
+    import shutil
+    import tempfile
+
+    from automated_review_analysis_pipeline_spark.streaming.docs_stream import (
+        streaming_embedding_drift,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"arap_drift_stream_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(work, ignore_errors=True)
+    store = os.path.join(work, "ivfpq_store")
+    sim.build_ivfpq_index(e.where(F.col("vec_id") % 2 == 0), store,
+                          n_centroids=4, m=4, ksub=8, train_n=256)
+    return streaming_embedding_drift(
+        spark, f"{sf_dir}/embeddings.parquet", store,
+        os.path.join(work, "stream"))
+
+
 def q_set_similarity_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-table EXACT set-similarity join: even-id documents (the
     'held-out' side) against odd-id documents (the 'training' side) at
@@ -855,6 +885,30 @@ BM25_QUERY = ("join", "filter", "scan", "window", "column")
 
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.bm25_search(_t(spark, sf_dir, "documents"), BM25_QUERY)
+
+
+def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-inverted-index lifecycle: build the BM25 index on the
+    even-id half, bm25_index_append the odd half (delta-only work:
+    postings/doclen appends + exact counter bumps, nothing rescanned),
+    then search the accumulated store -- the postings scan is
+    bucket-pruned to the query terms' buckets, and the scores equal
+    the one-shot bm25_search over the full corpus EXACTLY (shared
+    oracle)."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"arap_bm25_index_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(work, ignore_errors=True)
+    store = os.path.join(work, "bm25_store")
+    ta.build_bm25_index(docs.where(F.col("doc_id") % 2 == 0), store)
+    ta.bm25_index_append(spark, store,
+                         docs.where(F.col("doc_id") % 2 == 1))
+    return ta.bm25_index_search(spark, store, BM25_QUERY)
 
 
 def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2842,6 +2896,7 @@ QUERIES: dict[str, QueryFn] = {
     "snapshot_drift": q_snapshot_drift,
     "profile_store_stats": q_profile_store_stats,
     "streaming_profile_stats": q_streaming_profile_stats,
+    "streaming_embedding_drift": q_streaming_embedding_drift,
     "key_skew_report": q_key_skew_report,
     "key_skew_report_approx": q_key_skew_report_approx,
     "join_size_estimate": q_join_size_estimate,
@@ -2872,6 +2927,7 @@ QUERIES: dict[str, QueryFn] = {
     "debounce_events": q_debounce_events,
     "event_dow_chi2": q_event_dow_chi2,
     "bm25_search": q_bm25_search,
+    "bm25_index_search": q_bm25_index_search,
     "hybrid_search": q_hybrid_search,
     "hashed_vectors": q_hashed_vectors,
     "rolling_users_sketch": q_rolling_users_sketch,
@@ -5532,6 +5588,12 @@ ORACLE_SQL["embedding_drift"] = embedding_drift_sql(
     "SELECT * FROM embeddings",
     "SELECT * FROM embeddings WHERE label > 0")
 
+# the drained streaming monitor equals the one-shot drift of (training
+# half, whole corpus) exactly -- decimal sums merge associatively
+ORACLE_SQL["streaming_embedding_drift"] = embedding_drift_sql(
+    "SELECT * FROM embeddings WHERE vec_id % 2 = 0",
+    "SELECT * FROM embeddings")
+
 ORACLE_SQL["snapshot_drift_depth"] = drift_report_sql(
     "SELECT * FROM orders",
     "SELECT * FROM orders WHERE o_totalprice > 150000.0",
@@ -5737,6 +5799,10 @@ FROM s ORDER BY media_id
 
 
 ORACLE_SQL["bm25_search"] = ta.bm25_search_sql(BM25_QUERY)
+# the persisted inverted index accumulates EXACTLY the one-shot scorer's
+# inputs (postings/doclen appends + exact counters), so the oracle
+# carries over verbatim
+ORACLE_SQL["bm25_index_search"] = ORACLE_SQL["bm25_search"]
 
 
 # feature hashing: same md5->int convention as the MinHash oracle

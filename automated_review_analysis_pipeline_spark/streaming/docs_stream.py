@@ -176,6 +176,87 @@ def streaming_set_similarity(spark: SparkSession, docs_path: str,
             .orderBy("a_id", "b_id"))
 
 
+def streaming_embedding_drift(spark: SparkSession, vectors_path: str,
+                              ivfpq_store: str, work_dir: str,
+                              max_files_per_trigger: int | None = None,
+                              vec_col: str = "embedding"
+                              ) -> DataFrame:
+    """Streaming embedding-drift monitor, wired to the index it
+    guards: every micro-batch of new vectors (a) raises a per-batch
+    ALARM row -- the cosine between the batch's mean vector and the
+    persisted IVF-PQ index's TRAINING-snapshot mean (build_ivfpq_index
+    persists the training corpus's per-dim stats as ``dimstats/``) --
+    and (b) folds its decimal-exact per-dim sums into a versioned
+    state store (the profile-store discipline: batch_id-guarded,
+    meta flipped last), so after the drain the ACCUMULATED report
+    equals the one-shot ``embedding_drift(training snapshot, whole
+    streamed corpus)`` EXACTLY (decimal addition is associative; batch
+    boundaries cannot change the finalized means) -- the batch oracle
+    carries over verbatim.
+
+    Returns the finalized drift report; per-batch alarm rows land in
+    ``work_dir/alerts`` (batch_id, cos_means) for the pytest that a
+    shifted batch drops the cosine while identity batches stay ~1."""
+    import shutil
+
+    from automated_review_analysis_pipeline_spark import fsio
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        drift_from_stats,
+        embedding_dim_stats,
+        merge_dim_stats,
+    )
+
+    state_dir = os.path.join(work_dir, "drift_state")
+    alerts_dir = os.path.join(work_dir, "alerts")
+    chk = os.path.join(work_dir, "_chk")
+    shutil.rmtree(state_dir, ignore_errors=True)
+    shutil.rmtree(alerts_dir, ignore_errors=True)
+    train_stats = spark.read.parquet(ivfpq_store + "/dimstats")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        meta_p = fsio.join(state_dir, "meta.json")
+        meta = fsio.read_json(spark, meta_p) \
+            if fsio.exists(spark, meta_p) else {"version": -1}
+        if batch_id <= meta.get("last_batch_id", -1):
+            return  # at-least-once replay: already folded
+        batch_stats = embedding_dim_stats(batch_df, vec_col) \
+            .localCheckpoint(eager=True)
+        # per-batch alarm vs the index's training snapshot
+        (drift_from_stats(train_stats, batch_stats)
+         .agg(F.min("cos_means").alias("cos_means"))
+         .select(F.lit(batch_id).alias("batch_id"), "cos_means")
+         .write.mode("append").parquet(alerts_dir))
+        if meta["version"] >= 0:
+            old = spark.read.parquet(
+                fsio.join(state_dir, f"stats/v{meta['version']}"))
+            merged = merge_dim_stats(old, batch_stats)
+        else:
+            merged = batch_stats
+        nxt = meta["version"] + 1
+        merged.write.mode("overwrite").parquet(
+            fsio.join(state_dir, f"stats/v{nxt}"))
+        fsio.write_json(spark, meta_p,
+                        {"version": nxt, "last_batch_id": batch_id})
+
+    stream = read_documents_stream(spark, vectors_path,
+                                   max_files_per_trigger)
+    q = (stream.writeStream.foreachBatch(process)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", chk)
+         .start())
+    q.awaitTermination()
+    meta_p = fsio.join(state_dir, "meta.json")
+    if not fsio.exists(spark, meta_p):  # empty stream: no new snapshot
+        acc = spark.createDataFrame([], "dim int, s decimal(38,9), n long")
+    else:
+        meta = fsio.read_json(spark, meta_p)
+        acc = spark.read.parquet(
+            fsio.join(state_dir, f"stats/v{meta['version']}"))
+    return drift_from_stats(train_stats, acc).orderBy("dim")
+
+
 def streaming_profile_stats(spark: SparkSession, docs_path: str,
                             work_dir: str,
                             max_files_per_trigger: int | None = None

@@ -427,3 +427,63 @@ def test_streaming_kmv_no_batch_fallback_schema_from_source(spark, sf_dir,
                                    key_col="event_type")
     assert again.schema["user_id"].dataType.simpleString() == "bigint"
     assert again.count() == 0
+
+
+def test_streaming_embedding_drift_alarm_and_exactness(spark, tmp_path):
+    """The staleness alarm wired to the IVF-PQ index: identity batches
+    score cos ~ 1 against the training snapshot; a SHIFTED batch drops
+    its per-batch cosine. And the drained accumulated report equals the
+    one-shot embedding_drift(training snapshot, whole streamed corpus)
+    exactly (decimal merge law)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from automated_review_analysis_pipeline_spark.operators import (
+        similarity as sim,
+    )
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        embedding_drift,
+    )
+    from automated_review_analysis_pipeline_spark.streaming.docs_stream import (
+        streaming_embedding_drift,
+    )
+
+    rnd = random.Random(3)
+    dim = 8
+
+    def vecs(n, start, shift=0.0):
+        # shift only the first half of the dimensions: a DIRECTIONAL
+        # move of the mean vector (a uniform shift would barely change
+        # the cosine of two all-positive means)
+        return [(start + i,
+                 [rnd.uniform(0.1, 1.0) + (shift if d < dim // 2 else 0.0)
+                  for d in range(dim)])
+                for i in range(n)]
+
+    train = spark.createDataFrame(vecs(64, 0),
+                                  "vec_id long, embedding array<double>")
+    store = str(tmp_path / "ivfpq")
+    sim.build_ivfpq_index(train, store, n_centroids=2, m=4, ksub=4,
+                          train_n=64)
+    src = str(tmp_path / "stream_src")
+    # batch of the SAME distribution, then a strongly shifted batch
+    spark.createDataFrame(vecs(64, 1000),
+                          "vec_id long, embedding array<double>") \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(vecs(64, 2000, shift=5.0),
+                          "vec_id long, embedding array<double>") \
+        .coalesce(1).write.mode("append").parquet(src)
+    work = str(tmp_path / "work")
+    report = streaming_embedding_drift(spark, src, store, work,
+                                       max_files_per_trigger=1)
+    got = sorted(tuple(r) for r in report.collect())
+    want = sorted(tuple(r) for r in embedding_drift(
+        train, spark.read.parquet(src)).collect())
+    assert got == want
+    alerts = {r["batch_id"]: r["cos_means"]
+              for r in spark.read.parquet(work + "/alerts").collect()}
+    assert len(alerts) == 2
+    benign, shifted = max(alerts.values()), min(alerts.values())
+    assert benign > 0.999
+    assert shifted < 0.98, alerts

@@ -1012,6 +1012,9 @@ def _register_prefix_table(spark, store_dir: str,
         return register_bucketed_path(
             spark, store_dir + "/prefix", name, cols, ["tok"], ["tok"],
             n_buckets)
+    # cross-session append visibility (foreachBatch clones): drop any
+    # stale cached listing before reading
+    spark.catalog.refreshTable(name)
     return spark.table(name)
 
 
@@ -1089,13 +1092,24 @@ def build_simjoin_index(documents: DataFrame, store_dir: str,
     prefix_cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                             for f in prefix_df.schema.fields)
     _write_prefix_bucketed(prefix_df, store_dir, n_buckets, "overwrite")
-    # bucketed on both sides of the self-join: the one-shot candidate
-    # stage runs with no Exchange at all
-    prefix = _register_prefix_table(spark, store_dir, n_buckets)
-    pairs = _simjoin_verify(
-        _simjoin_candidates(prefix, prefix, threshold),
-        spark.read.parquet(store_dir + "/docs"), threshold)
-    pairs.write.mode("overwrite").parquet(store_dir + "/pairs")
+    if documents.isEmpty():
+        # stream-start shape: an empty corpus has no pairs -- write the
+        # typed empty pair table without planning the candidate/verify
+        # jobs over empty frames (several wasted Spark jobs otherwise)
+        spark.createDataFrame(
+            [], f"a_id {documents.schema[id_col].dataType.simpleString()},"
+                f" b_id "
+                f"{documents.schema[id_col].dataType.simpleString()}, "
+                f"n_common int, jaccard double") \
+            .write.mode("overwrite").parquet(store_dir + "/pairs")
+    else:
+        # bucketed on both sides of the self-join: the one-shot
+        # candidate stage runs with no Exchange at all
+        prefix = _register_prefix_table(spark, store_dir, n_buckets)
+        pairs = _simjoin_verify(
+            _simjoin_candidates(prefix, prefix, threshold),
+            spark.read.parquet(store_dir + "/docs"), threshold)
+        pairs.write.mode("overwrite").parquet(store_dir + "/pairs")
     # sidecar LAST, through the Hadoop FS API (works on s3a://hdfs://
     # the same as file:) -- a crash before this line leaves no
     # meta.json, so simjoin_append fails fast on the half-store
@@ -1197,6 +1211,43 @@ def _simjoin_candidates(px: DataFrame, py: DataFrame,
     return _positional_candidates(px, py, threshold, self_join=True)
 
 
+def _cross_candidates_canonical(px: DataFrame, py: DataFrame,
+                                threshold: float) -> DataFrame:
+    """Candidate pairs between two DISJOINT prefix sets (a delta vs a
+    store) in ONE join: every PPJoin filter here -- size, positional
+    match bound, suffix-style group bound -- is symmetric in (x, y),
+    so a pair qualifies regardless of which side plays x; only the
+    OUTPUT is canonicalized (least/greatest). The directional
+    formulation (cand(new, store) UNION cand(store, new)) runs the
+    same tok equi-join twice to recover pairs on both sides of the id
+    order; this recovers them from one pass, halving the per-append
+    join count."""
+    j = (px.alias("x").join(py.alias("y"), "tok")
+         .where(F.col("x.id") != F.col("y.id")))
+    xs, ys = F.col("x.sz"), F.col("y.sz")
+    grouped = (j.where((ys >= threshold * xs - 1e-9)
+                       & (xs >= threshold * ys - 1e-9))
+               .groupBy(F.col("x.id").alias("xid"),
+                        F.col("y.id").alias("yid"),
+                        xs.alias("xs"), ys.alias("ys"))
+               .agg(F.count(F.lit(1)).alias("n_sp"),
+                    F.max(F.col("x.pos")).alias("px_last"),
+                    F.max(F.col("y.pos")).alias("py_last"),
+                    F.max(1 + F.least(xs - F.col("x.pos"),
+                                      ys - F.col("y.pos")))
+                    .alias("match_bound")))
+    alpha = F.ceil(F.lit(threshold) / (1.0 + threshold)
+                   * (F.col("xs") + F.col("ys")) - 1e-9)
+    group_bound = (F.col("n_sp")
+                   + F.least(F.col("xs") - F.col("px_last"),
+                             F.col("ys") - F.col("py_last")))
+    return (grouped
+            .where((F.col("match_bound") >= alpha)
+                   & (group_bound >= alpha))
+            .select(F.least("xid", "yid").alias("a_id"),
+                    F.greatest("xid", "yid").alias("b_id")))
+
+
 def _simjoin_verify(cand: DataFrame, arrs: DataFrame,
                     threshold: float) -> DataFrame:
     verified = (cand
@@ -1276,9 +1327,11 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
     if n_buckets:
         store_prefix = _register_prefix_table(spark, store_dir,
                                               int(n_buckets))
-        cand = (_simjoin_candidates(new_prefix, store_prefix, threshold)
-                .unionByName(_simjoin_candidates(store_prefix, new_prefix,
-                                                 threshold))
+        # one symmetric new-vs-store join (filters are x/y-symmetric,
+        # output canonicalized) + the new-new self-join; the store
+        # side reads bucketed -- no Exchange (plan-gated)
+        cand = (_cross_candidates_canonical(new_prefix, store_prefix,
+                                            threshold)
                 .unionByName(_simjoin_candidates(new_prefix, new_prefix,
                                                  threshold))
                 .distinct())

@@ -60,6 +60,13 @@ def register_bucketed_path(spark: SparkSession, path: str, name: str,
             f"SORTED BY ({', '.join(sort_cols)}) "
             f"INTO {n_buckets} BUCKETS "
             f"LOCATION '{path}'")
+    else:
+        # appends may have come through ANOTHER session over the same
+        # shared catalog (foreachBatch hands its function a CLONED
+        # session, so every streaming store append does): this
+        # session's cached relation would otherwise keep serving the
+        # stale file listing
+        spark.catalog.refreshTable(name)
     return spark.table(name)
 
 

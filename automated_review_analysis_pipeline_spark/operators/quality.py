@@ -988,21 +988,21 @@ FROM terms GROUP BY 1, 2 ORDER BY "column"
 """
 
 
-def profile_vacuum(spark, store_dir: str, keep: int = 2) -> list[int]:
-    """Delete all but the newest ``keep`` committed profile versions
-    (a long-running append loop otherwise accumulates one tiny dir per
-    append). Never touches the current version or anything newer than
-    it; runs through the Hadoop FS API like every other store byte.
-    Returns the version numbers removed."""
+def vacuum_versions(spark, versions_dir: str, current: int,
+                    keep: int = 2) -> list[int]:
+    """Delete all but the newest ``keep`` committed ``v{N}`` dirs under
+    ``versions_dir`` (any versioned store: profile registers,
+    components labels, drift state). Never touches the current version
+    or anything newer; runs through the Hadoop FS API like every other
+    store byte. Returns the version numbers removed."""
     from .. import fsio
 
     keep = max(int(keep), 1)
-    meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
-    current = int(meta["version"])
-    fs, reg_path, _ = fsio._new_fs(spark, fsio.join(store_dir,
-                                                    "registers"))
+    fs, reg_path, _ = fsio._new_fs(spark, versions_dir)
     removed = []
     try:
+        if not fs.exists(reg_path):
+            return removed
         for st in fs.listStatus(reg_path):
             name = st.getPath().getName()
             if not name.startswith("v"):
@@ -1011,12 +1011,23 @@ def profile_vacuum(spark, store_dir: str, keep: int = 2) -> list[int]:
                 v = int(name[1:])
             except ValueError:
                 continue
-            if v <= current - keep:
+            if v <= int(current) - keep:
                 fs.delete(st.getPath(), True)
                 removed.append(v)
     finally:
         fs.close()
     return sorted(removed)
+
+
+def profile_vacuum(spark, store_dir: str, keep: int = 2) -> list[int]:
+    """Delete all but the newest ``keep`` committed profile versions
+    (a long-running append loop otherwise accumulates one tiny dir per
+    append). See :func:`vacuum_versions`."""
+    from .. import fsio
+
+    meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    return vacuum_versions(spark, fsio.join(store_dir, "registers"),
+                           int(meta["version"]), keep)
 
 
 def embedding_drift(old: DataFrame, new: DataFrame,

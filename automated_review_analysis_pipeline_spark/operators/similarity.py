@@ -1698,6 +1698,19 @@ def components_append(spark, store_dir: str, new_edges: DataFrame,
     return spark.read.parquet(fsio.join(store_dir, f"labels/v{nxt}"))
 
 
+def components_vacuum(spark, store_dir: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest ``keep`` committed label-map versions of
+    a components store (each append writes one; a daily append loop
+    otherwise accumulates a dir per day). Never touches the current
+    version; returns the versions removed."""
+    from .. import fsio
+    from .quality import vacuum_versions
+
+    meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    return vacuum_versions(spark, fsio.join(store_dir, "labels"),
+                           int(meta["version"]), keep)
+
+
 def near_dup_components(embeddings: DataFrame, threshold: float = 0.35,
                         id_col: str = "vec_id",
                         distributed: bool | None = None,

@@ -2057,6 +2057,11 @@ def build_bm25_index(documents: DataFrame, store_dir: str,
                         _bm25_postings_table_name(store_dir), cols,
                         ["word"], ["word"], n_buckets, "overwrite")
     dl = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    if documents.isEmpty():
+        # a 0-partition empty write leaves no schema-bearing file and
+        # the read-back (and every later search) would fail inference;
+        # one empty 1-partition file carries the schema (stream-start)
+        dl = spark.createDataFrame([], dl.schema).repartition(1)
     dl.write.mode("overwrite").parquet(store_dir + "/doclen")
     stats = spark.read.parquet(store_dir + "/doclen").agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")).first()
@@ -2065,7 +2070,9 @@ def build_bm25_index(documents: DataFrame, store_dir: str,
                      "total_len": int(stats["t"] or 0),
                      "n_buckets": n_buckets,
                      "postings_cols": cols})
-    return spark.read.parquet(store_dir + "/postings")
+    # via the catalog entry: schema-safe even for an EMPTY build (a
+    # bare parquet read of a file-less dir cannot infer a schema)
+    return spark.table(_bm25_postings_table_name(store_dir))
 
 
 def bm25_index_append(spark, store_dir: str, new_docs: DataFrame,

@@ -427,6 +427,42 @@ def q_near_dup_components_incremental(spark: SparkSession,
             .orderBy("vec_id"))
 
 
+def q_simjoin_components_incremental(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The dedup lifecycle incremental END TO END: exact-simjoin store
+    built on the even-id half + appended with the odd half (each step
+    |delta| x |all|, store side bucketed/exchange-free), then the
+    accumulated pair table feeds the persisted COMPONENTS store --
+    built on half the pairs, appended with the rest (star rounds over
+    contracted deltas only). Labels cover every paired document; the
+    full oracle composes the exact-Jaccard pair SQL with a recursive
+    reachability CTE."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"arap_sj_comp_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(work, ignore_errors=True)
+    sj_store = os.path.join(work, "simjoin_store")
+    dedup.build_simjoin_index(docs.where(F.col("doc_id") % 2 == 0),
+                              sj_store, threshold=0.5)
+    dedup.simjoin_append(spark, sj_store,
+                         docs.where(F.col("doc_id") % 2 == 1))
+    pairs = spark.read.parquet(sj_store + "/pairs")
+    comp_store = os.path.join(work, "comp_store")
+    half = F.pmod(F.xxhash64("a_id", "b_id"), F.lit(2))
+    sim.build_components_store(pairs.where(half == 0), comp_store,
+                               a_col="a_id", b_col="b_id")
+    labels = sim.components_append(spark, comp_store,
+                                   pairs.where(half == 1),
+                                   a_col="a_id", b_col="b_id")
+    return (labels.select(F.col("node").alias("doc_id"), "component")
+            .orderBy("doc_id"))
+
+
 def q_near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
     return sim.near_dup_pagerank(e, threshold=0.35)
@@ -820,6 +856,24 @@ def q_streaming_profile_stats(spark: SparkSession,
     work = tempfile.mkdtemp(prefix="arap_profile_stream_")
     return streaming_profile_stats(
         spark, f"{sf_dir}/documents.parquet", work)
+
+
+def q_streaming_bm25_index(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Streaming retrieval-index maintenance drained with availableNow:
+    every micro-batch appends its postings/doclen + exact counters to
+    the persisted BM25 store; the drained search equals the one-shot
+    bm25_search over the whole corpus exactly -- shared scoring
+    oracle."""
+    import tempfile
+
+    from automated_review_analysis_pipeline_spark.streaming.docs_stream import (
+        streaming_bm25_index,
+    )
+
+    work = tempfile.mkdtemp(prefix="arap_bm25_stream_")
+    return streaming_bm25_index(
+        spark, f"{sf_dir}/documents.parquet", work, BM25_QUERY)
 
 
 def q_streaming_embedding_drift(spark: SparkSession,
@@ -2886,6 +2940,7 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_dedup": q_semantic_dedup,
     "near_dup_components": q_near_dup_components,
     "near_dup_components_incremental": q_near_dup_components_incremental,
+    "simjoin_components_incremental": q_simjoin_components_incremental,
     "near_dup_pagerank": q_near_dup_pagerank,
     "centroid_assign": q_centroid_assign,
     "media_near_dup": q_media_near_dup,
@@ -2897,6 +2952,7 @@ QUERIES: dict[str, QueryFn] = {
     "profile_store_stats": q_profile_store_stats,
     "streaming_profile_stats": q_streaming_profile_stats,
     "streaming_embedding_drift": q_streaming_embedding_drift,
+    "streaming_bm25_index": q_streaming_bm25_index,
     "key_skew_report": q_key_skew_report,
     "key_skew_report_approx": q_key_skew_report_approx,
     "join_size_estimate": q_join_size_estimate,
@@ -5803,6 +5859,7 @@ ORACLE_SQL["bm25_search"] = ta.bm25_search_sql(BM25_QUERY)
 # inputs (postings/doclen appends + exact counters), so the oracle
 # carries over verbatim
 ORACLE_SQL["bm25_index_search"] = ORACLE_SQL["bm25_search"]
+ORACLE_SQL["streaming_bm25_index"] = ORACLE_SQL["bm25_search"]
 
 
 # feature hashing: same md5->int convention as the MinHash oracle
@@ -6416,6 +6473,26 @@ FROM terms GROUP BY doc_id ORDER BY doc_id
 # component minima), so the oracle carries over verbatim
 ORACLE_SQL["near_dup_components_incremental"] = \
     ORACLE_SQL["near_dup_components"]
+
+# the end-to-end incremental dedup lifecycle: exact-Jaccard pairs
+# (simjoin store, build+append) -> persisted components (build+append);
+# the oracle composes the pair SQL with recursive reachability over the
+# paired documents (labels are min reachable doc_id, exactly)
+ORACLE_SQL["simjoin_components_incremental"] = f"""
+WITH RECURSIVE
+pairs AS ({ORACLE_SQL["set_similarity_pairs"].replace(
+    "ORDER BY a_id, b_id", "")}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(src, dst) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.src, edges.dst FROM reach r JOIN edges ON r.dst = edges.src
+)
+SELECT src AS doc_id, min(dst) AS component
+FROM reach GROUP BY src ORDER BY doc_id
+"""
 
 ORACLE_SQL["dedup_representatives"] = ORACLE_SQL["near_dup_components"].replace(
     "SELECT src AS vec_id, min(dst) AS component\nFROM reach GROUP BY src ORDER BY vec_id",

@@ -211,6 +211,11 @@ def streaming_embedding_drift(spark: SparkSession, vectors_path: str,
     chk = os.path.join(work_dir, "_chk")
     shutil.rmtree(state_dir, ignore_errors=True)
     shutil.rmtree(alerts_dir, ignore_errors=True)
+    if not fsio.exists(spark, fsio.join(ivfpq_store, "dimstats")):
+        raise FileNotFoundError(
+            f"{ivfpq_store} has no dimstats/ -- the store predates the "
+            f"round-13 training-snapshot stats; rebuild it with "
+            f"build_ivfpq_index to enable drift monitoring")
     train_stats = spark.read.parquet(ivfpq_store + "/dimstats")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -239,6 +244,12 @@ def streaming_embedding_drift(spark: SparkSession, vectors_path: str,
             fsio.join(state_dir, f"stats/v{nxt}"))
         fsio.write_json(spark, meta_p,
                         {"version": nxt, "last_batch_id": batch_id})
+        # a drained year of micro-batches must not keep a dir per batch
+        from automated_review_analysis_pipeline_spark.operators.quality import (  # noqa: E501
+            vacuum_versions,
+        )
+        vacuum_versions(spark, fsio.join(state_dir, "stats"), nxt,
+                        keep=2)
 
     stream = read_documents_stream(spark, vectors_path,
                                    max_files_per_trigger)
@@ -255,6 +266,51 @@ def streaming_embedding_drift(spark: SparkSession, vectors_path: str,
         acc = spark.read.parquet(
             fsio.join(state_dir, f"stats/v{meta['version']}"))
     return drift_from_stats(train_stats, acc).orderBy("dim")
+
+
+def streaming_bm25_index(spark: SparkSession, docs_path: str,
+                         work_dir: str,
+                         query_terms: tuple[str, ...],
+                         max_files_per_trigger: int | None = None,
+                         k: int = 20) -> DataFrame:
+    """Maintain a persisted BM25 inverted index under a document
+    stream: the index starts EMPTY and every micro-batch
+    bm25_index_appends (delta-only postings/doclen appends + exact
+    counter bumps, batch_id-guarded so at-least-once replays fold
+    once). Because search derives idf/avgdl from the ACCUMULATED state
+    at query time, the drained search equals the one-shot
+    :func:`~..operators.textanalysis.bm25_search` over the whole
+    corpus EXACTLY -- the batch scoring oracle carries over verbatim.
+    The freshness shape a continuously-ingesting retrieval service
+    needs: each increment pays its own tokenization only."""
+    import shutil
+
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (  # noqa: E501
+        bm25_index_append,
+        bm25_index_search,
+        build_bm25_index,
+    )
+
+    store_dir = os.path.join(work_dir, "bm25_store")
+    chk = os.path.join(work_dir, "_chk")
+    shutil.rmtree(store_dir, ignore_errors=True)
+    empty = spark.read.parquet(docs_path).limit(0)
+    build_bm25_index(empty.select("doc_id", "text"), store_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bm25_index_append(spark, store_dir,
+                          batch_df.select("doc_id", "text"),
+                          batch_id=batch_id)
+
+    stream = read_documents_stream(spark, docs_path, max_files_per_trigger)
+    q = (stream.writeStream.foreachBatch(process)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", chk)
+         .start())
+    q.awaitTermination()
+    return bm25_index_search(spark, store_dir, query_terms, k=k)
 
 
 def streaming_profile_stats(spark: SparkSession, docs_path: str,

@@ -229,6 +229,12 @@ HEADLINE = [
     "join_size_estimate",
     "snapshot_drift_depth",
     "embedding_drift",
+    # round 13
+    "near_dup_components_incremental",
+    "simjoin_components_incremental",
+    "bm25_index_search",
+    "key_skew_report_approx",
+    "streaming_embedding_drift",
 ]
 
 # Deliberately NOT in the headline list: the 8 streaming_* drain variants

@@ -99,3 +99,24 @@ def test_components_append_star_runs_on_delta_not_history(spark, tmp_path):
     assert _labels(got) == _labels(want)
     # every node (0..200 chain + 250) labeled 0
     assert {r["component"] for r in got.collect()} == {0}
+
+
+def test_components_vacuum_keeps_current_versions(spark, tmp_path):
+    import os
+
+    from automated_review_analysis_pipeline_spark.operators.similarity import (
+        components_vacuum,
+    )
+
+    store = str(tmp_path / "comp")
+    build_components_store(
+        spark.createDataFrame([(2, 1)], "a long, b long"), store)
+    for i in (3, 4, 5):
+        components_append(
+            spark, store,
+            spark.createDataFrame([(i, i - 1)], "a long, b long"))
+    before = _labels(spark.read.parquet(store + "/labels/v3"))
+    assert components_vacuum(spark, store, keep=2) == [0, 1]
+    assert sorted(os.listdir(os.path.join(store, "labels"))) == ["v2", "v3"]
+    assert _labels(spark.read.parquet(store + "/labels/v3")) == before
+    assert components_vacuum(spark, store, keep=2) == []

@@ -552,7 +552,7 @@ def test_simjoin_store_side_candidate_join_no_exchange(
         dfreq = spark.read.parquet(store + "/dfreq")
         new_prefix = dedup._simjoin_prefix(toks, dfreq, 0.5) \
             .localCheckpoint(eager=True)
-        p_delta = (dedup._simjoin_candidates(new_prefix, pref, 0.5)
+        p_delta = (dedup._cross_candidates_canonical(new_prefix, pref, 0.5)
                    ._jdf.queryExecution().executedPlan().toString())
         assert "Bucketed: true" in p_delta, p_delta
         assert p_delta.count("Exchange hashpartitioning(tok#") == 1, \

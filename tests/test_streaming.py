@@ -487,3 +487,85 @@ def test_streaming_embedding_drift_alarm_and_exactness(spark, tmp_path):
     benign, shifted = max(alerts.values()), min(alerts.values())
     assert benign > 0.999
     assert shifted < 0.98, alerts
+
+
+def test_streaming_embedding_drift_vacuums_state(spark, tmp_path):
+    """The drift state store must not keep one version dir per
+    micro-batch: after a multi-batch drain at most 2 survive."""
+    import os
+
+    from automated_review_analysis_pipeline_spark.operators import (
+        similarity as sim,
+    )
+    from automated_review_analysis_pipeline_spark.streaming.docs_stream import (
+        streaming_embedding_drift,
+    )
+
+    train = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(32)],
+        "vec_id long, embedding array<double>")
+    store = str(tmp_path / "ivfpq")
+    sim.build_ivfpq_index(train, store, n_centroids=2, m=2, ksub=4,
+                          train_n=32)
+    src = str(tmp_path / "src")
+    for s in (100, 200, 300):
+        spark.createDataFrame(
+            [(s + i, [float(i % 5), 2.0]) for i in range(16)],
+            "vec_id long, embedding array<double>") \
+            .coalesce(1).write.mode("append").parquet(src)
+    work = str(tmp_path / "work")
+    streaming_embedding_drift(spark, src, store, work,
+                              max_files_per_trigger=1)
+    versions = sorted(os.listdir(os.path.join(work, "drift_state",
+                                              "stats")))
+    assert versions == ["v1", "v2"], versions
+
+
+def test_streaming_bm25_index_multi_batch_equals_batch(spark, sf_dir,
+                                                       tmp_path):
+    """Split the corpus into 4 files, one micro-batch each: the drained
+    BM25 index search must equal the one-shot scorer over the whole
+    corpus exactly (idf/avgdl derive from accumulated exact counters,
+    so batch boundaries cannot move any score)."""
+    from automated_review_analysis_pipeline_spark.operators import (
+        textanalysis as ta,
+    )
+    from automated_review_analysis_pipeline_spark.streaming.docs_stream import (
+        streaming_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_split")
+    docs.repartition(4).write.parquet(src)
+    terms = ("the", "of", "data", "model")
+    out = streaming_bm25_index(spark, src, str(tmp_path / "work"), terms,
+                               max_files_per_trigger=1, k=12)
+    want = ta.bm25_search(docs, terms, k=12)
+    assert [tuple(r) for r in out.collect()] == \
+        [tuple(r) for r in want.collect()]
+
+
+def test_streaming_set_similarity_multi_batch_equals_batch(
+        spark, sf_dir, tmp_path):
+    """4 files, one micro-batch each, against the BUCKETED simjoin
+    store: the drained pair set equals the one-shot exact recompute.
+    This is the cross-session visibility pin -- foreachBatch appends
+    run on a CLONED session, so a stale relation cache in the outer
+    session would silently drop earlier batches' prefixes from the
+    candidate store side (round-13 regression caught by the BM25
+    twin)."""
+    from automated_review_analysis_pipeline_spark.operators.dedup import (
+        set_similarity_join,
+    )
+    from automated_review_analysis_pipeline_spark.streaming.docs_stream import (
+        streaming_set_similarity,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_split")
+    docs.repartition(4).write.parquet(src)
+    out = streaming_set_similarity(spark, src, str(tmp_path / "work"),
+                                   max_files_per_trigger=1, threshold=0.5)
+    want = set_similarity_join(docs, threshold=0.5)
+    assert [tuple(r) for r in out.collect()] == \
+        [tuple(r) for r in want.collect()]

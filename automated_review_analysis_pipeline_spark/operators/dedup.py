@@ -1356,6 +1356,47 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
     return spark.read.parquet(store_dir + "/pairs")
 
 
+def simjoin_refreeze(spark, store_dir: str) -> DataFrame:
+    """Re-freeze a persisted simjoin index's rare-first token order
+    from the ACCUMULATED document frequencies -- the maintenance op
+    that keeps the prefix filter SELECTIVE as the corpus drifts.
+
+    Why it exists: appends rank against the BUILD-TIME dfreq (any
+    shared total order keeps the filter complete, so appends stay
+    exact), but selectivity degrades -- a token that was rare (or
+    absent: df 0 ranks rarest) at build time and became boilerplate
+    through appends floods every new prefix, inflating the candidate
+    join. Refreezing recomputes dfreq from the stored shingle arrays
+    (one scan of ``/docs``, no raw text needed), re-ranks EVERY
+    document's prefix under the fresh order, and rewrites ``dfreq/``
+    and the bucketed ``/prefix``. The PAIR TABLE is untouched: the
+    qualifying pair set is a function of the shingle sets alone, not
+    of the order (pytest pins pairs byte-identical and the candidate
+    count non-increasing on a boilerplate-drift fixture).
+
+    Single-writer maintenance (like index_compact), and NOT
+    crash-atomic across the two part rewrites -- but re-running the
+    refreeze REPAIRS any mixed state, because both parts are rebuilt
+    from ``/docs`` alone. Returns the new prefix table."""
+    from .. import fsio
+
+    meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    threshold = float(meta["threshold"])
+    n_buckets = int(meta.get("n_buckets", 0))
+    if not n_buckets:
+        raise ValueError(
+            f"{store_dir} is a pre-round-13 plain-layout store; rebuild "
+            f"with build_simjoin_index before refreezing")
+    toks = (spark.read.parquet(store_dir + "/docs")
+            .select("id", F.explode("toks").alias("tok")))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df")) \
+        .localCheckpoint(eager=True)
+    prefix = _simjoin_prefix(toks, dfreq, threshold)
+    _write_prefix_bucketed(prefix, store_dir, n_buckets, "overwrite")
+    dfreq.write.mode("overwrite").parquet(store_dir + "/dfreq")
+    return _register_prefix_table(spark, store_dir, n_buckets)
+
+
 def set_similarity_join_rs(left: DataFrame, right: DataFrame,
                            threshold: float = 0.5,
                            text_col: str = "text",

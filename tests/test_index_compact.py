@@ -115,3 +115,44 @@ def test_simjoin_append_writes_bounded_files_per_bucket(
                              docs.where(F.col("doc_id") % 3 == m))
     n = fsio.count_files(spark, store + "/prefix")
     assert n <= 4 * 3, n
+
+
+def test_simjoin_refreeze_restores_selectivity_pairs_unchanged(
+        spark, sf_dir, tmp_path):
+    """Corpus-drift maintenance: build on clean docs, append a
+    boilerplate-heavy delta (its shared token was UNSEEN at build time,
+    so it ranks df=0 = rarest and floods every delta prefix). After
+    simjoin_refreeze the candidate count must not increase -- on this
+    fixture it strictly drops -- while the PAIR table is byte-identical
+    and post-refreeze appends still accumulate the exact one-shot pair
+    set."""
+    from pyspark.sql import functions as F
+
+    boiler = (" accept cookies subscribe newsletter rights reserved"
+              " terms conditions apply privacy policy banner")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 4 == 0)
+    drift = docs.where(F.col("doc_id") % 4 == 1).select(
+        "doc_id", F.concat(F.col("text"), F.lit(boiler)).alias("text"))
+    store = str(tmp_path / "sj")
+    dedup.build_simjoin_index(base, store, threshold=0.5, n_buckets=4)
+    dedup.simjoin_append(spark, store, drift)
+
+    def n_candidates() -> int:
+        pref = dedup._register_prefix_table(spark, store, 4)
+        return dedup._simjoin_candidates(pref, pref, 0.5).count()
+
+    pairs_before = _rows(spark.read.parquet(store + "/pairs"))
+    cand_before = n_candidates()
+    dedup.simjoin_refreeze(spark, store)
+    cand_after = n_candidates()
+    assert cand_after < cand_before, (cand_before, cand_after)
+    assert _rows(spark.read.parquet(store + "/pairs")) == pairs_before
+    # the refrozen store still appends exactly
+    rest = docs.where(F.col("doc_id") % 4 == 2)
+    dedup.simjoin_append(spark, store, rest)
+    got = _rows(spark.read.parquet(store + "/pairs")
+                .select("a_id", "b_id", "n_common", "jaccard"))
+    full = base.unionByName(drift).unionByName(rest)
+    want = _rows(dedup.set_similarity_join(full, threshold=0.5))
+    assert got == want

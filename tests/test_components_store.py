@@ -120,3 +120,43 @@ def test_components_vacuum_keeps_current_versions(spark, tmp_path):
     assert sorted(os.listdir(os.path.join(store, "labels"))) == ["v2", "v3"]
     assert _labels(spark.read.parquet(store + "/labels/v3")) == before
     assert components_vacuum(spark, store, keep=2) == []
+
+
+def test_components_merge_law_hypothesis(spark):
+    """Property: ANY partition of an edge set into deltas, appended in
+    ANY order, yields the one-shot star labels exactly -- the
+    contraction-preserves-connectivity law components_append rests on
+    (labels are component minima; min of minima == global min)."""
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rnd = random.Random(11)
+    edges = set()
+    while len(edges) < 150:
+        a, b = rnd.randrange(70), rnd.randrange(70)
+        if a != b:
+            edges.add((max(a, b), min(a, b)))
+    edges = sorted(edges)
+    all_df = spark.createDataFrame(edges, "a long, b long") \
+        .localCheckpoint(eager=True)
+    want, _ = star_connected_components(all_df)
+    want = _labels(want)
+
+    @settings(max_examples=5, deadline=None)
+    @given(n_parts=st.integers(2, 4), salt=st.integers(0, 10**6),
+           order=st.permutations(range(4)))
+    def check(n_parts, salt, order):
+        store = tempfile.mkdtemp(prefix="arap_comp_hyp_") + "/store"
+        part = F.pmod(F.xxhash64(F.col("a") * 131 + F.col("b") + salt),
+                      F.lit(n_parts))
+        parts = [all_df.where(part == i) for i in range(n_parts)]
+        seq = [parts[i] for i in order if i < n_parts]
+        # the first non-empty part seeds the store; empties are no-ops
+        got = build_components_store(seq[0], store)
+        for p in seq[1:]:
+            got = components_append(spark, store, p)
+        assert _labels(got) == want
+
+    check()

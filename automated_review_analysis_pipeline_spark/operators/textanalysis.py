@@ -2159,6 +2159,77 @@ def bm25_index_search(spark, store_dir: str, query_terms: tuple[str, ...],
             .limit(k))
 
 
+def bm25_index_topk(spark, store_dir: str, queries: DataFrame,
+                    k: int = 5, k1: float = 1.2, b: float = 0.75,
+                    q_id: str = "query_id", q_text: str = "query_text",
+                    max_pruning_terms: int = 1024) -> DataFrame:
+    """BM25 top-k for a QUERY TABLE against a persisted inverted index
+    -- the batch (eval-harness) form of :func:`bm25_index_search`,
+    equal to :func:`bm25_topk` over the accumulated corpus EXACTLY
+    (shared oracle): same tokenization, same per-term 9dp rounding,
+    same decimal score sums, same per-query WindowGroupLimit top-k.
+
+    Probe shape: when the query set's DISTINCT term count is at most
+    ``max_pruning_terms``, the terms collect to the driver (bounded by
+    construction) and the postings scan becomes a STATIC ``word IN
+    (...)`` filter -- bucket pruning applies exactly as in the
+    single-query path, so the scan reads ~terms/n_buckets of the
+    postings. Larger query sets fall back to a broadcast term join
+    (full postings scan, still no shuffle of the postings side).
+    Either way the corpus is never re-tokenized; df/avgdl derive from
+    the pruned postings + the exact meta counters."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    from .. import fsio
+    from .partitioning import register_bucketed_path
+
+    meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    post = register_bucketed_path(
+        spark, store_dir + "/postings",
+        _bm25_postings_table_name(store_dir), meta["postings_cols"],
+        ["word"], ["word"], int(meta["n_buckets"]))
+    qterms = (queries.select(
+        F.col(q_id).alias("query_id"),
+        F.explode(tokens(F.lower(F.col(q_text)))).alias("word"))
+        .where(F.col("word") != "").distinct()
+        .localCheckpoint(eager=True))
+    terms = [r["word"] for r in
+             qterms.select("word").distinct()
+             .limit(max_pruning_terms + 1).collect()]
+    if len(terms) <= max_pruning_terms:
+        matched = post.where(F.col("word").isin(*terms))
+    else:
+        matched = post.join(
+            broadcast(qterms.select("word").distinct()), "word")
+    tf = matched.select("doc_id", "word",
+                        F.col("tf").cast("double").alias("tf"))
+    df_ = tf.groupBy("word").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    dl = spark.read.parquet(store_dir + "/doclen").select(
+        "doc_id", F.col("dl").cast("double").alias("dl"))
+    n_docs = float(meta["n_docs"])
+    avgdl_expr = (F.lit(float(meta["total_len"])) / F.lit(n_docs))
+    idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl_expr)
+    term_score = F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 9)
+    scored = (qterms
+              .join(tf, "word")
+              .join(dl, "doc_id")
+              .join(broadcast(df_), "word")
+              .groupBy("query_id", "doc_id")
+              .agg(F.round(
+                  F.sum(term_score.cast("decimal(28,9)"))
+                  .cast("double"), 6).alias("bm25")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "doc_id", "bm25", "rank")
+            .orderBy("query_id", "rank"))
+
+
 def corpus_source_stats(documents: DataFrame,
                         text_col: str = "text") -> DataFrame:
     """Per-source corpus report: docs, token volume, distinct vocabulary,

@@ -958,6 +958,38 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.bm25_search(_t(spark, sf_dir, "documents"), BM25_QUERY)
 
 
+def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval against the persisted inverted index: the same
+    5 document-prefix queries as bm25_topk, scored from the
+    accumulated store (build-half + append-half, per-process fixture)
+    with a driver-pruned postings scan -- equal to the one-shot
+    bm25_topk exactly, sharing its full scoring oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    q = (docs.where(F.col("doc_id") < 5)
+         .select(F.col("doc_id").alias("query_id"),
+                 F.concat_ws(" ", F.slice(
+                     ta.tokens(F.lower(F.col("text"))), 1, 4))
+                 .alias("query_text")))
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"arap_bm25_index_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}")
+    store = os.path.join(work, "bm25_store")
+
+    def _build() -> None:
+        shutil.rmtree(work, ignore_errors=True)
+        ta.build_bm25_index(docs.where(F.col("doc_id") % 2 == 0), store)
+        ta.bm25_index_append(spark, store,
+                             docs.where(F.col("doc_id") % 2 == 1))
+
+    _fixture_once(store, _build)
+    return ta.bm25_index_topk(spark, store, q, k=5)
+
+
 def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-inverted-index lifecycle: build the BM25 index on the
     even-id half, bm25_index_append the odd half (delta-only work:
@@ -3008,6 +3040,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_dow_chi2": q_event_dow_chi2,
     "bm25_search": q_bm25_search,
     "bm25_index_search": q_bm25_index_search,
+    "bm25_index_topk": q_bm25_index_topk,
     "hybrid_search": q_hybrid_search,
     "hashed_vectors": q_hashed_vectors,
     "rolling_users_sketch": q_rolling_users_sketch,
@@ -4058,6 +4091,9 @@ _BM25_QUERIES_CTE = (
     "array_to_string(list_slice(" + ta.tokens_sql("lower(text)")
     + ", 1, 4), ' ') AS query_text FROM documents WHERE doc_id < 5")
 ORACLE_SQL["bm25_topk"] = ta.bm25_topk_sql(_BM25_QUERIES_CTE, k=5)
+# the persisted index accumulates the one-shot scorer's exact inputs;
+# the batch form shares bm25_topk's full scoring oracle verbatim
+ORACLE_SQL["bm25_index_topk"] = ORACLE_SQL["bm25_topk"]
 
 
 ORACLE_SQL["order_value_percentiles"] = """

@@ -235,6 +235,7 @@ HEADLINE = [
     "bm25_index_search",
     "key_skew_report_approx",
     "streaming_embedding_drift",
+    "bm25_index_topk",
 ]
 
 # Deliberately NOT in the headline list: the 8 streaming_* drain variants

@@ -96,3 +96,30 @@ def test_bm25_store_compaction_preserves_scores(spark, sf_dir, tmp_path):
         assert a <= b and a >= 1, (part, b, a)
     assert report["postings"][1] <= 4  # one file per bucket
     assert _rows(ta.bm25_index_search(spark, store, QUERY, k=10)) == before
+
+
+def test_bm25_index_topk_equals_oneshot_both_probe_paths(
+        spark, sf_dir, tmp_path):
+    """The batch (query-table) form against the persisted index equals
+    the one-shot bm25_topk exactly -- via BOTH probe paths: the
+    driver-pruned static IN filter (small distinct-term sets) and the
+    broadcast term-join fallback (max_pruning_terms=0 forces it)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q = (docs.where(F.col("doc_id") < 5)
+         .select(F.col("doc_id").alias("query_id"),
+                 F.concat_ws(" ", F.slice(
+                     ta.tokens(F.lower(F.col("text"))), 1, 4))
+                 .alias("query_text")))
+    store = str(tmp_path / "bm25")
+    ta.build_bm25_index(docs.where(F.col("doc_id") % 2 == 0), store,
+                        n_buckets=4)
+    ta.bm25_index_append(spark, store, docs.where(F.col("doc_id") % 2 == 1))
+    want = _rows(ta.bm25_topk(docs, q, k=5))
+    pruned = ta.bm25_index_topk(spark, store, q, k=5)
+    assert _rows(pruned) == want and want
+    joined = ta.bm25_index_topk(spark, store, q, k=5,
+                                max_pruning_terms=0)
+    assert _rows(joined) == want
+    # the pruned path's postings scan is bucket-pruned
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan, plan

@@ -39,18 +39,32 @@ The overwrite rename is atomic wherever the filesystem can express it:
   should retry. The function reports which lane it took.
 
 Isolation: all I/O here goes through PRIVATE ``FileSystem.newInstance``
-handles (closed per call), never the Hadoop-CACHED instance that Spark
-itself uses -- so disabling client-side CRC sidecars for these JSON
-files (the local ChecksumFileSystem would otherwise shadow every
-sidecar with a ``.name.crc`` that turns any external hand-edit into a
+handles, never the Hadoop-CACHED instance that Spark itself uses -- so
+disabling client-side CRC sidecars for these JSON files (the local
+ChecksumFileSystem would otherwise shadow every sidecar with a
+``.name.crc`` that turns any external hand-edit into a
 ChecksumException) cannot leak checksum behavior into Spark's own
-reads and writes through the shared cached filesystem.
+reads and writes through the shared cached filesystem.  The private
+instances are AMORTIZED: one per resolved filesystem URI for the
+process lifetime (round-13 opened and closed a fresh instance -- a new
+client + connection handshake on HDFS/object stores -- per sidecar
+touch; hot paths like a streaming micro-batch's guard-read + data
+appends + meta flip issue several per batch).  FileSystem handles
+outlive any SparkContext (they hang off the JVM, not the session), so
+the cache survives session restarts within the process.
 """
 from __future__ import annotations
+
+import threading
 
 from pyspark.sql import SparkSession
 
 _COPY_BUF = 65536
+
+# private (non-Hadoop-cached) FileSystem per resolved URI; guarded by
+# a lock because foreachBatch micro-batches run on driver threads
+_FS_CACHE: dict[str, object] = {}
+_FS_LOCK = threading.Lock()
 
 
 def _fs_uri(spark: SparkSession, jpath):
@@ -65,42 +79,46 @@ def _fs_uri(spark: SparkSession, jpath):
 
 
 def _new_fs(spark: SparkSession, path: str):
-    """(fs, jpath, jvm) with fs a PRIVATE (non-cached) FileSystem
-    instance for *path*'s scheme; caller must ``fs.close()``.
+    """(fs, jpath, jvm) with fs a PRIVATE (non-Hadoop-cached)
+    FileSystem instance for *path*'s scheme, cached per resolved
+    filesystem URI for the process lifetime; callers must NOT
+    ``close()`` it (closing would poison every later caller).
 
     Client-side CRC sidecars are disabled ON THIS INSTANCE ONLY (see
     module docstring): sidecars are tiny and validated at the
     application layer (shard fingerprints, schema checks); HDFS keeps
     its server-side block checksums regardless, and Spark's own I/O
-    through the cached FileSystem instance is untouched."""
+    through the Hadoop-cached FileSystem instance is untouched."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jvm.org.apache.hadoop.fs.FileSystem.newInstance(
-        _fs_uri(spark, jpath), conf)
-    fs.setWriteChecksum(False)
-    fs.setVerifyChecksum(False)
+    uri = _fs_uri(spark, jpath)
+    # key on what FileSystem.newInstance actually binds to -- the
+    # scheme + authority, not the per-file path the URI carries
+    key = f"{uri.getScheme()}://{uri.getAuthority() or ''}"
+    with _FS_LOCK:
+        fs = _FS_CACHE.get(key)
+        if fs is None:
+            fs = jvm.org.apache.hadoop.fs.FileSystem.newInstance(
+                uri, conf)
+            fs.setWriteChecksum(False)
+            fs.setVerifyChecksum(False)
+            _FS_CACHE[key] = fs
     return fs, jpath, jvm
 
 
 def exists(spark: SparkSession, path: str) -> bool:
     fs, jpath, _ = _new_fs(spark, path)
-    try:
-        return bool(fs.exists(jpath))
-    finally:
-        fs.close()
+    return bool(fs.exists(jpath))
 
 
 def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     """Remove *path* (a file or directory tree) on whatever filesystem
     its scheme resolves to; False if it did not exist."""
     fs, jpath, _ = _new_fs(spark, path)
-    try:
-        if not fs.exists(jpath):
-            return False
-        return bool(fs.delete(jpath, recursive))
-    finally:
-        fs.close()
+    if not fs.exists(jpath):
+        return False
+    return bool(fs.delete(jpath, recursive))
 
 
 def rename(spark: SparkSession, src: str, dst: str) -> None:
@@ -108,26 +126,20 @@ def rename(spark: SparkSession, src: str, dst: str) -> None:
     directory-swap step of store compaction. One namespace op on
     HDFS/local; object stores degrade to copy+delete."""
     fs, jsrc, jvm = _new_fs(spark, src)
-    try:
-        jdst = jvm.org.apache.hadoop.fs.Path(dst)
-        if fs.exists(jdst):
-            raise IOError(f"rename target already exists: {dst}")
-        if not fs.rename(jsrc, jdst):
-            raise IOError(f"rename {src} -> {dst} failed")
-    finally:
-        fs.close()
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    if fs.exists(jdst):
+        raise IOError(f"rename target already exists: {dst}")
+    if not fs.rename(jsrc, jdst):
+        raise IOError(f"rename {src} -> {dst} failed")
 
 
 def dir_bytes(spark: SparkSession, path: str) -> int:
     """Total bytes under *path* (filesystem metadata only, no data
     scan) -- sizes compaction targets on any Hadoop filesystem."""
     fs, jpath, _ = _new_fs(spark, path)
-    try:
-        if not fs.exists(jpath):
-            return 0
-        return int(fs.getContentSummary(jpath).getLength())
-    finally:
-        fs.close()
+    if not fs.exists(jpath):
+        return 0
+    return int(fs.getContentSummary(jpath).getLength())
 
 
 def count_files(spark: SparkSession, path: str,
@@ -135,17 +147,34 @@ def count_files(spark: SparkSession, path: str,
     """Number of *suffix* files under *path*, recursively -- the
     compaction before/after metric."""
     fs, jpath, _ = _new_fs(spark, path)
-    try:
-        if not fs.exists(jpath):
-            return 0
-        n = 0
-        it = fs.listFiles(jpath, True)
-        while it.hasNext():
-            if it.next().getPath().getName().endswith(suffix):
-                n += 1
-        return n
-    finally:
-        fs.close()
+    if not fs.exists(jpath):
+        return 0
+    n = 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(suffix):
+            n += 1
+    return n
+
+
+def list_files(spark: SparkSession, path: str) -> list[str]:
+    """Every file under *path* (recursive, hidden files included,
+    paths RELATIVE to *path*, sorted) -- the snapshot primitive of the
+    staged-append commit protocol (:mod:`.store_commit`): a rollback
+    deletes exactly the files an interrupted append added, i.e. the
+    current listing minus the pre-append snapshot. Metadata-only; the
+    listing is bounded by the store's file count, which compaction
+    (``index_compact``) keeps at ~n_buckets per part."""
+    fs, jpath, _ = _new_fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    base = str(fs.makeQualified(jpath).toUri().getPath()).rstrip("/")
+    out = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        p = str(it.next().getPath().toUri().getPath())
+        out.append(p[len(base) + 1:] if p.startswith(base + "/") else p)
+    return sorted(out)
 
 
 def _rename_overwrite(spark: SparkSession, fs, jvm, tmp, dst) -> str:
@@ -169,22 +198,48 @@ def _rename_overwrite(spark: SparkSession, fs, jvm, tmp, dst) -> str:
     try:
         fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
             q.toUri(), conf)
-        gw = spark.sparkContext._gateway
-        ren = jvm.org.apache.hadoop.fs.Options.Rename
-        opts = gw.new_array(ren, 1)
-        opts[0] = ren.OVERWRITE
-        fc.rename(fs.makeQualified(tmp), q, opts)
-        return "filecontext"
-    except Exception:
-        # no AbstractFileSystem binding for this scheme (typical for
-        # object stores): degrade to delete+rename -- NOT atomic; a
-        # racing reader can observe the no-sidecar window and must
-        # retry. Last resort only.
+    except Exception as e:
+        # ONLY a missing AbstractFileSystem binding may degrade to the
+        # non-atomic lane (typical for object stores); anything else
+        # -- a transient IOException, permission/quota failure -- must
+        # propagate, or a real error would silently delete the live
+        # sidecar and risk losing the previous version (round-13
+        # caught everything here; ADVICE flagged it)
+        if not _is_unsupported_fs(e):
+            raise
+        # no AbstractFileSystem binding for this scheme: delete+rename
+        # -- NOT atomic; a racing reader can observe the no-sidecar
+        # window and must retry. Last resort only.
         if fs.exists(dst):
             fs.delete(dst, False)
         if not fs.rename(tmp, dst):
             raise IOError(f"rename {tmp} -> {dst} failed")
         return "delete-rename"
+    # FileContext obtained: genuine rename failures PROPAGATE (the
+    # destination still holds the previous bytes -- nothing lost)
+    gw = spark.sparkContext._gateway
+    ren = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = gw.new_array(ren, 1)
+    opts[0] = ren.OVERWRITE
+    fc.rename(fs.makeQualified(tmp), q, opts)
+    return "filecontext"
+
+
+def _is_unsupported_fs(e: Exception) -> bool:
+    """True iff *e* wraps Hadoop's UnsupportedFileSystemException --
+    the 'no AbstractFileSystem binding for this scheme' signal that
+    legitimately selects the delete+rename fallback lane."""
+    jex = getattr(e, "java_exception", None)
+    while jex is not None:
+        try:
+            name = jex.getClass().getName()
+        except Exception:
+            return False
+        if name == ("org.apache.hadoop.fs."
+                    "UnsupportedFileSystemException"):
+            return True
+        jex = jex.getCause()
+    return False
 
 
 def write_bytes(spark: SparkSession, path: str, data: bytes) -> str:
@@ -193,29 +248,23 @@ def write_bytes(spark: SparkSession, path: str, data: bytes) -> str:
     FileContext-capable filesystems (module docstring has the full
     ladder). Returns the rename lane taken (tests pin it)."""
     fs, jpath, jvm = _new_fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".__tmp__")
+    out = fs.create(tmp, True)
     try:
-        tmp = jvm.org.apache.hadoop.fs.Path(path + ".__tmp__")
-        out = fs.create(tmp, True)
-        try:
-            out.write(bytearray(data))
-        finally:
-            out.close()
-        return _rename_overwrite(spark, fs, jvm, tmp, jpath)
+        out.write(bytearray(data))
     finally:
-        fs.close()
+        out.close()
+    return _rename_overwrite(spark, fs, jvm, tmp, jpath)
 
 
 def read_bytes(spark: SparkSession, path: str) -> bytes:
     fs, jpath, jvm = _new_fs(spark, path)
-    try:
-        inp = fs.open(jpath)
-        baos = jvm.java.io.ByteArrayOutputStream()
-        # copyBytes(close=True) closes BOTH streams, even on error
-        jvm.org.apache.hadoop.io.IOUtils.copyBytes(inp, baos, _COPY_BUF,
-                                                   True)
-        return bytes(baos.toByteArray())
-    finally:
-        fs.close()
+    inp = fs.open(jpath)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    # copyBytes(close=True) closes BOTH streams, even on error
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(inp, baos, _COPY_BUF,
+                                               True)
+    return bytes(baos.toByteArray())
 
 
 def write_text(spark: SparkSession, path: str, text: str) -> str:

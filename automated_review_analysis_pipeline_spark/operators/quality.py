@@ -1000,22 +1000,19 @@ def vacuum_versions(spark, versions_dir: str, current: int,
     keep = max(int(keep), 1)
     fs, reg_path, _ = fsio._new_fs(spark, versions_dir)
     removed = []
-    try:
-        if not fs.exists(reg_path):
-            return removed
-        for st in fs.listStatus(reg_path):
-            name = st.getPath().getName()
-            if not name.startswith("v"):
-                continue
-            try:
-                v = int(name[1:])
-            except ValueError:
-                continue
-            if v <= int(current) - keep:
-                fs.delete(st.getPath(), True)
-                removed.append(v)
-    finally:
-        fs.close()
+    if not fs.exists(reg_path):
+        return removed
+    for st in fs.listStatus(reg_path):
+        name = st.getPath().getName()
+        if not name.startswith("v"):
+            continue
+        try:
+            v = int(name[1:])
+        except ValueError:
+            continue
+        if v <= int(current) - keep:
+            fs.delete(st.getPath(), True)
+            removed.append(v)
     return sorted(removed)
 
 

@@ -143,3 +143,31 @@ def test_sorted_export_legacy_layout_fallback(spark, tmp_path):
     os.remove(os.path.join(out, "manifest.json"))
     with pytest.raises(FileNotFoundError, match="neither meta.json"):
         read_sorted_range(spark, out, 110, 190)
+
+
+def test_fsio_caches_private_fs_per_uri(spark, tmp_path):
+    """Round-14 (ADVICE): the private FileSystem instance is opened
+    ONCE per resolved filesystem URI and reused -- on HDFS/object
+    stores a fresh newInstance per sidecar touch is a client +
+    connection handshake each time, and hot paths (micro-batch guard
+    read + data append + meta flip) issue several per batch."""
+    fsio.write_text(spark, "file:" + str(tmp_path / "a.json"), "{}")
+    fs1, _, _ = fsio._new_fs(spark, "file:" + str(tmp_path / "a.json"))
+    fs2, _, _ = fsio._new_fs(spark, "file:" + str(tmp_path / "b.json"))
+    assert fs1._target_id == fs2._target_id  # same JVM object
+    # and it is NOT Hadoop's cached instance (CRC discipline differs)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jp = jvm.org.apache.hadoop.fs.Path("file:" + str(tmp_path))
+    cached = jp.getFileSystem(conf)
+    assert fs1._target_id != cached._target_id
+
+
+def test_fsio_list_files_relative_recursive(spark, tmp_path):
+    (tmp_path / "store" / "part").mkdir(parents=True)
+    (tmp_path / "store" / "x.parquet").write_text("a")
+    (tmp_path / "store" / "part" / "y.parquet").write_text("b")
+    (tmp_path / "store" / "part" / "_SUCCESS").write_text("")
+    got = fsio.list_files(spark, str(tmp_path / "store"))
+    assert got == ["part/_SUCCESS", "part/y.parquet", "x.parquet"]
+    assert fsio.list_files(spark, str(tmp_path / "nope")) == []

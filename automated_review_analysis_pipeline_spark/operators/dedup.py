@@ -1018,6 +1018,53 @@ def _register_prefix_table(spark, store_dir: str,
     return spark.table(name)
 
 
+def _simjoin_docs_table_name(store_dir: str) -> str:
+    """Catalog name for a store's bucketed shingle-array table."""
+    import hashlib
+
+    return ("arap_simjoin_docs_"
+            + hashlib.md5(store_dir.encode("utf-8")).hexdigest()[:12])
+
+
+def _register_docs_table(spark, store_dir: str,
+                         n_buckets: int) -> DataFrame:
+    """The store's ``/docs`` (id, toks, sz) as a catalog table BUCKETED
+    BY id -- what makes the append VERIFY stage scale: the two
+    verify joins key on a candidate's doc id, so the store side reads
+    pre-hash-partitioned (no Exchange), and a static ``id IN (...)``
+    filter from the bounded candidate set prunes the scan to the
+    matching buckets' files (SelectedBucketsCount) plus parquet
+    row-group min/max -- the accumulated corpus is no longer scanned
+    (let alone shuffled) per delta."""
+    from .. import fsio
+    from .partitioning import register_bucketed_path
+
+    name = _simjoin_docs_table_name(store_dir)
+    if not spark.catalog.tableExists(name):
+        cols = fsio.read_json(
+            spark, fsio.join(store_dir, "meta.json"))["docs_cols"]
+        return register_bucketed_path(
+            spark, store_dir + "/docs", name, cols, ["id"], ["id"],
+            n_buckets)
+    spark.catalog.refreshTable(name)
+    return spark.table(name)
+
+
+def _write_docs_bucketed(arrs: DataFrame, store_dir: str,
+                         n_buckets: int, mode: str) -> None:
+    """Bucketed (by id) write of the shingle-array part."""
+    spark = arrs.sparkSession
+    if mode == "append":
+        _register_docs_table(spark, store_dir, n_buckets)
+    from .partitioning import write_bucketed_path
+
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                     for f in arrs.schema.fields)
+    write_bucketed_path(arrs, store_dir + "/docs",
+                        _simjoin_docs_table_name(store_dir), cols,
+                        ["id"], ["id"], n_buckets, mode)
+
+
 def _write_prefix_bucketed(prefix: DataFrame, store_dir: str,
                            n_buckets: int, mode: str) -> None:
     """Bucketed prefix write via the generic write_bucketed_path
@@ -1086,7 +1133,9 @@ def build_simjoin_index(documents: DataFrame, store_dir: str,
     arrs = toks.groupBy("id").agg(
         F.sort_array(F.collect_list("tok")).alias("toks"),
         F.count(F.lit(1)).alias("sz"))
-    arrs.write.mode("overwrite").parquet(store_dir + "/docs")
+    docs_cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                          for f in arrs.schema.fields)
+    _write_docs_bucketed(arrs, store_dir, n_buckets, "overwrite")
     prefix_df = _simjoin_prefix(
         toks, spark.read.parquet(store_dir + "/dfreq"), threshold)
     prefix_cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
@@ -1102,13 +1151,21 @@ def build_simjoin_index(documents: DataFrame, store_dir: str,
                 f"{documents.schema[id_col].dataType.simpleString()}, "
                 f"n_common int, jaccard double") \
             .write.mode("overwrite").parquet(store_dir + "/pairs")
-    else:
+    build_stats = {"n_docs": 0, "n_candidates": 0}
+    if not documents.isEmpty():
         # bucketed on both sides of the self-join: the one-shot
-        # candidate stage runs with no Exchange at all
+        # candidate stage runs with no Exchange at all. The candidate
+        # set checkpoints once so (a) verify reads it instead of
+        # re-running the joins and (b) its count -- the store's
+        # build-time SELECTIVITY baseline, which the drift report
+        # compares appends against -- is free
         prefix = _register_prefix_table(spark, store_dir, n_buckets)
-        pairs = _simjoin_verify(
-            _simjoin_candidates(prefix, prefix, threshold),
-            spark.read.parquet(store_dir + "/docs"), threshold)
+        docs_tbl = _register_docs_table(spark, store_dir, n_buckets)
+        cand = _simjoin_candidates(prefix, prefix, threshold) \
+            .localCheckpoint(eager=True)
+        build_stats = {"n_docs": docs_tbl.count(),
+                       "n_candidates": cand.count()}
+        pairs = _simjoin_verify(cand, docs_tbl, threshold)
         pairs.write.mode("overwrite").parquet(store_dir + "/pairs")
     # sidecar LAST, through the Hadoop FS API (works on s3a://hdfs://
     # the same as file:) -- a crash before this line leaves no
@@ -1117,7 +1174,12 @@ def build_simjoin_index(documents: DataFrame, store_dir: str,
     fsio.write_json(spark, fsio.join(store_dir, "meta.json"),
                     {"threshold": threshold, "k": k,
                      "n_buckets": n_buckets,
-                     "prefix_cols": prefix_cols})
+                     "prefix_cols": prefix_cols,
+                     "docs_cols": docs_cols,
+                     "docs_buckets": n_buckets,
+                     "order_epoch": 0,
+                     "build_stats": build_stats,
+                     "append_stats": []})
     return spark.read.parquet(store_dir + "/pairs")
 
 
@@ -1267,6 +1329,87 @@ def _simjoin_verify(cand: DataFrame, arrs: DataFrame,
             .select("a_id", "b_id", "n_common", "jaccard"))
 
 
+def _simjoin_verify_store(cand: DataFrame, docs_tbl: DataFrame,
+                          new_arrs: DataFrame, threshold: float,
+                          max_pruning_ids: int = 10_000) -> DataFrame:
+    """Verify append candidates WITHOUT an O(store) scan of the
+    accumulated ``/docs`` per delta -- round 13 removed that growth
+    term from the candidate stage (bucketed prefix); this removes it
+    from the verify stage, the last per-append full-store touch.
+
+    Every candidate pair references >= 1 NEW doc (candidates are
+    (new x store) U (new x new)), and the delta's arrays are already
+    in hand (``new_arrs``, checkpointed). Only the OLD ids that
+    actually appear in candidates need fetching from the store:
+
+    * bounded lane (the norm): those ids collect to the driver --
+      bounded by the candidate count, which the prefix filter keeps
+      ~|delta|-sized -- and prune the BUCKETED ``/docs`` scan with a
+      static ``id IN (...)``: bucket pruning (SelectedBucketsCount)
+      plus parquet row-group min/max restrict the read to the
+      matching buckets' files, the :func:`bm25_index_topk`
+      discipline. The store is neither scanned nor shuffled.
+    * flood lane (> ``max_pruning_ids`` old ids -- a drifted store
+      overdue for :func:`simjoin_refreeze`): verify joins run AGAINST
+      the bucketed table directly, so the store side still reads
+      pre-hash-partitioned with no Exchange (plan-gated) -- the
+      full-store reshuffle that used to appear exactly when the store
+      could least afford it (4.09M candidates at the refreeze
+      fixture) is gone; only the candidate side shuffles. Delta-side
+      arrays resolve through a second (small-side) join, coalesced.
+
+    ``cand`` must be materialized (checkpointed) by the caller: the
+    bounded-lane collect and verify must see the SAME candidate set.
+    """
+    from pyspark.sql.functions import broadcast
+
+    cand_ids = (cand.select(F.col("a_id").alias("id"))
+                .unionByName(cand.select(F.col("b_id").alias("id")))
+                .distinct())
+    old_ids = cand_ids.join(new_arrs.select("id"), "id", "left_anti")
+    sample = [r["id"] for r in
+              old_ids.limit(max_pruning_ids + 1).collect()]
+    if len(sample) <= max_pruning_ids:
+        if sample:
+            store_arrs = docs_tbl.where(F.col("id").isin(sample))
+            all_arrs = store_arrs.unionByName(new_arrs)
+        else:
+            all_arrs = new_arrs
+        return _simjoin_verify(cand, all_arrs, threshold)
+    # flood lane: bucketed store side, exchange-free
+    a_s = docs_tbl.select(F.col("id").alias("a_id"),
+                          F.col("toks").alias("a_toks_s"),
+                          F.col("sz").alias("a_sz_s"))
+    b_s = docs_tbl.select(F.col("id").alias("b_id"),
+                          F.col("toks").alias("b_toks_s"),
+                          F.col("sz").alias("b_sz_s"))
+    a_n = new_arrs.select(F.col("id").alias("a_id"),
+                          F.col("toks").alias("a_toks_n"),
+                          F.col("sz").alias("a_sz_n"))
+    b_n = new_arrs.select(F.col("id").alias("b_id"),
+                          F.col("toks").alias("b_toks_n"),
+                          F.col("sz").alias("b_sz_n"))
+    verified = (cand
+                .join(a_s, "a_id", "left").join(b_s, "b_id", "left")
+                .join(broadcast(a_n), "a_id", "left")
+                .join(broadcast(b_n), "b_id", "left")
+                .select("a_id", "b_id",
+                        F.coalesce("a_toks_s", "a_toks_n")
+                        .alias("a_toks"),
+                        F.coalesce("b_toks_s", "b_toks_n")
+                        .alias("b_toks"),
+                        F.coalesce("a_sz_s", "a_sz_n").alias("a_sz"),
+                        F.coalesce("b_sz_s", "b_sz_n").alias("b_sz"))
+                .withColumn("n_common", F.size(
+                    F.array_intersect("a_toks", "b_toks")).cast("int"))
+                .withColumn("jaccard", F.round(
+                    F.col("n_common")
+                    / (F.col("a_sz") + F.col("b_sz") - F.col("n_common")),
+                    6)))
+    return (verified.where(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", "n_common", "jaccard"))
+
+
 def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
                    text_col: str = "text",
                    id_col: str = "doc_id",
@@ -1286,10 +1429,14 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
     batch id, written after the data appends, and an append with
     ``batch_id`` <= the recorded one is a no-op -- without it a
     replayed micro-batch would duplicate prefixes AND pairs. A crash
-    in the MIDDLE of the three data appends still leaves partial
-    duplicates on replay (parquet append is not transactional; a real
-    table format's atomic commit is the production answer) -- the
-    guard closes the common replay path, not that window.
+    in the MIDDLE of the three data appends is closed by the staged-
+    append commit protocol (:mod:`..store_commit`, round 14): the
+    append writes a ``pending.json`` intent (per-part file snapshots +
+    the epoch it will commit), flips meta.json's ``append_epoch``
+    LAST (the atomic commit point), and every appender/maintenance op
+    first ROLLS BACK any files a crashed append left behind -- so the
+    retried batch folds exactly once, end to end (kill-mid-append
+    pytest).
 
     Scale shape: the store's ``/prefix`` is BUCKETED by ``tok`` (the
     candidate join key), so the store side of both candidate joins
@@ -1300,12 +1447,22 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
     from re-shuffling the accumulated store every batch. Stores built
     before round 13 (no ``n_buckets`` in meta.json) fall back to the
     plain-parquet union path unchanged."""
-    from .. import fsio
+    from .. import fsio, store_commit
     meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    # heal any crashed earlier append BEFORE the replay guard (the
+    # crashed batch's id was never committed, so it re-folds cleanly)
+    store_commit.repair(spark, store_dir,
+                        meta.get("append_epoch", 0))
     if batch_id is not None and batch_id <= meta.get("last_batch_id", -1):
         return spark.read.parquet(store_dir + "/pairs")
     threshold, k = float(meta["threshold"]), int(meta["k"])
     n_buckets = meta.get("n_buckets")
+    if n_buckets:
+        # heal a crashed refreeze's half-swap, then refuse a MIXED
+        # token order (prefix vs dfreq epoch stamps) -- completeness
+        # of the prefix filter depends on one shared order
+        _refreeze_restore(spark, store_dir)
+        _check_order_epoch(spark, store_dir)
     dfreq = spark.read.parquet(store_dir + "/dfreq")
     toks = (new_docs
             .select(F.col(id_col).alias("id"), F.col(text_col))
@@ -1319,8 +1476,6 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
     new_prefix = _simjoin_prefix(toks, dfreq, threshold)
     new_prefix = new_prefix.localCheckpoint(eager=True)
     new_arrs = new_arrs.localCheckpoint(eager=True)
-    all_arrs = spark.read.parquet(store_dir + "/docs") \
-        .unionByName(new_arrs)
     # candidates touching a NEW doc only (a<b canonicalization inside
     # _simjoin_candidates dedupes the new-new overlap); new-old pairs
     # need both orientations because canonicalization is on id order
@@ -1342,18 +1497,108 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
             .unionByName(
                 _simjoin_candidates(all_prefix, new_prefix, threshold)) \
             .distinct()
-    new_pairs = _simjoin_verify(cand, all_arrs, threshold)
+    # one materialization of the candidate set: verify consumes it
+    # without re-running the candidate joins, and its count feeds the
+    # per-append selectivity record (the refreeze trigger) for free
+    cand = cand.localCheckpoint(eager=True)
+    docs_buckets = int(meta.get("docs_buckets", 0))
+    if docs_buckets:
+        # round-14 verify: never scan (or shuffle) the accumulated
+        # /docs per delta -- prune it to the bounded candidate ids, or
+        # fall back to the bucketed (exchange-free store side) join
+        docs_tbl = _register_docs_table(spark, store_dir, docs_buckets)
+        new_pairs = _simjoin_verify_store(cand, docs_tbl, new_arrs,
+                                          threshold)
+    else:  # pre-round-14 plain /docs layout
+        all_arrs = spark.read.parquet(store_dir + "/docs") \
+            .unionByName(new_arrs)
+        new_pairs = _simjoin_verify(cand, all_arrs, threshold)
+    epoch = int(meta.get("append_epoch", 0)) + 1
+    store_commit.begin_append(spark, store_dir,
+                              ["pairs", "prefix", "docs"], epoch)
     new_pairs.write.mode("append").parquet(store_dir + "/pairs")
     if n_buckets:
         _write_prefix_bucketed(new_prefix, store_dir, int(n_buckets),
                                "append")
     else:
         new_prefix.write.mode("append").parquet(store_dir + "/prefix")
-    new_arrs.write.mode("append").parquet(store_dir + "/docs")
+    if docs_buckets:
+        _write_docs_bucketed(new_arrs, store_dir, docs_buckets,
+                             "append")
+    else:
+        new_arrs.write.mode("append").parquet(store_dir + "/docs")
+    meta["append_epoch"] = epoch
     if batch_id is not None:
         meta["last_batch_id"] = batch_id
-        fsio.write_json(spark, fsio.join(store_dir, "meta.json"), meta)
+    # per-append selectivity record (bounded: last 20 appends) -- the
+    # input of simjoin_store_stats' refreeze trigger; counts are free
+    # (both frames are checkpointed)
+    n_delta = new_arrs.count()
+    n_store = int(meta.get("n_docs_total",
+                           (meta.get("build_stats") or {})
+                           .get("n_docs", 0)))
+    stats = meta.setdefault("append_stats", [])
+    stats.append({"epoch": epoch, "batch_id": batch_id,
+                  "n_delta_docs": n_delta,
+                  "n_store_docs": n_store,
+                  "n_candidates": cand.count()})
+    del stats[:-20]
+    meta["n_docs_total"] = n_store + n_delta
+    # COMMIT POINT: the atomic meta flip makes the 3-part append
+    # durable; the intent cleanup after it is crash-tolerant
+    fsio.write_json(spark, fsio.join(store_dir, "meta.json"), meta)
+    store_commit.commit_append(spark, store_dir)
     return spark.read.parquet(store_dir + "/pairs")
+
+
+def _part_order_epoch(spark, part_dir: str) -> int:
+    """The order epoch stamped inside a dfreq/prefix part dir
+    (``_order_epoch.json``; underscore-prefixed, so parquet listings
+    never see it). Absent stamp = epoch 0 (the build-time order)."""
+    from .. import fsio
+
+    p = fsio.join(part_dir, "_order_epoch.json")
+    if not fsio.exists(spark, p):
+        return 0
+    return int(fsio.read_json(spark, p)["order_epoch"])
+
+
+def _check_order_epoch(spark, store_dir: str) -> int:
+    """Fail fast when ``dfreq/`` and ``prefix/`` carry DIFFERENT order
+    epochs -- the signature of a refreeze that crashed between its two
+    part swaps. Appending against a mixed state would rank delta
+    prefixes under a different total order than the stored prefixes,
+    silently voiding the zero-false-negative guarantee (the store's
+    core contract); failing here keeps the store exact and the repair
+    is one re-run of :func:`simjoin_refreeze`. Returns the epoch."""
+    pe = _part_order_epoch(spark, store_dir + "/prefix")
+    de = _part_order_epoch(spark, store_dir + "/dfreq")
+    if pe != de:
+        raise RuntimeError(
+            f"simjoin store {store_dir} has a MIXED token order "
+            f"(prefix epoch {pe} != dfreq epoch {de}): a "
+            f"simjoin_refreeze crashed between its part swaps. "
+            f"Re-run simjoin_refreeze({store_dir!r}) to repair; "
+            f"appending now would break the prefix filter's "
+            f"completeness guarantee")
+    return pe
+
+
+def _refreeze_restore(spark, store_dir: str) -> None:
+    """Heal the narrow swap windows a crashed refreeze can leave: a
+    live part renamed aside (``.__old__``) but its replacement not yet
+    in place -> restore the old part; a leftover ``.__old__`` next to
+    a live part -> drop it."""
+    from .. import fsio
+
+    for part in ("prefix", "dfreq"):
+        live = fsio.join(store_dir, part)
+        old = live + ".__old__"
+        if fsio.exists(spark, old):
+            if not fsio.exists(spark, live):
+                fsio.rename(spark, old, live)
+            else:
+                fsio.delete(spark, old)
 
 
 def simjoin_refreeze(spark, store_dir: str) -> DataFrame:
@@ -1374,27 +1619,129 @@ def simjoin_refreeze(spark, store_dir: str) -> DataFrame:
     of the order (pytest pins pairs byte-identical and the candidate
     count non-increasing on a boilerplate-drift fixture).
 
-    Single-writer maintenance (like index_compact), and NOT
-    crash-atomic across the two part rewrites -- but re-running the
-    refreeze REPAIRS any mixed state, because both parts are rebuilt
-    from ``/docs`` alone. Returns the new prefix table."""
-    from .. import fsio
+    Crash discipline (round 14): both parts STAGE into ``.__new__``
+    tmp siblings carrying an ``_order_epoch.json`` stamp, then swap
+    (rename-aside + rename-in + drop-old, per part) and flip meta's
+    ``order_epoch`` last -- an interrupted refreeze leaves the old
+    order serving (or a part renamed aside, which
+    :func:`_refreeze_restore` heals), and the one state a crash
+    between the two swaps can produce -- prefix and dfreq on
+    DIFFERENT orders -- is detected by every subsequent append via the
+    epoch stamps, which fail fast with a re-run-refreeze message
+    instead of silently voiding the prefix filter's completeness
+    (interrupt pytests). Also resets the per-append selectivity
+    records (``append_stats``): they measured the OLD order.
+    Single-writer maintenance, like index_compact. Returns the new
+    prefix table."""
+    from .. import fsio, store_commit
+    from .partitioning import write_bucketed_path
 
     meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    # a crashed append's partial files must not get baked into the
+    # refrozen order; a crashed refreeze's half-swaps heal first
+    store_commit.repair(spark, store_dir, meta.get("append_epoch", 0))
+    _refreeze_restore(spark, store_dir)
     threshold = float(meta["threshold"])
     n_buckets = int(meta.get("n_buckets", 0))
     if not n_buckets:
         raise ValueError(
             f"{store_dir} is a pre-round-13 plain-layout store; rebuild "
             f"with build_simjoin_index before refreezing")
-    toks = (spark.read.parquet(store_dir + "/docs")
-            .select("id", F.explode("toks").alias("tok")))
+    new_epoch = max(_part_order_epoch(spark, store_dir + "/prefix"),
+                    _part_order_epoch(spark, store_dir + "/dfreq"),
+                    int(meta.get("order_epoch", 0))) + 1
+    docs_buckets = int(meta.get("docs_buckets", 0))
+    docs = (_register_docs_table(spark, store_dir, docs_buckets)
+            if docs_buckets
+            else spark.read.parquet(store_dir + "/docs"))
+    toks = docs.select("id", F.explode("toks").alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df")) \
         .localCheckpoint(eager=True)
     prefix = _simjoin_prefix(toks, dfreq, threshold)
-    _write_prefix_bucketed(prefix, store_dir, n_buckets, "overwrite")
-    dfreq.write.mode("overwrite").parquet(store_dir + "/dfreq")
+
+    # stage both parts fully before touching the live store
+    tmp_prefix = store_dir + "/prefix.__new__"
+    tmp_dfreq = store_dir + "/dfreq.__new__"
+    tmp_name = _simjoin_prefix_table_name(store_dir) + "_refreeze"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+    fsio.delete(spark, tmp_prefix)
+    fsio.delete(spark, tmp_dfreq)
+    write_bucketed_path(prefix, tmp_prefix, tmp_name,
+                        meta["prefix_cols"], ["tok"], ["tok"],
+                        n_buckets, "overwrite")
+    dfreq.write.mode("overwrite").parquet(tmp_dfreq)
+    for d in (tmp_prefix, tmp_dfreq):
+        fsio.write_json(spark, fsio.join(d, "_order_epoch.json"),
+                        {"order_epoch": new_epoch})
+
+    # swap (prefix, then dfreq); catalog entries drop around the move
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+    spark.sql(
+        f"DROP TABLE IF EXISTS {_simjoin_prefix_table_name(store_dir)}")
+    for live, tmp in ((store_dir + "/prefix", tmp_prefix),
+                      (store_dir + "/dfreq", tmp_dfreq)):
+        fsio.rename(spark, live, live + ".__old__")
+        fsio.rename(spark, tmp, live)
+        fsio.delete(spark, live + ".__old__")
+
+    meta["order_epoch"] = new_epoch
+    meta["append_stats"] = []
+    fsio.write_json(spark, fsio.join(store_dir, "meta.json"), meta)
     return _register_prefix_table(spark, store_dir, n_buckets)
+
+
+def simjoin_store_stats(spark, store_dir: str,
+                        drift_threshold: float = 8.0) -> DataFrame:
+    """One-row health report for a persisted simjoin store, and the
+    AUTO-DRIFT TRIGGER for :func:`simjoin_refreeze`: round 13 measured
+    a 27x candidate-selectivity win from refreezing a drifted store,
+    but knowing WHEN to run it required watching the append plans by
+    hand. Every append now records its selectivity (candidates per
+    delta doc, from counts the append materializes anyway); this
+    report compares the recent appends (last 5) against the BUILD-TIME
+    baseline (the store's healthy selectivity under the frozen order)
+    and recommends a refreeze when the ratio exceeds
+    ``drift_threshold`` (default 8x -- past the unseen-vocabulary
+    decay every real append mix shows (~5x on the sf0.001 fixture),
+    well before the 27x-class flood).  Selectivity is measured as
+    candidate DENSITY -- candidates per POSSIBLE new pair (build:
+    C(n,2); append: |delta| x |store| + C(|delta|,2)) -- because raw
+    candidates-per-doc grows with the store even under a healthy
+    order and would false-trigger.  A refreeze resets the records
+    (they measured the old order), so the trigger re-arms against the
+    new epoch's appends.
+
+    Columns: order_epoch, append_epoch, n_appends_recorded,
+    build_cand_density, recent_cand_density, drift_ratio (null until
+    both sides are measurable), refreeze_recommended."""
+    from .. import fsio
+
+    meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    bs = meta.get("build_stats") or {}
+    n0 = int(bs.get("n_docs") or 0)
+    base = (float(bs["n_candidates"]) / (n0 * (n0 - 1) / 2)
+            if n0 >= 2 else None)
+    recent = (meta.get("append_stats") or [])[-5:]
+    possible = sum(
+        a["n_delta_docs"] * a.get("n_store_docs", 0)
+        + a["n_delta_docs"] * (a["n_delta_docs"] - 1) / 2
+        for a in recent)
+    rec = (sum(a["n_candidates"] for a in recent) / possible
+           if possible else None)
+    ratio = (round(rec / base, 6)
+             if rec is not None and base else None)
+    row = (int(meta.get("order_epoch", 0)),
+           int(meta.get("append_epoch", 0)),
+           len(meta.get("append_stats") or []),
+           round(base, 9) if base is not None else None,
+           round(rec, 9) if rec is not None else None,
+           ratio,
+           bool(ratio is not None and ratio > drift_threshold))
+    return spark.createDataFrame(
+        [row],
+        "order_epoch int, append_epoch int, n_appends_recorded int, "
+        "build_cand_density double, recent_cand_density double, "
+        "drift_ratio double, refreeze_recommended boolean")
 
 
 def set_similarity_join_rs(left: DataFrame, right: DataFrame,

@@ -468,14 +468,41 @@ def index_compact(spark: SparkSession, store_dir: str,
     meta_p = fsio.join(store_dir, "meta.json")
     meta = fsio.read_json(spark, meta_p) if fsio.exists(spark, meta_p) \
         else {}
-    if "threshold" in meta:  # simjoin store
-        from .dedup import _simjoin_prefix_table_name
+    if "threshold" in meta or "postings_cols" in meta:
+        # append-in-place stores: a crashed append's partial files
+        # must not get compacted into the live parts
+        from .. import store_commit
 
-        for part in ("pairs", "docs", "dfreq"):
+        store_commit.repair(spark, store_dir,
+                            meta.get("append_epoch", 0))
+    if "threshold" in meta:  # simjoin store
+        from .dedup import (
+            _part_order_epoch,
+            _simjoin_docs_table_name,
+            _simjoin_prefix_table_name,
+        )
+
+        # the refreeze epoch stamps live INSIDE prefix/ and dfreq/
+        # (underscore-hidden); the dir rewrites below would drop them
+        epochs = {part: _part_order_epoch(
+            spark, fsio.join(store_dir, part))
+            for part in ("prefix", "dfreq")}
+        plain = ["pairs", "dfreq"]
+        db = int(meta.get("docs_buckets", 0))
+        if not db:
+            plain.append("docs")  # pre-round-14 plain /docs layout
+        for part in plain:
             p = fsio.join(store_dir, part)
             before = files(p)
             _compact_plain_dir(spark, p, target_file_bytes)
             report[part] = (before, files(p))
+        if db:
+            p = fsio.join(store_dir, "docs")
+            before = files(p)
+            _compact_bucketed_dir(
+                spark, p, _simjoin_docs_table_name(store_dir),
+                meta["docs_cols"], ["id"], ["id"], db)
+            report["docs"] = (before, files(p))
         # bucketed prefix: rewrite through the bucket writer, swap,
         # re-register the catalog entry at the same location
         nb = int(meta.get("n_buckets", 0))
@@ -486,6 +513,13 @@ def index_compact(spark: SparkSession, store_dir: str,
                 spark, p, _simjoin_prefix_table_name(store_dir),
                 meta["prefix_cols"], ["tok"], ["tok"], nb)
             report["prefix"] = (before, files(p))
+        for part, ep in epochs.items():
+            if ep:
+                fsio.write_json(
+                    spark,
+                    fsio.join(fsio.join(store_dir, part),
+                              "_order_epoch.json"),
+                    {"order_epoch": ep})
         return report
 
     if "postings_cols" in meta:  # BM25 inverted-index store

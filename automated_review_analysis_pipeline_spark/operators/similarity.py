@@ -1604,8 +1604,39 @@ def build_components_store(edges: DataFrame, store_dir: str,
     labels.write.mode("overwrite").parquet(
         fsio.join(store_dir, "labels/v0"))
     fsio.write_json(spark, fsio.join(store_dir, "meta.json"),
-                    {"version": 0})
+                    {"version": 0, "base": 0})
     return spark.read.parquet(fsio.join(store_dir, "labels/v0"))
+
+
+def components_read(spark, store_dir: str) -> DataFrame:
+    """Current (node, component) label map of a persisted components
+    store -- the ONE read path for the delta layout (round 14):
+    ``labels/v{base}`` is a full snapshot and every later version
+    holds ONLY the labels its append touched, so the current map is
+    the newest-wins fold over versions ``base..version`` (one window
+    pass; the chain length is bounded by appends-since-compact, and
+    :func:`components_compact` resets it to 1). Stores written before
+    round 14 have no ``base`` key: every version there is full, so
+    the fold degenerates to reading the newest -- same code path,
+    zero migration."""
+    from functools import reduce
+
+    from .. import fsio
+
+    meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    cur_v = int(meta["version"])
+    base = int(meta.get("base", cur_v))
+    if base == cur_v:
+        return spark.read.parquet(
+            fsio.join(store_dir, f"labels/v{cur_v}"))
+    parts = [spark.read.parquet(fsio.join(store_dir, f"labels/v{v}"))
+             .withColumn("__v", F.lit(v))
+             for v in range(base, cur_v + 1)]
+    w = Window.partitionBy("node").orderBy(F.desc("__v"))
+    return (reduce(lambda a, b: a.unionByName(b), parts)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("node", "component"))
 
 
 def components_append(spark, store_dir: str, new_edges: DataFrame,
@@ -1632,17 +1663,20 @@ def components_append(spark, store_dir: str, new_edges: DataFrame,
 
     Per-append cost: the star rounds are O(|delta| log) -- the
     expensive part that used to be O(all edges ever) -- plus one
-    broadcast-join relabel pass over the stored label table (linear
-    scan + write of the next version, no shuffle: the merge map is
-    <= 2 x |new edges| rows and broadcasts). ``batch_id`` gives the
+    broadcast-join pass over the stored label table to find the
+    TOUCHED labels. Each version then persists ONLY those (changed +
+    new) rows -- round 13 rewrote the FULL label map every append,
+    an O(|nodes|) write per delta that dominates at billions of
+    nodes; now bytes-written tracks |delta| (pytest + PERF.md) and
+    :func:`components_read` folds the chain newest-wins (compact with
+    :func:`components_compact` to re-base). ``batch_id`` gives the
     same at-least-once replay idempotence as profile_append (the
     version flip is atomic, so the guard makes folding exactly-once).
     Returns the full updated label map."""
     from .. import fsio
 
     meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
-    cur = spark.read.parquet(
-        fsio.join(store_dir, f"labels/v{meta['version']}"))
+    cur = components_read(spark, store_dir)
     if batch_id is not None and batch_id <= meta.get("last_batch_id", -1):
         return cur
 
@@ -1667,15 +1701,15 @@ def components_append(spark, store_dir: str, new_edges: DataFrame,
         contracted, max_iterations=max_iterations)
     merge_map = merge_map.localCheckpoint(eager=True)
 
-    # relabel touched components (broadcast: merge map tracks |delta|)
-    updated = (cur.join(
+    # labels the merge actually CHANGES (broadcast: merge map tracks
+    # |delta|); unchanged components write nothing this version
+    changed = (cur.join(
         broadcast(merge_map.select(
             F.col("node").alias("component"),
             F.col("component").alias("__new"))),
-        "component", "left")
-        .select("node",
-                F.coalesce("__new", F.col("component"))
-                .alias("component")))
+        "component")
+        .where(F.col("__new") != F.col("component"))
+        .select("node", F.col("__new").alias("component")))
     # endpoints the store has never seen get their merged (or own) label
     new_nodes = (e.select(F.col("a").alias("node"))
                  .unionByName(e.select(F.col("b").alias("node")))
@@ -1685,30 +1719,70 @@ def components_append(spark, store_dir: str, new_edges: DataFrame,
              .select("node",
                      F.coalesce("component", F.col("node"))
                      .alias("component")))
-    all_labels = updated.unionByName(added)
+    delta_labels = changed.unionByName(added) \
+        .localCheckpoint(eager=True)
+    if delta_labels.isEmpty():
+        # a no-op delta (edges all inside existing components) still
+        # commits a version for replay bookkeeping; a 0-partition
+        # empty write would leave no schema-bearing file for the fold
+        delta_labels = spark.createDataFrame(
+            [], delta_labels.schema).repartition(1)
 
-    nxt = meta["version"] + 1
-    all_labels.write.mode("overwrite").parquet(
+    nxt = int(meta["version"]) + 1
+    delta_labels.write.mode("overwrite").parquet(
         fsio.join(store_dir, f"labels/v{nxt}"))
     new_meta = dict(meta)
     new_meta["version"] = nxt
+    # legacy (pre-round-14) stores wrote FULL versions and carry no
+    # base: their newest pre-append version is the snapshot the delta
+    # chain now grows from
+    new_meta["base"] = int(meta.get("base", meta["version"]))
     if batch_id is not None:
         new_meta["last_batch_id"] = batch_id
+    fsio.write_json(spark, fsio.join(store_dir, "meta.json"), new_meta)
+    return components_read(spark, store_dir)
+
+
+def components_compact(spark, store_dir: str) -> DataFrame:
+    """Re-base a components store: fold the delta chain into ONE full
+    snapshot version and point ``base`` at it -- the OPTIMIZE step of
+    the delta layout. Appends write |delta|-sized versions, so after
+    many appends the read-side fold unions a long chain; compaction
+    resets it to a single read. Crash-safe the same way appends are:
+    the full snapshot lands under the NEXT version dir and the meta
+    flip (version + base together) is last and atomic -- an
+    interrupted compact leaves the old chain serving. Run
+    :func:`components_vacuum` afterwards to drop the pre-base dirs.
+    Returns the compacted label map."""
+    from .. import fsio
+
+    meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    cur = components_read(spark, store_dir)
+    nxt = int(meta["version"]) + 1
+    cur.write.mode("overwrite").parquet(
+        fsio.join(store_dir, f"labels/v{nxt}"))
+    new_meta = dict(meta)
+    new_meta["version"] = nxt
+    new_meta["base"] = nxt
     fsio.write_json(spark, fsio.join(store_dir, "meta.json"), new_meta)
     return spark.read.parquet(fsio.join(store_dir, f"labels/v{nxt}"))
 
 
-def components_vacuum(spark, store_dir: str, keep: int = 2) -> list[int]:
-    """Drop all but the newest ``keep`` committed label-map versions of
-    a components store (each append writes one; a daily append loop
-    otherwise accumulates a dir per day). Never touches the current
-    version; returns the versions removed."""
+def components_vacuum(spark, store_dir: str, keep: int = 1) -> list[int]:
+    """Drop label-map versions BELOW the store's base snapshot --
+    everything the newest-wins fold can no longer reach (pre-compact
+    deltas, superseded snapshots). Versions >= base are live state in
+    the delta layout and are never touched; ``keep`` additionally
+    retains that many versions counting down from base (keep=2 keeps
+    one pre-base version for manual rollback). Returns the versions
+    removed."""
     from .. import fsio
     from .quality import vacuum_versions
 
     meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    base = int(meta.get("base", meta["version"]))
     return vacuum_versions(spark, fsio.join(store_dir, "labels"),
-                           int(meta["version"]), keep)
+                           base, keep)
 
 
 def near_dup_components(embeddings: DataFrame, threshold: float = 0.35,

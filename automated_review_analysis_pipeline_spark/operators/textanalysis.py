@@ -2084,18 +2084,29 @@ def bm25_index_append(spark, store_dir: str, new_docs: DataFrame,
     accumulated index is rescanned or rewritten (df/idf are derived at
     query time from the pruned postings, so there is no |vocab|-sized
     merge state to maintain). ``batch_id`` gives at-least-once replay
-    idempotence (meta records the last applied id). Returns the
-    updated counters."""
+    idempotence (meta records the last applied id), and the staged-
+    append commit protocol (:mod:`..store_commit`) closes the crash
+    window INSIDE the two data appends: a ``pending.json`` intent with
+    per-part file snapshots precedes the writes, the meta flip (which
+    carries ``append_epoch``) is the atomic commit point, and the next
+    append rolls back any files a crashed one left -- without it a
+    replay after a mid-append crash would re-append postings rows,
+    double-counting both tf and df (kill-mid-append pytest). Returns
+    the updated counters."""
     from .partitioning import write_bucketed_path
 
-    from .. import fsio
+    from .. import fsio, store_commit
 
     meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    store_commit.repair(spark, store_dir, meta.get("append_epoch", 0))
     if batch_id is not None and batch_id <= meta.get("last_batch_id", -1):
         return meta
     words = _bm25_words(new_docs, id_col, text_col)
     postings = words.groupBy(id_col, "word").agg(
         F.count(F.lit(1)).alias("tf"))
+    epoch = int(meta.get("append_epoch", 0)) + 1
+    store_commit.begin_append(spark, store_dir,
+                              ["postings", "doclen"], epoch)
     write_bucketed_path(postings, store_dir + "/postings",
                         _bm25_postings_table_name(store_dir),
                         meta["postings_cols"], ["word"], ["word"],
@@ -2107,9 +2118,12 @@ def bm25_index_append(spark, store_dir: str, new_docs: DataFrame,
                    F.sum("dl").alias("t")).first()
     meta["n_docs"] = int(meta["n_docs"]) + int(stats["n"] or 0)
     meta["total_len"] = int(meta["total_len"]) + int(stats["t"] or 0)
+    meta["append_epoch"] = epoch
     if batch_id is not None:
         meta["last_batch_id"] = batch_id
+    # COMMIT POINT (atomic overwrite-rename); intent cleanup after
     fsio.write_json(spark, fsio.join(store_dir, "meta.json"), meta)
+    store_commit.commit_append(spark, store_dir)
     return meta
 
 
@@ -2162,7 +2176,8 @@ def bm25_index_search(spark, store_dir: str, query_terms: tuple[str, ...],
 def bm25_index_topk(spark, store_dir: str, queries: DataFrame,
                     k: int = 5, k1: float = 1.2, b: float = 0.75,
                     q_id: str = "query_id", q_text: str = "query_text",
-                    max_pruning_terms: int = 1024) -> DataFrame:
+                    max_pruning_terms: int = 1024,
+                    id_col: str = "doc_id") -> DataFrame:
     """BM25 top-k for a QUERY TABLE against a persisted inverted index
     -- the batch (eval-harness) form of :func:`bm25_index_search`,
     equal to :func:`bm25_topk` over the accumulated corpus EXACTLY
@@ -2177,7 +2192,10 @@ def bm25_index_topk(spark, store_dir: str, queries: DataFrame,
     postings. Larger query sets fall back to a broadcast term join
     (full postings scan, still no shuffle of the postings side).
     Either way the corpus is never re-tokenized; df/avgdl derive from
-    the pruned postings + the exact meta counters."""
+    the pruned postings + the exact meta counters. ``id_col`` names
+    the document-id column the store was built with (the build/append/
+    search trio already took it; this path hardcoded 'doc_id' until
+    round 14)."""
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
 
@@ -2202,12 +2220,12 @@ def bm25_index_topk(spark, store_dir: str, queries: DataFrame,
     else:
         matched = post.join(
             broadcast(qterms.select("word").distinct()), "word")
-    tf = matched.select("doc_id", "word",
+    tf = matched.select(id_col, "word",
                         F.col("tf").cast("double").alias("tf"))
     df_ = tf.groupBy("word").agg(
         F.count(F.lit(1)).cast("double").alias("df"))
     dl = spark.read.parquet(store_dir + "/doclen").select(
-        "doc_id", F.col("dl").cast("double").alias("dl"))
+        id_col, F.col("dl").cast("double").alias("dl"))
     n_docs = float(meta["n_docs"])
     avgdl_expr = (F.lit(float(meta["total_len"])) / F.lit(n_docs))
     idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5)
@@ -2216,17 +2234,17 @@ def bm25_index_topk(spark, store_dir: str, queries: DataFrame,
     term_score = F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 9)
     scored = (qterms
               .join(tf, "word")
-              .join(dl, "doc_id")
+              .join(dl, id_col)
               .join(broadcast(df_), "word")
-              .groupBy("query_id", "doc_id")
+              .groupBy("query_id", id_col)
               .agg(F.round(
                   F.sum(term_score.cast("decimal(28,9)"))
                   .cast("double"), 6).alias("bm25")))
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("bm25"), F.asc("doc_id"))
+        F.desc("bm25"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
-            .select("query_id", "doc_id", "bm25", "rank")
+            .select("query_id", id_col, "bm25", "rank")
             .orderBy("query_id", "rank"))
 
 

@@ -425,9 +425,7 @@ def q_near_dup_components_incremental(spark: SparkSession,
                               a_col="id_a", b_col="id_b")
 
     _fixture_once(store, _build)
-    from automated_review_analysis_pipeline_spark import fsio
-    meta = fsio.read_json(spark, store + "/meta.json")
-    labels = spark.read.parquet(store + f"/labels/v{meta['version']}")
+    labels = sim.components_read(spark, store)
     out = e.select(F.col("vec_id").alias("node")).join(labels, "node",
                                                        "left")
     return (out.select(F.col("node").alias("vec_id"),
@@ -472,10 +470,7 @@ def q_simjoin_components_incremental(spark: SparkSession,
                               a_col="a_id", b_col="b_id")
 
     _fixture_once(comp_store, _build)
-    from automated_review_analysis_pipeline_spark import fsio
-    meta = fsio.read_json(spark, comp_store + "/meta.json")
-    labels = spark.read.parquet(
-        comp_store + f"/labels/v{meta['version']}")
+    labels = sim.components_read(spark, comp_store)
     return (labels.select(F.col("node").alias("doc_id"), "component")
             .orderBy("doc_id"))
 

@@ -101,10 +101,43 @@ def test_components_append_star_runs_on_delta_not_history(spark, tmp_path):
     assert {r["component"] for r in got.collect()} == {0}
 
 
-def test_components_vacuum_keeps_current_versions(spark, tmp_path):
+def test_components_delta_versions_track_delta_not_nodes(
+        spark, tmp_path):
+    """The round-14 scale claim: an append writes ONLY the labels it
+    touched -- bytes-per-append tracks |delta|, not |nodes| (round 13
+    rewrote the full map every version)."""
+    from automated_review_analysis_pipeline_spark.operators.similarity import (
+        components_read,
+    )
+
+    store = str(tmp_path / "comp")
+    chain = [(i + 1, i) for i in range(500)]
+    build_components_store(
+        spark.createDataFrame(chain, "a long, b long"), store)
+    # one edge joining a NEW node to the existing component: the delta
+    # version holds exactly that one new label (the 501 chain labels
+    # are all 0 already and must not be rewritten)
+    got = components_append(
+        spark, store,
+        spark.createDataFrame([(900, 100)], "a long, b long"))
+    assert spark.read.parquet(store + "/labels/v1").count() == 1
+    assert got.count() == 502
+    # an intra-component edge commits an (empty) version for replay
+    # bookkeeping and changes nothing
+    got = components_append(
+        spark, store,
+        spark.createDataFrame([(200, 100)], "a long, b long"))
+    assert spark.read.parquet(store + "/labels/v2").count() == 0
+    assert _labels(got) == _labels(components_read(spark, store))
+    assert got.count() == 502
+
+
+def test_components_compact_and_vacuum(spark, tmp_path):
     import os
 
     from automated_review_analysis_pipeline_spark.operators.similarity import (
+        components_compact,
+        components_read,
         components_vacuum,
     )
 
@@ -115,11 +148,24 @@ def test_components_vacuum_keeps_current_versions(spark, tmp_path):
         components_append(
             spark, store,
             spark.createDataFrame([(i, i - 1)], "a long, b long"))
-    before = _labels(spark.read.parquet(store + "/labels/v3"))
-    assert components_vacuum(spark, store, keep=2) == [0, 1]
-    assert sorted(os.listdir(os.path.join(store, "labels"))) == ["v2", "v3"]
-    assert _labels(spark.read.parquet(store + "/labels/v3")) == before
-    assert components_vacuum(spark, store, keep=2) == []
+    before = _labels(components_read(spark, store))
+    # the delta chain (v1..v3) is live state: vacuum removes nothing
+    assert components_vacuum(spark, store) == []
+    assert _labels(components_read(spark, store)) == before
+    # compact folds the chain into one full snapshot (v4, base=4)...
+    got = components_compact(spark, store)
+    assert _labels(got) == before
+    meta = fsio.read_json(spark, store + "/meta.json")
+    assert meta["version"] == 4 and meta["base"] == 4
+    # ...after which the pre-base versions are droppable garbage
+    assert components_vacuum(spark, store) == [0, 1, 2, 3]
+    assert sorted(os.listdir(os.path.join(store, "labels"))) == ["v4"]
+    assert _labels(components_read(spark, store)) == before
+    # appends keep working against the re-based store
+    got = components_append(
+        spark, store, spark.createDataFrame([(9, 4)], "a long, b long"))
+    assert _labels(got) == before + [(9, 1)]
+    assert components_vacuum(spark, store) == []
 
 
 def test_components_merge_law_hypothesis(spark):

@@ -177,6 +177,17 @@ def list_files(spark: SparkSession, path: str) -> list[str]:
     return sorted(out)
 
 
+def list_dirs(spark: SparkSession, path: str) -> list[str]:
+    """Immediate child DIRECTORY names under *path* (sorted) -- how
+    index_stats discovers a store's parts without hardcoding each
+    family's layout."""
+    fs, jpath, _ = _new_fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return sorted(st.getPath().getName()
+                  for st in fs.listStatus(jpath) if st.isDirectory())
+
+
 def _rename_overwrite(spark: SparkSession, fs, jvm, tmp, dst) -> str:
     """Move ``tmp`` onto ``dst``, replacing it; atomic where the
     filesystem can express that (see module docstring). Returns the

@@ -558,6 +558,110 @@ def index_compact(spark: SparkSession, store_dir: str,
         f"(expected a simjoin meta.json, codes/, or corpus/)")
 
 
+def index_stats(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Unified OPERATIONAL introspection for every persisted store
+    family (simjoin, BM25 inverted index, IVF / PQ / IVF-PQ,
+    components labels, profile registers, generic versioned state) --
+    the read-side complement of index_compact / vacuum / refreeze:
+    one long-form (part, metric, value) report saying what the store
+    is, how healthy its physical layout is, and which maintenance op
+    it needs next. Metadata-only: file listings and sidecars, never a
+    data scan.
+
+    Rows emitted:
+
+    * ``store/family`` + ``store/pending_intent`` (an unresolved
+      staged-append intent means the last append crashed and the next
+      touch will roll it back);
+    * every scalar from meta.json (versions, counters, epochs, batch
+      ids -- whatever the family records);
+    * per part dir: ``n_files`` / ``bytes``, plus
+      ``max_files_per_bucket`` for bucketed parts (bucket health: the
+      compaction trigger -- each append adds <= 1 file per bucket, so
+      this counts appends since the last index_compact);
+    * versioned stores: ``versions_live`` (delta-chain length -- the
+      components_compact / vacuum trigger);
+    * simjoin: the drift report columns from
+      :func:`~.dedup.simjoin_store_stats` (the refreeze trigger).
+
+    Values are strings (the report mixes kinds); rows-only registry
+    check by design -- a filesystem report has no relational oracle.
+    """
+    import re
+
+    from .. import fsio
+
+    meta_p = fsio.join(store_dir, "meta.json")
+    meta = fsio.read_json(spark, meta_p) \
+        if fsio.exists(spark, meta_p) else {}
+    parts = fsio.list_dirs(spark, store_dir)
+    if "threshold" in meta:
+        family = "simjoin"
+    elif "postings_cols" in meta:
+        family = "bm25_index"
+    elif "encode" in meta or "codebooks" in parts:
+        family = "ivfpq"
+    elif "version" in meta:
+        family = ("components" if "labels" in parts
+                  else "profile" if "registers" in parts
+                  else "versioned")
+    elif "codes" in parts:
+        family = "pq"
+    elif "corpus" in parts:
+        family = "ivf"
+    else:
+        raise ValueError(
+            f"{store_dir} is not a recognized persisted store layout")
+
+    rows = [("store", "family", family),
+            ("store", "pending_intent",
+             str(fsio.exists(
+                 spark, fsio.join(store_dir, "pending.json"))).lower())]
+    for k in sorted(meta):
+        if isinstance(meta[k], (int, float, str, bool)):
+            rows.append(("meta", k, str(meta[k])))
+    for part in parts:
+        if part.endswith((".__new__", ".__old__", ".__compact__")):
+            rows.append((part, "leftover_tmp", "true"))
+            continue
+        p = fsio.join(store_dir, part)
+        rows.append((part, "n_files",
+                     str(fsio.count_files(spark, p))))
+        rows.append((part, "bytes", str(fsio.dir_bytes(spark, p))))
+        buckets: dict[str, int] = {}
+        for f in fsio.list_files(spark, p):
+            m = re.search(r"_(\d{5})(?:\.c\d+)?\.[a-z0-9.]*parquet$", f)
+            if m:
+                buckets[m.group(1)] = buckets.get(m.group(1), 0) + 1
+        if buckets:
+            rows.append((part, "max_files_per_bucket",
+                         str(max(buckets.values()))))
+    if family in ("components", "profile", "versioned"):
+        vdir = {"components": "labels", "profile": "registers",
+                "versioned": "stats"}[family]
+        if vdir not in parts and parts:
+            vdir = parts[0]
+        base = int(meta.get("base", -1))
+        live = 0
+        for d in fsio.list_dirs(spark, fsio.join(store_dir, vdir)):
+            try:
+                v = int(d[1:]) if d.startswith("v") else -1
+            except ValueError:
+                continue
+            if v >= base:
+                live += 1
+        rows.append(("store", "versions_live", str(live)))
+    if family == "simjoin":
+        from .dedup import simjoin_store_stats
+
+        drift = simjoin_store_stats(spark, store_dir).first()
+        for c in ("order_epoch", "drift_ratio", "refreeze_recommended"):
+            rows.append(("store", c, str(drift[c]).lower()))
+    return spark.createDataFrame(
+        rows, "part string, metric string, value string") \
+        .orderBy("part", "metric")
+
+
 def partitioned_write(df: DataFrame, path: str, partition_cols: list[str],
                       max_records_per_file: int | None = None) -> None:
     """Hive-style partitioned parquet layout: downstream reads with a

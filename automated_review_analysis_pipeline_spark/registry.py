@@ -2862,6 +2862,95 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.dedup_representatives(e, s, threshold=0.35)
 
 
+def _index_stats_of(spark: SparkSession, sf_dir: str, ensure_fixture,
+                    store_path) -> DataFrame:
+    """Shared shape of the five index_stats queries: make sure the
+    family's fixture store exists (the SAME store the corresponding
+    lifecycle query builds -- _fixture_once keys on the directory, so
+    whichever runs first pays the build), then report on it."""
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        index_stats,
+    )
+
+    ensure_fixture(spark, sf_dir)
+    return index_stats(spark, store_path(spark, sf_dir))
+
+
+def q_index_stats_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational introspection of the persisted exact-simjoin store
+    (the set_similarity_incremental fixture): part file counts/bytes,
+    bucket health (appends since compaction), append/order epochs,
+    pending-intent flag, and the refreeze drift trigger -- the
+    metadata-only report an operator reads before scheduling
+    index_compact / simjoin_refreeze. Rows-only by design: a
+    filesystem report has no relational oracle."""
+    import os
+    import tempfile
+
+    return _index_stats_of(
+        spark, sf_dir, q_set_similarity_incremental,
+        lambda s, d: os.path.join(
+            tempfile.gettempdir(),
+            f"arap_incr_simjoin_{os.path.basename(d.rstrip('/'))}"
+            f"_{os.getpid()}", "simjoin_store"))
+
+
+def q_index_stats_components(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """index_stats over the persisted components store (the
+    near_dup_components_incremental fixture): delta-chain length
+    (versions_live -- the components_compact trigger), version/base,
+    label bytes. Rows-only by design."""
+    import os
+    import tempfile
+
+    return _index_stats_of(
+        spark, sf_dir, q_near_dup_components_incremental,
+        lambda s, d: os.path.join(
+            tempfile.gettempdir(),
+            f"arap_incr_comp_{os.path.basename(d.rstrip('/'))}"
+            f"_{os.getpid()}", "comp_store"))
+
+
+def q_index_stats_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """index_stats over the persisted BM25 inverted index (the
+    bm25_index_search fixture): postings bucket health, exact corpus
+    counters, append epoch, pending-intent flag. Rows-only by
+    design."""
+    import os
+    import tempfile
+
+    return _index_stats_of(
+        spark, sf_dir, q_bm25_index_search,
+        lambda s, d: os.path.join(
+            tempfile.gettempdir(),
+            f"arap_bm25_index_{os.path.basename(d.rstrip('/'))}"
+            f"_{os.getpid()}", "bm25_store"))
+
+
+def q_index_stats_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """index_stats over the residual IVF-PQ serving index (the
+    ivfpq_residual_probe fixture): cell-partitioned code layout,
+    codebook/centroid part sizes, training-snapshot dimstats.
+    Rows-only by design."""
+    return _index_stats_of(
+        spark, sf_dir,
+        lambda s, d: _ivfpq_res_store(s, d),
+        lambda s, d: _ivfpq_res_store(s, d))
+
+
+def q_index_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """index_stats over the incremental profile store (the
+    profile_store_stats fixture): register version chain, bytes of
+    HLL state. Rows-only by design."""
+    def ensure(s, d):
+        q_profile_store_stats(s, d)
+
+    return _index_stats_of(
+        spark, sf_dir, ensure,
+        lambda s, d: _PROFILE_STORE_MEMO[d])
+
+
 QUERIES: dict[str, QueryFn] = {
     "doc_clean": q_doc_clean,
     "doc_classify": q_doc_classify,
@@ -3036,6 +3125,11 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_search": q_bm25_search,
     "bm25_index_search": q_bm25_index_search,
     "bm25_index_topk": q_bm25_index_topk,
+    "index_stats_simjoin": q_index_stats_simjoin,
+    "index_stats_components": q_index_stats_components,
+    "index_stats_bm25": q_index_stats_bm25,
+    "index_stats_ivfpq": q_index_stats_ivfpq,
+    "index_stats_profile": q_index_stats_profile,
     "hybrid_search": q_hybrid_search,
     "hashed_vectors": q_hashed_vectors,
     "rolling_users_sketch": q_rolling_users_sketch,

@@ -166,9 +166,26 @@ def list_files(spark: SparkSession, path: str) -> list[str]:
     listing is bounded by the store's file count, which compaction
     (``index_compact``) keeps at ~n_buckets per part."""
     fs, jpath, _ = _new_fs(spark, path)
+    q = fs.makeQualified(jpath)
+    if q.toUri().getScheme() == "file":
+        # local fast path: the py4j RemoteIterator costs a JVM
+        # round-trip PER FILE (~1 ms each -- 0.7 s on a few-hundred-
+        # file store, per append); os.walk reads the same dirents in
+        # microseconds. Remote filesystems take the Hadoop API below.
+        import os
+
+        base = q.toUri().getPath()
+        if not os.path.exists(base):
+            return []
+        out = []
+        for root, _dirs, files in os.walk(base):
+            rel = os.path.relpath(root, base)
+            for f in files:
+                out.append(f if rel == "." else f"{rel}/{f}")
+        return sorted(out)
     if not fs.exists(jpath):
         return []
-    base = str(fs.makeQualified(jpath).toUri().getPath()).rstrip("/")
+    base = str(q.toUri().getPath()).rstrip("/")
     out = []
     it = fs.listFiles(jpath, True)
     while it.hasNext():

@@ -1052,10 +1052,8 @@ def _register_docs_table(spark, store_dir: str,
 
 def _write_docs_bucketed(arrs: DataFrame, store_dir: str,
                          n_buckets: int, mode: str) -> None:
-    """Bucketed (by id) write of the shingle-array part."""
-    spark = arrs.sparkSession
-    if mode == "append":
-        _register_docs_table(spark, store_dir, n_buckets)
+    """Bucketed (by id) write of the shingle-array part; appends
+    re-register the catalog entry inside write_bucketed_path."""
     from .partitioning import write_bucketed_path
 
     cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
@@ -1071,9 +1069,6 @@ def _write_prefix_bucketed(prefix: DataFrame, store_dir: str,
     discipline (pre-shuffle onto the bucket hash -> at most n_buckets
     files per write); on append the catalog entry is re-registered
     first so a fresh session can append to a persisted store."""
-    spark = prefix.sparkSession
-    if mode == "append":
-        _register_prefix_table(spark, store_dir, n_buckets)
     from .partitioning import write_bucketed_path
 
     cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
@@ -1331,51 +1326,65 @@ def _simjoin_verify(cand: DataFrame, arrs: DataFrame,
 
 def _simjoin_verify_store(cand: DataFrame, docs_tbl: DataFrame,
                           new_arrs: DataFrame, threshold: float,
-                          max_pruning_ids: int = 10_000) -> DataFrame:
-    """Verify append candidates WITHOUT an O(store) scan of the
-    accumulated ``/docs`` per delta -- round 13 removed that growth
-    term from the candidate stage (bucketed prefix); this removes it
-    from the verify stage, the last per-append full-store touch.
+                          max_in_ids: int = 1024,
+                          max_semi_ids: int = 4_000_000) -> DataFrame:
+    """Verify append candidates WITHOUT an O(store) scan-and-shuffle
+    of the accumulated ``/docs`` per delta -- round 13 removed that
+    growth term from the candidate stage (bucketed prefix); this
+    removes it from the verify stage, the last per-append full-store
+    touch.
 
     Every candidate pair references >= 1 NEW doc (candidates are
     (new x store) U (new x new)), and the delta's arrays are already
     in hand (``new_arrs``, checkpointed). Only the OLD ids that
-    actually appear in candidates need fetching from the store:
+    actually appear in candidates -- bounded by |store docs matched|,
+    typically a small multiple of |delta| -- need fetching:
 
-    * bounded lane (the norm): those ids collect to the driver --
-      bounded by the candidate count, which the prefix filter keeps
-      ~|delta|-sized -- and prune the BUCKETED ``/docs`` scan with a
-      static ``id IN (...)``: bucket pruning (SelectedBucketsCount)
-      plus parquet row-group min/max restrict the read to the
-      matching buckets' files, the :func:`bm25_index_topk`
-      discipline. The store is neither scanned nor shuffled.
-    * flood lane (> ``max_pruning_ids`` old ids -- a drifted store
-      overdue for :func:`simjoin_refreeze`): verify joins run AGAINST
-      the bucketed table directly, so the store side still reads
-      pre-hash-partitioned with no Exchange (plan-gated) -- the
-      full-store reshuffle that used to appear exactly when the store
-      could least afford it (4.09M candidates at the refreeze
-      fixture) is gone; only the candidate side shuffles. Delta-side
-      arrays resolve through a second (small-side) join, coalesced.
+    * IN lane (<= ``max_in_ids`` old ids): the ids collect and prune
+      the BUCKETED ``/docs`` scan with a static ``id IN (...)`` --
+      bucket pruning (SelectedBucketsCount) + parquet row-group
+      min/max restrict the read to the matching buckets' files, the
+      :func:`bm25_index_topk` discipline. The store is neither
+      scanned nor shuffled. The bound is deliberately small: a
+      thousands-of-literals IN costs more to ship and analyze than
+      it saves (measured: a 5k-literal IN dominated the append).
+    * SEMI lane (<= ``max_semi_ids``): the old-id table BROADCASTS
+      and semi-joins the store -- one pass over ``/docs`` per append
+      but ZERO store-side shuffle (BroadcastHashJoin on the scan),
+      and the verify joins then run over the |candidate-ids|-sized
+      result, which AQE broadcasts against the candidates.
+    * flood lane (beyond that -- a drifted store overdue for
+      :func:`simjoin_refreeze`): verify joins run AGAINST the
+      bucketed table directly, store side pre-hash-partitioned, no
+      Exchange (plan-gated) -- the full-store reshuffle that used to
+      appear exactly when the store could least afford it (4.09M
+      candidates at the refreeze fixture) is gone; only the
+      candidate side shuffles. Delta-side arrays resolve through a
+      second (small-side) join, coalesced.
 
     ``cand`` must be materialized (checkpointed) by the caller: the
-    bounded-lane collect and verify must see the SAME candidate set.
+    lane selection and verify must see the SAME candidate set.
     """
     from pyspark.sql.functions import broadcast
 
     cand_ids = (cand.select(F.col("a_id").alias("id"))
                 .unionByName(cand.select(F.col("b_id").alias("id")))
                 .distinct())
-    old_ids = cand_ids.join(new_arrs.select("id"), "id", "left_anti")
-    sample = [r["id"] for r in
-              old_ids.limit(max_pruning_ids + 1).collect()]
-    if len(sample) <= max_pruning_ids:
-        if sample:
+    old_ids = (cand_ids.join(new_arrs.select("id"), "id", "left_anti")
+               .localCheckpoint(eager=True))
+    n_old = old_ids.count()
+    if n_old <= max_in_ids:
+        if n_old:
+            sample = [r["id"] for r in old_ids.collect()]
             store_arrs = docs_tbl.where(F.col("id").isin(sample))
             all_arrs = store_arrs.unionByName(new_arrs)
         else:
             all_arrs = new_arrs
         return _simjoin_verify(cand, all_arrs, threshold)
+    if n_old <= max_semi_ids:
+        store_arrs = docs_tbl.join(broadcast(old_ids), "id")
+        return _simjoin_verify(
+            cand, store_arrs.unionByName(new_arrs), threshold)
     # flood lane: bucketed store side, exchange-free
     a_s = docs_tbl.select(F.col("id").alias("a_id"),
                           F.col("toks").alias("a_toks_s"),

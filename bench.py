@@ -276,34 +276,45 @@ def main() -> None:
     # when the two samples disagree by >30% a third sample is taken so
     # the recorded min stops flagging phantom regressions round-to-round.
     # The summary line reports how many queries needed the extra sample.
+    # BENCH_REPEAT > 1 is the HOUSE-BENCH mode (PERF.md methodology):
+    # N full passes over the suite with per-query min-merge -- the
+    # min-of-N estimator that separates engine cost from this shared
+    # VM's +/-35% ambient drift. The driver's per-round run keeps the
+    # default (1 pass, min-of-2-samples per query).
+    repeat = max(1, int(os.environ.get("BENCH_REPEAT", "1")))
     timings: dict[str, float] = {}
     n_extra_samples = 0
-    for name in names:
-        samples: list[float] = []
-        failed = False
-        for _ in range(2):
-            t0 = time.perf_counter()
-            try:
-                QUERIES[name](spark, sf_dir).count()
-                samples.append(round(time.perf_counter() - t0, 3))
-            except Exception as e:  # pragma: no cover
-                print(f"bench {name} failed: {e}", file=sys.stderr)
-                failed = True
-                break
-        if not failed and len(samples) == 2 \
-                and max(samples) > 1.3 * max(min(samples), 1e-9):
-            n_extra_samples += 1
-            t0 = time.perf_counter()
-            try:
-                QUERIES[name](spark, sf_dir).count()
-                samples.append(round(time.perf_counter() - t0, 3))
-            except Exception as e:  # pragma: no cover
-                print(f"bench {name} failed: {e}", file=sys.stderr)
-        timings[name] = min(samples) if samples and not failed else -1.0
-        # drop plan-embedded caches between queries: keeps the session's
-        # cache footprint flat and stops cross-query InMemoryRelation
-        # substitution from flattering later timings
-        release_plan_caches()
+    for _pass in range(repeat):
+        for name in names:
+            samples: list[float] = []
+            failed = False
+            for _ in range(2):
+                t0 = time.perf_counter()
+                try:
+                    QUERIES[name](spark, sf_dir).count()
+                    samples.append(round(time.perf_counter() - t0, 3))
+                except Exception as e:  # pragma: no cover
+                    print(f"bench {name} failed: {e}", file=sys.stderr)
+                    failed = True
+                    break
+            if not failed and len(samples) == 2 \
+                    and max(samples) > 1.3 * max(min(samples), 1e-9):
+                n_extra_samples += 1
+                t0 = time.perf_counter()
+                try:
+                    QUERIES[name](spark, sf_dir).count()
+                    samples.append(round(time.perf_counter() - t0, 3))
+                except Exception as e:  # pragma: no cover
+                    print(f"bench {name} failed: {e}", file=sys.stderr)
+            this = min(samples) if samples and not failed else -1.0
+            prev = timings.get(name)
+            if prev is None or prev < 0 or (0 <= this < prev):
+                timings[name] = this
+            # drop plan-embedded caches between queries: keeps the
+            # session's cache footprint flat and stops cross-query
+            # InMemoryRelation substitution from flattering later
+            # timings
+            release_plan_caches()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Two JSON lines, most-compact encoding: the full per-query line first,

@@ -76,20 +76,29 @@ def test_verify_stage_never_scans_full_docs(spark, sf_dir, tmp_path):
         m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", p)
         assert m and int(m.group(1)) < int(m.group(2)), p
 
+        # SEMI lane (forced): the old-id table broadcasts onto the
+        # store scan -- one pass over /docs, ZERO store-side shuffle
+        semi = dedup._simjoin_verify_store(cand, docs_tbl, new_arrs,
+                                           0.5, max_in_ids=0)
+        p = semi._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p, p
+
         # flood lane (forced): verify joins run against the BUCKETED
         # docs table -- store side reads pre-partitioned, the only
         # hash exchanges are the candidate side's (a_id, then b_id)
         flood = dedup._simjoin_verify_store(cand, docs_tbl, new_arrs,
-                                            0.5, max_pruning_ids=0)
+                                            0.5, max_in_ids=0,
+                                            max_semi_ids=0)
         p = flood._jdf.queryExecution().executedPlan().toString()
         assert p.count("Bucketed: true") == 2, p
         assert p.count("Exchange hashpartitioning") == 2, p
 
-        # both lanes compute the same exact pairs as the plain verify
+        # all three lanes compute the same exact pairs as plain verify
         all_arrs = spark.read.parquet(store + "/docs") \
             .unionByName(new_arrs)
         want = _rows(dedup._simjoin_verify(cand, all_arrs, 0.5))
         assert _rows(pruned) == want
+        assert _rows(semi) == want
         assert _rows(flood) == want and want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold",

@@ -448,9 +448,15 @@ def index_compact(spark: SparkSession, store_dir: str,
       ceil(bytes/target) files, no shuffle;
     * cell-partitioned parts (IVF corpus, IVF-PQ codes) -- one file
       per cell, keeping the cell as the partition-pruning unit;
-    * the simjoin's BUCKETED prefix -- rewritten through the same
-      bucketBy writer (one file per bucket), preserving the bucket
-      spec that keeps append candidate joins exchange-free.
+    * the simjoin's BUCKETED prefix (and, round 14, its bucketed
+      /docs) -- rewritten through the same bucketBy writer (one file
+      per bucket), preserving the bucket spec that keeps append
+      candidate AND verify joins exchange-free;
+    * components stores (round 14) -- fold the delta-label chain into
+      one full snapshot (components_compact) and vacuum the dropped
+      pre-base versions;
+    * profile stores (round 14) -- versions are full snapshots, so
+      OPTIMIZE is vacuuming superseded ones (current + 1 kept).
 
     Single-writer maintenance op (like every store append here): run
     it when no reader or appender is active. A crash mid-swap leaves
@@ -538,6 +544,32 @@ def index_compact(spark: SparkSession, store_dir: str,
         report["doclen"] = (before, files(d))
         return report
 
+    if "version" in meta and fsio.exists(
+            spark, fsio.join(store_dir, "labels")):
+        # components store: OPTIMIZE = fold the delta chain into one
+        # full snapshot (re-base); the dropped pre-base versions then
+        # fall to components_vacuum
+        from .similarity import components_compact
+
+        labels_p = fsio.join(store_dir, "labels")
+        before = files(labels_p)
+        components_compact(spark, store_dir)
+        from .similarity import components_vacuum
+
+        components_vacuum(spark, store_dir)
+        report["labels"] = (before, files(labels_p))
+        return report
+    if "version" in meta and fsio.exists(
+            spark, fsio.join(store_dir, "registers")):
+        # profile store: versions are full snapshots already; OPTIMIZE
+        # = drop superseded versions (keep current + 1 rollback)
+        from .quality import profile_vacuum
+
+        reg_p = fsio.join(store_dir, "registers")
+        before = files(reg_p)
+        profile_vacuum(spark, store_dir, keep=2)
+        report["registers"] = (before, files(reg_p))
+        return report
     codes_p = fsio.join(store_dir, "codes")
     corpus_p = fsio.join(store_dir, "corpus")
     if fsio.exists(spark, codes_p):  # PQ or IVF-PQ store

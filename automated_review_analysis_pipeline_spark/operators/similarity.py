@@ -1642,7 +1642,8 @@ def components_read(spark, store_dir: str) -> DataFrame:
 def components_append(spark, store_dir: str, new_edges: DataFrame,
                       a_col: str = "a", b_col: str = "b",
                       max_iterations: int = 50,
-                      batch_id: int | None = None) -> DataFrame:
+                      batch_id: int | None = None,
+                      auto_compact_every: int | None = 32) -> DataFrame:
     """Fold an edge DELTA into a persisted components store WITHOUT
     touching historical edges: star iterations run only over the
     CONTRACTED delta graph, whose size tracks |new edges| -- never the
@@ -1669,10 +1670,13 @@ def components_append(spark, store_dir: str, new_edges: DataFrame,
     an O(|nodes|) write per delta that dominates at billions of
     nodes; now bytes-written tracks |delta| (pytest + PERF.md) and
     :func:`components_read` folds the chain newest-wins (compact with
-    :func:`components_compact` to re-base). ``batch_id`` gives the
-    same at-least-once replay idempotence as profile_append (the
-    version flip is atomic, so the guard makes folding exactly-once).
-    Returns the full updated label map."""
+    :func:`components_compact` to re-base). ``auto_compact_every``
+    bounds the fold: once the delta chain reaches that many versions
+    the append re-bases inline (amortized O(|nodes|/K) per append;
+    None disables for externally-scheduled compaction). ``batch_id``
+    gives the same at-least-once replay idempotence as profile_append
+    (the version flip is atomic, so the guard makes folding
+    exactly-once). Returns the full updated label map."""
     from .. import fsio
 
     meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
@@ -1740,6 +1744,9 @@ def components_append(spark, store_dir: str, new_edges: DataFrame,
     if batch_id is not None:
         new_meta["last_batch_id"] = batch_id
     fsio.write_json(spark, fsio.join(store_dir, "meta.json"), new_meta)
+    if auto_compact_every is not None \
+            and nxt - new_meta["base"] >= int(auto_compact_every):
+        components_compact(spark, store_dir)
     return components_read(spark, store_dir)
 
 

@@ -206,3 +206,79 @@ def test_components_merge_law_hypothesis(spark):
         assert _labels(got) == want
 
     check()
+
+
+def test_components_auto_compact_bounds_read_chain(spark, tmp_path):
+    """auto_compact_every re-bases inline once the delta chain hits
+    the bound, so the read-side fold never grows past K versions --
+    labels stay exact throughout."""
+    import os
+
+    from automated_review_analysis_pipeline_spark.operators.similarity import (
+        components_read,
+    )
+
+    store = str(tmp_path / "comp")
+    build_components_store(
+        spark.createDataFrame([(2, 1)], "a long, b long"), store)
+    edges = [(2, 1)]
+    for i in (3, 4, 5, 6, 7):
+        edges.append((i, i - 1))
+        components_append(
+            spark, store,
+            spark.createDataFrame([(i, i - 1)], "a long, b long"),
+            auto_compact_every=3)
+    meta = fsio.read_json(spark, store + "/meta.json")
+    # chain length (version - base) stays strictly below the bound
+    assert meta["version"] - meta["base"] < 3, meta
+    assert meta["base"] > 0  # at least one inline re-base happened
+    want, _ = star_connected_components(
+        spark.createDataFrame(edges, "a long, b long"))
+    assert _labels(components_read(spark, store)) == _labels(want)
+
+
+def test_index_compact_dispatches_components_and_profile(
+        spark, tmp_path):
+    """index_compact is the one OPTIMIZE entry point: components
+    stores re-base + vacuum, profile stores vacuum superseded
+    versions -- results identical before/after."""
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        index_compact,
+    )
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        build_profile_store,
+        profile_append,
+        profile_stats,
+    )
+    from automated_review_analysis_pipeline_spark.operators.similarity import (
+        components_read,
+    )
+
+    comp = str(tmp_path / "comp")
+    build_components_store(
+        spark.createDataFrame([(2, 1)], "a long, b long"), comp)
+    for i in (3, 4, 5):
+        components_append(
+            spark, comp,
+            spark.createDataFrame([(i, i - 1)], "a long, b long"))
+    before = _labels(components_read(spark, comp))
+    report = index_compact(spark, comp)
+    assert "labels" in report
+    meta = fsio.read_json(spark, comp + "/meta.json")
+    assert meta["base"] == meta["version"]
+    assert _labels(components_read(spark, comp)) == before
+
+    prof = str(tmp_path / "prof")
+    d = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id long, text string")
+    build_profile_store(d.where(F.col("doc_id") < 10), prof)
+    for lo in (10, 15):
+        profile_append(
+            spark, prof,
+            d.where((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 5)))
+    stats_before = sorted(
+        tuple(r) for r in profile_stats(spark, prof).collect())
+    b, a = index_compact(spark, prof)["registers"]
+    assert a < b
+    assert sorted(tuple(r) for r in
+                  profile_stats(spark, prof).collect()) == stats_before

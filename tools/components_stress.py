@@ -52,22 +52,31 @@ def main() -> None:
         appended = sim.components_append(spark, store, delta)
         n_labels = appended.count()
         w_append = time.time() - t0
+        # the round-14 delta layout's write-size claim: the appended
+        # version holds only touched labels, the base holds them all
+        from automated_review_analysis_pipeline_spark import fsio
+
+        b_delta = fsio.dir_bytes(spark, store + "/labels/v1")
+        b_base = fsio.dir_bytes(spark, store + "/labels/v0")
         t0 = time.time()
         oneshot, _ = sim.star_connected_components(hist.unionByName(delta))
         n_one = oneshot.count()
         w_oneshot = time.time() - t0
         rows.append((hist_n, delta_edges, w_append, w_oneshot,
-                     n_labels, n_one))
+                     n_labels, n_one, b_delta, b_base))
         scale *= 4
     print("\n| history edges | delta edges | append wall s | "
-          "one-shot recompute s | labels |")
-    print("|---|---|---|---|---|")
-    for h, d, wa, wo, nl, no in rows:
+          "one-shot recompute s | labels | append KiB | base KiB |")
+    print("|---|---|---|---|---|---|---|")
+    for h, d, wa, wo, nl, no, bd, bb in rows:
         assert nl == no, (nl, no)
-        print(f"| {h} | {d} | {wa:.2f} | {wo:.2f} | {nl} |")
+        print(f"| {h} | {d} | {wa:.2f} | {wo:.2f} | {nl} "
+              f"| {bd // 1024} | {bb // 1024} |")
     first, last = rows[0], rows[-1]
     print(f"\nhistory grew {last[0] // first[0]}x: append wall "
-          f"{last[2] / first[2]:.2f}x, one-shot {last[3] / first[3]:.2f}x")
+          f"{last[2] / first[2]:.2f}x, one-shot {last[3] / first[3]:.2f}x, "
+          f"bytes-per-append {last[6] / max(first[6], 1):.2f}x "
+          f"(base snapshot {last[7] / max(first[7], 1):.2f}x)")
     spark.stop()
 
 

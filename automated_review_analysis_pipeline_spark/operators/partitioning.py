@@ -585,6 +585,14 @@ def index_compact(spark: SparkSession, store_dir: str,
         _compact_cell_dir(spark, corpus_p)
         report["corpus"] = (before, files(corpus_p))
         return report
+    if any("/" not in f and f.endswith(".parquet")
+           for f in fsio.list_files(spark, store_dir)):
+        # bare parquet dataset -- the MinHash signature store's layout
+        # (build_signature_table appends straight into the dir)
+        before = files(store_dir)
+        _compact_plain_dir(spark, store_dir, target_file_bytes)
+        report["data"] = (before, files(store_dir))
+        return report
     raise ValueError(
         f"{store_dir} is not a recognized persisted store layout "
         f"(expected a simjoin meta.json, codes/, or corpus/)")
@@ -641,6 +649,17 @@ def index_stats(spark: SparkSession, store_dir: str) -> DataFrame:
         family = "pq"
     elif "corpus" in parts:
         family = "ivf"
+    elif any("/" not in f and f.endswith(".parquet")
+             for f in fsio.list_files(spark, store_dir)):
+        family = "parquet"  # bare dataset (MinHash signature store)
+        rows = [("store", "family", family),
+                ("data", "n_files",
+                 str(fsio.count_files(spark, store_dir))),
+                ("data", "bytes",
+                 str(fsio.dir_bytes(spark, store_dir)))]
+        return spark.createDataFrame(
+            rows, "part string, metric string, value string") \
+            .orderBy("part", "metric")
     else:
         raise ValueError(
             f"{store_dir} is not a recognized persisted store layout")

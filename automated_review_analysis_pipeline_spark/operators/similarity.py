@@ -1601,6 +1601,10 @@ def build_components_store(edges: DataFrame, store_dir: str,
     spark = edges.sparkSession
     labels, _rounds = star_connected_components(
         edges, a_col=a_col, b_col=b_col, max_iterations=max_iterations)
+    if not labels.head(1):
+        # edge-less build (stream-start): a 0-partition empty write
+        # would leave no schema-bearing file for components_read
+        labels = spark.createDataFrame([], labels.schema).repartition(1)
     labels.write.mode("overwrite").parquet(
         fsio.join(store_dir, "labels/v0"))
     fsio.write_json(spark, fsio.join(store_dir, "meta.json"),

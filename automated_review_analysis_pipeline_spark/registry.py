@@ -851,6 +851,27 @@ def q_streaming_set_similarity(spark: SparkSession,
         spark, f"{sf_dir}/documents.parquet", work, threshold=0.5)
 
 
+def q_streaming_components(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """CONTINUOUSLY-FRESH dedup clusters: every micro-batch folds into
+    the persisted exact-simjoin store (delta-only, zero false
+    negatives) and its newly-discovered pairs fold straight into the
+    persisted components store (contracted-delta star rounds) -- after
+    the availableNow drain the cluster labels over the whole corpus
+    are already serving, no one-shot clustering pass anywhere. Labels
+    are minima of exact-Jaccard reachability, so this shares
+    simjoin_components_incremental's full recursive-CTE oracle."""
+    import tempfile
+
+    from automated_review_analysis_pipeline_spark.streaming.docs_stream import (
+        streaming_components,
+    )
+
+    work = tempfile.mkdtemp(prefix="arap_comp_stream_")
+    return streaming_components(
+        spark, f"{sf_dir}/documents.parquet", work, threshold=0.5)
+
+
 def q_streaming_profile_stats(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Streaming ANALYZE drained with availableNow: each micro-batch
@@ -3125,6 +3146,7 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_search": q_bm25_search,
     "bm25_index_search": q_bm25_index_search,
     "bm25_index_topk": q_bm25_index_topk,
+    "streaming_components": q_streaming_components,
     "index_stats_simjoin": q_index_stats_simjoin,
     "index_stats_components": q_index_stats_components,
     "index_stats_bm25": q_index_stats_bm25,
@@ -6642,6 +6664,12 @@ reach(src, dst) AS (
 SELECT src AS doc_id, min(dst) AS component
 FROM reach GROUP BY src ORDER BY doc_id
 """
+
+# the streaming lane accumulates the SAME pair set (exactly-once per
+# pair) and folds it into the same min-label components -- the batch
+# reachability oracle carries over verbatim
+ORACLE_SQL["streaming_components"] = \
+    ORACLE_SQL["simjoin_components_incremental"]
 
 ORACLE_SQL["dedup_representatives"] = ORACLE_SQL["near_dup_components"].replace(
     "SELECT src AS vec_id, min(dst) AS component\nFROM reach GROUP BY src ORDER BY vec_id",

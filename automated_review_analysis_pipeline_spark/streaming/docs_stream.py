@@ -176,6 +176,101 @@ def streaming_set_similarity(spark: SparkSession, docs_path: str,
             .orderBy("a_id", "b_id"))
 
 
+def streaming_components(spark: SparkSession, docs_path: str,
+                         work_dir: str,
+                         max_files_per_trigger: int | None = None,
+                         threshold: float = 0.5,
+                         k: int = 3) -> DataFrame:
+    """CONTINUOUSLY-FRESH dedup clusters: the full incremental dedup
+    lifecycle as one streaming lane. Every micro-batch (a) folds into
+    the persisted exact-simjoin store (delta-only candidate + verify
+    work, zero false negatives -- :func:`streaming_set_similarity`'s
+    discipline), then (b) feeds EXACTLY the pairs that append
+    discovered into the persisted components store, where star rounds
+    run over the contracted <= 2x|batch pairs| label graph -- so after
+    the drain, cluster labels over the whole corpus are already
+    sitting in the store, no one-shot clustering pass anywhere.
+
+    The per-batch pair DELTA is recovered by file-listing diff against
+    a FOLDED-FILES watermark (parquet part names are job-unique;
+    metadata-only): ``folded_pairs.json`` records which pairs files
+    the components store has absorbed, and advances only AFTER the
+    fold commits. A crash between the simjoin commit and the
+    components fold therefore re-folds that batch's files on replay --
+    and re-folding is IDEMPOTENT by contraction (edges whose endpoints
+    already share a component collapse to nothing before the star
+    rounds), so labels stay exact end to end across the two stores
+    under at-least-once replay, with no cross-store transaction
+    needed. The simjoin store keeps its own batch_id guard + staged-
+    append rollback.
+
+    Drained labels equal the one-shot recompute over the full corpus
+    (labels are minima of exact-Jaccard reachability), so the batch
+    recursive-CTE oracle carries over verbatim. Returns (doc_id,
+    component) for every document that participates in >= 1 pair."""
+    import shutil
+
+    from automated_review_analysis_pipeline_spark import fsio
+    from automated_review_analysis_pipeline_spark.operators.dedup import (
+        build_simjoin_index,
+        simjoin_append,
+    )
+    from automated_review_analysis_pipeline_spark.operators.similarity import (
+        build_components_store,
+        components_append,
+        components_read,
+    )
+
+    store_dir = os.path.join(work_dir, "simjoin_store")
+    comp_dir = os.path.join(work_dir, "comp_store")
+    chk = os.path.join(work_dir, "_chk")
+    shutil.rmtree(store_dir, ignore_errors=True)
+    shutil.rmtree(comp_dir, ignore_errors=True)
+    fsio.delete(spark, os.path.join(work_dir, "folded_pairs.json"))
+    empty = spark.read.parquet(docs_path).limit(0)
+    build_simjoin_index(empty, store_dir, threshold=threshold, k=k)
+    pairs_dir = store_dir + "/pairs"
+
+    folded_p = os.path.join(work_dir, "folded_pairs.json")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        simjoin_append(spark, store_dir,
+                       batch_df.select("doc_id", "text"),
+                       batch_id=batch_id)
+        folded = set(fsio.read_json(spark, folded_p)) \
+            if fsio.exists(spark, folded_p) else set()
+        listing = [f for f in fsio.list_files(spark, pairs_dir)
+                   if f.endswith(".parquet")]
+        new_files = [pairs_dir + "/" + f for f in listing
+                     if f not in folded]
+        if new_files:
+            new_pairs = spark.read.parquet(*new_files)
+            if not fsio.exists(spark, fsio.join(comp_dir, "meta.json")):
+                build_components_store(new_pairs, comp_dir,
+                                       a_col="a_id", b_col="b_id")
+            else:
+                components_append(spark, comp_dir, new_pairs,
+                                  a_col="a_id", b_col="b_id")
+        # watermark advances ONLY after the fold committed: a crash
+        # above re-folds these files on replay, which contraction
+        # makes a label no-op
+        fsio.write_json(spark, folded_p, sorted(listing))
+
+    stream = read_documents_stream(spark, docs_path, max_files_per_trigger)
+    q = (stream.writeStream.foreachBatch(process)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", chk)
+         .start())
+    q.awaitTermination()
+    if not fsio.exists(spark, fsio.join(comp_dir, "meta.json")):
+        return spark.createDataFrame([], "doc_id long, component long")
+    return (components_read(spark, comp_dir)
+            .select(F.col("node").alias("doc_id"), "component")
+            .orderBy("doc_id"))
+
+
 def streaming_embedding_drift(spark: SparkSession, vectors_path: str,
                               ivfpq_store: str, work_dir: str,
                               max_files_per_trigger: int | None = None,

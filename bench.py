@@ -236,6 +236,13 @@ HEADLINE = [
     "key_skew_report_approx",
     "streaming_embedding_drift",
     "bm25_index_topk",
+    # round 14
+    "streaming_components",
+    "index_stats_simjoin",
+    "index_stats_components",
+    "index_stats_bm25",
+    "index_stats_ivfpq",
+    "index_stats_profile",
 ]
 
 # Deliberately NOT in the headline list: the 8 streaming_* drain variants

@@ -134,3 +134,31 @@ def test_index_stats_unknown_layout_raises(spark, tmp_path):
     (tmp_path / "x").mkdir()
     with pytest.raises(ValueError, match="not a recognized"):
         index_stats(spark, str(tmp_path / "x"))
+
+
+def test_index_compact_and_stats_bare_signature_store(spark, tmp_path):
+    """The MinHash signature store is a bare parquet dataset (no
+    sidecar): index_compact coalesces it, index_stats reports it --
+    every persisted store family has an OPTIMIZE + introspection
+    path."""
+    from automated_review_analysis_pipeline_spark.operators.dedup import (
+        build_signature_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} with words") for i in range(40)],
+        "doc_id long, text string")
+    store = str(tmp_path / "sigs")
+    build_signature_table(docs.where(F.col("doc_id") < 20), store)
+    build_signature_table(docs.where(F.col("doc_id") >= 20), store,
+                          mode="append")
+    kv = _kv(index_stats(spark, store))
+    assert kv[("store", "family")] == "parquet"
+    before = int(kv[("data", "n_files")])
+    rows = sorted(tuple(r) for r in
+                  spark.read.parquet(store).collect())
+    b, a = index_compact(spark, store)["data"]
+    assert b == before
+    assert a < b
+    assert sorted(tuple(r) for r in
+                  spark.read.parquet(store).collect()) == rows

@@ -569,3 +569,71 @@ def test_streaming_set_similarity_multi_batch_equals_batch(
     want = set_similarity_join(docs, threshold=0.5)
     assert [tuple(r) for r in out.collect()] == \
         [tuple(r) for r in want.collect()]
+
+
+def test_streaming_components_multi_batch_equals_oneshot(
+        spark, sf_dir, tmp_path):
+    """The full streaming dedup lifecycle: docs drain in 4 micro-
+    batches, each folding into the simjoin store AND its new pairs
+    into the components store -- drained labels equal the one-shot
+    (pairs -> star components) recompute exactly, and the label store
+    saw multiple incremental folds (not one big one)."""
+    from automated_review_analysis_pipeline_spark import fsio
+    from automated_review_analysis_pipeline_spark.operators.dedup import (
+        set_similarity_join,
+    )
+    from automated_review_analysis_pipeline_spark.operators.similarity import (
+        star_connected_components,
+    )
+    from automated_review_analysis_pipeline_spark.streaming.docs_stream import (
+        streaming_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_split")
+    docs.repartition(4).write.parquet(src)
+    work = str(tmp_path / "work")
+
+    got = streaming_components(spark, src, work,
+                               max_files_per_trigger=1, threshold=0.5)
+    pairs = set_similarity_join(docs, threshold=0.5)
+    want, _ = star_connected_components(pairs, a_col="a_id",
+                                        b_col="b_id")
+    assert sorted(tuple(r) for r in got.collect()) == \
+        sorted((r["node"], r["component"]) for r in want.collect())
+    # the components store really folded incrementally: version > 0
+    meta = fsio.read_json(spark, work + "/comp_store/meta.json")
+    assert meta["version"] >= 1
+    # the folded-files watermark covers every pairs part file
+    folded = set(fsio.read_json(spark, work + "/folded_pairs.json"))
+    on_disk = {f for f in
+               fsio.list_files(spark, work + "/simjoin_store/pairs")
+               if f.endswith(".parquet")}
+    assert on_disk <= folded
+
+
+def test_streaming_components_refold_is_label_noop(spark, tmp_path):
+    """The cross-store crash window: if the watermark write is lost
+    AFTER the components fold committed, the replay re-folds the same
+    pairs files -- contraction collapses already-merged edges, so the
+    labels are unchanged (idempotent by construction)."""
+    from automated_review_analysis_pipeline_spark.operators.similarity import (
+        components_append,
+        components_read,
+    )
+
+    store = str(tmp_path / "comp")
+    from automated_review_analysis_pipeline_spark.operators.similarity import (
+        build_components_store,
+    )
+
+    edges = spark.createDataFrame([(2, 1), (4, 3), (3, 2)],
+                                  "a_id long, b_id long")
+    build_components_store(edges, store, a_col="a_id", b_col="b_id")
+    before = sorted(tuple(r) for r in
+                    components_read(spark, store).collect())
+    # re-fold the SAME edges (a lost watermark replays them)
+    components_append(spark, store, edges, a_col="a_id", b_col="b_id")
+    after = sorted(tuple(r) for r in
+                   components_read(spark, store).collect())
+    assert after == before

@@ -1453,9 +1453,15 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
     only the |delta|-sized prefix shuffles per append. Candidate
     GENERATION was always |new| x |all|; this makes the EXCHANGE
     O(delta) too, which is what keeps a year of micro-batch appends
-    from re-shuffling the accumulated store every batch. Stores built
-    before round 13 (no ``n_buckets`` in meta.json) fall back to the
-    plain-parquet union path unchanged."""
+    from re-shuffling the accumulated store every batch. The VERIFY
+    stage (round 14) stops touching the accumulated ``/docs`` the same
+    way: it is BUCKETED by ``id`` and :func:`_simjoin_verify_store`
+    fetches only the old ids candidates reference (static-IN bucket
+    pruning / broadcast semi-join / exchange-free bucketed join --
+    three lanes by id count, all plan-gated). Stores built before
+    round 13 (no ``n_buckets`` in meta.json) fall back to the
+    plain-parquet union path unchanged; round-13 stores without
+    ``docs_buckets`` keep the union verify."""
     from .. import fsio, store_commit
     meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
     # heal any crashed earlier append BEFORE the replay guard (the

@@ -204,6 +204,15 @@ def streaming_components(spark: SparkSession, docs_path: str,
     needed. The simjoin store keeps its own batch_id guard + staged-
     append rollback.
 
+    Maintenance interplay, documented: ``index_compact`` on the
+    simjoin store REWRITES the pairs files, so the next micro-batch's
+    listing diff sees them all as new and re-folds the full pair set
+    once -- labels stay exact (contraction no-op again), at an O(all
+    pairs) one-time fold cost; run compaction in the same maintenance
+    window as a components_compact and the watermark re-bases with
+    it. The watermark file itself is one name per pairs part file --
+    compaction is also what keeps THAT bounded.
+
     Drained labels equal the one-shot recompute over the full corpus
     (labels are minima of exact-Jaccard reachability), so the batch
     recursive-CTE oracle carries over verbatim. Returns (doc_id,

@@ -37,7 +37,7 @@ def main() -> None:
     t_new = sum(new[q] for q in common if new[q] >= 0)
     print(f"common queries: {len(common)}; "
           f"old total {t_old:.1f}s -> new total {t_new:.1f}s "
-          f"({t_new / max(t_old, 1e-9):+.1%} vs old)")
+          f"({t_new / max(t_old, 1e-9) - 1:+.1%} vs old)")
     only_new = sorted(set(new) - set(old))
     if only_new:
         t = sum(new[q] for q in only_new if new[q] >= 0)

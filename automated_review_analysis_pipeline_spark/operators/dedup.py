@@ -1726,17 +1726,31 @@ def simjoin_store_stats(spark, store_dir: str,
     (they measured the old order), so the trigger re-arms against the
     new epoch's appends.
 
-    Columns: order_epoch, append_epoch, n_appends_recorded,
-    build_cand_density, recent_cand_density, drift_ratio (null until
-    both sides are measurable), refreeze_recommended."""
+    Stream-start stores (built EMPTY, the streaming lanes' shape) have
+    no build-time baseline; there the FIRST recorded append stands in
+    -- the earliest traffic defines "healthy" -- and the recent window
+    excludes it. Columns: order_epoch, append_epoch,
+    n_appends_recorded, build_cand_density, recent_cand_density,
+    drift_ratio (null until both sides are measurable),
+    refreeze_recommended."""
     from .. import fsio
+
+    def density(n_cand: float, n_delta: int, n_store: int) -> float | None:
+        possible = n_delta * n_store + n_delta * (n_delta - 1) / 2
+        return n_cand / possible if possible else None
 
     meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
     bs = meta.get("build_stats") or {}
     n0 = int(bs.get("n_docs") or 0)
     base = (float(bs["n_candidates"]) / (n0 * (n0 - 1) / 2)
             if n0 >= 2 else None)
-    recent = (meta.get("append_stats") or [])[-5:]
+    stats_all = meta.get("append_stats") or []
+    if base is None and len(stats_all) >= 2:
+        a0 = stats_all[0]
+        base = density(float(a0["n_candidates"]), a0["n_delta_docs"],
+                       a0.get("n_store_docs", 0))
+        stats_all = stats_all[1:]
+    recent = stats_all[-5:]
     possible = sum(
         a["n_delta_docs"] * a.get("n_store_docs", 0)
         + a["n_delta_docs"] * (a["n_delta_docs"] - 1) / 2

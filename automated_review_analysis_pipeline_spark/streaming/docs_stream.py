@@ -128,11 +128,36 @@ def streaming_minhash_pairs(spark: SparkSession, docs_path: str,
             .orderBy("id_a", "id_b"))
 
 
+def _maybe_refreeze(spark: SparkSession, store_dir: str,
+                    ratio: float) -> bool:
+    """The CLOSED maintenance loop for streaming simjoin lanes: read
+    the store's drift trigger (metadata-only -- the per-append
+    candidate-density records simjoin_append keeps anyway) and run
+    simjoin_refreeze inline when it trips. Safe here because
+    foreachBatch serializes micro-batches: the stream IS the store's
+    single writer, so maintenance between batches cannot race an
+    append; the refreeze also resets the records, re-arming the
+    trigger against the new order."""
+    from automated_review_analysis_pipeline_spark.operators.dedup import (
+        simjoin_refreeze,
+        simjoin_store_stats,
+    )
+
+    st = simjoin_store_stats(spark, store_dir,
+                             drift_threshold=ratio).first()
+    if not st["refreeze_recommended"]:
+        return False
+    simjoin_refreeze(spark, store_dir)
+    return True
+
+
 def streaming_set_similarity(spark: SparkSession, docs_path: str,
                              work_dir: str,
                              max_files_per_trigger: int | None = None,
                              threshold: float = 0.5,
-                             k: int = 3) -> DataFrame:
+                             k: int = 3,
+                             auto_refreeze_ratio: float | None = None
+                             ) -> DataFrame:
     """Streaming EXACT set-similarity detection: the zero-false-negative
     twin of :func:`streaming_minhash_pairs`. The persisted exact-simjoin
     store (operators.dedup.build_simjoin_index) is initialized EMPTY --
@@ -143,7 +168,16 @@ def streaming_set_similarity(spark: SparkSession, docs_path: str,
     (batch x seen-so-far) prefix candidates are joined, each qualifying
     pair is found exactly once (when its later member arrives), and the
     drained pair set equals the one-shot batch recompute EXACTLY, so
-    the batch exact-Jaccard oracle carries over verbatim."""
+    the batch exact-Jaccard oracle carries over verbatim.
+
+    ``auto_refreeze_ratio`` closes the maintenance loop: after each
+    append the store's drift trigger is read (metadata-only) and a
+    :func:`~..operators.dedup.simjoin_refreeze` runs inline past the
+    ratio -- the long-running ingestion service keeps its own prefix
+    selectivity healthy with no operator in the loop. Pair sets are
+    refreeze-invariant, so the drained result (and its oracle) is
+    unchanged whether or not maintenance fired (pytest drives a
+    drift-mid-stream fixture through the trigger)."""
     import shutil
 
     from automated_review_analysis_pipeline_spark.operators.dedup import (
@@ -165,6 +199,8 @@ def streaming_set_similarity(spark: SparkSession, docs_path: str,
         simjoin_append(spark, store_dir,
                        batch_df.select("doc_id", "text"),
                        batch_id=batch_id)
+        if auto_refreeze_ratio is not None:
+            _maybe_refreeze(spark, store_dir, auto_refreeze_ratio)
 
     stream = read_documents_stream(spark, docs_path, max_files_per_trigger)
     q = (stream.writeStream.foreachBatch(process)
@@ -180,7 +216,9 @@ def streaming_components(spark: SparkSession, docs_path: str,
                          work_dir: str,
                          max_files_per_trigger: int | None = None,
                          threshold: float = 0.5,
-                         k: int = 3) -> DataFrame:
+                         k: int = 3,
+                         auto_refreeze_ratio: float | None = None
+                         ) -> DataFrame:
     """CONTINUOUSLY-FRESH dedup clusters: the full incremental dedup
     lifecycle as one streaming lane. Every micro-batch (a) folds into
     the persisted exact-simjoin store (delta-only candidate + verify
@@ -266,6 +304,10 @@ def streaming_components(spark: SparkSession, docs_path: str,
         # above re-folds these files on replay, which contraction
         # makes a label no-op
         fsio.write_json(spark, folded_p, sorted(listing))
+        if auto_refreeze_ratio is not None:
+            # refreeze rewrites prefix/dfreq only -- the pairs files
+            # (and so the folded watermark) are untouched
+            _maybe_refreeze(spark, store_dir, auto_refreeze_ratio)
 
     stream = read_documents_stream(spark, docs_path, max_files_per_trigger)
     q = (stream.writeStream.foreachBatch(process)

@@ -237,3 +237,52 @@ def test_simjoin_store_stats_drift_trigger(spark, sf_dir, tmp_path):
     assert reset["drift_ratio"] is None
     assert not reset["refreeze_recommended"]
     assert reset["order_epoch"] == 1
+
+
+def test_streaming_auto_refreeze_fires_and_pairs_stay_exact(
+        spark, sf_dir, tmp_path):
+    """The CLOSED maintenance loop: a stream whose later batches carry
+    post-build boilerplate trips the drift trigger mid-drain and
+    simjoin_refreeze runs inline (order_epoch advances); the drained
+    pair set is refreeze-invariant and still equals the one-shot
+    recompute. Batch order is pinned via file modification times
+    (FileStreamSource drains oldest-first)."""
+    import glob
+    import os
+    import shutil
+
+    from automated_review_analysis_pipeline_spark.streaming.docs_stream import (
+        streaming_set_similarity,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clean = docs.where(F.col("doc_id") % 2 == 0)
+    drifted = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.concat(F.col("text"), F.lit(BOILER)).alias("text"))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def add_file(df, name, mtime):
+        tmp = str(tmp_path / ("w_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        dst = os.path.join(src, name + ".parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    add_file(clean, "a_clean", 1_000_000_000)
+    add_file(drifted, "b_drift", 1_000_000_100)
+
+    work = str(tmp_path / "work")
+    got = streaming_set_similarity(spark, src, work,
+                                   max_files_per_trigger=1,
+                                   threshold=0.5,
+                                   auto_refreeze_ratio=3.0)
+    store = work + "/simjoin_store"
+    meta = fsio.read_json(spark, store + "/meta.json")
+    assert meta.get("order_epoch", 0) >= 1, meta  # maintenance fired
+    assert meta["append_stats"] == []  # trigger re-armed
+    want = dedup.set_similarity_join(clean.unionByName(drifted),
+                                     threshold=0.5)
+    assert _rows(got.select("a_id", "b_id", "n_common", "jaccard")) \
+        == _rows(want)

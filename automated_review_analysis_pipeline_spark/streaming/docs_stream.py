@@ -414,11 +414,38 @@ def streaming_embedding_drift(spark: SparkSession, vectors_path: str,
     return drift_from_stats(train_stats, acc).orderBy("dim")
 
 
+def _maybe_compact_bm25(spark: SparkSession, store_dir: str,
+                        max_files_per_bucket: int) -> bool:
+    """Inline OPTIMIZE trigger for the streaming BM25 lane: when any
+    postings bucket has accumulated more than ``max_files_per_bucket``
+    files (== appends since the last compaction; each append writes
+    <= 1 file per bucket), fold the store with index_compact.
+    Metadata-only check (file-name listing)."""
+    import re
+
+    from automated_review_analysis_pipeline_spark import fsio
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (  # noqa: E501
+        index_compact,
+    )
+
+    buckets: dict[str, int] = {}
+    for f in fsio.list_files(spark, store_dir + "/postings"):
+        m = re.search(r"_(\d{5})(?:\.c\d+)?\.[a-z0-9.]*parquet$", f)
+        if m:
+            buckets[m.group(1)] = buckets.get(m.group(1), 0) + 1
+    if not buckets or max(buckets.values()) <= max_files_per_bucket:
+        return False
+    index_compact(spark, store_dir)
+    return True
+
+
 def streaming_bm25_index(spark: SparkSession, docs_path: str,
                          work_dir: str,
                          query_terms: tuple[str, ...],
                          max_files_per_trigger: int | None = None,
-                         k: int = 20) -> DataFrame:
+                         k: int = 20,
+                         auto_compact_files_per_bucket: int | None = None
+                         ) -> DataFrame:
     """Maintain a persisted BM25 inverted index under a document
     stream: the index starts EMPTY and every micro-batch
     bm25_index_appends (delta-only postings/doclen appends + exact
@@ -428,7 +455,15 @@ def streaming_bm25_index(spark: SparkSession, docs_path: str,
     :func:`~..operators.textanalysis.bm25_search` over the whole
     corpus EXACTLY -- the batch scoring oracle carries over verbatim.
     The freshness shape a continuously-ingesting retrieval service
-    needs: each increment pays its own tokenization only."""
+    needs: each increment pays its own tokenization only.
+
+    ``auto_compact_files_per_bucket`` closes the small-file loop the
+    way ``auto_refreeze_ratio`` closes the selectivity one: each
+    append adds <= 1 file per postings bucket, so files-per-bucket
+    counts appends since the last OPTIMIZE; past the bound the lane
+    runs ``index_compact`` inline (single-writer-safe -- foreachBatch
+    serializes micro-batches) and the index folds back to one file
+    per bucket. Scores are compaction-invariant (pytest-pinned)."""
     import shutil
 
     from automated_review_analysis_pipeline_spark.operators.textanalysis import (  # noqa: E501
@@ -449,6 +484,9 @@ def streaming_bm25_index(spark: SparkSession, docs_path: str,
         bm25_index_append(spark, store_dir,
                           batch_df.select("doc_id", "text"),
                           batch_id=batch_id)
+        if auto_compact_files_per_bucket is not None:
+            _maybe_compact_bm25(spark, store_dir,
+                                auto_compact_files_per_bucket)
 
     stream = read_documents_stream(spark, docs_path, max_files_per_trigger)
     q = (stream.writeStream.foreachBatch(process)

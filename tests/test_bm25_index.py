@@ -123,3 +123,35 @@ def test_bm25_index_topk_equals_oneshot_both_probe_paths(
     # the pruned path's postings scan is bucket-pruned
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "SelectedBucketsCount" in plan, plan
+
+
+def test_streaming_bm25_auto_compact_bounds_files_per_bucket(
+        spark, sf_dir, tmp_path):
+    """The small-file closed loop: draining 4 micro-batches with
+    auto_compact_files_per_bucket=2 keeps every postings bucket at
+    <= 2 files (each append adds one; the inline OPTIMIZE folds back
+    to one), and the drained search still equals the one-shot scorer
+    exactly -- compaction is score-invariant."""
+    import os
+    import re
+
+    from automated_review_analysis_pipeline_spark.streaming.docs_stream import (
+        streaming_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_split")
+    docs.repartition(4).write.parquet(src)
+    work = str(tmp_path / "work")
+    got = _rows(streaming_bm25_index(
+        spark, src, work, QUERY, max_files_per_trigger=1, k=15,
+        auto_compact_files_per_bucket=2))
+    want = _rows(ta.bm25_search(docs, QUERY, k=15))
+    assert got == want and got
+    buckets: dict = {}
+    post = os.path.join(work, "bm25_store", "postings")
+    for f in os.listdir(post):
+        m = re.search(r"_(\d{5})(?:\.c\d+)?\.[a-z0-9.]*parquet$", f)
+        if m:
+            buckets[m.group(1)] = buckets.get(m.group(1), 0) + 1
+    assert buckets and max(buckets.values()) <= 2, buckets

@@ -1472,11 +1472,12 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
         return spark.read.parquet(store_dir + "/pairs")
     threshold, k = float(meta["threshold"]), int(meta["k"])
     n_buckets = meta.get("n_buckets")
+    # heal a crashed refreeze/compaction half-swap on any part, then
+    # (bucketed stores) refuse a MIXED token order (prefix vs dfreq
+    # epoch stamps) -- completeness of the prefix filter depends on
+    # one shared order
+    _refreeze_restore(spark, store_dir)
     if n_buckets:
-        # heal a crashed refreeze's half-swap, then refuse a MIXED
-        # token order (prefix vs dfreq epoch stamps) -- completeness
-        # of the prefix filter depends on one shared order
-        _refreeze_restore(spark, store_dir)
         _check_order_epoch(spark, store_dir)
     dfreq = spark.read.parquet(store_dir + "/dfreq")
     toks = (new_docs
@@ -1557,6 +1558,14 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
                   "n_delta_docs": n_delta,
                   "n_store_docs": n_store,
                   "n_candidates": cand.count()})
+    # a store with no usable BUILD baseline (stream-start empty build,
+    # or zero build-time candidates) anchors drift to its FIRST
+    # append, kept DURABLY outside the rolling window -- the window
+    # eviction would otherwise re-anchor the baseline to ~20 appends
+    # ago and gradual drift could never trip the refreeze trigger
+    if not (meta.get("build_stats") or {}).get("n_candidates") \
+            and "baseline_append" not in meta:
+        meta["baseline_append"] = stats[0]
     del stats[:-20]
     meta["n_docs_total"] = n_store + n_delta
     # COMMIT POINT: the atomic meta flip makes the 3-part append
@@ -1600,20 +1609,15 @@ def _check_order_epoch(spark, store_dir: str) -> int:
 
 
 def _refreeze_restore(spark, store_dir: str) -> None:
-    """Heal the narrow swap windows a crashed refreeze can leave: a
-    live part renamed aside (``.__old__``) but its replacement not yet
-    in place -> restore the old part; a leftover ``.__old__`` next to
-    a live part -> drop it."""
-    from .. import fsio
+    """Heal the narrow swap windows a crashed refreeze OR compaction
+    can leave on any store part: a live dir renamed aside
+    (``.__old__``) but its replacement not yet in place -> restore the
+    old part; a leftover ``.__old__`` next to a live part -> drop
+    it (heal_interrupted_swap per part)."""
+    from .partitioning import heal_interrupted_swap
 
-    for part in ("prefix", "dfreq"):
-        live = fsio.join(store_dir, part)
-        old = live + ".__old__"
-        if fsio.exists(spark, old):
-            if not fsio.exists(spark, live):
-                fsio.rename(spark, old, live)
-            else:
-                fsio.delete(spark, old)
+    for part in ("prefix", "dfreq", "pairs", "docs"):
+        heal_interrupted_swap(spark, store_dir + "/" + part)
 
 
 def simjoin_refreeze(spark, store_dir: str) -> DataFrame:
@@ -1701,6 +1705,7 @@ def simjoin_refreeze(spark, store_dir: str) -> DataFrame:
 
     meta["order_epoch"] = new_epoch
     meta["append_stats"] = []
+    meta.pop("baseline_append", None)  # measured under the old order
     fsio.write_json(spark, fsio.join(store_dir, "meta.json"), meta)
     return _register_prefix_table(spark, store_dir, n_buckets)
 
@@ -1744,11 +1749,21 @@ def simjoin_store_stats(spark, store_dir: str,
     n0 = int(bs.get("n_docs") or 0)
     base = (float(bs["n_candidates"]) / (n0 * (n0 - 1) / 2)
             if n0 >= 2 else None)
+    # a ZERO build baseline (all-dissimilar corpus) must not disarm
+    # the trigger forever -- fall through to the append baseline
+    base = base or None
     stats_all = meta.get("append_stats") or []
-    if base is None and len(stats_all) >= 2:
+    ba = meta.get("baseline_append")
+    if base is None and ba is not None:
+        base = density(float(ba["n_candidates"]), ba["n_delta_docs"],
+                       ba.get("n_store_docs", 0)) or None
+        stats_all = [a for a in stats_all
+                     if a["epoch"] != ba["epoch"]]
+    elif base is None and len(stats_all) >= 2:
+        # legacy metas recorded before the durable baseline existed
         a0 = stats_all[0]
         base = density(float(a0["n_candidates"]), a0["n_delta_docs"],
-                       a0.get("n_store_docs", 0))
+                       a0.get("n_store_docs", 0)) or None
         stats_all = stats_all[1:]
     recent = stats_all[-5:]
     possible = sum(

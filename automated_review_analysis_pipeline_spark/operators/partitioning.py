@@ -365,20 +365,70 @@ def compact_files(spark: SparkSession, path: str, out_path: str,
     return int(n_files)
 
 
+def heal_interrupted_swap(spark: SparkSession, part_dir: str) -> bool:
+    """Restore a part dir a crashed compaction/refreeze left renamed
+    aside: the swap discipline is rename(live -> .__old__), rename(tmp
+    -> live), delete(.__old__) -- a death between the first two leaves
+    the live dir MISSING with ``.__old__`` holding the previous bytes.
+    Every appender and every compaction heals this on open; without
+    it, a later append would silently re-register over the empty
+    location and serve a truncated store (round-14 review finding).
+    Returns True iff a restore happened."""
+    from .. import fsio
+
+    old = part_dir + ".__old__"
+    if not fsio.exists(spark, old):
+        return False
+    if not fsio.exists(spark, part_dir):
+        fsio.rename(spark, old, part_dir)
+        return True
+    fsio.delete(spark, old)
+    return False
+
+
+def _swap_in(spark: SparkSession, part_dir: str, tmp: str) -> None:
+    """Replace ``part_dir`` with ``tmp`` via rename-aside (never a
+    window with the live dir deleted and nothing to restore):
+    heal_interrupted_swap undoes a death between the renames."""
+    from .. import fsio
+
+    fsio.rename(spark, part_dir, part_dir + ".__old__")
+    fsio.rename(spark, tmp, part_dir)
+    fsio.delete(spark, part_dir + ".__old__")
+
+
+def bucket_file_counts(spark: SparkSession, part_dir: str) -> dict:
+    """Files per bucket id for a bucketed parquet dir (from Spark's
+    ``..._NNNNN.c000...parquet`` file naming): each append writes at
+    most one file per bucket, so max(counts) == appends since the last
+    compaction -- the OPTIMIZE trigger metric."""
+    import re
+
+    from .. import fsio
+
+    counts: dict[str, int] = {}
+    for f in fsio.list_files(spark, part_dir):
+        m = re.search(r"_(\d{5})(?:\.c\d+)?\.[a-z0-9.]*parquet$", f)
+        if m:
+            counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    return counts
+
+
 def _compact_plain_dir(spark: SparkSession, part_dir: str,
                        target_file_bytes: int) -> None:
     """Rewrite one plain parquet dir into ceil(bytes/target) files via
-    a tmp-dir + swap (no shuffle: coalesce concatenates partitions)."""
+    a tmp-dir + rename-aside swap (no shuffle: coalesce concatenates
+    partitions; heal_interrupted_swap covers the swap window)."""
     from .. import fsio
 
+    heal_interrupted_swap(spark, part_dir)
     total = fsio.dir_bytes(spark, part_dir)
     n = max(1, -(-total // target_file_bytes))
     tmp = part_dir + ".__compact__"
     fsio.delete(spark, tmp)
     (spark.read.parquet(part_dir).coalesce(int(n))
      .write.mode("overwrite").parquet(tmp))
-    fsio.delete(spark, part_dir)
-    fsio.rename(spark, tmp, part_dir)
+    _swap_in(spark, part_dir, tmp)
 
 
 def _compact_cell_dir(spark: SparkSession, part_dir: str) -> None:
@@ -389,12 +439,12 @@ def _compact_cell_dir(spark: SparkSession, part_dir: str) -> None:
     keeps the cell as the pruning/parallelism unit."""
     from .. import fsio
 
+    heal_interrupted_swap(spark, part_dir)
     tmp = part_dir + ".__compact__"
     fsio.delete(spark, tmp)
     (spark.read.parquet(part_dir).repartition(F.col("cell"))
      .write.mode("overwrite").partitionBy("cell").parquet(tmp))
-    fsio.delete(spark, part_dir)
-    fsio.rename(spark, tmp, part_dir)
+    _swap_in(spark, part_dir, tmp)
 
 
 def _compact_bucketed_dir(spark: SparkSession, path: str, name: str,
@@ -411,6 +461,7 @@ def _compact_bucketed_dir(spark: SparkSession, path: str, name: str,
     from .. import fsio
 
     tmp_name = name + "_compact"
+    heal_interrupted_swap(spark, path)
     cur = register_bucketed_path(spark, path, name, cols_ddl,
                                  bucket_cols, sort_cols, n_buckets)
     spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
@@ -427,8 +478,7 @@ def _compact_bucketed_dir(spark: SparkSession, path: str, name: str,
         spark.conf.set(auto_key, prev_auto)
     spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    fsio.delete(spark, path)
-    fsio.rename(spark, path + ".__compact__", path)
+    _swap_in(spark, path, path + ".__compact__")
     register_bucketed_path(spark, path, name, cols_ddl, bucket_cols,
                            sort_cols, n_buckets)
 
@@ -627,8 +677,6 @@ def index_stats(spark: SparkSession, store_dir: str) -> DataFrame:
     Values are strings (the report mixes kinds); rows-only registry
     check by design -- a filesystem report has no relational oracle.
     """
-    import re
-
     from .. import fsio
 
     meta_p = fsio.join(store_dir, "meta.json")
@@ -679,11 +727,7 @@ def index_stats(spark: SparkSession, store_dir: str) -> DataFrame:
         rows.append((part, "n_files",
                      str(fsio.count_files(spark, p))))
         rows.append((part, "bytes", str(fsio.dir_bytes(spark, p))))
-        buckets: dict[str, int] = {}
-        for f in fsio.list_files(spark, p):
-            m = re.search(r"_(\d{5})(?:\.c\d+)?\.[a-z0-9.]*parquet$", f)
-            if m:
-                buckets[m.group(1)] = buckets.get(m.group(1), 0) + 1
+        buckets = bucket_file_counts(spark, p)
         if buckets:
             rows.append((part, "max_files_per_bucket",
                          str(max(buckets.values()))))

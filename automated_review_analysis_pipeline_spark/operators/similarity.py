@@ -1751,6 +1751,10 @@ def components_append(spark, store_dir: str, new_edges: DataFrame,
     if auto_compact_every is not None \
             and nxt - new_meta["base"] >= int(auto_compact_every):
         components_compact(spark, store_dir)
+        # drop the superseded pre-base dirs too: an inline re-base
+        # that never vacuums leaves every version ever written on
+        # disk over a long append loop
+        components_vacuum(spark, store_dir)
     return components_read(spark, store_dir)
 
 

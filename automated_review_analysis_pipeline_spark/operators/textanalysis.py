@@ -2097,7 +2097,14 @@ def bm25_index_append(spark, store_dir: str, new_docs: DataFrame,
 
     from .. import fsio, store_commit
 
+    from .partitioning import heal_interrupted_swap
+
     meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    # a compaction that died mid-swap leaves a part renamed aside;
+    # appending over the missing dir would silently re-register an
+    # EMPTY location and serve truncated scores -- heal first
+    for part in ("postings", "doclen"):
+        heal_interrupted_swap(spark, store_dir + "/" + part)
     store_commit.repair(spark, store_dir, meta.get("append_epoch", 0))
     if batch_id is not None and batch_id <= meta.get("last_batch_id", -1):
         return meta

@@ -200,6 +200,20 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, threshold=0.0)
 
 
+def _fixture_paths(prefix: str, sf_dir: str, sub: str) -> tuple[str, str]:
+    """(work_dir, store_dir) for a per-process, per-sf fixture store --
+    ONE construction shared by each lifecycle query and its
+    index_stats twin, so the two can never drift apart on the path."""
+    import os
+    import tempfile
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}")
+    return work, os.path.join(work, sub)
+
+
 def q_set_similarity_incremental(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Persisted exact-simjoin lifecycle: freeze the rare-first token
@@ -210,16 +224,11 @@ def q_set_similarity_incremental(spark: SparkSession,
     shares set_similarity_pairs' oracle with zero false negatives --
     the incremental-MinHash discipline without its banding recall
     loss."""
-    import os
     import shutil
-    import tempfile
 
     docs = _t(spark, sf_dir, "documents")
-    work = os.path.join(
-        tempfile.gettempdir(),
-        f"arap_incr_simjoin_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{os.getpid()}")
-    store_dir = os.path.join(work, "simjoin_store")
+    _work, store_dir = _fixture_paths("arap_incr_simjoin", sf_dir,
+                                      "simjoin_store")
     old = docs.where(F.col("doc_id") % 5 != 0)
     delta = docs.where(F.col("doc_id") % 5 == 0)
 
@@ -403,16 +412,10 @@ def q_near_dup_components_incremental(spark: SparkSession,
     never the accumulated history -- then label every vector. The
     appended map equals the one-shot recompute exactly, so this shares
     near_dup_components' full recursive-CTE oracle."""
-    import os
     import shutil
-    import tempfile
 
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    work = os.path.join(
-        tempfile.gettempdir(),
-        f"arap_incr_comp_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{os.getpid()}")
-    store = os.path.join(work, "comp_store")
+    work, store = _fixture_paths("arap_incr_comp", sf_dir, "comp_store")
 
     def _build() -> None:
         shutil.rmtree(work, ignore_errors=True)
@@ -446,14 +449,10 @@ def q_simjoin_components_incremental(spark: SparkSession,
     reachability CTE."""
     import os
     import shutil
-    import tempfile
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    work = os.path.join(
-        tempfile.gettempdir(),
-        f"arap_sj_comp_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{os.getpid()}")
-    sj_store = os.path.join(work, "simjoin_store")
+    work, sj_store = _fixture_paths("arap_sj_comp", sf_dir,
+                                    "simjoin_store")
     comp_store = os.path.join(work, "comp_store")
 
     def _build() -> None:
@@ -990,11 +989,8 @@ def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.concat_ws(" ", F.slice(
                      ta.tokens(F.lower(F.col("text"))), 1, 4))
                  .alias("query_text")))
-    work = os.path.join(
-        tempfile.gettempdir(),
-        f"arap_bm25_index_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{os.getpid()}")
-    store = os.path.join(work, "bm25_store")
+    work, store = _fixture_paths("arap_bm25_index", sf_dir,
+                                 "bm25_store")
 
     def _build() -> None:
         shutil.rmtree(work, ignore_errors=True)
@@ -1014,16 +1010,11 @@ def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-pruned to the query terms' buckets, and the scores equal
     the one-shot bm25_search over the full corpus EXACTLY (shared
     oracle)."""
-    import os
     import shutil
-    import tempfile
 
     docs = _t(spark, sf_dir, "documents")
-    work = os.path.join(
-        tempfile.gettempdir(),
-        f"arap_bm25_index_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{os.getpid()}")
-    store = os.path.join(work, "bm25_store")
+    work, store = _fixture_paths("arap_bm25_index", sf_dir,
+                                 "bm25_store")
 
     def _build() -> None:
         shutil.rmtree(work, ignore_errors=True)
@@ -2905,15 +2896,10 @@ def q_index_stats_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-only report an operator reads before scheduling
     index_compact / simjoin_refreeze. Rows-only by design: a
     filesystem report has no relational oracle."""
-    import os
-    import tempfile
-
     return _index_stats_of(
         spark, sf_dir, q_set_similarity_incremental,
-        lambda s, d: os.path.join(
-            tempfile.gettempdir(),
-            f"arap_incr_simjoin_{os.path.basename(d.rstrip('/'))}"
-            f"_{os.getpid()}", "simjoin_store"))
+        lambda s, d: _fixture_paths("arap_incr_simjoin", d,
+                                    "simjoin_store")[1])
 
 
 def q_index_stats_components(spark: SparkSession,
@@ -2922,15 +2908,10 @@ def q_index_stats_components(spark: SparkSession,
     near_dup_components_incremental fixture): delta-chain length
     (versions_live -- the components_compact trigger), version/base,
     label bytes. Rows-only by design."""
-    import os
-    import tempfile
-
     return _index_stats_of(
         spark, sf_dir, q_near_dup_components_incremental,
-        lambda s, d: os.path.join(
-            tempfile.gettempdir(),
-            f"arap_incr_comp_{os.path.basename(d.rstrip('/'))}"
-            f"_{os.getpid()}", "comp_store"))
+        lambda s, d: _fixture_paths("arap_incr_comp", d,
+                                    "comp_store")[1])
 
 
 def q_index_stats_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2938,15 +2919,10 @@ def q_index_stats_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm25_index_search fixture): postings bucket health, exact corpus
     counters, append epoch, pending-intent flag. Rows-only by
     design."""
-    import os
-    import tempfile
-
     return _index_stats_of(
         spark, sf_dir, q_bm25_index_search,
-        lambda s, d: os.path.join(
-            tempfile.gettempdir(),
-            f"arap_bm25_index_{os.path.basename(d.rstrip('/'))}"
-            f"_{os.getpid()}", "bm25_store"))
+        lambda s, d: _fixture_paths("arap_bm25_index", d,
+                                    "bm25_store")[1])
 
 
 def q_index_stats_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:

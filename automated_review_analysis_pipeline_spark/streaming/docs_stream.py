@@ -421,18 +421,12 @@ def _maybe_compact_bm25(spark: SparkSession, store_dir: str,
     files (== appends since the last compaction; each append writes
     <= 1 file per bucket), fold the store with index_compact.
     Metadata-only check (file-name listing)."""
-    import re
-
-    from automated_review_analysis_pipeline_spark import fsio
     from automated_review_analysis_pipeline_spark.operators.partitioning import (  # noqa: E501
+        bucket_file_counts,
         index_compact,
     )
 
-    buckets: dict[str, int] = {}
-    for f in fsio.list_files(spark, store_dir + "/postings"):
-        m = re.search(r"_(\d{5})(?:\.c\d+)?\.[a-z0-9.]*parquet$", f)
-        if m:
-            buckets[m.group(1)] = buckets.get(m.group(1), 0) + 1
+    buckets = bucket_file_counts(spark, store_dir + "/postings")
     if not buckets or max(buckets.values()) <= max_files_per_bucket:
         return False
     index_compact(spark, store_dir)

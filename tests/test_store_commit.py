@@ -136,3 +136,52 @@ def test_bm25_kill_mid_append_rolls_back_and_refolds(
     assert meta["append_epoch"] == 1 and meta["last_batch_id"] == 3
     post = spark.read.parquet(store + "/postings")
     assert post.count() == post.select("doc_id", "word").distinct().count()
+
+
+def test_compact_killed_mid_swap_heals_on_next_append(
+        spark, tmp_path, monkeypatch):
+    """Review finding: a compaction dying between its two swap renames
+    used to leave the live part dir MISSING -- the next append would
+    silently re-register an EMPTY location and serve truncated scores.
+    The swap is now rename-aside and every appender heals it."""
+    from automated_review_analysis_pipeline_spark.operators import (
+        partitioning as pt,
+    )
+
+    docs = spark.createDataFrame(DOCS + DELTA, "doc_id long, text string")
+    store = str(tmp_path / "bm25")
+    ta.build_bm25_index(docs.where(F.col("doc_id") <= 4), store,
+                        n_buckets=2)
+    q = ("the", "quick", "box", "today")
+
+    real = fsio.rename
+    calls = {"n": 0}
+
+    def boom(spark_, src, dst):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # postings renamed aside; kill tmp->live
+            raise IOError("injected crash mid compaction swap")
+        return real(spark_, src, dst)
+
+    monkeypatch.setattr(fsio, "rename", boom)
+    with pytest.raises(IOError, match="injected"):
+        pt.index_compact(spark, store)
+    monkeypatch.undo()
+    # live postings dir is gone; the previous bytes sit renamed aside
+    assert not fsio.exists(spark, store + "/postings")
+    assert fsio.exists(spark, store + "/postings.__old__")
+
+    # next append HEALS, then folds -- scores equal one-shot exactly
+    ta.bm25_index_append(spark, store,
+                         docs.where(F.col("doc_id") > 4), batch_id=1)
+    got = [tuple(r) for r in
+           ta.bm25_index_search(spark, store, q, k=10).collect()]
+    want = [tuple(r) for r in ta.bm25_search(docs, q, k=10).collect()]
+    assert got == want and got
+    assert not fsio.exists(spark, store + "/postings.__old__")
+    # and a re-run compaction completes cleanly
+    report = pt.index_compact(spark, store)
+    assert report["postings"][1] <= report["postings"][0]
+    got2 = [tuple(r) for r in
+            ta.bm25_index_search(spark, store, q, k=10).collect()]
+    assert got2 == want

@@ -151,13 +151,32 @@ def _maybe_refreeze(spark: SparkSession, store_dir: str,
     return True
 
 
+def _maybe_compact_simjoin(spark: SparkSession, store_dir: str,
+                           max_files_per_bucket: int) -> bool:
+    """Inline OPTIMIZE trigger for the streaming simjoin lanes,
+    keyed on prefix bucket health (files per bucket == appends since
+    the last compaction). Single-writer-safe between micro-batches,
+    like the refreeze trigger."""
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (  # noqa: E501
+        bucket_file_counts,
+        index_compact,
+    )
+
+    buckets = bucket_file_counts(spark, store_dir + "/prefix")
+    if not buckets or max(buckets.values()) <= max_files_per_bucket:
+        return False
+    index_compact(spark, store_dir)
+    return True
+
+
 def streaming_set_similarity(spark: SparkSession, docs_path: str,
                              work_dir: str,
                              max_files_per_trigger: int | None = None,
                              threshold: float = 0.5,
                              k: int = 3,
-                             auto_refreeze_ratio: float | None = None
-                             ) -> DataFrame:
+                             auto_refreeze_ratio: float | None = None,
+                             auto_compact_files_per_bucket:
+                             int | None = None) -> DataFrame:
     """Streaming EXACT set-similarity detection: the zero-false-negative
     twin of :func:`streaming_minhash_pairs`. The persisted exact-simjoin
     store (operators.dedup.build_simjoin_index) is initialized EMPTY --
@@ -201,6 +220,9 @@ def streaming_set_similarity(spark: SparkSession, docs_path: str,
                        batch_id=batch_id)
         if auto_refreeze_ratio is not None:
             _maybe_refreeze(spark, store_dir, auto_refreeze_ratio)
+        if auto_compact_files_per_bucket is not None:
+            _maybe_compact_simjoin(spark, store_dir,
+                                   auto_compact_files_per_bucket)
 
     stream = read_documents_stream(spark, docs_path, max_files_per_trigger)
     q = (stream.writeStream.foreachBatch(process)
@@ -217,8 +239,9 @@ def streaming_components(spark: SparkSession, docs_path: str,
                          max_files_per_trigger: int | None = None,
                          threshold: float = 0.5,
                          k: int = 3,
-                         auto_refreeze_ratio: float | None = None
-                         ) -> DataFrame:
+                         auto_refreeze_ratio: float | None = None,
+                         auto_compact_files_per_bucket:
+                         int | None = None) -> DataFrame:
     """CONTINUOUSLY-FRESH dedup clusters: the full incremental dedup
     lifecycle as one streaming lane. Every micro-batch (a) folds into
     the persisted exact-simjoin store (delta-only candidate + verify
@@ -308,6 +331,18 @@ def streaming_components(spark: SparkSession, docs_path: str,
             # refreeze rewrites prefix/dfreq only -- the pairs files
             # (and so the folded watermark) are untouched
             _maybe_refreeze(spark, store_dir, auto_refreeze_ratio)
+        if auto_compact_files_per_bucket is not None \
+                and _maybe_compact_simjoin(spark, store_dir,
+                                           auto_compact_files_per_bucket):
+            # compaction rewrote the pairs files: re-anchor the
+            # watermark to the new names NOW (the folded pair SET is
+            # unchanged), so the next batch does not pay the
+            # documented full re-fold that an EXTERNAL compaction
+            # still triggers
+            fsio.write_json(
+                spark, folded_p,
+                sorted(f for f in fsio.list_files(spark, pairs_dir)
+                       if f.endswith(".parquet")))
 
     stream = read_documents_stream(spark, docs_path, max_files_per_trigger)
     q = (stream.writeStream.foreachBatch(process)

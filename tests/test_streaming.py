@@ -637,3 +637,47 @@ def test_streaming_components_refold_is_label_noop(spark, tmp_path):
     after = sorted(tuple(r) for r in
                    components_read(spark, store).collect())
     assert after == before
+
+
+def test_streaming_components_auto_compact_keeps_labels_and_watermark(
+        spark, sf_dir, tmp_path):
+    """Both closed loops on the full streaming dedup lifecycle:
+    draining with auto_compact_files_per_bucket=2 keeps the prefix
+    buckets compact, re-anchors the folded-pairs watermark to the
+    rewritten pairs files (no refold debt left behind), and the
+    drained labels still equal the one-shot recompute."""
+    from automated_review_analysis_pipeline_spark import fsio
+    from automated_review_analysis_pipeline_spark.operators.dedup import (
+        set_similarity_join,
+    )
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (
+        bucket_file_counts,
+    )
+    from automated_review_analysis_pipeline_spark.operators.similarity import (
+        star_connected_components,
+    )
+    from automated_review_analysis_pipeline_spark.streaming.docs_stream import (
+        streaming_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_split")
+    docs.repartition(4).write.parquet(src)
+    work = str(tmp_path / "work")
+
+    got = streaming_components(spark, src, work,
+                               max_files_per_trigger=1, threshold=0.5,
+                               auto_compact_files_per_bucket=2)
+    pairs = set_similarity_join(docs, threshold=0.5)
+    want, _ = star_connected_components(pairs, a_col="a_id",
+                                        b_col="b_id")
+    assert sorted(tuple(r) for r in got.collect()) == \
+        sorted((r["node"], r["component"]) for r in want.collect())
+    store = work + "/simjoin_store"
+    buckets = bucket_file_counts(spark, store + "/prefix")
+    assert buckets and max(buckets.values()) <= 2, buckets
+    # the watermark tracks the REWRITTEN pairs files exactly
+    folded = set(fsio.read_json(spark, work + "/folded_pairs.json"))
+    on_disk = {f for f in fsio.list_files(spark, store + "/pairs")
+               if f.endswith(".parquet")}
+    assert on_disk <= folded

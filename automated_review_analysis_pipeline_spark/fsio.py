@@ -94,8 +94,18 @@ def _new_fs(spark: SparkSession, path: str):
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     uri = _fs_uri(spark, jpath)
     # key on what FileSystem.newInstance actually binds to -- the
-    # scheme + authority, not the per-file path the URI carries
-    key = f"{uri.getScheme()}://{uri.getAuthority() or ''}"
+    # scheme + authority -- PLUS the identity of the Hadoop
+    # configuration the instance was constructed from: a later
+    # SparkSession (new SparkContext -> new Configuration object)
+    # with different fs.* settings, credentials, or endpoints for the
+    # same scheme must not silently reuse an instance bound to the
+    # old configuration (round-15 ADVICE). Hadoop Configuration does
+    # not override hashCode, so hashCode() is the JVM identity hash
+    # -- stable for the life of the context, distinct across
+    # contexts. Same-object in-place conf mutation is invisible to
+    # any cache; invalidate_fs_cache() is the explicit hook for that.
+    key = (f"{uri.getScheme()}://{uri.getAuthority() or ''}"
+           f"#{conf.hashCode()}")
     with _FS_LOCK:
         fs = _FS_CACHE.get(key)
         if fs is None:
@@ -105,6 +115,19 @@ def _new_fs(spark: SparkSession, path: str):
             fs.setVerifyChecksum(False)
             _FS_CACHE[key] = fs
     return fs, jpath, jvm
+
+
+def invalidate_fs_cache() -> None:
+    """Drop every cached private FileSystem handle. Call after
+    mutating a live session's hadoopConfiguration in place (new
+    credentials, endpoint overrides): the cache keys on the conf
+    OBJECT's identity, so in-place mutation would otherwise keep
+    serving instances bound to the pre-mutation settings. The dropped
+    instances are intentionally not close()d -- in-flight callers on
+    other driver threads may still hold them, and an unclosed private
+    FileSystem only costs its idle client state."""
+    with _FS_LOCK:
+        _FS_CACHE.clear()
 
 
 def exists(spark: SparkSession, path: str) -> bool:

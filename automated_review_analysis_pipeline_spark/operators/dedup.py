@@ -1419,10 +1419,89 @@ def _simjoin_verify_store(cand: DataFrame, docs_tbl: DataFrame,
             .select("a_id", "b_id", "n_common", "jaccard"))
 
 
+def simjoin_pairs(spark, store_dir: str) -> DataFrame:
+    """The store's CURRENT qualifying-pair set -- the one read path
+    that respects tombstones (round 15): pairs touching a deleted doc
+    are excluded by an anti-join against the tombstone set (no-op --
+    and no plan nodes -- when the store has none; ``index_compact``
+    physically purges them, after which the filter costs nothing
+    again). Every consumer that used to read ``store_dir + '/pairs'``
+    directly routes through here."""
+    from .. import fsio, store_delete
+
+    meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    pairs = spark.read.parquet(store_dir + "/pairs")
+    return store_delete.exclude_tombstoned(
+        pairs, spark, store_dir, meta, ("a_id", "b_id"))
+
+
+def simjoin_delete(spark, store_dir: str, doc_ids,
+                   batch_id: int | None = None,
+                   fence: dict | None = None) -> DataFrame:
+    """Delete documents from a persisted exact-simjoin index by
+    TOMBSTONE (round 15): the ids append to a small ``tombstones/``
+    part under the staged commit protocol -- same crash/replay
+    discipline as :func:`simjoin_append` (write-ahead intent, meta
+    flip as the atomic commit point, rollback-on-open; ``batch_id``
+    makes at-least-once replays a no-op via ``last_delete_batch_id``).
+    Reads (:func:`simjoin_pairs`) and future appends exclude
+    tombstoned docs immediately; ``index_compact`` physically purges
+    pairs/prefix/docs rows and drops the tombstones. Post-delete the
+    pair set equals the one-shot recompute over the SURVIVING corpus
+    exactly (oracle-pinned: every pair among survivors was found
+    before the delete and none is dropped; every pair touching a
+    deleted doc is excluded). Deleted ids must not be re-appended
+    (appends fail fast on them until a compaction purges the
+    tombstones). ``doc_ids`` is a python iterable or a one-column
+    DataFrame. Returns the surviving pair table.
+
+    Scale shape: the delete itself is metadata-plus-|ids| work -- the
+    only store touch is a bucketed, bounded-IN-pruned ``/docs`` probe
+    to count which of the ids are actually present (the
+    ``n_docs_total`` decrement that keeps the drift trigger's density
+    denominator honest); nothing is rewritten until compaction."""
+    from .. import fsio, store_delete, store_fence
+
+    store_fence.fence_check(spark, store_dir, fence)
+    meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    from .. import store_commit
+    store_commit.repair(spark, store_dir, meta.get("append_epoch", 0))
+    _refreeze_restore(spark, store_dir)
+    if batch_id is not None \
+            and batch_id <= meta.get("last_delete_batch_id", -1):
+        return simjoin_pairs(spark, store_dir)
+    docs_buckets = int(meta.get("docs_buckets", 0))
+    docs_tbl = (_register_docs_table(spark, store_dir, docs_buckets)
+                if docs_buckets
+                else spark.read.parquet(store_dir + "/docs"))
+    ids = store_delete.as_id_frame(spark, doc_ids, docs_tbl, "id")
+    if store_delete.has_tombstones(meta):
+        ids = ids.join(store_delete.read_tombstones(spark, store_dir),
+                       "id", "left_anti")
+    new_ts = ids.localCheckpoint(eager=True)
+    # bounded-IN pruned presence count (the verify stage's IN-lane
+    # discipline): a delete is |ids|-sized, never an O(store) scan
+    sample = [r["id"] for r in new_ts.limit(1025).collect()]
+    if len(sample) <= 1024:
+        n_present = (docs_tbl.where(F.col("id").isin(sample)).count()
+                     if sample else 0)
+    else:
+        n_present = docs_tbl.join(F.broadcast(new_ts), "id").count()
+    n_store = int(meta.get("n_docs_total",
+                           (meta.get("build_stats") or {})
+                           .get("n_docs", 0)))
+    store_delete.append_tombstones(
+        spark, store_dir, new_ts, meta,
+        extra_meta={"n_docs_total": max(0, n_store - n_present)},
+        batch_id=batch_id)
+    return simjoin_pairs(spark, store_dir)
+
+
 def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
                    text_col: str = "text",
                    id_col: str = "doc_id",
-                   batch_id: int | None = None) -> DataFrame:
+                   batch_id: int | None = None,
+                   fence: dict | None = None) -> DataFrame:
     """Append a DELTA to a persisted exact-simjoin index: only
     (new x all) candidate prefixes are joined -- the |all| x |new|
     discipline of the incremental MinHash store, with zero false
@@ -1462,21 +1541,30 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
     round 13 (no ``n_buckets`` in meta.json) fall back to the
     plain-parquet union path unchanged; round-13 stores without
     ``docs_buckets`` keep the union verify."""
-    from .. import fsio, store_commit
+    from .. import fsio, store_commit, store_delete, store_fence
+    store_fence.fence_check(spark, store_dir, fence)
     meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
     # heal any crashed earlier append BEFORE the replay guard (the
     # crashed batch's id was never committed, so it re-folds cleanly)
     store_commit.repair(spark, store_dir,
                         meta.get("append_epoch", 0))
+    # heal a crashed refreeze/compaction half-swap on any part BEFORE
+    # the replay early-return below reads /pairs -- a replayed batch
+    # arriving right after a compaction crashed between its pairs-dir
+    # renames must heal the swap exactly like the non-replay path,
+    # not fail on the missing live dir (round-15 ADVICE)
+    _refreeze_restore(spark, store_dir)
     if batch_id is not None and batch_id <= meta.get("last_batch_id", -1):
-        return spark.read.parquet(store_dir + "/pairs")
+        return simjoin_pairs(spark, store_dir)
+    # a tombstoned id must not be re-appended (half-resurrected state
+    # after the next compaction purge otherwise) -- fail fast
+    store_delete.check_not_tombstoned(
+        new_docs.select(F.col(id_col)), spark, store_dir, meta, id_col)
     threshold, k = float(meta["threshold"]), int(meta["k"])
     n_buckets = meta.get("n_buckets")
-    # heal a crashed refreeze/compaction half-swap on any part, then
     # (bucketed stores) refuse a MIXED token order (prefix vs dfreq
     # epoch stamps) -- completeness of the prefix filter depends on
     # one shared order
-    _refreeze_restore(spark, store_dir)
     if n_buckets:
         _check_order_epoch(spark, store_dir)
     dfreq = spark.read.parquet(store_dir + "/dfreq")
@@ -1513,6 +1601,12 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
             .unionByName(
                 _simjoin_candidates(all_prefix, new_prefix, threshold)) \
             .distinct()
+    # tombstoned store docs still carry prefix rows until compaction
+    # purges them: drop their candidates BEFORE verify, so deleted-doc
+    # pairs are neither computed nor written (reads would filter them
+    # anyway; this keeps the work and the pair part clean)
+    cand = store_delete.exclude_tombstoned(
+        cand, spark, store_dir, meta, ("a_id", "b_id"))
     # one materialization of the candidate set: verify consumes it
     # without re-running the candidate joins, and its count feeds the
     # per-append selectivity record (the refreeze trigger) for free
@@ -1560,19 +1654,27 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
                   "n_candidates": cand.count()})
     # a store with no usable BUILD baseline (stream-start empty build,
     # or zero build-time candidates) anchors drift to its FIRST
-    # append, kept DURABLY outside the rolling window -- the window
-    # eviction would otherwise re-anchor the baseline to ~20 appends
-    # ago and gradual drift could never trip the refreeze trigger
+    # CANDIDATE-BEARING append, kept DURABLY outside the rolling
+    # window -- the window eviction would otherwise re-anchor the
+    # baseline to ~20 appends ago and gradual drift could never trip
+    # the refreeze trigger. A zero-candidate first append (a plausible
+    # first micro-batch) must NOT freeze as the baseline: its density
+    # is 0, which simjoin_store_stats maps to None and the trigger
+    # would stay disarmed forever (round-15 ADVICE) -- so a
+    # zero-candidate baseline is replaced by the first append that
+    # records candidates.
     if not (meta.get("build_stats") or {}).get("n_candidates") \
-            and "baseline_append" not in meta:
-        meta["baseline_append"] = stats[0]
+            and not (meta.get("baseline_append") or {}).get("n_candidates"):
+        rec0 = next((a for a in stats if a["n_candidates"]), None)
+        if rec0 is not None:
+            meta["baseline_append"] = rec0
     del stats[:-20]
     meta["n_docs_total"] = n_store + n_delta
     # COMMIT POINT: the atomic meta flip makes the 3-part append
     # durable; the intent cleanup after it is crash-tolerant
     fsio.write_json(spark, fsio.join(store_dir, "meta.json"), meta)
     store_commit.commit_append(spark, store_dir)
-    return spark.read.parquet(store_dir + "/pairs")
+    return simjoin_pairs(spark, store_dir)
 
 
 def _part_order_epoch(spark, part_dir: str) -> int:
@@ -1594,10 +1696,38 @@ def _check_order_epoch(spark, store_dir: str) -> int:
     prefixes under a different total order than the stored prefixes,
     silently voiding the zero-false-negative guarantee (the store's
     core contract); failing here keeps the store exact and the repair
-    is one re-run of :func:`simjoin_refreeze`. Returns the epoch."""
+    is one re-run of :func:`simjoin_refreeze`. Returns the epoch.
+
+    One mismatch shape is SELF-HEALABLE and distinct from the
+    crashed-refreeze signature: an ``index_compact`` part rewrite
+    drops the in-dir stamp, so a crash between a part's swap and its
+    restamp leaves that part at epoch 0 while the OTHER part still
+    matches meta's ``order_epoch``. Compaction never changes the
+    token order, so the lost stamp is purely clerical -- restamp it
+    from meta and continue (round-15 ADVICE: before this, the only
+    recovery was a full O(store) refreeze for an order that never
+    actually changed). A genuinely mixed refreeze crash cannot match
+    this shape: the refreeze flips meta LAST, so its half-swapped
+    NEW epoch is always meta+1, never equal to meta."""
+    from .. import fsio
+
     pe = _part_order_epoch(spark, store_dir + "/prefix")
     de = _part_order_epoch(spark, store_dir + "/dfreq")
     if pe != de:
+        meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+        me = int(meta.get("order_epoch", 0))
+        heal = None
+        if pe == 0 and de == me and me:
+            heal = "prefix"
+        elif de == 0 and pe == me and me:
+            heal = "dfreq"
+        if heal is not None:
+            fsio.write_json(
+                spark,
+                fsio.join(fsio.join(store_dir, heal),
+                          "_order_epoch.json"),
+                {"order_epoch": me})
+            return me
         raise RuntimeError(
             f"simjoin store {store_dir} has a MIXED token order "
             f"(prefix epoch {pe} != dfreq epoch {de}): a "
@@ -1620,7 +1750,8 @@ def _refreeze_restore(spark, store_dir: str) -> None:
         heal_interrupted_swap(spark, store_dir + "/" + part)
 
 
-def simjoin_refreeze(spark, store_dir: str) -> DataFrame:
+def simjoin_refreeze(spark, store_dir: str,
+                     fence: dict | None = None) -> DataFrame:
     """Re-freeze a persisted simjoin index's rare-first token order
     from the ACCUMULATED document frequencies -- the maintenance op
     that keeps the prefix filter SELECTIVE as the corpus drifts.
@@ -1652,9 +1783,10 @@ def simjoin_refreeze(spark, store_dir: str) -> DataFrame:
     records (``append_stats``): they measured the OLD order.
     Single-writer maintenance, like index_compact. Returns the new
     prefix table."""
-    from .. import fsio, store_commit
+    from .. import fsio, store_commit, store_fence
     from .partitioning import write_bucketed_path
 
+    store_fence.fence_check(spark, store_dir, fence)
     meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
     # a crashed append's partial files must not get baked into the
     # refrozen order; a crashed refreeze's half-swaps heal first

@@ -415,10 +415,14 @@ def bucket_file_counts(spark: SparkSession, part_dir: str) -> dict:
 
 
 def _compact_plain_dir(spark: SparkSession, part_dir: str,
-                       target_file_bytes: int) -> None:
+                       target_file_bytes: int,
+                       transform=None) -> None:
     """Rewrite one plain parquet dir into ceil(bytes/target) files via
     a tmp-dir + rename-aside swap (no shuffle: coalesce concatenates
-    partitions; heal_interrupted_swap covers the swap window)."""
+    partitions; heal_interrupted_swap covers the swap window).
+    ``transform`` (row filter -- the tombstone purge hook) applies
+    before the rewrite; the file-count estimate stays pre-filter,
+    which only ever errs toward more, smaller files."""
     from .. import fsio
 
     heal_interrupted_swap(spark, part_dir)
@@ -426,30 +430,39 @@ def _compact_plain_dir(spark: SparkSession, part_dir: str,
     n = max(1, -(-total // target_file_bytes))
     tmp = part_dir + ".__compact__"
     fsio.delete(spark, tmp)
-    (spark.read.parquet(part_dir).coalesce(int(n))
+    df = spark.read.parquet(part_dir)
+    if transform is not None:
+        df = transform(df)
+    (df.coalesce(int(n))
      .write.mode("overwrite").parquet(tmp))
     _swap_in(spark, part_dir, tmp)
 
 
-def _compact_cell_dir(spark: SparkSession, part_dir: str) -> None:
+def _compact_cell_dir(spark: SparkSession, part_dir: str,
+                      transform=None) -> None:
     """Rewrite a cell-partitioned parquet dir to ONE file per cell:
     hash-repartitioning on the partition column puts each cell wholly
     in one task, and partitionBy splits by value -- so every cell
     directory ends up with a single file, the densest layout that
-    keeps the cell as the pruning/parallelism unit."""
+    keeps the cell as the pruning/parallelism unit. ``transform`` is
+    the tombstone-purge row filter."""
     from .. import fsio
 
     heal_interrupted_swap(spark, part_dir)
     tmp = part_dir + ".__compact__"
     fsio.delete(spark, tmp)
-    (spark.read.parquet(part_dir).repartition(F.col("cell"))
+    df = spark.read.parquet(part_dir)
+    if transform is not None:
+        df = transform(df)
+    (df.repartition(F.col("cell"))
      .write.mode("overwrite").partitionBy("cell").parquet(tmp))
     _swap_in(spark, part_dir, tmp)
 
 
 def _compact_bucketed_dir(spark: SparkSession, path: str, name: str,
                           cols_ddl: str, bucket_cols: list[str],
-                          sort_cols: list[str], n_buckets: int) -> None:
+                          sort_cols: list[str], n_buckets: int,
+                          transform=None) -> None:
     """Rewrite a bucketed table dir to ONE file per bucket with zero
     shuffle: force the BUCKETED scan for the rewrite (each task reads
     exactly one bucket's files; the auto-bucketed-scan planner would
@@ -464,6 +477,11 @@ def _compact_bucketed_dir(spark: SparkSession, path: str, name: str,
     heal_interrupted_swap(spark, path)
     cur = register_bucketed_path(spark, path, name, cols_ddl,
                                  bucket_cols, sort_cols, n_buckets)
+    if transform is not None:
+        # the purge filter (a broadcast anti-join against the small
+        # tombstone set) preserves the forced bucketed scan's
+        # partitioning, so the rewrite below stays shuffle-free
+        cur = transform(cur)
     spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
     fsio.delete(spark, path + ".__compact__")
     auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
@@ -484,7 +502,8 @@ def _compact_bucketed_dir(spark: SparkSession, path: str, name: str,
 
 
 def index_compact(spark: SparkSession, store_dir: str,
-                  target_file_bytes: int = 128 << 20) -> dict:
+                  target_file_bytes: int = 128 << 20,
+                  fence: dict | None = None) -> dict:
     """Small-file compaction for the PERSISTED STORES (simjoin, IVF,
     PQ, IVF-PQ): every ``*_append`` and every streaming micro-batch
     parquet-appends a few files, so a year of appends accumulates
@@ -492,7 +511,16 @@ def index_compact(spark: SparkSession, store_dir: str,
     dominate probe planning long before data volume does. This is the
     OPTIMIZE step every table format schedules, specialized to each
     store's layout so compaction NEVER changes results (equality
-    pytest-pinned):
+    pytest-pinned). Round 15: compaction is also the tombstone PURGE
+    -- stores with a ``tombstones/`` part have their deleted rows
+    physically dropped during the rewrite (each part's filter is a
+    broadcast anti-join that preserves the shuffle-free rewrite
+    shapes), then the tombstones are removed and the read-side
+    anti-join returns to a no-op. The purge is idempotent at every
+    crash point: parts are filtered before the tombstone drop, and a
+    re-run re-filters already-clean parts harmlessly. Purge-and-
+    compact equals the results over the surviving rows byte-for-byte
+    (the same equality contract as plain compaction):
 
     * plain parts (pairs/docs/dfreq, PQ codes) -- coalesce to
       ceil(bytes/target) files, no shuffle;
@@ -514,8 +542,9 @@ def index_compact(spark: SparkSession, store_dir: str,
     nothing is lost, but the swap window is not atomic on object
     stores. Sidecars (meta.json) are untouched. Returns
     {part: (files_before, files_after)}."""
-    from .. import fsio
+    from .. import fsio, store_delete, store_fence
 
+    store_fence.fence_check(spark, store_dir, fence)
     report: dict = {}
 
     def files(p: str) -> int:
@@ -531,6 +560,39 @@ def index_compact(spark: SparkSession, store_dir: str,
 
         store_commit.repair(spark, store_dir,
                             meta.get("append_epoch", 0))
+
+    # tombstone purge hook: gate on the counter OR a leftover dir (a
+    # prior purge that crashed between its meta flip and the dir
+    # delete leaves exactly that); drop_ids(...) builds the per-part
+    # row filter, None when there is nothing to purge
+    ts_dir = fsio.join(store_dir, store_delete.TOMBSTONE_PART)
+    purging = (store_delete.has_tombstones(meta)
+               or fsio.exists(spark, ts_dir))
+    ts = (store_delete.read_tombstones(spark, store_dir)
+          if purging and fsio.exists(spark, ts_dir) else None)
+
+    def drop_ids(*cols: str):
+        if ts is None:
+            return None
+
+        def t(df):
+            for c in cols:
+                df = df.join(
+                    F.broadcast(ts.select(F.col("id").alias(c))),
+                    c, "left_anti")
+            return df
+        return t
+
+    def finish_purge() -> None:
+        """Meta flip FIRST (readers stop anti-joining), dir drop
+        second -- a crash between leaves a dead tombstones dir the
+        `purging` gate above cleans on the next compaction."""
+        if not purging:
+            return
+        meta["n_tombstoned"] = 0
+        fsio.write_json(spark, meta_p, meta)
+        fsio.delete(spark, ts_dir)
+        report["tombstones"] = "purged"
     if "threshold" in meta:  # simjoin store
         from .dedup import (
             _part_order_epoch,
@@ -539,10 +601,31 @@ def index_compact(spark: SparkSession, store_dir: str,
         )
 
         # the refreeze epoch stamps live INSIDE prefix/ and dfreq/
-        # (underscore-hidden); the dir rewrites below would drop them
+        # (underscore-hidden); the dir rewrites below would drop them.
+        # Each part is restamped IMMEDIATELY after its own swap -- a
+        # single restamp pass at the end left a crash window in which
+        # one part's stamp was gone while the other still carried the
+        # old epoch, a mismatch only a full refreeze could clear even
+        # though the order never changed (round-15 ADVICE); the
+        # remaining swap-to-restamp instants are healed by
+        # _check_order_epoch's meta fallback
         epochs = {part: _part_order_epoch(
             spark, fsio.join(store_dir, part))
             for part in ("prefix", "dfreq")}
+
+        def restamp(part: str) -> None:
+            if epochs.get(part):
+                fsio.write_json(
+                    spark,
+                    fsio.join(fsio.join(store_dir, part),
+                              "_order_epoch.json"),
+                    {"order_epoch": epochs[part]})
+
+        # per-part purge filters: pairs reference deleted ids on
+        # either side; docs/prefix carry their rows; dfreq stays (the
+        # frozen order is an order, not a census -- refreeze recounts)
+        part_filter = {"pairs": drop_ids("a_id", "b_id"),
+                       "docs": drop_ids("id")}
         plain = ["pairs", "dfreq"]
         db = int(meta.get("docs_buckets", 0))
         if not db:
@@ -550,14 +633,17 @@ def index_compact(spark: SparkSession, store_dir: str,
         for part in plain:
             p = fsio.join(store_dir, part)
             before = files(p)
-            _compact_plain_dir(spark, p, target_file_bytes)
+            _compact_plain_dir(spark, p, target_file_bytes,
+                               transform=part_filter.get(part))
+            restamp(part)
             report[part] = (before, files(p))
         if db:
             p = fsio.join(store_dir, "docs")
             before = files(p)
             _compact_bucketed_dir(
                 spark, p, _simjoin_docs_table_name(store_dir),
-                meta["docs_cols"], ["id"], ["id"], db)
+                meta["docs_cols"], ["id"], ["id"], db,
+                transform=drop_ids("id"))
             report["docs"] = (before, files(p))
         # bucketed prefix: rewrite through the bucket writer, swap,
         # re-register the catalog entry at the same location
@@ -567,31 +653,33 @@ def index_compact(spark: SparkSession, store_dir: str,
             before = files(p)
             _compact_bucketed_dir(
                 spark, p, _simjoin_prefix_table_name(store_dir),
-                meta["prefix_cols"], ["tok"], ["tok"], nb)
+                meta["prefix_cols"], ["tok"], ["tok"], nb,
+                transform=drop_ids("id"))
+            restamp("prefix")
             report["prefix"] = (before, files(p))
-        for part, ep in epochs.items():
-            if ep:
-                fsio.write_json(
-                    spark,
-                    fsio.join(fsio.join(store_dir, part),
-                              "_order_epoch.json"),
-                    {"order_epoch": ep})
+        finish_purge()
         return report
 
     if "postings_cols" in meta:  # BM25 inverted-index store
         from .textanalysis import _bm25_postings_table_name
 
+        # the id column is whatever the builder used (first column of
+        # the recorded postings schema)
+        doc_col = meta["postings_cols"].split(",")[0].strip() \
+            .split(" ")[0].strip("`")
         p = fsio.join(store_dir, "postings")
         before = files(p)
         _compact_bucketed_dir(
             spark, p, _bm25_postings_table_name(store_dir),
             meta["postings_cols"], ["word"], ["word"],
-            int(meta["n_buckets"]))
+            int(meta["n_buckets"]), transform=drop_ids(doc_col))
         report["postings"] = (before, files(p))
         d = fsio.join(store_dir, "doclen")
         before = files(d)
-        _compact_plain_dir(spark, d, target_file_bytes)
+        _compact_plain_dir(spark, d, target_file_bytes,
+                           transform=drop_ids(doc_col))
         report["doclen"] = (before, files(d))
+        finish_purge()
         return report
 
     if "version" in meta and fsio.exists(
@@ -625,10 +713,13 @@ def index_compact(spark: SparkSession, store_dir: str,
     if fsio.exists(spark, codes_p):  # PQ or IVF-PQ store
         before = files(codes_p)
         if "cell" in spark.read.parquet(codes_p).columns:
-            _compact_cell_dir(spark, codes_p)
+            _compact_cell_dir(spark, codes_p,
+                              transform=drop_ids("c_id"))
         else:
-            _compact_plain_dir(spark, codes_p, target_file_bytes)
+            _compact_plain_dir(spark, codes_p, target_file_bytes,
+                               transform=drop_ids("c_id"))
         report["codes"] = (before, files(codes_p))
+        finish_purge()
         return report
     if fsio.exists(spark, corpus_p):  # IVF store
         before = files(corpus_p)
@@ -677,7 +768,7 @@ def index_stats(spark: SparkSession, store_dir: str) -> DataFrame:
     Values are strings (the report mixes kinds); rows-only registry
     check by design -- a filesystem report has no relational oracle.
     """
-    from .. import fsio
+    from .. import fsio, store_delete
 
     meta_p = fsio.join(store_dir, "meta.json")
     meta = fsio.read_json(spark, meta_p) \
@@ -752,6 +843,28 @@ def index_stats(spark: SparkSession, store_dir: str) -> DataFrame:
         drift = simjoin_store_stats(spark, store_dir).first()
         for c in ("order_epoch", "drift_ratio", "refreeze_recommended"):
             rows.append(("store", c, str(drift[c]).lower()))
+    # delete health (round 15): live tombstone count, the surviving
+    # fraction, and the reclaimable-bytes estimate a purge
+    # (index_compact) would free -- deleted_fraction x data bytes,
+    # from meta counters alone (never a data scan). n_files/bytes for
+    # the tombstones part itself already come from the parts loop.
+    n_ts = int(meta.get("n_tombstoned", 0) or 0)
+    if n_ts:
+        live = {"simjoin": "n_docs_total",
+                "bm25_index": "n_docs"}.get(family)
+        n_live = int(meta.get(live, 0) or 0) if live else None
+        if n_live is not None and (n_live + n_ts):
+            frac = n_ts / (n_live + n_ts)
+            data_bytes = sum(
+                fsio.dir_bytes(spark, fsio.join(store_dir, p))
+                for p in parts
+                if p != store_delete.TOMBSTONE_PART
+                and not p.endswith(
+                    (".__new__", ".__old__", ".__compact__")))
+            rows.append(("store", "deleted_fraction",
+                         str(round(frac, 6))))
+            rows.append(("store", "reclaimable_bytes_est",
+                         str(int(frac * data_bytes))))
     return spark.createDataFrame(
         rows, "part string, metric string, value string") \
         .orderBy("part", "metric")

@@ -559,7 +559,8 @@ def build_profile_store(df: DataFrame, store_dir: str) -> DataFrame:
 
 
 def profile_append(spark, store_dir: str, delta: DataFrame,
-                   batch_id: int | None = None) -> DataFrame:
+                   batch_id: int | None = None,
+                   fence: dict | None = None) -> DataFrame:
     """Fold a DELTA into the persisted profile: scan the delta only,
     merge its state with the stored state, write the next version, and
     flip meta.json atomically. The merged stats equal a one-shot
@@ -583,8 +584,9 @@ def profile_append(spark, store_dir: str, delta: DataFrame,
     never happened -- the guard plus the version flip give
     exactly-once folding end to end. Non-streaming callers may omit
     it (no replay source exists there)."""
-    from .. import fsio
+    from .. import fsio, store_fence
 
+    store_fence.fence_check(spark, store_dir, fence)
     meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
     if batch_id is not None and batch_id <= meta.get("last_batch_id", -1):
         return profile_stats(spark, store_dir)

@@ -959,10 +959,17 @@ def build_ivfpq_index(embeddings: DataFrame, store_dir: str,
     from .quality import embedding_dim_stats
     embedding_dim_stats(embeddings, vec_col).write.mode("overwrite") \
         .parquet(store_dir + "/dimstats")
-    # sidecar LAST via the Hadoop FS API -- store_dir may be s3a://
+    # sidecar LAST via the Hadoop FS API -- store_dir may be s3a://.
+    # The full build recipe persists (round 15) so ivfpq_rebuild can
+    # retrain from a drifted corpus with the SAME geometry knobs --
+    # the store is self-describing for its whole maintenance lifecycle
     from .. import fsio
     fsio.write_json(spark, fsio.join(store_dir, "meta.json"),
-                    {"encode": encode})
+                    {"encode": encode,
+                     "n_centroids": n_centroids,
+                     "train_iterations": train_iterations,
+                     "m": m, "ksub": ksub, "train_n": train_n,
+                     "iterations": iterations})
     return spark.read.parquet(store_dir + "/codes")
 
 
@@ -1008,13 +1015,36 @@ def _ivfpq_encode_mode(spark, store_dir: str) -> str:
 
 def ivfpq_index_append(spark, store_dir: str, new_vectors: DataFrame,
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       batch_id: int | None = None,
+                       fence: dict | None = None) -> DataFrame:
     """Append a DELTA to a persisted IVF-PQ index: assign against the
     SAME stored centroids and encode against the SAME stored codebooks
     (never retrain either -- cells and codes would shift under existing
     entries) with the SAME encoding the store was built with (raw vs
     residual, read from its meta.json), then parquet-append into the
-    cell-partitioned code table. Returns the reloaded codes table."""
+    cell-partitioned code table. Round 15 brings the append under the
+    same discipline as the simjoin/BM25 stores: the staged commit
+    protocol (write-ahead intent + atomic meta flip + rollback-on-open)
+    closes the mid-append crash window, ``batch_id`` makes
+    at-least-once replays a no-op (the streaming maintenance lane's
+    contract), appends fail fast on a tombstoned id, and ``fence`` is
+    the writer-lease token. Returns the reloaded codes table."""
+    from .. import fsio, store_commit, store_delete, store_fence
+
+    store_fence.fence_check(spark, store_dir, fence)
+    meta_p = fsio.join(store_dir, "meta.json")
+    meta = fsio.read_json(spark, meta_p) \
+        if fsio.exists(spark, meta_p) else {"encode": "raw"}
+    from .partitioning import heal_interrupted_swap
+    heal_interrupted_swap(spark, store_dir)  # crashed rebuild swap
+    store_commit.repair(spark, store_dir, meta.get("append_epoch", 0))
+    if batch_id is not None \
+            and batch_id <= meta.get("last_batch_id", -1):
+        return spark.read.parquet(store_dir + "/codes")
+    store_delete.check_not_tombstoned(
+        new_vectors.select(F.col(id_col)), spark, store_dir, meta,
+        id_col)
     cents = spark.read.parquet(store_dir + "/centroids")
     books, m, _ksub, dsub = _load_books(spark, store_dir)
     shift_by_cell = _load_cell_means(spark, store_dir) \
@@ -1025,8 +1055,111 @@ def ivfpq_index_append(spark, store_dir: str, new_vectors: DataFrame,
     coded = _pq_encode(assigned.select("c_id", "c_vec", "cell"), books, m,
                        dsub, "c_id", "c_vec", carry=("cell",),
                        cents_by_cell=shift_by_cell)
+    epoch = int(meta.get("append_epoch", 0)) + 1
+    store_commit.begin_append(spark, store_dir, ["codes"], epoch)
     coded.write.mode("append").partitionBy("cell") \
         .parquet(store_dir + "/codes")
+    meta["append_epoch"] = epoch
+    if batch_id is not None:
+        meta["last_batch_id"] = batch_id
+    fsio.write_json(spark, meta_p, meta)  # COMMIT POINT
+    store_commit.commit_append(spark, store_dir)
+    return spark.read.parquet(store_dir + "/codes")
+
+
+def ivfpq_index_delete(spark, store_dir: str, vec_ids,
+                       batch_id: int | None = None,
+                       fence: dict | None = None) -> dict:
+    """Delete vectors from a persisted IVF-PQ index by TOMBSTONE
+    (round 15): ids append to ``tombstones/`` under the staged commit
+    protocol; :func:`ivfpq_probe` (and so the rerank path) drops
+    tombstoned rows from the probed cells' codes before ADC scoring,
+    so post-delete neighbors equal a probe over the surviving corpus
+    with the SAME trained geometry (centroids/books stay -- training
+    is a snapshot, deletion changes the candidate set, exactly the
+    FAISS remove_ids semantics); ``index_compact`` purges the code
+    rows physically. Deleted ids must not be re-appended until a
+    purge. Returns the committed meta."""
+    from .. import fsio, store_commit, store_delete, store_fence
+
+    store_fence.fence_check(spark, store_dir, fence)
+    meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    from .partitioning import heal_interrupted_swap
+    heal_interrupted_swap(spark, store_dir)
+    store_commit.repair(spark, store_dir, meta.get("append_epoch", 0))
+    if batch_id is not None \
+            and batch_id <= meta.get("last_delete_batch_id", -1):
+        return meta
+    codes = spark.read.parquet(store_dir + "/codes")
+    ids = store_delete.as_id_frame(spark, vec_ids, codes, "c_id")
+    if store_delete.has_tombstones(meta):
+        ids = ids.join(store_delete.read_tombstones(spark, store_dir),
+                       "id", "left_anti")
+    new_ts = ids.localCheckpoint(eager=True)
+    return store_delete.append_tombstones(
+        spark, store_dir, new_ts, meta, batch_id=batch_id)
+
+
+def ivfpq_rebuild(spark, store_dir: str, embeddings: DataFrame,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  fence: dict | None = None) -> DataFrame:
+    """Retrain a persisted IVF-PQ index from a (drifted) corpus -- the
+    ANN analog of :func:`~.dedup.simjoin_refreeze` (round 15). Appends
+    encode against the BUILD-TIME centroids/codebooks, which stays
+    EXACT for membership but degrades recall as the corpus drifts away
+    from the training snapshot: new-region vectors crowd into the
+    nearest old cells and their residuals fall outside the codebooks'
+    dynamic range. The rebuild re-runs the full deterministic training
+    (``build_ivfpq_index``) over *embeddings* -- the ACCUMULATED raw
+    corpus (the store holds codes, not vectors; the caller owns the
+    vector lake, exactly as :func:`ivfpq_rerank` already requires) --
+    with the SAME recipe the store persists in meta.json, into a tmp
+    sibling, then swaps whole-store via rename-aside (crash heals on
+    the next probe/append/rebuild: ``heal_interrupted_swap``).
+
+    Tombstoned ids are EXCLUDED from the rebuild corpus, so a rebuild
+    doubles as the purge; replay bookkeeping (``last_batch_id`` /
+    ``last_delete_batch_id`` / ``append_epoch``) carries over so a
+    micro-batch replayed across the rebuild stays a no-op (its vectors
+    are already inside the rebuilt corpus). Because the training is
+    deterministic, a rebuilt store is BYTE-EQUIVALENT in results to a
+    fresh build over the same corpus -- which is what lets the probe
+    oracle carry over verbatim (registry: ivfpq_rebuilt_probe)."""
+    from .. import fsio, store_delete, store_fence
+    from .partitioning import _swap_in, heal_interrupted_swap
+
+    store_fence.fence_check(spark, store_dir, fence)
+    heal_interrupted_swap(spark, store_dir)
+    meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    if "n_centroids" not in meta:
+        raise ValueError(
+            f"{store_dir} predates the round-15 self-describing meta "
+            f"(no build recipe recorded); rebuild it once with "
+            f"build_ivfpq_index to enable ivfpq_rebuild")
+    corpus = embeddings
+    if store_delete.has_tombstones(meta):
+        ts = store_delete.read_tombstones(spark, store_dir)
+        corpus = corpus.join(
+            ts.select(F.col("id").alias(id_col)), id_col, "left_anti")
+    tmp = store_dir.rstrip("/") + ".__rebuild__"
+    fsio.delete(spark, tmp)
+    build_ivfpq_index(
+        corpus, tmp, id_col=id_col, vec_col=vec_col,
+        n_centroids=int(meta["n_centroids"]),
+        train_iterations=int(meta["train_iterations"]),
+        m=int(meta["m"]), ksub=int(meta["ksub"]),
+        train_n=int(meta["train_n"]),
+        iterations=int(meta["iterations"]),
+        encode=meta.get("encode", "raw"))
+    # carry the replay/commit bookkeeping across the swap: a batch
+    # replayed after the rebuild must stay a no-op (its vectors are
+    # already in the rebuilt corpus)
+    new_meta = fsio.read_json(spark, fsio.join(tmp, "meta.json"))
+    for k in ("append_epoch", "last_batch_id", "last_delete_batch_id"):
+        if k in meta:
+            new_meta[k] = meta[k]
+    fsio.write_json(spark, fsio.join(tmp, "meta.json"), new_meta)
+    _swap_in(spark, store_dir, tmp)
     return spark.read.parquet(store_dir + "/codes")
 
 
@@ -1054,6 +1187,11 @@ def ivfpq_probe(spark, store_dir: str, queries: DataFrame, k: int = 5,
     import numpy as np
     import pandas as pd
 
+    from .partitioning import heal_interrupted_swap
+
+    # a rebuild (ivfpq_rebuild) that crashed mid whole-store swap
+    # leaves the old store renamed aside -- restore it before reading
+    heal_interrupted_swap(spark, store_dir)
     cents = spark.read.parquet(store_dir + "/centroids")
     books, m, ksub, dsub = _load_books(spark, store_dir)
     residual = _ivfpq_encode_mode(spark, store_dir) == "residual"
@@ -1133,6 +1271,16 @@ def ivfpq_probe(spark, store_dir: str, queries: DataFrame, k: int = 5,
 
     codes_df = (spark.read.parquet(store_dir + "/codes")
                 .where(F.col("cell").isin([int(c) for c in all_cells])))
+    # tombstoned vectors (ivfpq_index_delete) drop before ADC scoring:
+    # post-delete neighbors equal a probe over the surviving corpus
+    # with the same trained geometry; no-op when the store has none
+    from .. import fsio, store_delete
+
+    meta_p = fsio.join(store_dir, "meta.json")
+    meta = fsio.read_json(spark, meta_p) \
+        if fsio.exists(spark, meta_p) else {}
+    codes_df = store_delete.exclude_tombstoned(
+        codes_df, spark, store_dir, meta, ("c_id",))
     local = codes_df.mapInPandas(
         topk_batches, "query_id long, neighbor_id long, approx_sim double")
     w = Window.partitionBy("query_id").orderBy(
@@ -1637,9 +1785,15 @@ def components_read(spark, store_dir: str) -> DataFrame:
              .withColumn("__v", F.lit(v))
              for v in range(base, cur_v + 1)]
     w = Window.partitionBy("node").orderBy(F.desc("__v"))
+    # a NULL component is a TOMBSTONE row (components_delete, round
+    # 15): newest-wins first, THEN drop -- so a deleted node stays
+    # deleted even though older versions still carry its label, and a
+    # compaction's base snapshot (written from this read) is
+    # physically tombstone-free
     return (reduce(lambda a, b: a.unionByName(b), parts)
             .withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
+            .where(F.col("component").isNotNull())
             .select("node", "component"))
 
 
@@ -1647,7 +1801,9 @@ def components_append(spark, store_dir: str, new_edges: DataFrame,
                       a_col: str = "a", b_col: str = "b",
                       max_iterations: int = 50,
                       batch_id: int | None = None,
-                      auto_compact_every: int | None = 32) -> DataFrame:
+                      auto_compact_every: int | None = 32,
+                      auto_vacuum_keep: int = 2,
+                      fence: dict | None = None) -> DataFrame:
     """Fold an edge DELTA into a persisted components store WITHOUT
     touching historical edges: star iterations run only over the
     CONTRACTED delta graph, whose size tracks |new edges| -- never the
@@ -1681,8 +1837,9 @@ def components_append(spark, store_dir: str, new_edges: DataFrame,
     gives the same at-least-once replay idempotence as profile_append
     (the version flip is atomic, so the guard makes folding
     exactly-once). Returns the full updated label map."""
-    from .. import fsio
+    from .. import fsio, store_fence
 
+    store_fence.fence_check(spark, store_dir, fence)
     meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
     cur = components_read(spark, store_dir)
     if batch_id is not None and batch_id <= meta.get("last_batch_id", -1):
@@ -1753,15 +1910,112 @@ def components_append(spark, store_dir: str, new_edges: DataFrame,
         components_compact(spark, store_dir)
         # drop the superseded pre-base dirs too: an inline re-base
         # that never vacuums leaves every version ever written on
-        # disk over a long append loop
-        components_vacuum(spark, store_dir)
+        # disk over a long append loop. keep=2 (not vacuum's bare
+        # keep=1 default) retains ONE pre-base snapshot: the manual-
+        # rollback margin, and a grace window for a concurrent reader
+        # mid-fold on the old chain -- the single-writer contract
+        # fences writers, not readers (round-15 ADVICE);
+        # ``auto_vacuum_keep`` parameterizes it for callers that want
+        # a different retention.
+        components_vacuum(spark, store_dir, keep=int(auto_vacuum_keep))
     return components_read(spark, store_dir)
 
 
-def components_compact(spark, store_dir: str) -> DataFrame:
+def components_delete(spark, store_dir: str, nodes, edges: DataFrame,
+                      a_col: str = "a", b_col: str = "b",
+                      max_iterations: int = 50,
+                      batch_id: int | None = None,
+                      fence: dict | None = None) -> DataFrame:
+    """Delete nodes from a persisted components store EXACTLY --
+    including the re-SPLITS a deletion can cause. Removing a cut
+    vertex disconnects its component, and the label map alone cannot
+    see that (the store holds labels, not edges); naive tombstoning
+    would leave the severed halves sharing a label forever. So the
+    delete takes the SURVIVING edge source (*edges* -- in the dedup
+    lifecycle, :func:`~.dedup.simjoin_pairs` after the matching
+    ``simjoin_delete``; tombstone-filtered pair reads already exclude
+    deleted docs) and recomputes labels for exactly the AFFECTED
+    components:
+
+    1. the deleted nodes' current labels name the affected components
+       (a broadcast-sized set -- bounded by |delete|);
+    2. their members (cost ~ sizes of affected components, never
+       |nodes|) minus the deleted nodes form the recompute scope;
+    3. surviving edges among those members re-cluster via the star
+       rounds (O(affected subgraph), the components_append
+       discipline);
+    4. ONE delta version writes: a NULL-component TOMBSTONE row per
+       deleted node AND per member left edge-less (one-shot labels
+       only cover edge endpoints), plus the re-split members' new
+       labels.
+
+    Every edge touching a deleted node lies inside an affected
+    component (its endpoint's component is affected by definition),
+    so unaffected components and their labels are untouched -- and
+    post-delete :func:`components_read` equals the one-shot
+    ``star_connected_components`` over the surviving edge set EXACTLY
+    (oracle-pinned). Same versioned-store crash discipline as
+    :func:`components_append` (delta dir + atomic meta flip;
+    ``last_delete_batch_id`` replay guard); :func:`components_compact`
+    folds tombstones away physically (the fold read already excludes
+    them). Returns the updated label map."""
+    from .. import fsio, store_delete, store_fence
+
+    store_fence.fence_check(spark, store_dir, fence)
+    meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    cur = components_read(spark, store_dir)
+    if batch_id is not None \
+            and batch_id <= meta.get("last_delete_batch_id", -1):
+        return cur
+    deleted = store_delete.as_id_frame(spark, nodes, cur, "node") \
+        .select(F.col("id").alias("node"))
+    affected = (cur.join(broadcast(deleted), "node")
+                .select("component").distinct())
+    members = cur.join(broadcast(affected), "component") \
+        .localCheckpoint(eager=True)
+    e = (edges
+         .select(F.greatest(F.col(a_col), F.col(b_col)).alias("a"),
+                 F.least(F.col(a_col), F.col(b_col)).alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .distinct())
+    sub = (e.join(broadcast(members.select(F.col("node").alias("a"))),
+                  "a")
+           .join(broadcast(members.select(F.col("node").alias("b"))),
+                 "b")
+           .join(broadcast(deleted.select(F.col("node").alias("a"))),
+                 "a", "left_anti")
+           .join(broadcast(deleted.select(F.col("node").alias("b"))),
+                 "b", "left_anti"))
+    relabeled, _rounds = star_connected_components(
+        sub, max_iterations=max_iterations)
+    # every affected member gets a delta row: its re-split label, or a
+    # tombstone when deleted / left edge-less
+    delta = (members.select("node")
+             .join(relabeled.withColumnRenamed("component", "__new"),
+                   "node", "left")
+             .select("node", F.col("__new").alias("component")))
+    if delta.isEmpty():
+        delta = spark.createDataFrame([], cur.schema).repartition(1)
+    delta = delta.localCheckpoint(eager=True)
+    nxt = int(meta["version"]) + 1
+    delta.write.mode("overwrite").parquet(
+        fsio.join(store_dir, f"labels/v{nxt}"))
+    new_meta = dict(meta)
+    new_meta["version"] = nxt
+    new_meta["base"] = int(meta.get("base", meta["version"]))
+    if batch_id is not None:
+        new_meta["last_delete_batch_id"] = batch_id
+    fsio.write_json(spark, fsio.join(store_dir, "meta.json"), new_meta)
+    return components_read(spark, store_dir)
+
+
+def components_compact(spark, store_dir: str,
+                       fence: dict | None = None) -> DataFrame:
     """Re-base a components store: fold the delta chain into ONE full
     snapshot version and point ``base`` at it -- the OPTIMIZE step of
-    the delta layout. Appends write |delta|-sized versions, so after
+    the delta layout. The fold read excludes tombstone rows
+    (components_delete), so the re-based snapshot is physically
+    tombstone-free -- compaction IS the purge here, no extra pass. Appends write |delta|-sized versions, so after
     many appends the read-side fold unions a long chain; compaction
     resets it to a single read. Crash-safe the same way appends are:
     the full snapshot lands under the NEXT version dir and the meta
@@ -1769,8 +2023,9 @@ def components_compact(spark, store_dir: str) -> DataFrame:
     interrupted compact leaves the old chain serving. Run
     :func:`components_vacuum` afterwards to drop the pre-base dirs.
     Returns the compacted label map."""
-    from .. import fsio
+    from .. import fsio, store_fence
 
+    store_fence.fence_check(spark, store_dir, fence)
     meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
     cur = components_read(spark, store_dir)
     nxt = int(meta["version"]) + 1

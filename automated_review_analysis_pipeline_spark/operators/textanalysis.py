@@ -2075,9 +2075,58 @@ def build_bm25_index(documents: DataFrame, store_dir: str,
     return spark.table(_bm25_postings_table_name(store_dir))
 
 
+def bm25_index_delete(spark, store_dir: str, doc_ids,
+                      id_col: str = "doc_id",
+                      batch_id: int | None = None,
+                      fence: dict | None = None) -> dict:
+    """Delete documents from a persisted BM25 inverted index by
+    TOMBSTONE (round 15): ids append to ``tombstones/`` under the
+    staged commit protocol (crash-rollback + ``last_delete_batch_id``
+    replay guard), the exact corpus counters decrement by the deleted
+    docs' actual presence (n_docs by the matched doclen rows,
+    total_len by their summed lengths -- one scan of the tiny doclen
+    part, never the postings), and every search path anti-joins the
+    tombstones -- so post-delete scores equal the one-shot
+    :func:`bm25_search` over the SURVIVING corpus EXACTLY (df
+    recomputes from surviving postings at query time; idf/avgdl from
+    the decremented counters). ``index_compact`` purges the postings/
+    doclen rows physically and drops the tombstones. Deleted ids must
+    not be re-appended (appends fail fast until a compaction purge).
+    Returns the updated counters."""
+    from .. import fsio, store_delete, store_fence
+    from .partitioning import heal_interrupted_swap
+
+    store_fence.fence_check(spark, store_dir, fence)
+    meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
+    for part in ("postings", "doclen"):
+        heal_interrupted_swap(spark, store_dir + "/" + part)
+    from .. import store_commit
+    store_commit.repair(spark, store_dir, meta.get("append_epoch", 0))
+    if batch_id is not None \
+            and batch_id <= meta.get("last_delete_batch_id", -1):
+        return meta
+    dl = spark.read.parquet(store_dir + "/doclen")
+    ids = store_delete.as_id_frame(spark, doc_ids, dl, id_col)
+    if store_delete.has_tombstones(meta):
+        ids = ids.join(store_delete.read_tombstones(spark, store_dir),
+                       "id", "left_anti")
+    new_ts = ids.localCheckpoint(eager=True)
+    hit = (dl.join(F.broadcast(new_ts.select(
+        F.col("id").alias(id_col))), id_col)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t"))
+        .first())
+    return store_delete.append_tombstones(
+        spark, store_dir, new_ts, meta,
+        extra_meta={
+            "n_docs": int(meta["n_docs"]) - int(hit["n"] or 0),
+            "total_len": int(meta["total_len"]) - int(hit["t"] or 0)},
+        batch_id=batch_id)
+
+
 def bm25_index_append(spark, store_dir: str, new_docs: DataFrame,
                       id_col: str = "doc_id", text_col: str = "text",
-                      batch_id: int | None = None) -> dict:
+                      batch_id: int | None = None,
+                      fence: dict | None = None) -> dict:
     """Fold a document DELTA into a persisted BM25 index: tokenize the
     delta only, append its postings (bucketed, <= n_buckets files) and
     doc lengths, and bump the exact corpus counters -- NO part of the
@@ -2095,10 +2144,11 @@ def bm25_index_append(spark, store_dir: str, new_docs: DataFrame,
     the updated counters."""
     from .partitioning import write_bucketed_path
 
-    from .. import fsio, store_commit
+    from .. import fsio, store_commit, store_delete, store_fence
 
     from .partitioning import heal_interrupted_swap
 
+    store_fence.fence_check(spark, store_dir, fence)
     meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
     # a compaction that died mid-swap leaves a part renamed aside;
     # appending over the missing dir would silently re-register an
@@ -2108,6 +2158,10 @@ def bm25_index_append(spark, store_dir: str, new_docs: DataFrame,
     store_commit.repair(spark, store_dir, meta.get("append_epoch", 0))
     if batch_id is not None and batch_id <= meta.get("last_batch_id", -1):
         return meta
+    # a tombstoned id must not be re-appended (it would half-resurrect
+    # at the next compaction purge) -- fail fast
+    store_delete.check_not_tombstoned(
+        new_docs.select(F.col(id_col)), spark, store_dir, meta, id_col)
     words = _bm25_words(new_docs, id_col, text_col)
     postings = words.groupBy(id_col, "word").agg(
         F.count(F.lit(1)).alias("tf"))
@@ -2150,14 +2204,22 @@ def bm25_index_search(spark, store_dir: str, query_terms: tuple[str, ...],
 
     from .. import fsio
 
+    from .. import store_delete
+
     meta = fsio.read_json(spark, fsio.join(store_dir, "meta.json"))
     post = register_bucketed_path(
         spark, store_dir + "/postings",
         _bm25_postings_table_name(store_dir), meta["postings_cols"],
         ["word"], ["word"], int(meta["n_buckets"]))
-    tf = (post.where(F.col("word").isin(*query_terms))
-          .select(id_col, "word",
-                  F.col("tf").cast("double").alias("__tf")))
+    # tombstoned docs drop here, BEFORE the df groupBy: df then counts
+    # surviving docs only, so idf (and everything downstream) equals
+    # the one-shot scorer over the surviving corpus; the dl/qterms
+    # joins are inner on doc_id, so no second filter is needed
+    tf = store_delete.exclude_tombstoned(
+        post.where(F.col("word").isin(*query_terms)),
+        spark, store_dir, meta, (id_col,)) \
+        .select(id_col, "word",
+                F.col("tf").cast("double").alias("__tf"))
     df_ = tf.groupBy("word").agg(
         F.count(F.lit(1)).cast("double").alias("__df"))
     dl = spark.read.parquet(store_dir + "/doclen").select(
@@ -2227,6 +2289,11 @@ def bm25_index_topk(spark, store_dir: str, queries: DataFrame,
     else:
         matched = post.join(
             broadcast(qterms.select("word").distinct()), "word")
+    from .. import store_delete
+
+    # drop tombstoned docs before the df groupBy (surviving-corpus df)
+    matched = store_delete.exclude_tombstoned(
+        matched, spark, store_dir, meta, (id_col,))
     tf = matched.select(id_col, "word",
                         F.col("tf").cast("double").alias("tf"))
     df_ = tf.groupBy("word").agg(

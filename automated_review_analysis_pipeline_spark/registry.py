@@ -474,6 +474,116 @@ def q_simjoin_components_incremental(spark: SparkSession,
             .orderBy("doc_id"))
 
 
+def _delete_lifecycle_fixture(spark: SparkSession, sf_dir: str):
+    """ONE shared post-delete fixture (round 15) for the tombstone
+    lifecycle queries: simjoin + components + BM25 stores built over
+    the full corpus (build + append halves, the incremental shape),
+    then ``doc_id % 7 == 3`` DELETED from all three -- simjoin_delete
+    tombstones the docs, components_delete re-splits clusters from
+    the surviving (tombstone-filtered) pair table, bm25_index_delete
+    decrements the exact counters. Queries read the post-delete state
+    through the tombstone-aware paths; each oracle is the family's
+    existing SQL twin over the survivor-filtered corpus CTE."""
+    import os
+    import shutil
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work, sj_store = _fixture_paths("arap_del_life", sf_dir,
+                                    "simjoin_store")
+    comp_store = os.path.join(work, "comp_store")
+    bm_store = os.path.join(work, "bm25_store")
+
+    def _build() -> None:
+        shutil.rmtree(work, ignore_errors=True)
+        dedup.build_simjoin_index(docs.where(F.col("doc_id") % 2 == 0),
+                                  sj_store, threshold=0.5)
+        dedup.simjoin_append(spark, sj_store,
+                             docs.where(F.col("doc_id") % 2 == 1))
+        sim.build_components_store(
+            dedup.simjoin_pairs(spark, sj_store), comp_store,
+            a_col="a_id", b_col="b_id")
+        ta.build_bm25_index(docs.where(F.col("doc_id") % 2 == 0),
+                            bm_store)
+        ta.bm25_index_append(spark, bm_store,
+                             docs.where(F.col("doc_id") % 2 == 1))
+        victims = docs.where(F.col("doc_id") % 7 == 3).select("doc_id")
+        surviving = dedup.simjoin_delete(spark, sj_store, victims)
+        sim.components_delete(spark, comp_store, victims, surviving,
+                              a_col="a_id", b_col="b_id")
+        ta.bm25_index_delete(spark, bm_store, victims)
+
+    _fixture_once(work, _build)
+    return sj_store, comp_store, bm_store
+
+
+def q_simjoin_delete_pairs(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Post-delete pair set of the tombstoned simjoin store: every
+    pair among SURVIVORS kept, every pair touching a deleted doc
+    excluded -- equal to the one-shot exact join over the surviving
+    corpus (the oracle is set_similarity_pairs over the filtered
+    corpus CTE). The read is the tombstone-aware simjoin_pairs path
+    (anti-join vs the tombstone set; the tombstones are NOT purged in
+    this fixture, so the filter itself is under oracle)."""
+    sj_store, _, _ = _delete_lifecycle_fixture(spark, sf_dir)
+    return dedup.simjoin_pairs(spark, sj_store).orderBy("a_id", "b_id")
+
+
+def q_simjoin_delete_compacted(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The same post-delete pair set AFTER ``index_compact`` purged
+    the tombstones physically (pairs/prefix/docs rows dropped, the
+    tombstone part removed): purge-and-compact must be value-invisible
+    -- this shares q_simjoin_delete_pairs' oracle verbatim."""
+    import os
+    import shutil
+
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (  # noqa: E501
+        index_compact,
+    )
+
+    src_sj, _, _ = _delete_lifecycle_fixture(spark, sf_dir)
+    work, sj_store = _fixture_paths("arap_del_compacted", sf_dir,
+                                    "simjoin_store")
+
+    def _build() -> None:
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        shutil.copytree(src_sj, sj_store)
+        index_compact(spark, sj_store)
+
+    _fixture_once(work, _build)
+    return dedup.simjoin_pairs(spark, sj_store).orderBy("a_id", "b_id")
+
+
+def q_components_delete_labels(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Post-delete cluster labels: components_delete re-SPLITS the
+    affected components from the surviving pair table (deleting a cut
+    vertex disconnects its cluster -- a label-only tombstone cannot
+    see that), tombstones the deleted + edge-less nodes, and leaves
+    unaffected components untouched. Equal to the one-shot recursive
+    reachability over the surviving corpus' exact pairs (the full
+    CTE oracle, survivor-filtered)."""
+    _, comp_store, _ = _delete_lifecycle_fixture(spark, sf_dir)
+    labels = sim.components_read(spark, comp_store)
+    return (labels.select(F.col("node").alias("doc_id"), "component")
+            .orderBy("doc_id"))
+
+
+def q_bm25_index_delete_search(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Post-delete retrieval from the tombstoned BM25 index: the
+    postings scan stays bucket-pruned to the query terms, tombstoned
+    docs drop BEFORE the query-time df aggregation (so idf counts
+    survivors only), and n_docs/avgdl come from the decremented exact
+    counters -- scores equal the one-shot bm25_search over the
+    surviving corpus EXACTLY (the scoring oracle, survivor-filtered).
+    """
+    _, _, bm_store = _delete_lifecycle_fixture(spark, sf_dir)
+    return ta.bm25_index_search(spark, bm_store, BM25_QUERY)
+
+
 def q_near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
     return sim.near_dup_pagerank(e, threshold=0.35)
@@ -869,6 +979,24 @@ def q_streaming_components(spark: SparkSession,
     work = tempfile.mkdtemp(prefix="arap_comp_stream_")
     return streaming_components(
         spark, f"{sf_dir}/documents.parquet", work, threshold=0.5)
+
+
+def q_streaming_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end STREAMING curation (round 15): per micro-batch
+    quality gate -> metadata-only dedup state -> incremental Bloom
+    decontamination (bitset OR + bucketed-postings reverse probe) ->
+    staged-commit state appends; the drained manifest (per-lang
+    quota + token-budget shards) equals the one-shot curate_corpus
+    over the whole corpus EXACTLY -- the batch oracle carries over
+    verbatim."""
+    import tempfile
+
+    from automated_review_analysis_pipeline_spark.streaming.docs_stream import (
+        streaming_curate,
+    )
+
+    work = tempfile.mkdtemp(prefix="arap_curate_stream_")
+    return streaming_curate(spark, f"{sf_dir}/documents.parquet", work)
 
 
 def q_streaming_profile_stats(spark: SparkSession,
@@ -2426,6 +2554,64 @@ def q_ann_recall_ivfpq_residual(spark: SparkSession,
         approx=sim.ivfpq_probe(spark, store, queries, k=TOP_K, n_probe=4))
 
 
+def q_ivfpq_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe of a residual IVF-PQ index AFTER ivfpq_index_delete
+    tombstoned ``vec_id % 11 == 5`` (round 15): tombstoned rows drop
+    from the probed cells' codes BEFORE ADC scoring, so neighbors are
+    the survivors under the SAME trained geometry (training is a
+    snapshot; deletion changes the candidate set -- FAISS remove_ids
+    semantics). The oracle is the full unrolled IVFADC SQL with the
+    survivor predicate on the scored-neighbor side only."""
+    import shutil
+
+    e = _t(spark, sf_dir, "embeddings")
+    work, store = _fixture_paths("arap_ivfpq_del", sf_dir, "ivfpq")
+
+    def _build() -> None:
+        shutil.rmtree(work, ignore_errors=True)
+        sim.build_ivfpq_index(e, store, n_centroids=16,
+                              train_iterations=2, m=32, ksub=32,
+                              encode="residual")
+        sim.ivfpq_index_delete(
+            spark, store,
+            e.where(F.col("vec_id") % 11 == 5).select("vec_id"))
+
+    _fixture_once(work, _build)
+    return sim.ivfpq_probe(spark, store,
+                           e.where(F.col("vec_id") < N_QUERY_VECS),
+                           k=TOP_K, n_probe=4)
+
+
+def q_ivfpq_rebuilt_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe AFTER the ANN maintenance loop's rebuild (round 15): the
+    index is built on 2/3 of the corpus, the rest appended (encoded
+    against the STALE build-time geometry), then ivfpq_rebuild
+    retrains from the full accumulated corpus with the recipe the
+    store records in meta.json (staged whole-store swap). The training
+    is deterministic, so the rebuilt index is result-equivalent to a
+    fresh build over the full corpus -- this probe shares
+    ivfpq_residual_probe's full oracle VERBATIM, which is the value
+    proof that rebuild == fresh-build."""
+    import shutil
+
+    e = _t(spark, sf_dir, "embeddings")
+    work, store = _fixture_paths("arap_ivfpq_rebuild", sf_dir, "ivfpq")
+
+    def _build() -> None:
+        shutil.rmtree(work, ignore_errors=True)
+        sim.build_ivfpq_index(e.where(F.col("vec_id") % 3 != 0), store,
+                              n_centroids=16, train_iterations=2,
+                              m=32, ksub=32, encode="residual")
+        sim.ivfpq_index_append(spark, store,
+                               e.where(F.col("vec_id") % 3 == 0))
+        sim.ivfpq_rebuild(spark, store, e)
+
+    _fixture_once(work, _build)
+    return sim.ivfpq_probe(spark, store,
+                           e.where(F.col("vec_id") < N_QUERY_VECS),
+                           k=TOP_K, n_probe=4)
+
+
 def q_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage ANN serving: the residual IVF-PQ probe shortlists 50
     candidates per query from codes alone (partition-pruned ADC), then
@@ -3062,6 +3248,8 @@ QUERIES: dict[str, QueryFn] = {
     "pq_index_probe": q_pq_index_probe,
     "ivfpq_index_probe": q_ivfpq_index_probe,
     "ivfpq_residual_probe": q_ivfpq_residual_probe,
+    "ivfpq_delete_probe": q_ivfpq_delete_probe,
+    "ivfpq_rebuilt_probe": q_ivfpq_rebuilt_probe,
     "ivfpq_rerank_topk": q_ivfpq_rerank_topk,
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
     "q9_product_type_profit": q_q9_product_type_profit,
@@ -3121,8 +3309,13 @@ QUERIES: dict[str, QueryFn] = {
     "event_dow_chi2": q_event_dow_chi2,
     "bm25_search": q_bm25_search,
     "bm25_index_search": q_bm25_index_search,
+    "simjoin_delete_pairs": q_simjoin_delete_pairs,
+    "simjoin_delete_compacted": q_simjoin_delete_compacted,
+    "components_delete_labels": q_components_delete_labels,
+    "bm25_index_delete_search": q_bm25_index_delete_search,
     "bm25_index_topk": q_bm25_index_topk,
     "streaming_components": q_streaming_components,
+    "streaming_curate": q_streaming_curate,
     "index_stats_simjoin": q_index_stats_simjoin,
     "index_stats_components": q_index_stats_components,
     "index_stats_bm25": q_index_stats_bm25,
@@ -5413,7 +5606,8 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank""")
 def _ivfpq_oracle_sql(n_centroids: int = 16, train_iterations: int = 2,
                       n_probe: int = 4, m: int = 32, ksub: int = 16,
                       train_n: int = 1024, residual: bool = False,
-                      top_k: int | None = None) -> str:
+                      top_k: int | None = None,
+                      neighbor_where: str = "") -> str:
     """Full-value oracle for the composed IVF-PQ probe: the trained-IVF
     cell CTEs (unrolled Lloyd -> assignment -> n_probe probing) restrict
     WHICH corpus vectors each query scores, and the PQ CTEs (codebook
@@ -5525,24 +5719,24 @@ def _ivfpq_oracle_sql(n_centroids: int = 16, train_iterations: int = 2,
   FROM norm n JOIN probes p ON p.q_id = n.vec_id
   JOIN csub cs ON cs.ct_id = p.cell
   WHERE n.vec_id < {N_QUERY_VECS})""")
-        parts.append("""pparts AS (
+        parts.append(f"""pparts AS (
   SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id, q.j,
          (q.x-cd.cx)*(q.x-cd.cx) + (q.y-cd.cy)*(q.y-cd.cy) AS d2
   FROM pqsub q
   JOIN assigned a ON a.cell = q.cell
   JOIN pcodes cd ON cd.vec_id = a.c_id AND cd.j = q.j
-  WHERE q.vec_id <> cd.vec_id)""")
+  WHERE q.vec_id <> cd.vec_id {neighbor_where})""")
     else:
         parts.append(f"pqsub AS (SELECT vec_id, j, x, y FROM pcorpus "
                      f"WHERE vec_id < {N_QUERY_VECS})")
-        parts.append("""pparts AS (
+        parts.append(f"""pparts AS (
   SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id, q.j,
          (q.x-cd.cx)*(q.x-cd.cx) + (q.y-cd.cy)*(q.y-cd.cy) AS d2
   FROM pqsub q
   JOIN probes p ON p.q_id = q.vec_id
   JOIN assigned a ON a.cell = p.cell
   JOIN pcodes cd ON cd.vec_id = a.c_id AND cd.j = q.j
-  WHERE q.vec_id <> cd.vec_id)""")
+  WHERE q.vec_id <> cd.vec_id {neighbor_where})""")
     parts.append("""adc AS (
   SELECT query_id, neighbor_id,
          round(1.0 - list_sum(list(d2 ORDER BY j)) / 2.0, 6) AS approx_sim
@@ -5568,6 +5762,14 @@ ORACLE_SQL["pq_index_probe"] = ORACLE_SQL["pq_topk"]
 ORACLE_SQL["ivfpq_index_probe"] = _ivfpq_oracle_sql()
 ORACLE_SQL["ivfpq_residual_probe"] = _ivfpq_oracle_sql(residual=True,
                                                        ksub=32)
+# DELETE: same trained geometry, survivors-only on the scored-neighbor
+# side (round 15)
+ORACLE_SQL["ivfpq_delete_probe"] = _ivfpq_oracle_sql(
+    residual=True, ksub=32,
+    neighbor_where="AND cd.vec_id % 11 <> 5")
+# REBUILD: deterministic training makes rebuild == fresh build over
+# the accumulated corpus -- the residual-probe oracle verbatim
+ORACLE_SQL["ivfpq_rebuilt_probe"] = ORACLE_SQL["ivfpq_residual_probe"]
 ORACLE_SQL["ivfpq_rerank_topk"] = f"""
 WITH short AS (
   SELECT query_id, neighbor_id
@@ -5652,6 +5854,10 @@ SELECT lang, doc_id, n_tokens, tokens_before,
        CAST(floor(tokens_before / 512) AS BIGINT) AS shard
 FROM cum ORDER BY lang, doc_id
 """
+# the streaming lane's drained manifest equals the one-shot pipeline
+# exactly (delta-disciplined state, metadata-only finish pass) -- the
+# batch oracle carries over verbatim (round 15)
+ORACLE_SQL["streaming_curate"] = ORACLE_SQL["curate_corpus"]
 
 
 # curate_corpus_tokens: the token-budget variant -- the bpe_encode CTEs
@@ -6646,6 +6852,30 @@ FROM reach GROUP BY src ORDER BY doc_id
 # reachability oracle carries over verbatim
 ORACLE_SQL["streaming_components"] = \
     ORACLE_SQL["simjoin_components_incremental"]
+
+# DELETE lifecycle (round 15): each family's oracle is its existing
+# SQL twin over the SURVIVOR-filtered corpus CTE (doc_id % 7 == 3
+# deleted) -- post-delete results must equal the one-shot recompute
+# over the surviving corpus exactly. Each source SQL reads the corpus
+# in exactly ONE place (asserted), so the filter lands exactly there.
+_SURVIVORS = "FROM documents WHERE doc_id % 7 <> 3"
+assert ORACLE_SQL["set_similarity_pairs"].count("FROM documents") == 1
+ORACLE_SQL["simjoin_delete_pairs"] = \
+    ORACLE_SQL["set_similarity_pairs"].replace(
+        "FROM documents", _SURVIVORS)
+# purge-and-compact is value-invisible: same oracle verbatim
+ORACLE_SQL["simjoin_delete_compacted"] = \
+    ORACLE_SQL["simjoin_delete_pairs"]
+assert ORACLE_SQL[
+    "simjoin_components_incremental"].count("FROM documents") == 1
+ORACLE_SQL["components_delete_labels"] = \
+    ORACLE_SQL["simjoin_components_incremental"].replace(
+        "FROM documents", _SURVIVORS)
+assert ORACLE_SQL["bm25_search"].count("FROM documents") == 1
+ORACLE_SQL["bm25_index_delete_search"] = \
+    ORACLE_SQL["bm25_search"].replace(
+        "FROM documents WHERE",
+        "FROM documents WHERE doc_id % 7 <> 3 AND ")
 
 ORACLE_SQL["dedup_representatives"] = ORACLE_SQL["near_dup_components"].replace(
     "SELECT src AS vec_id, min(dst) AS component\nFROM reach GROUP BY src ORDER BY vec_id",

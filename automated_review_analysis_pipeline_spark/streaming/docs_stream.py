@@ -241,7 +241,9 @@ def streaming_components(spark: SparkSession, docs_path: str,
                          k: int = 3,
                          auto_refreeze_ratio: float | None = None,
                          auto_compact_files_per_bucket:
-                         int | None = None) -> DataFrame:
+                         int | None = None,
+                         auto_compact_deltas: int | None = 32
+                         ) -> DataFrame:
     """CONTINUOUSLY-FRESH dedup clusters: the full incremental dedup
     lifecycle as one streaming lane. Every micro-batch (a) folds into
     the persisted exact-simjoin store (delta-only candidate + verify
@@ -321,8 +323,14 @@ def streaming_components(spark: SparkSession, docs_path: str,
                 build_components_store(new_pairs, comp_dir,
                                        a_col="a_id", b_col="b_id")
             else:
+                # auto_compact_deltas bounds the label fold chain FROM
+                # THE LANE (round 15): the inline re-base existed in
+                # components_append, but the streaming service had a
+                # knob only for bucket health -- now both store
+                # families' debt is capped by lane parameters
                 components_append(spark, comp_dir, new_pairs,
-                                  a_col="a_id", b_col="b_id")
+                                  a_col="a_id", b_col="b_id",
+                                  auto_compact_every=auto_compact_deltas)
         # watermark advances ONLY after the fold committed: a crash
         # above re-folds these files on replay, which contraction
         # makes a label no-op
@@ -449,6 +457,106 @@ def streaming_embedding_drift(spark: SparkSession, vectors_path: str,
     return drift_from_stats(train_stats, acc).orderBy("dim")
 
 
+def streaming_ivfpq_maintain(spark: SparkSession, vectors_path: str,
+                             ivfpq_store: str, work_dir: str,
+                             seed_corpus: DataFrame | None = None,
+                             max_files_per_trigger: int | None = None,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             auto_rebuild_cos: float | None = None
+                             ) -> DataFrame:
+    """The CLOSED ANN maintenance loop (round 15) -- what
+    auto_refreeze_ratio is to the simjoin store, this is to the IVF-PQ
+    index. Appends encode against build-time centroids/codebooks,
+    which keeps membership exact but lets recall decay as the corpus
+    drifts off the training snapshot; streaming_embedding_drift
+    already raises that alarm -- this lane ACTS on it. Every
+    micro-batch:
+
+    1. appends its vectors to ``work_dir/corpus`` -- the raw-vector
+       LAKE the index's exact rerank already requires and any rebuild
+       retrains from (batch_id-guarded sidecar: at-least-once replays
+       skip);
+    2. folds them into the index (``ivfpq_index_append``: staged
+       commit + its own batch_id guard -- exactly-once codes);
+    3. compares the batch's mean vector against the index's CURRENT
+       training snapshot (``dimstats/``, re-read per batch: a rebuild
+       refreshes it) and logs the alarm row; past
+       ``auto_rebuild_cos`` the lane runs :func:`~..operators.
+       similarity.ivfpq_rebuild` INLINE from the accumulated lake --
+       single-writer-safe because foreachBatch serializes batches --
+       after which the alarm re-arms against the NEW snapshot.
+
+    The rebuilt index is byte-equivalent in results to a fresh build
+    over the accumulated corpus (deterministic training), so probe
+    oracles carry over; the recall restoration is pytest-measured
+    (stale vs rebuilt on a drifted fixture). Returns the alarm log
+    (batch_id, cos_means, rebuilt)."""
+    import shutil
+
+    from automated_review_analysis_pipeline_spark import fsio
+    from automated_review_analysis_pipeline_spark.operators.quality import (
+        drift_from_stats,
+        embedding_dim_stats,
+    )
+    from automated_review_analysis_pipeline_spark.operators.similarity import (  # noqa: E501
+        ivfpq_index_append,
+        ivfpq_rebuild,
+    )
+
+    lake = os.path.join(work_dir, "corpus")
+    lake_meta = os.path.join(work_dir, "corpus_meta.json")
+    alerts_dir = os.path.join(work_dir, "alerts")
+    chk = os.path.join(work_dir, "_chk")
+    shutil.rmtree(alerts_dir, ignore_errors=True)
+    if seed_corpus is not None and not fsio.exists(spark, lake_meta):
+        shutil.rmtree(lake, ignore_errors=True)
+        seed_corpus.select(id_col, vec_col).write.parquet(lake)
+        fsio.write_json(spark, lake_meta, {"last_batch_id": -1})
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        lm = fsio.read_json(spark, lake_meta) \
+            if fsio.exists(spark, lake_meta) else {"last_batch_id": -1}
+        if batch_id > lm["last_batch_id"]:
+            batch_df.select(id_col, vec_col).write.mode("append") \
+                .parquet(lake)
+            fsio.write_json(spark, lake_meta,
+                            {"last_batch_id": batch_id})
+        ivfpq_index_append(spark, ivfpq_store, batch_df,
+                           id_col=id_col, vec_col=vec_col,
+                           batch_id=batch_id)
+        train_stats = spark.read.parquet(ivfpq_store + "/dimstats")
+        batch_stats = embedding_dim_stats(batch_df, vec_col) \
+            .localCheckpoint(eager=True)
+        cos = (drift_from_stats(train_stats, batch_stats)
+               .agg(F.min("cos_means").alias("c")).first()["c"])
+        rebuilt = False
+        if auto_rebuild_cos is not None and cos is not None \
+                and cos < auto_rebuild_cos:
+            ivfpq_rebuild(spark, ivfpq_store,
+                          spark.read.parquet(lake),
+                          id_col=id_col, vec_col=vec_col)
+            rebuilt = True
+        spark.createDataFrame(
+            [(batch_id, float(cos), rebuilt)],
+            "batch_id long, cos_means double, rebuilt boolean") \
+            .write.mode("append").parquet(alerts_dir)
+
+    stream = read_documents_stream(spark, vectors_path,
+                                   max_files_per_trigger)
+    q = (stream.writeStream.foreachBatch(process)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", chk)
+         .start())
+    q.awaitTermination()
+    if not fsio.exists(spark, alerts_dir):
+        return spark.createDataFrame(
+            [], "batch_id long, cos_means double, rebuilt boolean")
+    return spark.read.parquet(alerts_dir).orderBy("batch_id")
+
+
 def _maybe_compact_bm25(spark: SparkSession, store_dir: str,
                         max_files_per_bucket: int) -> bool:
     """Inline OPTIMIZE trigger for the streaming BM25 lane: when any
@@ -524,6 +632,264 @@ def streaming_bm25_index(spark: SparkSession, docs_path: str,
          .start())
     q.awaitTermination()
     return bm25_index_search(spark, store_dir, query_terms, k=k)
+
+
+def streaming_curate(spark: SparkSession, docs_path: str,
+                     work_dir: str,
+                     quota: int = 80, budget: int = 512, k: int = 5,
+                     max_files_per_trigger: int | None = None,
+                     m_bits: int = 1 << 20, n_hashes: int = 3,
+                     max_pruning_shingles: int = 1024,
+                     export_dir: str | None = None) -> DataFrame:
+    """END-TO-END STREAMING CURATION (round 15): the batch
+    :func:`~..operators.curation.curate_corpus` pipeline re-expressed
+    as delta-disciplined persisted state, so a continuously-ingesting
+    corpus keeps its curated training manifest current without ever
+    re-scanning history. Per micro-batch:
+
+    1. **Quality gate** -- Gopher keep-rules evaluate on the batch's
+       rows alone; every gated doc's METADATA (id, lang, token count,
+       text fingerprint, split) appends to the ``gated/`` state --
+       the text itself is never stored;
+    2. **Dedup state** -- exact-dedup needs only min(doc_id) per
+       distinct text, a fold over the stored fingerprints at drain
+       end; no cross-batch text comparison ever runs;
+    3. **Bloom decontamination, incrementally** -- the batch's
+       TEST-split docs (original corpus, ungated -- the batch
+       definition) contribute their shingles to a persisted set AND
+       OR their bit positions into a fixed-size Bloom bitset
+       (``bloom.bits``, m_bits/8 bytes, atomic overwrite); the
+       batch's TRAIN-side shingles are probed against the bitset
+       (vectorized numpy over Arrow batches -- false positives die in
+       the exact verify join against the accumulated test-shingle
+       set, false negatives impossible), while the REVERSE direction
+       -- earlier train docs contaminated by THIS batch's test docs
+       -- probes the bucketed ``train_postings/`` store with the
+       bm25-style two-lane scan (static IN -> bucket pruning when the
+       batch's test shingles are bounded, broadcast join beyond);
+       newly contaminated ids append to ``contaminated/``;
+    4. all four state appends commit under the STAGED COMMIT protocol
+       (:mod:`...store_commit`) with a batch-id replay guard --
+       at-least-once replays fold exactly once; a crashed batch rolls
+       back (stray Bloom bits are harmless: supersets only admit
+       candidates the exact verify kills).
+
+    After the drain, the manifest assembles from METADATA-ONLY state
+    (survivor fold -> per-lang md5 quota window -> token-budget shard
+    offsets -- the exact curate_corpus expressions), so the finish
+    pass costs O(gated survivors), not O(corpus text). Drained
+    manifest == one-shot ``curate_corpus`` over the whole corpus
+    EXACTLY (the batch oracle carries over verbatim). With
+    ``export_dir`` the manifest additionally ships via
+    ``sorted_export`` -- the validating-manifest shard delivery.
+    Returns the manifest (lang, doc_id, n_tokens, tokens_before,
+    shard)."""
+    import numpy as np
+
+    from automated_review_analysis_pipeline_spark import (
+        fsio,
+        store_commit,
+    )
+    from automated_review_analysis_pipeline_spark.operators.curation import (
+        TRAIN_MAX,
+        VAL_MAX,
+        gopher_quality_flags,
+        split_key,
+    )
+    from automated_review_analysis_pipeline_spark.operators.dedup import (
+        shingle_tokens,
+        word_shingles_from_tokens,
+    )
+    from automated_review_analysis_pipeline_spark.operators.partitioning import (  # noqa: E501
+        register_bucketed_path,
+        write_bucketed_path,
+    )
+    from automated_review_analysis_pipeline_spark.operators.textanalysis import (  # noqa: E501
+        token_count,
+    )
+
+    store = os.path.join(work_dir, "curate_store")
+    chk = os.path.join(work_dir, "_chk")
+    meta_p = fsio.join(store, "meta.json")
+    bits_p = fsio.join(store, "bloom.bits")
+    gated_p = store + "/gated"
+    test_sh_p = store + "/test_shingles"
+    cont_p = store + "/contaminated"
+    post_p = store + "/train_postings"
+    import hashlib
+
+    post_name = ("arap_curate_postings_"
+                 + hashlib.md5(store.encode()).hexdigest()[:12])
+    n_buckets = 8
+    post_cols = "`doc_id` bigint, `shingle` string"
+
+    def hash_pos(col):
+        h1 = F.pmod(F.xxhash64(col), F.lit(m_bits))
+        h2 = F.pmod(F.xxhash64(F.concat(col, F.lit("#b2"))),
+                    F.lit(m_bits))
+        return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+                .cast("long").alias(f"__p{i}") for i in range(n_hashes)]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        meta = fsio.read_json(spark, meta_p) \
+            if fsio.exists(spark, meta_p) else {}
+        store_commit.repair(spark, store, meta.get("append_epoch", 0))
+        if batch_id <= meta.get("last_batch_id", -1):
+            return
+        docs = batch_df.select("doc_id", "lang", "text") \
+            .withColumn("__h", split_key("doc_id"))
+        kept = gopher_quality_flags(docs).where("keep").select("doc_id")
+        gated = (docs.join(kept, "doc_id", "left_semi")
+                 .select("doc_id", "lang",
+                         token_count(F.col("text")).alias("n_tokens"),
+                         F.md5("text").alias("fp"),
+                         (F.col("__h") < TRAIN_MAX).alias("is_train"))
+                 .localCheckpoint(eager=True))
+        sh = docs.withColumn(
+            "__toks", shingle_tokens(F.col("text"))).select(
+            "doc_id", "__h",
+            F.explode(word_shingles_from_tokens(F.col("__toks"), k))
+            .alias("shingle"))
+        new_test_sh = (sh.where(F.col("__h") >= VAL_MAX)
+                       .select("shingle").distinct()
+                       .localCheckpoint(eager=True))
+        new_train_sh = (sh.where(F.col("__h") < TRAIN_MAX)
+                        .join(kept, "doc_id", "left_semi")
+                        .select("doc_id", "shingle")
+                        .localCheckpoint(eager=True))
+
+        # Bloom bits: OR in this batch's test shingles FIRST (bits are
+        # a superset filter; crash-stray bits only admit candidates
+        # the exact verify kills)
+        bits = (np.frombuffer(fsio.read_bytes(spark, bits_p),
+                              dtype=np.uint8).copy()
+                if fsio.exists(spark, bits_p)
+                else np.zeros(m_bits // 8, dtype=np.uint8))
+        new_pos = (new_test_sh
+                   .select(F.explode(F.array(
+                       *hash_pos(F.col("shingle")))).alias("p"))
+                   .distinct().collect())
+        if new_pos:
+            p = np.array([r[0] for r in new_pos], dtype=np.int64)
+            np.bitwise_or.at(bits, p >> 3,
+                             np.uint8(1) << (p & 7).astype(np.uint8))
+        fsio.write_bytes(spark, bits_p, bits.tobytes())
+        bcast = spark.sparkContext.broadcast(bits.tobytes())
+
+        # direction 1: this batch's train shingles vs ALL test
+        # shingles so far (bitset probe -> exact verify)
+        probe_in = new_train_sh.select(
+            "doc_id", "shingle", *hash_pos(F.col("shingle")))
+
+        def probe(batches):
+            import pandas as pd  # noqa: F401
+            b_arr = np.frombuffer(bcast.value, dtype=np.uint8)
+            for b in batches:
+                if not len(b):
+                    continue
+                mask = np.ones(len(b), dtype=bool)
+                for i in range(n_hashes):
+                    pp = b[f"__p{i}"].to_numpy(dtype=np.int64)
+                    mask &= (b_arr[pp >> 3]
+                             & (np.uint8(1)
+                                << (pp & 7).astype(np.uint8))) != 0
+                if mask.any():
+                    yield b.loc[mask, ["doc_id", "shingle"]]
+
+        cand = probe_in.mapInPandas(probe, "doc_id long, shingle string")
+        acc_test = (spark.read.parquet(test_sh_p).select("shingle")
+                    if fsio.exists(spark, test_sh_p + "/_SUCCESS")
+                    or fsio.count_files(spark, test_sh_p)
+                    else new_test_sh.limit(0))
+        all_test = acc_test.unionByName(new_test_sh).distinct()
+        cont1 = cand.join(all_test, "shingle").select("doc_id")
+
+        # direction 2: earlier train postings vs THIS batch's test
+        # shingles -- bucket-pruned static IN when bounded, broadcast
+        # join beyond (the bm25_index_topk two-lane discipline)
+        cont2 = spark.createDataFrame([], "doc_id long")
+        if fsio.count_files(spark, post_p):
+            post = register_bucketed_path(
+                spark, post_p, post_name, post_cols,
+                ["shingle"], ["shingle"], n_buckets)
+            terms = [r["shingle"] for r in new_test_sh
+                     .limit(max_pruning_shingles + 1).collect()]
+            if len(terms) <= max_pruning_shingles:
+                matched = post.where(F.col("shingle").isin(terms)) \
+                    if terms else post.limit(0)
+            else:
+                matched = post.join(
+                    F.broadcast(new_test_sh), "shingle")
+            cont2 = matched.select("doc_id")
+
+        new_cont = cont1.unionByName(cont2).distinct() \
+            .localCheckpoint(eager=True)
+
+        epoch = int(meta.get("append_epoch", 0)) + 1
+        store_commit.begin_append(
+            spark, store,
+            ["gated", "test_shingles", "train_postings",
+             "contaminated"], epoch)
+        gated.write.mode("append").parquet(gated_p)
+        new_test_sh.write.mode("append").parquet(test_sh_p)
+        write_bucketed_path(new_train_sh, post_p, post_name,
+                            post_cols, ["shingle"], ["shingle"],
+                            n_buckets, "append")
+        new_cont.write.mode("append").parquet(cont_p)
+        meta.update({"append_epoch": epoch, "last_batch_id": batch_id,
+                     "m_bits": m_bits, "n_hashes": n_hashes})
+        fsio.write_json(spark, meta_p, meta)  # COMMIT POINT
+        store_commit.commit_append(spark, store)
+
+    stream = read_documents_stream(spark, docs_path, max_files_per_trigger)
+    q = (stream.writeStream.foreachBatch(process)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", chk)
+         .start())
+    q.awaitTermination()
+
+    if not fsio.exists(spark, meta_p):  # empty stream
+        return spark.createDataFrame(
+            [], "lang string, doc_id long, n_tokens int, "
+                "tokens_before bigint, shard bigint")
+    from pyspark.sql import Window
+
+    gated = spark.read.parquet(gated_p)
+    w_d = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (gated.withColumn("__rn", F.row_number().over(w_d))
+            .where("__rn = 1 AND is_train"))
+    cont = (spark.read.parquet(cont_p).distinct()
+            if fsio.count_files(spark, cont_p)
+            else kept.select("doc_id").limit(0))
+    clean = kept.join(cont, "doc_id", "left_anti")
+    w_q = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    sampled = (clean.withColumn("__r", F.row_number().over(w_q))
+               .where(F.col("__r") <= quota))
+    w_s = (Window.partitionBy("lang").orderBy("doc_id")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    manifest = (
+        sampled.select("lang", "doc_id",
+                       F.col("n_tokens").cast("int").alias("n_tokens"))
+        .select("lang", "doc_id", "n_tokens",
+                F.coalesce(F.sum("n_tokens").over(w_s), F.lit(0))
+                .alias("tokens_before"))
+        .select("lang", "doc_id", "n_tokens", "tokens_before",
+                F.floor(F.col("tokens_before") / budget).cast("long")
+                .alias("shard"))
+        .orderBy("lang", "doc_id"))
+    if export_dir is not None:
+        from automated_review_analysis_pipeline_spark.operators.partitioning import (  # noqa: E501
+            sorted_export,
+        )
+        sorted_export(manifest, export_dir, ["lang", "doc_id"])
+        manifest = (spark.read.parquet(export_dir + "/data")
+                    .select("lang", "doc_id", "n_tokens",
+                            "tokens_before", "shard")
+                    .orderBy("lang", "doc_id"))
+    return manifest
 
 
 def streaming_profile_stats(spark: SparkSession, docs_path: str,

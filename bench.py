@@ -233,6 +233,12 @@ HEADLINE = [
     "near_dup_components_incremental",
     "simjoin_components_incremental",
     "bm25_index_search",
+    "simjoin_delete_pairs",
+    "simjoin_delete_compacted",
+    "components_delete_labels",
+    "bm25_index_delete_search",
+    "ivfpq_delete_probe",
+    "ivfpq_rebuilt_probe",
     "key_skew_report_approx",
     "streaming_embedding_drift",
     "bm25_index_topk",

@@ -26,6 +26,24 @@ from pyspark.sql import functions as F
 from automated_review_analysis_pipeline_spark.plan_cache import plan_cache
 
 
+class _jd:
+    """Label every Spark job issued in the block (guide §1.5: a
+    multi-action operator like simjoin_append is unreadable in the UI /
+    event log without per-action descriptions). Restores the previous
+    description on exit so callers' labels survive nesting."""
+
+    def __init__(self, spark, desc: str):
+        self._sc = spark.sparkContext
+        self._desc = desc
+
+    def __enter__(self):
+        self._prev = self._sc.getLocalProperty("spark.job.description")
+        self._sc.setJobDescription(self._desc)
+
+    def __exit__(self, *exc):
+        self._sc.setJobDescription(self._prev)
+
+
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition UP to the session's parallelism when the input arrived
     under-partitioned (a small parquet file reads as ONE partition -- fatal
@@ -955,6 +973,18 @@ def set_similarity_join(documents: DataFrame, threshold: float = 0.5,
             .select("id", "tok", "pos", "sz"))
     cand = _positional_candidates(pref, pref, threshold,
                                   self_join=True)
+    # verify is CPU-dense, not byte-dense: each candidate row costs an
+    # array_intersect over the full shingle arrays, while the candidate
+    # rows themselves are ~16 bytes -- AQE's byte-based coalescing
+    # collapses them to 1-4 post-shuffle partitions and serializes the
+    # whole verify (measured 7.2s CPU in ONE task at sf0.1). Hash-
+    # repartitioning the candidate ids to the cluster's parallelism
+    # costs a few-MB exchange and restores full verify parallelism; in
+    # the large-corpus regime (arrs above the broadcast threshold) the
+    # verify join re-exchanges anyway and this is a no-op-sized extra.
+    cand = cand.repartition(
+        documents.sparkSession.sparkContext.defaultParallelism,
+        "a_id", "b_id")
     arrs = toks.groupBy("id").agg(
         F.sort_array(F.collect_list("tok")).alias("toks"),
         F.count(F.lit(1)).alias("sz"))
@@ -1578,8 +1608,9 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
         F.sort_array(F.collect_list("tok")).alias("toks"),
         F.count(F.lit(1)).alias("sz"))
     new_prefix = _simjoin_prefix(toks, dfreq, threshold)
-    new_prefix = new_prefix.localCheckpoint(eager=True)
-    new_arrs = new_arrs.localCheckpoint(eager=True)
+    with _jd(spark, "simjoin_append: delta prefix+arrs checkpoint"):
+        new_prefix = new_prefix.localCheckpoint(eager=True)
+        new_arrs = new_arrs.localCheckpoint(eager=True)
     # candidates touching a NEW doc only (a<b canonicalization inside
     # _simjoin_candidates dedupes the new-new overlap); new-old pairs
     # need both orientations because canonicalization is on id order
@@ -1610,7 +1641,21 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
     # one materialization of the candidate set: verify consumes it
     # without re-running the candidate joins, and its count feeds the
     # per-append selectivity record (the refreeze trigger) for free
-    cand = cand.localCheckpoint(eager=True)
+    with _jd(spark, "simjoin_append: candidate generation"):
+        cand = cand.localCheckpoint(eager=True)
+    # count is ~free on the checkpointed RDD and is needed for the
+    # append selectivity record anyway; here it also sizes the VERIFY
+    # parallelism: the candidate set is a few bytes/row but each row
+    # costs an array_intersect over full shingle arrays, so AQE's
+    # byte-based coalescing hands the whole verify to 1 task (measured
+    # 7.2s serial CPU on a corpus-sized batch). Partition by candidate
+    # COUNT instead -- bounded by cluster parallelism, and skipped for
+    # the steady-state small delta append where 1 task is right.
+    n_cand = cand.count()
+    par = min(spark.sparkContext.defaultParallelism,
+              (n_cand + 1023) // 1024)
+    if par > 1:
+        cand = cand.repartition(par, "a_id", "b_id")
     docs_buckets = int(meta.get("docs_buckets", 0))
     if docs_buckets:
         # round-14 verify: never scan (or shuffle) the accumulated
@@ -1626,17 +1671,20 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
     epoch = int(meta.get("append_epoch", 0)) + 1
     store_commit.begin_append(spark, store_dir,
                               ["pairs", "prefix", "docs"], epoch)
-    new_pairs.write.mode("append").parquet(store_dir + "/pairs")
-    if n_buckets:
-        _write_prefix_bucketed(new_prefix, store_dir, int(n_buckets),
-                               "append")
-    else:
-        new_prefix.write.mode("append").parquet(store_dir + "/prefix")
-    if docs_buckets:
-        _write_docs_bucketed(new_arrs, store_dir, docs_buckets,
-                             "append")
-    else:
-        new_arrs.write.mode("append").parquet(store_dir + "/docs")
+    with _jd(spark, "simjoin_append: verify+write pairs"):
+        new_pairs.write.mode("append").parquet(store_dir + "/pairs")
+    with _jd(spark, "simjoin_append: write prefix part"):
+        if n_buckets:
+            _write_prefix_bucketed(new_prefix, store_dir, int(n_buckets),
+                                   "append")
+        else:
+            new_prefix.write.mode("append").parquet(store_dir + "/prefix")
+    with _jd(spark, "simjoin_append: write docs part"):
+        if docs_buckets:
+            _write_docs_bucketed(new_arrs, store_dir, docs_buckets,
+                                 "append")
+        else:
+            new_arrs.write.mode("append").parquet(store_dir + "/docs")
     meta["append_epoch"] = epoch
     if batch_id is not None:
         meta["last_batch_id"] = batch_id
@@ -1651,7 +1699,7 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
     stats.append({"epoch": epoch, "batch_id": batch_id,
                   "n_delta_docs": n_delta,
                   "n_store_docs": n_store,
-                  "n_candidates": cand.count()})
+                  "n_candidates": n_cand})
     # a store with no usable BUILD baseline (stream-start empty build,
     # or zero build-time candidates) anchors drift to its FIRST
     # CANDIDATE-BEARING append, kept DURABLY outside the rolling

@@ -36,6 +36,8 @@ def main() -> None:
     spark = get_spark(app_name="arap-profile-phases", extra_confs={
         "spark.eventLog.enabled": "true",
         "spark.eventLog.dir": evdir,
+        "spark.eventLog.compress": "false",
+        "spark.eventLog.rolling.enabled": "false",
     })
     spark.sparkContext.setLogLevel("ERROR")
     from automated_review_analysis_pipeline_spark.plan_cache import (
@@ -60,10 +62,22 @@ def main() -> None:
     spark.stop()
 
     ev_path = os.path.join(evdir, app_id)
+    if not os.path.exists(ev_path):  # rolling-v2 layout fallback
+        import glob
+        cands = glob.glob(os.path.join(evdir, f"*{app_id}*", "events_*")) \
+            or glob.glob(os.path.join(evdir, f"*{app_id}*"))
+        ev_path = cands[0]
+    if ev_path.endswith(".zstd"):
+        import subprocess
+        raw = subprocess.run(["zstd", "-dc", ev_path],
+                             capture_output=True, check=True).stdout
+        lines_src = raw.decode().splitlines()
+    else:
+        lines_src = open(ev_path)
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
-    with open(ev_path) as fh:
-        for line in fh:
+    if True:
+        for line in lines_src:
             e = json.loads(line)
             et = e.get("Event")
             if et == "SparkListenerJobStart":

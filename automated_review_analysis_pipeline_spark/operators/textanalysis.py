@@ -2605,6 +2605,7 @@ def train_quality_classifier(documents: DataFrame, dim: int = 16,
     ).where(F.col("w") != "")
     labels = plan_cache(
         toks.groupBy(id_col, "y").agg(F.count(F.lit(1)).alias("nt")))
+    n = labels.count()
     h = F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
     sgn = F.when(
         F.substring(F.md5(F.col("w")), 9, 1)
@@ -2614,6 +2615,16 @@ def train_quality_classifier(documents: DataFrame, dim: int = 16,
                     sgn.alias("sgn"))
         .groupBy(id_col, "j").agg(F.sum("sgn").alias("val"))
     )
+    # size the cached feature table's partitioning by its ROW COUNT
+    # (known: <= n docs x dim+1 features), not by the 32+32 union of
+    # shuffle defaults it would inherit -- every GD step scans this
+    # cache twice, and 64 near-empty cached partitions made each of the
+    # ~14 per-step jobs schedule 64 tiny tasks (measured 28 jobs,
+    # 0.36-0.57s each at sf0.1). 64k rows/partition, capped at cluster
+    # parallelism, keeps the step jobs proportional to the data.
+    n_parts = max(1, min(
+        documents.sparkSession.sparkContext.defaultParallelism,
+        (n * (dim + 1)) // 65536 + 1))
     feats = plan_cache(
         sums.join(labels, id_col)
         .select(id_col, "j",
@@ -2621,8 +2632,8 @@ def train_quality_classifier(documents: DataFrame, dim: int = 16,
         .unionByName(labels.select(
             id_col, F.lit(dim).cast("long").alias("j"),
             F.lit(1.0).alias("x")))
+        .repartition(n_parts)
     )
-    n = labels.count()
 
     def _r9(v: float) -> float:
         # Spark F.round semantics: BigDecimal(double).setScale(9, HALF_UP)

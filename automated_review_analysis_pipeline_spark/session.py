@@ -28,6 +28,19 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Spark 4.1's checkpoint-file checksums (on by default) make every
+    # state-store delta close await an async checksum write; thread
+    # dumps show stateful tasks parked in ChecksumCheckpointFileManager
+    # .awaitResult for most of their wall time (measured: the stateful
+    # micro-batch stages of streaming_asof_ooo drop ~40-50% with it
+    # off). The engine's persisted stores carry their own application-
+    # level integrity (staged commits + manifest fingerprints), and
+    # state checkpoints remain recoverable; trade the redundant
+    # per-file checksum for micro-batch latency. Overridable via
+    # get_spark(extra_confs=...) where corruption detection on the
+    # checkpoint FS is worth the latency.
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled":
+        os.environ.get("SPARK_GRAFT_STREAM_CKSUM", "false"),
 }
 
 

@@ -537,10 +537,11 @@ def containment_pairs(documents: DataFrame, text_col: str = "text",
         raise ValueError(
             "posting-list containment join cannot emit zero-overlap pairs; "
             "use a threshold > 0")
-    d = plan_cache(stage_shingles(documents.select(id_col, text_col),
-                                  text_col, k, "shingles")
-                   .select(F.col(id_col), "shingles",
-                           F.size(F.col("shingles")).alias("n_sh")))
+    d = plan_cache(stage_shingles(
+        _spread(documents.select(id_col, text_col), id_col),
+        text_col, k, "shingles")
+        .select(F.col(id_col), "shingles",
+                F.size(F.col("shingles")).alias("n_sh")))
     posts = d.select(F.col(id_col), F.explode("shingles").alias("sh"))
     if max_posting_freq is not None:
         posts = _cap_posting_lists(posts, ["sh"], max_posting_freq)
@@ -953,8 +954,9 @@ def set_similarity_join(documents: DataFrame, threshold: float = 0.5,
     Emits (a_id, b_id, n_common, jaccard) for a_id < b_id with
     jaccard = round(inter/union, 6) >= t, threshold applied to the
     ROUNDED value (mirrored in the oracle)."""
-    toks = (documents
-            .select(F.col(id_col).alias("id"), F.col(text_col))
+    toks = (_spread(documents
+                    .select(F.col(id_col).alias("id"), F.col(text_col)),
+                    "id")
             .withColumn("__toks", shingle_tokens(F.col(text_col)))
             .select("id", F.explode(
                 word_shingles_from_tokens(F.col("__toks"), k))
@@ -1147,8 +1149,9 @@ def build_simjoin_index(documents: DataFrame, store_dir: str,
             f"build_simjoin_index only supports mode='overwrite' (got "
             f"{mode!r}); append deltas with simjoin_append")
     spark = documents.sparkSession
-    toks = (documents
-            .select(F.col(id_col).alias("id"), F.col(text_col))
+    toks = (_spread(documents
+                    .select(F.col(id_col).alias("id"), F.col(text_col)),
+                    "id")
             .withColumn("__toks", shingle_tokens(F.col(text_col)))
             .select("id", F.explode(
                 word_shingles_from_tokens(F.col("__toks"), k))
@@ -1598,8 +1601,13 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
     if n_buckets:
         _check_order_epoch(spark, store_dir)
     dfreq = spark.read.parquet(store_dir + "/dfreq")
-    toks = (new_docs
-            .select(F.col(id_col).alias("id"), F.col(text_col))
+    # a corpus-sized first batch arrives as ONE file = ONE partition;
+    # the shingle explode below is the CPU-dense stage of the whole
+    # append, so spread it (no-op for already-partitioned inputs, and
+    # the steady-state small delta costs one tiny exchange)
+    toks = (_spread(new_docs
+                    .select(F.col(id_col).alias("id"), F.col(text_col)),
+                    "id")
             .withColumn("__toks", shingle_tokens(F.col(text_col)))
             .select("id", F.explode(
                 word_shingles_from_tokens(F.col("__toks"), k))
@@ -1990,7 +1998,8 @@ def set_similarity_join_rs(left: DataFrame, right: DataFrame,
     Emits (l_id, r_id, n_common, jaccard), threshold on the ROUNDED
     value."""
     def toks_of(df: DataFrame, idc: str, side: str) -> DataFrame:
-        return (df.select(F.col(idc).alias("id"), F.col(text_col))
+        return (_spread(df.select(F.col(idc).alias("id"),
+                                  F.col(text_col)), "id")
                 .withColumn("__toks", shingle_tokens(F.col(text_col)))
                 .select(F.lit(side).alias("side"), "id", F.explode(
                     word_shingles_from_tokens(F.col("__toks"), k))
@@ -2016,6 +2025,14 @@ def set_similarity_join_rs(left: DataFrame, right: DataFrame,
     cand = (_positional_candidates(lp, rp, threshold, self_join=False)
             .select(F.col("a_id").alias("l_doc"),
                     F.col("b_id").alias("r_doc")))
+    # same verify-parallelism guard as set_similarity_join: candidate
+    # rows are ~16 bytes but each costs an array_intersect over the
+    # full shingle arrays, so AQE's byte-based coalescing serializes
+    # the verify into 1-4 tasks; spread by candidate key up to the
+    # cluster's parallelism before attaching the arrays
+    cand = cand.repartition(
+        left.sparkSession.sparkContext.defaultParallelism,
+        "l_doc", "r_doc")
     arrs = both.groupBy("side", "id").agg(
         F.sort_array(F.collect_list("tok")).alias("toks"),
         F.count(F.lit(1)).alias("sz"))

@@ -43,6 +43,21 @@ DEFAULT_CONFS: dict[str, str] = {
     # checkpoint FS is worth the latency.
     "spark.sql.streaming.checkpoint.fileChecksum.enabled":
         os.environ.get("SPARK_GRAFT_STREAM_CKSUM", "false"),
+    # Checkpoint file manager: the default FileContext-based manager on a
+    # LOCAL filesystem with no libhadoop.so forks a /bin/chmod or readlink
+    # subprocess PER state-store file create/rename (Hadoop RawLocalFileSystem
+    # Shell fallback -- thread dumps showed 20+/32 stateful-commit tasks
+    # parked in Shell.runCommand; each fork from a large-heap JVM is
+    # 50-200ms). The FileSystem-based manager drives the same rename
+    # protocol through java.io.File -- no subprocesses. Local-mode default
+    # only: on HDFS/S3A checkpoint volumes leave SPARK_GRAFT_CKPT_MGR empty
+    # to keep Spark's FileContext default (atomic rename there, no Shell
+    # fallback involved).
+    "spark.sql.streaming.checkpointFileManagerClass":
+        os.environ.get(
+            "SPARK_GRAFT_CKPT_MGR",
+            "org.apache.spark.sql.execution.streaming.checkpointing."
+            "FileSystemBasedCheckpointFileManager"),
 }
 
 
@@ -55,5 +70,7 @@ def get_spark(app_name: str = "automated-review-analysis-pipeline-spark",
         master or f"local[{cpus}]"
     )
     for k, v in {**DEFAULT_CONFS, **(extra_confs or {})}.items():
+        if v == "":  # env override set to empty = keep Spark's default
+            continue
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -71,32 +71,48 @@ def _session_finalizer(gap_us: int):
             done.append((start_us, last_us, n))
             state.remove()
         else:
-            ts: list[int] = []
-            for pdf in pdf_iter:
-                ts.extend(int(v) for v in pdf["ts_us"])
-            ts.sort()
+            # vectorized gap fold (optimization guide §4.2): sessions are
+            # maximal runs of sorted ts with consecutive gaps <= gap_us;
+            # the carried open session continues into the first run iff
+            # the first new event is within gap of its last event.
+            # Identical to the scalar per-event fold (same oracle).
+            import numpy as np
+
+            arrs = [p["ts_us"].to_numpy(dtype=np.int64)
+                    for p in pdf_iter if len(p)]
+            ts = np.sort(np.concatenate(arrs)) if arrs \
+                else np.empty(0, dtype=np.int64)
             start_us, last_us, n = (state.get if state.exists
                                     else (None, None, 0))
-            for t in ts:
-                if last_us is not None and t - last_us > gap_us:
-                    done.append((start_us, last_us, n))   # closed in-data
+            if len(ts):
+                brk = np.flatnonzero(np.diff(ts) > gap_us) + 1
+                bounds = np.concatenate(([0], brk, [len(ts)]))
+                if last_us is not None and ts[0] - last_us > gap_us:
+                    done.append((start_us, last_us, n))  # closed in-data
                     start_us, n = None, 0
-                if start_us is None:
-                    start_us = t
-                n += 1
-                last_us = t
+                nseg = len(bounds) - 1
+                for k in range(nseg):
+                    a, b = int(bounds[k]), int(bounds[k + 1])
+                    s = start_us if (k == 0 and start_us is not None) \
+                        else int(ts[a])
+                    cnt = (n if k == 0 else 0) + (b - a)
+                    if k < nseg - 1:
+                        done.append((s, int(ts[b - 1]), cnt))
+                    else:  # trailing run stays open in state
+                        start_us, last_us, n = s, int(ts[b - 1]), cnt
             state.update((start_us, last_us, n))
             # event-time timeout in MILLISECONDS: fires once the
             # watermark passes the open session's last event + gap
             state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
-        yield pd.DataFrame({
-            "user_id": pd.Series([user_id] * len(done), dtype="int64"),
-            "session_start_us": pd.Series([d[0] for d in done],
-                                          dtype="int64"),
-            "session_end_us": pd.Series([d[1] for d in done],
-                                        dtype="int64"),
-            "n_events": pd.Series([d[2] for d in done], dtype="int64"),
-        })
+        if done:
+            yield pd.DataFrame({
+                "user_id": pd.Series([user_id] * len(done), dtype="int64"),
+                "session_start_us": pd.Series([d[0] for d in done],
+                                              dtype="int64"),
+                "session_end_us": pd.Series([d[1] for d in done],
+                                            dtype="int64"),
+                "n_events": pd.Series([d[2] for d in done], dtype="int64"),
+            })
 
     return fn
 
@@ -168,6 +184,15 @@ ASOF_STATE_SCHEMA = "has_p boolean, last_us long, last_value double"
 
 
 def _asof_enricher(key, pdf_iter, state: GroupState):
+    # Vectorized kernel (optimization guide §4.2) -- EXACT emulation of
+    # the scalar fold over rows sorted by (ts, purchase-first, id),
+    # including the in-order lane's DOCUMENTED cross-batch-disorder
+    # behavior (pytest-pinned): a click before the batch's first
+    # purchase matches the carried state even if the state's ts is
+    # newer than the click; a batch purchase at a ts other than the
+    # state's RESETS the state (even backward); a first-group purchase
+    # at exactly the state's ts merges via max-of-non-NULLs.
+    import numpy as np
     import pandas as pd
 
     (user_id,) = key
@@ -176,26 +201,57 @@ def _asof_enricher(key, pdf_iter, state: GroupState):
     pdfs = [p for p in pdf_iter if len(p)]
     outs = []
     if pdfs:
-        rows = pd.concat(pdfs, ignore_index=True)
-        # purchases first at equal ts (inclusive as-of), then event id
-        rows["side"] = (rows["event_type"] != "purchase").astype(int)
-        rows = rows.sort_values(["ts_us", "side", "event_id"])
-        for r in rows.itertuples(index=False):
-            if r.side == 0:  # purchase: advance the per-key state
-                v = None if r.value != r.value else float(r.value)
-                if has_p and last_us == r.ts_us:
-                    # = the batch MAX(value) at this ts; SQL MAX skips
-                    # NULLs, so only non-NULL values compete
-                    if v is not None:
-                        last_val = v if last_val is None \
-                            else max(last_val, v)
+        if len(pdfs) == 1:
+            rows = pdfs[0]
+        else:
+            rows = pd.concat(pdfs, ignore_index=True)
+        ts_a = rows["ts_us"].to_numpy(dtype=np.int64)
+        id_a = rows["event_id"].to_numpy(dtype=np.int64)
+        v_a = rows["value"].to_numpy(dtype=np.float64, na_value=np.nan)
+        is_p = (rows["event_type"] == "purchase").to_numpy()
+
+        p_order = np.lexsort((id_a[is_p], ts_a[is_p]))
+        pts = ts_a[is_p][p_order]
+        pvs = v_a[is_p][p_order]
+        if len(pts):
+            # running max of non-NULLs within each equal-ts group
+            # (np.fmax skips NaN); the group containing the batch's
+            # FIRST purchase additionally folds the carried state value
+            # iff that group's ts == the carried state ts
+            gmax = pvs.copy()
+            for i in range(1, len(gmax)):
+                if pts[i] == pts[i - 1]:
+                    gmax[i] = np.fmax(gmax[i], gmax[i - 1])
+            if has_p and pts[0] == last_us:
+                seedv = np.nan if last_val is None else last_val
+                first_grp = pts == pts[0]
+                gmax[first_grp] = np.fmax(gmax[first_grp], seedv)
+
+        cm = ~is_p
+        if cm.any():
+            c_order = np.lexsort((id_a[cm], ts_a[cm]))
+            cts = ts_a[cm][c_order]
+            cids = id_a[cm][c_order]
+            cvs = v_a[cm][c_order]
+            pos = np.searchsorted(pts, cts, side="right") if len(pts) \
+                else np.zeros(len(cts), dtype=np.int64)
+            for j in range(len(cts)):
+                cv = None if cvs[j] != cvs[j] else float(cvs[j])
+                p = pos[j]
+                if p == 0:  # no batch purchase at-or-before: carried state
+                    m_us = last_us if has_p else None
+                    m_val = last_val if has_p else None
                 else:
-                    has_p, last_us, last_val = True, int(r.ts_us), v
-            else:            # click: emit enriched row
-                cv = None if r.value != r.value else float(r.value)
-                outs.append((int(r.event_id), user_id, int(r.ts_us),
-                             cv, last_us if has_p else None,
-                             last_val if has_p else None))
+                    m_us = int(pts[p - 1])
+                    mv = gmax[p - 1]
+                    m_val = None if mv != mv else float(mv)
+                outs.append((int(cids[j]), user_id, int(cts[j]),
+                             cv, m_us, m_val))
+        if len(pts):
+            has_p = True
+            last_us = int(pts[-1])
+            mv = gmax[-1]
+            last_val = None if mv != mv else float(mv)
     state.update((has_p, last_us, last_val))
     if outs:
         yield pd.DataFrame(outs, columns=[
@@ -243,6 +299,13 @@ ASOF_OOO_STATE_SCHEMA = ("c_ids array<long>, c_ts array<long>, "
 
 
 def _asof_ooo_enricher(key, pdf_iter, state: GroupState):
+    # Vectorized kernel (optimization guide §4.2): batch ingestion via
+    # column masks and emission via np.searchsorted instead of the
+    # row-at-a-time itertuples/bisect loop. Semantics are IDENTICAL to
+    # the scalar version (same oracle): NaN value -> None, as-of match =
+    # latest purchase ts <= click ts, value = MAX of non-NULL values at
+    # that ts, emission ordered by (click ts, click id).
+    import numpy as np
     import pandas as pd
 
     (user_id,) = key
@@ -251,17 +314,23 @@ def _asof_ooo_enricher(key, pdf_iter, state: GroupState):
     else:
         c_ids, c_ts, c_vals, p_ts, p_vals = [], [], [], [], []
     for pdf in pdf_iter:
-        for r in pdf.itertuples(index=False):
-            v = None if r.value != r.value else float(r.value)
-            if r.event_type == "purchase":
-                p_ts.append(int(r.ts_us))
-                p_vals.append(v)
-            elif r.event_type == "click":
-                c_ids.append(int(r.event_id))
-                c_ts.append(int(r.ts_us))
-                c_vals.append(v)
-            # anything else (punctuation/heartbeat rows) only advances
-            # the watermark upstream; it enters no one's state
+        if not len(pdf):
+            continue
+        et = pdf["event_type"].to_numpy()
+        ts_a = pdf["ts_us"].to_numpy()
+        id_a = pdf["event_id"].to_numpy()
+        v_a = pdf["value"].to_numpy(dtype=np.float64, na_value=np.nan)
+        pm = et == "purchase"
+        cm = et == "click"
+        # anything else (punctuation/heartbeat rows) only advances
+        # the watermark upstream; it enters no one's state
+        if pm.any():
+            p_ts.extend(int(t) for t in ts_a[pm])
+            p_vals.extend(None if v != v else float(v) for v in v_a[pm])
+        if cm.any():
+            c_ids.extend(int(i) for i in id_a[cm])
+            c_ts.extend(int(t) for t in ts_a[cm])
+            c_vals.extend(None if v != v else float(v) for v in v_a[cm])
 
     wm_ms = state.getCurrentWatermarkMs()
     # no watermark yet (first batch): nothing is final
@@ -272,36 +341,55 @@ def _asof_ooo_enricher(key, pdf_iter, state: GroupState):
         # purchases sorted once; per finalized click, the as-of match is
         # the latest purchase ts <= click ts, value = MAX of the
         # non-NULL values at that ts (batch MAX semantics)
-        psorted = sorted(range(len(p_ts)), key=lambda i: p_ts[i])
-        sts = [p_ts[i] for i in psorted]
-        svs = [p_vals[i] for i in psorted]
-        import bisect
-
+        sts_a = np.asarray(p_ts, dtype=np.int64)
+        svs_a = np.asarray(
+            [np.nan if v is None else v for v in p_vals], dtype=np.float64)
+        order = np.argsort(sts_a, kind="stable")
+        sts_a = sts_a[order]
+        svs_a = svs_a[order]
+        # running max of non-NULL values within each equal-ts group:
+        # groupmax[i] = max non-NULL value among entries with ts ==
+        # sts_a[i] up to i (NaN if none) -- evaluated at the LAST entry
+        # of a ts group it is exactly the scalar loop's max-at-ts
+        if len(sts_a):
+            # np.fmax treats NaN as missing: max of the non-NULLs,
+            # NaN only when every value in the ts group is NULL
+            gmax = svs_a.copy()
+            for i in range(1, len(gmax)):
+                if sts_a[i] == sts_a[i - 1]:
+                    gmax[i] = np.fmax(gmax[i], gmax[i - 1])
         if c_ids:
-            emit_idx = [i for i in range(len(c_ids)) if c_ts[i] <= wm_us]
-            for i in sorted(emit_idx, key=lambda i: (c_ts[i], c_ids[i])):
-                pos = bisect.bisect_right(sts, c_ts[i])
-                if pos == 0:
-                    m_ts, m_val = None, None
-                else:
-                    m_ts = sts[pos - 1]
-                    lo = bisect.bisect_left(sts, m_ts)
-                    vals = [v for v in svs[lo:pos] if v is not None]
-                    m_val = max(vals) if vals else None
-                outs.append((c_ids[i], user_id, c_ts[i], c_vals[i],
-                             m_ts, m_val))
-            keep = [i for i in range(len(c_ids)) if c_ts[i] > wm_us]
-            c_ids = [c_ids[i] for i in keep]
-            c_ts = [c_ts[i] for i in keep]
-            c_vals = [c_vals[i] for i in keep]
+            cid_a = np.asarray(c_ids, dtype=np.int64)
+            cts_a = np.asarray(c_ts, dtype=np.int64)
+            emit = cts_a <= wm_us
+            if emit.any():
+                e_ids = cid_a[emit]
+                e_ts = cts_a[emit]
+                e_vals = [v for v, m in zip(c_vals, emit) if m]
+                eorder = np.lexsort((e_ids, e_ts))
+                pos = np.searchsorted(sts_a, e_ts, side="right")
+                for j in eorder:
+                    p = pos[j]
+                    if p == 0:
+                        m_ts, m_val = None, None
+                    else:
+                        m_ts = int(sts_a[p - 1])
+                        mv = gmax[p - 1]
+                        m_val = None if mv != mv else float(mv)
+                    outs.append((int(e_ids[j]), user_id, int(e_ts[j]),
+                                 e_vals[j], m_ts, m_val))
+            keepm = ~emit
+            c_ids = [i for i, m in zip(c_ids, keepm) if m]
+            c_ts = [t for t, m in zip(c_ts, keepm) if m]
+            c_vals = [v for v, m in zip(c_vals, keepm) if m]
         # prune purchases: keep every entry at the LATEST ts <= wm
         # (max-at-ts semantics needs all of them) + everything > wm.
         # UNCONDITIONALLY -- a purchase-only user (no pending clicks)
         # must still shed finalized purchases, or a long-running stream
         # accumulates every purchase forever (the documented state
         # bound is O(rate x delay) + one latest group)
-        older = [t for t in sts if t <= wm_us]
-        cutoff = older[-1] if older else None
+        older = sts_a[sts_a <= wm_us]
+        cutoff = int(older[-1]) if len(older) else None
         kept = [(t, v) for t, v in zip(p_ts, p_vals)
                 if t > wm_us or (cutoff is not None and t == cutoff)]
         p_ts = [t for t, _ in kept]

@@ -12,7 +12,7 @@ the single-pass guarantee is kept honest.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -820,11 +820,14 @@ def drift_report(old: DataFrame, new: DataFrame,
       shape -- the production-scorecard standard (decile PSI at
       n_bins=10).
 
-    Scale shape: ONE scan per snapshot melts the analyzed columns to
-    (column, bin) rows that partially aggregate to <= k x (n_bins+1)
-    counts per task; the old side's boundary statistics (min/max or
-    the quantile array) compute IN-PLAN in one aggregate and
-    broadcast-join back -- no driver collect anywhere. Proportions
+    Scale shape: ONE scan over the side-tagged UNION of the snapshots
+    melts the analyzed columns to (column, bin, side) rows that
+    partially aggregate to <= k x (n_bins+1) counts per task; the
+    per-snapshot totals are window sums over those same counts (every
+    row lands in exactly one bin per column), and the old side's
+    boundary statistics (min/max or the quantile array) compute
+    IN-PLAN in one aggregate and broadcast-join back -- no driver
+    collect or count anywhere. Proportions
     smooth at ``eps`` (zero-count bins would give infinite
     log-ratios); per-bin terms round 9dp and sum EXACTLY as
     decimal(28,9) per column (float summation order would diverge
@@ -882,30 +885,35 @@ def drift_report(old: DataFrame, new: DataFrame,
                 F.lit("categorical").alias("kind"),
                 F.coalesce(F.col(c).cast("string"), F.lit("__null__"))
                 .alias("bin")))
-        return (df.select(F.explode(F.array(*structs)).alias("s"))
-                .select("s.*"))
+        return (df.select(F.col("__new_side").alias("side"),
+                          F.explode(F.array(*structs)).alias("s"))
+                .select("s.*", "side"))
 
-    def counts(df: DataFrame, name: str) -> DataFrame:
-        return (melt(df).groupBy("column", "kind", "bin")
-                .agg(F.count(F.lit(1)).alias(name)))
-
-    oc = counts(old, "n_old")
-    nc = counts(new, "n_new")
-    n_old_total = old.count()
-    n_new_total = new.count()
-    joined = (oc.join(nc, ["column", "kind", "bin"], "full")
-              .select("column", "kind", "bin",
-                      F.coalesce("n_old", F.lit(0)).alias("n_old"),
-                      F.coalesce("n_new", F.lit(0)).alias("n_new")))
+    # One melt over the UNION of the two snapshots (side-tagged),
+    # instead of one per snapshot: halves the scans/broadcast builds,
+    # and the per-snapshot totals fall out of the same aggregate as a
+    # window sum (every row lands in exactly one bin per column,
+    # including __null__, so sum-over-bins == the snapshot's count --
+    # the two driver-side count() actions are gone). Same bins, same
+    # counts, same float division: results identical (guide §2.3/§2.4).
+    cols = list(dict.fromkeys(numeric_cols + categorical_cols))
+    tagged = (old.select(*cols).withColumn("__new_side", F.lit(0))
+              .unionByName(new.select(*cols)
+                           .withColumn("__new_side", F.lit(1))))
+    joined = (melt(tagged).groupBy("column", "kind", "bin")
+              .agg(F.count(F.when(F.col("side") == 0, 1)).alias("n_old"),
+                   F.count(F.when(F.col("side") == 1, 1)).alias("n_new")))
+    w = Window.partitionBy("column", "kind")
     p_old = F.greatest(F.col("n_old").cast("double")
-                       / F.lit(float(n_old_total)), F.lit(eps))
+                       / F.sum("n_old").over(w).cast("double"), F.lit(eps))
     p_new = F.greatest(F.col("n_new").cast("double")
-                       / F.lit(float(n_new_total)), F.lit(eps))
+                       / F.sum("n_new").over(w).cast("double"), F.lit(eps))
     term = F.round((p_new - p_old) * F.log(p_new / p_old), 9)
     return (joined
+            .select("column", "kind", term.cast("decimal(28,9)")
+                    .alias("__term"))
             .groupBy("column", "kind")
-            .agg(F.round(F.sum(term.cast("decimal(28,9)"))
-                         .cast("double"), 6).alias("psi"))
+            .agg(F.round(F.sum("__term").cast("double"), 6).alias("psi"))
             .orderBy("column"))
 
 

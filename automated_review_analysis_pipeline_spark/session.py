@@ -61,6 +61,45 @@ DEFAULT_CONFS: dict[str, str] = {
 }
 
 
+_NOFORK_FS_CLASS = "arapshim.NoForkLocalFileSystem"
+
+
+def _nofork_fs_classpath() -> str | None:
+    """Classpath dir for the no-subprocess local FS shim (jvmshim/).
+
+    Hadoop's RawLocalFileSystem without libhadoop.so forks a /bin/chmod
+    subprocess per created file/dir (Shell fallback in setPermission);
+    the two-class shim applies the same permissions in-process via
+    java.nio. Compiled lazily (once) from the committed sources when
+    javac + the hadoop-client jar are available; returns None (shim
+    disabled, stock behavior) otherwise. Local-mode optimization only:
+    set SPARK_GRAFT_NOFORK_FS="" to disable, e.g. when the job's data
+    actually lives on HDFS/S3 and fs.file.impl should stay stock.
+    """
+    import glob
+    import subprocess
+
+    shim_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "jvmshim")
+    cls = os.path.join(shim_dir, "arapshim", "NoForkLocalFileSystem.class")
+    if os.path.isfile(cls):
+        return shim_dir
+    srcs = glob.glob(os.path.join(shim_dir, "arapshim", "*.java"))
+    if not srcs:
+        return None
+    spark_home = os.environ.get("SPARK_HOME", "/opt/spark")
+    hadoop_jars = glob.glob(os.path.join(spark_home, "jars",
+                                         "hadoop-client-api-*.jar"))
+    if not hadoop_jars:
+        return None
+    try:
+        subprocess.run(["javac", "-cp", hadoop_jars[0], "-d", shim_dir,
+                        *srcs], check=True, capture_output=True, timeout=60)
+    except Exception:
+        return None
+    return shim_dir if os.path.isfile(cls) else None
+
+
 def get_spark(app_name: str = "automated-review-analysis-pipeline-spark",
               master: str | None = None,
               extra_confs: dict[str, str] | None = None) -> SparkSession:
@@ -69,8 +108,30 @@ def get_spark(app_name: str = "automated-review-analysis-pipeline-spark",
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{cpus}]"
     )
-    for k, v in {**DEFAULT_CONFS, **(extra_confs or {})}.items():
+    confs = {**DEFAULT_CONFS, **(extra_confs or {})}
+    shim_cp = None
+    if os.environ.get("SPARK_GRAFT_NOFORK_FS", "1") != "":
+        shim_cp = _nofork_fs_classpath()
+    if shim_cp is not None:
+        # both only take effect when THIS call launches the JVM; the
+        # post-create probe below handles a pre-existing JVM safely
+        confs.setdefault("spark.driver.extraClassPath", shim_cp)
+        confs.setdefault("spark.executor.extraClassPath", shim_cp)
+        confs.setdefault("spark.hadoop.fs.file.impl", _NOFORK_FS_CLASS)
+    for k, v in confs.items():
         if v == "":  # env override set to empty = keep Spark's default
             continue
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if shim_cp is not None:
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        if hconf.get("fs.file.impl") == _NOFORK_FS_CLASS:
+            try:
+                spark.sparkContext._jvm.java.lang.Class.forName(
+                    _NOFORK_FS_CLASS)
+            except Exception:
+                # JVM predates the extraClassPath (session reuse /
+                # spark-submit launch): the class is unloadable, so the
+                # conf would break every file:// access -- drop it
+                hconf.unset("fs.file.impl")
+    return spark

@@ -537,11 +537,16 @@ def containment_pairs(documents: DataFrame, text_col: str = "text",
         raise ValueError(
             "posting-list containment join cannot emit zero-overlap pairs; "
             "use a threshold > 0")
-    d = plan_cache(stage_shingles(
-        _spread(documents.select(id_col, text_col), id_col),
-        text_col, k, "shingles")
-        .select(F.col(id_col), "shingles",
-                F.size(F.col("shingles")).alias("n_sh")))
+    # NO _spread here (unlike the simjoin/set_similarity tokenize
+    # sites): this shingle table is plan_cache'd and consumed by
+    # several small downstream stages, so spreading only taxes the
+    # one-time cache fill with an exchange of raw text and fragments
+    # every cached read into 32 near-empty partitions -- measured
+    # 1.66s (no spread) vs 2.37s (spread) min-of-5 at sf0.1.
+    d = plan_cache(stage_shingles(documents.select(id_col, text_col),
+                                  text_col, k, "shingles")
+                   .select(F.col(id_col), "shingles",
+                           F.size(F.col("shingles")).alias("n_sh")))
     posts = d.select(F.col(id_col), F.explode("shingles").alias("sh"))
     if max_posting_freq is not None:
         posts = _cap_posting_lists(posts, ["sh"], max_posting_freq)

@@ -960,7 +960,13 @@ def sorted_export(df: DataFrame, out_dir: str, order_cols: list[str],
      .sortWithinPartitions("file_id", *order_cols)
      .write.mode("overwrite").partitionBy("file_id")
      .parquet(out_dir + "/data"))
-    manifest = manifest_of(spark.read.parquet(out_dir + "/data"))
+    # manifest from the SAME `files` frame the write consumed (whose
+    # global ids sit on assign_global_ids' determinism checkpoint), not
+    # a read-back of the freshly written tree: identical rows by
+    # construction, and it skips listing + re-scanning n_files tiny
+    # directories -- at a million files that read-back is exactly the
+    # O(n_files) driver listing this operator exists to avoid.
+    manifest = manifest_of(files)
     manifest.coalesce(1).write.mode("overwrite") \
         .parquet(out_dir + "/manifest")
     meta["n_files"] = n_files

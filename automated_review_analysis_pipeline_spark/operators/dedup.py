@@ -1154,6 +1154,19 @@ def build_simjoin_index(documents: DataFrame, store_dir: str,
             f"build_simjoin_index only supports mode='overwrite' (got "
             f"{mode!r}); append deltas with simjoin_append")
     spark = documents.sparkSession
+
+    def _typed_empty(schema):
+        # ZERO-partition frame with exactly this schema (taken from the
+        # real plan, so the persisted layout cannot drift): the empty-
+        # store writes below then run 0 tasks instead of
+        # defaultParallelism empty task commits each -- the stream-start
+        # shape (streaming_set_similarity / streaming_components) builds
+        # an empty store inside every drain, and the empty build was
+        # measured at ~1.3s of pure job/commit overhead
+        return spark.createDataFrame(
+            spark.sparkContext.emptyRDD(), schema)
+
+    is_empty = documents.isEmpty()
     toks = (_spread(documents
                     .select(F.col(id_col).alias("id"), F.col(text_col)),
                     "id")
@@ -1161,31 +1174,37 @@ def build_simjoin_index(documents: DataFrame, store_dir: str,
             .select("id", F.explode(
                 word_shingles_from_tokens(F.col("__toks"), k))
                 .alias("tok")))
-    toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df")) \
-        .write.mode("overwrite").parquet(store_dir + "/dfreq")
+    dfreq_df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    if is_empty:
+        dfreq_df = _typed_empty(dfreq_df.schema)
+    dfreq_df.write.mode("overwrite").parquet(store_dir + "/dfreq")
     arrs = toks.groupBy("id").agg(
         F.sort_array(F.collect_list("tok")).alias("toks"),
         F.count(F.lit(1)).alias("sz"))
+    if is_empty:
+        arrs = _typed_empty(arrs.schema)
     docs_cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                           for f in arrs.schema.fields)
     _write_docs_bucketed(arrs, store_dir, n_buckets, "overwrite")
     prefix_df = _simjoin_prefix(
         toks, spark.read.parquet(store_dir + "/dfreq"), threshold)
+    if is_empty:
+        prefix_df = _typed_empty(prefix_df.schema)
     prefix_cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                             for f in prefix_df.schema.fields)
     _write_prefix_bucketed(prefix_df, store_dir, n_buckets, "overwrite")
-    if documents.isEmpty():
+    if is_empty:
         # stream-start shape: an empty corpus has no pairs -- write the
         # typed empty pair table without planning the candidate/verify
         # jobs over empty frames (several wasted Spark jobs otherwise)
-        spark.createDataFrame(
-            [], f"a_id {documents.schema[id_col].dataType.simpleString()},"
-                f" b_id "
-                f"{documents.schema[id_col].dataType.simpleString()}, "
-                f"n_common int, jaccard double") \
+        idt = documents.schema[id_col].dataType.simpleString()
+        _typed_empty(
+            spark.createDataFrame(
+                [], f"a_id {idt}, b_id {idt}, n_common int, "
+                    f"jaccard double").schema) \
             .write.mode("overwrite").parquet(store_dir + "/pairs")
     build_stats = {"n_docs": 0, "n_candidates": 0}
-    if not documents.isEmpty():
+    if not is_empty:
         # bucketed on both sides of the self-join: the one-shot
         # candidate stage runs with no Exchange at all. The candidate
         # set checkpoints once so (a) verify reads it instead of

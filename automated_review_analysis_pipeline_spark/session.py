@@ -62,6 +62,7 @@ DEFAULT_CONFS: dict[str, str] = {
 
 
 _NOFORK_FS_CLASS = "arapshim.NoForkLocalFileSystem"
+_NOFORK_CP_MEMO: list = []  # [str | None] once probed
 
 
 def _nofork_fs_classpath() -> str | None:
@@ -79,10 +80,15 @@ def _nofork_fs_classpath() -> str | None:
     import glob
     import subprocess
 
+    if _NOFORK_CP_MEMO:  # probe (incl. a failed compile) runs once
+        return _NOFORK_CP_MEMO[0]
+    _NOFORK_CP_MEMO.append(None)
+
     shim_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "jvmshim")
     cls = os.path.join(shim_dir, "arapshim", "NoForkLocalFileSystem.class")
     if os.path.isfile(cls):
+        _NOFORK_CP_MEMO[0] = shim_dir
         return shim_dir
     srcs = glob.glob(os.path.join(shim_dir, "arapshim", "*.java"))
     if not srcs:
@@ -97,7 +103,10 @@ def _nofork_fs_classpath() -> str | None:
                         *srcs], check=True, capture_output=True, timeout=60)
     except Exception:
         return None
-    return shim_dir if os.path.isfile(cls) else None
+    if os.path.isfile(cls):
+        _NOFORK_CP_MEMO[0] = shim_dir
+        return shim_dir
+    return None
 
 
 def get_spark(app_name: str = "automated-review-analysis-pipeline-spark",

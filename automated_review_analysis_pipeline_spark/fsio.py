@@ -156,9 +156,36 @@ def rename(spark: SparkSession, src: str, dst: str) -> None:
         raise IOError(f"rename {src} -> {dst} failed")
 
 
+def _local_base(spark: SparkSession, path: str) -> str | None:
+    """*path*'s bare local directory when it resolves to ``file:``,
+    else None -- the gate for the os.walk fast paths below (the py4j
+    RemoteIterator costs a JVM round-trip PER FILE, ~1 ms each; local
+    dirents read in microseconds). Remote filesystems keep the Hadoop
+    API lanes."""
+    fs, jpath, _ = _new_fs(spark, path)
+    q = fs.makeQualified(jpath)
+    if q.toUri().getScheme() != "file":
+        return None
+    return q.toUri().getPath()
+
+
 def dir_bytes(spark: SparkSession, path: str) -> int:
     """Total bytes under *path* (filesystem metadata only, no data
     scan) -- sizes compaction targets on any Hadoop filesystem."""
+    import os
+
+    base = _local_base(spark, path)
+    if base is not None:
+        if not os.path.exists(base):
+            return 0
+        total = 0
+        for root, _dirs, files in os.walk(base):
+            for f in files:
+                try:
+                    total += os.lstat(os.path.join(root, f)).st_size
+                except OSError:  # raced with a concurrent delete
+                    pass
+        return total
     fs, jpath, _ = _new_fs(spark, path)
     if not fs.exists(jpath):
         return 0
@@ -169,6 +196,15 @@ def count_files(spark: SparkSession, path: str,
                 suffix: str = ".parquet") -> int:
     """Number of *suffix* files under *path*, recursively -- the
     compaction before/after metric."""
+    import os
+
+    base = _local_base(spark, path)
+    if base is not None:
+        if not os.path.exists(base):
+            return 0
+        return sum(f.endswith(suffix)
+                   for _root, _dirs, files in os.walk(base)
+                   for f in files)
     fs, jpath, _ = _new_fs(spark, path)
     if not fs.exists(jpath):
         return 0

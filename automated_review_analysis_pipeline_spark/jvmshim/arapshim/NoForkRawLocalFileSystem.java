@@ -42,8 +42,16 @@ public class NoForkRawLocalFileSystem extends RawLocalFileSystem {
     @Override
     public void setPermission(Path p, FsPermission permission)
             throws IOException {
-        File f = pathToFile(p);
         short mode = permission.toShort();
+        if ((mode & ~0777) != 0) {
+            // setuid/setgid/sticky bits have no PosixFilePermission
+            // mapping; stock Hadoop applies the full %04o mode via
+            // chmod -- keep that behavior for non-rwx bits instead of
+            // silently dropping them (round-15 ADVICE)
+            super.setPermission(p, permission);
+            return;
+        }
+        File f = pathToFile(p);
         Set<PosixFilePermission> perms =
             EnumSet.noneOf(PosixFilePermission.class);
         for (int i = 0; i < 9; i++) {

@@ -1186,8 +1186,16 @@ def build_simjoin_index(documents: DataFrame, store_dir: str,
     docs_cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                           for f in arrs.schema.fields)
     _write_docs_bucketed(arrs, store_dir, n_buckets, "overwrite")
+    # empty path ranks against the in-plan typed frame instead of
+    # re-reading the just-written empty parquet: whether a
+    # zero-partition write leaves a schema-bearing file is an engine
+    # detail (SPARK-23271), not something the layout should depend on
+    # (round-15 ADVICE)
     prefix_df = _simjoin_prefix(
-        toks, spark.read.parquet(store_dir + "/dfreq"), threshold)
+        toks,
+        dfreq_df if is_empty
+        else spark.read.parquet(store_dir + "/dfreq"),
+        threshold)
     if is_empty:
         prefix_df = _typed_empty(prefix_df.schema)
     prefix_cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"

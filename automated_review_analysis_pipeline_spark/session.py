@@ -43,22 +43,22 @@ DEFAULT_CONFS: dict[str, str] = {
     # checkpoint FS is worth the latency.
     "spark.sql.streaming.checkpoint.fileChecksum.enabled":
         os.environ.get("SPARK_GRAFT_STREAM_CKSUM", "false"),
-    # Checkpoint file manager: the default FileContext-based manager on a
-    # LOCAL filesystem with no libhadoop.so forks a /bin/chmod or readlink
-    # subprocess PER state-store file create/rename (Hadoop RawLocalFileSystem
-    # Shell fallback -- thread dumps showed 20+/32 stateful-commit tasks
-    # parked in Shell.runCommand; each fork from a large-heap JVM is
-    # 50-200ms). The FileSystem-based manager drives the same rename
-    # protocol through java.io.File -- no subprocesses. Local-mode default
-    # only: on HDFS/S3A checkpoint volumes leave SPARK_GRAFT_CKPT_MGR empty
-    # to keep Spark's FileContext default (atomic rename there, no Shell
-    # fallback involved).
-    "spark.sql.streaming.checkpointFileManagerClass":
-        os.environ.get(
-            "SPARK_GRAFT_CKPT_MGR",
-            "org.apache.spark.sql.execution.streaming.checkpointing."
-            "FileSystemBasedCheckpointFileManager"),
 }
+
+# Checkpoint file manager: the default FileContext-based manager on a
+# LOCAL filesystem with no libhadoop.so forks a /bin/chmod or readlink
+# subprocess PER state-store file create/rename (Hadoop RawLocalFileSystem
+# Shell fallback -- thread dumps showed 20+/32 stateful-commit tasks
+# parked in Shell.runCommand; each fork from a large-heap JVM is
+# 50-200ms). The FileSystem-based manager drives the same rename
+# protocol through java.io.File -- no subprocesses. Injected by
+# get_spark ONLY when the resolved master is local (round-15 ADVICE:
+# on HDFS/S3A checkpoint volumes FileContext's atomic rename matters
+# and no Shell fallback is involved, so Spark's default stands there);
+# SPARK_GRAFT_CKPT_MGR overrides in either direction ("" keeps Spark's
+# default even locally, a class name opts in anywhere).
+_FS_CKPT_MGR = ("org.apache.spark.sql.execution.streaming.checkpointing."
+                "FileSystemBasedCheckpointFileManager")
 
 
 _NOFORK_FS_CLASS = "arapshim.NoForkLocalFileSystem"
@@ -109,24 +109,48 @@ def _nofork_fs_classpath() -> str | None:
     return None
 
 
+def resolve_confs(eff_master: str,
+                  extra_confs: dict[str, str] | None = None
+                  ) -> dict[str, str]:
+    """The session conf map get_spark applies for *eff_master* --
+    split out so the LOCAL-vs-cluster gating is unit-testable without
+    launching a second SparkContext. Empty-string values mean "keep
+    Spark's default" (get_spark skips them)."""
+    confs = {**DEFAULT_CONFS, **(extra_confs or {})}
+    # LOCAL-mode-only defaults (round-15 ADVICE): both the FileSystem-
+    # based checkpoint manager and the no-fork local FS shim are fixes
+    # for local-filesystem subprocess forks; with a cluster master the
+    # manager would weaken HDFS/S3 checkpoint atomicity and the shim's
+    # extraClassPath would not exist on executors.
+    is_local = eff_master.startswith("local")
+    mgr = os.environ.get("SPARK_GRAFT_CKPT_MGR")
+    if mgr is None:
+        mgr = _FS_CKPT_MGR if is_local else ""
+    confs.setdefault(
+        "spark.sql.streaming.checkpointFileManagerClass", mgr)
+    shim_cp = None
+    if is_local and os.environ.get("SPARK_GRAFT_NOFORK_FS", "1") != "":
+        shim_cp = _nofork_fs_classpath()
+    if shim_cp is not None:
+        # both only take effect when the get_spark call launches the
+        # JVM; its post-create probe handles a pre-existing JVM safely
+        confs.setdefault("spark.driver.extraClassPath", shim_cp)
+        confs.setdefault("spark.executor.extraClassPath", shim_cp)
+        confs.setdefault("spark.hadoop.fs.file.impl", _NOFORK_FS_CLASS)
+    return confs
+
+
 def get_spark(app_name: str = "automated-review-analysis-pipeline-spark",
               master: str | None = None,
               extra_confs: dict[str, str] | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's defaults applied."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    builder = SparkSession.builder.appName(app_name).master(
-        master or f"local[{cpus}]"
-    )
-    confs = {**DEFAULT_CONFS, **(extra_confs or {})}
-    shim_cp = None
-    if os.environ.get("SPARK_GRAFT_NOFORK_FS", "1") != "":
-        shim_cp = _nofork_fs_classpath()
-    if shim_cp is not None:
-        # both only take effect when THIS call launches the JVM; the
-        # post-create probe below handles a pre-existing JVM safely
-        confs.setdefault("spark.driver.extraClassPath", shim_cp)
-        confs.setdefault("spark.executor.extraClassPath", shim_cp)
-        confs.setdefault("spark.hadoop.fs.file.impl", _NOFORK_FS_CLASS)
+    eff_master = master or f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(eff_master)
+    confs = resolve_confs(eff_master, extra_confs)
+    shim_cp = confs.get("spark.driver.extraClassPath")
+    if confs.get("spark.hadoop.fs.file.impl") != _NOFORK_FS_CLASS:
+        shim_cp = None
     for k, v in confs.items():
         if v == "":  # env override set to empty = keep Spark's default
             continue

@@ -330,10 +330,25 @@ def main() -> None:
             release_plan_caches()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    # Two JSON lines, most-compact encoding: the full per-query line first,
-    # then a SHORT summary line LAST -- the driver's stdout capture keeps
-    # the tail, so the summary (total) stays machine-readable even if the
-    # ~100-entry per-query line gets truncated (BENCH_r02 lesson).
+    # Output framing (round 16 measurement-contract fix, documented in
+    # OPTIMIZATION_r16.md): the driver's stdout capture keeps only a
+    # ~2000-char TAIL, so the single ~6 KB per-query line of earlier
+    # rounds was truncated mid-dict in BOTH compared rounds and
+    # PERF_r14/r15 ended up with per_query == {} (BENCH_r02 lesson,
+    # re-diagnosed in VERDICT r15 item 2). Emit, in order:
+    #   1. the FULL contract line (metric/value/unit/queries/sf) --
+    #      complete per-query map for full-capture parsers and the house
+    #      tools (tools/bench_compare.py reads this first line);
+    #   2. short CHUNK lines, each a complete JSON object carrying a
+    #      ~12-entry "queries" slice -- a tail-window parser that merges
+    #      every parseable line recovers as many chunks as fit;
+    #   3. the summary line LAST, exactly as before PLUS a "queries"
+    #      subset of the slowest queries packed to keep the line under
+    #      ~1800 bytes, so even a last-line-only parser inside a
+    #      2000-char tail window gets a non-empty, comparison-worthy
+    #      per-query map (slowest queries are where optimization shows).
+    # Timing methodology, query set, and the summary's existing keys are
+    # unchanged.
     print(json.dumps({
         "metric": "headline_queries_wall_clock",
         "value": total,
@@ -341,14 +356,33 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }, separators=(",", ":")))
-    print(json.dumps({
+    items = list(timings.items())
+    for i in range(0, len(items), 12):
+        print(json.dumps({
+            "metric": "headline_queries_wall_clock",
+            "part": i // 12 + 1,
+            "parts": (len(items) + 11) // 12,
+            "queries": dict(items[i:i + 12]),
+            "sf": sf,
+        }, separators=(",", ":")))
+    summary = {
         "metric": "headline_queries_wall_clock",
         "value": total,
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
         "n_extra_samples": n_extra_samples,
-    }, separators=(",", ":")))
+    }
+    slowest: dict[str, float] = {}
+    budget = 1800 - len(json.dumps(summary, separators=(",", ":")))
+    for name, t in sorted(items, key=lambda kv: -kv[1]):
+        cost = len(json.dumps({name: t}, separators=(",", ":")))
+        if budget - cost < 0:
+            break
+        budget -= cost
+        slowest[name] = t
+    summary["queries"] = slowest
+    print(json.dumps(summary, separators=(",", ":")))
     spark.stop()
 
 

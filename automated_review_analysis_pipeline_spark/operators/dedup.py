@@ -1958,6 +1958,25 @@ def simjoin_store_stats(spark, store_dir: str,
     n_appends_recorded, build_cand_density, recent_cand_density,
     drift_ratio (null until both sides are measurable),
     refreeze_recommended."""
+    row = simjoin_store_stats_row(spark, store_dir, drift_threshold)
+    # ONE slice: a 32-slice parallelized single row makes any take()/
+    # first() walk empty partitions through several sequential mini-
+    # jobs (measured 0.7-0.9 s per first() on this box); the report is
+    # one row computed driver-side, so one partition is its real shape
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize([tuple(row.values())], 1),
+        "order_epoch int, append_epoch int, n_appends_recorded int, "
+        "build_cand_density double, recent_cand_density double, "
+        "drift_ratio double, refreeze_recommended boolean")
+
+
+def simjoin_store_stats_row(spark, store_dir: str,
+                            drift_threshold: float = 8.0) -> dict:
+    """:func:`simjoin_store_stats` as a plain dict -- the report is
+    metadata-only (meta.json counters; no data scan), so engine call
+    sites that only BRANCH on it (index_stats, the streaming lanes'
+    auto-refreeze trigger) read the dict and skip the one-row Spark
+    job entirely."""
     from .. import fsio
 
     def density(n_cand: float, n_delta: int, n_store: int) -> float | None:
@@ -1994,18 +2013,16 @@ def simjoin_store_stats(spark, store_dir: str,
            if possible else None)
     ratio = (round(rec / base, 6)
              if rec is not None and base else None)
-    row = (int(meta.get("order_epoch", 0)),
-           int(meta.get("append_epoch", 0)),
-           len(meta.get("append_stats") or []),
-           round(base, 9) if base is not None else None,
-           round(rec, 9) if rec is not None else None,
-           ratio,
-           bool(ratio is not None and ratio > drift_threshold))
-    return spark.createDataFrame(
-        [row],
-        "order_epoch int, append_epoch int, n_appends_recorded int, "
-        "build_cand_density double, recent_cand_density double, "
-        "drift_ratio double, refreeze_recommended boolean")
+    return {
+        "order_epoch": int(meta.get("order_epoch", 0)),
+        "append_epoch": int(meta.get("append_epoch", 0)),
+        "n_appends_recorded": len(meta.get("append_stats") or []),
+        "build_cand_density": round(base, 9) if base is not None else None,
+        "recent_cand_density": round(rec, 9) if rec is not None else None,
+        "drift_ratio": ratio,
+        "refreeze_recommended":
+            bool(ratio is not None and ratio > drift_threshold),
+    }
 
 
 def set_similarity_join_rs(left: DataFrame, right: DataFrame,

@@ -739,6 +739,19 @@ def index_compact(spark: SparkSession, store_dir: str,
         f"(expected a simjoin meta.json, codes/, or corpus/)")
 
 
+def _report_df(spark: SparkSession, rows: list) -> DataFrame:
+    """The (part, metric, value) report frame as ONE partition: a
+    driver-built list parallelized over defaultParallelism slices
+    leaves most slices empty, and any take()/first() then walks them
+    through several sequential mini-jobs (measured 0.7-0.9 s per
+    first() at local[32]). The report is a few dozen driver-side rows
+    -- one partition is its real shape at any scale."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "part string, metric string, value string") \
+        .orderBy("part", "metric")
+
+
 def index_stats(spark: SparkSession, store_dir: str) -> DataFrame:
     """Unified OPERATIONAL introspection for every persisted store
     family (simjoin, BM25 inverted index, IVF / PQ / IVF-PQ,
@@ -796,9 +809,7 @@ def index_stats(spark: SparkSession, store_dir: str) -> DataFrame:
                  str(fsio.count_files(spark, store_dir))),
                 ("data", "bytes",
                  str(fsio.dir_bytes(spark, store_dir)))]
-        return spark.createDataFrame(
-            rows, "part string, metric string, value string") \
-            .orderBy("part", "metric")
+        return _report_df(spark, rows)
     else:
         raise ValueError(
             f"{store_dir} is not a recognized persisted store layout")
@@ -838,9 +849,12 @@ def index_stats(spark: SparkSession, store_dir: str) -> DataFrame:
                 live += 1
         rows.append(("store", "versions_live", str(live)))
     if family == "simjoin":
-        from .dedup import simjoin_store_stats
+        from .dedup import simjoin_store_stats_row
 
-        drift = simjoin_store_stats(spark, store_dir).first()
+        # metadata-only dict: skips the one-row Spark job (and its
+        # take-over-empty-partitions overhead) the DataFrame wrapper
+        # used to pay per report
+        drift = simjoin_store_stats_row(spark, store_dir)
         for c in ("order_epoch", "drift_ratio", "refreeze_recommended"):
             rows.append(("store", c, str(drift[c]).lower()))
     # delete health (round 15): live tombstone count, the surviving
@@ -865,9 +879,7 @@ def index_stats(spark: SparkSession, store_dir: str) -> DataFrame:
                          str(round(frac, 6))))
             rows.append(("store", "reclaimable_bytes_est",
                          str(int(frac * data_bytes))))
-    return spark.createDataFrame(
-        rows, "part string, metric string, value string") \
-        .orderBy("part", "metric")
+    return _report_df(spark, rows)
 
 
 def partitioned_write(df: DataFrame, path: str, partition_cols: list[str],

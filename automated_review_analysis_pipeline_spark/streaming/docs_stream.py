@@ -140,11 +140,11 @@ def _maybe_refreeze(spark: SparkSession, store_dir: str,
     trigger against the new order."""
     from automated_review_analysis_pipeline_spark.operators.dedup import (
         simjoin_refreeze,
-        simjoin_store_stats,
+        simjoin_store_stats_row,
     )
 
-    st = simjoin_store_stats(spark, store_dir,
-                             drift_threshold=ratio).first()
+    st = simjoin_store_stats_row(spark, store_dir,
+                                 drift_threshold=ratio)
     if not st["refreeze_recommended"]:
         return False
     simjoin_refreeze(spark, store_dir)

@@ -46,6 +46,25 @@ def test_index_stats_simjoin(spark, sf_dir, tmp_path):
     assert int(kv[("prefix", "max_files_per_bucket")]) == 1
 
 
+def test_index_stats_report_is_one_partition(spark, sf_dir, tmp_path):
+    """The report is a few dozen driver-built rows; it must ship as ONE
+    partition (round 16: a defaultParallelism-sliced tiny frame makes
+    any take()/first() walk empty slices through sequential mini-jobs)
+    and the simjoin drift dict must agree with the DataFrame wrapper."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = str(tmp_path / "sj")
+    dedup.build_simjoin_index(docs.where(F.col("doc_id") % 4 == 0),
+                              store, threshold=0.5, n_buckets=4)
+    dedup.simjoin_append(spark, store,
+                         docs.where(F.col("doc_id") % 4 == 1))
+    report = index_stats(spark, store)
+    assert report.rdd.getNumPartitions() == 1
+    stats_df = dedup.simjoin_store_stats(spark, store)
+    assert stats_df.rdd.getNumPartitions() == 1
+    assert (stats_df.first().asDict()
+            == dedup.simjoin_store_stats_row(spark, store))
+
+
 def test_index_stats_bm25(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     store = str(tmp_path / "bm25")

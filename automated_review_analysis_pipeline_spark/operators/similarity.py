@@ -2266,6 +2266,20 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 8,
     Checkpointing makes both linear at the cost of one tiny job per
     round.
 
+    Round 16: the per-round corpus JOIN-BACK is gone -- the assignment
+    aggregate carries the vector through (``any_value(__v)``: ids are
+    unique, so every value in the group is THE vector, equal to what
+    the old ``base.join(assigned, id_col)`` re-attached), and the
+    update explodes the aggregate's output directly. That removes one
+    full-corpus shuffle join per iteration at any scale; sims (6dp
+    round BEFORE argmax, ties -> lowest cid) and the decimal means are
+    expression-identical, so the recurrence the SQL oracle unrolls is
+    bit-for-bit unchanged. (A driver-side literal-centroid formulation
+    -- one fused job per round, k rows collected -- was A/B'd and
+    REJECTED: per-round Catalyst planning + codegen of the new plan
+    costs 1.8-3.3 s at local scale vs 0.75 s for this whole lazy
+    3-round plan; see OPTIMIZATION_r16.md.)
+
     Trade-offs of the eager checkpoint, stated explicitly: (a) the Lloyd
     training runs at DataFrame-CONSTRUCTION time (building the plan
     costs iterations x 2 small jobs even if the result is never acted
@@ -2281,10 +2295,26 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 8,
         base.orderBy(id_col).limit(k)
         .select(F.col(id_col).alias("cid"), F.col("__v").alias("c_vec"))
     )
+    sim = dot_product(F.col("__v"), F.col("c_vec")) / (
+        F.sqrt(dot_product(F.col("__v"), F.col("__v")))
+        * F.sqrt(dot_product(F.col("c_vec"), F.col("c_vec"))))
+    pick = F.max_by(
+        "cid", F.struct(F.col("__sim"), (-F.col("cid")).alias("nc")))
     for _ in range(iterations):
-        assigned = _kmeans_assign(base, cents, id_col)
-        members = base.join(assigned, id_col).select(
-            F.col("cluster").alias("cid"),
+        # fused assign+carry: the same broadcast-expand + rounded-sim
+        # max_by as _kmeans_assign, but the aggregate also carries the
+        # row's vector out (any_value is deterministic here: the group
+        # is one id's k expansion rows, all sharing one __v), so the
+        # update explodes the aggregate output directly instead of
+        # joining the corpus back to a bare (id, cluster) assignment
+        winners = (
+            base.join(broadcast(cents), F.lit(True))
+            .withColumn("__sim", F.round(sim, 6))
+            .groupBy(id_col)
+            .agg(pick.alias("__w"), F.any_value("__v").alias("__v"))
+        )
+        members = winners.select(
+            F.col("__w").alias("cid"),
             F.posexplode(F.col("__v")).alias("dim", "val"))
         new_cents = (
             members.groupBy("cid", "dim")

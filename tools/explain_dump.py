@@ -1,7 +1,7 @@
-"""Dump .explain("formatted") for registry queries to plans/r15/.
+"""Dump .explain("formatted") for registry queries to plans/r16/.
 
 Usage: python tools/explain_dump.py <suffix> [names...]
-  suffix: e.g. "before" or "after" -> plans/r15/<name>_<suffix>.txt
+  suffix: e.g. "before" or "after" -> plans/r16/<name>_<suffix>.txt
   names : query names; default = a curated hot list.
 
 Streaming-drain queries return the post-drain batch frame; their plan
@@ -39,7 +39,7 @@ def main() -> None:
     names = sys.argv[2:] or HOT
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r15")
+        os.path.abspath(__file__))), "plans", "r16")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="arap-explain-dump")
     spark.sparkContext.setLogLevel("ERROR")

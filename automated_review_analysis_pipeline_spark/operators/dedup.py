@@ -966,6 +966,16 @@ def set_similarity_join(documents: DataFrame, threshold: float = 0.5,
             .select("id", F.explode(
                 word_shingles_from_tokens(F.col("__toks"), k))
                 .alias("tok")))
+    # materialize the shingle arrays ONCE and derive every other use
+    # of the token table from them (shingles are distinct per doc, so
+    # exploding the array reproduces the (id, tok) set exactly): the
+    # CPU-dense tokenize+shingle map stage used to re-run under each
+    # of its four plan references (df counts, ranking, and both verify
+    # array sides)
+    arrs = toks.groupBy("id").agg(
+        F.sort_array(F.collect_list("tok")).alias("toks"),
+        F.count(F.lit(1)).alias("sz")).localCheckpoint(eager=True)
+    toks = arrs.select("id", F.explode("toks").alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("id").orderBy("df", "tok")
     ranked = (toks.join(freq, "tok")
@@ -992,9 +1002,6 @@ def set_similarity_join(documents: DataFrame, threshold: float = 0.5,
     cand = cand.repartition(
         documents.sparkSession.sparkContext.defaultParallelism,
         "a_id", "b_id")
-    arrs = toks.groupBy("id").agg(
-        F.sort_array(F.collect_list("tok")).alias("toks"),
-        F.count(F.lit(1)).alias("sz"))
     verified = (cand
                 .join(arrs.select(F.col("id").alias("a_id"),
                                   F.col("toks").alias("a_toks"),
@@ -1174,10 +1181,6 @@ def build_simjoin_index(documents: DataFrame, store_dir: str,
             .select("id", F.explode(
                 word_shingles_from_tokens(F.col("__toks"), k))
                 .alias("tok")))
-    dfreq_df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    if is_empty:
-        dfreq_df = _typed_empty(dfreq_df.schema)
-    dfreq_df.write.mode("overwrite").parquet(store_dir + "/dfreq")
     arrs = toks.groupBy("id").agg(
         F.sort_array(F.collect_list("tok")).alias("toks"),
         F.count(F.lit(1)).alias("sz"))
@@ -1185,7 +1188,23 @@ def build_simjoin_index(documents: DataFrame, store_dir: str,
         arrs = _typed_empty(arrs.schema)
     docs_cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                           for f in arrs.schema.fields)
+    # /docs writes FIRST: the CPU-dense tokenize+shingle stage (the
+    # most expensive map stage of the build) runs exactly once, and
+    # dfreq + prefix both derive from the persisted compact arrays
+    # (shingles are distinct per doc, so exploding the array
+    # reproduces the (id, tok) set exactly). The old shape recomputed
+    # the tokenize under all THREE writes; re-reading the array
+    # parquet is the cheaper side at any scale -- no raw-text scan,
+    # no shingle transform. Write order within the build is free to
+    # change: meta.json (written last) is the store's commit point.
     _write_docs_bucketed(arrs, store_dir, n_buckets, "overwrite")
+    toks = (arrs if is_empty
+            else spark.read.parquet(store_dir + "/docs")) \
+        .select("id", F.explode("toks").alias("tok"))
+    dfreq_df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    if is_empty:
+        dfreq_df = _typed_empty(dfreq_df.schema)
+    dfreq_df.write.mode("overwrite").parquet(store_dir + "/dfreq")
     # empty path ranks against the in-plan typed frame instead of
     # re-reading the just-written empty parquet: whether a
     # zero-partition write leaves a schema-bearing file is an engine
@@ -1435,17 +1454,22 @@ def _simjoin_verify_store(cand: DataFrame, docs_tbl: DataFrame,
     cand_ids = (cand.select(F.col("a_id").alias("id"))
                 .unionByName(cand.select(F.col("b_id").alias("id")))
                 .distinct())
-    old_ids = (cand_ids.join(new_arrs.select("id"), "id", "left_anti")
-               .localCheckpoint(eager=True))
-    n_old = old_ids.count()
-    if n_old <= max_in_ids:
-        if n_old:
-            sample = [r["id"] for r in old_ids.collect()]
+    old_ids = cand_ids.join(new_arrs.select("id"), "id", "left_anti")
+    # ONE limit+collect decides the IN lane AND fetches its ids (the
+    # steady-state small append); it used to be checkpoint + count +
+    # collect -- three driver round-trips where one suffices. The
+    # bigger lanes checkpoint only when they are actually taken.
+    sample = [r["id"]
+              for r in old_ids.limit(max_in_ids + 1).collect()]
+    if len(sample) <= max_in_ids:
+        if sample:
             store_arrs = docs_tbl.where(F.col("id").isin(sample))
             all_arrs = store_arrs.unionByName(new_arrs)
         else:
             all_arrs = new_arrs
         return _simjoin_verify(cand, all_arrs, threshold)
+    old_ids = old_ids.localCheckpoint(eager=True)
+    n_old = old_ids.count()
     if n_old <= max_semi_ids:
         store_arrs = docs_tbl.join(broadcast(old_ids), "id")
         return _simjoin_verify(
@@ -1647,10 +1671,19 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
     new_arrs = toks.groupBy("id").agg(
         F.sort_array(F.collect_list("tok")).alias("toks"),
         F.count(F.lit(1)).alias("sz"))
-    new_prefix = _simjoin_prefix(toks, dfreq, threshold)
-    with _jd(spark, "simjoin_append: delta prefix+arrs checkpoint"):
-        new_prefix = new_prefix.localCheckpoint(eager=True)
+    with _jd(spark, "simjoin_append: delta arrs checkpoint"):
         new_arrs = new_arrs.localCheckpoint(eager=True)
+    # the prefix derives from the CHECKPOINTED arrays, not the raw
+    # text: shingles are distinct per doc, so exploding the array
+    # reproduces exactly the (id, tok) set -- and the CPU-dense
+    # tokenize+shingle stage (the most expensive map stage of the
+    # append) runs ONCE instead of twice (it used to be recomputed
+    # under both eager checkpoints, which cannot share lineage)
+    new_prefix = _simjoin_prefix(
+        new_arrs.select("id", F.explode("toks").alias("tok")),
+        dfreq, threshold)
+    with _jd(spark, "simjoin_append: delta prefix checkpoint"):
+        new_prefix = new_prefix.localCheckpoint(eager=True)
     # candidates touching a NEW doc only (a<b canonicalization inside
     # _simjoin_candidates dedupes the new-new overlap); new-old pairs
     # need both orientations because canonicalization is on id order
@@ -1659,12 +1692,16 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
                                               int(n_buckets))
         # one symmetric new-vs-store join (filters are x/y-symmetric,
         # output canonicalized) + the new-new self-join; the store
-        # side reads bucketed -- no Exchange (plan-gated)
-        cand = (_cross_candidates_canonical(new_prefix, store_prefix,
-                                            threshold)
-                .unionByName(_simjoin_candidates(new_prefix, new_prefix,
-                                                 threshold))
-                .distinct())
+        # side reads bucketed -- no Exchange (plan-gated). NO distinct
+        # across the union: each branch is a groupBy output (one row
+        # per pair) and the branches are disjoint -- a cross pair has
+        # exactly one store-side id, a self pair none (ids are unique
+        # forever, the store's append contract) -- so the distinct was
+        # a full exchange+aggregate over the candidate set for nothing
+        cand = _cross_candidates_canonical(new_prefix, store_prefix,
+                                           threshold) \
+            .unionByName(_simjoin_candidates(new_prefix, new_prefix,
+                                             threshold))
     else:  # pre-round-13 plain layout
         all_prefix = spark.read.parquet(store_dir + "/prefix") \
             .unionByName(new_prefix)
@@ -2057,6 +2094,16 @@ def set_similarity_join_rs(left: DataFrame, right: DataFrame,
     lt = toks_of(left, l_id, "l")
     rt = toks_of(right, r_id, "r")
     both = lt.unionByName(rt)
+    # one materialized array table per build, everything else derives
+    # from it (same single-tokenize discipline as set_similarity_join:
+    # shingles are distinct per doc, so exploding the array reproduces
+    # the (side, id, tok) set exactly) -- the tokenize map stage over
+    # BOTH corpora used to re-run under df counts, ranking, and the
+    # two verify array sides
+    arrs = both.groupBy("side", "id").agg(
+        F.sort_array(F.collect_list("tok")).alias("toks"),
+        F.count(F.lit(1)).alias("sz")).localCheckpoint(eager=True)
+    both = arrs.select("side", "id", F.explode("toks").alias("tok"))
     dfreq = both.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("side", "id").orderBy("df", "tok")
     ranked = (both.join(dfreq, "tok")
@@ -2082,9 +2129,6 @@ def set_similarity_join_rs(left: DataFrame, right: DataFrame,
     cand = cand.repartition(
         left.sparkSession.sparkContext.defaultParallelism,
         "l_doc", "r_doc")
-    arrs = both.groupBy("side", "id").agg(
-        F.sort_array(F.collect_list("tok")).alias("toks"),
-        F.count(F.lit(1)).alias("sz"))
     la = arrs.where(F.col("side") == "l").select(
         F.col("id").alias("l_doc"), F.col("toks").alias("l_toks"),
         F.col("sz").alias("l_sz"))

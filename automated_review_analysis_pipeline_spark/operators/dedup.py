@@ -1687,7 +1687,21 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
     # candidates touching a NEW doc only (a<b canonicalization inside
     # _simjoin_candidates dedupes the new-new overlap); new-old pairs
     # need both orientations because canonicalization is on id order
-    if n_buckets:
+    n_store = int(meta.get("n_docs_total",
+                           (meta.get("build_stats") or {})
+                           .get("n_docs", 0)))
+    if n_buckets and n_store == 0:
+        # stream-start shape: the store side is EMPTY (every streaming
+        # lane builds an empty store to freeze the token order, then
+        # folds its first micro-batch here), so the new-vs-store join
+        # is STATICALLY empty -- only the self-join branch can produce
+        # candidates. Skipping it drops its planning + scan stages
+        # from the first batch of every stream. (Even if a store were
+        # deleted down to zero docs, its prefix rows are tombstoned
+        # until compaction and exclude_tombstoned below drops their
+        # candidates -- the skip is equivalent either way.)
+        cand = _simjoin_candidates(new_prefix, new_prefix, threshold)
+    elif n_buckets:
         store_prefix = _register_prefix_table(spark, store_dir,
                                               int(n_buckets))
         # one symmetric new-vs-store join (filters are x/y-symmetric,
@@ -1769,9 +1783,6 @@ def simjoin_append(spark, store_dir: str, new_docs: DataFrame,
     # input of simjoin_store_stats' refreeze trigger; counts are free
     # (both frames are checkpointed)
     n_delta = new_arrs.count()
-    n_store = int(meta.get("n_docs_total",
-                           (meta.get("build_stats") or {})
-                           .get("n_docs", 0)))
     stats = meta.setdefault("append_stats", [])
     stats.append({"epoch": epoch, "batch_id": batch_id,
                   "n_delta_docs": n_delta,

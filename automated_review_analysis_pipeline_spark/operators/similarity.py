@@ -1675,15 +1675,32 @@ def star_connected_components(edges: DataFrame, a_col: str = "a",
     )
     rounds = 0
     for _ in range(max_iterations):
-        # structural convergence: star forest reached?
-        multi_parent = (
-            E.groupBy("a").agg(F.count_distinct("b").alias("nb"))
-            .where(F.col("nb") > 1).count())
-        chained = 0
-        if multi_parent == 0:
-            chained = E.alias("x").join(
-                E.alias("y"), F.col("x.b") == F.col("y.a"), "semi").count()
-        if multi_parent == 0 and chained == 0:
+        # structural convergence: star forest reached? BOTH conditions
+        # (no child with two parents; no parent that is itself a
+        # child) fold into ONE aggregation job: per node, count its
+        # distinct parents (rows where it appears as the child a) and
+        # flag whether it ever appears as a parent b -- multi-parent
+        # is max(np) > 1, a chain is any node with np > 0 that is also
+        # a parent. Same answers as the old two-action check (a
+        # count + a conditional semi-join count), one driver round-
+        # trip per round instead of up to two, and the count_distinct
+        # still collapses map-side.
+        p_type = E.schema["a"].dataType
+        flags = (
+            E.select(F.col("a").alias("n"), F.col("b").alias("p"))
+            .unionByName(E.select(
+                F.col("b").alias("n"),
+                F.lit(None).cast(p_type).alias("p")))
+            .groupBy("n")
+            .agg(F.count_distinct("p").alias("np"),
+                 F.max(F.col("p").isNull().cast("int")).alias("isp"))
+            .agg(F.max("np").alias("max_np"),
+                 F.max(F.when((F.col("np") > 0) & (F.col("isp") == 1),
+                              1).otherwise(0)).alias("chained"))
+            .first())
+        # empty edge set (max_np None) is trivially a star forest
+        if flags["max_np"] is None or (flags["max_np"] <= 1
+                                       and not flags["chained"]):
             break
         rounds += 1
         # ---- large-star: reconnect larger neighbors to min(N+ self)

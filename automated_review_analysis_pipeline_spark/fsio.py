@@ -379,3 +379,63 @@ def join(base: str, name: str) -> str:
     ``s3a://bucket/dir`` on Windows and is semantically wrong for
     URIs; Hadoop Path treats '/' uniformly)."""
     return base.rstrip("/") + "/" + name
+
+
+def write_empty_parquet_fast(spark: SparkSession, dir_path: str,
+                             schema) -> bool:
+    """Write a schema-bearing EMPTY parquet dir DRIVER-SIDE -- no
+    Spark job, no task commit protocol -- when the path is local and
+    pyarrow is importable; returns False (caller keeps its Spark
+    write) for remote filesystems or a pyarrow-less runtime. The
+    stream-start shape builds an empty store inside every drain, and
+    each 0-row Spark write still costs a job + FileFormatWriter
+    commit (~0.2 s of a measured ~0.8 s empty simjoin build); the
+    bytes written here are the same schema-bearing empty footer
+    Spark would leave."""
+    base = _local_base(spark, dir_path)
+    if base is None:
+        return False
+    try:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        sch = to_arrow_schema(schema)
+    except Exception:
+        return False
+    import os
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    tbl = pa.Table.from_arrays(
+        [pa.array([], type=f.type) for f in sch], schema=sch)
+    pq.write_table(
+        tbl,
+        os.path.join(base, f"part-00000-{uuid.uuid4()}-c000"
+                           f".snappy.parquet"),
+        compression="snappy")
+    return True
+
+
+def reset_bucketed_dir_fast(spark: SparkSession, dir_path: str,
+                            table_name: str) -> bool:
+    """Reset a bucketed store part to the EMPTY state driver-side:
+    drop the stale catalog entry and leave a bare directory --
+    exactly the layout a 0-partition bucketed saveAsTable produces
+    (no data files; readers get their schema from the re-registered
+    DDL). Local-FS only, same gate as
+    :func:`write_empty_parquet_fast`."""
+    base = _local_base(spark, dir_path)
+    if base is None:
+        return False
+    import os
+    import shutil
+
+    if spark.catalog.tableExists(table_name):
+        spark.sql(f"DROP TABLE {table_name}")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    return True

@@ -1122,67 +1122,6 @@ def _write_prefix_bucketed(prefix: DataFrame, store_dir: str,
                         ["tok"], ["tok"], n_buckets, mode)
 
 
-def _empty_parquet_fast(spark, dir_path: str, schema) -> bool:
-    """Write a schema-bearing EMPTY parquet dir DRIVER-SIDE -- no Spark
-    job, no task commit protocol -- when the path is local and pyarrow
-    is importable; returns False (caller keeps the Spark write) for
-    remote filesystems or a pyarrow-less runtime. The stream-start
-    shape builds an empty store inside every drain, and each 0-row
-    Spark write still costs a job + FileFormatWriter commit (~0.2 s of
-    the measured ~0.8 s empty build); the bytes written here are the
-    same schema-bearing empty footer Spark would leave."""
-    from .. import fsio
-
-    base = fsio._local_base(spark, dir_path)
-    if base is None:
-        return False
-    try:
-        import uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        sch = to_arrow_schema(schema)
-    except Exception:
-        return False
-    import os
-    import shutil
-
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
-    tbl = pa.Table.from_arrays(
-        [pa.array([], type=f.type) for f in sch], schema=sch)
-    pq.write_table(
-        tbl,
-        os.path.join(base, f"part-00000-{uuid.uuid4()}-c000"
-                           f".snappy.parquet"),
-        compression="snappy")
-    return True
-
-
-def _empty_bucketed_dir_fast(spark, dir_path: str,
-                             table_name: str) -> bool:
-    """Reset a bucketed store part to the EMPTY state driver-side:
-    drop the stale catalog entry and leave a bare directory -- exactly
-    the layout a 0-partition bucketed saveAsTable produces (no data
-    files; readers get their schema from the re-registered DDL).
-    Local-FS only, same gate as :func:`_empty_parquet_fast`."""
-    from .. import fsio
-
-    base = fsio._local_base(spark, dir_path)
-    if base is None:
-        return False
-    import os
-    import shutil
-
-    if spark.catalog.tableExists(table_name):
-        spark.sql(f"DROP TABLE {table_name}")
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
-    return True
-
-
 def build_simjoin_index(documents: DataFrame, store_dir: str,
                         threshold: float = 0.5, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
@@ -1270,16 +1209,16 @@ def build_simjoin_index(documents: DataFrame, store_dir: str,
         pairs_schema = spark.createDataFrame(
             [], f"a_id {idt}, b_id {idt}, n_common int, "
                 f"jaccard double").schema
-        if (_empty_bucketed_dir_fast(
+        if (fsio.reset_bucketed_dir_fast(
                 spark, store_dir + "/docs",
                 _simjoin_docs_table_name(store_dir))
-                and _empty_bucketed_dir_fast(
+                and fsio.reset_bucketed_dir_fast(
                     spark, store_dir + "/prefix",
                     _simjoin_prefix_table_name(store_dir))
-                and _empty_parquet_fast(spark, store_dir + "/dfreq",
-                                        dfreq0.schema)
-                and _empty_parquet_fast(spark, store_dir + "/pairs",
-                                        pairs_schema)):
+                and fsio.write_empty_parquet_fast(
+                    spark, store_dir + "/dfreq", dfreq0.schema)
+                and fsio.write_empty_parquet_fast(
+                    spark, store_dir + "/pairs", pairs_schema)):
             fsio.write_json(
                 spark, fsio.join(store_dir, "meta.json"),
                 {"threshold": threshold, "k": k,

@@ -2053,15 +2053,32 @@ def build_bm25_index(documents: DataFrame, store_dir: str,
         F.count(F.lit(1)).alias("tf"))
     cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                      for f in postings.schema.fields)
-    write_bucketed_path(postings, store_dir + "/postings",
-                        _bm25_postings_table_name(store_dir), cols,
-                        ["word"], ["word"], n_buckets, "overwrite")
     dl = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    name = _bm25_postings_table_name(store_dir)
     if documents.isEmpty():
-        # a 0-partition empty write leaves no schema-bearing file and
-        # the read-back (and every later search) would fail inference;
-        # one empty 1-partition file carries the schema (stream-start)
+        # stream-start fast path: both parts' schemas are known from
+        # the lazy plans, so on a local FS with pyarrow the empty
+        # store writes driver-side with zero Spark jobs (same
+        # discipline as build_simjoin_index); the counters are zero
+        # by definition, no read-back needed
+        from .partitioning import register_bucketed_path
+        if (fsio.reset_bucketed_dir_fast(spark, store_dir + "/postings",
+                                         name)
+                and fsio.write_empty_parquet_fast(
+                    spark, store_dir + "/doclen", dl.schema)):
+            fsio.write_json(spark, fsio.join(store_dir, "meta.json"),
+                            {"n_docs": 0, "total_len": 0,
+                             "n_buckets": n_buckets,
+                             "postings_cols": cols})
+            return register_bucketed_path(
+                spark, store_dir + "/postings", name, cols,
+                ["word"], ["word"], n_buckets)
+        # remote FS / no pyarrow: the generic writes below handle the
+        # 0-row case via the typed empty
+        postings = spark.createDataFrame([], postings.schema)
         dl = spark.createDataFrame([], dl.schema).repartition(1)
+    write_bucketed_path(postings, store_dir + "/postings", name, cols,
+                        ["word"], ["word"], n_buckets, "overwrite")
     dl.write.mode("overwrite").parquet(store_dir + "/doclen")
     stats = spark.read.parquet(store_dir + "/doclen").agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")).first()
